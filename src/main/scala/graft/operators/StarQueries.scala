@@ -1,0 +1,252 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** The reference's relational operator inventory (SURVEY.md §2)
+  * re-expressed over the driver's star-schema testdata so the DuckDB
+  * oracle can arbitrate every operator.
+  *
+  * Reference: /root/reference/README.md (abbrev. R:<line>). Each query
+  * cites the operator id(s) from SURVEY.md §2 it exercises.
+  *
+  * Determinism contract with the oracle:
+  *   - every output is fully ordered (explicit orderBy on a unique key
+  *     prefix) so row order matches DuckDB;
+  *   - money aggregates are summed as DECIMAL(18,2) then cast to double
+  *     (exact decimal arithmetic → bit-identical doubles in both
+  *     engines, no float-summation-order drift);
+  *   - ranking ties always carry a deterministic key tiebreak
+  *     (SURVEY.md §2.5 "ordering semantics").
+  *
+  * Scale notes (100 TB): all queries are single-pass partial-agg →
+  * shuffle → final-agg shapes or windowed shapes partitioned by a
+  * high-cardinality key; none collect to the driver; the final
+  * orderBy is on already-aggregated (small) results except where the
+  * query semantics themselves demand a global sort (T4), which Spark
+  * executes as a range-partitioned distributed sort.
+  */
+object StarQueries {
+
+  /** Exact money sum: decimal arithmetic, surfaced as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Exact average (dsum / count): bit-identical across engines. */
+  private def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** A2/A3 + T-ordering — pricing summary per (returnflag, linestatus).
+    * The reference's `AvgReducer` family (R:173, R:193) generalized:
+    * partial→final hash aggregation, no sort until the 4-row result.
+    */
+  private def $(name: String): Column = col(name)
+
+  def q01PricingSummary(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy($("l_returnflag"), $("l_linestatus"))
+      .agg(
+        dsum($("l_quantity")).as("sum_qty"),
+        dsum($("l_extendedprice")).as("sum_base_price"),
+        davg($("l_quantity")).as("avg_qty"),
+        davg($("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A1 (R:148-149) — one row feeds TWO key groups: the reference maps
+    * each flight to (Origin,1) and (Dest,1). Star analogue: each
+    * lineitem counts toward both its part and its supplier key.
+    * `explode(array(...))` is the 1→N Generator the Mapper was.
+    * Scale: explode doubles rows map-side, then partial-aggregates
+    * before the shuffle — the shuffle carries only (key, partialCount).
+    */
+  def q02ExplodeCount(t: Tables): DataFrame =
+    t.lineitem
+      .select(explode(array($("l_partkey"), $("l_suppkey"))).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .orderBy($("cnt").desc, $("key").asc)
+
+  /** A5 (R:449-452) — distinct over the same exploded key stream. */
+  def q03DistinctKeys(t: Tables): DataFrame =
+    t.lineitem
+      .select(explode(array($("l_partkey"), $("l_suppkey"))).as("key"))
+      .distinct()
+      .orderBy("key")
+
+  /** T1 (R:151) — global top-10 by count desc. The reference ran a
+    * whole second MR job with a single reducer; Spark's physical plan
+    * is a single TakeOrderedAndProject (per-partition heap + driver
+    * merge of 10-row heaps — no global sort, no single-node shuffle).
+    */
+  def q04Top10ByCount(t: Tables): DataFrame =
+    t.lineitem
+      .select(explode(array($("l_partkey"), $("l_suppkey"))).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .orderBy($("cnt").desc, $("key").asc)
+      .limit(10)
+
+  /** T2 (R:175-177) — top-10 ascending by average ("best on-time" =
+    * smallest avg delay). Tiebreak on key per SURVEY §2.5.
+    */
+  def q05Top10AvgAsc(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy($("l_suppkey")).agg(davg($("l_quantity")).as("avg_qty"))
+      .orderBy($("avg_qty").asc, $("l_suppkey").asc)
+      .limit(10)
+
+  /** A3 (R:200-201) — average per 2-column composite key. The
+    * reference faked composite keys as space-joined strings; real
+    * multi-column grouping shuffles once on both columns.
+    */
+  def q06AvgByPair(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy($("l_suppkey"), $("l_returnflag"))
+      .agg(davg($("l_quantity")).as("avg_qty"))
+      .orderBy("l_suppkey", "l_returnflag")
+
+  /** A4 (R:335) — average per 3-column composite key. */
+  def q07AvgByTriple(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy($("l_suppkey"), $("l_returnflag"), $("l_linestatus"))
+      .agg(davg($("l_quantity")).as("avg_qty"))
+      .orderBy("l_suppkey", "l_returnflag", "l_linestatus")
+
+  /** T3 (R:195-197) — per-group top-k: top-5 parts per supplier by
+    * ascending avg quantity. The canonical windowed top-k; the window
+    * partitions on the (high-cardinality) group key so the per-group
+    * sort is small and fully parallel.
+    */
+  def q08GroupTopK(t: Tables): DataFrame = {
+    val agg = t.lineitem
+      .groupBy($("l_suppkey"), $("l_partkey"))
+      .agg(davg($("l_quantity")).as("avg_qty"))
+    val w = Window.partitionBy($("l_suppkey"))
+      .orderBy($("avg_qty").asc, $("l_partkey").asc)
+    agg.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($("rn") <= 5)
+      .orderBy("l_suppkey", "rn")
+  }
+
+  /** T4 (R:385-389) — frequencies of frequencies, globally sorted
+    * desc. The reference needed a custom `DescendingIntegerComparator`;
+    * here it is a plain desc sort over the (tiny) aggregated result.
+    */
+  def q09FreqSorted(t: Tables): DataFrame =
+    t.lineitem
+      .select(explode(array($("l_partkey"), $("l_suppkey"))).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .groupBy("cnt").agg(count(lit(1)).as("n_keys"))
+      .orderBy($("cnt").desc)
+
+  /** J1+J2/A6 (R:536-549) — equi-join then per-group argmin: for each
+    * order, the lineitem with the earliest shipdate (constraint c's
+    * "least arrival delay" shape). `min_by(struct(...), struct(ord))`
+    * is a hash-aggregate (partial-combinable, no per-group sort) —
+    * exactly the map-side-combine the MR Reducer could not do.
+    * Tiebreak: (l_shipdate, l_linenumber, l_partkey) — covers every
+    * output column, so even though (orderkey, linenumber) is NOT unique
+    * in the fixture, any remaining ties have identical outputs and the
+    * argmin is deterministic.
+    */
+  def q10JoinArgmin(t: Tables): DataFrame = {
+    val j = t.lineitem.join(t.orders,
+      t.lineitem("l_orderkey") === t.orders("o_orderkey"))
+    j.groupBy($("o_orderkey"))
+      .agg(min_by(
+        struct($("o_orderdate"), $("l_partkey"), $("l_shipdate"), $("l_linenumber")),
+        struct($("l_shipdate"), $("l_linenumber"), $("l_partkey"))).as("m"))
+      .select($("o_orderkey"), $("m.o_orderdate").as("o_orderdate"),
+        $("m.l_partkey").as("l_partkey"), $("m.l_shipdate").as("l_shipdate"),
+        $("m.l_linenumber").as("l_linenumber"))
+      .orderBy("o_orderkey")
+  }
+
+  /** F6+J1 (R:434, R:542-543) — derived-key equi-join: the reference
+    * subtracted 2 days in the Mapper so a "+2 days" constraint became
+    * an equi-join key. Here: lineitems shipped exactly 60 days after
+    * their order date. Catalyst recognizes `l_shipdate ===
+    * o_orderdate + interval` as an equi-join condition natively.
+    */
+  def q11DerivedKeyJoin(t: Tables): DataFrame =
+    t.lineitem.join(t.orders,
+        t.lineitem("l_orderkey") === t.orders("o_orderkey") &&
+        t.lineitem("l_shipdate") === t.orders("o_orderdate") + expr("interval 60 days"))
+      .select($("o_orderkey"), $("l_linenumber"), $("l_shipdate"))
+      .orderBy("o_orderkey", "l_linenumber")
+
+  /** J3 (R:456-468) — constrained triple cross join (origin, stop,
+    * dest) with stop ≠ origin and stop ≠ dest (origin may equal dest,
+    * R:458). The reference used an external permutation library inside
+    * ONE reducer; the cross join distributes trivially. Inputs to a
+    * cross join like this must be small dims (here: nation, 25 rows) —
+    * Spark broadcasts both sides.
+    */
+  def q12Triplets(t: Tables): DataFrame = {
+    val n = t.nation.select($("n_name"))
+    val a = n.select($("n_name").as("origin"))
+    val b = n.select($("n_name").as("stop"))
+    val c = n.select($("n_name").as("dest"))
+    a.crossJoin(b).crossJoin(c)
+      .filter($("stop") =!= $("origin") && $("stop") =!= $("dest"))
+      .orderBy("origin", "stop", "dest")
+  }
+
+  /** J4 (R:485-487) — cross join with a generated date dimension:
+    * region triplets × every day of 2008 (366, leap year).
+    * `sequence + explode` replaces the reference's generation loop.
+    */
+  def q13Requests(t: Tables): DataFrame = {
+    val r = t.region.select($("r_name"))
+    val trips = r.select($("r_name").as("origin"))
+      .crossJoin(r.select($("r_name").as("stop")))
+      .crossJoin(r.select($("r_name").as("dest")))
+      .filter($("stop") =!= $("origin") && $("stop") =!= $("dest"))
+    val dates = t.spark.range(1).select(
+      explode(sequence(
+        to_date(lit("2008-01-01")), to_date(lit("2008-12-31")),
+        expr("interval 1 day"))).as("request_date"))
+    trips.crossJoin(dates)
+      .orderBy("origin", "stop", "dest", "request_date")
+  }
+
+  /** §2.6 union (R:539-545 MultipleInputs) — two tagged sources
+    * unioned into one stream: customers ∪ suppliers.
+    */
+  def q14UnionTag(t: Tables): DataFrame = {
+    val c = t.customer.select($("c_custkey").as("key"),
+      $("c_name").as("name"), $("c_acctbal").as("acctbal"), lit("customer").as("tag"))
+    val s = t.supplier.select($("s_suppkey").as("key"),
+      $("s_name").as("name"), $("s_acctbal").as("acctbal"), lit("supplier").as("tag"))
+    c.union(s).orderBy("tag", "key")
+  }
+
+  /** F2/F5/F6/F8 (R:487, R:507, R:521-531) — the scalar date/format
+    * layer: parse/derive/shift/format. `HH:mm dd/MM/yyyy` is the
+    * reference's leg-schedule output format; the %.2f money format is
+    * an exact DECIMAL(18,2) render (same rounding rule both engines).
+    */
+  def q15DateFunctions(t: Tables): DataFrame =
+    t.orders.select(
+        $("o_orderkey"),
+        year($("o_orderdate")).cast("long").as("o_year"),
+        month($("o_orderdate")).cast("long").as("o_month"),
+        date_add($("o_orderdate"), 2).as("plus2"),
+        date_format($("o_orderdate"), "HH:mm dd/MM/yyyy").as("sched_fmt"),
+        $("o_totalprice").cast(DecimalType(18, 2)).cast("string").as("price_str"))
+      .orderBy("o_orderkey")
+
+  /** P1-P3 (R:112, R:512) — projection + year filter + null/range
+    * guards. The whole filter reaches the parquet scan (PushedFilters)
+    * — the Spark-native form of the reference's per-question cleaning
+    * job AND its file-level `Predicate` (R:128-129) in one.
+    */
+  def q16FilterPushdown(t: Tables): DataFrame =
+    t.lineitem
+      .filter(year($("l_shipdate")) === 1997 &&
+        $("l_quantity") < 10 && $("l_returnflag").isNotNull)
+      .select($("l_orderkey"), $("l_linenumber"), $("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+}

@@ -1,0 +1,29 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed access to the driver's star-schema testdata (TESTDATA.md).
+  *
+  * One parquet file per table under `dir`. At 100 TB these would be
+  * multi-file partitioned datasets; `spark.read.parquet` handles both
+  * transparently (a directory of files splits into one task per
+  * row-group/128MB split), so nothing here is local-mode-specific.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // lazy vals (not defs): column references like `lineitem("l_orderkey")`
+  // must resolve against the SAME plan instance used in a join, or
+  // Catalyst sees attributes from a foreign plan (MISSING_ATTRIBUTES).
+  lazy val region: DataFrame     = t("region")
+  lazy val nation: DataFrame     = t("nation")
+  lazy val customer: DataFrame   = t("customer")
+  lazy val supplier: DataFrame   = t("supplier")
+  lazy val part: DataFrame       = t("part")
+  lazy val orders: DataFrame     = t("orders")
+  lazy val lineitem: DataFrame   = t("lineitem")
+  lazy val events: DataFrame     = t("events")
+  lazy val documents: DataFrame  = t("documents")
+  lazy val embeddings: DataFrame = t("embeddings")
+}

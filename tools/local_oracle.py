@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Dev-only harness replicating the driver's DuckDB oracle compare.
+
+Usage: python3 tools/local_oracle.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), registers
+the sfDir parquet tables as DuckDB views, runs each oracle SQL, and
+compares against the Spark-written parquet in <verifyOutDir>/<name>/.
+Columns are sorted by name before compare (mirrors the driver). Reports
+per-query: row-count match, schema (column-name) match, value match.
+"""
+import sys, json, glob, math
+
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    import datetime
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    # date vs pandas Timestamp-at-midnight: same logical value
+    for x, y in ((a, b), (b, a)):
+        if isinstance(x, datetime.date) and not isinstance(x, datetime.datetime) \
+                and isinstance(y, (datetime.datetime, pd.Timestamp)):
+            return pd.Timestamp(x) == pd.Timestamp(y)
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    sql_map = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(sql_map.items()):
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        try:
+            exp = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        got, exp = norm(got), norm(exp)
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            n_fail += 1
+            continue
+        bad = None
+        for col in got.columns:
+            gv, ev = list(got[col]), list(exp[col])
+            for i, (g, e) in enumerate(zip(gv, ev)):
+                # normalize timestamp/date-ish values via str compare fallback
+                if not (values_equal(g, e) or str(g) == str(e)):
+                    bad = (col, i, g, e)
+                    break
+            if bad:
+                break
+        if bad:
+            col, i, g, e = bad
+            print(f"FAIL {name}: value mismatch col={col} row={i}: spark={g!r} duck={e!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
