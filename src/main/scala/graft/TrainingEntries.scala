@@ -1,0 +1,283 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Events, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Driver-contract entries for the training-data-pipeline operators
+  * (dedup, text analysis, similarity search, event rollup/sessions) —
+  * merged into SparkEntry.queries / SparkEntry.oracleSql.
+  *
+  * Every oracle mirrors the Spark computation exactly: md5 for all
+  * hashing (identical hex in both engines), lexicographic mins for
+  * minhash, integer-derived ratios/divisions for scores, quantized
+  * integer dots for cosine. See operator Scaladocs for the argument.
+  */
+object TrainingEntries {
+
+  private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Tables(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact"    -> q(t => Dedup.exactDuplicates(t.documents)),
+    "q21_doc_stats"      -> q(t => TextAnalysis.docStats(t.documents)),
+    "q22_lang_id"        -> q(t => TextAnalysis.langId(t.documents)),
+    "q23_quality"        -> q(t => TextAnalysis.quality(t.documents)),
+    "q24_fingerprints"   -> q(t => TextAnalysis.fingerprints(t.documents)),
+    "q25_minhash_sig"    -> q(t => Dedup.minhashSignatures(t.documents)),
+    "q26_minhash_dups"   -> q(t => Dedup.minhashDupPairs(t.documents, threshold = 0.7)),
+    "q27_ngram_jaccard"  -> q(t => Dedup.ngramJaccardPairs(t.documents, threshold = 0.5)),
+    "q28_simhash"        -> q(t => Dedup.simhashes(t.documents)),
+    "q30_knn_brute"      -> q(t => Similarity.bruteForceTopK(t.embeddings)),
+    "q31_knn_lsh"        -> q(t => Similarity.lshTopK(t.embeddings)),
+    "q32_event_hourly"   -> q(t => Events.hourlyRollup(t.events)),
+    "q33_sessionize"     -> q(t => Events.sessionize(t.events)),
+  )
+
+  /** Normalized text, DuckDB dialect (the 'g' flag is required —
+    * DuckDB's regexp_replace is single-match by default, Spark's is
+    * global).
+    */
+  private val norm = raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+  private def classCount(src: String, cls: String): String =
+    s"length($src) - length(regexp_replace($src, '$cls', '', 'g'))"
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "une"),
+    "es" -> Seq("el", "los", "las", "una", "por"))
+
+  private def stopScore(lang: String): String =
+    stopwords(lang).map(w =>
+      s"(CASE WHEN strpos(pad, ' $w ') > 0 THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  private val nTokens =
+    "CASE WHEN length(norm) = 0 THEN 0 ELSE len(string_split(norm, ' ')) END"
+
+  // 5-gram shingles CTE (shared by minhash queries). DuckDB 1.0 has no
+  // lateral generate_series table function; unnest of the list form
+  // in the SELECT list is the portable spelling.
+  private val shinglesCte =
+    s"""docs AS (SELECT doc_id, $norm AS norm FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, substr(norm, i, 5) AS shingle FROM (
+       |       SELECT doc_id, norm,
+       |         unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+       |       FROM docs))""".stripMargin
+
+  private def sigName(i: Int): String = f"sig$i%02d"
+  private val sigCols = (0 until 16)
+    .map(i => s"MIN(md5('$i:' || shingle)) AS ${sigName(i)}").mkString(", ")
+
+  private val bandsSql = (0 until 4).map { b =>
+    val cols = (0 until 4).map(r => sigName(b * 4 + r)).mkString(" || '|' || ")
+    s"SELECT doc_id, $b AS band, md5($cols) AS bhash FROM sig"
+  }.mkString(" UNION ALL ")
+
+  // simhash-32 expression fragments
+  private def nib(p: Int): String = s"CAST('0x' || substr(h, $p, 1) AS INTEGER)"
+  private val simhashCounters = (0 until 32).map { j =>
+    s"SUM(((${nib(j / 4 + 1)} >> ${3 - j % 4}) & 1) * 2 - 1) AS c$j"
+  }.mkString(", ")
+  private val simhashPack = (0 until 32)
+    .map(j => s"CASE WHEN c$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    .mkString(" + ")
+
+  // quantized-integer flattening of embeddings (shared by knn queries)
+  private val flatCte =
+    """flat AS (SELECT vec_id, i,
+      |  CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |  FROM (SELECT vec_id, embedding,
+      |        unnest(generate_series(1, len(embedding))) AS i FROM embeddings)),
+      |norms AS (SELECT vec_id, sqrt(CAST(SUM(v*v) AS DOUBLE)) AS nrm
+      |          FROM flat GROUP BY vec_id)""".stripMargin
+
+  private val langScoresCte =
+    s"""scored AS (SELECT doc_id, text, lang,
+       |  ${stopScore("en")} AS s_en, ${stopScore("de")} AS s_de,
+       |  ${stopScore("fr")} AS s_fr, ${stopScore("es")} AS s_es
+       |  FROM (SELECT doc_id, text, lang, ' ' || $norm || ' ' AS pad FROM documents))""".stripMargin
+
+  private val langCase =
+    """CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+      |     WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+      |     WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+      |     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+      |     WHEN s_fr >= s_es THEN 'fr'
+      |     ELSE 'es' END""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      s"""SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM (
+         |  SELECT doc_id, md5($norm) AS fp FROM documents
+         |) GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q21_doc_stats" ->
+      s"""SELECT doc_id,
+         |  CAST($nTokens AS BIGINT) AS n_tokens,
+         |  CAST(length(norm) AS BIGINT) AS n_chars_norm,
+         |  CAST(${classCount("norm", "[.,;:!?]")} AS BIGINT) AS n_punct,
+         |  CAST(${classCount("norm", "[A-Za-z]")} AS BIGINT) AS n_alpha,
+         |  CAST(${classCount("norm", "[0-9]")} AS BIGINT) AS n_digit,
+         |  CAST(length(replace(norm, ' ', '')) AS DOUBLE) /
+         |    CAST(greatest($nTokens, 1) AS DOUBLE) AS avg_token_len
+         |FROM (SELECT doc_id, $norm AS norm FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q22_lang_id" ->
+      s"""WITH $langScoresCte
+         |SELECT doc_id, $langCase AS pred_lang, lang AS label_lang
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q23_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, norm, pad,
+         |    CAST(length(norm) AS DOUBLE) AS len,
+         |    CAST(${classCount("norm", "[.,;:!?]")} AS DOUBLE) AS npunct,
+         |    CAST(${classCount("norm", "[A-Za-z]")} AS DOUBLE) AS nalpha,
+         |    CASE WHEN regexp_matches(norm, '[一-鿿]') THEN 1.0 ELSE 0.0 END AS cjk,
+         |    ${stopScore("en")} AS s_en, ${stopScore("de")} AS s_de,
+         |    ${stopScore("fr")} AS s_fr, ${stopScore("es")} AS s_es
+         |  FROM (SELECT doc_id, $norm AS norm, ' ' || $norm || ' ' AS pad
+         |        FROM documents)),
+         |terms AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len >= 200 AND len <= 5000 THEN 1.0
+         |         WHEN len >= 50 THEN 0.5 ELSE 0.0 END AS len_score,
+         |    CASE WHEN npunct / greatest(len, 1.0) > 0.001
+         |          AND npunct / greatest(len, 1.0) < 0.2 THEN 1.0 ELSE 0.0 END AS punct_score,
+         |    greatest(CASE WHEN nalpha / greatest(len, 1.0) > 0.6 THEN 1.0
+         |                  ELSE (nalpha / greatest(len, 1.0)) / 0.6 END, cjk) AS alpha_score,
+         |    CASE WHEN greatest(s_en, s_de, s_fr, s_es) >= 2 OR cjk = 1.0
+         |         THEN 1.0 ELSE 0.0 END AS stop_score
+         |  FROM base)
+         |SELECT doc_id,
+         |  len_score * 0.25 + punct_score * 0.25 + alpha_score * 0.25 +
+         |    stop_score * 0.25 AS quality
+         |FROM terms ORDER BY doc_id""".stripMargin,
+
+    "q24_fingerprints" ->
+      s"SELECT doc_id, md5($norm) AS fp FROM documents ORDER BY doc_id",
+
+    "q25_minhash_sig" ->
+      s"""WITH $shinglesCte
+         |SELECT doc_id, $sigCols
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q26_minhash_dups" ->
+      s"""WITH $shinglesCte,
+         |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |          FROM bands a JOIN bands b
+         |          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.id1, c.id2, COUNT(*) AS common
+         |           FROM cands c
+         |           JOIN sh a ON a.doc_id = c.id1
+         |           JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+         |           GROUP BY c.id1, c.id2),
+         |j AS (SELECT id1, id2,
+         |        CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE) AS jaccard
+         |      FROM common
+         |      JOIN sizes s1 ON s1.doc_id = id1
+         |      JOIN sizes s2 ON s2.doc_id = id2)
+         |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.7
+         |ORDER BY id1, id2""".stripMargin,
+
+    "q27_ngram_jaccard" ->
+      s"""WITH docs AS (SELECT doc_id, $norm AS norm FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, substr(norm, i, 3) AS shingle FROM (
+         |       SELECT doc_id, norm,
+         |         unnest(generate_series(1, greatest(length(norm) - 2, 1))) AS i
+         |       FROM docs)),
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+         |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |          FROM shr a JOIN shr b
+         |          ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.id1, c.id2, COUNT(*) AS common
+         |           FROM cands c
+         |           JOIN sh a ON a.doc_id = c.id1
+         |           JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+         |           GROUP BY c.id1, c.id2),
+         |j AS (SELECT id1, id2,
+         |        CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE) AS jaccard
+         |      FROM common
+         |      JOIN sizes s1 ON s1.doc_id = id1
+         |      JOIN sizes s2 ON s2.doc_id = id2)
+         |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY id1, id2""".stripMargin,
+
+    "q28_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, md5(tok) AS h FROM (
+         |    SELECT doc_id, unnest(string_split($norm, ' ')) AS tok FROM documents)
+         |  WHERE length(tok) > 0),
+         |ctr AS (SELECT doc_id, $simhashCounters FROM toks GROUP BY doc_id)
+         |SELECT doc_id, CAST($simhashPack AS BIGINT) AS simhash
+         |FROM ctr ORDER BY doc_id""".stripMargin,
+
+    "q30_knn_brute" ->
+      s"""WITH $flatCte,
+         |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot
+         |         FROM flat q JOIN flat c ON q.i = c.i
+         |         WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |         GROUP BY q.vec_id, c.vec_id),
+         |cos AS (SELECT qid, cid, CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+         |        FROM dots
+         |        JOIN norms nq ON nq.vec_id = qid
+         |        JOIN norms nc ON nc.vec_id = cid),
+         |r AS (SELECT qid, cid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rn
+         |      FROM cos)
+         |SELECT qid, cid, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "q31_knn_lsh" ->
+      s"""WITH $flatCte,
+         |b AS (SELECT vec_id,
+         |        ${(1 to 8).map(j => s"(CASE WHEN embedding[$j] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS bucket
+         |      FROM embeddings),
+         |pairs AS (SELECT q.vec_id AS qid, c.vec_id AS cid
+         |          FROM b q JOIN b c ON q.bucket = c.bucket
+         |          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |dots AS (SELECT p.qid, p.cid, SUM(fq.v * fc.v) AS dot
+         |         FROM pairs p
+         |         JOIN flat fq ON fq.vec_id = p.qid
+         |         JOIN flat fc ON fc.vec_id = p.cid AND fc.i = fq.i
+         |         GROUP BY p.qid, p.cid),
+         |cos AS (SELECT qid, cid, CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+         |        FROM dots
+         |        JOIN norms nq ON nq.vec_id = qid
+         |        JOIN norms nc ON nc.vec_id = cid),
+         |r AS (SELECT qid, cid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rn
+         |      FROM cos)
+         |SELECT qid, cid, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "q32_event_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q33_sessionize" ->
+      """WITH w AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |           FROM events),
+        |n AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM w),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_id FROM n)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+  )
+}

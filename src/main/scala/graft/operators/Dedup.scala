@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis.normText
+
+/** Deduplication operators for training-data pipelines (builder brief;
+  * BASELINE.json north star): exact, MinHash+LSH, SimHash, and n-gram
+  * Jaccard via an inverted shingle index.
+  *
+  * Portability design: every hash is `md5` (identical hex output in
+  * Spark and DuckDB) and every MinHash is the LEXICOGRAPHIC min of
+  * md5 hex strings — min over strings ≡ min over the underlying
+  * 128-bit numbers, so the whole family is oracle-checkable with zero
+  * custom SQL machinery.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-shuffle on a 32-char key, not the text;
+  *  - minhash signatures are one scan + one groupBy(doc) over exploded
+  *    shingles (partial `min` combines map-side, so the shuffle carries
+  *    ≤ k×32 bytes per doc);
+  *  - LSH banding turns all-pairs comparison into an equi-join on band
+  *    hashes (no cross join anywhere);
+  *  - the Jaccard verify joins candidate pairs back to shingle sets —
+  *    an inverted-index join, never a cartesian product;
+  *  - document-frequency stopword cut bounds the worst-case bucket
+  *    (a shingle shared by half the corpus would otherwise create a
+  *    quadratic bucket at scale).
+  */
+object Dedup {
+
+  private def $(name: String): Column = col(name)
+
+  /** Exact dedup: group by content fingerprint, keep the smallest
+    * doc_id as the canonical copy. Returns (fp, keep_id, n_copies).
+    */
+  def exactDuplicates(documents: DataFrame): DataFrame =
+    documents
+      .select($("doc_id"), TextAnalysis.fingerprint($("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min($("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("fp")
+
+  /** Character `n`-gram shingles of the normalized text, DISTINCT per
+    * doc: (doc_id, shingle). `substr(norm, i, n)` over a generated
+    * position sequence — pure expressions, explode is the only row
+    * amplification.
+    */
+  def shingles(documents: DataFrame, n: Int = 5): DataFrame =
+    documents
+      .select($("doc_id"), normText($("text")).as("norm"))
+      .select($("doc_id"), explode(expr(
+        s"transform(sequence(1, greatest(length(norm) - ${n - 1}, 1)), i -> substr(norm, i, $n))"))
+        .as("shingle"))
+      .distinct()
+
+  /** MinHash signatures: k hash functions h_i(s) = md5(i || ':' || s),
+    * signature_i = lexicographic min over the doc's shingles.
+    * Output: doc_id, sig00..sig{k-1} (fixed columns so the shuffle
+    * payload is bounded and the oracle compare is column-stable).
+    */
+  def minhashSignatures(documents: DataFrame, n: Int = 5, k: Int = 16): DataFrame = {
+    val sh = shingles(documents, n)
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), $("shingle")))).as(f"sig$i%02d"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+  }
+
+  /** LSH candidate pairs: split the k-wide signature into `bands`
+    * bands of k/bands rows each, hash each band, and equi-join docs
+    * sharing any band hash. Returns distinct (id1 < id2) pairs.
+    */
+  def lshCandidates(signatures: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = k / bands
+    val banded = signatures.select(
+      $("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        md5(concat_ws("|",
+          (0 until rowsPerBand).map(r => col(f"sig${b * rowsPerBand + r}%02d")): _*))
+      }: _*)).as(Seq("band", "bhash")))
+    val a = banded.select($("band"), $("bhash"), $("doc_id").as("id1"))
+    val b = banded.select($("band"), $("bhash"), $("doc_id").as("id2"))
+    a.join(b, Seq("band", "bhash"))
+      .filter($("id1") < $("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact Jaccard for given pairs via the inverted shingle index:
+    * |A∩B| from a shingle equi-join, sizes from per-doc counts —
+    * jaccard = common / (|A| + |B| − common), computed from integers
+    * (bit-identical across engines).
+    */
+  def jaccardFor(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = pairs
+      .join(sh.select($("doc_id").as("id1"), $("shingle")), Seq("id1"))
+      .join(sh.select($("doc_id").as("id2"), $("shingle")), Seq("id2", "shingle"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select($("doc_id").as("id1"), $("sz").as("sz1")), Seq("id1"))
+      .join(sizes.select($("doc_id").as("id2"), $("sz").as("sz2")), Seq("id2"))
+      .select($("id1"), $("id2"),
+        ($("common").cast("double") /
+          ($("sz1") + $("sz2") - $("common")).cast("double")).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-duplicate pairs: signatures → banded candidates
+    * → exact-Jaccard verify ≥ threshold.
+    */
+  def minhashDupPairs(documents: DataFrame, n: Int = 5, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(documents, n)
+    val cands = lshCandidates(minhashSignatures(documents, n, k), k, bands)
+    jaccardFor(cands, sh)
+      .filter($("jaccard") >= threshold)
+      .orderBy("id1", "id2")
+  }
+
+  /** n-gram Jaccard near-dup pairs WITHOUT minhash: inverted shingle
+    * index, document-frequency stopword cut (shingles in > maxDf docs
+    * are dropped — bounds bucket sizes at scale), pair counting, then
+    * the same integer-exact Jaccard. At 100 TB this is the
+    * shuffle-heavy exact variant; minhashDupPairs is the cheap one.
+    */
+  def ngramJaccardPairs(documents: DataFrame, n: Int = 3,
+      threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
+    val sh0 = shingles(documents, n)
+    val rare = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter($("df") <= maxDf).select("shingle")
+    val sh = sh0.join(rare, Seq("shingle"))
+    val pairs = sh.select($("shingle"), $("doc_id").as("id1"))
+      .join(sh.select($("shingle"), $("doc_id").as("id2")), Seq("shingle"))
+      .filter($("id1") < $("id2"))
+      .select("id1", "id2").distinct()
+    // verify against the FULL shingle sets (df-cut only prunes the
+    // candidate generation, not the similarity definition)
+    jaccardFor(pairs, sh0)
+      .filter($("jaccard") >= threshold)
+      .orderBy("id1", "id2")
+  }
+
+  /** SimHash-32 per document: per token, 32 bits from the first 8 hex
+    * chars of md5(token); bit j contributes +1/−1 to counter j; the
+    * sign vector is packed into a BIGINT. Near-dups differ in few bits
+    * (Hamming). Built from portable expressions (conv/substr/shift) so
+    * the oracle can recompute it; a codegen'd custom Expression is the
+    * planned optimization.
+    */
+  def simhashes(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select($("doc_id"), explode(split(normText($("text")), " ")).as("tok"))
+      .filter(length($("tok")) > 0)
+      .withColumn("h", md5($("tok")))
+    // hex nibble at position p (1-based) as int 0..15
+    def nib(p: Int): Column = conv(substring($("h"), p, 1), 16, 10).cast("int")
+    // bit j (0..31): nibble p = j/4 + 1, bit within nibble = 3 - j%4
+    def bit(j: Int): Column = shiftright(nib(j / 4 + 1), 3 - j % 4) % 2
+    val contribs = (0 until 32).map(j =>
+      sum(bit(j) * 2 - 1).as(s"c$j"))
+    val counters = toks.groupBy("doc_id").agg(contribs.head, contribs.tail: _*)
+    val packed = (0 until 32).map(j =>
+      when(col(s"c$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    counters.select($("doc_id"), packed.as("simhash")).orderBy("doc_id")
+  }
+}

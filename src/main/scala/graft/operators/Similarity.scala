@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over the `embeddings`
+  * table (`embedding: array<float>`, 64 dims in the fixture).
+  *
+  * Numeric determinism: cosine is computed over 1e6-quantized INTEGER
+  * elements — integer dot products and squared norms are exact and
+  * order-independent, so Spark and the DuckDB oracle agree
+  * bit-for-bit (the only floating steps, sqrt and one division, are
+  * IEEE-identical on identical inputs). Quantization error ~1e-6 is
+  * irrelevant at ranking granularity.
+  *
+  * Scale design:
+  *  - brute force = broadcast the (small) query set, single scan of
+  *    the corpus, per-query top-k via window on qid — the correct
+  *    exact-kNN shape at any corpus size (corpus never shuffles);
+  *  - sign-grid LSH buckets corpus and queries by the sign pattern of
+  *    the leading dims: candidate set shrinks ~2^bits×, turning the
+  *    scan into an equi-join on bucket — the scale path;
+  *  - the array fold (`aggregate ∘ zip_with`) is a per-row expression:
+  *    no explode, no row amplification, stays in whole-stage codegen.
+  */
+object Similarity {
+
+  private def $(name: String): Column = col(name)
+
+  /** 1e6-quantized integer elements of a float-array column. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * 1e6).cast("long"))
+
+  /** Exact integer dot product of two quantized arrays. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  /** Euclidean norm of a quantized array (double). */
+  def qnorm(a: Column): Column = sqrt(qdot(a, a).cast("double"))
+
+  /** Cosine similarity via quantized integer arithmetic. */
+  def cosine(a: Column, b: Column): Column = {
+    val (qa, qb) = (quantize(a), quantize(b))
+    qdot(qa, qb).cast("double") / (qnorm(qa) * qnorm(qb))
+  }
+
+  /** Exact brute-force top-k: for each query vector (vec_id <
+    * maxQueryId), the k most cosine-similar OTHER vectors.
+    * Output: qid, cid, cos, rn — deterministic (cid tiebreak).
+    */
+  def bruteForceTopK(embeddings: DataFrame, maxQueryId: Long = 10,
+      k: Int = 5): DataFrame = {
+    val corpus = embeddings.select($("vec_id").as("cid"), $("embedding").as("ce"))
+    val queries = broadcast(
+      embeddings.filter($("vec_id") < maxQueryId)
+        .select($("vec_id").as("qid"), $("embedding").as("qe")))
+    val w = Window.partitionBy($("qid")).orderBy($("cos").desc, $("cid").asc)
+    corpus.join(queries, $("qid") =!= $("cid"))
+      .select($("qid"), $("cid"), cosine($("qe"), $("ce")).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
+  /** Sign-grid LSH bucket key: the sign pattern of the first `bits`
+    * dimensions, as a string key (portable, deterministic). Vectors
+    * in the same orthant of the leading dims land together.
+    */
+  def signBucket(emb: Column, bits: Int = 8): Column =
+    concat((1 to bits).map(j =>
+      when(element_at(emb, j) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** LSH-bucketed ANN: same contract as bruteForceTopK but the
+    * candidate set is restricted to the query's sign bucket —
+    * an equi-join on the bucket key instead of a full scan.
+    * Approximate: recall < 1 by design (bucket boundaries).
+    */
+  def lshTopK(embeddings: DataFrame, maxQueryId: Long = 10, k: Int = 5,
+      bits: Int = 8): DataFrame = {
+    val bucketed = embeddings.select(
+      $("vec_id"), $("embedding"), signBucket($("embedding"), bits).as("bucket"))
+    val corpus = bucketed.select($("bucket"), $("vec_id").as("cid"), $("embedding").as("ce"))
+    val queries = broadcast(
+      bucketed.filter($("vec_id") < maxQueryId)
+        .select($("bucket"), $("vec_id").as("qid"), $("embedding").as("qe")))
+    val w = Window.partitionBy($("qid")).orderBy($("cos").desc, $("cid").asc)
+    corpus.join(queries, Seq("bucket"))
+      .filter($("qid") =!= $("cid"))
+      .select($("qid"), $("cid"), cosine($("qe"), $("ce")).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+}

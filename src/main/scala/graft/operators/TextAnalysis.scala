@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-training-data pipelines over the
+  * `documents` table (BASELINE.json north star; builder brief).
+  *
+  * Everything is built from codegen'd `functions._` expressions — no
+  * UDFs — so each operator is a single scan with no shuffle except the
+  * final deterministic orderBy (dropped in production use).
+  *
+  * Determinism contract: all scores derive from INTEGER counts divided
+  * at the end (double division of identical ints is bit-identical
+  * across engines), so every query here is DuckDB-oracle-checkable.
+  */
+object TextAnalysis {
+
+  private def $(name: String): Column = col(name)
+
+  /** Whitespace-normalized, lowercased text: the canonical form used
+    * by dedup, fingerprinting, and token stats.
+    */
+  def normText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Token count over the normalized form (whitespace tokenization —
+    * the baseline tokenizer; a BPE-ish regex variant below).
+    */
+  def tokenCount(text: Column): Column = {
+    val n = normText(text)
+    when(length(n) === 0, 0).otherwise(size(split(n, " ")))
+  }
+
+  /** BPE-ish subword proxy: count of alphanumeric runs plus single
+    * punctuation marks (the usual pre-tokenizer split classes).
+    * RE2-compatible pattern → oracle-portable.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(normText(text), lit("[a-z0-9]+"), lit(0))) +
+      punctCount(normText(text))
+
+  /** Document fingerprint (content hash of the normalized form) —
+    * the key for exact dedup.
+    */
+  def fingerprint(text: Column): Column = md5(normText(text))
+
+  // ---------------------------------------------------------------
+  // counts feeding the quality score — all integers
+  // ---------------------------------------------------------------
+
+  /** Count of chars in `text` matching regex char-class `cls` (via
+    * length difference after deletion — portable to any SQL engine).
+    */
+  def classCount(text: Column, cls: String): Column =
+    length(text) - length(regexp_replace(text, cls, ""))
+
+  def punctCount(text: Column): Column = classCount(text, "[.,;:!?]")
+  def alphaCount(text: Column): Column = classCount(text, "[A-Za-z]")
+  def digitCount(text: Column): Column = classCount(text, "[0-9]")
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "une"),
+    "es" -> Seq("el", "los", "las", "una", "por"))
+
+  /** Stopword hits for one language: how many of its marker words
+    * appear in the normalized text (word-boundary via space padding).
+    */
+  def stopwordScore(text: Column, lang: String): Column = {
+    val padded = concat(lit(" "), normText(text), lit(" "))
+    stopwords(lang).map(w =>
+      when(padded.contains(s" $w "), 1).otherwise(0))
+      .reduce(_ + _)
+  }
+
+  /** n-gram-heuristic language ID: CJK presence → zh; otherwise the
+    * stopword-score argmax with fixed precedence en>de>fr>es; no hits
+    * → "und". Deterministic CASE chain (oracle-portable).
+    */
+  def languageId(text: Column): Column = {
+    val en = stopwordScore(text, "en"); val de = stopwordScore(text, "de")
+    val fr = stopwordScore(text, "fr"); val es = stopwordScore(text, "es")
+    val hasCjk = text.rlike("[一-鿿]")
+    when(hasCjk, "zh")
+      .when(greatest(en, de, fr, es) === 0, "und")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Quality score in [0,1]: length band + punctuation sanity +
+    * alpha density + stopword evidence. All terms are integer-derived
+    * ratios; weights sum to 1.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = normText(text)
+    val len = length(n).cast("double")
+    val lenScore = when(len >= 200 && len <= 5000, 1.0)
+      .when(len >= 50, 0.5).otherwise(0.0)
+    val punctRatio = punctCount(n).cast("double") / greatest(len, lit(1.0))
+    val punctScore = when(punctRatio > 0.001 && punctRatio < 0.2, 1.0).otherwise(0.0)
+    val alphaRatio = alphaCount(n).cast("double") / greatest(len, lit(1.0))
+    val cjk = when(n.rlike("[一-鿿]"), 1.0).otherwise(0.0)
+    val alphaScore = greatest(when(alphaRatio > 0.6, 1.0).otherwise(alphaRatio / 0.6), cjk)
+    val stopScore = when(
+      greatest(stopwordScore(n, "en"), stopwordScore(n, "de"),
+        stopwordScore(n, "fr"), stopwordScore(n, "es")) >= 2 || cjk === 1.0,
+      1.0).otherwise(0.0)
+    lenScore * 0.25 + punctScore * 0.25 + alphaScore * 0.25 + stopScore * 0.25
+  }
+
+  // ---------------------------------------------------------------
+  // whole-table transforms (the `queries` entries)
+  // ---------------------------------------------------------------
+
+  /** Per-document stats: tokens, chars, punct/alpha/digit counts,
+    * average token length. One scan, no shuffle (orderBy is for the
+    * oracle compare only).
+    */
+  def docStats(documents: DataFrame): DataFrame = {
+    val n = normText($("text"))
+    documents.select(
+      $("doc_id"),
+      tokenCount($("text")).cast("long").as("n_tokens"),
+      length(n).cast("long").as("n_chars_norm"),
+      punctCount(n).cast("long").as("n_punct"),
+      alphaCount(n).cast("long").as("n_alpha"),
+      digitCount(n).cast("long").as("n_digit"),
+      (length(regexp_replace(n, " ", "")).cast("double") /
+        greatest(tokenCount($("text")), lit(1)).cast("double")).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID per document, with the dataset's label for eyeball
+    * comparison.
+    */
+  def langId(documents: DataFrame): DataFrame =
+    documents.select(
+      $("doc_id"),
+      languageId($("text")).as("pred_lang"),
+      $("lang").as("label_lang"))
+      .orderBy("doc_id")
+
+  /** Quality scores per document. */
+  def quality(documents: DataFrame): DataFrame =
+    documents.select(
+      $("doc_id"),
+      qualityScore($("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Fingerprints per document (rolling content hash of the
+    * normalized text).
+    */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+      $("doc_id"),
+      fingerprint($("text")).as("fp"))
+      .orderBy("doc_id")
+}

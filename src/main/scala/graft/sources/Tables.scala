@@ -23,7 +23,21 @@ final case class Tables(spark: SparkSession, dir: String) {
   lazy val part: DataFrame       = t("part")
   lazy val orders: DataFrame     = t("orders")
   lazy val lineitem: DataFrame   = t("lineitem")
-  lazy val events: DataFrame     = t("events")
+  // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+  // reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong,
+  // and the nanos LONG is converted here to a microsecond timestamp
+  // (same truncation DuckDB applies reading ns into its us timestamps).
+  lazy val events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, not `/`: double division of 1e18-scale nanos
+        // loses precision and lands 1us off the oracle's truncation
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
   lazy val documents: DataFrame  = t("documents")
   lazy val embeddings: DataFrame = t("embeddings")
 }

@@ -1,0 +1,130 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.{Dedup, Events, Similarity, TextAnalysis}
+
+/** Semantic tests of the training-data-pipeline operators on planted
+  * fixtures (the DuckDB oracle checks engine parity; these check the
+  * operators actually DO what they claim — find dups, rank neighbors,
+  * split sessions).
+  */
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "The quick brown fox jumps over the lazy dog and runs far away home"), // exact dup of 1
+    (3L, "The quick brown fox jumps over the lazy dog and runs far away house"), // near dup of 1
+    (4L, "Completely different content about distributed query engines in the cloud"),
+    (5L, "der hund und die katze sind freunde und das ist ein haus")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized texts") {
+    val d = Dedup.exactDuplicates(docs).collect()
+    assert(d.length === 4) // 1&2 merge
+    val dup = d.find(_.getLong(2) === 2L).get
+    assert(dup.getLong(1) === 1L) // keep smallest id
+  }
+
+  test("minhash+LSH finds the planted near-dup and not the distinct doc") {
+    val pairs = Dedup.minhashDupPairs(docs, threshold = 0.7)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))   // exact dup must survive any threshold
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("ngram jaccard agrees on the planted near-dup") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val h = Dedup.simhashes(docs).as[(Long, Long)].collect().toMap
+    assert(h(1L) === h(2L))
+    val hamming = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    assert(hamming <= 6, s"hamming=$hamming")
+    val hammingFar = java.lang.Long.bitCount(h(1L) ^ h(4L))
+    assert(hammingFar > hamming)
+  }
+
+  test("language id picks the stopword language; CJK short-circuits") {
+    val d = Seq(
+      (1L, "the cat and the dog of the house went to sleep in peace", "en"),
+      (2L, "der hund und die katze das ist ein haus", "de"),
+      (3L, "le chat et la maison les amis une belle vie", "fr"),
+      (4L, "el perro los gatos las casas una vida por ahora", "es"),
+      (5L, "这是一个中文文档 完全没有空格", "zh"),
+      (6L, "xyzzy qwerty 12345", "und")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langId(d)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
+      5L -> "zh", 6L -> "und"))
+  }
+
+  test("doc stats: token count and avg token length on known text") {
+    val d = Seq((1L, "  ab   cd efg  ")).toDF("doc_id", "text")
+    val r = TextAnalysis.docStats(d).head()
+    assert(r.getLong(r.fieldIndex("n_tokens")) === 3L)
+    assert(r.getLong(r.fieldIndex("n_chars_norm")) === 9L) // "ab cd efg"
+    assert(math.abs(r.getDouble(r.fieldIndex("avg_token_len")) - 7.0 / 3.0) < 1e-12)
+  }
+
+  test("brute-force knn: self excluded, neighbors ranked by cosine desc") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // closest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))   // farthest from 0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vecs, maxQueryId = 1, k = 3)
+      .select("cid").as[Long].collect().toSeq
+    assert(got === Seq(1L, 2L, 3L))
+  }
+
+  test("lsh knn: same-bucket neighbor found, cosine matches brute force") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f, 0.5f, 0.5f)),
+      (1L, Array(0.9f, 0.8f, 0.4f, 0.6f)),   // same sign bucket as 0
+      (2L, Array(-1.0f, -1.0f, -0.5f, -0.5f)) // different bucket
+    ).toDF("vec_id", "embedding")
+    val lsh = Similarity.lshTopK(vecs, maxQueryId = 1, k = 5, bits = 4)
+      .select("cid", "cos").as[(Long, Double)].collect().toMap
+    assert(lsh.keySet === Set(1L)) // bucket restricted
+    val brute = Similarity.bruteForceTopK(vecs, maxQueryId = 1, k = 5)
+      .select("cid", "cos").as[(Long, Double)].collect().toMap
+    assert(lsh(1L) === brute(1L)) // identical cosine computation
+  }
+
+  test("sessionize splits on gaps > 30min and aggregates per session") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "click", 2.0, "{}"),
+      (3L, ts("2024-01-01 11:00:00"), 7L, "view", 3.0, "{}"),  // 50min gap -> new session
+      (4L, ts("2024-01-01 09:00:00"), 8L, "view", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val s = Events.sessionize(ev, gapMinutes = 30)
+      .select("user_id", "session_id", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(s === Set((7L, 1L, 2L, 3.0), (7L, 2L, 1L, 3.0), (8L, 1L, 1L, 4.0)))
+  }
+
+  test("hourly rollup buckets by truncated hour") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 7L, "view", 1.5, "{}"),
+      (2L, ts("2024-01-01 10:55:00"), 7L, "view", 2.5, "{}"),
+      (3L, ts("2024-01-01 11:05:00"), 7L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.hourlyRollup(ev)
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(r === Seq(
+      (ts("2024-01-01 10:00:00"), "view", 2L, 4.0),
+      (ts("2024-01-01 11:00:00"), "view", 1L, 1.0)))
+  }
+}
