@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (builder brief): image/audio/video as
+  * opaque BINARY columns with typed metadata, plus the
+  * decode / feature-extract / resize / frame-sample stages a training
+  * pipeline runs over them.
+  *
+  * The actual codec work is STUBBED (this container ships no
+  * image/audio libraries): `fakeDecode` derives a deterministic
+  * feature vector from the bytes. Everything AROUND the stub — the
+  * schema, the batched per-partition execution shape, partitioning
+  * preservation, and the hand-off into Similarity — is real and
+  * tested. Swapping `fakeDecode` for a JNI/ONNX decoder changes no
+  * plumbing.
+  *
+  * Scale: media rows are processed with `mapPartitions` in bounded
+  * batches (the JVM analogue of mapInPandas' Arrow batches) so a
+  * decoder can amortize model/codec init per batch, not per row; no
+  * shuffle is introduced — decode is a narrow transformation.
+  */
+object Multimodal {
+
+  final case class MediaMeta(width: Int, height: Int, durationMs: Long,
+      sampleRate: Int)
+
+  final case class MediaRow(media_id: Long, modality: String,
+      bytes: Array[Byte], meta: MediaMeta)
+
+  final case class MediaFeatures(media_id: Long, modality: String,
+      features: Array[Float])
+
+  final case class MediaFrame(media_id: Long, frame_no: Int,
+      frame_bytes: Array[Byte])
+
+  /** Deterministic fake media table derived from documents (test/dev
+    * stand-in for a real media store): bytes = UTF-8 of the text,
+    * modality round-robins, metadata derived from lengths.
+    */
+  def synthesizeFromDocuments(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val b = text.getBytes("UTF-8")
+        val modality = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        MediaRow(id, modality, b,
+          MediaMeta(width = 64 + (id % 64).toInt, height = 64,
+            durationMs = b.length.toLong * 10L, sampleRate = 16000))
+      }
+  }
+
+  /** STUB decoder: deterministic pseudo-features from the byte
+    * content (rolling sums per stripe, L2-normalized). Replace with a
+    * real decoder; signature and batching stay.
+    */
+  private[operators] def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val acc = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      acc(i % dim) += (bytes(i) & 0xff).toFloat / 255f
+      i += 1
+    }
+    val n = math.sqrt(acc.foldLeft(0.0)((s, x) => s + x * x)).toFloat
+    if (n > 0) acc.map(_ / n) else acc
+  }
+
+  /** Decode + feature-extract in batches of `batchSize` rows per call
+    * — the mapInPandas batch shape on the JVM. Narrow (no shuffle);
+    * preserves partitioning.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 64,
+      batchSize: Int = 128): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch init would go here (codec/model handles)
+        batch.iterator.map(r =>
+          MediaFeatures(r.media_id, r.modality, fakeDecode(r.bytes, dim)))
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: every `everyNth` fixed-size chunk
+    * of the payload stands in for a decoded frame (STUB chunking; real
+    * impl would seek keyframes). 1→N via flatMap — a narrow Generator.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyNth: Int = 4,
+      frameBytes: Int = 256): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "video").flatMap { r =>
+      r.bytes.grouped(frameBytes).zipWithIndex.collect {
+        case (chunk, idx) if idx % everyNth == 0 =>
+          MediaFrame(r.media_id, idx, chunk)
+      }
+    }
+  }
+
+  /** Resize stub for images: metadata-only transform (real impl
+    * rewrites bytes; the pipeline contract — same row count, updated
+    * meta — is what downstream stages depend on).
+    */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (r.modality == "image") r.copy(meta = r.meta.copy(width = w, height = h))
+      else r
+    }
+  }
+
+  /** Media features as a DataFrame compatible with Similarity's
+    * operators (vec_id, embedding) — the multimodal → ANN hand-off.
+    */
+  def featuresAsEmbeddings(features: Dataset[MediaFeatures]): DataFrame =
+    features.toDF().select(col("media_id").as("vec_id"),
+      col("features").as("embedding"))
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{Multimodal, Similarity}
+import graft.sources.Tables
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media =
+    Multimodal.synthesizeFromDocuments(
+      Tables(spark, "/root/testdata/sf0.001").documents)
+
+  test("synthesized media table has all modalities and real bytes") {
+    val rows = media.collect()
+    assert(rows.map(_.modality).toSet === Set("image", "audio", "video"))
+    assert(rows.forall(_.bytes.nonEmpty))
+    assert(rows.forall(r => r.meta.durationMs === r.bytes.length.toLong * 10L))
+  }
+
+  test("feature extraction: deterministic, fixed dim, normalized, no row loss") {
+    val f1 = Multimodal.extractFeatures(media, dim = 32).collect()
+    val f2 = Multimodal.extractFeatures(media, dim = 32).collect()
+    assert(f1.length === media.count())
+    assert(f1.forall(_.features.length === 32))
+    val m1 = f1.map(r => r.media_id -> r.features.toSeq).toMap
+    val m2 = f2.map(r => r.media_id -> r.features.toSeq).toMap
+    assert(m1 === m2) // deterministic stub
+    assert(f1.forall { r =>
+      val n = math.sqrt(r.features.map(x => x * x).sum)
+      math.abs(n - 1.0) < 1e-3 || n == 0.0
+    })
+  }
+
+  test("feature extraction preserves partitioning (narrow transform)") {
+    val parts = media.repartition(7)
+    assert(Multimodal.extractFeatures(parts).rdd.getNumPartitions === 7)
+  }
+
+  test("frame sampling emits every Nth chunk for video only") {
+    val frames = Multimodal.sampleFrames(media, everyNth = 2, frameBytes = 64)
+      .collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_no % 2 === 0))
+    val videoIds = media.filter(_.modality == "video").collect().map(_.media_id).toSet
+    assert(frames.map(_.media_id).toSet.subsetOf(videoIds))
+  }
+
+  test("resize updates image metadata only") {
+    val resized = Multimodal.resize(media, 224, 224).collect()
+    assert(resized.filter(_.modality == "image")
+      .forall(r => r.meta.width === 224 && r.meta.height === 224))
+    assert(resized.filter(_.modality == "audio")
+      .forall(_.meta.width !== 224))
+  }
+
+  test("features flow into Similarity ANN unchanged") {
+    val emb = Multimodal.featuresAsEmbeddings(
+      Multimodal.extractFeatures(media, dim = 16))
+    val knn = Similarity.bruteForceTopK(emb, maxQueryId = 3, k = 2)
+    assert(knn.count() > 0)
+    assert(knn.columns.toSeq === Seq("qid", "cid", "cos", "rn"))
+  }
+}
