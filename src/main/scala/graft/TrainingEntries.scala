@@ -25,9 +25,14 @@ object TrainingEntries {
     "q22_lang_id"        -> q(t => TextAnalysis.langId(t.documents)),
     "q23_quality"        -> q(t => TextAnalysis.quality(t.documents)),
     "q24_fingerprints"   -> q(t => TextAnalysis.fingerprints(t.documents)),
-    "q25_minhash_sig"    -> q(t => Dedup.minhashSignatures(t.documents)),
+    "q25_minhash_sig"    -> q(t => {
+      import graft.operators.OrderedOut._
+      Dedup.minhashSignatures(t.documents).orderedSmall("doc_id")
+    }),
     "q26_minhash_dups"   -> q(t => Dedup.minhashDupPairs(t.documents, threshold = 0.7)),
-    "q27_ngram_jaccard"  -> q(t => Dedup.ngramJaccardPairs(t.documents, threshold = 0.5)),
+    // 5-gram shingles: 3-grams are ubiquitous (every trigram exceeds
+    // the df cut in a 5k-doc corpus) — 5-grams stay selective
+    "q27_ngram_jaccard"  -> q(t => Dedup.ngramJaccardPairs(t.documents, n = 5, threshold = 0.5)),
     "q28_simhash"        -> q(t => Dedup.simhashes(t.documents)),
     "q30_knn_brute"      -> q(t => Similarity.bruteForceTopK(t.embeddings)),
     "q31_knn_lsh"        -> q(t => Similarity.lshTopK(t.embeddings)),
@@ -69,11 +74,20 @@ object TrainingEntries {
        |       FROM docs))""".stripMargin
 
   private def sigName(i: Int): String = f"sig$i%02d"
-  private val sigCols = (0 until 16)
-    .map(i => s"MIN(md5('$i:' || shingle)) AS ${sigName(i)}").mkString(", ")
+
+  /** Numeric MinHash family — constants mirror Dedup.hashParams. */
+  private val hashedShinglesCte =
+    """shh AS (SELECT doc_id,
+      |  CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 1000000007 AS h
+      |  FROM sh)""".stripMargin
+  private val sigCols = graft.operators.Dedup.hashParams.zipWithIndex
+    .map { case ((a, b), i) =>
+      s"MIN((h * $a + $b) % 1000000007) AS ${sigName(i)}" }
+    .mkString(", ")
 
   private val bandsSql = (0 until 4).map { b =>
-    val cols = (0 until 4).map(r => sigName(b * 4 + r)).mkString(" || '|' || ")
+    val cols = (0 until 4).map(r => s"CAST(${sigName(b * 4 + r)} AS VARCHAR)")
+      .mkString(" || '|' || ")
     s"SELECT doc_id, $b AS band, md5($cols) AS bhash FROM sig"
   }.mkString(" UNION ALL ")
 
@@ -163,13 +177,15 @@ object TrainingEntries {
       s"SELECT doc_id, md5($norm) AS fp FROM documents ORDER BY doc_id",
 
     "q25_minhash_sig" ->
-      s"""WITH $shinglesCte
+      s"""WITH $shinglesCte,
+         |$hashedShinglesCte
          |SELECT doc_id, $sigCols
-         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |FROM shh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q26_minhash_dups" ->
       s"""WITH $shinglesCte,
-         |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         |$hashedShinglesCte,
+         |sig AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
          |bands AS ($bandsSql),
          |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |          FROM bands a JOIN bands b
@@ -190,9 +206,9 @@ object TrainingEntries {
 
     "q27_ngram_jaccard" ->
       s"""WITH docs AS (SELECT doc_id, $norm AS norm FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, substr(norm, i, 3) AS shingle FROM (
+         |sh AS (SELECT DISTINCT doc_id, substr(norm, i, 5) AS shingle FROM (
          |       SELECT doc_id, norm,
-         |         unnest(generate_series(1, greatest(length(norm) - 2, 1))) AS i
+         |         unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i
          |       FROM docs)),
          |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
          |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),

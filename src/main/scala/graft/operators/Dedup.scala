@@ -4,16 +4,16 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.operators.TextAnalysis.normText
+import graft.operators.OrderedOut._
 
 /** Deduplication operators for training-data pipelines (builder brief;
   * BASELINE.json north star): exact, MinHash+LSH, SimHash, and n-gram
   * Jaccard via an inverted shingle index.
   *
-  * Portability design: every hash is `md5` (identical hex output in
-  * Spark and DuckDB) and every MinHash is the LEXICOGRAPHIC min of
-  * md5 hex strings — min over strings ≡ min over the underlying
-  * 128-bit numbers, so the whole family is oracle-checkable with zero
-  * custom SQL machinery.
+  * Portability design: every base hash is `md5` (identical hex output
+  * in Spark and DuckDB); MinHash uses a numeric affine family over the
+  * md5-derived 60-bit integer (see minhashSignatures), so the whole
+  * family is oracle-checkable with zero custom SQL machinery.
   *
   * Scale design (100 TB):
   *  - exact dedup is one hash-shuffle on a 32-char key, not the text;
@@ -37,10 +37,11 @@ object Dedup {
     */
   def exactDuplicates(documents: DataFrame): DataFrame =
     documents
+      .spread()
       .select($("doc_id"), TextAnalysis.fingerprint($("text")).as("fp"))
       .groupBy("fp")
       .agg(min($("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy("fp")
+      .orderedSmall("fp")
 
   /** Character `n`-gram shingles of the normalized text, DISTINCT per
     * doc: (doc_id, shingle). `substr(norm, i, n)` over a generated
@@ -49,22 +50,53 @@ object Dedup {
     */
   def shingles(documents: DataFrame, n: Int = 5): DataFrame =
     documents
+      .spread()
       .select($("doc_id"), normText($("text")).as("norm"))
       .select($("doc_id"), explode(expr(
         s"transform(sequence(1, greatest(length(norm) - ${n - 1}, 1)), i -> substr(norm, i, $n))"))
         .as("shingle"))
       .distinct()
 
-  /** MinHash signatures: k hash functions h_i(s) = md5(i || ':' || s),
-    * signature_i = lexicographic min over the doc's shingles.
-    * Output: doc_id, sig00..sig{k-1} (fixed columns so the shuffle
-    * payload is bounded and the oracle compare is column-stable).
+  /** The (a, b) pairs of the MinHash affine family — fixed constants
+    * mirrored literally in the DuckDB oracle SQL (TrainingEntries).
+    * a_i, b_i < p so a·(h mod p)+b < 2^60: no int64 overflow.
     */
-  def minhashSignatures(documents: DataFrame, n: Int = 5, k: Int = 16): DataFrame = {
-    val sh = shingles(documents, n)
-    val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), $("shingle")))).as(f"sig$i%02d"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+  val HashP: Long = 1000000007L
+  val hashParams: Seq[(Long, Long)] = Seq(
+    (914334049L, 284136261L), (741931007L, 619847281L),
+    (330419503L, 172362479L), (558461773L, 903849021L),
+    (125692831L, 447018337L), (987001223L,  61553219L),
+    (206941159L, 719428003L), (493820599L, 350179741L),
+    ( 77101631L, 582390467L), (864200987L, 138471209L),
+    (272839451L, 935172611L), (650918327L,  24689473L),
+    (391006259L, 806154031L), (718263451L, 463920779L),
+    ( 53187407L, 291045233L), (842976721L, 674310193L))
+
+  /** MinHash signatures: one md5 per shingle → 60-bit base hash h,
+    * then k affine hashes h_i = (a_i·(h mod p) + b_i) mod p with
+    * p = 1e9+7; signature_i = min over the doc's shingles.
+    *
+    * Numeric (BIGINT) signatures keep the aggregation in a fixed-width
+    * HashAggregate with map-side partial mins (a string min would fall
+    * back to SortAggregate), and cost ONE md5 per shingle instead of k.
+    * Output: doc_id, sig00..sig{k-1}.
+    */
+  def minhashSignatures(documents: DataFrame, n: Int = 5, k: Int = 16): DataFrame =
+    minhashSignaturesFrom(shingles(documents, n), k)
+
+  /** Signature computation over an existing (doc_id, shingle) index.
+    * Unordered: callers that surface it directly (q25) order it; the
+    * LSH pipeline must NOT squeeze signatures through a sort.
+    */
+  def minhashSignaturesFrom(sh: DataFrame, k: Int = 16): DataFrame = {
+    require(k <= Dedup.hashParams.length, s"k=$k exceeds hash family size")
+    val hashed = sh.withColumn("h",
+      conv(substring(md5($("shingle")), 1, 15), 16, 10).cast("long") % HashP)
+    val aggs = (0 until k).map { i =>
+      val (a, b) = Dedup.hashParams(i)
+      min(($("h") * a + b) % HashP).as(f"sig$i%02d")
+    }
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: split the k-wide signature into `bands`
@@ -77,7 +109,8 @@ object Dedup {
       $("doc_id"),
       posexplode(array((0 until bands).map { b =>
         md5(concat_ws("|",
-          (0 until rowsPerBand).map(r => col(f"sig${b * rowsPerBand + r}%02d")): _*))
+          (0 until rowsPerBand).map(r =>
+            col(f"sig${b * rowsPerBand + r}%02d").cast("string")): _*))
       }: _*)).as(Seq("band", "bhash")))
     val a = banded.select($("band"), $("bhash"), $("doc_id").as("id1"))
     val b = banded.select($("band"), $("bhash"), $("doc_id").as("id2"))
@@ -93,9 +126,16 @@ object Dedup {
     */
   def jaccardFor(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // shuffle_hash hints: AQE's runtime size estimate of the cached
+    // shingle index can dip under the broadcast threshold, turning
+    // these probes into broadcast joins whose whole pipeline then runs
+    // in ONE post-coalesce task (observed 95s single-task stages). A
+    // shuffle hash join keeps the pairs×shingles expansion partitioned.
     val common = pairs
-      .join(sh.select($("doc_id").as("id1"), $("shingle")), Seq("id1"))
-      .join(sh.select($("doc_id").as("id2"), $("shingle")), Seq("id2", "shingle"))
+      .join(sh.select($("doc_id").as("id1"), $("shingle")).hint("shuffle_hash"),
+        Seq("id1"))
+      .join(sh.select($("doc_id").as("id2"), $("shingle")).hint("shuffle_hash"),
+        Seq("id2", "shingle"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("common"))
     common
       .join(sizes.select($("doc_id").as("id1"), $("sz").as("sz1")), Seq("id1"))
@@ -110,11 +150,15 @@ object Dedup {
     */
   def minhashDupPairs(documents: DataFrame, n: Int = 5, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    // the shingle index feeds signatures, sizes, AND the verify join —
+    // materialize it once (at warehouse scale this would be a parquet
+    // intermediate; MEMORY_AND_DISK is the local equivalent)
     val sh = shingles(documents, n)
-    val cands = lshCandidates(minhashSignatures(documents, n, k), k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidates(minhashSignaturesFrom(sh, k), k, bands)
     jaccardFor(cands, sh)
       .filter($("jaccard") >= threshold)
-      .orderBy("id1", "id2")
+      .orderedSmall("id1", "id2")
   }
 
   /** n-gram Jaccard near-dup pairs WITHOUT minhash: inverted shingle
@@ -126,6 +170,7 @@ object Dedup {
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3,
       threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
     val sh0 = shingles(documents, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter($("df") <= maxDf).select("shingle")
     val sh = sh0.join(rare, Seq("shingle"))
@@ -137,7 +182,7 @@ object Dedup {
     // candidate generation, not the similarity definition)
     jaccardFor(pairs, sh0)
       .filter($("jaccard") >= threshold)
-      .orderBy("id1", "id2")
+      .orderedSmall("id1", "id2")
   }
 
   /** SimHash-32 per document: per token, 32 bits from the first 8 hex
@@ -149,6 +194,7 @@ object Dedup {
     */
   def simhashes(documents: DataFrame): DataFrame = {
     val toks = documents
+      .spread()
       .select($("doc_id"), explode(split(normText($("text")), " ")).as("tok"))
       .filter(length($("tok")) > 0)
       .withColumn("h", md5($("tok")))
@@ -162,6 +208,6 @@ object Dedup {
     val packed = (0 until 32).map(j =>
       when(col(s"c$j") > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
-    counters.select($("doc_id"), packed.as("simhash")).orderBy("doc_id")
+    counters.select($("doc_id"), packed.as("simhash")).orderedSmall("doc_id")
   }
 }

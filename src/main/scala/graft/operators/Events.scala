@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.operators.OrderedOut._
 
 /** Batch analytics over the `events` table — the batch twins of the
   * Structured Streaming operators in graft.streaming (same logical
@@ -25,7 +26,7 @@ object Events {
     events
       .groupBy(date_trunc("hour", $("ts")).as("hour"), $("event_type"))
       .agg(count(lit(1)).as("n"), dsum($("value")).as("sum_value"))
-      .orderBy("hour", "event_type")
+      .orderedSmall("hour", "event_type")
 
   /** Gap-based sessionization: a new session starts when a user is
     * idle longer than `gapMinutes`. Classic prefix-sum over a window
@@ -53,6 +54,6 @@ object Events {
         max($("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         dsum($("value")).as("sum_value"))
-      .orderBy("user_id", "session_id")
+      .orderedSmall("user_id", "session_id")
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.OrderedOut._
 
 /** Approximate/exact nearest-neighbor search over the `embeddings`
   * table (`embedding: array<float>`, 64 dims in the fixture).
@@ -51,16 +52,22 @@ object Similarity {
     */
   def bruteForceTopK(embeddings: DataFrame, maxQueryId: Long = 10,
       k: Int = 5): DataFrame = {
-    val corpus = embeddings.select($("vec_id").as("cid"), $("embedding").as("ce"))
+    // quantize + norm ONCE per row before the join — per-pair work is
+    // then a single integer fold instead of re-quantizing both arrays
+    val corpus = embeddings.spread().select($("vec_id").as("cid"),
+      quantize($("embedding")).as("ce"))
+      .withColumn("cn", qnorm($("ce")))
     val queries = broadcast(
       embeddings.filter($("vec_id") < maxQueryId)
-        .select($("vec_id").as("qid"), $("embedding").as("qe")))
+        .select($("vec_id").as("qid"), quantize($("embedding")).as("qe"))
+        .withColumn("qn", qnorm($("qe"))))
     val w = Window.partitionBy($("qid")).orderBy($("cos").desc, $("cid").asc)
     corpus.join(queries, $("qid") =!= $("cid"))
-      .select($("qid"), $("cid"), cosine($("qe"), $("ce")).as("cos"))
+      .select($("qid"), $("cid"),
+        (qdot($("qe"), $("ce")).cast("double") / ($("qn") * $("cn"))).as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter($("rn") <= k)
-      .orderBy("qid", "rn")
+      .orderedSmall("qid", "rn")
   }
 
   /** Sign-grid LSH bucket key: the sign pattern of the first `bits`
@@ -80,16 +87,20 @@ object Similarity {
       bits: Int = 8): DataFrame = {
     val bucketed = embeddings.select(
       $("vec_id"), $("embedding"), signBucket($("embedding"), bits).as("bucket"))
-    val corpus = bucketed.select($("bucket"), $("vec_id").as("cid"), $("embedding").as("ce"))
+    val corpus = bucketed.spread().select($("bucket"), $("vec_id").as("cid"),
+      quantize($("embedding")).as("ce"))
+      .withColumn("cn", qnorm($("ce")))
     val queries = broadcast(
       bucketed.filter($("vec_id") < maxQueryId)
-        .select($("bucket"), $("vec_id").as("qid"), $("embedding").as("qe")))
+        .select($("bucket"), $("vec_id").as("qid"), quantize($("embedding")).as("qe"))
+        .withColumn("qn", qnorm($("qe"))))
     val w = Window.partitionBy($("qid")).orderBy($("cos").desc, $("cid").asc)
     corpus.join(queries, Seq("bucket"))
       .filter($("qid") =!= $("cid"))
-      .select($("qid"), $("cid"), cosine($("qe"), $("ce")).as("cos"))
+      .select($("qid"), $("cid"),
+        (qdot($("qe"), $("ce")).cast("double") / ($("qn") * $("cn"))).as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter($("rn") <= k)
-      .orderBy("qid", "rn")
+      .orderedSmall("qid", "rn")
   }
 }

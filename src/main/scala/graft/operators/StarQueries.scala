@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
+import graft.operators.OrderedOut._
 
 /** The reference's relational operator inventory (SURVEY.md §2)
   * re-expressed over the driver's star-schema testdata so the DuckDB
@@ -39,12 +40,12 @@ object StarQueries {
   /** Exact average (dsum / count): bit-identical across engines. */
   private def davg(c: Column): Column = dsum(c) / count(lit(1))
 
+  private def $(name: String): Column = col(name)
+
   /** A2/A3 + T-ordering — pricing summary per (returnflag, linestatus).
     * The reference's `AvgReducer` family (R:173, R:193) generalized:
     * partial→final hash aggregation, no sort until the 4-row result.
     */
-  private def $(name: String): Column = col(name)
-
   def q01PricingSummary(t: Tables): DataFrame =
     t.lineitem
       .groupBy($("l_returnflag"), $("l_linestatus"))
@@ -54,7 +55,7 @@ object StarQueries {
         davg($("l_quantity")).as("avg_qty"),
         davg($("l_extendedprice")).as("avg_price"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .orderedSmall("l_returnflag", "l_linestatus")
 
   /** A1 (R:148-149) — one row feeds TWO key groups: the reference maps
     * each flight to (Origin,1) and (Dest,1). Star analogue: each
@@ -67,14 +68,14 @@ object StarQueries {
     t.lineitem
       .select(explode(array($("l_partkey"), $("l_suppkey"))).as("key"))
       .groupBy("key").agg(count(lit(1)).as("cnt"))
-      .orderBy($("cnt").desc, $("key").asc)
+      .orderedSmall($("cnt").desc, $("key").asc)
 
   /** A5 (R:449-452) — distinct over the same exploded key stream. */
   def q03DistinctKeys(t: Tables): DataFrame =
     t.lineitem
       .select(explode(array($("l_partkey"), $("l_suppkey"))).as("key"))
       .distinct()
-      .orderBy("key")
+      .orderedSmall("key")
 
   /** T1 (R:151) — global top-10 by count desc. The reference ran a
     * whole second MR job with a single reducer; Spark's physical plan
@@ -105,14 +106,14 @@ object StarQueries {
     t.lineitem
       .groupBy($("l_suppkey"), $("l_returnflag"))
       .agg(davg($("l_quantity")).as("avg_qty"))
-      .orderBy("l_suppkey", "l_returnflag")
+      .orderedSmall("l_suppkey", "l_returnflag")
 
   /** A4 (R:335) — average per 3-column composite key. */
   def q07AvgByTriple(t: Tables): DataFrame =
     t.lineitem
       .groupBy($("l_suppkey"), $("l_returnflag"), $("l_linestatus"))
       .agg(davg($("l_quantity")).as("avg_qty"))
-      .orderBy("l_suppkey", "l_returnflag", "l_linestatus")
+      .orderedSmall("l_suppkey", "l_returnflag", "l_linestatus")
 
   /** T3 (R:195-197) — per-group top-k: top-5 parts per supplier by
     * ascending avg quantity. The canonical windowed top-k; the window
@@ -127,7 +128,7 @@ object StarQueries {
       .orderBy($("avg_qty").asc, $("l_partkey").asc)
     agg.withColumn("rn", row_number().over(w).cast("long"))
       .filter($("rn") <= 5)
-      .orderBy("l_suppkey", "rn")
+      .orderedSmall("l_suppkey", "rn")
   }
 
   /** T4 (R:385-389) — frequencies of frequencies, globally sorted
@@ -139,7 +140,7 @@ object StarQueries {
       .select(explode(array($("l_partkey"), $("l_suppkey"))).as("key"))
       .groupBy("key").agg(count(lit(1)).as("cnt"))
       .groupBy("cnt").agg(count(lit(1)).as("n_keys"))
-      .orderBy($("cnt").desc)
+      .orderedSmall($("cnt").desc)
 
   /** J1+J2/A6 (R:536-549) — equi-join then per-group argmin: for each
     * order, the lineitem with the earliest shipdate (constraint c's
@@ -161,7 +162,7 @@ object StarQueries {
       .select($("o_orderkey"), $("m.o_orderdate").as("o_orderdate"),
         $("m.l_partkey").as("l_partkey"), $("m.l_shipdate").as("l_shipdate"),
         $("m.l_linenumber").as("l_linenumber"))
-      .orderBy("o_orderkey")
+      .orderedSmall("o_orderkey")
   }
 
   /** F6+J1 (R:434, R:542-543) — derived-key equi-join: the reference
@@ -175,7 +176,7 @@ object StarQueries {
         t.lineitem("l_orderkey") === t.orders("o_orderkey") &&
         t.lineitem("l_shipdate") === t.orders("o_orderdate") + expr("interval 60 days"))
       .select($("o_orderkey"), $("l_linenumber"), $("l_shipdate"))
-      .orderBy("o_orderkey", "l_linenumber")
+      .orderedSmall("o_orderkey", "l_linenumber")
 
   /** J3 (R:456-468) — constrained triple cross join (origin, stop,
     * dest) with stop ≠ origin and stop ≠ dest (origin may equal dest,
@@ -191,7 +192,7 @@ object StarQueries {
     val c = n.select($("n_name").as("dest"))
     a.crossJoin(b).crossJoin(c)
       .filter($("stop") =!= $("origin") && $("stop") =!= $("dest"))
-      .orderBy("origin", "stop", "dest")
+      .orderedSmall("origin", "stop", "dest")
   }
 
   /** J4 (R:485-487) — cross join with a generated date dimension:
@@ -209,7 +210,7 @@ object StarQueries {
         to_date(lit("2008-01-01")), to_date(lit("2008-12-31")),
         expr("interval 1 day"))).as("request_date"))
     trips.crossJoin(dates)
-      .orderBy("origin", "stop", "dest", "request_date")
+      .orderedSmall("origin", "stop", "dest", "request_date")
   }
 
   /** §2.6 union (R:539-545 MultipleInputs) — two tagged sources
@@ -220,7 +221,7 @@ object StarQueries {
       $("c_name").as("name"), $("c_acctbal").as("acctbal"), lit("customer").as("tag"))
     val s = t.supplier.select($("s_suppkey").as("key"),
       $("s_name").as("name"), $("s_acctbal").as("acctbal"), lit("supplier").as("tag"))
-    c.union(s).orderBy("tag", "key")
+    c.union(s).orderedSmall("tag", "key")
   }
 
   /** F2/F5/F6/F8 (R:487, R:507, R:521-531) — the scalar date/format
@@ -236,7 +237,7 @@ object StarQueries {
         date_add($("o_orderdate"), 2).as("plus2"),
         date_format($("o_orderdate"), "HH:mm dd/MM/yyyy").as("sched_fmt"),
         $("o_totalprice").cast(DecimalType(18, 2)).cast("string").as("price_str"))
-      .orderBy("o_orderkey")
+      .orderedSmall("o_orderkey")
 
   /** P1-P3 (R:112, R:512) — projection + year filter + null/range
     * guards. The whole filter reaches the parquet scan (PushedFilters)
@@ -248,5 +249,5 @@ object StarQueries {
       .filter(year($("l_shipdate")) === 1997 &&
         $("l_quantity") < 10 && $("l_returnflag").isNotNull)
       .select($("l_orderkey"), $("l_linenumber"), $("l_quantity"))
-      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+      .orderedSmall("l_orderkey", "l_linenumber", "l_quantity")
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.OrderedOut._
 
 /** Text-analysis operators for LLM-training-data pipelines over the
   * `documents` table (BASELINE.json north star; builder brief).
@@ -122,7 +123,7 @@ object TextAnalysis {
     */
   def docStats(documents: DataFrame): DataFrame = {
     val n = normText($("text"))
-    documents.select(
+    documents.spread().select(
       $("doc_id"),
       tokenCount($("text")).cast("long").as("n_tokens"),
       length(n).cast("long").as("n_chars_norm"),
@@ -131,32 +132,32 @@ object TextAnalysis {
       digitCount(n).cast("long").as("n_digit"),
       (length(regexp_replace(n, " ", "")).cast("double") /
         greatest(tokenCount($("text")), lit(1)).cast("double")).as("avg_token_len"))
-      .orderBy("doc_id")
+      .orderedSmall("doc_id")
   }
 
   /** Language-ID per document, with the dataset's label for eyeball
     * comparison.
     */
   def langId(documents: DataFrame): DataFrame =
-    documents.select(
+    documents.spread().select(
       $("doc_id"),
       languageId($("text")).as("pred_lang"),
       $("lang").as("label_lang"))
-      .orderBy("doc_id")
+      .orderedSmall("doc_id")
 
   /** Quality scores per document. */
   def quality(documents: DataFrame): DataFrame =
-    documents.select(
+    documents.spread().select(
       $("doc_id"),
       qualityScore($("text")).as("quality"))
-      .orderBy("doc_id")
+      .orderedSmall("doc_id")
 
   /** Fingerprints per document (rolling content hash of the
     * normalized text).
     */
   def fingerprints(documents: DataFrame): DataFrame =
-    documents.select(
+    documents.spread().select(
       $("doc_id"),
       fingerprint($("text")).as("fp"))
-      .orderBy("doc_id")
+      .orderedSmall("doc_id")
 }
