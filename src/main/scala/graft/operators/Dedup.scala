@@ -188,11 +188,29 @@ object Dedup {
   /** SimHash-32 per document: per token, 32 bits from the first 8 hex
     * chars of md5(token); bit j contributes +1/−1 to counter j; the
     * sign vector is packed into a BIGINT. Near-dups differ in few bits
-    * (Hamming). Built from portable expressions (conv/substr/shift) so
-    * the oracle can recompute it; a codegen'd custom Expression is the
-    * planned optimization.
+    * (Hamming).
+    *
+    * Computed by the custom codegen'd Catalyst expression
+    * [[graft.plans.SimHash32Expression]] — ONE per-row pass, no
+    * explode, no shuffle. Docs with an empty normalized text are
+    * dropped (parity with the aggregate formulation, which loses them
+    * in the explode).
     */
   def simhashes(documents: DataFrame): DataFrame = {
+    import graft.plans.SimHash32Expression.simhash32
+    documents
+      .spread()
+      .select($("doc_id"), normText($("text")).as("norm"))
+      .filter(length($("norm")) > 0)
+      .select($("doc_id"), simhash32(split($("norm"), " ")).as("simhash"))
+      .orderedSmall("doc_id")
+  }
+
+  /** The composed-expression formulation of simhashes (explode →
+    * 32 conditional-sum aggregates → pack): kept as the differential
+    * test oracle for the custom expression.
+    */
+  private[graft] def simhashesViaAggregate(documents: DataFrame): DataFrame = {
     val toks = documents
       .spread()
       .select($("doc_id"), explode(split(normText($("text")), " ")).as("tok"))
