@@ -36,6 +36,7 @@ object TrainingEntries {
     "q28_simhash"        -> q(t => Dedup.simhashes(t.documents)),
     "q30_knn_brute"      -> q(t => Similarity.bruteForceTopK(t.embeddings)),
     "q31_knn_lsh"        -> q(t => Similarity.lshTopK(t.embeddings)),
+    "q34_knn_ivf"        -> q(t => Similarity.ivfTopK(t.embeddings)),
     "q32_event_hourly"   -> q(t => Events.hourlyRollup(t.events)),
     "q33_sessionize"     -> q(t => Events.sessionize(t.events)),
   )
@@ -260,6 +261,41 @@ object TrainingEntries {
          |      FROM embeddings),
          |pairs AS (SELECT q.vec_id AS qid, c.vec_id AS cid
          |          FROM b q JOIN b c ON q.bucket = c.bucket
+         |          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |dots AS (SELECT p.qid, p.cid, SUM(fq.v * fc.v) AS dot
+         |         FROM pairs p
+         |         JOIN flat fq ON fq.vec_id = p.qid
+         |         JOIN flat fc ON fc.vec_id = p.cid AND fc.i = fq.i
+         |         GROUP BY p.qid, p.cid),
+         |cos AS (SELECT qid, cid, CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+         |        FROM dots
+         |        JOIN norms nq ON nq.vec_id = qid
+         |        JOIN norms nc ON nc.vec_id = cid),
+         |r AS (SELECT qid, cid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rn
+         |      FROM cos)
+         |SELECT qid, cid, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "q34_knn_ivf" ->
+      s"""WITH $flatCte,
+         |cent AS (SELECT vec_id AS c_id FROM embeddings WHERE vec_id <= 16),
+         |cdots AS (SELECT f.vec_id, c.c_id, SUM(f.v * cf.v) AS dot
+         |          FROM flat f
+         |          JOIN cent c ON TRUE
+         |          JOIN flat cf ON cf.vec_id = c.c_id AND cf.i = f.i
+         |          GROUP BY f.vec_id, c.c_id),
+         |ccos AS (SELECT cdots.vec_id, c_id,
+         |           CAST(dot AS DOUBLE) / (n1.nrm * n2.nrm) AS ccos
+         |         FROM cdots
+         |         JOIN norms n1 ON n1.vec_id = cdots.vec_id
+         |         JOIN norms n2 ON n2.vec_id = c_id),
+         |assign AS (SELECT vec_id, c_id AS cell FROM (
+         |             SELECT vec_id, c_id,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                 ORDER BY ccos DESC, c_id) AS arn
+         |             FROM ccos) WHERE arn = 1),
+         |pairs AS (SELECT q.vec_id AS qid, c.vec_id AS cid
+         |          FROM assign q JOIN assign c ON q.cell = c.cell
          |          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
          |dots AS (SELECT p.qid, p.cid, SUM(fq.v * fc.v) AS dot
          |         FROM pairs p

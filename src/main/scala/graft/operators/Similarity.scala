@@ -78,6 +78,49 @@ object Similarity {
     concat((1 to bits).map(j =>
       when(element_at(emb, j) >= 0f, lit("1")).otherwise(lit("0"))): _*)
 
+  /** IVF (inverted-file) ANN: a deterministic "training" step picks
+    * the first `nCentroids` vectors as centroids; every corpus vector
+    * is assigned to its nearest centroid (one broadcast pass); a query
+    * probes only its own centroid's cell. The classic IVF trade:
+    * assignment cost O(N·C) once, then each query scans ~N/C vectors.
+    *
+    * Deterministic ties: centroid with the higher cosine wins, then
+    * the lower centroid id — making the oracle reproducible.
+    * Approximate: recall < 1 for vectors near cell boundaries.
+    */
+  def ivfTopK(embeddings: DataFrame, maxQueryId: Long = 10, k: Int = 5,
+      nCentroids: Int = 16): DataFrame = {
+    val quant = embeddings.select($("vec_id"), quantize($("embedding")).as("qv"))
+      .withColumn("nrm", qnorm($("qv")))
+    val centroids = broadcast(
+      quant.filter($("vec_id") <= nCentroids)
+        .select($("vec_id").as("c_id"), $("qv").as("cv"), $("nrm").as("cnrm")))
+    // assignment: argmax cosine over centroids via min_by on
+    // (-cos, c_id) — a hash agg, no window sort
+    val assigned = quant.spread().crossJoin(centroids)
+      .select($("vec_id"), $("qv"), $("nrm"),
+        $("c_id"),
+        (qdot($("qv"), $("cv")).cast("double") / ($("nrm") * $("cnrm"))).as("ccos"))
+      .groupBy($("vec_id"))
+      .agg(
+        min_by(struct($("qv"), $("nrm"), $("c_id")),
+          struct(-$("ccos"), $("c_id"))).as("m"))
+      .select($("vec_id"), $("m.qv").as("qv"), $("m.nrm").as("nrm"),
+        $("m.c_id").as("cell"))
+    val corpus = assigned.select($("cell"), $("vec_id").as("cid"),
+      $("qv").as("ce"), $("nrm").as("cn"))
+    val queries = broadcast(assigned.filter($("vec_id") < maxQueryId)
+      .select($("cell"), $("vec_id").as("qid"), $("qv").as("qe"), $("nrm").as("qn")))
+    val w = Window.partitionBy($("qid")).orderBy($("cos").desc, $("cid").asc)
+    corpus.join(queries, Seq("cell"))
+      .filter($("qid") =!= $("cid"))
+      .select($("qid"), $("cid"),
+        (qdot($("qe"), $("ce")).cast("double") / ($("qn") * $("cn"))).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($("rn") <= k)
+      .orderedSmall("qid", "rn")
+  }
+
   /** LSH-bucketed ANN: same contract as bruteForceTopK but the
     * candidate set is restricted to the query's sign bucket —
     * an equi-join on the bucket key instead of a full scan.

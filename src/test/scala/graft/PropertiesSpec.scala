@@ -1,0 +1,96 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Airline, Dedup}
+
+/** Property-based checks (SURVEY.md §5): algebraic invariants of the
+  * ranking/aggregation operators on generated inputs. Uses seeded
+  * ScalaCheck generators directly (deterministic; the
+  * scalatest-scalacheck bridge artifact is not in the offline cache).
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val airports = Gen.oneOf("AAA", "BBB", "CCC", "DDD", "EEE")
+  private val carriers = Gen.oneOf("XX", "YY", "ZZ")
+  private val flightGen = for {
+    o <- airports; d <- airports; c <- carriers
+    delay <- Gen.choose(-20.0, 120.0)
+  } yield (o, d, c, delay)
+
+  private def cases(n: Int): Seq[List[(String, String, String, Double)]] =
+    (1 to n).flatMap { i =>
+      Gen.listOfN(20 + i * 17, flightGen)
+        .apply(Gen.Parameters.default, Seed(42L + i))
+    }
+
+  test("explode-count == origin-count + dest-count per airport") {
+    for (rows <- cases(5)) {
+      val df = rows.toDF("Origin", "Dest", "UniqueCarrier", "ArrDelay")
+      val got = Airline.airportTraffic(df).as[(String, Long)].collect().toMap
+      val expect = (rows.map(_._1) ++ rows.map(_._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got === expect)
+    }
+  }
+
+  test("global top-k == sort-take-k of the full aggregate") {
+    for (rows <- cases(5)) {
+      val df = rows.toDF("Origin", "Dest", "UniqueCarrier", "ArrDelay")
+      val topk = Airline.top10Airports(df).as[(String, Long)].collect().toSeq
+      val full = Airline.airportTraffic(df).as[(String, Long)].collect().toSeq
+        .sortBy { case (a, c) => (-c, a) }.take(10)
+      assert(topk === full)
+    }
+  }
+
+  test("avg is invariant under row permutation") {
+    for (rows <- cases(3)) {
+      val a = rows.toDF("Origin", "Dest", "UniqueCarrier", "ArrDelay")
+      val b = new scala.util.Random(7).shuffle(rows)
+        .toDF("Origin", "Dest", "UniqueCarrier", "ArrDelay")
+      def avgs(df: org.apache.spark.sql.DataFrame) =
+        Airline.top10AirlinesOnTime(df).as[(String, Double)].collect().toMap
+      val (ma, mb) = (avgs(a), avgs(b))
+      assert(ma.keySet === mb.keySet)
+      // tolerance: double summation order may legitimately differ
+      ma.foreach { case (k, v) => assert(math.abs(v - mb(k)) < 1e-9) }
+    }
+  }
+
+  test("per-group top-k rows are ranked 1..n ascending by value") {
+    for (rows <- cases(3)) {
+      val df = rows.toDF("Origin", "Dest", "UniqueCarrier", "DepDelay")
+      val ranked = Airline.top10CarriersPerAirport(df, k = 3)
+        .select("Origin", "avg_dep_delay", "rank")
+        .as[(String, Double, Int)].collect()
+      ranked.groupBy(_._1).foreach { case (_, rs) =>
+        val sorted = rs.sortBy(_._3)
+        assert(sorted.map(_._3).toSeq === (1 to rs.length))
+        assert(sorted.map(_._2).toSeq === sorted.map(_._2).sorted.toSeq)
+      }
+    }
+  }
+
+  test("jaccard pairs: symmetric ids, bounded score, exact dup == 1.0") {
+    val textGen = Gen.listOfN(25,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
+      .map(_.mkString(" "))
+    for {
+      i <- 1 to 3
+      texts <- Gen.listOfN(8, textGen).apply(Gen.Parameters.default, Seed(90L + i))
+    } {
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) } ++
+        Seq((1000L, texts.head)) // planted exact dup of doc 0
+      val df = docs.toDF("doc_id", "text")
+      val pairs = Dedup.minhashDupPairs(df, threshold = 0.0)
+        .as[(Long, Long, Double)].collect()
+      pairs.foreach { case (a, b, j) =>
+        assert(a < b); assert(j >= 0.0 && j <= 1.0)
+      }
+      assert(pairs.find(p => p._1 == 0L && p._2 == 1000L).exists(_._3 === 1.0))
+    }
+  }
+}

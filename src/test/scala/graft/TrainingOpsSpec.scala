@@ -100,6 +100,19 @@ class TrainingOpsSpec extends SparkSpec {
     assert(lsh(1L) === brute(1L)) // identical cosine computation
   }
 
+  test("ivf knn: cell-restricted search agrees with brute force on cosines") {
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val ivf = Similarity.ivfTopK(emb, maxQueryId = 5, k = 3)
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    val brute = Similarity.bruteForceTopK(emb, maxQueryId = 5, k = 100)
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // every IVF result's cosine must equal the brute-force cosine for
+    // the same pair (identical quantized arithmetic)
+    ivf.foreach { case (q, c, cos) => assert(brute((q, c)) === cos) }
+  }
+
   test("sessionize splits on gaps > 30min and aggregates per session") {
     def ts(s: String) = Timestamp.valueOf(s)
     val ev = Seq(
