@@ -37,6 +37,10 @@ object TrainingEntries {
     "q30_knn_brute"      -> q(t => Similarity.bruteForceTopK(t.embeddings)),
     "q31_knn_lsh"        -> q(t => Similarity.lshTopK(t.embeddings)),
     "q34_knn_ivf"        -> q(t => Similarity.ivfTopK(t.embeddings)),
+    // threshold tuned to the fixture: max pairwise cosine is ~0.51,
+    // so 0.35 with 8-bit buckets yields a real (non-empty) dup set
+    "q35_embed_dups"     -> q(t =>
+      Similarity.cosineDupPairs(t.embeddings, threshold = 0.35, bits = 8)),
     "q32_event_hourly"   -> q(t => Events.hourlyRollup(t.events)),
     "q33_sessionize"     -> q(t => Events.sessionize(t.events)),
   )
@@ -310,6 +314,25 @@ object TrainingEntries {
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rn
          |      FROM cos)
          |SELECT qid, cid, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "q35_embed_dups" ->
+      s"""WITH $flatCte,
+         |b AS (SELECT vec_id,
+         |        ${(1 to 8).map(j => s"(CASE WHEN embedding[$j] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS bucket
+         |      FROM embeddings),
+         |pairs AS (SELECT a.vec_id AS id1, c.vec_id AS id2
+         |          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         |dots AS (SELECT p.id1, p.id2, SUM(f1.v * f2.v) AS dot
+         |         FROM pairs p
+         |         JOIN flat f1 ON f1.vec_id = p.id1
+         |         JOIN flat f2 ON f2.vec_id = p.id2 AND f2.i = f1.i
+         |         GROUP BY p.id1, p.id2),
+         |cos AS (SELECT id1, id2, CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cos
+         |        FROM dots
+         |        JOIN norms na ON na.vec_id = id1
+         |        JOIN norms nb ON nb.vec_id = id2)
+         |SELECT id1, id2, cos FROM cos WHERE cos >= 0.35
+         |ORDER BY id1, id2""".stripMargin,
 
     "q32_event_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

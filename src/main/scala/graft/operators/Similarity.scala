@@ -78,6 +78,31 @@ object Similarity {
     concat((1 to bits).map(j =>
       when(element_at(emb, j) >= 0f, lit("1")).otherwise(lit("0"))): _*)
 
+  /** Embedding-cosine near-duplicate pairs: all (id1 < id2) pairs
+    * with cosine ≥ threshold, candidate-limited to sign-grid buckets
+    * (near-identical vectors share the full sign pattern, so recall
+    * at high thresholds is ~1 while the join stays an equi-join on
+    * bucket — the same LSH-bounding idea as minhash dedup, applied to
+    * vectors).
+    */
+  def cosineDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
+      bits: Int = 16): DataFrame = {
+    val bucketed = embeddings.spread().select(
+      $("vec_id"), signBucket($("embedding"), bits).as("bucket"),
+      quantize($("embedding")).as("qv"))
+      .withColumn("nrm", qnorm($("qv")))
+    val a = bucketed.select($("bucket"), $("vec_id").as("id1"),
+      $("qv").as("v1"), $("nrm").as("n1"))
+    val b = bucketed.select($("bucket"), $("vec_id").as("id2"),
+      $("qv").as("v2"), $("nrm").as("n2"))
+    a.join(b, Seq("bucket"))
+      .filter($("id1") < $("id2"))
+      .select($("id1"), $("id2"),
+        (qdot($("v1"), $("v2")).cast("double") / ($("n1") * $("n2"))).as("cos"))
+      .filter($("cos") >= threshold)
+      .orderedSmall("id1", "id2")
+  }
+
   /** IVF (inverted-file) ANN: a deterministic "training" step picks
     * the first `nCentroids` vectors as centroids; every corpus vector
     * is assigned to its nearest centroid (one broadcast pass); a query

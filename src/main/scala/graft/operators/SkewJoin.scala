@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted join for skewed keys (builder brief: "salting for skew").
+  *
+  * A plain equi-join shuffles both sides by key: one hot key → one
+  * straggler task. Salting splits every fact-side key into `salt`
+  * sub-keys (deterministic `pmod(hash, salt)` over the whole row) and
+  * replicates the dim side `salt`× (explode over 0..salt-1), so the
+  * hot key's rows spread over `salt` tasks. Inner-join semantics are
+  * unchanged; dim-side cost is ×salt — use when the dim side is much
+  * smaller but too big (or too hot) to broadcast outright.
+  *
+  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin`) covers
+  * sort-merge joins automatically; explicit salting remains the tool
+  * for aggregation-feeding joins and for engines/stages where AQE
+  * cannot split (e.g. a skewed groupBy after the join: salt the
+  * aggregation key the same way, aggregate twice).
+  */
+object SkewJoin {
+
+  private val SaltCol = "__graft_salt"
+
+  /** Inner equi-join of `fact` (skewed side) with `dim` on `keys`,
+    * spreading each fact key over `salt` partitions.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      salt: Int = 8): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    // deterministic per-row spread: hash all fact columns (not just
+    // the join key — the key is constant within the hot group)
+    val factSalted = fact.withColumn(SaltCol,
+      pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(salt)))
+    val dimSalted = dim.withColumn(SaltCol,
+      explode(array((0 until salt).map(lit(_)): _*)))
+    factSalted.join(dimSalted, keys :+ SaltCol)
+      .drop(SaltCol)
+  }
+
+  /** Two-phase skewed aggregation: aggregate on (keys + salt) first
+    * (spreads the hot key), then merge the partials. `partial` builds
+    * the salted partial aggregate; `merge` combines partials — e.g.
+    * partial = count → merge = sum.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int)(
+      partial: org.apache.spark.sql.RelationalGroupedDataset => DataFrame,
+      merge: org.apache.spark.sql.RelationalGroupedDataset => DataFrame): DataFrame = {
+    val salted = df.withColumn(SaltCol,
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salt)))
+    val partials = partial(salted.groupBy((keys :+ SaltCol).map(col): _*))
+    merge(partials.groupBy(keys.map(col): _*))
+  }
+}
