@@ -43,6 +43,7 @@ object TrainingEntries {
       Similarity.cosineDupPairs(t.embeddings, threshold = 0.35, bits = 8)),
     "q32_event_hourly"   -> q(t => Events.hourlyRollup(t.events)),
     "q33_sessionize"     -> q(t => Events.sessionize(t.events)),
+    "q36_props_extract"  -> q(t => Events.propsKeyStats(t.events)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -354,5 +355,15 @@ object TrainingEntries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q36_props_extract" ->
+      raw"""SELECT event_type, COUNT(*) AS n,
+           |  CAST(SUM(k) AS BIGINT) AS sum_k,
+           |  CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+           |FROM (SELECT event_type,
+           |        TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+           |      FROM events)
+           |WHERE k IS NOT NULL
+           |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

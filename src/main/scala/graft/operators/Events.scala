@@ -28,6 +28,24 @@ object Events {
       .agg(count(lit(1)).as("n"), dsum($("value")).as("sum_value"))
       .orderedSmall("hour", "event_type")
 
+  /** Semi-structured props parsing: extract the numeric `k` property
+    * from the JSON `props` string (regexp extraction — RE2-compatible,
+    * so the oracle recomputes it; Spark's native `get_json_object` is
+    * the drop-in for richer JSON) and aggregate it per event type.
+    * Integer sums → exact cross-engine parity.
+    */
+  def propsKeyStats(events: DataFrame): DataFrame = {
+    import graft.operators.OrderedOut._
+    events
+      .withColumn("k",
+        regexp_extract($("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+      .filter($("k").isNotNull)
+      .groupBy($("event_type"))
+      .agg(count(lit(1)).as("n"), sum($("k")).as("sum_k"),
+        (sum($("k")).cast("double") / count(lit(1))).as("avg_k"))
+      .orderedSmall("event_type")
+  }
+
   /** Gap-based sessionization: a new session starts when a user is
     * idle longer than `gapMinutes`. Classic prefix-sum over a window
     * partitioned by user — fully parallel across users, no driver
