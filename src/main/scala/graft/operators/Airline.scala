@@ -84,6 +84,31 @@ object Airline {
         .agg(avg($("DepDelay")).as("avg_dep_delay")),
       Seq("Origin"), "avg_dep_delay", Seq("UniqueCarrier"), k)
 
+  /** Aggregator-based variant of top10CarriersPerAirport: same result
+    * via the bounded-heap [[graft.functions.TopKAggregator]] instead
+    * of a window sort. The scalable form when groups are huge; the
+    * window form wins when per-group input is already small.
+    * Differential-tested against the window version (AirlineSpec).
+    */
+  def top10CarriersPerAirportAgg(flights: DataFrame, k: Int = 10): DataFrame = {
+    import graft.functions.TopKAggregator
+    val spark = flights.sparkSession
+    import spark.implicits._
+    val agg = flights.where($("DepDelay").isNotNull)
+      .groupBy($("Origin"), $("UniqueCarrier"))
+      .agg(avg($("DepDelay")).as("avg_dep_delay"))
+    agg.select($("Origin").as("origin"),
+        struct($("UniqueCarrier").as("label"), $("avg_dep_delay").as("value")).as("e"))
+      .as[(String, TopKAggregator.Entry)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(TopKAggregator.topKAsc(k).toColumn)
+      .flatMap { case (origin, entries) =>
+        entries.zipWithIndex.map { case (e, i) => (origin, e.label, e.value, i + 1) }
+      }
+      .toDF("Origin", "UniqueCarrier", "avg_dep_delay", "rank")
+  }
+
   /** Group 2 Q2 / A3+T3 (R:285-331) — top-10 destination airports by
     * avg DepDelay per origin.
     */

@@ -51,6 +51,15 @@ class AirlineSpec extends SparkSpec {
     assert(got.contains(("SFO", "HA", 1)) && got.contains(("SFO", "UA", 2)))
   }
 
+  test("T3: bounded-heap aggregator top-k == window top-k") {
+    val viaWindow = Airline.top10CarriersPerAirport(flights)
+      .select("Origin", "UniqueCarrier", "avg_dep_delay", "rank")
+      .as[(String, String, Double, Int)].collect().toSet
+    val viaAgg = Airline.top10CarriersPerAirportAgg(flights)
+      .as[(String, String, Double, Int)].collect().toSet
+    assert(viaAgg === viaWindow)
+  }
+
   test("T4: sorted frequencies are descending, one column") {
     val freqs = Airline.sortedFrequencies(flights).as[Long].collect().toSeq
     assert(freqs === freqs.sorted.reverse)
