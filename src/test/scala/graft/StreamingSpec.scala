@@ -39,6 +39,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2, t._3)) === want.map(t => (t._1, t._2, t._3)))
   }
 
+  test("watermark finalizes windows and drops late data (append mode)") {
+    import java.sql.Timestamp
+    def ev(id: Long, ts: String, v: Double) =
+      (id, Timestamp.valueOf(ts), 1L, "view", v, "{}")
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    def writeBatch(name: String, rows: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    writeBatch("b1", Seq(
+      ev(1, "2024-01-01 08:10:00", 1.0),
+      ev(2, "2024-01-01 12:00:00", 1.0)))  // watermark -> 10:00
+    val q = EventStreams.hourlyRollup(EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_test").start()
+    try {
+      q.processAllAvailable()
+      writeBatch("b2", Seq(
+        ev(3, "2024-01-01 08:20:00", 1.0),   // LATE: behind the watermark
+        ev(4, "2024-01-01 15:00:00", 1.0)))  // advances watermark to 13:00
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("late_test")
+      .select($"hour", $"n").as[(java.sql.Timestamp, Long)].collect().toMap
+    // 08:00 window finalized after batch 1 with n=1; the late event
+    // must NOT re-emit or extend it
+    assert(rows(java.sql.Timestamp.valueOf("2024-01-01 08:00:00")) === 1L)
+    // 12:00 window finalized once the watermark passed 13:00
+    assert(rows(java.sql.Timestamp.valueOf("2024-01-01 12:00:00")) === 1L)
+    // 15:00 window is still open -> not emitted in append mode
+    assert(!rows.contains(java.sql.Timestamp.valueOf("2024-01-01 15:00:00")))
+  }
+
   test("streaming sessionize == batch sessionize (single-batch case)") {
     val tables = graft.sources.Tables(spark, dir)
     val events = EventStreams.readEvents(spark, streamDir)
