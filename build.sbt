@@ -28,6 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local-mode Spark: driver heap is the ONLY memory pool for all
   // executor threads; 8g caused 70s+ GC pauses in expansion joins on
-  // this 128GiB box (see PLANS.md)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // this 128GiB box, while 48g showed commit-pressure stalls in long
+  // multi-query runs (see PLANS.md) — 20g is the measured sweet spot
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )
