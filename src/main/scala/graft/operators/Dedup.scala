@@ -41,7 +41,6 @@ object Dedup {
       .select($("doc_id"), TextAnalysis.fingerprint($("text")).as("fp"))
       .groupBy("fp")
       .agg(min($("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderedSmall("fp")
 
   /** Character `n`-gram shingles of the normalized text, DISTINCT per
     * doc: (doc_id, shingle). `substr(norm, i, n)` over a generated
@@ -102,8 +101,22 @@ object Dedup {
   /** LSH candidate pairs: split the k-wide signature into `bands`
     * bands of k/bands rows each, hash each band, and equi-join docs
     * sharing any band hash. Returns distinct (id1 < id2) pairs.
+    *
+    * Hot-bucket cap (`maxBucket`): buckets holding more than
+    * `maxBucket` docs are dropped before the self-join — the same
+    * bounding idea as ngramJaccardPairs' document-frequency cut. One
+    * degenerate band value (boilerplate-heavy shard) would otherwise
+    * produce O(bucket²) candidate pairs; with the cap the worst case
+    * is bands·(N/maxBucket)·maxBucket² = bands·N·maxBucket pairs —
+    * linear in corpus size. A bucket that large is near-certainly a
+    * mass-duplicated template: run exactDuplicates FIRST and minhash
+    * over the surviving uniques, which is also the cheaper pipeline.
     */
-  def lshCandidates(signatures: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+  def lshCandidates(signatures: DataFrame, k: Int = 16, bands: Int = 4,
+      maxBucket: Int = 256): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k must divide evenly into bands=$bands (trailing signature " +
+        "columns would be silently ignored, weakening recall)")
     val rowsPerBand = k / bands
     val banded = signatures.select(
       $("doc_id"),
@@ -112,8 +125,13 @@ object Dedup {
           (0 until rowsPerBand).map(r =>
             col(f"sig${b * rowsPerBand + r}%02d").cast("string")): _*))
       }: _*)).as(Seq("band", "bhash")))
-    val a = banded.select($("band"), $("bhash"), $("doc_id").as("id1"))
-    val b = banded.select($("band"), $("bhash"), $("doc_id").as("id2"))
+    val okBuckets = banded.groupBy("band", "bhash")
+      .agg(count(lit(1)).as("bsz"))
+      .filter($("bsz") <= maxBucket)
+      .select("band", "bhash")
+    val bounded = banded.join(okBuckets, Seq("band", "bhash"))
+    val a = bounded.select($("band"), $("bhash"), $("doc_id").as("id1"))
+    val b = bounded.select($("band"), $("bhash"), $("doc_id").as("id2"))
     a.join(b, Seq("band", "bhash"))
       .filter($("id1") < $("id2"))
       .select("id1", "id2").distinct()
@@ -149,16 +167,15 @@ object Dedup {
     * → exact-Jaccard verify ≥ threshold.
     */
   def minhashDupPairs(documents: DataFrame, n: Int = 5, k: Int = 16,
-      bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+      bands: Int = 4, threshold: Double = 0.8, maxBucket: Int = 256): DataFrame = {
     // the shingle index feeds signatures, sizes, AND the verify join —
     // materialize it once (at warehouse scale this would be a parquet
     // intermediate; MEMORY_AND_DISK is the local equivalent)
     val sh = shingles(documents, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(minhashSignaturesFrom(sh, k), k, bands)
+    val cands = lshCandidates(minhashSignaturesFrom(sh, k), k, bands, maxBucket)
     jaccardFor(cands, sh)
       .filter($("jaccard") >= threshold)
-      .orderedSmall("id1", "id2")
   }
 
   /** n-gram Jaccard near-dup pairs WITHOUT minhash: inverted shingle
@@ -182,7 +199,6 @@ object Dedup {
     // candidate generation, not the similarity definition)
     jaccardFor(pairs, sh0)
       .filter($("jaccard") >= threshold)
-      .orderedSmall("id1", "id2")
   }
 
   /** SimHash-32 per document: per token, 32 bits from the first 8 hex
@@ -203,7 +219,6 @@ object Dedup {
       .select($("doc_id"), normText($("text")).as("norm"))
       .filter(length($("norm")) > 0)
       .select($("doc_id"), simhash32(split($("norm"), " ")).as("simhash"))
-      .orderedSmall("doc_id")
   }
 
   /** The composed-expression formulation of simhashes (explode →
@@ -226,6 +241,6 @@ object Dedup {
     val packed = (0 until 32).map(j =>
       when(col(s"c$j") > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
-    counters.select($("doc_id"), packed.as("simhash")).orderedSmall("doc_id")
+    counters.select($("doc_id"), packed.as("simhash"))
   }
 }

@@ -29,10 +29,13 @@ object SkewJoin {
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       salt: Int = 8): DataFrame = {
     require(salt > 0, "salt must be positive")
-    // deterministic per-row spread: hash all fact columns (not just
-    // the join key — the key is constant within the hot group)
+    // per-row spread: hash all fact columns PLUS a per-row ordinal —
+    // byte-identical duplicate rows (common in training corpora: the
+    // hot key often IS a mass-duplicated row) would otherwise all hash
+    // to one salt bucket and the skew would survive salting untouched
     val factSalted = fact.withColumn(SaltCol,
-      pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(salt)))
+      pmod(hash(fact.columns.map(col).toIndexedSeq :+
+        monotonically_increasing_id(): _*), lit(salt)))
     val dimSalted = dim.withColumn(SaltCol,
       explode(array((0 until salt).map(lit(_)): _*)))
     factSalted.join(dimSalted, keys :+ SaltCol)
@@ -48,7 +51,8 @@ object SkewJoin {
       partial: org.apache.spark.sql.RelationalGroupedDataset => DataFrame,
       merge: org.apache.spark.sql.RelationalGroupedDataset => DataFrame): DataFrame = {
     val salted = df.withColumn(SaltCol,
-      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salt)))
+      pmod(hash(df.columns.map(col).toIndexedSeq :+
+        monotonically_increasing_id(): _*), lit(salt)))
     val partials = partial(salted.groupBy((keys :+ SaltCol).map(col): _*))
     merge(partials.groupBy(keys.map(col): _*))
   }

@@ -60,45 +60,82 @@ object EventStreams {
       session_start: Timestamp, session_end: Timestamp,
       n_events: Long, sum_value: Double)
 
+  /** Microsecond-exact Timestamp from epoch micros. `new Timestamp(ms)`
+    * alone would truncate to millis and diverge from the batch twin
+    * (whose parquet fixture carries micros); setNanos replaces the
+    * whole fractional second, so the constructor gets second-floored
+    * millis first.
+    */
+  private def tsOfMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState — streaming
     * twin of Events.sessionize. Emits a session when a new event
     * arrives more than `gapMinutes` after the previous one, or when
-    * the state times out (idle user). State: one small record per
-    * active user.
+    * the user's state times out (event-time watermark passes
+    * last-event + gap): the open session is flushed and its state
+    * removed, so state size stays O(users active within the watermark
+    * horizon), not O(all users ever seen).
+    *
+    * After a timeout flush, a user reappearing restarts session ids at
+    * 1 (the state — including the id counter — was dropped; keeping it
+    * would mean per-user state never shrinks, the exact leak the
+    * timeout exists to prevent).
     *
     * Within a micro-batch, events for a user are sorted by (ts,
     * event_id) before folding — same total order as the batch twin.
     */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30):
-      Dataset[SessionOut] = {
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+      watermarkDelay: String = "2 hours"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
+    val gapMillis = gapMinutes * 60L * 1000L
 
     def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
+    def emit(userId: Long, st: SessionState): SessionOut =
+      SessionOut(userId, st.sessionId,
+        tsOfMicros(st.start), tsOfMicros(st.lastTs), st.n, st.sum)
+
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var st = state.getOption.orNull
-          val out = Seq.newBuilder[SessionOut]
-          for (e <- sorted) {
-            val t = micros(e.ts)
-            if (st == null) {
-              st = SessionState(1L, t, t, 1L, e.value)
-            } else if (t - st.lastTs > gapMicros) {
-              out += SessionOut(userId, st.sessionId,
-                new Timestamp(st.start / 1000L), new Timestamp(st.lastTs / 1000L),
-                st.n, st.sum)
-              st = SessionState(st.sessionId + 1L, t, t, 1L, e.value)
-            } else {
-              st = st.copy(lastTs = t, n = st.n + 1L, sum = st.sum + e.value)
+          if (state.hasTimedOut) {
+            // idle user: flush the open session, drop the state
+            val st = state.get
+            state.remove()
+            Iterator.single(emit(userId, st))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[SessionOut]
+            for (e <- sorted) {
+              val t = micros(e.ts)
+              if (st == null) {
+                st = SessionState(1L, t, t, 1L, e.value)
+              } else if (t - st.lastTs > gapMicros) {
+                out += emit(userId, st)
+                st = SessionState(st.sessionId + 1L, t, t, 1L, e.value)
+              } else {
+                st = st.copy(lastTs = t, n = st.n + 1L, sum = st.sum + e.value)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              // flush when the watermark passes the session's gap edge;
+              // must exceed the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs + 1,
+                Math.floorDiv(st.lastTs, 1000L) + gapMillis))
+            }
+            out.result().iterator
           }
-          if (st != null) state.update(st)
-          out.result().iterator
       }
   }
 

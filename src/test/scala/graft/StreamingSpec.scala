@@ -74,6 +74,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming sessionize == batch sessionize (single-batch case)") {
+    import org.apache.spark.sql.functions.{max => fmax, unix_micros}
     val tables = graft.sources.Tables(spark, dir)
     val events = EventStreams.readEvents(spark, streamDir)
       .as[EventStreams.Event]
@@ -81,19 +82,35 @@ class StreamingSpec extends SparkSpec {
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("sess_test").start()
     try q.processAllAvailable() finally q.stop()
-    // append mode only emits CLOSED sessions; every batch session that
-    // closed (i.e., all but each user's last) must appear identically
+    // append mode emits sessions closed by a gap, PLUS open sessions
+    // flushed by the event-time timeout once the final watermark
+    // (max event ts − 2h delay, ms-floored like Spark's EventTimeStats)
+    // passes session_end + gap. Timestamps compare exactly: the stream
+    // reconstructs micros (ADVICE round 1).
+    type Sess = (Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)
     val got = spark.table("sess_test")
-      .select("user_id", "session_id", "n_events")
-      .as[(Long, Long, Long)].collect().toSet
+      .select("user_id", "session_id", "session_start", "session_end", "n_events")
+      .as[Sess].collect().toSet
     val batch = Events.sessionize(tables.events)
     val lastPerUser = batch.groupBy($"user_id")
-      .agg(org.apache.spark.sql.functions.max($"session_id").as("last"))
-    val closed = batch.join(lastPerUser, "user_id")
-      .filter($"session_id" < $"last")
-      .select("user_id", "session_id", "n_events")
-      .as[(Long, Long, Long)].collect().toSet
-    assert(got === closed)
+      .agg(fmax($"session_id").as("last"))
+    val maxTsUs = tables.events
+      .agg(fmax(unix_micros($"ts"))).as[Long].head()
+    val wmMs = maxTsUs / 1000L - 2L * 3600L * 1000L
+    val gapMs = 30L * 60L * 1000L
+    val expected = batch.join(lastPerUser, "user_id")
+      .filter($"session_id" < $"last" ||
+        unix_micros($"session_end") / 1000L + gapMs < wmMs)
+      .select("user_id", "session_id", "session_start", "session_end", "n_events")
+      .as[Sess].collect().toSet
+    assert(got === expected)
     assert(got.nonEmpty)
+    // the timeout path actually fired (some last-sessions were flushed)
+    val closedOnly = batch.join(lastPerUser, "user_id")
+      .filter($"session_id" < $"last")
+      .select("user_id", "session_id", "session_start", "session_end", "n_events")
+      .as[Sess].collect().toSet
+    assert(got.size > closedOnly.size,
+      "expected at least one idle-user session flushed by EventTimeTimeout")
   }
 }
