@@ -21,7 +21,9 @@ import org.apache.spark.sql.types._
   * sessionization state is per-user via flatMapGroupsWithState —
   * state size is O(active users), not O(events).
   */
-object EventStreams {
+// Serializable: the sessionize closure calls tsOfMicros on this object,
+// so the object itself rides along in the flatMapGroupsWithState task.
+object EventStreams extends Serializable {
 
   /** The events schema as readStream needs it declared up front
     * (ts already converted to microsecond TimestampType).

@@ -87,10 +87,9 @@ class StreamingSpec extends SparkSpec {
     // (max event ts − 2h delay, ms-floored like Spark's EventTimeStats)
     // passes session_end + gap. Timestamps compare exactly: the stream
     // reconstructs micros (ADVICE round 1).
-    type Sess = (Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)
     val got = spark.table("sess_test")
       .select("user_id", "session_id", "session_start", "session_end", "n_events")
-      .as[Sess].collect().toSet
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
     val batch = Events.sessionize(tables.events)
     val lastPerUser = batch.groupBy($"user_id")
       .agg(fmax($"session_id").as("last"))
@@ -102,14 +101,14 @@ class StreamingSpec extends SparkSpec {
       .filter($"session_id" < $"last" ||
         unix_micros($"session_end") / 1000L + gapMs < wmMs)
       .select("user_id", "session_id", "session_start", "session_end", "n_events")
-      .as[Sess].collect().toSet
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
     assert(got === expected)
     assert(got.nonEmpty)
     // the timeout path actually fired (some last-sessions were flushed)
     val closedOnly = batch.join(lastPerUser, "user_id")
       .filter($"session_id" < $"last")
       .select("user_id", "session_id", "session_start", "session_end", "n_events")
-      .as[Sess].collect().toSet
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
     assert(got.size > closedOnly.size,
       "expected at least one idle-user session flushed by EventTimeTimeout")
   }

@@ -21,6 +21,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
+    # Row-order-insensitive like the driver: sort rows by the stringified
+    # value tuple (the driver sorts before hashing, so operators need not
+    # emit ordered output).
+    if len(df):
+        df = df.iloc[
+            df.astype(str).apply(tuple, axis=1).argsort(kind="stable")]
     return df.reset_index(drop=True)
 
 
