@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain stdout goes straight through, NOT via sbt's logger:
+// the driver parses graft.Bench's one-line JSON from stdout, and the
+// default LoggedOutput prefixes every line with "[info] ", breaking the
+// parse (BENCH_r02.json "parsed": null).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
