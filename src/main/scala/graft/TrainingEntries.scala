@@ -25,10 +25,7 @@ object TrainingEntries {
     "q22_lang_id"        -> q(t => TextAnalysis.langId(t.documents)),
     "q23_quality"        -> q(t => TextAnalysis.quality(t.documents)),
     "q24_fingerprints"   -> q(t => TextAnalysis.fingerprints(t.documents)),
-    "q25_minhash_sig"    -> q(t => {
-      import graft.operators.OrderedOut._
-      Dedup.minhashSignatures(t.documents).orderedSmall("doc_id")
-    }),
+    "q25_minhash_sig"    -> q(t => Dedup.minhashSignatures(t.documents)),
     "q26_minhash_dups"   -> q(t => Dedup.minhashDupPairs(t.documents, threshold = 0.7)),
     // 5-gram shingles: 3-grams are ubiquitous (every trigram exceeds
     // the df cut in a 5k-doc corpus) — 5-grams stay selective
@@ -193,8 +190,12 @@ object TrainingEntries {
          |$hashedShinglesCte,
          |sig AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
          |bands AS ($bandsSql),
+         |okb AS (SELECT band, bhash FROM bands
+         |        GROUP BY band, bhash HAVING COUNT(*) <= 256),
+         |bb AS (SELECT bands.doc_id, bands.band, bands.bhash
+         |       FROM bands JOIN okb USING (band, bhash)),
          |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |          FROM bands a JOIN bands b
+         |          FROM bb a JOIN bb b
          |          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
          |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
          |common AS (SELECT c.id1, c.id2, COUNT(*) AS common

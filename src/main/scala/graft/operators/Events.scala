@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.operators.OrderedOut._
 
 /** Batch analytics over the `events` table — the batch twins of the
   * Structured Streaming operators in graft.streaming (same logical
@@ -26,7 +25,6 @@ object Events {
     events
       .groupBy(date_trunc("hour", $("ts")).as("hour"), $("event_type"))
       .agg(count(lit(1)).as("n"), dsum($("value")).as("sum_value"))
-      .orderedSmall("hour", "event_type")
 
   /** Semi-structured props parsing: extract the numeric `k` property
     * from the JSON `props` string (regexp extraction — RE2-compatible,
@@ -34,8 +32,7 @@ object Events {
     * the drop-in for richer JSON) and aggregate it per event type.
     * Integer sums → exact cross-engine parity.
     */
-  def propsKeyStats(events: DataFrame): DataFrame = {
-    import graft.operators.OrderedOut._
+  def propsKeyStats(events: DataFrame): DataFrame =
     events
       .withColumn("k",
         regexp_extract($("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
@@ -43,8 +40,6 @@ object Events {
       .groupBy($("event_type"))
       .agg(count(lit(1)).as("n"), sum($("k")).as("sum_k"),
         (sum($("k")).cast("double") / count(lit(1))).as("avg_k"))
-      .orderedSmall("event_type")
-  }
 
   /** Gap-based sessionization: a new session starts when a user is
     * idle longer than `gapMinutes`. Classic prefix-sum over a window
@@ -72,6 +67,5 @@ object Events {
         max($("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         dsum($("value")).as("sum_value"))
-      .orderedSmall("user_id", "session_id")
   }
 }

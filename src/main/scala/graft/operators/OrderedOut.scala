@@ -1,29 +1,21 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 
-/** Deterministic total ordering for SMALL final results.
+/** Parallelism helpers for operator pipelines.
   *
-  * `orderBy` plans a range-partitioned sort whose `RangePartitioner`
-  * runs a SAMPLING JOB over the child first — executing the whole
-  * upstream pipeline twice. For a query whose upstream is expensive
-  * and whose result is small (every oracle-checked query here), a
-  * single-partition shuffle + in-partition sort gives the same total
-  * order for one upstream execution and no sampling pass.
-  *
-  * Only for bounded outputs: the final sort runs in one task (the
-  * upstream keeps full parallelism — `repartition` is a shuffle
-  * barrier, unlike `coalesce` which would collapse the parent stage).
-  * Global top-k queries should keep `orderBy.limit` instead: that
-  * plans TakeOrderedAndProject, which never sorts globally at all.
+  * Operators deliberately emit UNORDERED results: the driver's oracle
+  * compare (and tools/local_oracle.py) sorts rows before hashing, and
+  * a production pipeline orders only at its final sink if at all. A
+  * `repartition(1).sortWithinPartitions` funnel on an O(input) result
+  * would serialize the whole output through one task at cluster scale
+  * — the exact anti-pattern this module used to encode; global top-k
+  * queries use `orderBy.limit` (TakeOrderedAndProject) instead, which
+  * never sorts globally.
   */
 object OrderedOut {
 
   implicit final class SmallOrderOps(private val df: DataFrame) extends AnyVal {
-    def orderedSmall(c1: Column, cs: Column*): DataFrame =
-      df.repartition(1).sortWithinPartitions((c1 +: cs): _*)
-    def orderedSmall(c1: String, cs: String*): DataFrame =
-      df.repartition(1).sortWithinPartitions(c1, cs: _*)
 
     /** Decouple compute parallelism from scan splits before CPU-heavy
       * narrow work (explode + hashing + regex chains). A small input

@@ -67,7 +67,6 @@ object Similarity {
         (qdot($("qe"), $("ce")).cast("double") / ($("qn") * $("cn"))).as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter($("rn") <= k)
-      .orderedSmall("qid", "rn")
   }
 
   /** Sign-grid LSH bucket key: the sign pattern of the first `bits`
@@ -100,7 +99,6 @@ object Similarity {
       .select($("id1"), $("id2"),
         (qdot($("v1"), $("v2")).cast("double") / ($("n1") * $("n2"))).as("cos"))
       .filter($("cos") >= threshold)
-      .orderedSmall("id1", "id2")
   }
 
   /** IVF (inverted-file) ANN: a deterministic "training" step picks
@@ -143,7 +141,6 @@ object Similarity {
         (qdot($("qe"), $("ce")).cast("double") / ($("qn") * $("cn"))).as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter($("rn") <= k)
-      .orderedSmall("qid", "rn")
   }
 
   /** LSH-bucketed ANN: same contract as bruteForceTopK but the
@@ -169,6 +166,5 @@ object Similarity {
         (qdot($("qe"), $("ce")).cast("double") / ($("qn") * $("cn"))).as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter($("rn") <= k)
-      .orderedSmall("qid", "rn")
   }
 }

@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
-import graft.operators.OrderedOut._
 
 /** The reference's relational operator inventory (SURVEY.md §2)
   * re-expressed over the driver's star-schema testdata so the DuckDB
@@ -55,7 +54,6 @@ object StarQueries {
         davg($("l_quantity")).as("avg_qty"),
         davg($("l_extendedprice")).as("avg_price"),
         count(lit(1)).as("count_order"))
-      .orderedSmall("l_returnflag", "l_linestatus")
 
   /** A1 (R:148-149) — one row feeds TWO key groups: the reference maps
     * each flight to (Origin,1) and (Dest,1). Star analogue: each
@@ -68,14 +66,12 @@ object StarQueries {
     t.lineitem
       .select(explode(array($("l_partkey"), $("l_suppkey"))).as("key"))
       .groupBy("key").agg(count(lit(1)).as("cnt"))
-      .orderedSmall($("cnt").desc, $("key").asc)
 
   /** A5 (R:449-452) — distinct over the same exploded key stream. */
   def q03DistinctKeys(t: Tables): DataFrame =
     t.lineitem
       .select(explode(array($("l_partkey"), $("l_suppkey"))).as("key"))
       .distinct()
-      .orderedSmall("key")
 
   /** T1 (R:151) — global top-10 by count desc. The reference ran a
     * whole second MR job with a single reducer; Spark's physical plan
@@ -106,14 +102,12 @@ object StarQueries {
     t.lineitem
       .groupBy($("l_suppkey"), $("l_returnflag"))
       .agg(davg($("l_quantity")).as("avg_qty"))
-      .orderedSmall("l_suppkey", "l_returnflag")
 
   /** A4 (R:335) — average per 3-column composite key. */
   def q07AvgByTriple(t: Tables): DataFrame =
     t.lineitem
       .groupBy($("l_suppkey"), $("l_returnflag"), $("l_linestatus"))
       .agg(davg($("l_quantity")).as("avg_qty"))
-      .orderedSmall("l_suppkey", "l_returnflag", "l_linestatus")
 
   /** T3 (R:195-197) — per-group top-k: top-5 parts per supplier by
     * ascending avg quantity. The canonical windowed top-k; the window
@@ -128,7 +122,6 @@ object StarQueries {
       .orderBy($("avg_qty").asc, $("l_partkey").asc)
     agg.withColumn("rn", row_number().over(w).cast("long"))
       .filter($("rn") <= 5)
-      .orderedSmall("l_suppkey", "rn")
   }
 
   /** T4 (R:385-389) — frequencies of frequencies, globally sorted
@@ -140,7 +133,6 @@ object StarQueries {
       .select(explode(array($("l_partkey"), $("l_suppkey"))).as("key"))
       .groupBy("key").agg(count(lit(1)).as("cnt"))
       .groupBy("cnt").agg(count(lit(1)).as("n_keys"))
-      .orderedSmall($("cnt").desc)
 
   /** J1+J2/A6 (R:536-549) — equi-join then per-group argmin: for each
     * order, the lineitem with the earliest shipdate (constraint c's
@@ -162,7 +154,6 @@ object StarQueries {
       .select($("o_orderkey"), $("m.o_orderdate").as("o_orderdate"),
         $("m.l_partkey").as("l_partkey"), $("m.l_shipdate").as("l_shipdate"),
         $("m.l_linenumber").as("l_linenumber"))
-      .orderedSmall("o_orderkey")
   }
 
   /** F6+J1 (R:434, R:542-543) — derived-key equi-join: the reference
@@ -176,7 +167,6 @@ object StarQueries {
         t.lineitem("l_orderkey") === t.orders("o_orderkey") &&
         t.lineitem("l_shipdate") === t.orders("o_orderdate") + expr("interval 60 days"))
       .select($("o_orderkey"), $("l_linenumber"), $("l_shipdate"))
-      .orderedSmall("o_orderkey", "l_linenumber")
 
   /** J3 (R:456-468) — constrained triple cross join (origin, stop,
     * dest) with stop ≠ origin and stop ≠ dest (origin may equal dest,
@@ -192,7 +182,6 @@ object StarQueries {
     val c = n.select($("n_name").as("dest"))
     a.crossJoin(b).crossJoin(c)
       .filter($("stop") =!= $("origin") && $("stop") =!= $("dest"))
-      .orderedSmall("origin", "stop", "dest")
   }
 
   /** J4 (R:485-487) — cross join with a generated date dimension:
@@ -210,7 +199,6 @@ object StarQueries {
         to_date(lit("2008-01-01")), to_date(lit("2008-12-31")),
         expr("interval 1 day"))).as("request_date"))
     trips.crossJoin(dates)
-      .orderedSmall("origin", "stop", "dest", "request_date")
   }
 
   /** §2.6 union (R:539-545 MultipleInputs) — two tagged sources
@@ -221,7 +209,7 @@ object StarQueries {
       $("c_name").as("name"), $("c_acctbal").as("acctbal"), lit("customer").as("tag"))
     val s = t.supplier.select($("s_suppkey").as("key"),
       $("s_name").as("name"), $("s_acctbal").as("acctbal"), lit("supplier").as("tag"))
-    c.union(s).orderedSmall("tag", "key")
+    c.union(s)
   }
 
   /** F2/F5/F6/F8 (R:487, R:507, R:521-531) — the scalar date/format
@@ -237,7 +225,6 @@ object StarQueries {
         date_add($("o_orderdate"), 2).as("plus2"),
         date_format($("o_orderdate"), "HH:mm dd/MM/yyyy").as("sched_fmt"),
         $("o_totalprice").cast(DecimalType(18, 2)).cast("string").as("price_str"))
-      .orderedSmall("o_orderkey")
 
   /** P1-P3 (R:112, R:512) — projection + year filter + null/range
     * guards. The whole filter reaches the parquet scan (PushedFilters)
@@ -249,5 +236,4 @@ object StarQueries {
       .filter(year($("l_shipdate")) === 1997 &&
         $("l_quantity") < 10 && $("l_returnflag").isNotNull)
       .select($("l_orderkey"), $("l_linenumber"), $("l_quantity"))
-      .orderedSmall("l_orderkey", "l_linenumber", "l_quantity")
 }

@@ -132,7 +132,6 @@ object TextAnalysis {
       digitCount(n).cast("long").as("n_digit"),
       (length(regexp_replace(n, " ", "")).cast("double") /
         greatest(tokenCount($("text")), lit(1)).cast("double")).as("avg_token_len"))
-      .orderedSmall("doc_id")
   }
 
   /** Language-ID per document, with the dataset's label for eyeball
@@ -143,14 +142,12 @@ object TextAnalysis {
       $("doc_id"),
       languageId($("text")).as("pred_lang"),
       $("lang").as("label_lang"))
-      .orderedSmall("doc_id")
 
   /** Quality scores per document. */
   def quality(documents: DataFrame): DataFrame =
     documents.spread().select(
       $("doc_id"),
       qualityScore($("text")).as("quality"))
-      .orderedSmall("doc_id")
 
   /** Fingerprints per document (rolling content hash of the
     * normalized text).
@@ -159,5 +156,4 @@ object TextAnalysis {
     documents.spread().select(
       $("doc_id"),
       fingerprint($("text")).as("fp"))
-      .orderedSmall("doc_id")
 }

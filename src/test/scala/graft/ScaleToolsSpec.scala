@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.engine.Bucketing
-import graft.operators.SkewJoin
+import graft.operators.{Dedup, SkewJoin}
 import graft.sources.Tables
 
 /** The co-located-join and skew-handling primitives: semantics AND
@@ -52,6 +52,25 @@ class ScaleToolsSpec extends SparkSpec {
     val perPartition = joined.rdd
       .mapPartitions(it => Iterator(it.size)).collect().count(_ > 0)
     assert(perPartition > 1, "hot key should occupy several partitions")
+  }
+
+  test("lshCandidates drops planted hot buckets but keeps real dup pairs") {
+    // 8 byte-identical "template" docs: identical signatures, so every
+    // band forms one bucket of 8 — the mass-duplicated-boilerplate
+    // degenerate case. Plus one distinct near-dup pair (bucket of 2).
+    val docs = ((1L to 8L).map(i =>
+        (i, "please unsubscribe from this mailing list to stop receiving offers")) ++
+      Seq((100L, "the quick brown fox jumps over the lazy dog every single day"),
+          (101L, "the quick brown fox jumps over the lazy dog every single day")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignaturesFrom(Dedup.shingles(docs, n = 5))
+    val uncapped = Dedup.lshCandidates(sigs, maxBucket = 256)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 8 * 7 / 2 + 1, "no cap: all template pairs + the dup pair")
+    val capped = Dedup.lshCandidates(sigs, maxBucket = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(capped === Set((100L, 101L)),
+      "cap must drop the hot template bucket and keep the small-bucket pair")
   }
 
   test("salted two-phase aggregation matches direct aggregation") {
