@@ -35,9 +35,10 @@ object TrainingEntries {
     "q31_knn_lsh"        -> q(t => Similarity.lshTopK(t.embeddings)),
     "q34_knn_ivf"        -> q(t => Similarity.ivfTopK(t.embeddings)),
     // threshold tuned to the fixture: max pairwise cosine is ~0.51,
-    // so 0.35 with 8-bit buckets yields a real (non-empty) dup set
+    // so 0.35 with 4×8-bit hyperplane tables yields a real
+    // (non-empty, ~30-pair) dup set
     "q35_embed_dups"     -> q(t =>
-      Similarity.cosineDupPairs(t.embeddings, threshold = 0.35, bits = 8)),
+      Similarity.cosineDupPairs(t.embeddings, threshold = 0.35)),
     "q32_event_hourly"   -> q(t => Events.hourlyRollup(t.events)),
     "q33_sessionize"     -> q(t => Events.sessionize(t.events)),
     "q36_props_extract"  -> q(t => Events.propsKeyStats(t.events)),
@@ -111,6 +112,32 @@ object TrainingEntries {
       |        unnest(generate_series(1, len(embedding))) AS i FROM embeddings)),
       |norms AS (SELECT vec_id, sqrt(CAST(SUM(v*v) AS DOUBLE)) AS nrm
       |          FROM flat GROUP BY vec_id)""".stripMargin
+
+  /** Random-hyperplane bucket CTEs — constants mirror
+    * Similarity.hyperplaneParams; the signed projections are exact
+    * integer sums over the quantized elements, so bucket keys agree
+    * bit-for-bit with the Spark side. `hbb` = bucketed rows with the
+    * same maxBucket=256 hot-bucket cap as capBuckets.
+    */
+  private def hplaneCte(tables: Int, bits: Int): String = {
+    val sums = graft.operators.Similarity.hyperplaneParams.take(tables * bits)
+      .zipWithIndex.map { case ((a, b), h) =>
+        s"SUM(v * (CASE WHEN ((i*$a + $b) % 1000000007) % 2 = 0" +
+          s" THEN 1 ELSE -1 END)) AS d$h"
+      }.mkString(", ")
+    val tblSelects = (0 until tables).map { t =>
+      val bitsExpr = (0 until bits).map(r =>
+        s"(CASE WHEN d${t * bits + r} >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"SELECT vec_id, $t AS tbl, $bitsExpr AS bucket FROM hdots"
+    }.mkString(" UNION ALL ")
+    s"""hdots AS (SELECT vec_id, $sums FROM flat GROUP BY vec_id),
+       |hb AS ($tblSelects),
+       |hok AS (SELECT tbl, bucket FROM hb
+       |        GROUP BY tbl, bucket HAVING COUNT(*) <= 256),
+       |hbb AS (SELECT hb.vec_id, hb.tbl, hb.bucket
+       |        FROM hb JOIN hok USING (tbl, bucket))""".stripMargin
+  }
 
   private val langScoresCte =
     s"""scored AS (SELECT doc_id, text, lang,
@@ -262,11 +289,10 @@ object TrainingEntries {
 
     "q31_knn_lsh" ->
       s"""WITH $flatCte,
-         |b AS (SELECT vec_id,
-         |        ${(1 to 8).map(j => s"(CASE WHEN embedding[$j] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS bucket
-         |      FROM embeddings),
-         |pairs AS (SELECT q.vec_id AS qid, c.vec_id AS cid
-         |          FROM b q JOIN b c ON q.bucket = c.bucket
+         |${hplaneCte(4, 8)},
+         |pairs AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+         |          FROM hbb q JOIN hbb c
+         |          ON q.tbl = c.tbl AND q.bucket = c.bucket
          |          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
          |dots AS (SELECT p.qid, p.cid, SUM(fq.v * fc.v) AS dot
          |         FROM pairs p
@@ -319,11 +345,10 @@ object TrainingEntries {
 
     "q35_embed_dups" ->
       s"""WITH $flatCte,
-         |b AS (SELECT vec_id,
-         |        ${(1 to 8).map(j => s"(CASE WHEN embedding[$j] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS bucket
-         |      FROM embeddings),
-         |pairs AS (SELECT a.vec_id AS id1, c.vec_id AS id2
-         |          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         |${hplaneCte(4, 8)},
+         |pairs AS (SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+         |          FROM hbb a JOIN hbb c
+         |          ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
          |dots AS (SELECT p.id1, p.id2, SUM(f1.v * f2.v) AS dot
          |         FROM pairs p
          |         JOIN flat f1 ON f1.vec_id = p.id1

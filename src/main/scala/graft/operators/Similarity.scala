@@ -69,33 +69,104 @@ object Similarity {
       .filter($("rn") <= k)
   }
 
-  /** Sign-grid LSH bucket key: the sign pattern of the first `bits`
-    * dimensions, as a string key (portable, deterministic). Vectors
-    * in the same orthant of the leading dims land together.
+  /** The (a, b) constants of the random-hyperplane family — fixed
+    * seeds mirrored literally in the DuckDB oracle SQL
+    * (TrainingEntries). Hyperplane h's coefficient for dimension i
+    * (1-based) is +1 when ((a_h·i + b_h) mod p) is even, else −1 — a
+    * deterministic ±1 Rademacher hyperplane both engines can compute,
+    * with none of the leading-dimension skew a coordinate-sign grid
+    * has (a ReLU-ish corpus living in one orthant collapses a
+    * coordinate grid into a single quadratic bucket; random ±1
+    * hyperplanes split any direction evenly in expectation).
     */
-  def signBucket(emb: Column, bits: Int = 8): Column =
-    concat((1 to bits).map(j =>
-      when(element_at(emb, j) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+  val HashP: Long = 1000000007L
+  val hyperplaneParams: Seq[(Long, Long)] = Seq(
+    (57030342L, 71803668L), (329008307L, 960416500L),
+    (812509399L, 919829078L), (685303968L, 657384281L),
+    (758423267L, 449671463L), (880860748L, 896224844L),
+    (626288439L, 319090455L), (258173556L, 43330048L),
+    (517061524L, 195347281L), (745041494L, 728046401L),
+    (498614580L, 631990256L), (384104437L, 186714490L),
+    (190624910L, 642451697L), (217431296L, 48829006L),
+    (317737651L, 285258657L), (761212922L, 167264882L),
+    (844838617L, 501911911L), (754889951L, 588847235L),
+    (192644389L, 500536021L), (643380279L, 570456233L),
+    (777708137L, 737017018L), (68555598L, 512318906L),
+    (663176610L, 247485412L), (365825904L, 770155171L),
+    (496595699L, 444322972L), (637541950L, 162675308L),
+    (679636352L, 385621567L), (355829169L, 134726352L),
+    (303271563L, 966346246L), (121073081L, 584016644L),
+    (15979133L, 784364408L), (719580893L, 953347974L))
+
+  /** Signed projection of a QUANTIZED vector onto hyperplane (a, b):
+    * an exact integer fold, so the sign is bit-identical across
+    * engines (|v|≤1e6, 64 dims → |dot| ≤ 6.4e7, no overflow).
+    */
+  private def hyperplaneDot(qv: Column, a: Long, b: Long): Column =
+    aggregate(
+      zip_with(qv, sequence(lit(1), size(qv)), (v, i) =>
+        v * when(pmod(i.cast("long") * a + b, lit(HashP)) % 2 === 0, 1L)
+          .otherwise(-1L)),
+      lit(0L), _ + _)
+
+  /** Bucket key of hyperplane table `t`: the `bits` sign bits of
+    * hyperplanes t·bits .. t·bits+bits−1, as a string key.
+    */
+  def hyperplaneBucket(qv: Column, table: Int, bits: Int): Column =
+    concat((0 until bits).map { r =>
+      val (a, b) = hyperplaneParams(table * bits + r)
+      when(hyperplaneDot(qv, a, b) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** (vec_id, qv, nrm, tbl, bucket) — one row per vector per table.
+    * Multi-table banding is the recall lever (a near-dup pair missed
+    * by one table's bits is caught by another); `tables`·`bits` ≤
+    * hyperplaneParams.size.
+    */
+  private def hyperplaneBucketed(embeddings: DataFrame, tables: Int,
+      bits: Int): DataFrame = {
+    require(tables * bits <= hyperplaneParams.size,
+      s"tables=$tables × bits=$bits exceeds the hyperplane family " +
+        s"(${hyperplaneParams.size})")
+    embeddings.spread()
+      .select($("vec_id"), quantize($("embedding")).as("qv"))
+      .withColumn("nrm", qnorm($("qv")))
+      .select($("vec_id"), $("qv"), $("nrm"),
+        posexplode(array((0 until tables).map(t =>
+          hyperplaneBucket($("qv"), t, bits)): _*)).as(Seq("tbl", "bucket")))
+  }
+
+  /** Drop buckets holding more than `maxBucket` vectors — the same
+    * bounding idea as Dedup.lshCandidates: one degenerate bucket
+    * (mass-duplicated embedding, zero vectors) would otherwise make
+    * the self-join quadratic; with the cap the worst case is
+    * tables·N·maxBucket candidate rows — linear in corpus size.
+    */
+  private def capBuckets(bucketed: DataFrame, maxBucket: Int): DataFrame = {
+    val ok = bucketed.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter($("bsz") <= maxBucket)
+      .select("tbl", "bucket")
+    bucketed.join(ok, Seq("tbl", "bucket"))
+  }
 
   /** Embedding-cosine near-duplicate pairs: all (id1 < id2) pairs
-    * with cosine ≥ threshold, candidate-limited to sign-grid buckets
-    * (near-identical vectors share the full sign pattern, so recall
-    * at high thresholds is ~1 while the join stays an equi-join on
-    * bucket — the same LSH-bounding idea as minhash dedup, applied to
-    * vectors).
+    * with cosine ≥ threshold, candidate-limited to shared
+    * random-hyperplane buckets. Duplicate candidates from multiple
+    * tables are collapsed by dropDuplicates over the pair key (every
+    * duplicate row carries identical vector payloads, so the survivor
+    * is value-deterministic).
     */
   def cosineDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
-      bits: Int = 16): DataFrame = {
-    val bucketed = embeddings.spread().select(
-      $("vec_id"), signBucket($("embedding"), bits).as("bucket"),
-      quantize($("embedding")).as("qv"))
-      .withColumn("nrm", qnorm($("qv")))
-    val a = bucketed.select($("bucket"), $("vec_id").as("id1"),
+      tables: Int = 4, bits: Int = 8, maxBucket: Int = 256): DataFrame = {
+    val bucketed = capBuckets(hyperplaneBucketed(embeddings, tables, bits), maxBucket)
+    val a = bucketed.select($("tbl"), $("bucket"), $("vec_id").as("id1"),
       $("qv").as("v1"), $("nrm").as("n1"))
-    val b = bucketed.select($("bucket"), $("vec_id").as("id2"),
+    val b = bucketed.select($("tbl"), $("bucket"), $("vec_id").as("id2"),
       $("qv").as("v2"), $("nrm").as("n2"))
-    a.join(b, Seq("bucket"))
+    a.join(b, Seq("tbl", "bucket"))
       .filter($("id1") < $("id2"))
+      .dropDuplicates("id1", "id2")
       .select($("id1"), $("id2"),
         (qdot($("v1"), $("v2")).cast("double") / ($("n1") * $("n2"))).as("cos"))
       .filter($("cos") >= threshold)
@@ -144,24 +215,25 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: same contract as bruteForceTopK but the
-    * candidate set is restricted to the query's sign bucket —
-    * an equi-join on the bucket key instead of a full scan.
-    * Approximate: recall < 1 by design (bucket boundaries).
+    * candidate set is restricted to vectors sharing one of the
+    * query's random-hyperplane buckets — an equi-join on (table,
+    * bucket) instead of a full scan, with the same hot-bucket cap as
+    * cosineDupPairs. Approximate: recall < 1 by design (bucket
+    * boundaries). The corpus side never shuffles on vector payloads
+    * beyond the bucket join; the (small) query side is broadcast.
     */
   def lshTopK(embeddings: DataFrame, maxQueryId: Long = 10, k: Int = 5,
-      bits: Int = 8): DataFrame = {
-    val bucketed = embeddings.select(
-      $("vec_id"), $("embedding"), signBucket($("embedding"), bits).as("bucket"))
-    val corpus = bucketed.spread().select($("bucket"), $("vec_id").as("cid"),
-      quantize($("embedding")).as("ce"))
-      .withColumn("cn", qnorm($("ce")))
-    val queries = broadcast(
-      bucketed.filter($("vec_id") < maxQueryId)
-        .select($("bucket"), $("vec_id").as("qid"), quantize($("embedding")).as("qe"))
-        .withColumn("qn", qnorm($("qe"))))
+      tables: Int = 4, bits: Int = 8, maxBucket: Int = 256): DataFrame = {
+    val bucketed = capBuckets(hyperplaneBucketed(embeddings, tables, bits), maxBucket)
+    val corpus = bucketed.select($("tbl"), $("bucket"), $("vec_id").as("cid"),
+      $("qv").as("ce"), $("nrm").as("cn"))
+    val queries = broadcast(bucketed.filter($("vec_id") < maxQueryId)
+      .select($("tbl"), $("bucket"), $("vec_id").as("qid"),
+        $("qv").as("qe"), $("nrm").as("qn")))
     val w = Window.partitionBy($("qid")).orderBy($("cos").desc, $("cid").asc)
-    corpus.join(queries, Seq("bucket"))
+    corpus.join(queries, Seq("tbl", "bucket"))
       .filter($("qid") =!= $("cid"))
+      .dropDuplicates("qid", "cid")
       .select($("qid"), $("cid"),
         (qdot($("qe"), $("ce")).cast("double") / ($("qn") * $("cn"))).as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))

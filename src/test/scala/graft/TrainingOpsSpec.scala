@@ -86,11 +86,14 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got === Seq(1L, 2L, 3L))
   }
 
-  test("lsh knn: same-bucket neighbor found, cosine matches brute force") {
+  test("hyperplane lsh knn: scaled twin found, opposite vector excluded") {
+    // positive scaling preserves every hyperplane projection sign →
+    // vec 1 shares ALL of vec 0's buckets; negation flips every sign →
+    // vec 2 shares none (projections here are never exactly 0).
     val vecs = Seq(
       (0L, Array(1.0f, 1.0f, 0.5f, 0.5f)),
-      (1L, Array(0.9f, 0.8f, 0.4f, 0.6f)),   // same sign bucket as 0
-      (2L, Array(-1.0f, -1.0f, -0.5f, -0.5f)) // different bucket
+      (1L, Array(0.9f, 0.9f, 0.45f, 0.45f)),  // 0.9 × vec 0
+      (2L, Array(-1.0f, -1.0f, -0.5f, -0.5f)) // −vec 0
     ).toDF("vec_id", "embedding")
     val lsh = Similarity.lshTopK(vecs, maxQueryId = 1, k = 5, bits = 4)
       .select("cid", "cos").as[(Long, Double)].collect().toMap
@@ -98,6 +101,39 @@ class TrainingOpsSpec extends SparkSpec {
     val brute = Similarity.bruteForceTopK(vecs, maxQueryId = 1, k = 5)
       .select("cid", "cos").as[(Long, Double)].collect().toMap
     assert(lsh(1L) === brute(1L)) // identical cosine computation
+  }
+
+  test("hyperplane dup pairs: planted scaled twins all recalled") {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 50).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    // positive scalings of the first 10: cos ≈ 1 AND bucket-identical
+    // in every table → recall must be exactly 1.0 for these pairs
+    val twins = (0 until 10).map(i => (100L + i, base(i)._2.map(_ * 0.8f)))
+    val vecs = (base ++ twins).toDF("vec_id", "embedding")
+    val got = Similarity.cosineDupPairs(vecs, threshold = 0.95)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val planted = (0 until 10).map(i => (i.toLong, 100L + i)).toSet
+    assert(planted.subsetOf(got),
+      s"missed planted twins: ${planted -- got}")
+  }
+
+  test("hyperplane dup pairs: hot bucket capped, small buckets kept") {
+    // 6 identical vectors → one bucket of 6 per table (dropped at
+    // maxBucket=4); the negated pair lives in the complement bucket
+    // (size 2, kept).
+    val hot = (1L to 6L).map(i => (i, Array(1.0f, 0.5f, 0.25f, 0.75f)))
+    val pair = Seq(
+      (100L, Array(-1.0f, -0.5f, -0.25f, -0.75f)),
+      (101L, Array(-0.9f, -0.45f, -0.225f, -0.675f)))
+    val vecs = (hot ++ pair).toDF("vec_id", "embedding")
+    val capped = Similarity.cosineDupPairs(vecs, threshold = 0.9, maxBucket = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(capped === Set((100L, 101L)))
+    val uncapped = Similarity.cosineDupPairs(vecs, threshold = 0.9, maxBucket = 256)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(uncapped === (1L to 6L).combinations(2)
+      .map { case Seq(a, b) => (a, b) }.toSet + ((100L, 101L)))
   }
 
   test("ivf knn: cell-restricted search agrees with brute force on cosines") {
