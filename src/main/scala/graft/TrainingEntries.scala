@@ -31,6 +31,7 @@ object TrainingEntries {
     // the df cut in a 5k-doc corpus) — 5-grams stay selective
     "q27_ngram_jaccard"  -> q(t => Dedup.ngramJaccardPairs(t.documents, n = 5, threshold = 0.5)),
     "q28_simhash"        -> q(t => Dedup.simhashes(t.documents)),
+    "q29_simhash_dups"   -> q(t => Dedup.simhashDupPairs(t.documents)),
     "q30_knn_brute"      -> q(t => Similarity.bruteForceTopK(t.embeddings)),
     "q31_knn_lsh"        -> q(t => Similarity.lshTopK(t.embeddings)),
     "q34_knn_ivf"        -> q(t => Similarity.ivfTopK(t.embeddings)),
@@ -103,6 +104,29 @@ object TrainingEntries {
   private val simhashPack = (0 until 32)
     .map(j => s"CASE WHEN c$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     .mkString(" + ")
+
+  /** ssig(doc_id, simhash) — shared by q28 and q29. */
+  private val simhashSigCte =
+    s"""toks AS (
+       |  SELECT doc_id, md5(tok) AS h FROM (
+       |    SELECT doc_id, unnest(string_split($norm, ' ')) AS tok FROM documents)
+       |  WHERE length(tok) > 0),
+       |ctr AS (SELECT doc_id, $simhashCounters FROM toks GROUP BY doc_id),
+       |ssig AS (SELECT doc_id, CAST($simhashPack AS BIGINT) AS simhash FROM ctr)""".stripMargin
+
+  /** 8-bit banded chunks of the simhash with the maxBucket=1024 cap —
+    * mirrors Dedup.simhashDupPairs.
+    */
+  private val simhashBandsCte = {
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS chunk FROM ssig")
+      .mkString(" UNION ALL ")
+    s"""sbands AS ($bands),
+       |sok AS (SELECT band, chunk FROM sbands
+       |        GROUP BY band, chunk HAVING COUNT(*) <= 1024),
+       |sbb AS (SELECT sbands.doc_id, sbands.simhash, sbands.band, sbands.chunk
+       |        FROM sbands JOIN sok USING (band, chunk))""".stripMargin
+  }
 
   // quantized-integer flattening of embeddings (shared by knn queries)
   private val flatCte =
@@ -264,13 +288,19 @@ object TrainingEntries {
          |ORDER BY id1, id2""".stripMargin,
 
     "q28_simhash" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, md5(tok) AS h FROM (
-         |    SELECT doc_id, unnest(string_split($norm, ' ')) AS tok FROM documents)
-         |  WHERE length(tok) > 0),
-         |ctr AS (SELECT doc_id, $simhashCounters FROM toks GROUP BY doc_id)
-         |SELECT doc_id, CAST($simhashPack AS BIGINT) AS simhash
-         |FROM ctr ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashSigCte
+         |SELECT doc_id, simhash FROM ssig ORDER BY doc_id""".stripMargin,
+
+    "q29_simhash_dups" ->
+      s"""WITH $simhashSigCte,
+         |$simhashBandsCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         |                a.simhash AS s1, b.simhash AS s2
+         |         FROM sbb a JOIN sbb b
+         |         ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+         |ORDER BY id1, id2""".stripMargin,
 
     "q30_knn_brute" ->
       s"""WITH $flatCte,

@@ -221,6 +221,42 @@ object Dedup {
       .select($("doc_id"), simhash32(split($("norm"), " ")).as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs: all (id1 < id2) with Hamming
+    * distance ≤ maxDist between 32-bit simhashes.
+    *
+    * Banding: the signature splits into 4 chunks of 8 bits; by
+    * pigeonhole, any pair within Hamming distance ≤ 3 shares at least
+    * one exact chunk, so an equi-join on (band, chunk) finds ALL such
+    * pairs (complete for maxDist ≤ 3; candidates for larger maxDist
+    * lose completeness). Verify = `bit_count(xor)` — one integer
+    * instruction per pair. The same hot-bucket cap as lshCandidates
+    * bounds a degenerate chunk value (mass-duplicated template corpus)
+    * to linear candidate counts.
+    */
+  def simhashDupPairs(documents: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = 1024): DataFrame = {
+    val sig = simhashes(documents)
+    val banded = sig.select($("doc_id"), $("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright($("simhash"), b * 8).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band", "chunk")))
+    val ok = banded.groupBy("band", "chunk")
+      .agg(count(lit(1)).as("bsz"))
+      .filter($("bsz") <= maxBucket)
+      .select("band", "chunk")
+    val bounded = banded.join(ok, Seq("band", "chunk"))
+    val a = bounded.select($("band"), $("chunk"),
+      $("doc_id").as("id1"), $("simhash").as("s1"))
+    val b = bounded.select($("band"), $("chunk"),
+      $("doc_id").as("id2"), $("simhash").as("s2"))
+    a.join(b, Seq("band", "chunk"))
+      .filter($("id1") < $("id2"))
+      .dropDuplicates("id1", "id2")
+      .select($("id1"), $("id2"),
+        bit_count($("s1").bitwiseXOR($("s2"))).cast("long").as("hamming"))
+      .filter($("hamming") <= maxDist)
+  }
+
   /** The composed-expression formulation of simhashes (explode →
     * 32 conditional-sum aggregates → pack): kept as the differential
     * test oracle for the custom expression.

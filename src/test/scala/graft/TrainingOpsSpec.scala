@@ -51,6 +51,22 @@ class TrainingOpsSpec extends SparkSpec {
     assert(hammingFar > hamming)
   }
 
+  test("simhash dup pairs: exact dup at hamming 0, distinct docs excluded") {
+    val h = Dedup.simhashes(docs).as[(Long, Long)].collect().toMap
+    val got = Dedup.simhashDupPairs(docs, maxDist = 3)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, d) => (a, b) -> d }.toMap
+    assert(got((1L, 2L)) === 0L) // identical text -> identical simhash
+    // completeness for maxDist <= 3 (pigeonhole over 4 bands): the
+    // operator must return EXACTLY the brute-force hamming<=3 pairs
+    val ids = h.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      d = java.lang.Long.bitCount(h(i) ^ h(j)) if d <= 3
+    } yield (i, j) -> d.toLong).toMap
+    assert(got === brute)
+  }
+
   test("language id picks the stopword language; CJK short-circuits") {
     val d = Seq(
       (1L, "the cat and the dog of the house went to sleep in peace", "en"),
