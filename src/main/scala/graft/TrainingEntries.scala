@@ -163,6 +163,56 @@ object TrainingEntries {
        |        FROM hb JOIN hok USING (tbl, bucket))""".stripMargin
   }
 
+  /** IVF training + assignment CTEs — mirrors Similarity.ivfTopK:
+    * seed centroids = first nCentroids quantized vectors; per Lloyd
+    * iteration, argmax-cosine assignment (ties: cell asc) then
+    * per-dimension floor(sum/count) centroid update (exact in both
+    * engines); final `assign` = each vector's cell, `probes` = each
+    * vector's nprobe nearest cells.
+    */
+  private def ivfCte(nCentroids: Int, lloydIters: Int, nprobe: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"c0 AS (SELECT vec_id AS c_id, i, v AS cv FROM flat WHERE vec_id <= $nCentroids)")
+    for (it <- 1 to lloydIters) {
+      val prev = s"c${it - 1}"
+      sb.append(s""",
+        |n$prev AS (SELECT c_id, sqrt(CAST(SUM(cv*cv) AS DOUBLE)) AS cnrm
+        |           FROM $prev GROUP BY c_id),
+        |d$it AS (SELECT f.vec_id, c.c_id, SUM(f.v * c.cv) AS dot
+        |         FROM flat f JOIN $prev c ON c.i = f.i
+        |         GROUP BY f.vec_id, c.c_id),
+        |a$it AS (SELECT vec_id, c_id AS cell FROM (
+        |           SELECT d$it.vec_id, d$it.c_id,
+        |             row_number() OVER (PARTITION BY d$it.vec_id
+        |               ORDER BY CAST(dot AS DOUBLE)/(n.nrm * cn.cnrm) DESC,
+        |                        d$it.c_id) AS arn
+        |           FROM d$it JOIN norms n ON n.vec_id = d$it.vec_id
+        |                JOIN n$prev cn ON cn.c_id = d$it.c_id) WHERE arn = 1),
+        |c$it AS (SELECT a$it.cell AS c_id, f.i,
+        |           CAST(floor(CAST(SUM(f.v) AS DOUBLE)/COUNT(*)) AS BIGINT) AS cv
+        |         FROM a$it JOIN flat f USING (vec_id)
+        |         GROUP BY a$it.cell, f.i)""".stripMargin)
+    }
+    val last = s"c$lloydIters"
+    sb.append(s""",
+      |cnf AS (SELECT c_id, sqrt(CAST(SUM(cv*cv) AS DOUBLE)) AS cnrm
+      |        FROM $last GROUP BY c_id),
+      |fd AS (SELECT f.vec_id, c.c_id, SUM(f.v * c.cv) AS dot
+      |       FROM flat f JOIN $last c ON c.i = f.i
+      |       GROUP BY f.vec_id, c.c_id),
+      |ranked AS (SELECT vec_id, c_id AS cell, arn FROM (
+      |             SELECT fd.vec_id, fd.c_id,
+      |               row_number() OVER (PARTITION BY fd.vec_id
+      |                 ORDER BY CAST(dot AS DOUBLE)/(n.nrm * cn.cnrm) DESC,
+      |                          fd.c_id) AS arn
+      |             FROM fd JOIN norms n ON n.vec_id = fd.vec_id
+      |                  JOIN cnf cn ON cn.c_id = fd.c_id) WHERE arn <= $nprobe),
+      |assign AS (SELECT vec_id, cell FROM ranked WHERE arn = 1),
+      |probes AS (SELECT vec_id, cell FROM ranked)""".stripMargin)
+    sb.toString
+  }
+
   private val langScoresCte =
     s"""scored AS (SELECT doc_id, text, lang,
        |  ${stopScore("en")} AS s_en, ${stopScore("de")} AS s_de,
@@ -340,24 +390,9 @@ object TrainingEntries {
 
     "q34_knn_ivf" ->
       s"""WITH $flatCte,
-         |cent AS (SELECT vec_id AS c_id FROM embeddings WHERE vec_id <= 16),
-         |cdots AS (SELECT f.vec_id, c.c_id, SUM(f.v * cf.v) AS dot
-         |          FROM flat f
-         |          JOIN cent c ON TRUE
-         |          JOIN flat cf ON cf.vec_id = c.c_id AND cf.i = f.i
-         |          GROUP BY f.vec_id, c.c_id),
-         |ccos AS (SELECT cdots.vec_id, c_id,
-         |           CAST(dot AS DOUBLE) / (n1.nrm * n2.nrm) AS ccos
-         |         FROM cdots
-         |         JOIN norms n1 ON n1.vec_id = cdots.vec_id
-         |         JOIN norms n2 ON n2.vec_id = c_id),
-         |assign AS (SELECT vec_id, c_id AS cell FROM (
-         |             SELECT vec_id, c_id,
-         |               row_number() OVER (PARTITION BY vec_id
-         |                 ORDER BY ccos DESC, c_id) AS arn
-         |             FROM ccos) WHERE arn = 1),
+         |${ivfCte(nCentroids = 16, lloydIters = 2, nprobe = 2)},
          |pairs AS (SELECT q.vec_id AS qid, c.vec_id AS cid
-         |          FROM assign q JOIN assign c ON q.cell = c.cell
+         |          FROM probes q JOIN assign c ON q.cell = c.cell
          |          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
          |dots AS (SELECT p.qid, p.cid, SUM(fq.v * fc.v) AS dot
          |         FROM pairs p

@@ -172,38 +172,71 @@ object Similarity {
       .filter($("cos") >= threshold)
   }
 
-  /** IVF (inverted-file) ANN: a deterministic "training" step picks
-    * the first `nCentroids` vectors as centroids; every corpus vector
-    * is assigned to its nearest centroid (one broadcast pass); a query
-    * probes only its own centroid's cell. The classic IVF trade:
-    * assignment cost O(N·C) once, then each query scans ~N/C vectors.
+  /** Ranked cell assignments: for every vector, its `nprobe` nearest
+    * centroids by cosine (ties: higher cosine, then lower cell id).
+    * `centroids` = (c_id, cv, cnrm), always tiny → broadcast; the
+    * corpus never shuffles here.
+    */
+  private def assignCells(quant: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val w = Window.partitionBy($("vec_id"))
+      .orderBy($("ccos").desc, $("c_id").asc)
+    quant.crossJoin(broadcast(centroids))
+      .select($("vec_id"), $("c_id"),
+        (qdot($("qv"), $("cv")).cast("double") / ($("nrm") * $("cnrm"))).as("ccos"))
+      .withColumn("arn", row_number().over(w))
+      .filter($("arn") <= nprobe)
+      .select($("vec_id"), $("c_id").as("cell"), $("arn"))
+  }
+
+  /** One Lloyd step: assign every vector to its nearest centroid,
+    * then per-cell per-dimension mean of the quantized elements —
+    * floor(sum/count), exact and engine-portable (sums stay within
+    * double's exact-integer range, and a true quotient is never
+    * within 1 ulp of a wrong floor) — rebuilt into an array column.
+    * Cells that lose all members disappear (both engines agree).
+    */
+  private def centroidStep(quant: DataFrame, centroids: DataFrame): DataFrame =
+    assignCells(quant, centroids, 1)
+      .join(quant, Seq("vec_id"))
+      .select($("cell"), posexplode($("qv")).as(Seq("i", "v")))
+      .groupBy($("cell"), $("i"))
+      .agg(floor(sum($("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
+      .groupBy($("cell"))
+      .agg(transform(array_sort(collect_list(struct($("i"), $("cv")))),
+        x => x("cv")).as("cv"))
+      .select($("cell").as("c_id"), $("cv"))
+      .withColumn("cnrm", qnorm($("cv")))
+
+  /** IVF (inverted-file) ANN: deterministic k-means training — seed
+    * centroids are the first `nCentroids` vectors, refined by
+    * `lloydIters` Lloyd iterations — then each corpus vector lives in
+    * its nearest cell and a query probes its `nprobe` nearest cells.
+    * The classic IVF trade: train cost O(iters·N·C), then each query
+    * scans ~nprobe·N/C vectors.
     *
-    * Deterministic ties: centroid with the higher cosine wins, then
-    * the lower centroid id — making the oracle reproducible.
-    * Approximate: recall < 1 for vectors near cell boundaries.
+    * Every step is integer-derived and tie-broken (cosine desc, cell
+    * asc), so the DuckDB oracle reproduces training bit-for-bit. At
+    * warehouse scale the training passes would run on a sample and
+    * the centroids persist as a dimension table; the per-iteration
+    * collect here is K×D rows (tiny, like MLlib k-means).
     */
   def ivfTopK(embeddings: DataFrame, maxQueryId: Long = 10, k: Int = 5,
-      nCentroids: Int = 16): DataFrame = {
-    val quant = embeddings.select($("vec_id"), quantize($("embedding")).as("qv"))
+      nCentroids: Int = 16, lloydIters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val quant = embeddings.spread()
+      .select($("vec_id"), quantize($("embedding")).as("qv"))
       .withColumn("nrm", qnorm($("qv")))
-    val centroids = broadcast(
-      quant.filter($("vec_id") <= nCentroids)
-        .select($("vec_id").as("c_id"), $("qv").as("cv"), $("nrm").as("cnrm")))
-    // assignment: argmax cosine over centroids via min_by on
-    // (-cos, c_id) — a hash agg, no window sort
-    val assigned = quant.spread().crossJoin(centroids)
-      .select($("vec_id"), $("qv"), $("nrm"),
-        $("c_id"),
-        (qdot($("qv"), $("cv")).cast("double") / ($("nrm") * $("cnrm"))).as("ccos"))
-      .groupBy($("vec_id"))
-      .agg(
-        min_by(struct($("qv"), $("nrm"), $("c_id")),
-          struct(-$("ccos"), $("c_id"))).as("m"))
-      .select($("vec_id"), $("m.qv").as("qv"), $("m.nrm").as("nrm"),
-        $("m.c_id").as("cell"))
-    val corpus = assigned.select($("cell"), $("vec_id").as("cid"),
-      $("qv").as("ce"), $("nrm").as("cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids = quant.filter($("vec_id") <= nCentroids)
+      .select($("vec_id").as("c_id"), $("qv").as("cv"), $("nrm").as("cnrm"))
+    for (_ <- 1 to lloydIters)
+      centroids = centroidStep(quant, centroids)
+    val assigned = assignCells(quant, centroids, nprobe)
+    val corpus = assigned.filter($("arn") === 1)
+      .join(quant, Seq("vec_id"))
+      .select($("cell"), $("vec_id").as("cid"), $("qv").as("ce"), $("nrm").as("cn"))
     val queries = broadcast(assigned.filter($("vec_id") < maxQueryId)
+      .join(quant, Seq("vec_id"))
       .select($("cell"), $("vec_id").as("qid"), $("qv").as("qe"), $("nrm").as("qn")))
     val w = Window.partitionBy($("qid")).orderBy($("cos").desc, $("cid").asc)
     corpus.join(queries, Seq("cell"))

@@ -152,17 +152,24 @@ class TrainingOpsSpec extends SparkSpec {
       .map { case Seq(a, b) => (a, b) }.toSet + ((100L, 101L)))
   }
 
-  test("ivf knn: cell-restricted search agrees with brute force on cosines") {
+  test("ivf knn: cosines exact and recall >= 0.9 vs brute force") {
     val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
     val ivf = Similarity.ivfTopK(emb, maxQueryId = 5, k = 3)
       .select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
     assert(ivf.nonEmpty)
-    val brute = Similarity.bruteForceTopK(emb, maxQueryId = 5, k = 100)
+    val bruteAll = Similarity.bruteForceTopK(emb, maxQueryId = 5, k = 100)
       .select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     // every IVF result's cosine must equal the brute-force cosine for
     // the same pair (identical quantized arithmetic)
-    ivf.foreach { case (q, c, cos) => assert(brute((q, c)) === cos) }
+    ivf.foreach { case (q, c, cos) => assert(bruteAll((q, c)) === cos) }
+    // Lloyd-trained cells + nprobe=2 must recover >= 90% of the true
+    // top-k set (the round-1 first-16-vectors centroids missed this)
+    val bruteTop = Similarity.bruteForceTopK(emb, maxQueryId = 5, k = 3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val hit = bruteTop.count(p => ivf.exists(r => (r._1, r._2) == p))
+    val recall = hit.toDouble / bruteTop.size
+    assert(recall >= 0.9, s"recall=$recall ($hit/${bruteTop.size})")
   }
 
   test("sessionize splits on gaps > 30min and aggregates per session") {
