@@ -39,7 +39,7 @@ object SparkEntry {
     "q14_union_tag"         -> q(StarQueries.q14UnionTag),         // §2.6
     "q15_date_functions"    -> q(StarQueries.q15DateFunctions),    // F2/F5/F6/F8
     "q16_filter_pushdown"   -> q(StarQueries.q16FilterPushdown),   // P1-P3
-  ) ++ TrainingEntries.queries
+  ) ++ TrainingEntries.queries ++ AirlineEntries.queries
 
   private val exqtySum  = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
   private val exprcSum  = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
@@ -135,5 +135,5 @@ object SparkEntry {
         |WHERE year(l_shipdate) = 1997 AND l_quantity < 10
         |  AND l_returnflag IS NOT NULL
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
-  ) ++ TrainingEntries.oracleSql
+  ) ++ TrainingEntries.oracleSql ++ AirlineEntries.oracleSql
 }
