@@ -84,9 +84,10 @@ object AirlineDemo {
     // --- G3Q1: sorted frequencies + distribution fit ------------------
     val freqs = Airline.sortedFrequencies(flights)
     freqs.show(5)
-    val fits = DistributionFit.fit(freqs)
+    val fits = DistributionFit.writeArtifacts(freqs, s"$work/analytics")
     fits.foreach(f => println(f"[demo] fit ${f.distribution}%-10s " +
       f"p1=${f.param1}%.4f p2=${f.param2}%.4f sse=${f.sse}%.2f best=${f.best}"))
+    println(s"[demo] rank-frequency artifacts: $work/analytics/rank_frequency.{tsv,svg}")
 
     // --- G3Q2: trip planner ------------------------------------------
     val requests = Airline.generateRequests(

@@ -111,4 +111,121 @@ object DistributionFit {
     val minSse = fits.map(_.sse).min
     fits.map(x => x.copy(best = x.sse == minSse))
   }
+
+  /** Fitted curve values a·g(r; θ) at ranks 1..n for one family. */
+  def predictAll(fit: Fit, n: Int): Array[Double] = {
+    val lnFact = new Array[Double](n + 2)
+    var acc = 0.0
+    var i = 1
+    while (i <= n + 1) { acc += math.log(i.toDouble); lnFact(i) = acc; i += 1 }
+    Array.tabulate(n) { j =>
+      val r = (j + 1).toDouble
+      fit.distribution match {
+        case "zipf"    => fit.scale * math.pow(r, -fit.param1)
+        case "pareto"  => fit.scale * math.pow(r, -(fit.param1 + 1.0))
+        case "poisson" => fit.scale *
+          math.exp((j + 1) * math.log(fit.param1) - fit.param1 - lnFact(j + 1))
+        case "lognormal" =>
+          val z = (math.log(r) - fit.param1) / fit.param2
+          fit.scale * math.exp(-0.5 * z * z) / r
+        case other => throw new IllegalArgumentException(other)
+      }
+    }
+  }
+
+  /** Rank–frequency table with each family's fitted curve (the data
+    * behind the reference's zipf.py log-log plot, R:409-427).
+    */
+  def rankFrequencyTsv(f: Array[Double], fits: Seq[Fit]): String = {
+    val curves = fits.map(x => x.distribution -> predictAll(x, f.length))
+    val header = (Seq("rank", "freq") ++ curves.map("fit_" + _._1)).mkString("\t")
+    val rows = f.indices.map { j =>
+      (Seq((j + 1).toString, f(j).toString) ++
+        curves.map { case (_, c) => f"${c(j)}%.6f" }).mkString("\t")
+    }
+    (header +: rows).mkString("", "\n", "\n")
+  }
+
+  /** Self-contained SVG log-log plot: empirical rank–frequency points
+    * plus the four fitted curves, best fit solid and labeled with its
+    * parameters — the artifact analogue of zipf.py's Matplotlib
+    * output (R:409-427; matplotlib is not in this environment, SVG
+    * needs nothing).
+    */
+  def rankFrequencySvg(f: Array[Double], fits: Seq[Fit]): String = {
+    val n = f.length
+    val (w, h, mL, mB, mT, mR) = (640.0, 480.0, 60.0, 40.0, 30.0, 150.0)
+    val xMax = math.max(math.log10(n.toDouble), 0.301)
+    val pos = f.filter(_ > 0)
+    val yMin = math.log10(math.max(pos.minOption.getOrElse(1.0), 1e-3))
+    val yMax = math.log10(math.max(pos.maxOption.getOrElse(1.0), 1.0)) + 0.05
+    def px(r: Double) = mL + (math.log10(r) / xMax) * (w - mL - mR)
+    def py(v: Double) = h - mB -
+      ((math.log10(v) - yMin) / (yMax - yMin)) * (h - mB - mT)
+    val colors = Map("zipf" -> "#d62728", "pareto" -> "#2ca02c",
+      "poisson" -> "#1f77b4", "lognormal" -> "#9467bd")
+    val sb = new StringBuilder
+    sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="${w.toInt}" height="${h.toInt}" font-family="monospace" font-size="11">
+      |<rect width="100%" height="100%" fill="white"/>
+      |<line x1="$mL" y1="${h - mB}" x2="${w - mR}" y2="${h - mB}" stroke="black"/>
+      |<line x1="$mL" y1="$mT" x2="$mL" y2="${h - mB}" stroke="black"/>
+      |<text x="${(w - mR + mL) / 2}" y="${h - 8}" text-anchor="middle">rank (log)</text>
+      |<text x="14" y="${(h - mB + mT) / 2}" text-anchor="middle" transform="rotate(-90 14 ${(h - mB + mT) / 2})">frequency (log)</text>
+      |""".stripMargin
+    // decade ticks
+    (0 to xMax.toInt).foreach { d =>
+      val x = px(math.pow(10, d))
+      sb ++= s"""<line x1="$x" y1="${h - mB}" x2="$x" y2="${h - mB + 4}" stroke="black"/>"""
+      sb ++= s"""<text x="$x" y="${h - mB + 16}" text-anchor="middle">1e$d</text>\n"""
+    }
+    (math.ceil(yMin).toInt to yMax.toInt).foreach { d =>
+      val y = py(math.pow(10, d))
+      sb ++= s"""<line x1="${mL - 4}" y1="$y" x2="$mL" y2="$y" stroke="black"/>"""
+      sb ++= s"""<text x="${mL - 8}" y="${y + 4}" text-anchor="end">1e$d</text>\n"""
+    }
+    // fitted curves
+    fits.foreach { fit =>
+      val c = predictAll(fit, n)
+      val pts = (0 until n).filter(j => c(j) > 0 && math.log10(c(j)) >= yMin - 0.5)
+        .map(j => f"${px(j + 1.0)}%.1f,${py(c(j))}%.1f").mkString(" ")
+      val dash = if (fit.best) "" else """ stroke-dasharray="4 3""""
+      sb ++= s"""<polyline points="$pts" fill="none" stroke="${colors(fit.distribution)}" stroke-width="${if (fit.best) 2 else 1}"$dash/>\n"""
+    }
+    // empirical points on top
+    f.indices.foreach { j =>
+      if (f(j) > 0)
+        sb ++= s"""<circle cx="${px(j + 1.0)}" cy="${py(f(j))}" r="2" fill="black"/>"""
+    }
+    // legend with params + SSE, best flagged
+    fits.zipWithIndex.foreach { case (fit, i) =>
+      val y = mT + 14 + i * 14
+      val mark = if (fit.best) " *BEST*" else ""
+      val p = if (fit.distribution == "lognormal")
+        f"μ=${fit.param1}%.2f σ=${fit.param2}%.2f" else f"θ=${fit.param1}%.2f"
+      sb ++= s"""<line x1="${w - mR + 6}" y1="${y - 4}" x2="${w - mR + 26}" y2="${y - 4}" stroke="${colors(fit.distribution)}" stroke-width="2"/>"""
+      sb ++= s"""<text x="${w - mR + 30}" y="$y">${fit.distribution} $p sse=${f"${fit.sse}%.3g"}$mark</text>\n"""
+    }
+    sb ++= "</svg>\n"
+    sb.toString
+  }
+
+  /** Collect the (small) sorted-frequency column once, fit all
+    * families, and write `rank_frequency.tsv` + `rank_frequency.svg`
+    * under `dir`. Returns the fits.
+    */
+  def writeArtifacts(sortedFreq: DataFrame, dir: String): Seq[Fit] = {
+    val f: Array[Double] = sortedFreq.collect().map((r: Row) =>
+      r.get(0) match {
+        case n: java.lang.Number => n.doubleValue()
+        case other => other.toString.toDouble
+      })
+    val fits = fitArray(f)
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.writeString(d.resolve("rank_frequency.tsv"),
+      rankFrequencyTsv(f, fits))
+    java.nio.file.Files.writeString(d.resolve("rank_frequency.svg"),
+      rankFrequencySvg(f, fits))
+    fits
+  }
 }

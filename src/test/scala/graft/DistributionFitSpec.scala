@@ -39,4 +39,20 @@ class DistributionFitSpec extends AnyFunSuite {
     assert(fits.forall(x => java.lang.Double.isFinite(x.sse)))
     assert(fits.count(_.best) >= 1)
   }
+
+  test("rank-frequency artifacts: tsv rows + svg with curves and best flag") {
+    val f = Array.tabulate(100)(i => 500.0 * math.pow(i + 1.0, -1.1))
+    val fits = DistributionFit.fitArray(f)
+    val tsv = DistributionFit.rankFrequencyTsv(f, fits)
+    val lines = tsv.trim.split("\n")
+    assert(lines.length === 101) // header + one row per rank
+    assert(lines.head.split("\t").toSeq ===
+      Seq("rank", "freq", "fit_zipf", "fit_pareto", "fit_poisson", "fit_lognormal"))
+    val svg = DistributionFit.rankFrequencySvg(f, fits)
+    assert(svg.startsWith("<svg") && svg.endsWith("</svg>\n"))
+    assert(Seq("zipf", "pareto", "poisson", "lognormal")
+      .forall(svg.contains), "legend must name every family")
+    assert(svg.contains("*BEST*"))
+    assert("<polyline".r.findAllIn(svg).size === 4) // one fitted curve each
+  }
 }
