@@ -13,11 +13,14 @@ import org.apache.spark.sql.SparkSession
   *    codegen paths and populates the whole-stage-codegen cache (the
   *    generated class for a plan is data-independent, so the timed runs
   *    measure execution, not Janino compilation);
-  *  - each query runs SPARK_GRAFT_BENCH_RUNS (default 3) times; the
-  *    headline number per query is the MIN — host noise on this box
-  *    inflates single runs 10-200x (BASELINE.md), and min-of-N is the
-  *    standard de-noising for a deterministic workload. Medians and
-  *    executor cpu/GC totals ride along for cross-checking;
+  *  - the WHOLE suite runs SPARK_GRAFT_BENCH_RUNS (default 3) times,
+  *    passes interleaved (pass 1 of every query, then pass 2, ...);
+  *    the headline number per query is the MIN across passes — host
+  *    noise on this box inflates single runs 10-200x (BASELINE.md),
+  *    and a sustained noise window that would cover N back-to-back
+  *    runs of one query only taints one pass when runs are minutes
+  *    apart. Medians and executor cpu/GC totals ride along for
+  *    cross-checking;
   *  - timed pass materializes via the noop sink — full execution
   *    including final sorts (a bare count() lets Catalyst elide
   *    orderBys) with zero sink cost;
@@ -80,23 +83,22 @@ object Bench {
     final case class Stat(min: Double, med: Double, cpuSec: Double, gcSec: Double)
     def fmt(d: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, d)
 
-    val results: Seq[(String, Stat)] = ordered.map { case (name, fn) =>
-      val samples = Seq.newBuilder[Double]
-      var cpu = 0.0
-      var gc = 0.0
-      var i = 0
-      while (i < repeats) {
-        val c0 = cpuNs.get(); val g0 = gcMs.get()
-        val t = run(sfDir, name, fn)
-        cpu += (cpuNs.get() - c0) / 1e9
-        gc += (gcMs.get() - g0) / 1e3
-        if (t >= 0) samples += t
-        i += 1
-      }
-      val s = samples.result().sorted
+    val samples = collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val cpu = collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+    val gc = collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+    for (_ <- 1 to repeats; (name, fn) <- ordered) {
+      val c0 = cpuNs.get(); val g0 = gcMs.get()
+      val t = run(sfDir, name, fn)
+      cpu(name) += (cpuNs.get() - c0) / 1e9
+      gc(name) += (gcMs.get() - g0) / 1e3
+      if (t >= 0) samples(name) = t :: samples(name)
+    }
+    val results: Seq[(String, Stat)] = ordered.map { case (name, _) =>
+      val s = samples(name).sorted
       val stat =
         if (s.isEmpty) Stat(-1.0, -1.0, -1.0, -1.0)
-        else Stat(s.head, s(s.size / 2), cpu / repeats, gc / repeats)
+        else Stat(s.head, s(s.size / 2), cpu(name) / repeats, gc(name) / repeats)
       name -> stat
     }
 

@@ -236,6 +236,8 @@ object TrainingEntries {
     "q21_doc_stats" ->
       s"""SELECT doc_id,
          |  CAST($nTokens AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(norm, '[a-z0-9]+'))
+         |    + ${classCount("norm", "[.,;:!?]")} AS BIGINT) AS n_subwords,
          |  CAST(length(norm) AS BIGINT) AS n_chars_norm,
          |  CAST(${classCount("norm", "[.,;:!?]")} AS BIGINT) AS n_punct,
          |  CAST(${classCount("norm", "[A-Za-z]")} AS BIGINT) AS n_alpha,

@@ -126,6 +126,7 @@ object TextAnalysis {
     documents.spread().select(
       $("doc_id"),
       tokenCount($("text")).cast("long").as("n_tokens"),
+      subwordCount($("text")).cast("long").as("n_subwords"),
       length(n).cast("long").as("n_chars_norm"),
       punctCount(n).cast("long").as("n_punct"),
       alphaCount(n).cast("long").as("n_alpha"),
