@@ -77,10 +77,14 @@ object AirlineEntries {
     "a02_top_airlines" -> q(t =>
       Airline.top10AirlinesOnTime(syntheticFlights(t))
         .withColumnRenamed("UniqueCarrier", "carrier")),
-    // Group 2 Q1 (R:191-243): per-airport carrier ranking
+    // Group 2 Q1 (R:191-243): per-airport carrier ranking; also
+    // carries the F1 space-joined composite key ("CMI OH" style
+    // output formatting, R:201-202) so F1 has an oracle row
     "a03_carriers_per_airport" -> q(t =>
       Airline.top10CarriersPerAirport(syntheticFlights(t))
         .select($("Origin").as("origin"), $("UniqueCarrier").as("carrier"),
+          graft.functions.AirlineFunctions
+            .compositeKey($("Origin"), $("UniqueCarrier")).as("composite_key"),
           $("avg_dep_delay"), $("rank").cast("long").as("rank"))),
     // Group 2 Q2 (R:285-331): per-airport destination ranking
     "a04_dest_per_airport" -> q(t =>
@@ -201,7 +205,8 @@ object AirlineEntries {
          |agg AS (SELECT origin, carrier, AVG(depdelay) AS avg_dep_delay
          |        FROM flights WHERE depdelay IS NOT NULL
          |        GROUP BY origin, carrier)
-         |SELECT origin, carrier, avg_dep_delay, "rank" FROM (
+         |SELECT origin, carrier, origin || ' ' || carrier AS composite_key,
+         |  avg_dep_delay, "rank" FROM (
          |  SELECT origin, carrier, avg_dep_delay,
          |    CAST(row_number() OVER (PARTITION BY origin
          |      ORDER BY avg_dep_delay ASC, carrier ASC) AS BIGINT) AS "rank"

@@ -39,6 +39,7 @@ object SparkEntry {
     "q14_union_tag"         -> q(StarQueries.q14UnionTag),         // §2.6
     "q15_date_functions"    -> q(StarQueries.q15DateFunctions),    // F2/F5/F6/F8
     "q16_filter_pushdown"   -> q(StarQueries.q16FilterPushdown),   // P1-P3
+    "q17_serving_lookup"    -> q(StarQueries.q17ServingLookup),    // S8+S9
   ) ++ TrainingEntries.queries ++ AirlineEntries.queries
 
   private val exqtySum  = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -135,5 +136,11 @@ object SparkEntry {
         |WHERE year(l_shipdate) = 1997 AND l_quantity < 10
         |  AND l_returnflag IS NOT NULL
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "q17_serving_lookup" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+        |  o_orderpriority
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
   ) ++ TrainingEntries.oracleSql ++ AirlineEntries.oracleSql
 }

@@ -236,4 +236,23 @@ object StarQueries {
       .filter(year($("l_shipdate")) === 1997 &&
         $("l_quantity") < 10 && $("l_returnflag").isNotNull)
       .select($("l_orderkey"), $("l_linenumber"), $("l_quantity"))
+
+  /** S8+S9 (R:263-283, R:596-624) — the serving layer round-trip,
+    * oracle-gated: write a result table `partitionBy` its lookup key
+    * (the Cassandra partition-key analogue), then point-look-up one
+    * key — the read prunes to the matching partition directory. The
+    * write targets a fresh temp dir (left for the OS to reap; ~2 MB)
+    * so the query stays a pure function of its inputs.
+    */
+  def q17ServingLookup(t: Tables): DataFrame = {
+    import graft.engine.Serving
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_serving_q17").toString
+    val keyed = t.orders.select($("o_orderkey"),
+      $("o_totalprice").cast(DecimalType(18, 2)).cast("string").as("price_str"),
+      $("o_orderpriority"))
+    Serving.writeKeyed(keyed, tmp, Seq("o_orderpriority"))
+    Serving.lookup(t.spark, tmp, Map("o_orderpriority" -> "1-URGENT"))
+      .select($("o_orderkey"), $("price_str"), $("o_orderpriority"))
+  }
 }
