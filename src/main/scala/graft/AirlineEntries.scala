@@ -111,6 +111,10 @@ object AirlineEntries {
     // Group 3 Q2 (R:432-575): the two-leg trip planner, formatted per
     // the goldens (R:553-571) — gates the noon boundary, the ±2-day
     // join key, and the argmin tiebreak
+    // NOTE: legs feeds four join sides; persisting it here measured
+    // 3.2s → 154s (the PLANS.md #4 trap: the cache's size estimate
+    // re-plans the joins into a serialized broadcast chain). The
+    // narrow re-derivation from the orders scan is cheap; leave it.
     "a08_best_legs" -> q { t =>
       val legs = Airline.legCandidates(syntheticFlights(t))
       Airline.formatBestLegs(Airline.bestLegs(requests(legs), legs))
