@@ -96,9 +96,11 @@ object Bench {
     }
     val results: Seq[(String, Stat)] = ordered.map { case (name, _) =>
       val s = samples(name).sorted
+      // cpu/gc average over SUCCESSFUL passes only — dividing by
+      // `repeats` would understate per-run cost when a pass failed
       val stat =
         if (s.isEmpty) Stat(-1.0, -1.0, -1.0, -1.0)
-        else Stat(s.head, s(s.size / 2), cpu(name) / repeats, gc(name) / repeats)
+        else Stat(s.head, s(s.size / 2), cpu(name) / s.size, gc(name) / s.size)
       name -> stat
     }
 

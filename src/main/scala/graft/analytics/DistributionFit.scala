@@ -24,14 +24,19 @@ object DistributionFit {
   /** Fit all four families to a frequency column sorted descending
     * (rank = row index + 1). Input: one numeric column of frequencies.
     */
-  def fit(sortedFreq: DataFrame): Seq[Fit] = {
+  def fit(sortedFreq: DataFrame): Seq[Fit] = fitArray(collectFreq(sortedFreq))
+
+  /** The single driver-side collect: first column of the (small)
+    * sorted-frequency table as doubles.
+    */
+  private def collectFreq(sortedFreq: DataFrame): Array[Double] = {
     val f: Array[Double] = sortedFreq.collect().map((r: Row) =>
       r.get(0) match {
         case n: java.lang.Number => n.doubleValue()
         case other => other.toString.toDouble
       })
     require(f.nonEmpty, "empty frequency table")
-    fitArray(f)
+    f
   }
 
   def fitArray(f: Array[Double]): Seq[Fit] = {
@@ -214,11 +219,7 @@ object DistributionFit {
     * under `dir`. Returns the fits.
     */
   def writeArtifacts(sortedFreq: DataFrame, dir: String): Seq[Fit] = {
-    val f: Array[Double] = sortedFreq.collect().map((r: Row) =>
-      r.get(0) match {
-        case n: java.lang.Number => n.doubleValue()
-        case other => other.toString.toDouble
-      })
+    val f = collectFreq(sortedFreq)
     val fits = fitArray(f)
     val d = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(d)

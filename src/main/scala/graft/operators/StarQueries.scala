@@ -241,13 +241,15 @@ object StarQueries {
     * oracle-gated: write a result table `partitionBy` its lookup key
     * (the Cassandra partition-key analogue), then point-look-up one
     * key — the read prunes to the matching partition directory. The
-    * write targets a fresh temp dir (left for the OS to reap; ~2 MB)
-    * so the query stays a pure function of its inputs.
+    * write targets ONE fixed temp path per input dir (mode=overwrite,
+    * content deterministic), so repeated bench/verify runs reuse it
+    * instead of growing /tmp. The write runs eagerly at construction
+    * — inherent to gating a sink+source round-trip as one query.
     */
   def q17ServingLookup(t: Tables): DataFrame = {
     import graft.engine.Serving
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_serving_q17").toString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_serving_q17_${t.dir.hashCode.toHexString}").toString
     val keyed = t.orders.select($("o_orderkey"),
       $("o_totalprice").cast(DecimalType(18, 2)).cast("string").as("price_str"),
       $("o_orderpriority"))

@@ -104,12 +104,15 @@ class TrainingOpsSpec extends SparkSpec {
 
   test("hyperplane lsh knn: scaled twin found, opposite vector excluded") {
     // positive scaling preserves every hyperplane projection sign →
-    // vec 1 shares ALL of vec 0's buckets; negation flips every sign →
-    // vec 2 shares none (projections here are never exactly 0).
+    // vec 1 shares ALL of vec 0's buckets; negation flips every sign
+    // → vec 2 shares none. Element magnitudes 1 > 0.5+0.25+0.12, so
+    // no ±1-coefficient combination can project vec 0 to exactly 0
+    // (a zero projection would give sign '1' to BOTH v and −v and
+    // weaken the exclusion).
     val vecs = Seq(
-      (0L, Array(1.0f, 1.0f, 0.5f, 0.5f)),
-      (1L, Array(0.9f, 0.9f, 0.45f, 0.45f)),  // 0.9 × vec 0
-      (2L, Array(-1.0f, -1.0f, -0.5f, -0.5f)) // −vec 0
+      (0L, Array(1.0f, 0.5f, 0.25f, 0.12f)),
+      (1L, Array(0.9f, 0.45f, 0.225f, 0.108f)), // 0.9 × vec 0
+      (2L, Array(-1.0f, -0.5f, -0.25f, -0.12f)) // −vec 0
     ).toDF("vec_id", "embedding")
     val lsh = Similarity.lshTopK(vecs, maxQueryId = 1, k = 5, bits = 4)
       .select("cid", "cos").as[(Long, Double)].collect().toMap
@@ -137,11 +140,12 @@ class TrainingOpsSpec extends SparkSpec {
   test("hyperplane dup pairs: hot bucket capped, small buckets kept") {
     // 6 identical vectors → one bucket of 6 per table (dropped at
     // maxBucket=4); the negated pair lives in the complement bucket
-    // (size 2, kept).
-    val hot = (1L to 6L).map(i => (i, Array(1.0f, 0.5f, 0.25f, 0.75f)))
+    // (size 2, kept). Magnitudes 1 > 0.5+0.25+0.12: no projection is
+    // exactly 0, so negation provably flips every bucket bit.
+    val hot = (1L to 6L).map(i => (i, Array(1.0f, 0.5f, 0.25f, 0.12f)))
     val pair = Seq(
-      (100L, Array(-1.0f, -0.5f, -0.25f, -0.75f)),
-      (101L, Array(-0.9f, -0.45f, -0.225f, -0.675f)))
+      (100L, Array(-1.0f, -0.5f, -0.25f, -0.12f)),
+      (101L, Array(-0.9f, -0.45f, -0.225f, -0.108f)))
     val vecs = (hot ++ pair).toDF("vec_id", "embedding")
     val capped = Similarity.cosineDupPairs(vecs, threshold = 0.9, maxBucket = 4)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
