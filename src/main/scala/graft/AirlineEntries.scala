@@ -69,6 +69,14 @@ object AirlineEntries {
   private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables(s, dir))
 
+  /** Committed planted-dirty CSV fixture (two files → the glob
+    * exercises multi-file discovery, S1). Plants every cleaning case
+    * readCsv must handle: malformed dates / ints / doubles (dropped
+    * rows), NULL delays and DepTimes (per-query guards), hour ≥ 24
+    * DepTimes (F3 repair), leap-day, and out-of-2008 dates (P3).
+    */
+  val csvFixtureGlob = "/root/repo/src/test/resources/flights_dirty/*.csv"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Group 1 Q1 (R:143-165): top-10 airports by total traffic
     "a01_top_airports" -> q(t =>
@@ -121,6 +129,17 @@ object AirlineEntries {
         .withColumn("leg1_flightnum", $("leg1_flightnum").cast("long"))
         .withColumn("leg2_flightnum", $("leg2_flightnum").cast("long"))
     },
+    // Raw-CSV ingest path (R:111-131): schema'd DROPMALFORMED read over
+    // a file glob → legCandidates — the one I/O edge every other oracle
+    // row bypasses (they all read parquet). Ignores sfDir by design:
+    // the input is the committed fixture.
+    "a09_csv_ingest" -> ((s: SparkSession, _: String) =>
+      Airline.legCandidates(graft.engine.Ingest.readCsv(s, csvFixtureGlob))
+        .select($("FlightDate").as("flight_date"),
+          $("UniqueCarrier").as("carrier"),
+          $("FlightNum").cast("long").as("flightnum"),
+          $("Origin").as("origin"), $("Dest").as("dest"),
+          $("sched_dep"), $("ArrDelay").as("arr_delay"))),
   )
 
   // ---------------------------------------------------------------
@@ -265,5 +284,41 @@ object AirlineEntries {
          |  AND r1.r_dest = r2.r_dest AND r1.request_date = r2.request_date
          |WHERE r1.rn = 1 AND r2.rn = 1
          |ORDER BY origin, stop, dest, request_date""".stripMargin,
+
+    // readCsv twin: all-VARCHAR read, then DROPMALFORMED re-expressed
+    // as explicit try_cast filters (a row dies iff any non-null typed
+    // field fails its cast — exactly Spark's per-row semantics on this
+    // schema), then the legCandidates twin (same expressions as a07's
+    // legsCte, with deptime cast from the string column).
+    "a09_csv_ingest" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_csv('$csvFixtureGlob',
+         |    header=true, all_varchar=true)),
+         |clean AS (
+         |  SELECT try_cast(FlightDate AS DATE) AS FlightDate,
+         |    UniqueCarrier AS carrier,
+         |    try_cast(FlightNum AS BIGINT) AS flightnum,
+         |    Origin AS origin, Dest AS dest,
+         |    try_cast(DepTime AS INTEGER) AS deptime,
+         |    try_cast(DepDelay AS DOUBLE) AS depdelay,
+         |    try_cast(ArrDelay AS DOUBLE) AS arrdelay
+         |  FROM raw
+         |  WHERE (FlightDate IS NULL OR try_cast(FlightDate AS DATE) IS NOT NULL)
+         |    AND (FlightNum IS NULL OR try_cast(FlightNum AS INTEGER) IS NOT NULL)
+         |    AND (DepDelay IS NULL OR try_cast(DepDelay AS DOUBLE) IS NOT NULL)
+         |    AND (ArrDelay IS NULL OR try_cast(ArrDelay AS DOUBLE) IS NOT NULL)),
+         |legs AS (SELECT FlightDate, carrier, flightnum, origin, dest,
+         |  make_timestamp((
+         |    CAST(epoch(CAST(FlightDate AS TIMESTAMP)) AS BIGINT)
+         |    + ((deptime // 100) // 24) * 86400
+         |    + (((deptime // 100) % 24) * 60 + deptime % 100) * 60
+         |    - CAST(depdelay AS BIGINT) * 60) * 1000000) AS sched_dep,
+         |  arrdelay
+         |FROM clean
+         |WHERE EXTRACT(year FROM FlightDate) = 2008 AND arrdelay IS NOT NULL
+         |  AND depdelay IS NOT NULL AND deptime IS NOT NULL)
+         |SELECT FlightDate AS flight_date, carrier, flightnum,
+         |  origin, dest, sched_dep, arrdelay AS arr_delay
+         |FROM legs ORDER BY flight_date, carrier, flightnum""".stripMargin,
   )
 }

@@ -1,12 +1,25 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every SparkEntry query at
-  * SPARK_GRAFT_SF_DIR, prints ONE JSON line.
+  * SPARK_GRAFT_SF_DIR, prints ONE COMPACT JSON line.
+  *
+  * Output contract:
+  *  - stdout gets exactly one line — `{"metric":"total","value":…,
+  *    "unit":"sec","queries":{name: min sec},"sf":…,"runs":N}` — kept
+  *    well under 2 KB (the driver captures a bounded tail of the
+  *    process output; rounds 1-4 lost their wall-clock numbers because
+  *    the old single line carried medians + cpu + gc for 42 queries
+  *    and the capture window started mid-telemetry);
+  *  - the full telemetry (per-query medians, executor cpu, GC) goes to
+  *    a FILE — bench_detail.json, path overridable via
+  *    SPARK_GRAFT_BENCH_DETAIL — where no capture window can cut it.
   *
   * Methodology:
   *  - warmup pass at sf0.001 first: JIT-compiles Spark's scan/shuffle/
@@ -19,8 +32,13 @@ import org.apache.spark.sql.SparkSession
   *    noise on this box inflates single runs 10-200x (BASELINE.md),
   *    and a sustained noise window that would cover N back-to-back
   *    runs of one query only taints one pass when runs are minutes
-  *    apart. Medians and executor cpu/GC totals ride along for
-  *    cross-checking;
+  *    apart. Medians and executor cpu/GC ride along for cross-checking;
+  *  - executor cpu/GC are attributed per query via the job-group id
+  *    set around each timed run: stages are mapped to their group by
+  *    the job-start event, so attribution is exact no matter how late
+  *    the async listener bus delivers task-end events (the previous
+  *    global delta-window charged late events to whichever query ran
+  *    next — r4 showed 2.5x swings on identical code);
   *  - timed pass materializes via the noop sink — full execution
   *    including final sorts (a bare count() lets Catalyst elide
   *    orderBys) with zero sink cost;
@@ -32,6 +50,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -43,29 +62,38 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // stage-level truth to cross-check wall-clock against host noise:
-    // executor cpu and GC time summed over all tasks (async listener —
-    // per-query attribution is approximate to within bus latency, which
-    // is fine for telemetry).
-    val cpuNs = new AtomicLong(0L)
-    val gcMs = new AtomicLong(0L)
+    // stage → job-group mapping + per-group counters (see Scaladoc).
+    val stageGroup = new ConcurrentHashMap[Integer, String]()
+    val cpuNsByQ = new ConcurrentHashMap[String, AtomicLong]()
+    val gcMsByQ = new ConcurrentHashMap[String, AtomicLong]()
+    val eventsSeen = new AtomicLong(0L)
+    def bump(m: ConcurrentHashMap[String, AtomicLong], k: String, v: Long): Unit =
+      m.computeIfAbsent(k, _ => new AtomicLong(0L)).addAndGet(v)
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val g = Option(j.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null) j.stageIds.foreach(sid => stageGroup.put(sid, g))
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        eventsSeen.incrementAndGet()
         val m = t.taskMetrics
-        if (m != null) {
-          cpuNs.addAndGet(m.executorCpuTime)
-          gcMs.addAndGet(m.jvmGCTime)
+        val g = stageGroup.get(t.stageId)
+        if (m != null && g != null) {
+          bump(cpuNsByQ, g, m.executorCpuTime)
+          bump(gcMsByQ, g, m.jvmGCTime)
         }
       }
     })
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
 
-    // one timed execution; cache teardown (for queries that persist
-    // intermediates, e.g. dedup's shingle index) is outside the span
+    // one timed execution under the query's job group; cache teardown
+    // (for queries that persist intermediates, e.g. dedup's shingle
+    // index) is outside the span
     def run(dir: String, name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       try {
+        spark.sparkContext.setJobGroup(name, name)
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
@@ -73,34 +101,47 @@ object Bench {
         System.err.println(s"[bench] $name failed on $dir: ${e.getMessage}")
         -1.0
       } finally {
+        spark.sparkContext.clearJobGroup()
         spark.sharedState.cacheManager.clearCache()
       }
 
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       ordered.foreach { case (n, f) => run(warmDir, n, f) }
-
-    final case class Stat(min: Double, med: Double, cpuSec: Double, gcSec: Double)
-    def fmt(d: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, d)
+    // warmup work must not count toward the timed-pass cpu/GC totals
+    cpuNsByQ.clear(); gcMsByQ.clear()
 
     val samples = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
-    val cpu = collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
-    val gc = collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
     for (_ <- 1 to repeats; (name, fn) <- ordered) {
-      val c0 = cpuNs.get(); val g0 = gcMs.get()
       val t = run(sfDir, name, fn)
-      cpu(name) += (cpuNs.get() - c0) / 1e9
-      gc(name) += (gcMs.get() - g0) / 1e3
       if (t >= 0) samples(name) = t :: samples(name)
     }
+
+    // drain the async listener bus before reading the counters: wait
+    // until no event has arrived for 3 consecutive 100 ms polls.
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var lastCount = -1L; var stable = 0
+    while (stable < 3 && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      val c = eventsSeen.get()
+      if (c == lastCount) stable += 1 else { stable = 0; lastCount = c }
+    }
+
+    final case class Stat(min: Double, med: Double, cpuSec: Double, gcSec: Double)
+    def fmt(d: Double, digits: Int = 4): String =
+      s"%.${digits}f".formatLocal(java.util.Locale.ROOT, d)
+    def ctr(m: ConcurrentHashMap[String, AtomicLong], k: String): Long =
+      Option(m.get(k)).map(_.get()).getOrElse(0L)
+
     val results: Seq[(String, Stat)] = ordered.map { case (name, _) =>
       val s = samples(name).sorted
       // cpu/gc average over SUCCESSFUL passes only — dividing by
       // `repeats` would understate per-run cost when a pass failed
       val stat =
         if (s.isEmpty) Stat(-1.0, -1.0, -1.0, -1.0)
-        else Stat(s.head, s(s.size / 2), cpu(name) / s.size, gc(name) / s.size)
+        else Stat(s.head, s(s.size / 2),
+          ctr(cpuNsByQ, name) / 1e9 / s.size, ctr(gcMsByQ, name) / 1e3 / s.size)
       name -> stat
     }
 
@@ -108,9 +149,16 @@ object Bench {
       results.map { case (k, st) => "\"" + k + "\":" + fmt(f(st)) }
         .mkString("{", ",", "}")
     val total = results.map(_._2.min).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""queries":${obj(_.min)},"sf":"$sfDir","runs":$repeats,""" +
-      s""""medians":${obj(_.med)},"cpu_sec":${obj(_.cpuSec)},"gc_sec":${obj(_.gcSec)}}""")
+
+    // full telemetry to a file (never truncated by output capture)
+    Files.writeString(Paths.get(detailPath),
+      s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec",""" +
+        s""""sf":"$sfDir","runs":$repeats,"queries":${obj(_.min)},""" +
+        s""""medians":${obj(_.med)},"cpu_sec":${obj(_.cpuSec)},""" +
+        s""""gc_sec":${obj(_.gcSec)}}""")
+    // the one stdout line: compact, driver-parseable
+    println(s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec",""" +
+      s""""queries":${obj(_.min)},"sf":"$sfDir","runs":$repeats}""")
     spark.stop()
   }
 }

@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Events, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions.{col, posexplode}
+
+import graft.operators.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver-contract entries for the training-data-pipeline operators
@@ -43,6 +45,18 @@ object TrainingEntries {
     "q32_event_hourly"   -> q(t => Events.hourlyRollup(t.events)),
     "q33_sessionize"     -> q(t => Events.sessionize(t.events)),
     "q36_props_extract"  -> q(t => Events.propsKeyStats(t.events)),
+    // Multimodal pipeline, hash-gated end to end: synthesize media
+    // from documents → batched decode stub → per-dim features (q37),
+    // then the features → ANN hand-off (q38). fakeDecode's arithmetic
+    // is integer-exact until one final float cast precisely so these
+    // twins can exist (see its Scaladoc).
+    "q37_media_features" -> q(t =>
+      Multimodal.extractFeatures(Multimodal.synthesizeFromDocuments(t.documents))
+        .toDF().select(col("media_id"), col("modality"),
+          posexplode(col("features")).as(Seq("d", "f")))),
+    "q38_media_ann"      -> q(t =>
+      Similarity.bruteForceTopK(Multimodal.featuresAsEmbeddings(
+        Multimodal.extractFeatures(Multimodal.synthesizeFromDocuments(t.documents))))),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -212,6 +226,39 @@ object TrainingEntries {
       |probes AS (SELECT vec_id, cell FROM ranked)""".stripMargin)
     sb.toString
   }
+
+  /** Media-feature CTEs — mirrors synthesizeFromDocuments ∘
+    * fakeDecode(dim=64): UTF-8 bytes via hex(encode(text)) (byte
+    * extraction that is encoding-exact for any text), per-stripe
+    * integer sums, integer squared norm, double normalize, float
+    * cast. `grid` + LEFT JOIN keeps all 64 dims (and whole docs) even
+    * when a stripe — or the text — is empty, matching the Scala
+    * zero-filled array.
+    */
+  private val mediaFeatCtes =
+    """media AS (SELECT doc_id AS media_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |         ELSE 'video' END AS modality,
+      |    hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
+      |  FROM documents),
+      |bpos AS (SELECT media_id, hx,
+      |    unnest(generate_series(1, blen)) AS p FROM media),
+      |byt AS (SELECT media_id, (p-1) % 64 AS d,
+      |    (strpos('0123456789ABCDEF', substr(hx, 2*p-1, 1)) - 1) * 16
+      |    + strpos('0123456789ABCDEF', substr(hx, 2*p, 1)) - 1 AS v
+      |  FROM bpos),
+      |ssum AS (SELECT media_id, d, CAST(SUM(v) AS BIGINT) AS s
+      |  FROM byt GROUP BY media_id, d),
+      |grid AS (SELECT media_id, modality,
+      |    unnest(generate_series(0, 63)) AS d FROM media),
+      |filled AS (SELECT g.media_id, g.modality, g.d, COALESCE(s.s, 0) AS s
+      |  FROM grid g LEFT JOIN ssum s ON s.media_id = g.media_id AND s.d = g.d),
+      |fnrm AS (SELECT media_id, sqrt(CAST(SUM(s*s) AS DOUBLE)) AS n
+      |  FROM filled GROUP BY media_id),
+      |feat AS (SELECT f.media_id, f.modality, f.d,
+      |    CAST(CASE WHEN n.n > 0 THEN CAST(f.s AS DOUBLE) / n.n
+      |         ELSE 0.0 END AS FLOAT) AS f
+      |  FROM filled f JOIN fnrm n USING (media_id))""".stripMargin
 
   private val langScoresCte =
     s"""scored AS (SELECT doc_id, text, lang,
@@ -448,6 +495,30 @@ object TrainingEntries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q37_media_features" ->
+      s"""WITH $mediaFeatCtes
+         |SELECT media_id, modality, CAST(d AS INTEGER) AS d, f
+         |FROM feat ORDER BY media_id, d""".stripMargin,
+
+    "q38_media_ann" ->
+      s"""WITH $mediaFeatCtes,
+         |flat AS (SELECT media_id AS vec_id, d + 1 AS i,
+         |    CAST(round(CAST(f AS DOUBLE) * 1000000) AS BIGINT) AS v FROM feat),
+         |norms AS (SELECT vec_id, sqrt(CAST(SUM(v*v) AS DOUBLE)) AS nrm
+         |          FROM flat GROUP BY vec_id),
+         |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot
+         |         FROM flat q JOIN flat c ON q.i = c.i
+         |         WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |         GROUP BY q.vec_id, c.vec_id),
+         |cos AS (SELECT qid, cid, CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+         |        FROM dots
+         |        JOIN norms nq ON nq.vec_id = qid
+         |        JOIN norms nc ON nc.vec_id = cid),
+         |r AS (SELECT qid, cid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rn
+         |      FROM cos)
+         |SELECT qid, cid, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
     "q36_props_extract" ->
       raw"""SELECT event_type, COUNT(*) AS n,

@@ -54,18 +54,27 @@ object Multimodal {
   }
 
   /** STUB decoder: deterministic pseudo-features from the byte
-    * content (rolling sums per stripe, L2-normalized). Replace with a
+    * content (per-stripe byte sums, L2-normalized). Replace with a
     * real decoder; signature and batching stay.
+    *
+    * Arithmetic is deliberately oracle-reproducible (q37/q38): stripe
+    * sums and the squared norm are exact integers (order-independent),
+    * the normalization runs in IEEE double, and the ONLY float32 step
+    * is the final cast — so the DuckDB twin, which has no float32
+    * accumulator, lands on bit-identical values. (L2 normalization
+    * makes a uniform /255 scale a no-op, so none is applied.)
     */
   private[operators] def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val acc = new Array[Float](dim)
+    val acc = new Array[Long](dim)
     var i = 0
     while (i < bytes.length) {
-      acc(i % dim) += (bytes(i) & 0xff).toFloat / 255f
+      acc(i % dim) += (bytes(i) & 0xff).toLong
       i += 1
     }
-    val n = math.sqrt(acc.foldLeft(0.0)((s, x) => s + x * x)).toFloat
-    if (n > 0) acc.map(_ / n) else acc
+    var ss = 0L
+    acc.foreach(v => ss += v * v)
+    val n = math.sqrt(ss.toDouble)
+    if (n > 0) acc.map(v => (v.toDouble / n).toFloat) else new Array[Float](dim)
   }
 
   /** Decode + feature-extract in batches of `batchSize` rows per call

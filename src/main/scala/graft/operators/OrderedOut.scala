@@ -22,11 +22,19 @@ object OrderedOut {
       * (here: one parquet file → ONE scan task) otherwise serializes
       * the whole derivation into a single thread — observed as 50-113s
       * single-task stages. The repartition shuffles only the small raw
-      * rows; the expensive derived work then runs wide. At cluster
-      * scale the same holds whenever row-amplifying work sits on top
-      * of a few fat splits.
+      * rows; the expensive derived work then runs wide.
+      *
+      * CONDITIONAL: when the scan already yields at least
+      * defaultParallelism splits — the normal case for any real table,
+      * where a 100 TB scan has far more splits than cores — this is a
+      * no-op and inserts NO Exchange (a full shuffle of raw text just
+      * to re-bin already-wide data would be pure cost). The partition
+      * count comes from the physical scan plan; no job runs.
       */
-    def spread(): DataFrame =
-      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    def spread(): DataFrame = {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df
+      else df.repartition(target)
+    }
   }
 }

@@ -216,22 +216,35 @@ object Similarity {
     * scans ~nprobe·N/C vectors.
     *
     * Every step is integer-derived and tie-broken (cosine desc, cell
-    * asc), so the DuckDB oracle reproduces training bit-for-bit. At
-    * warehouse scale the training passes would run on a sample and
-    * the centroids persist as a dimension table; the per-iteration
-    * collect here is K×D rows (tiny, like MLlib k-means).
+    * asc), so the DuckDB oracle reproduces training bit-for-bit.
+    *
+    * Each Lloyd refinement is MATERIALIZED: the K×D centroid rows are
+    * collected to the driver (tiny, like MLlib k-means) and fed back
+    * as a LocalRelation, so training executes exactly once per call —
+    * leaving `centroids` lazy grew a lineage that every downstream
+    * action (assignment, corpus leg, query leg) re-executed in full.
+    * `assigned` is persisted for the same reason: it fans into both
+    * join legs. At warehouse scale the training passes would run on a
+    * sample and the centroids persist as a dimension table.
     */
   def ivfTopK(embeddings: DataFrame, maxQueryId: Long = 10, k: Int = 5,
       nCentroids: Int = 16, lloydIters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val quant = embeddings.spread()
       .select($("vec_id"), quantize($("embedding")).as("qv"))
       .withColumn("nrm", qnorm($("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var centroids = quant.filter($("vec_id") <= nCentroids)
-      .select($("vec_id").as("c_id"), $("qv").as("cv"), $("nrm").as("cnrm"))
+    def localize(df: DataFrame): DataFrame =
+      df.select($("c_id").cast("long"), $("cv"), $("cnrm"))
+        .as[(Long, Seq[Long], Double)].collect().toSeq
+        .toDF("c_id", "cv", "cnrm")
+    var centroids = localize(quant.filter($("vec_id") <= nCentroids)
+      .select($("vec_id").as("c_id"), $("qv").as("cv"), $("nrm").as("cnrm")))
     for (_ <- 1 to lloydIters)
-      centroids = centroidStep(quant, centroids)
+      centroids = localize(centroidStep(quant, centroids))
     val assigned = assignCells(quant, centroids, nprobe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = assigned.filter($("arn") === 1)
       .join(quant, Seq("vec_id"))
       .select($("cell"), $("vec_id").as("cid"), $("qv").as("ce"), $("nrm").as("cn"))
