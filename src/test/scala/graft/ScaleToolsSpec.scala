@@ -73,6 +73,19 @@ class ScaleToolsSpec extends SparkSpec {
       "cap must drop the hot template bucket and keep the small-bucket pair")
   }
 
+  test("spread() adds no exchange when input is already wide") {
+    import graft.operators.OrderedOut._
+    val target = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0, 1000, 1, numPartitions = target * 2).toDF("v")
+    val out = wide.spread()
+    assert(out.rdd.getNumPartitions === target * 2)
+    assert(!out.queryExecution.optimizedPlan.toString.contains("Repartition"),
+      "already-wide input must not be reshuffled")
+    // the narrow case still fans out to full parallelism
+    val narrow = spark.range(0, 1000, 1, numPartitions = 1).toDF("v")
+    assert(narrow.spread().rdd.getNumPartitions === target)
+  }
+
   test("salted two-phase aggregation matches direct aggregation") {
     val df = ((1 to 3000).map(_ => ("hot", 1.0)) ++
       (1 to 50).map(i => (s"k$i", 2.0))).toDF("k", "v")
