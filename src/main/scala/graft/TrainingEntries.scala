@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import org.apache.spark.sql.functions.{col, posexplode}
 
-import graft.operators.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.analytics.DistributionFit
+import graft.operators.{Curation, Dedup, Events, Multimodal, Similarity, StarQueries, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver-contract entries for the training-data-pipeline operators
@@ -57,6 +58,14 @@ object TrainingEntries {
     "q38_media_ann"      -> q(t =>
       Similarity.bruteForceTopK(Multimodal.featuresAsEmbeddings(
         Multimodal.extractFeatures(Multimodal.synthesizeFromDocuments(t.documents))))),
+    // Curation: the selection/split steps between dedup and the
+    // tokenizer — all md5-deterministic, hence hash-gated
+    "q39_freq_rank"      -> q(t =>
+      DistributionFit.rankTable(StarQueries.q02ExplodeCount(t))),
+    "q40_hash_split"     -> q(t => Curation.hashSplit(t.documents)),
+    "q41_source_cap"     -> q(t => Curation.sourceCap(t.documents)),
+    "q42_stratified_sample" -> q(t => Curation.stratifiedSample(t.documents)),
+    "q43_decontaminate"  -> q(t => Curation.decontaminate(t.documents)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -519,6 +528,56 @@ object TrainingEntries {
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rn
          |      FROM cos)
          |SELECT qid, cid, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "q39_freq_rank" ->
+      """WITH kc AS (SELECT key, COUNT(*) AS cnt FROM
+        |  (SELECT l_partkey AS key FROM lineitem
+        |   UNION ALL SELECT l_suppkey FROM lineitem) GROUP BY key),
+        |fr AS (SELECT cnt, COUNT(*) AS n_keys FROM kc GROUP BY cnt)
+        |SELECT cnt, n_keys,
+        |  CAST(1 + COALESCE(SUM(n_keys) OVER (ORDER BY cnt DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS rank_start
+        |FROM fr ORDER BY cnt DESC""".stripMargin,
+
+    "q40_hash_split" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |          AS BIGINT) % 100 AS bucket
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q41_source_cap" ->
+      """SELECT doc_id, source, rn FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 64 ORDER BY source, rn""".stripMargin,
+
+    "q42_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 1000 < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q43_decontaminate" ->
+      s"""WITH docs AS (SELECT doc_id, $norm AS norm FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, substr(norm, i, 8) AS shingle FROM (
+         |       SELECT doc_id, norm,
+         |         unnest(generate_series(1, greatest(length(norm) - 7, 1))) AS i
+         |       FROM docs)),
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+         |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |ev AS (SELECT DISTINCT shingle FROM shr WHERE doc_id % 10 = 0)
+         |SELECT doc_id, COUNT(*) AS n_shared
+         |FROM shr JOIN ev USING (shingle)
+         |WHERE doc_id % 10 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q36_props_extract" ->
       raw"""SELECT event_type, COUNT(*) AS n,

@@ -214,6 +214,32 @@ object DistributionFit {
     sb.toString
   }
 
+  /** Distributed rank–frequency table from a (key, cnt) count table:
+    * one row per DISTINCT frequency value — (cnt, n_keys, rank_start),
+    * where ranks rank_start .. rank_start+n_keys-1 all have frequency
+    * cnt. This is the whole-corpus rank–frequency curve in run-length
+    * form, computable without ever ranking individual keys.
+    *
+    * Scale: the groupBy(cnt) partial-aggregates map-side; the window
+    * then runs over the AGGREGATED table, whose cardinality is the
+    * number of distinct frequency values — a few thousand rows for
+    * zipf-shaped data regardless of corpus size — so the unpartitioned
+    * running sum is a deliberate tiny-table exchange (same argument as
+    * [[collectFreq]]'s driver-side collect), not a scale funnel. A
+    * per-key global row_number would be the wrong plan here: it would
+    * sort all N keys through one partition.
+    */
+  def rankTable(keyCounts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val fr = keyCounts.groupBy(col("cnt")).agg(count(lit(1)).as("n_keys"))
+    val w = Window.orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    fr.select(col("cnt"), col("n_keys"),
+      (coalesce(sum(col("n_keys")).over(w), lit(0L)) + lit(1L))
+        .cast("long").as("rank_start"))
+  }
+
   /** Collect the (small) sorted-frequency column once, fit all
     * families, and write `rank_frequency.tsv` + `rank_frequency.svg`
     * under `dir`. Returns the fits.

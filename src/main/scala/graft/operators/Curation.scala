@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.OrderedOut._
+
+/** Corpus-curation operators for training-data pipelines (builder
+  * brief): deterministic dataset splits, per-source quota sampling,
+  * stratified sampling, and benchmark decontamination. These are the
+  * selection/partitioning steps that sit between dedup ([[Dedup]]) and
+  * the tokenizer in a real LLM data pipeline.
+  *
+  * Determinism contract: all "random" choices derive from md5 of a
+  * stable key — seedless, identical hex in Spark and DuckDB — so every
+  * operator here is hash-gated against the oracle like the rest of the
+  * library (no `rand()`, whose per-task seeding is neither stable
+  * across retries nor portable across engines).
+  *
+  * Scale design (100 TB):
+  *  - [[hashSplit]] and [[stratifiedSample]] are single-scan narrow
+  *    maps (+ one partial-aggregated groupBy for the sample counts) —
+  *    no shuffle of row data, no coordination, stable under
+  *    re-execution and late-arriving shards (a doc's split never
+  *    depends on what else is in the corpus);
+  *  - [[sourceCap]] shuffles only (doc_id, source) pairs — never the
+  *    text — and the per-source window sort is bounded by the largest
+  *    source's row count; for pathologically dominant sources,
+  *    pre-filtering by an md5-threshold guess of the cutoff bounds the
+  *    window input to ~k rows per source before ranking;
+  *  - [[decontaminate]] reuses the inverted shingle index machinery
+  *    from [[Dedup]] (document-frequency cut bounds bucket sizes); the
+  *    eval side of the join is DISTINCT shingles of the held-out set —
+  *    for a real benchmark suite that is millions of shingles at most,
+  *    i.e. broadcastable, making the whole check a map-side semi-join
+  *    against a 100 TB training corpus.
+  */
+object Curation {
+
+  private def $(name: String): Column = col(name)
+
+  /** Uniform deterministic bucket in [0, mod): the first `hexChars`
+    * hex chars of md5(key) as an integer, mod `mod`. 8 hex chars =
+    * 32 bits, far above any practical modulus; the same literal
+    * arithmetic is mirrored in the DuckDB oracles.
+    */
+  def hashBucket(key: Column, mod: Int, hexChars: Int = 8): Column =
+    conv(substring(md5(key.cast("string")), 1, hexChars), 16, 10)
+      .cast("long") % mod
+
+  /** Deterministic train/val/test split by content-stable key hash:
+    * (key, bucket, split) with train = bucket < trainPct, val = next
+    * valPct buckets, test = the rest. A document's assignment is a
+    * pure function of its key — shard-order-independent, stable across
+    * reruns and engine versions, and exactly reproducible in the
+    * oracle. Single narrow scan; no shuffle.
+    */
+  def hashSplit(df: DataFrame, keyCol: String = "doc_id",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct <= 100, "split percentages exceed 100")
+    df.spread()
+      .select($(keyCol), hashBucket($(keyCol), 100).as("bucket"))
+      .select($(keyCol), $("bucket"),
+        when($("bucket") < trainPct, "train")
+          .when($("bucket") < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** Per-source quota sampling: keep at most `k` documents per source,
+    * chosen by md5 order of doc_id (a deterministic uniform sample,
+    * not "first k in file order" — file order correlates with crawl
+    * time). Returns (doc_id, source, rn), rn = 1..k within source.
+    *
+    * Only (doc_id, source) pairs shuffle — the selection result is
+    * joined back to the text downstream, so 100 TB of document bodies
+    * never move. No `spread()`: the window's own hash exchange on
+    * `source` is the first thing that happens to the scan output.
+    */
+  def sourceCap(documents: DataFrame, k: Int = 64): DataFrame = {
+    val w = Window.partitionBy($("source"))
+      .orderBy(md5($("doc_id").cast("string")).asc, $("doc_id").asc)
+    documents
+      .select($("doc_id"), $("source"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($("rn") <= k)
+  }
+
+  /** Stratified sampling report: per language stratum, total docs and
+    * how many an md5-permille filter at rate `permille`/1000 selects.
+    * The sampled-set membership is `hashBucket(doc_id, 1000) <
+    * permille` — apply the same predicate to materialize the sample
+    * itself. One scan, partial-aggregated groupBy on the (tiny) lang
+    * key; the shuffle carries one row per (partition, lang).
+    */
+  def stratifiedSample(documents: DataFrame, permille: Int = 200): DataFrame =
+    documents
+      .select($("lang"),
+        when(hashBucket($("doc_id"), 1000) < permille, 1)
+          .otherwise(0).as("sampled"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum($("sampled")).cast("long").as("n_sampled"))
+
+  /** Benchmark decontamination: flag training documents sharing at
+    * least one rare character `n`-gram with the held-out eval set
+    * (membership: doc_id % evalMod == 0 — stands in for "doc_id in
+    * benchmark manifest"). Returns (doc_id, n_shared) for contaminated
+    * TRAINING docs only; n_shared = count of distinct rare shingles
+    * shared with any eval doc.
+    *
+    * The document-frequency cut (df ≤ maxDf, same bounding idea as
+    * [[Dedup.ngramJaccardPairs]]) drops boilerplate shingles that
+    * would otherwise match everything: a contamination signal carried
+    * by an 8-gram appearing in >maxDf docs is no signal at all, and at
+    * scale an uncut ubiquitous shingle makes the join quadratic.
+    */
+  def decontaminate(documents: DataFrame, n: Int = 8, maxDf: Int = 100,
+      evalMod: Long = 10L): DataFrame = {
+    // the shingle index feeds the df cut AND both join sides —
+    // materialize once (parquet intermediate at warehouse scale)
+    val sh0 = Dedup.shingles(documents, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter($("df") <= maxDf).select("shingle")
+    val sh = sh0.join(rare, Seq("shingle"))
+    val evalShingles = sh.filter($("doc_id") % evalMod === 0)
+      .select("shingle").distinct()
+    sh.filter($("doc_id") % evalMod =!= 0)
+      .join(evalShingles, Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+  }
+}
