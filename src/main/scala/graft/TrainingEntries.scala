@@ -66,6 +66,14 @@ object TrainingEntries {
     "q41_source_cap"     -> q(t => Curation.sourceCap(t.documents)),
     "q42_stratified_sample" -> q(t => Curation.stratifiedSample(t.documents)),
     "q43_decontaminate"  -> q(t => Curation.decontaminate(t.documents)),
+    "q44_source_mix"     -> q(t => Curation.sourceMix(t.documents)),
+    "q45_pack_bins"      -> q(t => Curation.packBins(t.documents)),
+    // df cut tuned to the fixture like q27's threshold: the synthetic
+    // corpus shares "rare" 8-grams pervasively (450/450 train docs
+    // overlap eval at maxDf=100), so the composed pipeline uses the
+    // strictest cut — shingles in ≤ 2 docs — which still flags 156
+    // docs and leaves a non-trivial surviving corpus
+    "q46_clean_corpus"   -> q(t => Curation.cleanCorpus(t.documents, maxDf = 2)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -578,6 +586,46 @@ object TrainingEntries {
          |FROM shr JOIN ev USING (shingle)
          |WHERE doc_id % 10 <> 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q44_source_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(n_src) // COUNT(*) AS BIGINT) AS target FROM c)
+        |SELECT source, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN
+        |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |       AS BIGINT) % 1000000) * n_src < target * 1000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents JOIN c USING (source) CROSS JOIN t
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q45_pack_bins" ->
+      s"""SELECT doc_id, source, CAST((cum - n_tok) // 4096 AS BIGINT) AS bin
+         |FROM (SELECT doc_id, source, n_tok,
+         |        SUM(n_tok) OVER (PARTITION BY source
+         |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM (SELECT doc_id, source, CAST($nTokens AS BIGINT) AS n_tok
+         |            FROM (SELECT doc_id, source, $norm AS norm FROM documents)))
+         |ORDER BY doc_id""".stripMargin,
+
+    "q46_clean_corpus" ->
+      s"""WITH docs AS (SELECT doc_id, $norm AS norm FROM documents),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM
+         |         (SELECT doc_id, md5(norm) AS fp FROM docs) GROUP BY fp),
+         |sh AS (SELECT DISTINCT doc_id, substr(norm, i, 8) AS shingle FROM (
+         |       SELECT doc_id, norm,
+         |         unnest(generate_series(1, greatest(length(norm) - 7, 1))) AS i
+         |       FROM docs)),
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 2),
+         |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |ev AS (SELECT DISTINCT shingle FROM shr WHERE doc_id % 10 = 0),
+         |bad AS (SELECT DISTINCT doc_id FROM shr JOIN ev USING (shingle)
+         |        WHERE doc_id % 10 <> 0)
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id % 10 <> 0
+         |  AND EXISTS (SELECT 1 FROM keep k WHERE k.doc_id = d.doc_id)
+         |  AND NOT EXISTS (SELECT 1 FROM bad b WHERE b.doc_id = d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q36_props_extract" ->
       raw"""SELECT event_type, COUNT(*) AS n,

@@ -102,6 +102,81 @@ object Curation {
       .agg(count(lit(1)).as("n_total"),
         sum($("sampled")).cast("long").as("n_sampled"))
 
+  /** Uniform source rebalancing ("source mix"): downsample every
+    * over-represented source to at most the equal share
+    * target = total/n_sources, leaving smaller sources intact.
+    * Membership is integer-exact — keep doc iff
+    * hashBucket(doc_id, 1e6) · n_src < target · 1e6 — i.e. a
+    * per-source md5-threshold at rate target/n_src with no float
+    * rounding anywhere (the inequality is BIGINT·BIGINT on both
+    * engines). Returns the per-source report (source, n_total,
+    * n_kept); apply the same predicate to materialize the mix.
+    *
+    * Scale: two tiny aggregates (per-source counts, global target)
+    * broadcast back onto a single corpus scan — the 100 TB of rows
+    * never shuffle, and membership stays a pure per-row function
+    * given the (small) source-count table.
+    */
+  def sourceMix(documents: DataFrame): DataFrame = {
+    val counts = documents.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val target = counts.agg(
+      expr("sum(n_src) div count(1)").cast("long").as("target"))
+    documents.select($("doc_id"), $("source"))
+      .join(broadcast(counts), Seq("source"))
+      .crossJoin(broadcast(target))
+      .select($("source"),
+        when(hashBucket($("doc_id"), 1000000) * $("n_src") <
+          $("target") * lit(1000000L), 1).otherwise(0).as("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"), sum($("kept")).cast("long").as("n_kept"))
+  }
+
+  /** Sequence-packing bin assignment: within each source, documents
+    * are laid out in md5 order and concatenated; a doc's bin is the
+    * context window its FIRST token lands in under naive
+    * `contextLen`-token packing — bin = (cumulative tokens before the
+    * doc) div contextLen. Gives the packed-corpus shape (windows per
+    * source, fill order) deterministically, without materializing any
+    * token stream.
+    *
+    * Scale: one running-sum window per source (same per-source
+    * partitioning argument as [[sourceCap]]); only (doc_id, source,
+    * n_tok) rows shuffle.
+    */
+  def packBins(documents: DataFrame, contextLen: Int = 4096): DataFrame = {
+    val w = Window.partitionBy($("source"))
+      .orderBy(md5($("doc_id").cast("string")).asc, $("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select($("doc_id"), $("source"),
+        TextAnalysis.tokenCount($("text")).cast("long").as("n_tok"))
+      .withColumn("cum", sum($("n_tok")).over(w))
+      .select($("doc_id"), $("source"),
+        expr(s"(cum - n_tok) div $contextLen").cast("long").as("bin"))
+  }
+
+  /** The composed curation pipeline: training documents surviving
+    * exact dedup (only each fingerprint group's canonical keep_id
+    * survives) AND benchmark decontamination (no rare-shingle overlap
+    * with the eval set). Returns (doc_id, source) of survivors —
+    * what a user would actually feed the tokenizer.
+    *
+    * Scale: the canonical-id set joins as a semi join on doc_id; the
+    * contaminated set (output of [[decontaminate]], already bounded)
+    * anti-joins the same way. Both carry ids only — never text.
+    */
+  def cleanCorpus(documents: DataFrame, n: Int = 8, maxDf: Int = 100,
+      evalMod: Long = 10L): DataFrame = {
+    val canonical = Dedup.exactDuplicates(documents)
+      .select($("keep_id").as("doc_id"))
+    val contaminated = decontaminate(documents, n, maxDf, evalMod)
+      .select("doc_id")
+    documents.select($("doc_id"), $("source"))
+      .filter($("doc_id") % evalMod =!= 0)
+      .join(canonical, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Benchmark decontamination: flag training documents sharing at
     * least one rare character `n`-gram with the held-out eval set
     * (membership: doc_id % evalMod == 0 — stands in for "doc_id in

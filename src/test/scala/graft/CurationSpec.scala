@@ -81,6 +81,69 @@ class CurationSpec extends SparkSpec {
       s"shared 8-gram count $n3 must cover the planted phrase")
   }
 
+  test("sourceMix: over-represented sources downsampled, small ones intact") {
+    import spark.implicits._
+    // 3 sources: one dominant (40 docs), two small (4 each) → target
+    // = 48/3 = 16: the dominant source must be cut, small ones kept whole
+    val skewed = ((1L to 40L).map(i => (i, "big")) ++
+      (41L to 44L).map(i => (i, "s1")) ++
+      (45L to 48L).map(i => (i, "s2")))
+      .toDF("doc_id", "source")
+    val r = Curation.sourceMix(skewed).collect()
+      .map(row => row.getAs[String]("source") ->
+        (row.getAs[Long]("n_total"), row.getAs[Long]("n_kept"))).toMap
+    assert(r("big")._1 === 40L)
+    assert(r("big")._2 < 40L, "dominant source must be downsampled")
+    assert(r("s1") === ((4L, 4L)), "sources under target keep everything")
+    assert(r("s2") === ((4L, 4L)))
+  }
+
+  test("packBins: bins start at 0, monotone in pack order, bounded gaps") {
+    val ctx = 64
+    val bins = Curation.packBins(docs, contextLen = ctx)
+      .withColumn("ord", md5(col("doc_id").cast("string")))
+      .join(graft.operators.TextAnalysis.docStats(docs)
+        .select(col("doc_id"), col("n_tokens")), "doc_id")
+      .cache()
+    try {
+      // every doc assigned exactly one bin; no doc lost
+      assert(bins.count() === docs.count())
+      bins.collect()
+        .groupBy(_.getAs[String]("source"))
+        .foreach { case (source, rows) =>
+          val ordered = rows.sortBy(r =>
+            (r.getAs[String]("ord"), r.getAs[Long]("doc_id")))
+          assert(ordered.head.getAs[Long]("bin") === 0L,
+            s"first doc of $source must start in bin 0")
+          ordered.sliding(2).foreach { case Array(a, b) =>
+            val gap = b.getAs[Long]("bin") - a.getAs[Long]("bin")
+            // a doc spanning w windows advances the next start bin by
+            // at most w (exactly its cumulative-token step div ctx)
+            val w = (a.getAs[Long]("n_tokens") / ctx) + 1
+            assert(gap >= 0 && gap <= w,
+              s"bin step $gap outside [0, $w] in $source")
+          case _ => ()
+          }
+        }
+    } finally bins.unpersist()
+  }
+
+  test("cleanCorpus: drops eval docs, dup copies, and contaminated docs") {
+    import spark.implicits._
+    val phrase = "polyphonic zeppelin marmalade quixotic undertow"
+    val planted = Seq(
+      (10L, s"benchmark item with $phrase inside", "web"), // eval
+      (3L,  s"training doc that copied $phrase verbatim", "web"), // contaminated
+      (5L,  "identical duplicate body text here", "web"),
+      (6L,  "identical duplicate body text here", "web"), // exact dup of 5
+      (7L,  "a perfectly clean training document about glaciers", "web"))
+      .toDF("doc_id", "text", "source")
+    val ids = Curation.cleanCorpus(planted).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(ids === Set(5L, 7L),
+      "survivors must be the canonical dup (5) and the clean doc (7)")
+  }
+
   test("rankTable: contiguous run-length ranks covering all keys") {
     import spark.implicits._
     val keyCounts = Seq(("a", 5L), ("b", 5L), ("c", 3L),
