@@ -112,4 +112,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.size > closedOnly.size,
       "expected at least one idle-user session flushed by EventTimeTimeout")
   }
+
+  test("streaming exact dedup == batch exactDuplicates (single batch)") {
+    import graft.streaming.DocStreams
+    val tables = graft.sources.Tables(spark, dir)
+    val docDir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    tables.documents.write.mode("overwrite").parquet(docDir)
+    val keepers = DocStreams.dedupedDocs(DocStreams.readDocs(spark, docDir))
+    val q = keepers.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dedup_stream")
+      .as[(String, Long)].collect().toSet
+    val want = graft.operators.Dedup.exactDuplicates(tables.documents)
+      .select("fp", "keep_id").as[(String, Long)].collect().toSet
+    assert(got === want,
+      "single-batch streaming keepers must equal the batch canonical set")
+    assert(got.nonEmpty)
+  }
+
+  test("streaming dedup never re-emits a fingerprint across batches") {
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{length, lit}
+    import graft.streaming.DocStreams
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("mem"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val q = DocStreams.dedupedDocs(docs).writeStream.outputMode("append")
+      .format("memory").queryName("dedup_rebatch").start()
+    try {
+      in.addData((7L, "same body"), (9L, "same body"), (2L, "other body"))
+      q.processAllAvailable()
+      // duplicate content arrives again in a LATER batch with a
+      // smaller doc_id: the earlier keeper must stand, nothing re-emits
+      in.addData((1L, "same body"), (3L, "fresh body"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_rebatch").as[(String, Long)].collect()
+      .map(_._2).toSet
+    assert(got === Set(7L, 2L, 3L),
+      "keepers must be first-batch mins (7, 2) plus the new content (3)")
+  }
 }
