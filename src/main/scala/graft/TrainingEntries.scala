@@ -74,6 +74,15 @@ object TrainingEntries {
     // strictest cut — shingles in ≤ 2 docs — which still flags 156
     // docs and leaves a non-trivial surviving corpus
     "q46_clean_corpus"   -> q(t => Curation.cleanCorpus(t.documents, maxDf = 2)),
+    // Frequency/statistics layer over the token stream: vocabulary
+    // (tokenizer-training input), word-frequency quality signal, and
+    // the Gopher-style repetition rule's per-doc stats
+    "q47_vocabulary"     -> q(t => TextAnalysis.vocabulary(t.documents)),
+    "q48_unigram_lm"     -> q(t => TextAnalysis.unigramLmScore(t.documents)),
+    // SemDeDup-style: cluster with the deterministic IVF k-means, pair
+    // within cells; threshold matches q35 (fixture max cosine ~0.51)
+    "q49_semantic_dups"  -> q(t => Similarity.semanticDupPairs(t.embeddings)),
+    "q50_repetition"     -> q(t => TextAnalysis.repetition(t.documents)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -626,6 +635,61 @@ object TrainingEntries {
          |  AND EXISTS (SELECT 1 FROM keep k WHERE k.doc_id = d.doc_id)
          |  AND NOT EXISTS (SELECT 1 FROM bad b WHERE b.doc_id = d.doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q47_vocabulary" ->
+      s"""WITH toks AS (SELECT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+         |  FROM documents) WHERE length(tok) > 0)
+         |SELECT tok AS token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+         |FROM toks GROUP BY tok HAVING COUNT(*) >= 2
+         |ORDER BY token""".stripMargin,
+
+    "q48_unigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+         |  FROM documents) WHERE length(tok) > 0),
+         |vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM vocab),
+         |pdt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+         |  CAST(SUM(c * tf) AS DOUBLE) /
+         |    CAST(SUM(c) * ANY_VALUE(total) AS DOUBLE) AS lm_score
+         |FROM pdt JOIN vocab USING (tok) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q49_semantic_dups" ->
+      s"""WITH $flatCte,
+         |${ivfCte(nCentroids = 16, lloydIters = 2, nprobe = 1)},
+         |szok AS (SELECT cell FROM assign GROUP BY cell HAVING COUNT(*) <= 256),
+         |memb AS (SELECT assign.vec_id, assign.cell FROM assign JOIN szok USING (cell)),
+         |pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.cell
+         |          FROM memb a JOIN memb b
+         |          ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |dots AS (SELECT p.id1, p.id2, p.cell, SUM(f1.v * f2.v) AS dot
+         |         FROM pairs p
+         |         JOIN flat f1 ON f1.vec_id = p.id1
+         |         JOIN flat f2 ON f2.vec_id = p.id2 AND f2.i = f1.i
+         |         GROUP BY p.id1, p.id2, p.cell),
+         |cos AS (SELECT id1, id2, cell, CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cos
+         |        FROM dots
+         |        JOIN norms na ON na.vec_id = id1
+         |        JOIN norms nb ON nb.vec_id = id2)
+         |SELECT id1, id2, cell, cos FROM cos WHERE cos >= 0.35
+         |ORDER BY id1, id2""".stripMargin,
+
+    "q50_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+         |  FROM documents) WHERE length(tok) > 0),
+         |pdt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+         |r AS (SELECT doc_id, tok, c,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn,
+         |        SUM(c) OVER (PARTITION BY doc_id) AS n_tok
+         |      FROM pdt)
+         |SELECT doc_id, tok AS top_token, c AS top_c,
+         |  CAST(n_tok AS BIGINT) AS n_tok,
+         |  CAST(c AS DOUBLE) / CAST(n_tok AS DOUBLE) AS rep_ratio
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q36_props_extract" ->
       raw"""SELECT event_type, COUNT(*) AS n,

@@ -208,33 +208,26 @@ object Similarity {
       .select($("cell").as("c_id"), $("cv"))
       .withColumn("cnrm", qnorm($("cv")))
 
-  /** IVF (inverted-file) ANN: deterministic k-means training — seed
-    * centroids are the first `nCentroids` vectors, refined by
-    * `lloydIters` Lloyd iterations — then each corpus vector lives in
-    * its nearest cell and a query probes its `nprobe` nearest cells.
-    * The classic IVF trade: train cost O(iters·N·C), then each query
-    * scans ~nprobe·N/C vectors.
-    *
-    * Every step is integer-derived and tie-broken (cosine desc, cell
-    * asc), so the DuckDB oracle reproduces training bit-for-bit.
-    *
-    * Each Lloyd refinement is MATERIALIZED: the K×D centroid rows are
-    * collected to the driver (tiny, like MLlib k-means) and fed back
-    * as a LocalRelation, so training executes exactly once per call —
-    * leaving `centroids` lazy grew a lineage that every downstream
-    * action (assignment, corpus leg, query leg) re-executed in full.
-    * `assigned` is persisted for the same reason: it fans into both
-    * join legs. At warehouse scale the training passes would run on a
-    * sample and the centroids persist as a dimension table.
+  /** Quantized (vec_id, qv, nrm) corpus, persisted — the shared input
+    * of IVF training, assignment, and both join legs.
     */
-  def ivfTopK(embeddings: DataFrame, maxQueryId: Long = 10, k: Int = 5,
-      nCentroids: Int = 16, lloydIters: Int = 2, nprobe: Int = 2): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val quant = embeddings.spread()
+  private def quantized(embeddings: DataFrame): DataFrame =
+    embeddings.spread()
       .select($("vec_id"), quantize($("embedding")).as("qv"))
       .withColumn("nrm", qnorm($("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Deterministic k-means training: seed centroids are the first
+    * `nCentroids` vectors, refined by `lloydIters` Lloyd iterations.
+    * Each refinement is MATERIALIZED — the K×D centroid rows are
+    * collected to the driver (tiny, like MLlib k-means) and fed back
+    * as a LocalRelation, so training executes exactly once per call
+    * regardless of how many downstream actions consume the result.
+    */
+  private def trainCentroids(quant: DataFrame, nCentroids: Int,
+      lloydIters: Int): DataFrame = {
+    val spark = quant.sparkSession
+    import spark.implicits._
     def localize(df: DataFrame): DataFrame =
       df.select($("c_id").cast("long"), $("cv"), $("cnrm"))
         .as[(Long, Seq[Long], Double)].collect().toSeq
@@ -243,6 +236,25 @@ object Similarity {
       .select($("vec_id").as("c_id"), $("qv").as("cv"), $("nrm").as("cnrm")))
     for (_ <- 1 to lloydIters)
       centroids = localize(centroidStep(quant, centroids))
+    centroids
+  }
+
+  /** IVF (inverted-file) ANN: deterministic k-means training
+    * ([[trainCentroids]]) — then each corpus vector lives in its
+    * nearest cell and a query probes its `nprobe` nearest cells.
+    * The classic IVF trade: train cost O(iters·N·C), then each query
+    * scans ~nprobe·N/C vectors.
+    *
+    * Every step is integer-derived and tie-broken (cosine desc, cell
+    * asc), so the DuckDB oracle reproduces training bit-for-bit.
+    * `assigned` is persisted because it fans into both join legs.
+    * At warehouse scale the training passes would run on a sample and
+    * the centroids persist as a dimension table.
+    */
+  def ivfTopK(embeddings: DataFrame, maxQueryId: Long = 10, k: Int = 5,
+      nCentroids: Int = 16, lloydIters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val quant = quantized(embeddings)
+    val centroids = trainCentroids(quant, nCentroids, lloydIters)
     val assigned = assignCells(quant, centroids, nprobe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = assigned.filter($("arn") === 1)
@@ -258,6 +270,45 @@ object Similarity {
         (qdot($("qe"), $("ce")).cast("double") / ($("qn") * $("cn"))).as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter($("rn") <= k)
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs: cluster the corpus
+    * with the deterministic IVF k-means ([[trainCentroids]]), then
+    * emit every same-cell pair (id1 < id2) with cosine ≥ `threshold`.
+    * Clustering first makes the pair search local: only vectors that
+    * landed in the same cell are compared, never the full corpus.
+    *
+    * Scale: per-cell pair generation is quadratic in cell size, so the
+    * knobs are `nCentroids` (∝ corpus size keeps expected cell size
+    * constant) and the `maxCell` cap — a degenerate cell (mass-
+    * duplicated embedding) is dropped outright rather than allowed to
+    * blow up the join, the same bounding idea as [[cosineDupPairs]]'s
+    * bucket cap; the cap is mirrored in the DuckDB oracle. Unlike the
+    * hyperplane variant each vector sits in exactly ONE cell, so no
+    * cross-table dedup of candidate pairs is needed, at the cost of
+    * missing pairs straddling a cell boundary (the recall trade
+    * SemDeDup accepts).
+    */
+  def semanticDupPairs(embeddings: DataFrame, threshold: Double = 0.35,
+      nCentroids: Int = 16, lloydIters: Int = 2,
+      maxCell: Int = 256): DataFrame = {
+    val quant = quantized(embeddings)
+    val centroids = trainCentroids(quant, nCentroids, lloydIters)
+    val members = assignCells(quant, centroids, 1)
+      .select($("vec_id"), $("cell"))
+      .join(quant, Seq("vec_id"))
+    val ok = members.groupBy("cell").agg(count(lit(1)).as("csz"))
+      .filter($("csz") <= maxCell).select("cell")
+    val bounded = members.join(ok, Seq("cell"))
+    val a = bounded.select($("cell"), $("vec_id").as("id1"),
+      $("qv").as("v1"), $("nrm").as("n1"))
+    val b = bounded.select($("cell"), $("vec_id").as("id2"),
+      $("qv").as("v2"), $("nrm").as("n2"))
+    a.join(b, Seq("cell"))
+      .filter($("id1") < $("id2"))
+      .select($("id1"), $("id2"), $("cell"),
+        (qdot($("v1"), $("v2")).cast("double") / ($("n1") * $("n2"))).as("cos"))
+      .filter($("cos") >= threshold)
   }
 
   /** LSH-bucketed ANN: same contract as bruteForceTopK but the

@@ -157,4 +157,84 @@ object TextAnalysis {
     documents.spread().select(
       $("doc_id"),
       fingerprint($("text")).as("fp"))
+
+  /** (doc_id, token) pairs of the normalized whitespace tokenization —
+    * the exploded form feeding vocabulary and frequency scoring.
+    */
+  private def tokens(documents: DataFrame): DataFrame =
+    documents.spread()
+      .select($("doc_id"),
+        explode(split(normText($("text")), " ")).as("token"))
+      .filter(length($("token")) > 0)
+
+  /** Corpus vocabulary: per token, total occurrences (`tf`) and
+    * document frequency (`df`), tokens occurring < `minCount` times
+    * dropped — the input a tokenizer/vocab-building step consumes.
+    *
+    * Scale: explode amplifies rows but both aggregates partial-combine
+    * map-side on (token, doc_id) then (token); only the (token,
+    * partial-count) pairs shuffle — never text. Vocabulary output is
+    * heavy-tailed-small relative to the corpus (types, not tokens).
+    */
+  def vocabulary(documents: DataFrame, minCount: Long = 2): DataFrame =
+    tokens(documents)
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"),
+        count_distinct($("doc_id")).as("df"))
+      .filter($("tf") >= minCount)
+
+  /** Word-frequency quality signal (unigram-LM proxy): per document,
+    * the mean corpus frequency of its tokens —
+    * `sum(tf(token)) / (n_tok_doc · total_corpus_tokens)` — higher =
+    * built from more common words. The numerator and both denominator
+    * factors are exact BIGINTs; ONE final double division keeps the
+    * score bit-identical across engines.
+    *
+    * Scale: the doc side pre-aggregates to (doc_id, token, c) before
+    * joining the vocabulary on token — document text never moves, and
+    * the join keys shrink to distinct-tokens-per-doc. The global total
+    * is a one-row broadcast.
+    */
+  def unigramLmScore(documents: DataFrame): DataFrame = {
+    // the token stream feeds three consumers (per-doc counts, vocab,
+    // total) — materialize the explode once instead of re-scanning
+    // the corpus text three times (parquet intermediate at warehouse
+    // scale, like Dedup's shingle index)
+    val toks = tokens(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    val total = vocab.agg(sum($("tf")).cast("long").as("total"))
+    toks.groupBy($("doc_id"), $("token")).agg(count(lit(1)).as("c"))
+      .join(vocab, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        sum($("c")).cast("long").as("n_tok"),
+        (sum($("c") * $("tf")).cast("double") /
+          (sum($("c")) * first($("total"))).cast("double")).as("lm_score"))
+  }
+
+  /** Top-token repetition stats (the Gopher-style repetition rule's
+    * input): per document, the most frequent token (ties: token asc),
+    * its count, the token total, and the repetition ratio
+    * `top_c / n_tok`. A ratio near 1 marks degenerate repeated-token
+    * documents a curation pass should drop.
+    *
+    * Scale: one shuffle on doc_id serves both the per-token counts'
+    * ranking window and the total (same partitioning, no second
+    * exchange); text never shuffles.
+    */
+  def repetition(documents: DataFrame): DataFrame = {
+    val perTok = tokens(documents)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($("doc_id"))
+    val w = byDoc.orderBy($("c").desc, $("token").asc)
+    perTok
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_tok", sum($("c")).over(byDoc))
+      .filter($("rn") === 1)
+      .select($("doc_id"), $("token").as("top_token"),
+        $("c").as("top_c"), $("n_tok").cast("long").as("n_tok"),
+        ($("c").cast("double") / $("n_tok").cast("double")).as("rep_ratio"))
+  }
 }

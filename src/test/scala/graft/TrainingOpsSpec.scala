@@ -208,6 +208,74 @@ class TrainingOpsSpec extends SparkSpec {
     } finally sc.removeSparkListener(l)
   }
 
+  test("vocabulary counts term and document frequency, minCount filters") {
+    val d = Seq(
+      (1L, "a a b"),
+      (2L, "a c  c")
+    ).toDF("doc_id", "text")
+    val all = TextAnalysis.vocabulary(d, minCount = 1)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(all === Map("a" -> (3L, 2L), "b" -> (1L, 1L), "c" -> (2L, 1L)))
+    val cut = TextAnalysis.vocabulary(d, minCount = 2)
+      .select("token").as[String].collect().toSet
+    assert(cut === Set("a", "c")) // the singleton b drops
+  }
+
+  test("unigram lm score: common-word docs score above rare-word docs") {
+    val d = Seq(
+      (1L, "x x x x"),       // all tokens are the most common type
+      (2L, "y z w q")        // all tokens are singletons
+    ).toDF("doc_id", "text")
+    // vocab: x→4, y/z/w/q→1; total=8.
+    // doc1 = 4·4 / (4·8) = 0.5; doc2 = 4·1 / (4·8) = 0.125
+    val got = TextAnalysis.unigramLmScore(d)
+      .select("doc_id", "lm_score").as[(Long, Double)].collect().toMap
+    assert(got(1L) === 0.5)
+    assert(got(2L) === 0.125)
+  }
+
+  test("repetition: top token ratio, ties broken by token asc") {
+    val d = Seq(
+      (1L, "a a a b"),
+      (2L, "b a")            // tie at c=1 → token asc picks a
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(d)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) === (("a", 3L, 4L, 0.75)))
+    assert(got(2L) === (("a", 1L, 2L, 0.5)))
+  }
+
+  test("semantic dup pairs: scaled twins share a cell and are recalled") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 50).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    // positive scaling is cosine-invariant → a twin's cosine to EVERY
+    // centroid equals its base's, so both land in the same IVF cell
+    // and the pair (cos ≈ 1) must always be emitted
+    val twins = (0 until 10).map(i => (100L + i, base(i)._2.map(_ * 0.7f)))
+    val vecs = (base ++ twins).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDupPairs(vecs, threshold = 0.95)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val planted = (0 until 10).map(i => (i.toLong, 100L + i)).toSet
+    assert(planted.subsetOf(got), s"missed planted twins: ${planted -- got}")
+  }
+
+  test("semantic dup pairs: degenerate cell dropped by maxCell cap") {
+    // 6 copies of one vector collapse into a single cell of 6 — at
+    // maxCell=4 the cell is dropped outright (no quadratic blowup),
+    // at the default cap the full pair set comes back
+    val vecs = (1L to 6L).map(i => (i, Array(1.0f, 0.5f, 0.25f, 0.12f)))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.semanticDupPairs(vecs, threshold = 0.9,
+      nCentroids = 2, maxCell = 4).count()
+    assert(capped === 0L)
+    val uncapped = Similarity.semanticDupPairs(vecs, threshold = 0.9,
+      nCentroids = 2).select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(uncapped === (1L to 6L).combinations(2)
+      .map { case Seq(a, b) => (a, b) }.toSet)
+  }
+
   test("sessionize splits on gaps > 30min and aggregates per session") {
     def ts(s: String) = Timestamp.valueOf(s)
     val ev = Seq(
