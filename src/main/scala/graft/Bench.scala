@@ -145,8 +145,8 @@ object Bench {
       name -> stat
     }
 
-    def obj(f: Stat => Double): String =
-      results.map { case (k, st) => "\"" + k + "\":" + fmt(f(st)) }
+    def obj(f: Stat => Double, digits: Int = 4): String =
+      results.map { case (k, st) => "\"" + k + "\":" + fmt(f(st), digits) }
         .mkString("{", ",", "}")
     val total = results.map(_._2.min).filter(_ >= 0).sum
 
@@ -156,9 +156,12 @@ object Bench {
         s""""sf":"$sfDir","runs":$repeats,"queries":${obj(_.min)},""" +
         s""""medians":${obj(_.med)},"cpu_sec":${obj(_.cpuSec)},""" +
         s""""gc_sec":${obj(_.gcSec)}}""")
-    // the one stdout line: compact, driver-parseable
+    // the one stdout line: compact, driver-parseable. Per-query values
+    // at 2 decimals: 64+ queries at 4 decimals push the line past the
+    // driver's ~2000-char capture window (full precision is in the
+    // detail file).
     println(s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec",""" +
-      s""""queries":${obj(_.min)},"sf":"$sfDir","runs":$repeats}""")
+      s""""queries":${obj(_.min, 2)},"sf":"$sfDir","runs":$repeats}""")
     spark.stop()
   }
 }

@@ -83,6 +83,18 @@ object TrainingEntries {
     // within cells; threshold matches q35 (fixture max cosine ~0.51)
     "q49_semantic_dups"  -> q(t => Similarity.semanticDupPairs(t.embeddings)),
     "q50_repetition"     -> q(t => TextAnalysis.repetition(t.documents)),
+    // Dup-pair → KEEP/DROP resolution: connected components over the
+    // q26 minhash pair graph (min-label propagation; oracle = DuckDB
+    // recursive-CTE transitive closure — an independent algorithm)
+    "q51_dup_clusters"   -> q(t => Dedup.dupClusters(t.documents, threshold = 0.7)),
+    "q52_length_quantiles" -> q(t => Curation.lengthQuantiles(t.documents)),
+    // As-of join via tagged-union window (oracle = native ASOF JOIN)
+    "q53_asof_click"     -> q(t => Events.clickAttribution(t.events)),
+    // Range join via epoch-bucket equi-join (oracle = plain BETWEEN)
+    "q54_window_rollup"  -> q(t => Events.windowRollup(t.events)),
+    "q55_chunks"         -> q(t => TextAnalysis.chunks(t.documents)),
+    "q56_tfidf"          -> q(t => TextAnalysis.tfidfTopTerms(t.documents)),
+    "q57_pii_redact"     -> q(t => TextAnalysis.piiRedact(t.documents)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -690,6 +702,127 @@ object TrainingEntries {
          |  CAST(n_tok AS BIGINT) AS n_tok,
          |  CAST(c AS DOUBLE) / CAST(n_tok AS DOUBLE) AS rep_ratio
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q51_dup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$hashedShinglesCte,
+         |sig AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |okb AS (SELECT band, bhash FROM bands
+         |        GROUP BY band, bhash HAVING COUNT(*) <= 256),
+         |bb AS (SELECT bands.doc_id, bands.band, bands.bhash
+         |       FROM bands JOIN okb USING (band, bhash)),
+         |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |          FROM bb a JOIN bb b
+         |          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.id1, c.id2, COUNT(*) AS common
+         |           FROM cands c
+         |           JOIN sh a ON a.doc_id = c.id1
+         |           JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+         |           GROUP BY c.id1, c.id2),
+         |dup AS (SELECT id1, id2 FROM (
+         |          SELECT id1, id2,
+         |            CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE) AS jaccard
+         |          FROM common
+         |          JOIN sizes s1 ON s1.doc_id = id1
+         |          JOIN sizes s2 ON s2.doc_id = id2)
+         |        WHERE jaccard >= 0.7),
+         |sym AS (SELECT id1 AS src, id2 AS dst FROM dup
+         |        UNION SELECT id2, id1 FROM dup),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT r.node, s.dst FROM reach r JOIN sym s ON r.lbl = s.src),
+         |comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
+         |cs AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+         |SELECT c.doc_id, c.component, cs.cluster_size
+         |FROM comp c JOIN cs USING (component) ORDER BY doc_id""".stripMargin,
+
+    "q52_length_quantiles" ->
+      s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c
+         |              FROM (SELECT source, $norm AS norm FROM documents)
+         |              GROUP BY source, n_tok),
+         |w AS (SELECT source, n_tok, c,
+         |        SUM(c) OVER (PARTITION BY source ORDER BY n_tok
+         |          ROWS UNBOUNDED PRECEDING) AS cum,
+         |        SUM(c) OVER (PARTITION BY source) AS n_docs
+         |      FROM runs),
+         |p AS (SELECT w.*, unnest([25,50,75,90]) AS pct FROM w),
+         |r AS (SELECT *, (pct * n_docs + 99) // 100 AS rk FROM p)
+         |SELECT source, CAST(pct AS BIGINT) AS pct, n_tok AS value,
+         |  CAST(n_docs AS BIGINT) AS n_docs
+         |FROM r WHERE rk > cum - c AND rk <= cum ORDER BY source, pct""".stripMargin,
+
+    "q53_asof_click" ->
+      """WITH clicks AS (SELECT user_id, ts, MAX(event_id) AS click_id
+        |                FROM events WHERE event_type = 'click'
+        |                GROUP BY user_id, ts),
+        |purch AS (SELECT event_id, user_id, ts FROM events
+        |          WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, c.click_id, c.ts AS click_ts
+        |FROM purch p ASOF JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts > c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q54_window_rollup" ->
+      """WITH win AS (SELECT i AS window_id,
+        |    TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 11 HOUR AS ws,
+        |    TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 11 HOUR
+        |      + INTERVAL 6 HOUR AS we
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS i))
+        |SELECT w.window_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
+        |GROUP BY w.window_id ORDER BY w.window_id""".stripMargin,
+
+    "q55_chunks" ->
+      s"""SELECT doc_id,
+         |  CAST((off - 1) // 192 AS BIGINT) AS chunk_idx,
+         |  CAST(off AS BIGINT) AS off,
+         |  CAST(length(substr(norm, CAST(off AS BIGINT), 256)) AS BIGINT) AS chunk_len,
+         |  md5(substr(norm, CAST(off AS BIGINT), 256)) AS chunk_fp
+         |FROM (SELECT doc_id, norm,
+         |        unnest(generate_series(1, greatest(length(norm), 1), 192)) AS off
+         |      FROM (SELECT doc_id, $norm AS norm FROM documents))
+         |ORDER BY doc_id, off""".stripMargin,
+
+    "q56_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+         |    FROM documents) WHERE length(tok) > 0),
+         |pdt AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, tok AS token, tf, df,
+         |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+         |  FROM pdt JOIN dfq USING (tok) CROSS JOIN nd),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, token) AS BIGINT) AS rn FROM scored)
+         |SELECT doc_id, token, tf, df, score, rn FROM r WHERE rn <= 5
+         |ORDER BY doc_id, rn""".stripMargin,
+
+    "q57_pii_redact" ->
+      s"""WITH planted AS (SELECT doc_id,
+         |    $norm ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+         |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' see https://example.org/d/' ||
+         |      CAST(doc_id AS VARCHAR) ELSE '' END AS txt
+         |  FROM documents),
+         |red AS (SELECT doc_id, txt,
+         |    regexp_replace(regexp_replace(txt,
+         |      '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+', '<EMAIL>', 'g'),
+         |      'https?://[a-z0-9./_-]+', '<URL>', 'g') AS clean
+         |  FROM planted)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(txt,
+         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(txt,
+         |    'https?://[a-z0-9./_-]+')) AS BIGINT) AS n_urls,
+         |  CAST(length(clean) AS BIGINT) AS clean_len,
+         |  md5(clean) AS clean_fp
+         |FROM red ORDER BY doc_id""".stripMargin,
 
     "q36_props_extract" ->
       raw"""SELECT event_type, COUNT(*) AS n,

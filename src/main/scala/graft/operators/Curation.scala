@@ -40,6 +40,42 @@ object Curation {
 
   private def $(name: String): Column = col(name)
 
+  /** Exact per-source token-length quantiles — the corpus length
+    * report a curation pass reads before choosing length filters. For
+    * each source and each percentile p in `pcts`, the value at rank
+    * ceil(p·n/100) of the sorted per-doc token counts (the classic
+    * order statistic, integer-exact in both engines — Spark's
+    * `percentile` interpolates and DuckDB's `quantile_cont` differs in
+    * formula, so neither is oracle-portable).
+    *
+    * Scale: run-length encoded — docs aggregate to (source, n_tok,
+    * count) FIRST, so the ranking window scans distinct lengths per
+    * source (thousands) instead of rows (billions); the cumulative sum
+    * then locates each rank inside a run. At 100 TB the heavy shuffle
+    * carries only (source, n_tok) partial counts. (`approx_percentile`
+    * is the single-pass alternative when exactness isn't required.)
+    */
+  def lengthQuantiles(documents: DataFrame,
+      pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    val runs = documents.spread()
+      .select($("source"), TextAnalysis.tokenCount($("text")).cast("long").as("n_tok"))
+      .groupBy($("source"), $("n_tok")).agg(count(lit(1)).as("c"))
+    val bySrc = Window.partitionBy($("source"))
+    val cum = Window.partitionBy($("source")).orderBy($("n_tok").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    runs
+      .withColumn("cum", sum($("c")).over(cum))
+      .withColumn("n_docs", sum($("c")).over(bySrc))
+      .select($("source"), $("n_tok"), $("c"), $("cum"), $("n_docs"),
+        explode(array(pcts.map(lit(_)): _*)).as("pct"))
+      // rank of the p-th percentile: rk = ceil(pct*n/100), landing in
+      // this run iff cum-c < rk <= cum (pure integer arithmetic)
+      .withColumn("rk", expr("(pct * n_docs + 99) div 100"))
+      .filter($("rk") > $("cum") - $("c") && $("rk") <= $("cum"))
+      .select($("source"), $("pct").cast("long").as("pct"),
+        $("n_tok").as("value"), $("n_docs"))
+  }
+
   /** Uniform deterministic bucket in [0, mod): the first `hexChars`
     * hex chars of md5(key) as an integer, mod `mod`. 8 hex chars =
     * 32 bits, far above any practical modulus; the same literal

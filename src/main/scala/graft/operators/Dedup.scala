@@ -178,6 +178,65 @@ object Dedup {
       .filter($("jaccard") >= threshold)
   }
 
+  /** Connected components over the near-duplicate pair graph — the
+    * step that turns pairwise dup hits into KEEP/DROP decisions (a
+    * chain a~b~c must collapse to ONE canonical doc even when a~c was
+    * never directly compared). Components are labeled by their
+    * smallest doc_id. Returns (doc_id, component, cluster_size) for
+    * every doc that appears in at least one pair.
+    *
+    * Algorithm: iterative min-label propagation (hash-to-min) — each
+    * round every node takes the min of its own label and its
+    * neighbors', until a fixpoint. Each round is one equi-join plus
+    * one groupBy-min (both partial-aggregated); rounds needed = graph
+    * diameter. Dup graphs are overwhelmingly tiny cliques/chains
+    * (diameter ≤ ~3), so this converges in 2-4 rounds; the edge set is
+    * pairs only — orders of magnitude smaller than the corpus — and
+    * the corpus text never enters the loop. (For adversarially long
+    * chains the two-phase large-star/small-star variant converges in
+    * O(log n) rounds with the same per-round plan shape.) The
+    * convergence check is a driver-side count of changed labels —
+    * one scalar per round, not a collect of data.
+    */
+  def dupClusters(documents: DataFrame, n: Int = 5, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.7, maxBucket: Int = 256,
+      maxRounds: Int = 20): DataFrame =
+    componentsOf(
+      minhashDupPairs(documents, n, k, bands, threshold, maxBucket)
+        .select($("id1"), $("id2")),
+      maxRounds)
+
+  /** Connected components of an (id1, id2) edge list (see
+    * [[dupClusters]] for the algorithm and scale notes).
+    */
+  def componentsOf(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select($("id1").as("src"), $("id2").as("dst"))
+      .union(pairs.select($("id2").as("src"), $("id1").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select($("src").as("node"), $("src").as("comp"))
+      .distinct().persist(MEMORY_AND_DISK)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      // neighbor labels: edge (src,dst) contributes dst's comp to src
+      val fromNeighbors = edges
+        .join(labels.select($("node").as("dst"), $("comp")), Seq("dst"))
+        .select($("src").as("node"), $("comp"))
+      val next = labels.select($("node"), $("comp")).union(fromNeighbors)
+        .groupBy("node").agg(min($("comp")).as("comp"))
+        .persist(MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("node"))
+        .filter($("comp") =!= $("old")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("comp"))
+      .select($("node").as("doc_id"), $("comp").as("component"), $("cluster_size"))
+  }
+
   /** n-gram Jaccard near-dup pairs WITHOUT minhash: inverted shingle
     * index, document-frequency stopword cut (shingles in > maxDf docs
     * are dropped — bounds bucket sizes at scale), pair counting, then

@@ -214,6 +214,100 @@ object TextAnalysis {
           (sum($("c")) * first($("total"))).cast("double")).as("lm_score"))
   }
 
+  /** Fixed-size overlapping character chunks of the normalized text —
+    * the context-window split a training pipeline applies before
+    * tokenization (`size`-char pieces every `stride` chars, so
+    * consecutive chunks overlap by `size - stride`). Empty documents
+    * still yield one (empty) chunk, so no document silently vanishes.
+    *
+    * Output: (doc_id, chunk_idx, off, chunk_len, chunk_fp) — the chunk
+    * content travels as its md5 fingerprint, which is what chunk-level
+    * dedup consumes; a real pipeline would carry the substring itself.
+    *
+    * Scale: pure narrow explode (offset sequence → substr) — no
+    * shuffle at all; row amplification is len/stride, bounded by the
+    * document length that already flowed through the scan.
+    */
+  def chunks(documents: DataFrame, size: Int = 256, stride: Int = 192): DataFrame = {
+    require(stride > 0 && size >= stride, s"need 0 < stride <= size")
+    documents.spread()
+      .select($("doc_id"), normText($("text")).as("norm"))
+      .select($("doc_id"), $("norm"),
+        explode(expr(s"sequence(1, greatest(length(norm), 1), $stride)")).as("off"))
+      .select(
+        $("doc_id"),
+        (($("off") - 1) / stride).cast("long").as("chunk_idx"),
+        $("off").cast("long").as("off"),
+        length($("norm").substr($("off"), lit(size))).cast("long").as("chunk_len"),
+        md5($("norm").substr($("off"), lit(size))).as("chunk_fp"))
+  }
+
+  /** Top-`topK` TF-IDF terms per document. The idf is the
+    * reciprocal-df variant `n_docs / df` (no logarithm): `ln` is not
+    * correctly-rounded-guaranteed across libm implementations, so a
+    * log-idf could differ in the last ULP between engines — the
+    * reciprocal form is ONE double division of exact integers, which
+    * is bit-identical everywhere (same contract as unigramLmScore).
+    * Ranking ties break on token asc.
+    *
+    * Scale: the token stream is materialized once and feeds both the
+    * per-doc counts and the df table; the join carries (doc_id, token,
+    * count) triples — never text — and n_docs is a one-row broadcast.
+    * The final window's doc_id exchange is the same partitioning the
+    * per-doc aggregate already produced.
+    */
+  def tfidfTopTerms(documents: DataFrame, topK: Int = 5): DataFrame = {
+    val toks = tokens(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDoc = toks.groupBy($("doc_id"), $("token")).agg(count(lit(1)).as("tf"))
+    val dfTab = toks.groupBy("token").agg(count_distinct($("doc_id")).as("df"))
+    val nDocs = documents.agg(count(lit(1)).cast("long").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($("doc_id")).orderBy($("score").desc, $("token").asc)
+    perDoc.join(dfTab, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        ($("tf") * $("n_docs")).cast("double") / $("df").cast("double"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($("rn") <= topK)
+      .select($("doc_id"), $("token"), $("tf"), $("df"), $("score"), $("rn"))
+  }
+
+  // RE2-compatible (and Java-regex-compatible) PII patterns: plain
+  // character classes only — no lookarounds, no backrefs — so the
+  // DuckDB oracle applies the identical pattern text.
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+"
+  val UrlRe   = "https?://[a-z0-9./_-]+"
+
+  /** PII scrub: count and redact email addresses and URLs. The
+    * synthetic corpus contains neither, so the operator PLANTS
+    * deterministic instances first (an email on every doc_id % 3 == 0,
+    * a URL on every doc_id % 5 == 0) — the planting arithmetic is
+    * mirrored in the oracle SQL, so the redaction itself is what the
+    * hash compare exercises (planted-input pattern, like a07's dirty
+    * rows). Output carries the redacted text as length + fingerprint.
+    *
+    * Scale: pure per-row regex chain — single scan, no shuffle.
+    */
+  def piiRedact(documents: DataFrame): DataFrame = {
+    val planted = concat(
+      normText($("text")),
+      when($("doc_id") % 3 === 0,
+        concat(lit(" contact user"), $("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when($("doc_id") % 5 === 0,
+        concat(lit(" see https://example.org/d/"), $("doc_id").cast("string")))
+        .otherwise(lit("")))
+    val redacted = regexp_replace(
+      regexp_replace(planted, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
+    documents.spread().select(
+      $("doc_id"),
+      size(regexp_extract_all(planted, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(planted, lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+      length(redacted).cast("long").as("clean_len"),
+      md5(redacted).as("clean_fp"))
+  }
+
   /** Top-token repetition stats (the Gopher-style repetition rule's
     * input): per document, the most frequent token (ties: token asc),
     * its count, the token total, and the repetition ratio

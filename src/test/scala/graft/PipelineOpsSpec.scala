@@ -1,0 +1,154 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.{Curation, Dedup, Events, TextAnalysis}
+
+/** Semantic tests for the round-5 pipeline operators: dup-cluster
+  * connected components, length quantiles, as-of join, range join,
+  * chunking, TF-IDF, PII redaction. (The DuckDB oracle gates engine
+  * parity; these pin the intended behavior on planted fixtures.)
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -------------------------------------------------------------
+  // connected components
+  // -------------------------------------------------------------
+
+  test("componentsOf collapses a transitive chain needing several rounds") {
+    // path 1-2-3-4-5 (diameter 4: exercises the propagation loop) plus
+    // a separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id1", "id2")
+    val got = Dedup.componentsOf(pairs)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, comp, sz) => id -> ((comp, sz)) }.toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L, 10L, 11L))
+    Seq(1L, 2L, 3L, 4L, 5L).foreach(id => assert(got(id) === ((1L, 5L))))
+    Seq(10L, 11L).foreach(id => assert(got(id) === ((10L, 2L))))
+  }
+
+  test("dupClusters groups the planted exact+near dups into one cluster") {
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "The quick brown fox jumps over the lazy dog and runs far away home"),
+      (3L, "The quick brown fox jumps over the lazy dog and runs far away house"),
+      (4L, "Completely different content about distributed query engines in the cloud")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupClusters(docs, threshold = 0.7)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, comp, sz) => id -> ((comp, sz)) }.toMap
+    // 1~2 (exact) and 1~3 or 2~3 (near) must land in ONE component
+    // labeled by the smallest member; doc 4 never appears
+    assert(got.keySet === Set(1L, 2L, 3L))
+    got.values.foreach(v => assert(v === ((1L, 3L))))
+  }
+
+  // -------------------------------------------------------------
+  // length quantiles
+  // -------------------------------------------------------------
+
+  test("lengthQuantiles picks exact order statistics per source") {
+    val docs = Seq(
+      (1L, "s", "a"), (2L, "s", "a b"), (3L, "s", "a b c"), (4L, "s", "a b c d")
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.lengthQuantiles(docs, Seq(25, 50, 75, 90))
+      .select("pct", "value").as[(Long, Long)].collect().toMap
+    // ranks over n=4: ceil(.25*4)=1, ceil(.5*4)=2, ceil(.75*4)=3, ceil(.9*4)=4
+    assert(got === Map(25L -> 1L, 50L -> 2L, 75L -> 3L, 90L -> 4L))
+  }
+
+  // -------------------------------------------------------------
+  // as-of join
+  // -------------------------------------------------------------
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("clickAttribution attaches the latest STRICTLY-prior click") {
+    val events = Seq(
+      // user 1: click, click, purchase AT the second click's ts, later purchase
+      (10L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (11L, ts("2024-01-01 11:00:00"), 1L, "click"),
+      (20L, ts("2024-01-01 11:00:00"), 1L, "purchase"), // equal ts: strict < excludes click 11
+      (21L, ts("2024-01-01 12:00:00"), 1L, "purchase"),
+      // user 2: purchase with no prior click -> dropped
+      (22L, ts("2024-01-01 09:00:00"), 2L, "purchase"),
+      // user 3: two clicks at the SAME ts -> deterministic max event_id
+      (30L, ts("2024-01-01 08:00:00"), 3L, "click"),
+      (31L, ts("2024-01-01 08:00:00"), 3L, "click"),
+      (23L, ts("2024-01-01 09:00:00"), 3L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.clickAttribution(events)
+      .select("event_id", "click_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(20L -> 10L, 21L -> 11L, 23L -> 31L))
+  }
+
+  // -------------------------------------------------------------
+  // range join
+  // -------------------------------------------------------------
+
+  test("windowRollup counts events into overlapping windows with [start, end) bounds") {
+    // windows every 3h, 6h long: [0,6), [3,9), [6,12)
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0), // window 0 only (start incl.)
+      (2L, ts("2024-01-01 04:00:00"), 1L, "view", 2.0), // windows 0 and 1
+      (3L, ts("2024-01-01 06:00:00"), 1L, "view", 4.0), // windows 1 and 2 (end excl. of 0)
+      (4L, ts("2024-01-01 23:00:00"), 1L, "view", 8.0)  // outside all three
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.windowRollup(events, nWindows = 3, everyHours = 3, lenHours = 6)
+      .select("window_id", "n", "sum_value").as[(Long, Long, Double)].collect()
+      .map { case (w, n, s) => w -> ((n, s)) }.toMap
+    assert(got === Map(0L -> ((2L, 3.0)), 1L -> ((2L, 6.0)), 2L -> ((1L, 4.0))))
+  }
+
+  // -------------------------------------------------------------
+  // chunking
+  // -------------------------------------------------------------
+
+  test("chunks emits overlapping fixed-size pieces; empty docs keep one chunk") {
+    val docs = Seq((1L, "x" * 500), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunks(docs, size = 256, stride = 192)
+      .select("doc_id", "chunk_idx", "off", "chunk_len")
+      .as[(Long, Long, Long, Long)].collect().sorted
+    // 500 chars at stride 192: offsets 1, 193, 385 -> lens 256, 256, 116
+    assert(got.toSeq === Seq(
+      (1L, 0L, 1L, 256L), (1L, 1L, 193L, 256L), (1L, 2L, 385L, 116L),
+      (2L, 0L, 1L, 0L)))
+  }
+
+  // -------------------------------------------------------------
+  // tf-idf
+  // -------------------------------------------------------------
+
+  test("tfidfTopTerms ranks doc-distinctive terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, topK = 2)
+      .select("doc_id", "token", "score", "rn")
+      .as[(Long, String, Double, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._4).map(r => (r._2, r._3)) }
+    // n_docs=2: doc 1 apple = tf2 * 2/df1 = 4.0; banana = 1 * 2/2 = 1.0
+    assert(got(1L).toSeq === Seq(("apple", 4.0), ("banana", 1.0)))
+    assert(got(2L).toSeq === Seq(("cherry", 2.0), ("banana", 1.0)))
+  }
+
+  // -------------------------------------------------------------
+  // pii redaction
+  // -------------------------------------------------------------
+
+  test("piiRedact counts and strips the planted emails and URLs") {
+    // doc 15 gets both plantings (div by 3 and 5); doc 1 gets none
+    val docs = Seq((15L, "hello world"), (1L, "hello world"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiRedact(docs)
+      .select("doc_id", "n_emails", "n_urls", "clean_len")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, e, u, l) => id -> ((e, u, l)) }.toMap
+    val clean15 = "hello world contact <EMAIL> see <URL>"
+    assert(got(15L) === ((1L, 1L, clean15.length.toLong)))
+    assert(got(1L) === ((0L, 0L, "hello world".length.toLong)))
+  }
+}
