@@ -95,6 +95,11 @@ object TrainingEntries {
     "q55_chunks"         -> q(t => TextAnalysis.chunks(t.documents)),
     "q56_tfidf"          -> q(t => TextAnalysis.tfidfTopTerms(t.documents)),
     "q57_pii_redact"     -> q(t => TextAnalysis.piiRedact(t.documents)),
+    // Sketch profile: HLL++ + quantile sketch — deliberately has NO
+    // oracleSql twin (sketches are engine-specific); the driver
+    // records the weaker rows-only check and PipelineOpsSpec bounds
+    // the error against the exact operators (q20/q52 semantics)
+    "q58_approx_profile" -> q(t => Curation.approxProfile(t.documents)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —

@@ -40,6 +40,33 @@ object Curation {
 
   private def $(name: String): Column = col(name)
 
+  /** Sketch-based corpus profile — the single-pass 100 TB alternative
+    * to the exact reports ([[lengthQuantiles]], distinct counts):
+    * per source, document count, HLL++ approximate distinct
+    * fingerprints (`approx_count_distinct`, relative sd `rsd`), total
+    * tokens, and approximate token-length percentiles
+    * (`percentile_approx`, a mergeable quantile sketch).
+    *
+    * Scale: ONE scan, one partial-aggregated shuffle of constant-size
+    * sketch state per (source × partition) — no sort, no second pass,
+    * no per-doc rows on the wire. Sketches are engine-specific, so
+    * this entry is rows-only-gated (no DuckDB hash twin — the exact
+    * twins q20/q52 cover the semantics); PipelineOpsSpec bounds the
+    * approximation error against the exact operators instead.
+    */
+  def approxProfile(documents: DataFrame, rsd: Double = 0.05): DataFrame =
+    documents.spread()
+      .select($("source"),
+        TextAnalysis.tokenCount($("text")).cast("long").as("n_tok"),
+        TextAnalysis.fingerprint($("text")).as("fp"))
+      .groupBy($("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct($("fp"), rsd).as("n_distinct_approx"),
+        sum($("n_tok")).as("n_tokens"),
+        percentile_approx($("n_tok"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("tok_pcts"))
+
   /** Exact per-source token-length quantiles — the corpus length
     * report a curation pass reads before choosing length filters. For
     * each source and each percentile p in `pcts`, the value at rank

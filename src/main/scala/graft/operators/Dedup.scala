@@ -208,14 +208,25 @@ object Dedup {
 
   /** Connected components of an (id1, id2) edge list (see
     * [[dupClusters]] for the algorithm and scale notes).
+    *
+    * Lineage discipline: iterative DataFrame algorithms must TRUNCATE
+    * lineage each round — labels_n = f(labels_(n-1), edges) makes the
+    * logical plan grow geometrically, and each embeds the full pair-
+    * GENERATION plan (for dupClusters: the whole minhash pipeline), so
+    * Catalyst re-analysis soon dominates compute (measured here:
+    * 6.5 s to re-count an already-cached 477-row result; q51 was 4x
+    * q26 with caching alone). `localCheckpoint` materializes the rows
+    * and replaces the plan with the stored RDD — the same discipline
+    * MLlib's iterative algorithms use. On a production cluster where
+    * executor loss must be survivable, swap for reliable
+    * `checkpoint` into the warehouse's checkpoint dir.
     */
   def componentsOf(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select($("id1").as("src"), $("id2").as("dst"))
-      .union(pairs.select($("id2").as("src"), $("id1").as("dst")))
-      .persist(MEMORY_AND_DISK)
+    val p = pairs.localCheckpoint(true)
+    val edges = p.select($("id1").as("src"), $("id2").as("dst"))
+      .union(p.select($("id2").as("src"), $("id1").as("dst")))
     var labels = edges.select($("src").as("node"), $("src").as("comp"))
-      .distinct().persist(MEMORY_AND_DISK)
+      .distinct().localCheckpoint(true)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -225,10 +236,9 @@ object Dedup {
         .select($("src").as("node"), $("comp"))
       val next = labels.select($("node"), $("comp")).union(fromNeighbors)
         .groupBy("node").agg(min($("comp")).as("comp"))
-        .persist(MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("node"))
         .filter($("comp") =!= $("old")).count()
-      labels.unpersist()
       labels = next
       round += 1
     }

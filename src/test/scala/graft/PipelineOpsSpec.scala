@@ -136,6 +136,34 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------
+  // sketch profile
+  // -------------------------------------------------------------
+
+  test("approxProfile sketches agree with the exact operators within tolerance") {
+    // 200 docs, 2 sources, lengths 2..101 tokens, unique texts (the
+    // leading d$i token — equal-length all-"w" texts would be TRUE
+    // duplicates and the distinct count legitimately halves)
+    val docs = (1L to 200L).map { i =>
+      (i, if (i % 2 == 0) "even" else "odd",
+        (s"d$i" +: Seq.fill((i % 100 + 1).toInt)("w")).mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val got = Curation.approxProfile(docs, rsd = 0.05)
+      .select("source", "n_docs", "n_distinct_approx", "tok_pcts")
+      .as[(String, Long, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    got.values.foreach { case (nDocs, nDistinct, pcts) =>
+      assert(nDocs === 100L)
+      // HLL++ at rsd 0.05: allow 3 sigma
+      assert(math.abs(nDistinct - 100L) <= 15, s"hll=$nDistinct")
+      // per-source lengths are uniform 2..101; sketch accuracy 10000
+      // on 100 values is exact-rank territory — generous bands anyway
+      assert(pcts.length === 3)
+      assert(math.abs(pcts(0) - 51L) <= 5, s"p50=${pcts(0)}")
+      assert(math.abs(pcts(1) - 91L) <= 5, s"p90=${pcts(1)}")
+    }
+  }
+
+  // -------------------------------------------------------------
   // pii redaction
   // -------------------------------------------------------------
 
