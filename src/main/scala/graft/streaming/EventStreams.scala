@@ -141,6 +141,76 @@ object EventStreams extends Serializable {
       }
   }
 
+  final case class AttributionOut(event_id: Long, user_id: Long,
+      click_id: Long, click_ts: Timestamp)
+
+  final case class ClickState(clickId: Long, ts: Long)
+
+  /** Streaming as-of attribution — incremental twin of
+    * Events.clickAttribution. Per-user state is just the LATEST click
+    * (one row), updated as clicks arrive; each purchase emits
+    * immediately with the current state if that click is strictly
+    * earlier. Within a micro-batch events fold in (ts, kind, event_id)
+    * order with purchases before clicks at equal ts — the same total
+    * order that encodes the strict `<` in the batch twin — and
+    * same-ts clicks resolve to the max event_id.
+    *
+    * State is dropped once `stateTtlMinutes` of event time pass the
+    * last click (EventTimeTimeout), so state size is O(users active
+    * within the horizon). Consequences, both inherent to
+    * single-pass streaming: a click landing later than the watermark
+    * delay cannot attribute purchases that already streamed through,
+    * and a purchase arriving after a longer idle gap than the horizon
+    * finds no click state (the batch twin attributes arbitrarily far
+    * back). Both twins agree on in-horizon data — StreamingSpec pins
+    * the equivalence.
+    */
+  def clickAttribution(events: Dataset[Event],
+      watermarkDelay: String = "2 hours", stateTtlMinutes: Int = 120,
+      clickType: String = "click", purchaseType: String = "purchase")
+      : Dataset[AttributionOut] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events
+      .filter(e => e.event_type == clickType || e.event_type == purchaseType)
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ClickState, AttributionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[ClickState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // purchases (kind 0) before clicks (kind 1) at equal ts
+            val sorted = it.toSeq.sortBy(e =>
+              (micros(e.ts), if (e.event_type == clickType) 1 else 0, e.event_id))
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[AttributionOut]
+            for (e <- sorted) {
+              val t = micros(e.ts)
+              if (e.event_type == clickType) {
+                // latest click wins; same-ts clicks resolve to max id
+                if (st == null || t > st.ts || (t == st.ts && e.event_id > st.clickId))
+                  st = ClickState(e.event_id, t)
+              } else if (st != null && st.ts < t) {
+                out += AttributionOut(e.event_id, userId, st.clickId, tsOfMicros(st.ts))
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              // keep the click state for stateTtlMinutes of EVENT time
+              // past the click; must exceed the current watermark or
+              // Spark rejects the timestamp
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs + 1,
+                Math.floorDiv(st.ts, 1000L) + stateTtlMinutes * 60000L))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Run a streaming DataFrame to completion against a static input
     * (memory sink), returning the collected result table — the test
     * harness for the twins.

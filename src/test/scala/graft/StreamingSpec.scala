@@ -113,6 +113,46 @@ class StreamingSpec extends SparkSpec {
       "expected at least one idle-user session flushed by EventTimeTimeout")
   }
 
+  test("streaming as-of attribution == batch clickAttribution (single batch)") {
+    val tables = graft.sources.Tables(spark, dir)
+    val events = EventStreams.readEvents(spark, streamDir)
+      .as[EventStreams.Event]
+    val attributed = EventStreams.clickAttribution(events)
+    val q = attributed.writeStream.outputMode("append")
+      .format("memory").queryName("asof_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("asof_stream")
+      .as[(Long, Long, Long, java.sql.Timestamp)].collect().toSet
+    // single batch: every user's events fold in one invocation, so the
+    // TTL never intervenes and the streaming result must EQUAL batch
+    val want = Events.clickAttribution(tables.events)
+      .as[(Long, Long, Long, java.sql.Timestamp)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming attribution carries click state across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val events = in.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[EventStreams.Event]
+    val q = EventStreams.clickAttribution(events).writeStream
+      .outputMode("append").format("memory").queryName("asof_rebatch").start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), 5L, "click", 0.0, "{}"))
+      q.processAllAvailable()
+      in.addData((2L, ts("2024-01-01 10:30:00"), 5L, "purchase", 1.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof_rebatch")
+      .select("event_id", "click_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(2L -> 1L),
+      "a batch-2 purchase must attribute to the batch-1 click held in state")
+  }
+
   test("streaming exact dedup == batch exactDuplicates (single batch)") {
     import graft.streaming.DocStreams
     val tables = graft.sources.Tables(spark, dir)
