@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{Airline, Dedup}
+import graft.operators.{Airline, Dedup, TextAnalysis}
 
 /** Property-based checks (SURVEY.md §5): algebraic invariants of the
   * ranking/aggregation operators on generated inputs. Uses seeded
@@ -91,6 +91,66 @@ class PropertiesSpec extends SparkSpec {
         assert(a < b); assert(j >= 0.0 && j <= 1.0)
       }
       assert(pairs.find(p => p._1 == 0L && p._2 == 1000L).exists(_._3 === 1.0))
+    }
+  }
+
+  test("componentsOf == union-find on random edge lists") {
+    val edgeGen = for {
+      a <- Gen.choose(0L, 30L); b <- Gen.choose(0L, 30L) if a != b
+    } yield if (a < b) (a, b) else (b, a)
+    for {
+      i <- 1 to 4
+      edges <- Gen.listOfN(12 + i * 5, edgeGen)
+        .apply(Gen.Parameters.default, Seed(7L + i))
+    } {
+      val got = Dedup.componentsOf(edges.distinct.toDF("id1", "id2"))
+        .as[(Long, Long, Long)].collect()
+      // reference: in-memory union-find with min-relabeling
+      val parent = collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(n => n -> find(n)).toMap
+      val sizes = want.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      assert(got.length === want.size)
+      got.foreach { case (node, comp, sz) =>
+        assert(comp === want(node), s"node $node")
+        assert(sz === sizes(comp), s"size of comp $comp")
+      }
+    }
+  }
+
+  test("chunks reassemble to the normalized text (overlap stripped)") {
+    val textGen = Gen.choose(0, 900).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    for {
+      i <- 1 to 3
+      texts <- Gen.listOfN(6, textGen).apply(Gen.Parameters.default, Seed(55L + i))
+    } {
+      val df = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      val size = 256; val stride = 192
+      val got = TextAnalysis.chunks(df, size, stride)
+        .select("doc_id", "chunk_idx", "off", "chunk_len")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      texts.zipWithIndex.foreach { case (t, j) =>
+        val cs = got(j.toLong)
+        // offsets advance by exactly stride from 1; every char of the
+        // normalized text is covered; lengths reconstruct the total
+        cs.zipWithIndex.foreach { case ((_, idx, off, _), k) =>
+          assert(idx === k.toLong); assert(off === 1L + k * stride)
+        }
+        val norm = t.toLowerCase.replaceAll("\\s+", " ").trim
+        val covered = cs.map { case (_, _, off, len) => off - 1 + len }.max
+        assert(covered === norm.length || (norm.isEmpty && cs.length === 1))
+        assert(cs.forall(_._4 <= size))
+      }
     }
   }
 }
