@@ -42,75 +42,44 @@ object Events {
         (sum($("k")).cast("double") / count(lit(1))).as("avg_k"))
 
   /** As-of join (point-in-time attribution): for each purchase event,
-    * the latest click by the same user STRICTLY before it. Spark has
-    * no native ASOF JOIN; the classic formulation is a range join that
-    * degenerates to a per-user cross product. This instead uses the
-    * tagged-union trick — stack both sides, ONE window per user, and
-    * `last(click_id, ignoreNulls)` carries the most recent click
-    * forward onto each purchase row. At equal timestamps purchases
-    * sort first (kind 0 < 1), which encodes the strict `<`; the click
-    * side is pre-collapsed to one row per (user_id, ts) (max event_id)
-    * so ties are deterministic. Inner semantics: purchases with no
-    * prior click are dropped (nullable outputs don't hash-compare
-    * cleanly across engines).
-    *
-    * Scale: one shuffle on user_id total — no join at all, no range
-    * explosion; this is the shape that survives a 100 TB event log
-    * (the DuckDB oracle uses its native ASOF JOIN — an independent
-    * formulation, which is what makes this pair a strong gate).
+    * the latest click by the same user STRICTLY before it — the
+    * q53-gated specialization of the generic [[AsOf.join]] (see its
+    * Scaladoc for the tagged-union mechanics: strict `<` via the kind
+    * sort, max-event_id tie resolution, inner semantics, and why zero
+    * join nodes is the shape that survives a 100 TB event log). The
+    * DuckDB oracle uses its native ASOF JOIN — an independent
+    * formulation, which is what makes this pair a strong gate.
     */
   def clickAttribution(events: DataFrame,
       clickType: String = "click", purchaseType: String = "purchase"): DataFrame = {
-    val clicks = events.filter($("event_type") === clickType)
-      .groupBy($("user_id"), $("ts")).agg(max($("event_id")).as("click_id"))
     val purchases = events.filter($("event_type") === purchaseType)
-      .select($("user_id"), $("ts"), lit(0).as("kind"),
-        $("event_id"), lit(null).cast("long").as("click_id"))
-    val tagged = purchases.unionByName(
-      clicks.select($("user_id"), $("ts"), lit(1).as("kind"),
-        lit(null).cast("long").as("event_id"), $("click_id")))
-    val w = Window.partitionBy($("user_id"))
-      .orderBy($("ts").asc, $("kind").asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    tagged
-      .withColumn("last_click_id", last($("click_id"), ignoreNulls = true).over(w))
-      .withColumn("last_click_ts",
-        last(when($("kind") === 1, $("ts")), ignoreNulls = true).over(w))
-      .filter($("kind") === 0 && $("last_click_id").isNotNull)
+      .select($("event_id"), $("user_id"), $("ts"))
+    val clicks = events.filter($("event_type") === clickType)
+      .select($("user_id"), $("ts"), $("event_id"))
+    AsOf.join(purchases, clicks, key = "user_id",
+        leftTs = "ts", rightTs = "ts", tieBreak = "event_id")
       .select($("event_id"), $("user_id"),
-        $("last_click_id").as("click_id"), $("last_click_ts").as("click_ts"))
+        $("right_event_id").as("click_id"), $("right_ts").as("click_ts"))
   }
 
   /** Interval (range) join: count and sum the events falling inside
     * each of `nWindows` analysis windows (`lenHours` long, opening
     * every `everyHours`, so windows may overlap and events may match
-    * several). A naive `ts BETWEEN start AND end` join is a cross
-    * product in Spark (BroadcastNestedLoopJoin); this bucketizes both
-    * sides to `lenHours`-wide epoch buckets — each window covers ≤ 2
-    * buckets, each event exactly one — so the join is an EQUI-join on
-    * the bucket key with the range predicate as a post-filter.
-    *
-    * Scale: with millions of windows the bucket equi-join hash-
-    * partitions both sides (candidate pairs per event ≈ windows
-    * overlapping its bucket, not all windows); here the exploded
-    * window side is tiny and broadcasts. Either way, no nested-loop.
+    * several) — the q54-gated specialization of the generic
+    * [[RangeJoin.overlap]] (see its Scaladoc for the bucketization
+    * mechanics and why the naive BETWEEN join is a nested loop).
     */
   def windowRollup(events: DataFrame, nWindows: Int = 64,
       everyHours: Int = 11, lenHours: Int = 6): DataFrame = {
     val spark = events.sparkSession
-    val bucketUs = lenHours * 3600L * 1000000L
     // session tz is UTC (Verify/Bench/specs), so this literal is the
     // same instant the DuckDB oracle's naive TIMESTAMP '2024-01-01' is
     val windows = spark.range(nWindows.toLong).toDF("window_id")
       .withColumn("ws", expr(
         s"timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0, $everyHours * window_id)"))
       .withColumn("we", expr(s"ws + make_interval(0,0,0,0, $lenHours)"))
-      .withColumn("bucket", explode(expr(
-        s"sequence(unix_micros(ws) div $bucketUs, unix_micros(we - interval 1 microsecond) div $bucketUs)")))
-    val bucketed = events
-      .withColumn("bucket", expr(s"unix_micros(ts) div $bucketUs"))
-    bucketed.join(broadcast(windows), Seq("bucket"))
-      .filter($("ts") >= $("ws") && $("ts") < $("we"))
+    RangeJoin.overlap(events, windows, pointTs = "ts",
+        startTs = "ws", endTs = "we", bucketUs = lenHours * 3600L * 1000000L)
       .groupBy($("window_id"))
       .agg(count(lit(1)).as("n"), dsum($("value")).as("sum_value"))
   }

@@ -84,9 +84,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Map(20L -> 10L, 21L -> 11L, 23L -> 31L))
   }
 
+  test("AsOf.join generalizes beyond events: sensor readings to calibrations") {
+    import graft.operators.AsOf
+    val readings = Seq(
+      (1L, "s1", ts("2024-03-01 10:00:00"), 21.5),
+      (2L, "s1", ts("2024-03-01 12:00:00"), 22.0),
+      (3L, "s2", ts("2024-03-01 11:00:00"), 19.0)
+    ).toDF("reading_id", "sensor", "rts", "temp")
+    val calibrations = Seq(
+      ("s1", ts("2024-03-01 09:00:00"), 0.1, 100L),
+      ("s1", ts("2024-03-01 11:00:00"), 0.2, 101L),
+      ("s2", ts("2024-03-01 11:00:00"), 0.3, 102L) // equal ts: strict < drops it
+    ).toDF("sensor", "cts", "offset", "cal_id")
+    val got = AsOf.join(readings, calibrations, key = "sensor",
+        leftTs = "rts", rightTs = "cts", tieBreak = "cal_id")
+      .select("reading_id", "right_cal_id", "right_offset")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, cal, off) => id -> ((cal, off)) }.toMap
+    assert(got === Map(1L -> ((100L, 0.1)), 2L -> ((101L, 0.2))))
+  }
+
   // -------------------------------------------------------------
   // range join
   // -------------------------------------------------------------
+
+  test("RangeJoin.overlap matches intervals wider than one bucket") {
+    import graft.operators.RangeJoin
+    val points = Seq((1L, ts("2024-03-01 00:30:00")), (2L, ts("2024-03-01 07:00:00")))
+      .toDF("pid", "pts")
+    // 9h interval over 1h buckets: covers 10 buckets; point 1 inside,
+    // point 2 inside; second disjoint interval catches neither
+    val intervals = Seq(
+      (10L, ts("2024-03-01 00:00:00"), ts("2024-03-01 09:00:00")),
+      (11L, ts("2024-03-02 00:00:00"), ts("2024-03-02 01:00:00"))
+    ).toDF("iid", "istart", "iend")
+    val got = RangeJoin.overlap(points, intervals, "pts", "istart", "iend",
+        bucketUs = 3600L * 1000000L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L), (2L, 10L)))
+  }
 
   test("windowRollup counts events into overlapping windows with [start, end) bounds") {
     // windows every 3h, 6h long: [0,6), [3,9), [6,12)
