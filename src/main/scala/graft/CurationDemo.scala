@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** End-to-end drive of the training-data curation pipeline — the
+  * composed path a library user runs, stage by stage, from raw
+  * documents to packed training shards:
+  *
+  *   quality filter → exact dedup → near-dup clusters (keep cluster
+  *   minimum) → decontaminate vs the eval split → hash split →
+  *   sequence-pack → write train shards partitioned by split/bin,
+  *   plus a sketch profile of what survived.
+  *
+  * `runMain graft.CurationDemo [sfDir] [workDir]`. Each stage prints
+  * its surviving count — the funnel a curation run reports.
+  */
+object CurationDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val work = args.drop(1).headOption.getOrElse(
+      Files.createTempDirectory("graft-curation").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-curation-demo")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def report(stage: String, n: Long): Unit =
+      println(f"[demo] $stage%-28s $n%7d docs")
+
+    val docs = Tables(spark, sfDir).documents
+    report("raw corpus", docs.count())
+
+    // 1. quality floor (lenient: the synthetic corpus is clean-ish)
+    val quality = docs.join(
+      TextAnalysis.quality(docs).filter(col("quality") >= 0.5)
+        .select("doc_id"), Seq("doc_id"))
+    report("quality >= 0.5", quality.count())
+
+    // 2. exact dedup: keep the canonical copy per fingerprint
+    val keepExact = Dedup.exactDuplicates(quality)
+      .select(col("keep_id").as("doc_id"))
+    val exact = quality.join(keepExact, Seq("doc_id"))
+    report("exact-deduped", exact.count())
+
+    // 3. near-dup clusters: drop every clustered doc except the
+    //    component minimum (q51's KEEP/DROP resolution)
+    val drop = Dedup.dupClusters(exact, threshold = 0.7)
+      .filter(col("doc_id") =!= col("component"))
+      .select("doc_id")
+    val nearDeduped = exact.join(drop, Seq("doc_id"), "left_anti")
+    report("near-dup clustered", nearDeduped.count())
+
+    // 4. decontaminate the train side against the eval split (maxDf=2:
+    //    the synthetic corpus shares "rare" 8-grams pervasively, the
+    //    same fixture tuning q46 documents)
+    val contaminated = Curation.decontaminate(nearDeduped, maxDf = 2)
+      .select("doc_id")
+    val cleanTrain = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+    report("decontaminated", cleanTrain.count())
+
+    // 5. split + pack into fixed-token bins, write partitioned shards
+    val split = Curation.hashSplit(cleanTrain).select(col("doc_id"), col("split"))
+    val packed = Curation.packBins(cleanTrain)
+      .join(split, Seq("doc_id"))
+    packed.write.mode("overwrite")
+      .partitionBy("split", "bin").parquet(s"$work/shards")
+    report("packed shards", spark.read.parquet(s"$work/shards").count())
+
+    // 6. profile what survived (sketches: the 100 TB report path)
+    val profile = Curation.approxProfile(cleanTrain)
+    profile.orderBy("source").show(5, truncate = false)
+    println(s"[demo] shards + profile under $work")
+    spark.stop()
+  }
+}

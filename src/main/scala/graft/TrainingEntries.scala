@@ -95,6 +95,8 @@ object TrainingEntries {
     "q55_chunks"         -> q(t => TextAnalysis.chunks(t.documents)),
     "q56_tfidf"          -> q(t => TextAnalysis.tfidfTopTerms(t.documents)),
     "q57_pii_redact"     -> q(t => TextAnalysis.piiRedact(t.documents)),
+    // Passage-level dedup: chunk fingerprints shared across sites
+    "q59_chunk_dups"     -> q(t => TextAnalysis.chunkDups(t.documents)),
     // Sketch profile: HLL++ + quantile sketch — deliberately has NO
     // oracleSql twin (sketches are engine-specific); the driver
     // records the weaker rows-only check and PipelineOpsSpec bounds
@@ -806,6 +808,21 @@ object TrainingEntries {
          |        ORDER BY score DESC, token) AS BIGINT) AS rn FROM scored)
          |SELECT doc_id, token, tf, df, score, rn FROM r WHERE rn <= 5
          |ORDER BY doc_id, rn""".stripMargin,
+
+    "q59_chunk_dups" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, CAST(off AS BIGINT) AS off,
+         |    md5(substr(norm, CAST(off AS BIGINT), 256)) AS chunk_fp
+         |  FROM (SELECT doc_id, norm,
+         |          unnest(generate_series(1, greatest(length(norm), 1), 192)) AS off
+         |        FROM (SELECT doc_id, $norm AS norm FROM documents))),
+         |r AS (SELECT chunk_fp, doc_id, off,
+         |        row_number() OVER (PARTITION BY chunk_fp ORDER BY doc_id, off) AS rn,
+         |        COUNT(*) OVER (PARTITION BY chunk_fp) AS n_copies
+         |      FROM ch)
+         |SELECT chunk_fp, doc_id AS keep_doc, off AS keep_off,
+         |  CAST(n_copies AS BIGINT) AS n_copies
+         |FROM r WHERE rn = 1 AND n_copies >= 2 ORDER BY chunk_fp""".stripMargin,
 
     "q57_pii_redact" ->
       s"""WITH planted AS (SELECT doc_id,

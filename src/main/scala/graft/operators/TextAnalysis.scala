@@ -242,6 +242,26 @@ object TextAnalysis {
         md5($("norm").substr($("off"), lit(size))).as("chunk_fp"))
   }
 
+  /** Passage-level dedup (the RefinedWeb/CCNet line-dedup stage, over
+    * [[chunks]] instead of lines — the synthetic corpus has no
+    * newlines): chunks shared by more than one (doc, offset) site
+    * collapse to the lexicographically-smallest site. Returns only
+    * fingerprints with 2+ copies — the removal list a curation pass
+    * consumes (whole-doc dedup is q20; this catches boilerplate
+    * repeated INSIDE otherwise-distinct documents).
+    *
+    * Scale: the chunk explode is narrow; the groupBy shuffles only
+    * (32-char fp, ids) — never chunk text; min/count combine map-side.
+    */
+  def chunkDups(documents: DataFrame, size: Int = 256, stride: Int = 192): DataFrame =
+    chunks(documents, size, stride)
+      .groupBy($("chunk_fp"))
+      .agg(min(struct($("doc_id"), $("off"))).as("keep"),
+        count(lit(1)).as("n_copies"))
+      .filter($("n_copies") >= 2)
+      .select($("chunk_fp"), $("keep.doc_id").as("keep_doc"),
+        $("keep.off").as("keep_off"), $("n_copies"))
+
   /** Top-`topK` TF-IDF terms per document. The idf is the
     * reciprocal-df variant `n_docs / df` (no logarithm): `ln` is not
     * correctly-rounded-guaranteed across libm implementations, so a

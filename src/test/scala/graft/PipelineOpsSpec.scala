@@ -153,6 +153,18 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, 0L, 1L, 0L)))
   }
 
+  test("chunkDups finds boilerplate shared across and within documents") {
+    val docs = Seq(
+      (1L, "x" * 500), (2L, "x" * 500), // shared + internally repeated chunks
+      (3L, ('a' to 'z').mkString * 10)  // distinct content, no dups
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDups(docs)
+      .select("keep_doc", "keep_off", "n_copies")
+      .as[(Long, Long, Long)].collect().toSet
+    // fp("x"*256) sites: (1,1),(1,193),(2,1),(2,193); fp("x"*116): (1,385),(2,385)
+    assert(got === Set((1L, 1L, 4L), (1L, 385L, 2L)))
+  }
+
   // -------------------------------------------------------------
   // tf-idf
   // -------------------------------------------------------------
