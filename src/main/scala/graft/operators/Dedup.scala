@@ -141,18 +141,33 @@ object Dedup {
     * |A∩B| from a shingle equi-join, sizes from per-doc counts —
     * jaccard = common / (|A| + |B| − common), computed from integers
     * (bit-identical across engines).
+    *
+    * The index is pruned FIRST to the docs that actually appear in a
+    * pair (a broadcast semi-join on the tiny candidate-id set): only a
+    * small fraction of the corpus survives candidate generation, and
+    * without the prune all three probes below drag the FULL index
+    * through their exchanges — at 100 TB that is the difference
+    * between shuffling the near-dup sliver and shuffling every
+    * shingle. `pairs` is materialized because it fans into the two
+    * probe legs and the id set (three consumers; see componentsOf on
+    * why racing an unpopulated cache re-runs the generation pipeline).
     */
   def jaccardFor(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    val ids = p.select($("id1").as("doc_id"))
+      .union(p.select($("id2").as("doc_id"))).distinct()
+    val shp = sh.join(broadcast(ids), Seq("doc_id"))
+    val sizes = shp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // shuffle_hash hints: AQE's runtime size estimate of the cached
     // shingle index can dip under the broadcast threshold, turning
     // these probes into broadcast joins whose whole pipeline then runs
     // in ONE post-coalesce task (observed 95s single-task stages). A
     // shuffle hash join keeps the pairs×shingles expansion partitioned.
-    val common = pairs
-      .join(sh.select($("doc_id").as("id1"), $("shingle")).hint("shuffle_hash"),
+    val common = p
+      .join(shp.select($("doc_id").as("id1"), $("shingle")).hint("shuffle_hash"),
         Seq("id1"))
-      .join(sh.select($("doc_id").as("id2"), $("shingle")).hint("shuffle_hash"),
+      .join(shp.select($("doc_id").as("id2"), $("shingle")).hint("shuffle_hash"),
         Seq("id2", "shingle"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("common"))
     common
