@@ -97,6 +97,8 @@ object TrainingEntries {
     "q57_pii_redact"     -> q(t => TextAnalysis.piiRedact(t.documents)),
     // Passage-level dedup: chunk fingerprints shared across sites
     "q59_chunk_dups"     -> q(t => TextAnalysis.chunkDups(t.documents)),
+    // Outlier report: decimal-exact moments -> bit-identical z-scores
+    "q60_value_outliers" -> q(t => Events.valueOutliers(t.events)),
     // Sketch profile: HLL++ + quantile sketch — deliberately has NO
     // oracleSql twin (sketches are engine-specific); the driver
     // records the weaker rows-only check and PipelineOpsSpec bounds
@@ -823,6 +825,20 @@ object TrainingEntries {
          |SELECT chunk_fp, doc_id AS keep_doc, off AS keep_off,
          |  CAST(n_copies AS BIGINT) AS n_copies
          |FROM r WHERE rn = 1 AND n_copies >= 2 ORDER BY chunk_fp""".stripMargin,
+
+    "q60_value_outliers" ->
+      """WITH stats AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |      AS DOUBLE) AS sq
+        |  FROM events GROUP BY event_type),
+        |z AS (SELECT e.event_type, e.event_id, e.value,
+        |    (e.value - s / n) / sqrt((sq - s * s / n) / (n - 1)) AS z
+        |  FROM events e JOIN stats USING (event_type)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(z) DESC, event_id) AS BIGINT) AS rn FROM z)
+        |SELECT event_type, event_id, value, z, rn FROM r WHERE rn <= 20
+        |ORDER BY event_type, rn""".stripMargin,
 
     "q57_pii_redact" ->
       s"""WITH planted AS (SELECT doc_id,

@@ -84,6 +84,37 @@ object Events {
       .agg(count(lit(1)).as("n"), dsum($("value")).as("sum_value"))
   }
 
+  /** Statistical outlier report: the `topK` most extreme values per
+    * event type by |z-score|. The moments come from DECIMAL sums
+    * (exact, order-independent) cast to double once, and the variance
+    * uses the textbook `(Σx² − (Σx)²/n)/(n−1)` written identically in
+    * the oracle — every double op is then IEEE-correctly-rounded on
+    * identical inputs, so z-scores are bit-identical cross-engine
+    * (same contract as dsum; `stddev_samp` would NOT be, its Welford
+    * path is engine-specific). Ties: event_id asc.
+    *
+    * Scale: one partial-aggregated pass for the 5-row stats table
+    * (broadcast back), then WindowGroupLimit keeps a topK heap per
+    * partition before the per-type exchange — per-event z computation
+    * never shuffles.
+    */
+  def valueOutliers(events: DataFrame, topK: Int = 20): DataFrame = {
+    val dec = $("value").cast(DecimalType(18, 2))
+    val stats = events.groupBy($("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(dec).cast("double").as("s"),
+      sum(dec * dec).cast("double").as("sq"))
+    val w = Window.partitionBy($("event_type"))
+      .orderBy(abs($("z")).desc, $("event_id").asc)
+    events.join(broadcast(stats), Seq("event_type"))
+      .withColumn("mean", $("s") / $("n"))
+      .withColumn("variance", ($("sq") - $("s") * $("s") / $("n")) / ($("n") - 1))
+      .withColumn("z", ($("value") - $("mean")) / sqrt($("variance")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($("rn") <= topK)
+      .select($("event_type"), $("event_id"), $("value"), $("z"), $("rn"))
+  }
+
   /** Gap-based sessionization: a new session starts when a user is
     * idle longer than `gapMinutes`. Classic prefix-sum over a window
     * partitioned by user — fully parallel across users, no driver

@@ -138,6 +138,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Map(0L -> ((2L, 3.0)), 1L -> ((2L, 6.0)), 2L -> ((1L, 4.0))))
   }
 
+  test("valueOutliers ranks the planted extreme value first with the exact z") {
+    val events = (1L to 4L).map(i => (i, ts("2024-01-01 00:00:00"), 1L, "a", 1.0)) :+
+      ((5L, ts("2024-01-01 01:00:00"), 1L, "a", 11.0))
+    val df = events.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.valueOutliers(df, topK = 2)
+      .select("event_id", "z", "rn").as[(Long, Double, Long)].collect()
+      .sortBy(_._3)
+    // n=5, s=15, sq=125 -> mean 3, var (125-45)/4 = 20
+    assert(got.head._1 === 5L)
+    assert(math.abs(got.head._2 - (11.0 - 3.0) / math.sqrt(20.0)) < 1e-12)
+    // the 1.0 rows tie on |z|; event_id breaks the tie
+    assert(got(1)._1 === 1L)
+  }
+
   // -------------------------------------------------------------
   // chunking
   // -------------------------------------------------------------
