@@ -99,6 +99,9 @@ object TrainingEntries {
     "q59_chunk_dups"     -> q(t => TextAnalysis.chunkDups(t.documents)),
     // Outlier report: decimal-exact moments -> bit-identical z-scores
     "q60_value_outliers" -> q(t => Events.valueOutliers(t.events)),
+    // Multi-match interval self-join (RangeJoin keyed on user_id);
+    // streaming twin = the stream-stream join in EventStreams
+    "q61_recent_clicks"  -> q(t => Events.recentClickJoin(t.events)),
     // Sketch profile: HLL++ + quantile sketch — deliberately has NO
     // oracleSql twin (sketches are engine-specific); the driver
     // records the weaker rows-only check and PipelineOpsSpec bounds
@@ -825,6 +828,15 @@ object TrainingEntries {
          |SELECT chunk_fp, doc_id AS keep_doc, off AS keep_off,
          |  CAST(n_copies AS BIGINT) AS n_copies
          |FROM r WHERE rn = 1 AND n_copies >= 2 ORDER BY chunk_fp""".stripMargin,
+
+    "q61_recent_clicks" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+        |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.user_id = p.user_id
+        | AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "q60_value_outliers" ->
       """WITH stats AS (SELECT event_type, COUNT(*) AS n,

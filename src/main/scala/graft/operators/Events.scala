@@ -84,6 +84,35 @@ object Events {
       .agg(count(lit(1)).as("n"), dsum($("value")).as("sum_value"))
   }
 
+  /** Self interval join: for each purchase, ALL of the same user's
+    * clicks within the last `horizonMinutes` (strictly before —
+    * multi-match, unlike [[clickAttribution]]'s latest-only). Batch
+    * twin of the stream-stream join showcase
+    * (graft.streaming.EventStreams.recentClickJoin); delegates to
+    * [[RangeJoin.overlap]] keyed on user_id, so the plan is a
+    * hash-partitionable equi-join on (bucket, user) — never a
+    * per-user cross product. gap_sec is an integer division of exact
+    * microsecond longs (oracle-identical).
+    */
+  def recentClickJoin(events: DataFrame, horizonMinutes: Int = 60,
+      clickType: String = "click", purchaseType: String = "purchase"): DataFrame = {
+    val horizonUs = horizonMinutes * 60L * 1000000L
+    val purchases = events.filter($("event_type") === purchaseType)
+      .select($("event_id").as("purchase_id"), $("user_id"), $("ts"))
+      .withColumn("wstart", expr(s"ts - interval $horizonMinutes minutes"))
+    val clicks = events.filter($("event_type") === clickType)
+      .select($("event_id").as("click_id"), $("user_id"),
+        $("ts").as("click_ts"))
+    // intervals = purchases' lookback windows [ts - horizon, ts);
+    // points = clicks; equi-key = user_id
+    RangeJoin.overlap(clicks, purchases, pointTs = "click_ts",
+        startTs = "wstart", endTs = "ts", bucketUs = horizonUs,
+        keys = Seq("user_id"), broadcastIntervals = false)
+      .select($("purchase_id"), $("user_id"), $("click_id"),
+        expr("(unix_micros(ts) - unix_micros(click_ts)) div 1000000")
+          .as("gap_sec"))
+  }
+
   /** Statistical outlier report: the `topK` most extreme values per
     * event type by |z-score|. The moments come from DECIMAL sums
     * (exact, order-independent) cast to double once, and the variance

@@ -23,12 +23,14 @@ object RangeJoin {
   /** Inner-join `points` (event-time column `pointTs`) to the
     * `intervals` rows whose `[startTs, endTs)` contains the point.
     * Returns points columns + interval columns (caller guarantees
-    * disjoint names). Extra equi-keys (e.g. a shared id) can be added
-    * by pre-concatenating them into the interval/point frames and
-    * filtering after.
+    * disjoint names beyond `keys`). `keys` adds equi-key columns
+    * (present in both sides, e.g. a shared user id) to the join — the
+    * bucket key alone would make every interval a candidate for every
+    * point in its time bucket regardless of key.
     */
   def overlap(points: DataFrame, intervals: DataFrame, pointTs: String,
       startTs: String, endTs: String, bucketUs: Long,
+      keys: Seq[String] = Nil,
       broadcastIntervals: Boolean = true): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     val exploded = intervals.withColumn("__bucket", explode(expr(
@@ -37,7 +39,7 @@ object RangeJoin {
     val dim = if (broadcastIntervals) broadcast(exploded) else exploded
     points
       .withColumn("__bucket", expr(s"unix_micros($pointTs) div $bucketUs"))
-      .join(dim, Seq("__bucket"))
+      .join(dim, "__bucket" +: keys)
       .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
       .drop("__bucket")
   }

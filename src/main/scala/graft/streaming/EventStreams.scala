@@ -211,6 +211,34 @@ object EventStreams extends Serializable {
       }
   }
 
+  /** Stream-stream interval join — the canonical Structured Streaming
+    * two-stream pattern: purchases joined to the same user's clicks of
+    * the last `horizonMinutes`, both sides watermarked so Spark can
+    * bound the join state (clicks older than the horizon + watermark
+    * delay are evicted; without the time-range condition the state
+    * would grow forever and Spark rejects the append-mode query).
+    * Incremental twin of [[graft.operators.Events.recentClickJoin]];
+    * multi-match, unlike [[clickAttribution]]'s latest-only state.
+    */
+  def recentClickJoin(events: DataFrame, horizonMinutes: Int = 60,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    purchases.join(clicks,
+        col("c_user") === col("user_id") &&
+          col("click_ts") < col("p_ts") &&
+          col("click_ts") >= col("p_ts") - expr(s"interval $horizonMinutes minutes"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        expr("(unix_micros(p_ts) - unix_micros(click_ts)) div 1000000")
+          .as("gap_sec"))
+  }
+
   /** Run a streaming DataFrame to completion against a static input
     * (memory sink), returning the collected result table — the test
     * harness for the twins.

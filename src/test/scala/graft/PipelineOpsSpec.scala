@@ -108,6 +108,25 @@ class PipelineOpsSpec extends SparkSpec {
   // range join
   // -------------------------------------------------------------
 
+  test("recentClickJoin multi-matches within the horizon, keyed by user") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5L, "click"),
+      (2L, ts("2024-01-01 10:20:00"), 5L, "click"),
+      (3L, ts("2024-01-01 09:20:00"), 5L, "click"),    // horizon edge: exactly 60 min
+      (4L, ts("2024-01-01 10:30:00"), 6L, "click"),    // other user
+      (9L, ts("2024-01-01 10:30:00"), 5L, "purchase"),
+      (10L, ts("2024-01-01 10:20:00"), 5L, "purchase") // equal ts to click 2: strict <
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.recentClickJoin(events)
+      .select("purchase_id", "click_id", "gap_sec")
+      .as[(Long, Long, Long)].collect().toSet
+    // window is CLOSED at the start: click 3 is exactly 60 min before
+    // purchase 10 (gap 3600, included) and 70 min before purchase 9
+    // (excluded); equal-ts click 2 vs purchase 10 is strict-< excluded
+    assert(got === Set(
+      (9L, 1L, 1800L), (9L, 2L, 600L), (10L, 1L, 1200L), (10L, 3L, 3600L)))
+  }
+
   test("RangeJoin.overlap matches intervals wider than one bucket") {
     import graft.operators.RangeJoin
     val points = Seq((1L, ts("2024-03-01 00:30:00")), (2L, ts("2024-03-01 07:00:00")))

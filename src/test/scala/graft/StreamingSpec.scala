@@ -153,6 +153,45 @@ class StreamingSpec extends SparkSpec {
       "a batch-2 purchase must attribute to the batch-1 click held in state")
   }
 
+  test("stream-stream interval join == batch recentClickJoin (single batch)") {
+    val tables = graft.sources.Tables(spark, dir)
+    val events = EventStreams.readEvents(spark, streamDir)
+    val joined = EventStreams.recentClickJoin(events)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ssj_test")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = Events.recentClickJoin(tables.events)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("stream-stream join matches across micro-batches within the horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val events = in.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.recentClickJoin(events).writeStream
+      .outputMode("append").format("memory").queryName("ssj_rebatch").start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 10:00:00"), 5L, "click", 0.0, "{}"),
+        (2L, ts("2024-01-01 08:00:00"), 5L, "click", 0.0, "{}")) // outside horizon
+      q.processAllAvailable()
+      in.addData((3L, ts("2024-01-01 10:30:00"), 5L, "purchase", 1.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj_rebatch")
+      .select("purchase_id", "click_id", "gap_sec")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((3L, 1L, 1800L)),
+      "batch-2 purchase joins the in-horizon batch-1 click only")
+  }
+
   test("streaming exact dedup == batch exactDuplicates (single batch)") {
     import graft.streaming.DocStreams
     val tables = graft.sources.Tables(spark, dir)
