@@ -42,19 +42,28 @@ object Dedup {
       .groupBy("fp")
       .agg(min($("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Character `n`-gram shingles of the normalized text, DISTINCT per
-    * doc: (doc_id, shingle). `substr(norm, i, n)` over a generated
-    * position sequence — pure expressions, explode is the only row
-    * amplification.
+  /** Character `n`-gram shingle OCCURRENCES of the normalized text —
+    * NOT deduplicated: (doc_id, shingle) with repeats. `substr(norm,
+    * i, n)` over a generated position sequence — pure expressions,
+    * fully narrow (no shuffle). Feed this to aggregations that are
+    * idempotent under duplicates (MinHash's min); use [[shingles]]
+    * when set semantics are required.
     */
-  def shingles(documents: DataFrame, n: Int = 5): DataFrame =
+  def shingleOccurrences(documents: DataFrame, n: Int = 5): DataFrame =
     documents
       .spread()
       .select($("doc_id"), normText($("text")).as("norm"))
       .select($("doc_id"), explode(expr(
         s"transform(sequence(1, greatest(length(norm) - ${n - 1}, 1)), i -> substr(norm, i, $n))"))
         .as("shingle"))
-      .distinct()
+
+  /** Character `n`-gram shingles of the normalized text, DISTINCT per
+    * doc: (doc_id, shingle). The distinct is a full shuffle of the
+    * exploded occurrences — only pay it where set semantics matter
+    * (Jaccard sizes/intersections, document-frequency cuts).
+    */
+  def shingles(documents: DataFrame, n: Int = 5): DataFrame =
+    shingleOccurrences(documents, n).distinct()
 
   /** The (a, b) pairs of the MinHash affine family — fixed constants
     * mirrored literally in the DuckDB oracle SQL (TrainingEntries).
@@ -79,11 +88,20 @@ object Dedup {
     * HashAggregate with map-side partial mins (a string min would fall
     * back to SortAggregate), and cost ONE md5 per shingle instead of k.
     * Output: doc_id, sig00..sig{k-1}.
+    *
+    * Computed over shingle OCCURRENCES, not the distinct set: `min` is
+    * idempotent under duplicates, so the signatures are identical and
+    * the whole derivation stays NARROW — scan → explode → partial-min
+    * HashAggregate, with only (doc_id, k mins) ever shuffling. The
+    * distinct set (a full shuffle of every shingle in the corpus) is
+    * deferred to the verify stage, which needs it only for the tiny
+    * candidate sliver.
     */
   def minhashSignatures(documents: DataFrame, n: Int = 5, k: Int = 16): DataFrame =
-    minhashSignaturesFrom(shingles(documents, n), k)
+    minhashSignaturesFrom(shingleOccurrences(documents, n), k)
 
-  /** Signature computation over an existing (doc_id, shingle) index.
+  /** Signature computation over (doc_id, shingle) rows — duplicates
+    * allowed (min is idempotent; pass occurrences to stay narrow).
     * Unordered: callers that surface it directly (q25) order it; the
     * LSH pipeline must NOT squeeze signatures through a sort.
     */
@@ -142,22 +160,27 @@ object Dedup {
     * jaccard = common / (|A| + |B| − common), computed from integers
     * (bit-identical across engines).
     *
-    * The index is pruned FIRST to the docs that actually appear in a
-    * pair (a broadcast semi-join on the tiny candidate-id set): only a
-    * small fraction of the corpus survives candidate generation, and
-    * without the prune all three probes below drag the FULL index
-    * through their exchanges — at 100 TB that is the difference
-    * between shuffling the near-dup sliver and shuffling every
-    * shingle. `pairs` is materialized because it fans into the two
-    * probe legs and the id set (three consumers; see componentsOf on
-    * why racing an unpopulated cache re-runs the generation pipeline).
+    * `sh` may carry duplicate (doc_id, shingle) occurrences — the
+    * prune runs first and the DISTINCT that Jaccard set semantics
+    * require is applied to the pruned sliver only. That ordering is
+    * the point: only docs that actually appear in a pair survive the
+    * broadcast semi-join on the candidate-id set, so neither the
+    * distinct's shuffle nor the three probes below ever move the full
+    * corpus index — at 100 TB that is the difference between
+    * shuffling the near-dup sliver and shuffling every shingle.
+    * `pairs` is materialized because it fans into the two probe legs
+    * and the id set; the pruned index is materialized because the
+    * probes and sizes fan out of it (cache-race rule, see
+    * componentsOf).
     */
   def jaccardFor(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     p.count()
     val ids = p.select($("id1").as("doc_id"))
       .union(p.select($("id2").as("doc_id"))).distinct()
-    val shp = sh.join(broadcast(ids), Seq("doc_id"))
+    val shp = sh.join(broadcast(ids), Seq("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shp.count()
     val sizes = shp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // shuffle_hash hints: AQE's runtime size estimate of the cached
     // shingle index can dip under the broadcast threshold, turning
@@ -180,16 +203,18 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs: signatures → banded candidates
     * → exact-Jaccard verify ≥ threshold.
+    *
+    * The candidate path never shuffles shingles: signatures aggregate
+    * the raw occurrence stream map-side (min is duplicate-idempotent),
+    * and the verify re-derives occurrences narrowly, prunes them to
+    * the candidate docs, and dedups only that sliver (jaccardFor). No
+    * corpus-wide shingle shuffle, no corpus-wide shingle cache.
     */
   def minhashDupPairs(documents: DataFrame, n: Int = 5, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.8, maxBucket: Int = 256): DataFrame = {
-    // the shingle index feeds signatures, sizes, AND the verify join —
-    // materialize it once (at warehouse scale this would be a parquet
-    // intermediate; MEMORY_AND_DISK is the local equivalent)
-    val sh = shingles(documents, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(minhashSignaturesFrom(sh, k), k, bands, maxBucket)
-    jaccardFor(cands, sh)
+    val raw = shingleOccurrences(documents, n)
+    val cands = lshCandidates(minhashSignaturesFrom(raw, k), k, bands, maxBucket)
+    jaccardFor(cands, raw)
       .filter($("jaccard") >= threshold)
   }
 
