@@ -102,6 +102,9 @@ object TrainingEntries {
     // Multi-match interval self-join (RangeJoin keyed on user_id);
     // streaming twin = the stream-stream join in EventStreams
     "q61_recent_clicks"  -> q(t => Events.recentClickJoin(t.events)),
+    // BM25 retrieval scoring against a fixed 3-term query
+    "q62_bm25"           -> q(t =>
+      TextAnalysis.bm25(t.documents, Seq("data", "query", "table"))),
     // Sketch profile: HLL++ + quantile sketch — deliberately has NO
     // oracleSql twin (sketches are engine-specific); the driver
     // records the weaker rows-only check and PipelineOpsSpec bounds
@@ -828,6 +831,33 @@ object TrainingEntries {
          |SELECT chunk_fp, doc_id AS keep_doc, off AS keep_off,
          |  CAST(n_copies AS BIGINT) AS n_copies
          |FROM r WHERE rn = 1 AND n_copies >= 2 ORDER BY chunk_fp""".stripMargin,
+
+    "q62_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+         |    FROM documents) WHERE length(tok) > 0),
+         |terms(token) AS (SELECT * FROM (VALUES ('data'), ('query'), ('table'))),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |          CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         |dfq AS (SELECT tok AS token, COUNT(DISTINCT doc_id) AS df
+         |        FROM toks JOIN terms ON tok = token GROUP BY tok),
+         |pd AS (SELECT doc_id, tok AS token, COUNT(*) AS tf
+         |       FROM toks JOIN terms ON tok = token GROUP BY doc_id, tok),
+         |sc AS (SELECT pd.doc_id, pd.token,
+         |    (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) *
+         |    (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+         |     (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl.dl AS DOUBLE) /
+         |       (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS term_score
+         |  FROM pd JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |w AS (SELECT doc_id,
+         |    SUM(CASE WHEN token = 'data' THEN term_score END) AS s0,
+         |    SUM(CASE WHEN token = 'query' THEN term_score END) AS s1,
+         |    SUM(CASE WHEN token = 'table' THEN term_score END) AS s2
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id,
+         |  COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0) AS score
+         |FROM w ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
 
     "q61_recent_clicks" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,

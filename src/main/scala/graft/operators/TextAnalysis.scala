@@ -293,6 +293,60 @@ object TextAnalysis {
       .select($("doc_id"), $("token"), $("tf"), $("df"), $("score"), $("rn"))
   }
 
+  /** BM25 retrieval scoring of every document against a fixed term
+    * set: score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl)),
+    * top-`topK` docs. The idf is the reciprocal-df form `n_docs/df`
+    * (same `ln`-avoidance contract as [[tfidfTopTerms]]); every other
+    * factor reduces to a FIXED chain of IEEE double ops over exact
+    * integers, so scores hash-match the oracle bit-for-bit.
+    *
+    * Scale: per-doc (token, tf) aggregates join a broadcast of the
+    * |terms| df rows and the one-row (n_docs, avgdl) corpus stats —
+    * document text never shuffles; the final top-k is
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    */
+  def bm25(documents: DataFrame, terms: Seq[String], topK: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = tokens(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val termDf = terms.toDF("token")
+    val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = docLen.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum($("dl")).cast("long").as("total_len"))
+    val dfTab = toks.join(broadcast(termDf), Seq("token"))
+      .groupBy("token").agg(count_distinct($("doc_id")).as("df"))
+    val perDoc = toks.join(broadcast(termDf), Seq("token"))
+      .groupBy($("doc_id"), $("token")).agg(count(lit(1)).as("tf"))
+    val avgdl = $("total_len").cast("double") / $("n_docs").cast("double")
+    val idf = $("n_docs").cast("double") / $("df").cast("double")
+    val tfD = $("tf").cast("double")
+    // identical literal op tree as the oracle's ((1.2+1.0), (1.0-0.75)
+    // folded by each engine with the same IEEE adds)
+    val tfNorm = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * $("dl").cast("double") / avgdl))
+    val scored = perDoc
+      .join(broadcast(dfTab), Seq("token"))
+      .join(docLen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select($("doc_id"), $("token"), (idf * tfNorm).as("term_score"))
+    // a plain sum over per-term scores would be ORDER-SENSITIVE double
+    // addition (engine-dependent); pivot to one column per term (each
+    // a single value) and add left-to-right — fixed associativity,
+    // mirrored in the oracle
+    val termCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when($("token") === t, $("term_score"))).as(s"s$i") }
+    val score = terms.indices
+      .map(i => coalesce(col(s"s$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    scored.groupBy("doc_id").agg(termCols.head, termCols.tail: _*)
+      .select($("doc_id"), score.as("score"))
+      .orderBy($("score").desc, $("doc_id").asc)
+      .limit(topK)
+  }
+
   // RE2-compatible (and Java-regex-compatible) PII patterns: plain
   // character classes only — no lookarounds, no backrefs — so the
   // DuckDB oracle applies the identical pattern text.

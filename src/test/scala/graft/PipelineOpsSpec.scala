@@ -244,6 +244,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25 favors term-dense short docs and drops termless docs") {
+    val docs = Seq(
+      (1L, "data data data"),
+      (2L, "data x x x x x x x"),
+      (3L, "x y z")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, Seq("data"))
+      .select("doc_id", "score").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq(1L, 2L)) // doc 3 never matches
+    assert(got(0)._2 > got(1)._2)
+    // idf = n_docs/df = 3/2; saturation keeps every score below idf*(k1+1)
+    assert(got.forall(_._2 <= 1.5 * 2.2))
+  }
+
   // -------------------------------------------------------------
   // pii redaction
   // -------------------------------------------------------------
