@@ -105,6 +105,10 @@ object TrainingEntries {
     // BM25 retrieval scoring against a fixed 3-term query
     "q62_bm25"           -> q(t =>
       TextAnalysis.bm25(t.documents, Seq("data", "query", "table"))),
+    // Retention triangle: first-active-day cohorts × day offsets
+    "q63_retention"      -> q(t => Events.retentionCohorts(t.events)),
+    // Sequence-aware LM signal over adjacent-token bigrams
+    "q64_bigram_lm"      -> q(t => TextAnalysis.bigramLmScore(t.documents)),
     // Sketch profile: HLL++ + quantile sketch — deliberately has NO
     // oracleSql twin (sketches are engine-specific); the driver
     // records the weaker rows-only check and PipelineOpsSpec bounds
@@ -831,6 +835,33 @@ object TrainingEntries {
          |SELECT chunk_fp, doc_id AS keep_doc, off AS keep_off,
          |  CAST(n_copies AS BIGINT) AS n_copies
          |FROM r WHERE rn = 1 AND n_copies >= 2 ORDER BY chunk_fp""".stripMargin,
+
+    "q63_retention" ->
+      """WITH activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |                  FROM events),
+        |cohorts AS (SELECT user_id, MIN(day) AS cohort FROM activity
+        |            GROUP BY user_id)
+        |SELECT cohort, CAST(day - cohort AS BIGINT) AS day_offset,
+        |  COUNT(*) AS n_active
+        |FROM activity JOIN cohorts USING (user_id)
+        |GROUP BY cohort, day_offset ORDER BY cohort, day_offset""".stripMargin,
+
+    "q64_bigram_lm" ->
+      s"""WITH docs AS (SELECT doc_id, string_split($norm, ' ') AS toks
+         |              FROM documents),
+         |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram FROM (
+         |        SELECT doc_id, toks,
+         |          unnest(generate_series(1, len(toks) - 1)) AS i
+         |        FROM docs WHERE len(toks) >= 2)),
+         |vocab AS (SELECT bigram, COUNT(*) AS tf FROM bg GROUP BY bigram),
+         |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM vocab),
+         |pdb AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg
+         |        GROUP BY doc_id, bigram)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(c * tf) AS DOUBLE) /
+         |    CAST(SUM(c) * ANY_VALUE(total) AS DOUBLE) AS lm2_score
+         |FROM pdb JOIN vocab USING (bigram) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q62_bm25" ->
       s"""WITH toks AS (SELECT doc_id, tok FROM (

@@ -144,6 +144,24 @@ object Events {
       .select($("event_type"), $("event_id"), $("value"), $("z"), $("rn"))
   }
 
+  /** Retention cohort matrix: users grouped by first-active day
+    * (their cohort), counted on each later active day as an offset
+    * from the cohort day — the classic product-analytics triangle.
+    *
+    * Scale: (user, day) activity dedups with map-side combine, the
+    * cohort aggregate and the join both reuse the user_id keying, and
+    * the final matrix is tiny (days × days). No text, no wide rows.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val activity = events
+      .select($("user_id"), to_date($("ts")).as("day")).distinct()
+    val cohorts = activity.groupBy($("user_id")).agg(min($("day")).as("cohort"))
+    activity.join(cohorts, Seq("user_id"))
+      .groupBy($("cohort"),
+        datediff($("day"), $("cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Gap-based sessionization: a new session starts when a user is
     * idle longer than `gapMinutes`. Classic prefix-sum over a window
     * partitioned by user — fully parallel across users, no driver

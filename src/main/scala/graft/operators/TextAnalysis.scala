@@ -382,6 +382,43 @@ object TextAnalysis {
       md5(redacted).as("clean_fp"))
   }
 
+  /** (doc_id, bigram) pairs of adjacent normalized tokens — built by
+    * a `transform` over the split array (narrow; no window, no
+    * per-position shuffle). Documents with fewer than two tokens have
+    * no bigrams and drop out (the oracle mirrors the same filter —
+    * note Spark's `sequence(1, 0)` is DESCENDING, so the size guard
+    * is load-bearing, not just an optimization).
+    */
+  private def bigrams(documents: DataFrame): DataFrame =
+    documents.spread()
+      .select($("doc_id"), split(normText($("text")), " ").as("toks"))
+      .filter(size($("toks")) >= 2)
+      .select($("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+        .as("bigram"))
+
+  /** Bigram-LM quality signal — the sequence-aware sibling of
+    * [[unigramLmScore]]: per document, the mean corpus frequency of
+    * its adjacent-token bigrams. Low scores mark documents whose word
+    * ORDER is unusual even when their vocabulary is common (shuffled
+    * or machine-mangled text). Same determinism contract: exact
+    * BIGINT counts, one final double division.
+    */
+  def bigramLmScore(documents: DataFrame): DataFrame = {
+    val bg = bigrams(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = bg.groupBy("bigram").agg(count(lit(1)).as("tf"))
+    val total = vocab.agg(sum($("tf")).cast("long").as("total"))
+    bg.groupBy($("doc_id"), $("bigram")).agg(count(lit(1)).as("c"))
+      .join(vocab, Seq("bigram"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        sum($("c")).cast("long").as("n_bigrams"),
+        (sum($("c") * $("tf")).cast("double") /
+          (sum($("c")) * first($("total"))).cast("double")).as("lm2_score"))
+  }
+
   /** Top-token repetition stats (the Gopher-style repetition rule's
     * input): per document, the most frequent token (ties: token asc),
     * its count, the token total, and the repetition ratio

@@ -244,6 +244,38 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("retentionCohorts builds the first-day cohort triangle") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-03 10:00:00"), 1L, "view"), // offset 2
+      (3L, ts("2024-01-01 11:00:00"), 2L, "view"),
+      (4L, ts("2024-01-01 12:00:00"), 2L, "view"), // same day: one activity
+      (5L, ts("2024-01-02 10:00:00"), 3L, "view")  // later cohort
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.retentionCohorts(events)
+      .select("cohort", "day_offset", "n_active")
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map { case (c, o, n) => (c.toString, o, n) }.toSet
+    assert(got === Set(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 1L), ("2024-01-02", 0L, 1L)))
+  }
+
+  test("bigramLmScore rewards common word ORDER, not just common words") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: "a b" x2, "b a" x1
+      (2L, "a b"),     // bigram: "a b"
+      (3L, "a")        // no bigrams -> dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(docs)
+      .select("doc_id", "n_bigrams", "lm2_score")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // corpus tf: "a b"=3, "b a"=1, total 4
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === ((3L, 7.0 / 12.0)))
+    assert(got(2L) === ((1L, 3.0 / 4.0)))
+  }
+
   test("bm25 favors term-dense short docs and drops termless docs") {
     val docs = Seq(
       (1L, "data data data"),

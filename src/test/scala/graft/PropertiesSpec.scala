@@ -125,6 +125,39 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("clickAttribution == in-memory as-of reference on random event logs") {
+    import java.sql.Timestamp
+    val evGen = for {
+      user <- Gen.choose(1L, 6L)
+      tsSec <- Gen.choose(0L, 3600L)
+      isClick <- Gen.oneOf(true, false)
+    } yield (user, tsSec, isClick)
+    for {
+      i <- 1 to 3
+      evs <- Gen.listOfN(60, evGen).apply(Gen.Parameters.default, Seed(31L + i))
+    } {
+      val rows = evs.zipWithIndex.map { case ((u, sec, click), id) =>
+        (id.toLong, new Timestamp(1704067200000L + sec * 1000L), u,
+          if (click) "click" else "purchase")
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type")
+      val got = graft.operators.Events.clickAttribution(df)
+        .select("event_id", "click_id").as[(Long, Long)].collect().toMap
+      // reference: for each purchase, the click with max (ts, id)
+      // strictly before it, same user
+      val want = (for {
+        (pid, pts, pu, pk) <- rows if pk == "purchase"
+        prior = rows.filter { case (_, cts, cu, ck) =>
+          ck == "click" && cu == pu && cts.getTime < pts.getTime }
+        if prior.nonEmpty
+      } yield {
+        val best = prior.maxBy(c => (c._2.getTime, c._1))
+        pid -> best._1
+      }).toMap
+      assert(got === want)
+    }
+  }
+
   test("chunks reassemble to the normalized text (overlap stripped)") {
     val textGen = Gen.choose(0, 900).flatMap(n =>
       Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
