@@ -107,6 +107,10 @@ object TrainingEntries {
       TextAnalysis.bm25(t.documents, Seq("data", "query", "table"))),
     // Retention triangle: first-active-day cohorts × day offsets
     "q63_retention"      -> q(t => Events.retentionCohorts(t.events)),
+    // First-order Markov transition counts over per-user streams
+    "q65_transitions"    -> q(t => Events.typeTransitions(t.events)),
+    // Ordered view->click->purchase funnel over gap sessions
+    "q66_funnel"         -> q(t => Events.sessionFunnel(t.events)),
     // Sequence-aware LM signal over adjacent-token bigrams
     "q64_bigram_lm"      -> q(t => TextAnalysis.bigramLmScore(t.documents)),
     // Sketch profile: HLL++ + quantile sketch — deliberately has NO
@@ -835,6 +839,43 @@ object TrainingEntries {
          |SELECT chunk_fp, doc_id AS keep_doc, off AS keep_off,
          |  CAST(n_copies AS BIGINT) AS n_copies
          |FROM r WHERE rn = 1 AND n_copies >= 2 ORDER BY chunk_fp""".stripMargin,
+
+    "q65_transitions" ->
+      """SELECT from_type, to_type, COUNT(*) AS n FROM (
+        |  SELECT event_type AS from_type,
+        |    COALESCE(lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id), 'END') AS to_type
+        |  FROM events)
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+
+    "q66_funnel" ->
+      """WITH w AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS prev_ts FROM events),
+        |n AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |        THEN 1 ELSE 0 END AS is_new FROM w),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM n),
+        |f1 AS (SELECT *, MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |         OVER sw AS seen_view FROM s
+        |       WINDOW sw AS (PARTITION BY user_id, session_id
+        |         ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |f2 AS (SELECT *, CASE WHEN event_type = 'click' AND seen_view = 1
+        |         THEN 1 ELSE 0 END AS is_cav FROM f1),
+        |f3 AS (SELECT *, MAX(is_cav) OVER sw AS seen_cav FROM f2
+        |       WINDOW sw AS (PARTITION BY user_id, session_id
+        |         ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |f4 AS (SELECT *, CASE WHEN event_type = 'purchase' AND seen_cav = 1
+        |         THEN 1 ELSE 0 END AS is_pacav FROM f3),
+        |g AS (SELECT user_id, session_id, MAX(seen_view) AS hv,
+        |        MAX(is_cav) AS hc, MAX(is_pacav) AS hp
+        |      FROM f4 GROUP BY user_id, session_id)
+        |SELECT COUNT(*) AS n_sessions,
+        |  CAST(SUM(hv) AS BIGINT) AS n_view,
+        |  CAST(SUM(hc) AS BIGINT) AS n_view_click,
+        |  CAST(SUM(hp) AS BIGINT) AS n_view_click_purchase
+        |FROM g""".stripMargin,
 
     "q63_retention" ->
       """WITH activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

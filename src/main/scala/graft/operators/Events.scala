@@ -144,6 +144,66 @@ object Events {
       .select($("event_type"), $("event_id"), $("value"), $("z"), $("rn"))
   }
 
+  /** Event-type transition matrix (first-order Markov counts): how
+    * often event type A is immediately followed by type B within a
+    * user's stream, plus terminal transitions to 'END'. One lag
+    * window per user — the sessionize shuffle shape.
+    */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy($("user_id"))
+      .orderBy($("ts").asc, $("event_id").asc)
+    events
+      .withColumn("next_type", lead($("event_type"), 1).over(byUser))
+      .groupBy($("event_type").as("from_type"),
+        coalesce($("next_type"), lit("END")).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Sessionized conversion funnel: of all gap-based sessions, how
+    * many contain a view, a click after a view, and a purchase after
+    * such a click — the classic ordered-step funnel. Single window
+    * pass with running "seen" flags (a step counts only once every
+    * earlier step has occurred, in stream order (ts, event_id) — no
+    * self-joins, no per-step passes); the session grouping then
+    * reuses the same user partitioning. Returns one row of step
+    * counts.
+    */
+  def sessionFunnel(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy($("user_id"))
+      .orderBy($("ts").asc, $("event_id").asc)
+    val run = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val sessioned = events
+      .withColumn("prev_ts", lag($("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when($("prev_ts").isNull ||
+          unix_micros($("ts")) - unix_micros($("prev_ts")) > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($("is_new")).over(run))
+    val bySession = Window
+      .partitionBy($("user_id"), $("session_id"))
+      .orderBy($("ts").asc, $("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val flagged = sessioned
+      .withColumn("seen_view",
+        max(when($("event_type") === "view", 1L).otherwise(0L)).over(bySession))
+      .withColumn("is_cav",
+        when($("event_type") === "click" && $("seen_view") === 1L, 1L).otherwise(0L))
+      .withColumn("seen_cav", max($("is_cav")).over(bySession))
+      .withColumn("is_pacav",
+        when($("event_type") === "purchase" && $("seen_cav") === 1L, 1L).otherwise(0L))
+    flagged
+      .groupBy($("user_id"), $("session_id"))
+      .agg(max($("seen_view")).as("has_view"),
+        max($("is_cav")).as("has_cav"),
+        max($("is_pacav")).as("has_pacav"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum($("has_view")).as("n_view"),
+        sum($("has_cav")).as("n_view_click"),
+        sum($("has_pacav")).as("n_view_click_purchase"))
+  }
+
   /** Retention cohort matrix: users grouped by first-active day
     * (their cohort), counted on each later active day as an offset
     * from the cohort day — the classic product-analytics triangle.

@@ -260,6 +260,39 @@ class PipelineOpsSpec extends SparkSpec {
       ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 1L), ("2024-01-02", 0L, 1L)))
   }
 
+  test("typeTransitions counts adjacent pairs per user with END terminals") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "view"),
+      (4L, ts("2024-01-01 09:00:00"), 2L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.typeTransitions(events)
+      .as[(String, String, Long)].collect()
+      .map { case (f, t, n) => (f, t) -> n }.toMap
+    assert(got === Map(
+      ("view", "click") -> 1L, ("click", "view") -> 1L,
+      ("view", "END") -> 2L))
+  }
+
+  test("sessionFunnel requires the steps IN ORDER within one session") {
+    val events = Seq(
+      // session A (user 1): view -> click -> purchase = full funnel
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "purchase"),
+      // session B (user 2): purchase BEFORE click/view - only the view counts
+      (4L, ts("2024-01-01 10:00:00"), 2L, "purchase"),
+      (5L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (6L, ts("2024-01-01 10:02:00"), 2L, "view"),
+      // session C (user 1, after a > 30 min gap): click only, no view
+      (7L, ts("2024-01-01 11:00:00"), 1L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.sessionFunnel(events)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got === ((3L, 2L, 1L, 1L)))
+  }
+
   test("bigramLmScore rewards common word ORDER, not just common words") {
     val docs = Seq(
       (1L, "a b a b"), // bigrams: "a b" x2, "b a" x1
