@@ -159,9 +159,13 @@ object Bench {
     // the one stdout line: compact, driver-parseable. Per-query values
     // at 2 decimals: 64+ queries at 4 decimals push the line past the
     // driver's ~2000-char capture window (full precision is in the
-    // detail file).
-    println(s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec",""" +
-      s""""queries":${obj(_.min, 2)},"sf":"$sfDir","runs":$repeats}""")
+    // detail file). Adaptive guard: if the query set grows the line
+    // past 1900 bytes, drop to 1 decimal rather than lose the line.
+    def line(digits: Int): String =
+      s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec",""" +
+        s""""queries":${obj(_.min, digits)},"sf":"$sfDir","runs":$repeats}"""
+    val l2 = line(2)
+    println(if (l2.length <= 1900) l2 else line(1))
     spark.stop()
   }
 }
