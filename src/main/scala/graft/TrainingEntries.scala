@@ -111,6 +111,12 @@ object TrainingEntries {
     "q65_transitions"    -> q(t => Events.typeTransitions(t.events)),
     // Ordered view->click->purchase funnel over gap sessions
     "q66_funnel"         -> q(t => Events.sessionFunnel(t.events)),
+    // Decimal-exact fixed-width histogram of event values
+    "q67_histogram"      -> q(t => Events.valueHistogram(t.events)),
+    // Wide-format report: pivot hour-of-day x event type
+    "q68_pivot"          -> q(t => Events.hourlyTypePivot(t.events)),
+    // OLAP rollup with grouping ids over (source, lang)
+    "q69_rollup"         -> q(t => Curation.corpusRollup(t.documents)),
     // Sequence-aware LM signal over adjacent-token bigrams
     "q64_bigram_lm"      -> q(t => TextAnalysis.bigramLmScore(t.documents)),
     // Sketch profile: HLL++ + quantile sketch — deliberately has NO
@@ -839,6 +845,28 @@ object TrainingEntries {
          |SELECT chunk_fp, doc_id AS keep_doc, off AS keep_off,
          |  CAST(n_copies AS BIGINT) AS n_copies
          |FROM r WHERE rn = 1 AND n_copies >= 2 ORDER BY chunk_fp""".stripMargin,
+
+    "q67_histogram" ->
+      """SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 200 AS bin,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin,
+
+    "q68_pivot" ->
+      """SELECT CAST(hour(ts) AS BIGINT) AS hod,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY hod ORDER BY hod""".stripMargin,
+
+    "q69_rollup" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(GROUPING(source, lang) AS BIGINT) AS gid
+        |FROM documents GROUP BY ROLLUP(source, lang)
+        |ORDER BY gid, source, lang""".stripMargin,
 
     "q65_transitions" ->
       """SELECT from_type, to_type, COUNT(*) AS n FROM (

@@ -40,6 +40,16 @@ object Curation {
 
   private def $(name: String): Column = col(name)
 
+  /** OLAP rollup over the corpus dimensions: doc counts at every
+    * prefix level of (source, lang) — per (source, lang), per source,
+    * and grand total — with `grouping_id` disambiguating real NULL
+    * dimension values from rollup-level NULLs. One aggregation; Spark
+    * expands the grouping sets without re-scanning.
+    */
+  def corpusRollup(documents: DataFrame): DataFrame =
+    documents.rollup($("source"), $("lang"))
+      .agg(count(lit(1)).as("n_docs"), grouping_id().cast("long").as("gid"))
+
   /** Sketch-based corpus profile — the single-pass 100 TB alternative
     * to the exact reports ([[lengthQuantiles]], distinct counts):
     * per source, document count, HLL++ approximate distinct

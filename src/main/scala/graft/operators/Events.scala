@@ -144,6 +144,36 @@ object Events {
       .select($("event_type"), $("event_id"), $("value"), $("z"), $("rn"))
   }
 
+  /** Fixed-width value histogram per event type: bin = floor(value /
+    * width) over exact DECIMAL(18,2) values (float `floor(v/w)` at a
+    * bin edge could land either side across engines; integer cents
+    * divided integerly cannot). One partial-aggregated shuffle.
+    */
+  def valueHistogram(events: DataFrame, widthCents: Long = 200): DataFrame =
+    events
+      .withColumn("bin",
+        expr(s"CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div $widthCents"))
+      .groupBy($("event_type"), $("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Hour-of-day × event-type activity matrix via `pivot` — the
+    * wide-format report shape. The pivot values are declared (the five
+    * fixture types): an undeclared pivot scans once to discover them;
+    * declaring keeps it a single-pass aggregate with one column per
+    * type, and the output schema static for the oracle.
+    */
+  def hourlyTypePivot(events: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = events
+      .withColumn("hod", hour($("ts")).cast("long"))
+      .groupBy($("hod"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    // absent (hour, type) combos pivot to NULL; report 0 instead
+    pivoted.select($("hod") +: types.map(t =>
+      coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
   /** Event-type transition matrix (first-order Markov counts): how
     * often event type A is immediately followed by type B within a
     * user's stream, plus terminal transitions to 'END'. One lag

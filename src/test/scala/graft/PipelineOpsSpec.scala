@@ -293,6 +293,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === ((3L, 2L, 1L, 1L)))
   }
 
+  test("valueHistogram bins exact cents; pivot fills absent combos with 0") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.99),  // bin 0 ([0,2))
+      (2L, ts("2024-01-01 10:01:00"), 1L, "view", 2.00),  // bin 1 — edge case
+      (3L, ts("2024-01-01 11:00:00"), 1L, "click", 5.50)  // bin 2
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val hist = Events.valueHistogram(events)
+      .as[(String, Long, Long)].collect().toSet
+    assert(hist === Set(("view", 0L, 1L), ("view", 1L, 1L), ("click", 2L, 1L)))
+    val pivot = Events.hourlyTypePivot(events)
+      .select("hod", "view", "click", "purchase")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pivot === Set((10L, 2L, 0L, 0L), (11L, 0L, 1L, 0L)))
+  }
+
+  test("corpusRollup emits detail, per-source, and grand-total levels") {
+    val docs = Seq(
+      (1L, "s1", "en", "x"), (2L, "s1", "de", "x"), (3L, "s2", "en", "x")
+    ).toDF("doc_id", "source", "lang", "text")
+    val got = Curation.corpusRollup(docs)
+      .as[(Option[String], Option[String], Long, Long)].collect().toSet
+    assert(got === Set(
+      (Some("s1"), Some("en"), 1L, 0L), (Some("s1"), Some("de"), 1L, 0L),
+      (Some("s2"), Some("en"), 1L, 0L),
+      (Some("s1"), None, 2L, 1L), (Some("s2"), None, 1L, 1L),
+      (None, None, 3L, 3L)))
+  }
+
   test("bigramLmScore rewards common word ORDER, not just common words") {
     val docs = Seq(
       (1L, "a b a b"), // bigrams: "a b" x2, "b a" x1
