@@ -40,6 +40,7 @@ object SparkEntry {
     "q15_date_functions"    -> q(StarQueries.q15DateFunctions),    // F2/F5/F6/F8
     "q16_filter_pushdown"   -> q(StarQueries.q16FilterPushdown),   // P1-P3
     "q17_serving_lookup"    -> q(StarQueries.q17ServingLookup),    // S8+S9
+    "q18_set_ops"           -> q(StarQueries.q18SetOps),           // §2.6
   ) ++ TrainingEntries.queries ++ AirlineEntries.queries
 
   private val exqtySum  = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -142,5 +143,14 @@ object SparkEntry {
         |  o_orderpriority
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_orderkey""".stripMargin,
+    "q18_set_ops" ->
+      """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'
+        |             AND CAST(ts AS DATE) = DATE '2024-01-01'),
+        |p AS (SELECT user_id FROM events WHERE event_type = 'purchase'
+        |        AND CAST(ts AS DATE) = DATE '2024-01-01')
+        |SELECT user_id, 'both' AS tag FROM (SELECT * FROM c INTERSECT SELECT * FROM p)
+        |UNION ALL
+        |SELECT user_id, 'click_only' AS tag FROM (SELECT * FROM c EXCEPT SELECT * FROM p)
+        |ORDER BY tag, user_id""".stripMargin,
   ) ++ TrainingEntries.oracleSql ++ AirlineEntries.oracleSql
 }

@@ -212,6 +212,27 @@ object StarQueries {
     c.union(s)
   }
 
+  /** §2.6 set ops beyond union: INTERSECT (users who both clicked and
+    * purchased on launch day) and EXCEPT (clicked but never
+    * purchased that day — the remarketing set), tagged into one
+    * result. Spark plans both as semi/anti joins over distinct keys —
+    * no full-table sort; only (user_id) columns shuffle. (The star
+    * dimension keys are too dense for a non-trivial EXCEPT: every
+    * nation hosts both customers and suppliers at every SF.)
+    */
+  def q18SetOps(t: Tables): DataFrame = {
+    def dayUsers(eventType: String): DataFrame =
+      t.events
+        .filter($("event_type") === eventType &&
+          to_date($("ts")) === lit("2024-01-01").cast("date"))
+        .select($("user_id"))
+    val clicked = dayUsers("click")
+    val purchased = dayUsers("purchase")
+    clicked.intersect(purchased).select($("user_id"), lit("both").as("tag"))
+      .union(clicked.except(purchased)
+        .select($("user_id"), lit("click_only").as("tag")))
+  }
+
   /** F2/F5/F6/F8 (R:487, R:507, R:521-531) — the scalar date/format
     * layer: parse/derive/shift/format. `HH:mm dd/MM/yyyy` is the
     * reference's leg-schedule output format; the %.2f money format is
