@@ -41,6 +41,8 @@ object SparkEntry {
     "q16_filter_pushdown"   -> q(StarQueries.q16FilterPushdown),   // P1-P3
     "q17_serving_lookup"    -> q(StarQueries.q17ServingLookup),    // S8+S9
     "q18_set_ops"           -> q(StarQueries.q18SetOps),           // §2.6
+    "q19_moving_stats"      -> q(t =>                              // §2.8 frames
+      graft.operators.Events.movingStats(t.events)),
   ) ++ TrainingEntries.queries ++ AirlineEntries.queries
 
   private val exqtySum  = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -152,5 +154,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT user_id, 'click_only' AS tag FROM (SELECT * FROM c EXCEPT SELECT * FROM p)
         |ORDER BY tag, user_id""".stripMargin,
+    "q19_moving_stats" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w AS moving_avg,
+        |  CAST(MAX(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS moving_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
   ) ++ TrainingEntries.oracleSql ++ AirlineEntries.oracleSql
 }

@@ -144,6 +144,24 @@ object Events {
       .select($("event_type"), $("event_id"), $("value"), $("z"), $("rn"))
   }
 
+  /** Sliding-frame aggregate (§2.8's remaining frame shape): per
+    * user, the trailing 5-event mean and max of `value` in stream
+    * order. DECIMAL window sums keep the mean exact (each frame's sum
+    * is computed over ≤ 5 exact cents values — no running-double
+    * drift), divided once by the frame's actual row count.
+    */
+  def movingStats(events: DataFrame, frame: Int = 5): DataFrame = {
+    val w = Window.partitionBy($("user_id"))
+      .orderBy($("ts").asc, $("event_id").asc)
+      .rowsBetween(-(frame - 1), 0)
+    events.select(
+      $("event_id"), $("user_id"),
+      (sum($("value").cast(DecimalType(18, 2))).over(w).cast("double") /
+        count(lit(1)).over(w)).as("moving_avg"),
+      max($("value").cast(DecimalType(18, 2))).over(w).cast("double")
+        .as("moving_max"))
+  }
+
   /** Fixed-width value histogram per event type: bin = floor(value /
     * width) over exact DECIMAL(18,2) values (float `floor(v/w)` at a
     * bin edge could land either side across engines; integer cents

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class ContractSpec extends AnyFunSuite {
 
   test("query-map merge loses nothing (no duplicate names across entry files)") {
-    val base = 18 // the q01-q18 star-schema entries defined in SparkEntry
+    val base = 19 // the q01-q19 star-schema entries defined in SparkEntry
     val expected = base + TrainingEntries.queries.size + AirlineEntries.queries.size
     assert(SparkEntry.queries.size === expected,
       "a duplicate query name collapsed during the map merge")
