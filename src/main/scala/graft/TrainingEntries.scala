@@ -117,6 +117,8 @@ object TrainingEntries {
     "q68_pivot"          -> q(t => Events.hourlyTypePivot(t.events)),
     // OLAP rollup with grouping ids over (source, lang)
     "q69_rollup"         -> q(t => Curation.corpusRollup(t.documents)),
+    // CUBE lattice over (event_type, day)
+    "q70_cube"           -> q(t => Events.typeDayCube(t.events)),
     // Sequence-aware LM signal over adjacent-token bigrams
     "q64_bigram_lm"      -> q(t => TextAnalysis.bigramLmScore(t.documents)),
     // Sketch profile: HLL++ + quantile sketch — deliberately has NO
@@ -867,6 +869,14 @@ object TrainingEntries {
         |  CAST(GROUPING(source, lang) AS BIGINT) AS gid
         |FROM documents GROUP BY ROLLUP(source, lang)
         |ORDER BY gid, source, lang""".stripMargin,
+
+    "q70_cube" ->
+      """SELECT event_type, day, COUNT(*) AS n,
+        |  CAST(GROUPING(event_type, day) AS BIGINT) AS gid
+        |FROM (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+        |      FROM events)
+        |GROUP BY CUBE(event_type, day)
+        |ORDER BY gid, event_type, day""".stripMargin,
 
     "q65_transitions" ->
       """SELECT from_type, to_type, COUNT(*) AS n FROM (

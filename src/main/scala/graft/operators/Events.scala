@@ -192,6 +192,21 @@ object Events {
       coalesce(col(t), lit(0L)).as(t)): _*)
   }
 
+  /** CUBE over (event_type, day): counts at ALL four grouping levels
+    * (detail, per-type, per-day, grand total) in one aggregation —
+    * rollup's lattice sibling (see Curation.corpusRollup); gid
+    * disambiguates levels.
+    */
+  def typeDayCube(events: DataFrame): DataFrame =
+    events
+      // STRING day: at cube levels the dimension is NULL, and a null
+      // DATE round-trips as None vs NaT across parquet/pandas — a
+      // null VARCHAR compares cleanly (same choice as corpusRollup's
+      // string dims)
+      .withColumn("day", to_date($("ts")).cast("string"))
+      .cube($("event_type"), $("day"))
+      .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+
   /** Event-type transition matrix (first-order Markov counts): how
     * often event type A is immediately followed by type B within a
     * user's stream, plus terminal transitions to 'END'. One lag
