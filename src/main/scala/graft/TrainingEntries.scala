@@ -979,13 +979,16 @@ object TrainingEntries {
         |ORDER BY purchase_id, click_id""".stripMargin,
 
     "q60_value_outliers" ->
-      """WITH stats AS (SELECT event_type, COUNT(*) AS n,
+      """WITH stats0 AS (SELECT event_type, COUNT(*) AS n,
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
         |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
         |      AS DOUBLE) AS sq
-        |  FROM events GROUP BY event_type),
+        |  FROM events GROUP BY event_type HAVING COUNT(*) > 1),
+        |stats AS (SELECT event_type, s / n AS mean,
+        |    (sq - s * s / n) / (n - 1) AS variance
+        |  FROM stats0 WHERE (sq - s * s / n) / (n - 1) > 0),
         |z AS (SELECT e.event_type, e.event_id, e.value,
-        |    (e.value - s / n) / sqrt((sq - s * s / n) / (n - 1)) AS z
+        |    (e.value - mean) / sqrt(variance) AS z
         |  FROM events e JOIN stats USING (event_type)),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
         |        ORDER BY abs(z) DESC, event_id) AS BIGINT) AS rn FROM z)

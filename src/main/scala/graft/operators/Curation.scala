@@ -63,6 +63,10 @@ object Curation {
     * this entry is rows-only-gated (no DuckDB hash twin — the exact
     * twins q20/q52 cover the semantics); PipelineOpsSpec bounds the
     * approximation error against the exact operators instead.
+    *
+    * The three percentiles are projected to scalar columns (one
+    * quantile sketch evaluated at three points, then `element_at`) —
+    * a flat, driver-comparable report row, no ARRAY cells.
     */
   def approxProfile(documents: DataFrame, rsd: Double = 0.05): DataFrame =
     documents.spread()
@@ -76,6 +80,10 @@ object Curation {
         sum($("n_tok")).as("n_tokens"),
         percentile_approx($("n_tok"),
           array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("tok_pcts"))
+      .select($("source"), $("n_docs"), $("n_distinct_approx"), $("n_tokens"),
+        element_at($("tok_pcts"), 1).as("p50_tok"),
+        element_at($("tok_pcts"), 2).as("p90_tok"),
+        element_at($("tok_pcts"), 3).as("p99_tok"))
 
   /** Exact per-source token-length quantiles — the corpus length
     * report a curation pass reads before choosing length filters. For
@@ -266,7 +274,9 @@ object Curation {
   def decontaminate(documents: DataFrame, n: Int = 8, maxDf: Int = 100,
       evalMod: Long = 10L): DataFrame = {
     // the shingle index feeds the df cut AND both join sides —
-    // materialize once (parquet intermediate at warehouse scale)
+    // materialize once (parquet intermediate at warehouse scale); the
+    // (doc_id, n_shared) result is checkpointed eagerly so the index
+    // cache can drop before returning (no session cache accumulation)
     val sh0 = Dedup.shingles(documents, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -274,8 +284,11 @@ object Curation {
     val sh = sh0.join(rare, Seq("shingle"))
     val evalShingles = sh.filter($("doc_id") % evalMod === 0)
       .select("shingle").distinct()
-    sh.filter($("doc_id") % evalMod =!= 0)
+    val result = sh.filter($("doc_id") % evalMod =!= 0)
       .join(evalShingles, Seq("shingle"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .localCheckpoint(true)
+    sh0.unpersist(false)
+    result
   }
 }

@@ -171,7 +171,12 @@ object Dedup {
     * `pairs` is materialized because it fans into the two probe legs
     * and the id set; the pruned index is materialized because the
     * probes and sizes fan out of it (cache-race rule, see
-    * componentsOf).
+    * componentsOf). Both intermediates are UNPERSISTED before
+    * returning: the (id1, id2, jaccard) result — one bounded row per
+    * candidate pair — is localCheckpointed eagerly, so repeated
+    * invocations in one session don't accumulate cached shingle
+    * blocks (the result rows are the only storage the call leaves
+    * behind).
     */
   def jaccardFor(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -193,12 +198,16 @@ object Dedup {
       .join(shp.select($("doc_id").as("id2"), $("shingle")).hint("shuffle_hash"),
         Seq("id2", "shingle"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("common"))
-    common
+    val result = common
       .join(sizes.select($("doc_id").as("id1"), $("sz").as("sz1")), Seq("id1"))
       .join(sizes.select($("doc_id").as("id2"), $("sz").as("sz2")), Seq("id2"))
       .select($("id1"), $("id2"),
         ($("common").cast("double") /
           ($("sz1") + $("sz2") - $("common")).cast("double")).as("jaccard"))
+      .localCheckpoint(true)
+    p.unpersist(false)
+    shp.unpersist(false)
+    result
   }
 
   /** MinHash+LSH near-duplicate pairs: signatures → banded candidates
@@ -225,43 +234,113 @@ object Dedup {
     * smallest doc_id. Returns (doc_id, component, cluster_size) for
     * every doc that appears in at least one pair.
     *
-    * Algorithm: iterative min-label propagation (hash-to-min) — each
-    * round every node takes the min of its own label and its
-    * neighbors', until a fixpoint. Each round is one equi-join plus
-    * one groupBy-min (both partial-aggregated); rounds needed = graph
-    * diameter. Dup graphs are overwhelmingly tiny cliques/chains
-    * (diameter ≤ ~3), so this converges in 2-4 rounds; the edge set is
-    * pairs only — orders of magnitude smaller than the corpus — and
-    * the corpus text never enters the loop. (For adversarially long
-    * chains the two-phase large-star/small-star variant converges in
-    * O(log n) rounds with the same per-round plan shape.) The
-    * convergence check is a driver-side count of changed labels —
-    * one scalar per round, not a collect of data.
+    * Algorithm: alternating large-star/small-star contraction — the
+    * O(log n)-round MapReduce components algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14; public
+    * literature). Each round is two equi-join + groupBy-min passes
+    * over the EDGE list only — the corpus text never enters the loop —
+    * and the round count is logarithmic in the largest component's
+    * diameter, so even an adversarial million-node chain converges in
+    * ~20 rounds (plain min-label propagation, kept as the differential
+    * twin [[componentsHashToMin]], needs diameter rounds). Dup graphs
+    * are overwhelmingly tiny cliques/chains, where both converge in
+    * 2-4 rounds. The convergence check is a driver-side scalar per
+    * round; hitting `maxRounds` without a fixpoint THROWS rather than
+    * returning silently-partial labels (a wrong KEEP/DROP decision is
+    * strictly worse than a failed job).
     */
   def dupClusters(documents: DataFrame, n: Int = 5, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.7, maxBucket: Int = 256,
-      maxRounds: Int = 20): DataFrame =
+      maxRounds: Int = 30): DataFrame =
     componentsOf(
       minhashDupPairs(documents, n, k, bands, threshold, maxBucket)
         .select($("id1"), $("id2")),
       maxRounds)
 
-  /** Connected components of an (id1, id2) edge list (see
-    * [[dupClusters]] for the algorithm and scale notes).
+  /** Connected components of an (id1, id2) edge list via alternating
+    * large-star/small-star (see [[dupClusters]] for the algorithm
+    * citation and scale notes). Components are labeled by their
+    * smallest node id; returns (doc_id, component, cluster_size) for
+    * every node appearing in at least one pair.
+    *
+    * Round shape: edges stay oriented big→small. LARGE-STAR links every
+    * strictly-larger neighbor of a node to the minimum of its
+    * (undirected) neighborhood; SMALL-STAR links the node and its
+    * smaller neighbors to that minimum. At the fixpoint the edge set is
+    * exactly {(v, min of v's component)} — stars — which IS the label
+    * assignment.
     *
     * Lineage discipline: iterative DataFrame algorithms must TRUNCATE
-    * lineage each round — labels_n = f(labels_(n-1), edges) makes the
-    * logical plan grow geometrically, and each embeds the full pair-
-    * GENERATION plan (for dupClusters: the whole minhash pipeline), so
-    * Catalyst re-analysis soon dominates compute (measured here:
-    * 6.5 s to re-count an already-cached 477-row result; q51 was 4x
-    * q26 with caching alone). `localCheckpoint` materializes the rows
-    * and replaces the plan with the stored RDD — the same discipline
+    * lineage each round — edges_n = f(edges_(n-1)) makes the logical
+    * plan grow geometrically, and each embeds the full pair-GENERATION
+    * plan (for dupClusters: the whole minhash pipeline), so Catalyst
+    * re-analysis soon dominates compute (measured here: 6.5 s to
+    * re-count an already-cached 477-row result; q51 was 4x q26 with
+    * caching alone). `localCheckpoint` materializes the rows and
+    * replaces the plan with the stored RDD — the same discipline
     * MLlib's iterative algorithms use. On a production cluster where
-    * executor loss must be survivable, swap for reliable
-    * `checkpoint` into the warehouse's checkpoint dir.
+    * executor loss must be survivable, swap for reliable `checkpoint`
+    * into the warehouse's checkpoint dir.
     */
-  def componentsOf(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def componentsOf(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val p = pairs.filter($("id1") =!= $("id2")).localCheckpoint(true)
+    val nodes = p.select($("id1").as("node"))
+      .union(p.select($("id2").as("node"))).distinct()
+      .localCheckpoint(true)
+    var edges = p
+      .select(greatest($("id1"), $("id2")).as("src"),
+        least($("id1"), $("id2")).as("dst"))
+      .distinct().localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      // LARGE-STAR over the undirected view: node u's larger neighbors
+      // attach to m(u) = min(neighbors(u) ∪ {u})
+      val sym = edges
+        .union(edges.select($("dst").as("src"), $("src").as("dst")))
+      val lsMin = sym.groupBy("src").agg(min($("dst")).as("mind"))
+        .select($("src"), least($("src"), $("mind")).as("m"))
+      val ls = sym.join(lsMin, Seq("src"))
+        .filter($("dst") > $("src"))
+        .select($("dst").as("src"), $("m").as("dst"))
+        .distinct().localCheckpoint(true)
+      // SMALL-STAR: with edges big→small, grouping by src IS the
+      // smaller-neighborhood view; u and its smaller neighbors attach
+      // to their minimum
+      val ssMin = ls.groupBy("src").agg(min($("dst")).as("m"))
+      val next = ls.join(ssMin, Seq("src"))
+        .select($("dst").as("src"), $("m").as("dst"))
+        .union(ssMin.select($("src"), $("m").as("dst")))
+        .filter($("src") =!= $("dst"))
+        .distinct().localCheckpoint(true)
+      // fixpoint test: set equality via count + one-way except (cheap
+      // on checkpointed inputs)
+      changed =
+        if (edges.count() != next.count()) 1L
+        else next.except(edges).count()
+      edges = next
+      round += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"componentsOf did not converge within $maxRounds rounds — " +
+          "component labels would be partial; raise maxRounds")
+    val labels = nodes
+      .join(edges.select($("src").as("node"), $("dst").as("comp")),
+        Seq("node"), "left")
+      .select($("node"), coalesce($("comp"), $("node")).as("comp"))
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("comp"))
+      .select($("node").as("doc_id"), $("comp").as("component"), $("cluster_size"))
+  }
+
+  /** Plain min-label propagation (hash-to-min) — converges in
+    * graph-DIAMETER rounds (vs componentsOf's O(log n)); kept as the
+    * independent differential twin for the property tests. Same
+    * output contract and the same non-convergence throw.
+    */
+  private[graft] def componentsHashToMin(pairs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
     val p = pairs.localCheckpoint(true)
     val edges = p.select($("id1").as("src"), $("id2").as("dst"))
       .union(p.select($("id2").as("src"), $("id1").as("dst")))
@@ -282,6 +361,9 @@ object Dedup {
       labels = next
       round += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"componentsHashToMin did not converge within $maxRounds rounds")
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("comp"))
       .select($("node").as("doc_id"), $("comp").as("component"), $("cluster_size"))
@@ -305,9 +387,11 @@ object Dedup {
       .filter($("id1") < $("id2"))
       .select("id1", "id2").distinct()
     // verify against the FULL shingle sets (df-cut only prunes the
-    // candidate generation, not the similarity definition)
-    jaccardFor(pairs, sh0)
-      .filter($("jaccard") >= threshold)
+    // candidate generation, not the similarity definition); jaccardFor
+    // materializes its result eagerly, so the index cache can drop here
+    val verified = jaccardFor(pairs, sh0)
+    sh0.unpersist(false)
+    verified.filter($("jaccard") >= threshold)
   }
 
   /** SimHash-32 per document: per token, 32 bits from the first 8 hex

@@ -126,18 +126,27 @@ object Events {
     * (broadcast back), then WindowGroupLimit keeps a topK heap per
     * partition before the per-type exchange — per-event z computation
     * never shuffles.
+    *
+    * Degenerate groups are excluded up front: a single-row type
+    * (n−1 = 0) or a constant-valued type (variance 0) has no defined
+    * z-score — Spark's non-ANSI double division would yield NULL where
+    * DuckDB yields inf/NaN, so without the filter the ranking diverges
+    * cross-engine exactly on those inputs. The same two predicates
+    * appear in the oracle SQL.
     */
   def valueOutliers(events: DataFrame, topK: Int = 20): DataFrame = {
     val dec = $("value").cast(DecimalType(18, 2))
     val stats = events.groupBy($("event_type")).agg(
-      count(lit(1)).as("n"),
-      sum(dec).cast("double").as("s"),
-      sum(dec * dec).cast("double").as("sq"))
+        count(lit(1)).as("n"),
+        sum(dec).cast("double").as("s"),
+        sum(dec * dec).cast("double").as("sq"))
+      .filter($("n") > 1)
+      .withColumn("mean", $("s") / $("n"))
+      .withColumn("variance", ($("sq") - $("s") * $("s") / $("n")) / ($("n") - 1))
+      .filter($("variance") > 0)
     val w = Window.partitionBy($("event_type"))
       .orderBy(abs($("z")).desc, $("event_id").asc)
     events.join(broadcast(stats), Seq("event_type"))
-      .withColumn("mean", $("s") / $("n"))
-      .withColumn("variance", ($("sq") - $("s") * $("s") / $("n")) / ($("n") - 1))
       .withColumn("z", ($("value") - $("mean")) / sqrt($("variance")))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter($("rn") <= topK)

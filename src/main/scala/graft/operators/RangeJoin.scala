@@ -33,9 +33,17 @@ object RangeJoin {
       keys: Seq[String] = Nil,
       broadcastIntervals: Boolean = true): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
-    val exploded = intervals.withColumn("__bucket", explode(expr(
-      s"sequence(unix_micros($startTs) div $bucketUs, " +
-        s"unix_micros($endTs - interval 1 microsecond) div $bucketUs)")))
+    // Empty/inverted intervals (endTs <= startTs) contain no point, so
+    // dropping them is semantics-preserving — and load-bearing: Spark's
+    // sequence(a, b) generates a DESCENDING sequence when a > b, so an
+    // inverted interval would otherwise explode a spurious bucket row
+    // per bucket between its bounds (correct output only by grace of
+    // the exact re-check below, at arbitrary cost).
+    val exploded = intervals
+      .filter(col(endTs) > col(startTs))
+      .withColumn("__bucket", explode(expr(
+        s"sequence(unix_micros($startTs) div $bucketUs, " +
+          s"unix_micros($endTs - interval 1 microsecond) div $bucketUs)")))
     val dim = if (broadcastIntervals) broadcast(exploded) else exploded
     points
       .withColumn("__bucket", expr(s"unix_micros($pointTs) div $bucketUs"))

@@ -199,12 +199,14 @@ object TextAnalysis {
     // the token stream feeds three consumers (per-doc counts, vocab,
     // total) — materialize the explode once instead of re-scanning
     // the corpus text three times (parquet intermediate at warehouse
-    // scale, like Dedup's shingle index)
+    // scale, like Dedup's shingle index); the per-doc result is
+    // checkpointed eagerly so the token cache can be dropped before
+    // returning (no session-scoped cache accumulation)
     val toks = tokens(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
     val total = vocab.agg(sum($("tf")).cast("long").as("total"))
-    toks.groupBy($("doc_id"), $("token")).agg(count(lit(1)).as("c"))
+    val result = toks.groupBy($("doc_id"), $("token")).agg(count(lit(1)).as("c"))
       .join(vocab, Seq("token"))
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
@@ -212,6 +214,9 @@ object TextAnalysis {
         sum($("c")).cast("long").as("n_tok"),
         (sum($("c") * $("tf")).cast("double") /
           (sum($("c")) * first($("total"))).cast("double")).as("lm_score"))
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    result
   }
 
   /** Fixed-size overlapping character chunks of the normalized text —
@@ -284,13 +289,17 @@ object TextAnalysis {
     val nDocs = documents.agg(count(lit(1)).cast("long").as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($("doc_id")).orderBy($("score").desc, $("token").asc)
-    perDoc.join(dfTab, Seq("token"))
+    // topK rows per doc — checkpoint the small result, drop the cache
+    val result = perDoc.join(dfTab, Seq("token"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         ($("tf") * $("n_docs")).cast("double") / $("df").cast("double"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter($("rn") <= topK)
       .select($("doc_id"), $("token"), $("tf"), $("df"), $("score"), $("rn"))
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    result
   }
 
   /** BM25 retrieval scoring of every document against a fixed term
@@ -341,10 +350,14 @@ object TextAnalysis {
     val score = terms.indices
       .map(i => coalesce(col(s"s$i"), lit(0.0)))
       .reduceLeft(_ + _)
-    scored.groupBy("doc_id").agg(termCols.head, termCols.tail: _*)
+    // topK rows — checkpoint the tiny result, drop the token cache
+    val result = scored.groupBy("doc_id").agg(termCols.head, termCols.tail: _*)
       .select($("doc_id"), score.as("score"))
       .orderBy($("score").desc, $("doc_id").asc)
       .limit(topK)
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    result
   }
 
   // RE2-compatible (and Java-regex-compatible) PII patterns: plain
@@ -409,7 +422,8 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = bg.groupBy("bigram").agg(count(lit(1)).as("tf"))
     val total = vocab.agg(sum($("tf")).cast("long").as("total"))
-    bg.groupBy($("doc_id"), $("bigram")).agg(count(lit(1)).as("c"))
+    // one row per doc — checkpoint the result, drop the bigram cache
+    val result = bg.groupBy($("doc_id"), $("bigram")).agg(count(lit(1)).as("c"))
       .join(vocab, Seq("bigram"))
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
@@ -417,6 +431,9 @@ object TextAnalysis {
         sum($("c")).cast("long").as("n_bigrams"),
         (sum($("c") * $("tf")).cast("double") /
           (sum($("c")) * first($("total"))).cast("double")).as("lm2_score"))
+      .localCheckpoint(true)
+    bg.unpersist(false)
+    result
   }
 
   /** Top-token repetition stats (the Gopher-style repetition rule's

@@ -143,6 +143,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Set((1L, 10L), (2L, 10L)))
   }
 
+  test("RangeJoin.overlap drops empty/inverted intervals instead of exploding them") {
+    import graft.operators.RangeJoin
+    val points = Seq((1L, ts("2024-03-01 00:30:00"))).toDF("pid", "pts")
+    val intervals = Seq(
+      // inverted: end a full year BEFORE start — sequence(a, b) with
+      // a > b would otherwise generate thousands of descending buckets
+      (20L, ts("2024-03-01 00:00:00"), ts("2023-03-01 00:00:00")),
+      // empty: end == start contains no point by [start, end)
+      (21L, ts("2024-03-01 00:30:00"), ts("2024-03-01 00:30:00")),
+      (22L, ts("2024-03-01 00:00:00"), ts("2024-03-01 01:00:00"))
+    ).toDF("iid", "istart", "iend")
+    val got = RangeJoin.overlap(points, intervals, "pts", "istart", "iend",
+        bucketUs = 3600L * 1000000L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 22L)))
+  }
+
   test("windowRollup counts events into overlapping windows with [start, end) bounds") {
     // windows every 3h, 6h long: [0,6), [3,9), [6,12)
     val events = Seq(
@@ -169,6 +186,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(got.head._2 - (11.0 - 3.0) / math.sqrt(20.0)) < 1e-12)
     // the 1.0 rows tie on |z|; event_id breaks the tie
     assert(got(1)._1 === 1L)
+  }
+
+  test("valueOutliers excludes degenerate groups (n=1 or zero variance)") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "single", 5.0),   // n = 1
+      (2L, ts("2024-01-01 00:00:00"), 1L, "const", 2.0),    // constant values
+      (3L, ts("2024-01-01 00:00:00"), 1L, "const", 2.0),
+      (4L, ts("2024-01-01 00:00:00"), 1L, "ok", 1.0),
+      (5L, ts("2024-01-01 00:00:00"), 1L, "ok", 3.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.valueOutliers(events, topK = 5)
+      .select("event_type", "event_id").as[(String, Long)].collect()
+    // only the well-defined group survives — no NULL/NaN z rows
+    assert(got.map(_._1).toSet === Set("ok"))
+    assert(got.map(_._2).toSet === Set(4L, 5L))
   }
 
   // -------------------------------------------------------------
@@ -229,18 +261,17 @@ class PipelineOpsSpec extends SparkSpec {
         (s"d$i" +: Seq.fill((i % 100 + 1).toInt)("w")).mkString(" "))
     }.toDF("doc_id", "source", "text")
     val got = Curation.approxProfile(docs, rsd = 0.05)
-      .select("source", "n_docs", "n_distinct_approx", "tok_pcts")
-      .as[(String, Long, Long, Seq[Long])].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    got.values.foreach { case (nDocs, nDistinct, pcts) =>
+      .select("source", "n_docs", "n_distinct_approx", "p50_tok", "p90_tok")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    got.values.foreach { case (nDocs, nDistinct, p50, p90) =>
       assert(nDocs === 100L)
       // HLL++ at rsd 0.05: allow 3 sigma
       assert(math.abs(nDistinct - 100L) <= 15, s"hll=$nDistinct")
       // per-source lengths are uniform 2..101; sketch accuracy 10000
       // on 100 values is exact-rank territory — generous bands anyway
-      assert(pcts.length === 3)
-      assert(math.abs(pcts(0) - 51L) <= 5, s"p50=${pcts(0)}")
-      assert(math.abs(pcts(1) - 91L) <= 5, s"p90=${pcts(1)}")
+      assert(math.abs(p50 - 51L) <= 5, s"p50=$p50")
+      assert(math.abs(p90 - 91L) <= 5, s"p90=$p90")
     }
   }
 

@@ -122,6 +122,36 @@ class PropertiesSpec extends SparkSpec {
         assert(comp === want(node), s"node $node")
         assert(sz === sizes(comp), s"size of comp $comp")
       }
+      // differential: the independent hash-to-min formulation must
+      // produce the identical labeling
+      val htm = Dedup.componentsHashToMin(edges.distinct.toDF("id1", "id2"))
+        .as[(Long, Long, Long)].collect()
+      assert(htm.sorted.toSeq === got.sorted.toSeq)
+    }
+  }
+
+  test("componentsOf collapses a planted 1000-node chain in O(log n) rounds") {
+    // diameter-999 path: the adversarial case for plain min-label
+    // propagation (would need 999 rounds); large-star/small-star must
+    // converge within the default maxRounds budget
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.componentsOf(chain)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === 1000)
+    got.foreach { case (node, comp, sz) =>
+      assert(comp === 0L, s"node $node")
+      assert(sz === 1000L)
+    }
+  }
+
+  test("components algorithms THROW on non-convergence instead of returning partial labels") {
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id1", "id2")
+    // diameter 50 with a 3-round budget: hash-to-min cannot converge
+    intercept[IllegalStateException] {
+      Dedup.componentsHashToMin(chain, maxRounds = 3)
+    }
+    intercept[IllegalStateException] {
+      Dedup.componentsOf(chain, maxRounds = 1)
     }
   }
 
