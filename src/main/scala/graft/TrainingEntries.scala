@@ -126,6 +126,11 @@ object TrainingEntries {
     // records the weaker rows-only check and PipelineOpsSpec bounds
     // the error against the exact operators (q20/q52 semantics)
     "q58_approx_profile" -> q(t => Curation.approxProfile(t.documents)),
+    // §2.10 curve fit, oracle-gated: per-family min grid-SSE over the
+    // q39 rank table (closed-form least-squares scale; log-rounded)
+    "q71_dist_fit"       -> q(t =>
+      DistributionFit.gridFitSse(
+        DistributionFit.rankTable(StarQueries.q02ExplodeCount(t)))),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -599,6 +604,49 @@ object TrainingEntries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |    AS rank_start
         |FROM fr ORDER BY cnt DESC""".stripMargin,
+
+    // Mirrors DistributionFit.gridFitSse: same binary64 grid (rendered
+    // from the same Scala Seq), same Stirling ln-factorial, same
+    // closed-form SSE, same log-space rounding.
+    "q71_dist_fit" ->
+      s"""WITH kc AS (SELECT key, COUNT(*) AS cnt FROM
+        |  (SELECT l_partkey AS key FROM lineitem
+        |   UNION ALL SELECT l_suppkey FROM lineitem) GROUP BY key),
+        |fr AS (SELECT cnt, COUNT(*) AS n_keys FROM kc GROUP BY cnt),
+        |frr AS (SELECT cnt, n_keys,
+        |  CAST(1 + COALESCE(SUM(n_keys) OVER (ORDER BY cnt DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS rank_start FROM fr),
+        |rk AS (SELECT CAST(cnt AS DOUBLE) AS f,
+        |         CAST(rank_start + gs.i AS DOUBLE) AS rd
+        |       FROM frr, generate_series(0, CAST(n_keys - 1 AS BIGINT)) AS gs(i)),
+        |params(family, p1, p2) AS (VALUES
+        |    ${DistributionFit.gridParamsSqlValues}),
+        |tot AS (SELECT SUM(f*f) AS sf2 FROM rk),
+        |agg AS (SELECT family, p1, p2,
+        |         SUM(f * g) AS num, SUM(g * g) AS den
+        |       FROM (SELECT family, p1, p2, f,
+        |         CASE family
+        |           WHEN 'zipf' THEN pow(rd, -p1)
+        |           WHEN 'pareto' THEN pow(rd, -(p1 + 1.0))
+        |           WHEN 'poisson' THEN exp(rd * ln(p1) - p1 -
+        |             (rd * ln(rd) - rd + 0.5 * ln(2.0 * 3.141592653589793 * rd)
+        |              + 1.0 / (12.0 * rd) - 1.0 / (360.0 * rd * rd * rd)))
+        |           ELSE exp(-0.5 * pow((ln(rd) - p1) / p2, 2)) / rd
+        |         END AS g
+        |         FROM rk CROSS JOIN params)
+        |       GROUP BY family, p1, p2),
+        |sse AS (SELECT family, p1, p2,
+        |          (SELECT sf2 FROM tot) -
+        |            CASE WHEN den > 0.0 THEN num * num / den ELSE 0.0 END AS s
+        |        FROM agg),
+        |best AS (SELECT family, p1, p2, s,
+        |           row_number() OVER (PARTITION BY family
+        |             ORDER BY s ASC, p1 ASC, p2 ASC) AS rn
+        |         FROM sse)
+        |SELECT family AS distribution, p1, p2,
+        |  round(ln(greatest(s, 1e-12)), 6) AS log_sse
+        |FROM best WHERE rn = 1 ORDER BY distribution""".stripMargin,
 
     "q40_hash_split" ->
       """SELECT doc_id, bucket,

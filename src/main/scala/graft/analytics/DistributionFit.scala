@@ -240,6 +240,93 @@ object DistributionFit {
         .cast("long").as("rank_start"))
   }
 
+  /** The fixed (family, p1, p2) parameter grid of [[gridFitSse]] —
+    * shared verbatim by the Spark plan and the DuckDB oracle SQL
+    * ([[gridParamsSqlValues]] renders these same doubles, and
+    * `Double.toString` round-trips, so both engines evaluate the
+    * identical binary64 parameters).
+    */
+  val gridParams: Seq[(String, Double, Double)] = {
+    val zipf    = (1 to 15).map(i => ("zipf", i * 0.2, 0.0))
+    val pareto  = (1 to 15).map(i => ("pareto", i * 0.2, 0.0))
+    val poisson = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L,
+      1024L, 2048L).map(l => ("poisson", l.toDouble, 0.0))
+    val logn = for (m <- 0 to 6; s <- 1 to 6)
+      yield ("lognormal", m.toDouble, s * 0.5)
+    zipf ++ pareto ++ poisson ++ logn
+  }
+
+  /** `VALUES` rows of [[gridParams]] for the oracle SQL. */
+  def gridParamsSqlValues: String =
+    gridParams.map { case (f, p1, p2) => s"('$f', $p1, $p2)" }.mkString(",\n    ")
+
+  /** Oracle-gateable distributed grid fit (the §2.10 curve fit as a
+    * DataFrame): for each family and each fixed grid parameter, the
+    * least-squares scale has the closed form a = Σf·g/Σg², so the SSE
+    * folds in ONE pass over the expanded rank table:
+    * SSE = Σf² − (Σf·g)²/Σg². Per family the min-SSE row wins
+    * (tiebreak p1, p2 asc).
+    *
+    * Engine portability: the grid doubles are bit-shared (see
+    * [[gridParams]]); ln r! uses Stirling's series — a pure per-row
+    * expression both engines evaluate with the same formula, instead
+    * of a cumulative-sum window (which would funnel all ranks through
+    * one partition) or lgamma (absent from Spark SQL); and the output
+    * SSE is reported as round(ln(sse), 6) — log-space rounding
+    * absorbs the sub-ulp libm (pow/exp) and summation-order drift
+    * between Spark and DuckDB while still pinning the fit to one part
+    * in 10⁶.
+    *
+    * Scale: rank expansion is a narrow per-run explode (rows =
+    * distinct keys), the param grid (84 rows) is broadcast, the
+    * aggregation partial-combines map-side, and nothing else shuffles
+    * — the plan survives an arbitrary corpus because its input is the
+    * already-aggregated rank table.
+    */
+  def gridFitSse(rankTable: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark = rankTable.sparkSession
+    import spark.implicits._
+
+    val ranks = rankTable
+      .select(col("cnt").cast("double").as("f"), col("rank_start"),
+        explode(sequence(lit(0L), col("n_keys").cast("long") - 1L)).as("i"))
+      .select(col("f"), (col("rank_start") + col("i")).cast("double").as("rd"))
+
+    val params = broadcast(gridParams.toDF("family", "p1", "p2"))
+
+    val rd = col("rd")
+    // Stirling: ln r! = r·ln r − r + ln(2πr)/2 + 1/(12r) − 1/(360r³)
+    val lnFact = rd * log(rd) - rd +
+      lit(0.5) * log(lit(2.0) * lit(3.141592653589793) * rd) +
+      lit(1.0) / (lit(12.0) * rd) -
+      lit(1.0) / (lit(360.0) * rd * rd * rd)
+    val g = when(col("family") === "zipf", pow(rd, -col("p1")))
+      .when(col("family") === "pareto", pow(rd, -(col("p1") + lit(1.0))))
+      .when(col("family") === "poisson",
+        exp(rd * log(col("p1")) - col("p1") - lnFact))
+      .otherwise(
+        exp(lit(-0.5) * pow((log(rd) - col("p1")) / col("p2"), 2)) / rd)
+
+    val sf2 = ranks.agg(sum(col("f") * col("f")).as("sf2"))
+    val agg = ranks.crossJoin(params)
+      .select(col("family"), col("p1"), col("p2"), col("f"), g.as("g"))
+      .groupBy(col("family"), col("p1"), col("p2"))
+      .agg(sum(col("f") * col("g")).as("num"), sum(col("g") * col("g")).as("den"))
+    val w = Window.partitionBy(col("family"))
+      .orderBy(col("s").asc, col("p1").asc, col("p2").asc)
+    agg.crossJoin(broadcast(sf2))
+      .select(col("family"), col("p1"), col("p2"),
+        (col("sf2") - when(col("den") > 0.0, col("num") * col("num") / col("den"))
+          .otherwise(lit(0.0))).as("s"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("family").as("distribution"), col("p1"), col("p2"),
+        round(log(greatest(col("s"), lit(1e-12))), 6).as("log_sse"))
+      .orderBy(col("distribution"))
+  }
+
   /** Collect the (small) sorted-frequency column once, fit all
     * families, and write `rank_frequency.tsv` + `rank_frequency.svg`
     * under `dir`. Returns the fits.

@@ -203,14 +203,21 @@ object Airline {
     * Noon boundary pinned: leg1 strictly before 720 min, leg2 at/after
     * 720 (README says "before"/"after 12:00" without fixing 12:00
     * itself; AirlineSpec pins this).
+    *
+    * `broadcastRequests = false` drops the broadcast hint for a
+    * GENERATED request table (the q13 full cross × date-dim shape) too
+    * large to ship to every executor — the joins then fall back to
+    * Catalyst's choice (shuffle joins on the equi-keys), same rows.
     */
-  def bestLegs(requests: DataFrame, legs: DataFrame): DataFrame = {
+  def bestLegs(requests: DataFrame, legs: DataFrame,
+      broadcastRequests: Boolean = true): DataFrame = {
     // Request columns are renamed req_* internally: Spark resolves
     // column names case-insensitively by default, so `origin` (request)
     // vs `Origin` (leg) would be ambiguous after the join.
-    val reqs = broadcast(requests.select(
+    val projected = requests.select(
       $("origin").as("req_origin"), $("stop").as("req_stop"),
-      $("dest").as("req_dest"), $("request_date").as("req_date")))
+      $("dest").as("req_dest"), $("request_date").as("req_date"))
+    val reqs = if (broadcastRequests) broadcast(projected) else projected
 
     val reqKey = Seq("req_origin", "req_stop", "req_dest", "req_date")
     val ord = struct($("ArrDelay"), $("UniqueCarrier"), $("FlightNum"), $("sched_dep"))

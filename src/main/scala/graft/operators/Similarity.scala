@@ -223,11 +223,30 @@ object Similarity {
     * collected to the driver (tiny, like MLlib k-means) and fed back
     * as a LocalRelation, so training executes exactly once per call
     * regardless of how many downstream actions consume the result.
+    *
+    * `trainFraction` < 1 runs the Lloyd passes over a DETERMINISTIC
+    * md5-hash sample of the corpus (the same shard-order-free keying
+    * as Curation.hashSplit — no `rand()`, so retries and both engines
+    * see the same sample) while assignment still covers every vector.
+    * This is the 100 TB shape: k-means centroid quality converges on a
+    * small sample (each Lloyd pass is O(sample·K) instead of
+    * O(corpus·K)), and only the single final assignment pass scans the
+    * full corpus. Seeds stay the first `nCentroids` vectors of the
+    * FULL corpus, so fraction=1.0 is bit-identical to the unsampled
+    * path and the sampled path degrades gracefully (a seed missing
+    * from the sample just attracts no members in training).
     */
   private def trainCentroids(quant: DataFrame, nCentroids: Int,
-      lloydIters: Int): DataFrame = {
+      lloydIters: Int, trainFraction: Double = 1.0): DataFrame = {
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction=$trainFraction outside (0, 1]")
     val spark = quant.sparkSession
     import spark.implicits._
+    val trainSet =
+      if (trainFraction >= 1.0) quant
+      else quant.filter(
+        conv(substring(md5($("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10000 < (trainFraction * 10000).toLong)
     def localize(df: DataFrame): DataFrame =
       df.select($("c_id").cast("long"), $("cv"), $("cnrm"))
         .as[(Long, Seq[Long], Double)].collect().toSeq
@@ -235,7 +254,7 @@ object Similarity {
     var centroids = localize(quant.filter($("vec_id") <= nCentroids)
       .select($("vec_id").as("c_id"), $("qv").as("cv"), $("nrm").as("cnrm")))
     for (_ <- 1 to lloydIters)
-      centroids = localize(centroidStep(quant, centroids))
+      centroids = localize(centroidStep(trainSet, centroids))
     centroids
   }
 
@@ -248,13 +267,15 @@ object Similarity {
     * Every step is integer-derived and tie-broken (cosine desc, cell
     * asc), so the DuckDB oracle reproduces training bit-for-bit.
     * `assigned` is persisted because it fans into both join legs.
-    * At warehouse scale the training passes would run on a sample and
-    * the centroids persist as a dimension table.
+    * At warehouse scale training runs on a sample (`trainFraction`) and
+    * the centroids persist as a dimension table; the default 1.0 keeps
+    * the oracle-gated contract bit-exact.
     */
   def ivfTopK(embeddings: DataFrame, maxQueryId: Long = 10, k: Int = 5,
-      nCentroids: Int = 16, lloydIters: Int = 2, nprobe: Int = 2): DataFrame = {
+      nCentroids: Int = 16, lloydIters: Int = 2, nprobe: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
     val quant = quantized(embeddings)
-    val centroids = trainCentroids(quant, nCentroids, lloydIters)
+    val centroids = trainCentroids(quant, nCentroids, lloydIters, trainFraction)
     val assigned = assignCells(quant, centroids, nprobe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = assigned.filter($("arn") === 1)
@@ -291,9 +312,9 @@ object Similarity {
     */
   def semanticDupPairs(embeddings: DataFrame, threshold: Double = 0.35,
       nCentroids: Int = 16, lloydIters: Int = 2,
-      maxCell: Int = 256): DataFrame = {
+      maxCell: Int = 256, trainFraction: Double = 1.0): DataFrame = {
     val quant = quantized(embeddings)
-    val centroids = trainCentroids(quant, nCentroids, lloydIters)
+    val centroids = trainCentroids(quant, nCentroids, lloydIters, trainFraction)
     val members = assignCells(quant, centroids, 1)
       .select($("vec_id"), $("cell"))
       .join(quant, Seq("vec_id"))
