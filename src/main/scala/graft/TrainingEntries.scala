@@ -618,8 +618,10 @@ object TrainingEntries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |    AS rank_start FROM fr),
         |rk AS (SELECT CAST(cnt AS DOUBLE) AS f,
-        |         CAST(rank_start + gs.i AS DOUBLE) AS rd
-        |       FROM frr, generate_series(0, CAST(n_keys - 1 AS BIGINT)) AS gs(i)),
+        |         CAST(rank_start + i AS DOUBLE) AS rd
+        |       FROM (SELECT cnt, rank_start,
+        |               unnest(generate_series(0, CAST(n_keys - 1 AS BIGINT))) AS i
+        |             FROM frr)),
         |params(family, p1, p2) AS (VALUES
         |    ${DistributionFit.gridParamsSqlValues}),
         |tot AS (SELECT SUM(f*f) AS sf2 FROM rk),

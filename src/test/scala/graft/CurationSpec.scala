@@ -158,4 +158,22 @@ class CurationSpec extends SparkSpec {
       assert(rs2 === rs + n)
     }
   }
+
+  test("gridFitSse: planted zipf curve wins with the planted exponent") {
+    import spark.implicits._
+    // freq(r) = round(1000 * r^-1.2) for ranks 1..200, run-length
+    // encoded the way rankTable emits it
+    val freqs = (1 to 200).map(r => math.round(1000.0 * math.pow(r, -1.2)))
+    val runs = freqs.zipWithIndex.groupBy(_._1).toSeq.map { case (f, xs) =>
+      (f, xs.size.toLong, (xs.map(_._2).min + 1).toLong)
+    }
+    val rt = runs.toDF("cnt", "n_keys", "rank_start")
+    val fits = DistributionFit.gridFitSse(rt).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    assert(fits.size === 4, "one row per family")
+    val (zipfP1, zipfSse) = fits("zipf")
+    assert(math.abs(zipfP1 - 1.2) < 1e-9, s"grid exponent $zipfP1 != 1.2")
+    assert(fits.values.forall(_._2 >= zipfSse),
+      s"zipf must be the min-SSE family: $fits")
+  }
 }
