@@ -192,6 +192,91 @@ class StreamingSpec extends SparkSpec {
       "batch-2 purchase joins the in-horizon batch-1 click only")
   }
 
+  test("soak: clickAttribution state stays bounded by the TTL across batches") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(min: Long) = new Timestamp(base + min * 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-soak-asof").toString
+    val events = EventStreams.readEvents(spark, dir).as[EventStreams.Event]
+    val q = EventStreams.clickAttribution(events).writeStream
+      .outputMode("append").format("memory").queryName("soak_asof").start()
+    def stateRows(): Long = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    val perBatch = 20
+    val nBatches = 6
+    val sizes = Seq.newBuilder[Long]
+    try {
+      var id = 0L
+      for (b <- 0 until nBatches) {
+        // each batch: 20 fresh users click, then purchase 10 min later;
+        // batches 4h of EVENT time apart, so the 2h watermark delay +
+        // 2h state TTL evict users two batches back
+        val t0 = b.toLong * 240
+        val rows = (1 to perBatch).flatMap { u =>
+          val uid = (b * perBatch + u).toLong
+          id += 2
+          Seq((id - 1, ts(t0), uid, "click", 0.0, "{}"),
+            (id, ts(t0 + 10), uid, "purchase", 1.0, "{}"))
+        }
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+        sizes += stateRows()
+      }
+    } finally q.stop()
+    val trace = sizes.result()
+    val total = (nBatches * perBatch).toLong
+    // every purchase attributed (state was alive within the horizon)
+    assert(spark.table("soak_asof").count() === total)
+    // the leak check: state must NOT accumulate one entry per user ever
+    // seen — the TTL bounds it to the last few batches' active users
+    assert(trace.last < total,
+      s"state grew monotonically to all $total users: $trace")
+    assert(trace.max <= 3L * perBatch,
+      s"state exceeded a 3-batch working set: $trace")
+  }
+
+  test("soak: stream-stream join state is evicted past the horizon") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(min: Long) = new Timestamp(base + min * 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-soak-ssj").toString
+    val events = EventStreams.readEvents(spark, dir)
+    val q = EventStreams.recentClickJoin(events).writeStream
+      .outputMode("append").format("memory").queryName("soak_ssj").start()
+    def stateRows(): Long = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    val perBatch = 20
+    val nBatches = 5
+    val sizes = Seq.newBuilder[Long]
+    try {
+      var id = 0L
+      for (b <- 0 until nBatches) {
+        val t0 = b.toLong * 240 // 4h apart: prior clicks leave the
+        // 60min horizon + 2h delay before the next batch lands
+        val rows = (1 to perBatch).flatMap { u =>
+          val uid = (b * perBatch + u).toLong
+          id += 2
+          Seq((id - 1, ts(t0), uid, "click", 0.0, "{}"),
+            (id, ts(t0 + 30), uid, "purchase", 1.0, "{}"))
+        }
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+        sizes += stateRows()
+      }
+    } finally q.stop()
+    val trace = sizes.result()
+    val totalRows = (2L * nBatches * perBatch)
+    assert(spark.table("soak_ssj").count() === (nBatches * perBatch).toLong)
+    assert(trace.last < totalRows,
+      s"join state retained every buffered row: $trace")
+    assert(trace.max <= 3L * 2L * perBatch,
+      s"join state exceeded a 3-batch working set: $trace")
+  }
+
   test("streaming exact dedup == batch exactDuplicates (single batch)") {
     import graft.streaming.DocStreams
     val tables = graft.sources.Tables(spark, dir)
