@@ -624,9 +624,8 @@ object TrainingEntries {
         |             FROM frr)),
         |params(family, p1, p2) AS (VALUES
         |    ${DistributionFit.gridParamsSqlValues}),
-        |tot AS (SELECT SUM(f*f) AS sf2 FROM rk),
         |agg AS (SELECT family, p1, p2,
-        |         SUM(f * g) AS num, SUM(g * g) AS den
+        |         SUM(f * g) AS num, SUM(g * g) AS den, SUM(f * f) AS sff
         |       FROM (SELECT family, p1, p2, f,
         |         CASE family
         |           WHEN 'zipf' THEN pow(rd, -p1)
@@ -639,8 +638,7 @@ object TrainingEntries {
         |         FROM rk CROSS JOIN params)
         |       GROUP BY family, p1, p2),
         |sse AS (SELECT family, p1, p2,
-        |          (SELECT sf2 FROM tot) -
-        |            CASE WHEN den > 0.0 THEN num * num / den ELSE 0.0 END AS s
+        |          sff - CASE WHEN den > 0.0 THEN num * num / den ELSE 0.0 END AS s
         |        FROM agg),
         |best AS (SELECT family, p1, p2, s,
         |           row_number() OVER (PARTITION BY family

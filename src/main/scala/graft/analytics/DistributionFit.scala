@@ -309,16 +309,19 @@ object DistributionFit {
       .otherwise(
         exp(lit(-0.5) * pow((log(rd) - col("p1")) / col("p2"), 2)) / rd)
 
-    val sf2 = ranks.agg(sum(col("f") * col("f")).as("sf2"))
+    // Σf² is constant across params but folding it per group costs one
+    // extra multiply-add in the same pass — far cheaper than deriving
+    // the rank table a second time for a scalar crossJoin
     val agg = ranks.crossJoin(params)
       .select(col("family"), col("p1"), col("p2"), col("f"), g.as("g"))
       .groupBy(col("family"), col("p1"), col("p2"))
-      .agg(sum(col("f") * col("g")).as("num"), sum(col("g") * col("g")).as("den"))
+      .agg(sum(col("f") * col("g")).as("num"), sum(col("g") * col("g")).as("den"),
+        sum(col("f") * col("f")).as("sff"))
     val w = Window.partitionBy(col("family"))
       .orderBy(col("s").asc, col("p1").asc, col("p2").asc)
-    agg.crossJoin(broadcast(sf2))
+    agg
       .select(col("family"), col("p1"), col("p2"),
-        (col("sf2") - when(col("den") > 0.0, col("num") * col("num") / col("den"))
+        (col("sff") - when(col("den") > 0.0, col("num") * col("num") / col("den"))
           .otherwise(lit(0.0))).as("s"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
