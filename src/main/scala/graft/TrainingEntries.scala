@@ -131,6 +131,16 @@ object TrainingEntries {
     "q71_dist_fit"       -> q(t =>
       DistributionFit.gridFitSse(
         DistributionFit.rankTable(StarQueries.q02ExplodeCount(t)))),
+    // Dup-cluster KEEP/DROP resolution: hash-agg argmax winner per
+    // component (longest doc, ties to the smallest doc_id)
+    "q72_cluster_keep"   -> q(t =>
+      Dedup.clusterKeeps(t.documents, threshold = 0.7)),
+    // Temperature (α=0.5) source mixing: √count-proportional quotas
+    // in pure BIGINT arithmetic over 1e6-quantized IEEE-sqrt weights
+    "q73_temperature_mix" -> q(t => Curation.temperatureMix(t.documents)),
+    // Per-class prototypicality (cosine to label centroid) — the
+    // dataset-pruning score table
+    "q74_prototypicality" -> q(t => Similarity.prototypicality(t.embeddings)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -183,6 +193,45 @@ object TrainingEntries {
       .mkString(" || '|' || ")
     s"SELECT doc_id, $b AS band, md5($cols) AS bhash FROM sig"
   }.mkString(" UNION ALL ")
+
+  /** Normalized docs → minhash dup pairs (threshold 0.7) → recursive
+    * transitive closure — the component chain shared by q51/q72.
+    * Callers prepend `WITH RECURSIVE` and read `comp(doc_id,
+    * component)` / `cs(component, cluster_size)`.
+    */
+  private val dupComponentsCtes =
+    s"""$shinglesCte,
+       |$hashedShinglesCte,
+       |sig AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
+       |bands AS ($bandsSql),
+       |okb AS (SELECT band, bhash FROM bands
+       |        GROUP BY band, bhash HAVING COUNT(*) <= 256),
+       |bb AS (SELECT bands.doc_id, bands.band, bands.bhash
+       |       FROM bands JOIN okb USING (band, bhash)),
+       |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |          FROM bb a JOIN bb b
+       |          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |common AS (SELECT c.id1, c.id2, COUNT(*) AS common
+       |           FROM cands c
+       |           JOIN sh a ON a.doc_id = c.id1
+       |           JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+       |           GROUP BY c.id1, c.id2),
+       |dup AS (SELECT id1, id2 FROM (
+       |          SELECT id1, id2,
+       |            CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE) AS jaccard
+       |          FROM common
+       |          JOIN sizes s1 ON s1.doc_id = id1
+       |          JOIN sizes s2 ON s2.doc_id = id2)
+       |        WHERE jaccard >= 0.7),
+       |sym AS (SELECT id1 AS src, id2 AS dst FROM dup
+       |        UNION SELECT id2, id1 FROM dup),
+       |reach(node, lbl) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT r.node, s.dst FROM reach r JOIN sym s ON r.lbl = s.src),
+       |comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
+       |cs AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)""".stripMargin
 
   // simhash-32 expression fragments
   private def nib(p: Int): String = s"CAST('0x' || substr(h, $p, 1) AS INTEGER)"
@@ -783,40 +832,67 @@ object TrainingEntries {
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q51_dup_clusters" ->
-      s"""WITH RECURSIVE $shinglesCte,
-         |$hashedShinglesCte,
-         |sig AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
-         |bands AS ($bandsSql),
-         |okb AS (SELECT band, bhash FROM bands
-         |        GROUP BY band, bhash HAVING COUNT(*) <= 256),
-         |bb AS (SELECT bands.doc_id, bands.band, bands.bhash
-         |       FROM bands JOIN okb USING (band, bhash)),
-         |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |          FROM bb a JOIN bb b
-         |          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-         |common AS (SELECT c.id1, c.id2, COUNT(*) AS common
-         |           FROM cands c
-         |           JOIN sh a ON a.doc_id = c.id1
-         |           JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
-         |           GROUP BY c.id1, c.id2),
-         |dup AS (SELECT id1, id2 FROM (
-         |          SELECT id1, id2,
-         |            CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE) AS jaccard
-         |          FROM common
-         |          JOIN sizes s1 ON s1.doc_id = id1
-         |          JOIN sizes s2 ON s2.doc_id = id2)
-         |        WHERE jaccard >= 0.7),
-         |sym AS (SELECT id1 AS src, id2 AS dst FROM dup
-         |        UNION SELECT id2, id1 FROM dup),
-         |reach(node, lbl) AS (
-         |  SELECT src, src FROM sym
-         |  UNION
-         |  SELECT r.node, s.dst FROM reach r JOIN sym s ON r.lbl = s.src),
-         |comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
-         |cs AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+      s"""WITH RECURSIVE $dupComponentsCtes
          |SELECT c.doc_id, c.component, cs.cluster_size
          |FROM comp c JOIN cs USING (component) ORDER BY doc_id""".stripMargin,
+
+    // q51's component closure + per-component argmax winner (window
+    // formulation — independent of the Spark side's hash-agg max_by)
+    "q72_cluster_keep" ->
+      s"""WITH RECURSIVE $dupComponentsCtes,
+         |mem AS (SELECT c.doc_id, c.component, cs.cluster_size, d.n_chars
+         |        FROM comp c JOIN cs USING (component)
+         |        JOIN documents d USING (doc_id)),
+         |win AS (SELECT component, doc_id AS keep_id FROM (
+         |          SELECT component, doc_id,
+         |            row_number() OVER (PARTITION BY component
+         |              ORDER BY n_chars DESC, doc_id ASC) AS wrn FROM mem)
+         |        WHERE wrn = 1)
+         |SELECT m.doc_id, m.component, m.cluster_size,
+         |  (m.doc_id = w.keep_id) AS keep
+         |FROM mem m JOIN win w USING (component) ORDER BY m.doc_id""".stripMargin,
+
+    "q73_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+        |w AS (SELECT source, n_src,
+        |        CAST(floor(sqrt(CAST(n_src AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+        |      FROM c),
+        |t AS (SELECT CAST(SUM(wq) AS BIGINT) AS wsum FROM w),
+        |quotas AS (SELECT source,
+        |             CAST(least(n_src, (200 * wq) // wsum) AS BIGINT) AS quota
+        |           FROM w CROSS JOIN t),
+        |ranked AS (SELECT doc_id, source,
+        |             CAST(row_number() OVER (PARTITION BY source
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |           FROM documents)
+        |SELECT r.doc_id, r.source, r.rn
+        |FROM ranked r JOIN quotas q USING (source)
+        |WHERE r.rn <= q.quota ORDER BY r.source, r.rn""".stripMargin,
+
+    // Mirrors Similarity.prototypicality: centroidStep's
+    // floor(sum/count) per (label, dim) over the quantized elements,
+    // then one exact integer dot per (vector, its label centroid)
+    "q74_prototypicality" ->
+      s"""WITH $flatCte,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |cent AS (SELECT l.label, f.i,
+         |           CAST(floor(CAST(SUM(f.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |         FROM flat f JOIN lab l USING (vec_id)
+         |         GROUP BY l.label, f.i),
+         |cn AS (SELECT label, sqrt(CAST(SUM(cv * cv) AS DOUBLE)) AS cnrm
+         |       FROM cent GROUP BY label),
+         |dots AS (SELECT f.vec_id, l.label, SUM(f.v * c.cv) AS dot
+         |         FROM flat f JOIN lab l USING (vec_id)
+         |         JOIN cent c ON c.label = l.label AND c.i = f.i
+         |         GROUP BY f.vec_id, l.label),
+         |scored AS (SELECT d.vec_id, d.label,
+         |             CAST(d.dot AS DOUBLE) / (n.nrm * c.cnrm) AS proto_cos
+         |           FROM dots d JOIN norms n USING (vec_id)
+         |           JOIN cn c ON c.label = d.label)
+         |SELECT vec_id, label, proto_cos,
+         |  CAST(row_number() OVER (PARTITION BY label
+         |    ORDER BY proto_cos DESC, vec_id ASC) AS BIGINT) AS rn
+         |FROM scored ORDER BY vec_id""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

@@ -212,6 +212,46 @@ object Curation {
       .agg(count(lit(1)).as("n_total"), sum($("kept")).cast("long").as("n_kept"))
   }
 
+  /** Temperature-scaled source mixing — the LLM data-mixture pattern
+    * (sampling weight ∝ count^α, α = 0.5): each source's quota of the
+    * global `budget` is proportional to √(its doc count), boosting
+    * small sources relative to raw-proportional sampling while never
+    * exceeding a source's actual size. Returns the selected docs as
+    * (doc_id, source, rn), rn = 1..quota in md5 order within source —
+    * the same deterministic-uniform choice as [[sourceCap]].
+    *
+    * Integer-exactness: α = 0.5 is computed as `floor(sqrt(n)·1e6)` —
+    * IEEE sqrt is correctly rounded, so the quantized weight is
+    * bit-identical across engines — and quota = (budget·w) div Σw is
+    * pure BIGINT arithmetic from there (no float sum whose order
+    * could drift). General α would need pow(), which carries no
+    * cross-engine rounding guarantee; √ is the common mixture setting
+    * and the one that stays oracle-exact.
+    *
+    * Scale: two tiny aggregates (per-source counts → quotas, one row
+    * per source) broadcast onto the same per-source md5 ranking
+    * window as [[sourceCap]] — only (doc_id, source) pairs shuffle,
+    * never text.
+    */
+  def temperatureMix(documents: DataFrame, budget: Long = 200L): DataFrame = {
+    val weights = documents.groupBy("source")
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("wq",
+        floor(sqrt($("n_src").cast("double")) * 1e6).cast("long"))
+    val wsum = weights.agg(sum($("wq")).as("wsum"))
+    val quotas = weights.crossJoin(broadcast(wsum))
+      .select($("source"),
+        least($("n_src"),
+          expr(s"($budget * wq) div wsum")).cast("long").as("quota"))
+    val w = Window.partitionBy($("source"))
+      .orderBy(md5($("doc_id").cast("string")).asc, $("doc_id").asc)
+    documents.select($("doc_id"), $("source"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq("source"))
+      .filter($("rn") <= $("quota"))
+      .select($("doc_id"), $("source"), $("rn"))
+  }
+
   /** Sequence-packing bin assignment: within each source, documents
     * are laid out in md5 order and concatenated; a doc's bin is the
     * context window its FIRST token lands in under naive

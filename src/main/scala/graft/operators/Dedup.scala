@@ -257,6 +257,34 @@ object Dedup {
         .select($("id1"), $("id2")),
       maxRounds)
 
+  /** KEEP/DROP resolution over the near-duplicate clusters — the final
+    * dedup decision a curation pipeline actually applies: within each
+    * [[dupClusters]] component keep the single "best" member (longest
+    * document, ties to the smallest doc_id — the usual keep-the-
+    * richest-copy policy) and drop the rest. Returns one row per
+    * clustered doc: (doc_id, component, cluster_size, keep).
+    *
+    * Scale: the winner per component is a hash-aggregated argmax
+    * (`max_by` over a (n_chars, −doc_id) struct) — no per-component
+    * sort, no window over the cluster membership. Only (doc_id,
+    * component, n_chars) rows move; the winner table is one row per
+    * component (∝ clusters, not docs) and joins back on the component
+    * key, where AQE broadcasts it in any realistic dup graph.
+    */
+  def clusterKeeps(documents: DataFrame, n: Int = 5, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.7, maxBucket: Int = 256,
+      maxRounds: Int = 30): DataFrame = {
+    val clustered = dupClusters(documents, n, k, bands, threshold,
+        maxBucket, maxRounds)
+      .join(documents.select($("doc_id"), $("n_chars")), Seq("doc_id"))
+    val winners = clustered.groupBy($("component"))
+      .agg(max_by($("doc_id"), struct($("n_chars"), -$("doc_id")))
+        .as("keep_id"))
+    clustered.join(winners, Seq("component"))
+      .select($("doc_id"), $("component"), $("cluster_size"),
+        ($("doc_id") === $("keep_id")).as("keep"))
+  }
+
   /** Connected components of an (id1, id2) edge list via alternating
     * large-star/small-star (see [[dupClusters]] for the algorithm
     * citation and scale notes). Components are labeled by their

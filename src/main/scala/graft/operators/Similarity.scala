@@ -332,6 +332,45 @@ object Similarity {
       .filter($("cos") >= threshold)
   }
 
+  /** Per-class prototypicality scores — the dataset-pruning signal
+    * (Sorscher et al., "Beyond neural scaling laws", NeurIPS'22;
+    * public literature): each vector's cosine to its class (`label`)
+    * centroid, plus its rank within the class (1 = most prototypical).
+    * Pruning keeps the hard (low-cos) tail or drops the redundant
+    * prototypical core; both read exactly this table.
+    *
+    * Centroids use [[centroidStep]]'s arithmetic — per-dimension
+    * floor(sum/count) over the 1e6-quantized elements, exact and
+    * engine-portable — so scores hash-match the DuckDB oracle
+    * bit-for-bit.
+    *
+    * Scale: the centroid pass explodes dims NARROWLY and partially
+    * aggregates to (label × dim) rows — constant-size shuffle state
+    * regardless of corpus rows; the (tiny) centroid table broadcasts
+    * back onto a single corpus scan where the score is one codegen'd
+    * integer fold per row. Only the final per-label rank windows over
+    * (vec_id, label, score) rows — never the vectors.
+    */
+  def prototypicality(embeddings: DataFrame): DataFrame = {
+    val quant = embeddings.spread()
+      .select($("vec_id"), $("label"), quantize($("embedding")).as("qv"))
+    val centroids = quant
+      .select($("label"), posexplode($("qv")).as(Seq("i", "v")))
+      .groupBy($("label"), $("i"))
+      .agg(floor(sum($("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
+      .groupBy($("label"))
+      .agg(transform(array_sort(collect_list(struct($("i"), $("cv")))),
+        x => x("cv")).as("cv"))
+      .withColumn("cnrm", qnorm($("cv")))
+    val w = Window.partitionBy($("label"))
+      .orderBy($("proto_cos").desc, $("vec_id").asc)
+    quant.join(broadcast(centroids), Seq("label"))
+      .select($("vec_id"), $("label"),
+        (qdot($("qv"), $("cv")).cast("double") / (qnorm($("qv")) * $("cnrm")))
+          .as("proto_cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+  }
+
   /** LSH-bucketed ANN: same contract as bruteForceTopK but the
     * candidate set is restricted to vectors sharing one of the
     * query's random-hyperplane buckets — an equi-join on (table,

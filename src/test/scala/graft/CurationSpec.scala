@@ -98,6 +98,33 @@ class CurationSpec extends SparkSpec {
     assert(r("s2") === ((4L, 4L)))
   }
 
+  test("temperatureMix: √count quotas, small sources boosted, budget held") {
+    import spark.implicits._
+    // sources 100/25/4/1 docs, budget 20. Quantized weights
+    // floor(√n·1e6): 1e7, 5e6, 2e6, 1e6 → Σ=1.8e7; quotas
+    // (20·w) div Σ = 11, 5, 2, 1 (the singleton capped at its size)
+    val skewed = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 125L).map(i => (i, "mid")) ++
+      (126L to 129L).map(i => (i, "sml")) ++
+      Seq((130L, "one")))
+      .toDF("doc_id", "source")
+    val sel = Curation.temperatureMix(skewed, budget = 20L)
+    val bySrc = sel.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc === Map("big" -> 11L, "mid" -> 5L, "sml" -> 2L, "one" -> 1L))
+    assert(bySrc.values.sum <= 20L)
+    // the boost: "one" holds 1/130 of the corpus but 1/19 of the
+    // sample — temperature flattens the mixture toward small sources
+    assert(bySrc("one").toDouble / 19 > 1.0 / 130)
+    // rn is contiguous 1..quota within each source, and the choice is
+    // a pure function of the key (re-evaluation agrees row-for-row)
+    val rns = sel.collect().groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("rn")).sorted.toSeq).toMap
+    rns.foreach { case (s, r) => assert(r === (1L to bySrc(s)).toSeq) }
+    assert(sel.join(Curation.temperatureMix(skewed, budget = 20L),
+      Seq("doc_id", "source", "rn")).count() === 19L)
+  }
+
   test("packBins: bins start at 0, monotone in pack order, bounded gaps") {
     val ctx = 64
     val bins = Curation.packBins(docs, contextLen = ctx)

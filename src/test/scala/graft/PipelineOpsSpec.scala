@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.{length, lit}
+
 import graft.operators.{Curation, Dedup, Events, TextAnalysis}
 
 /** Semantic tests for the round-5 pipeline operators: dup-cluster
@@ -43,6 +45,31 @@ class PipelineOpsSpec extends SparkSpec {
     // labeled by the smallest member; doc 4 never appears
     assert(got.keySet === Set(1L, 2L, 3L))
     got.values.foreach(v => assert(v === ((1L, 3L))))
+  }
+
+  test("clusterKeeps keeps the longest member, ties to the smallest id") {
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "The quick brown fox jumps over the lazy dog and runs far away house and then some"),
+      (3L, "The quick brown fox jumps over the lazy dog and runs far away home"),
+      (4L, "Completely different content about distributed query engines in the cloud")
+    ).toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val got = Dedup.clusterKeeps(docs, threshold = 0.7)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map { case (id, comp, sz, keep) => id -> ((comp, sz, keep)) }.toMap
+    // one cluster {1,2,3}; doc 2 is strictly longest -> the keeper
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(2L) === ((1L, 3L, true)))
+    assert(got(1L) === ((1L, 3L, false)))
+    assert(got(3L) === ((1L, 3L, false)))
+
+    // equal lengths -> smallest doc_id wins
+    val tied = Dedup.clusterKeeps(
+      docs.withColumn("n_chars", lit(10L)), threshold = 0.7)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map { case (id, _, _, keep) => id -> keep }.toMap
+    assert(tied === Map(1L -> true, 2L -> false, 3L -> false))
   }
 
   // -------------------------------------------------------------

@@ -102,6 +102,29 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got === Seq(1L, 2L, 3L))
   }
 
+  test("prototypicality: centroid-aligned vector ranks first per class") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 0),   // the outlier of class 0
+      (4L, Array(0.0f, -1.0f), 1)   // singleton class: cos = 1 exactly
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.prototypicality(vecs)
+      .select("vec_id", "label", "proto_cos", "rn")
+      .as[(Long, Int, Double, Long)].collect()
+      .map { case (id, l, c, r) => id -> ((l, c, r)) }.toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    got.values.foreach { case (_, c, _) => assert(c >= -1.0 && c <= 1.0 + 1e-12) }
+    // class-0 centroid (floor-mean of quantized) = [666666, 333333]:
+    // the duplicated direction dominates; ties rank by vec_id asc
+    assert(got(1L)._3 === 1L && got(2L)._3 === 2L && got(3L)._3 === 3L)
+    assert(got(1L)._2 === got(2L)._2)
+    assert(got(3L)._2 < got(1L)._2)
+    assert(math.abs(got(1L)._2 - 2.0 / math.sqrt(5.0)) < 1e-4)
+    // a singleton class's only member IS its centroid
+    assert(got(4L)._3 === 1L && math.abs(got(4L)._2 - 1.0) < 1e-6)
+  }
+
   test("hyperplane lsh knn: scaled twin found, opposite vector excluded") {
     // positive scaling preserves every hyperplane projection sign →
     // vec 1 shares ALL of vec 0's buckets; negation flips every sign
