@@ -141,6 +141,12 @@ object TrainingEntries {
     // Per-class prototypicality (cosine to label centroid) — the
     // dataset-pruning score table
     "q74_prototypicality" -> q(t => Similarity.prototypicality(t.embeddings)),
+    // Cross-source duplication matrix over the q26 near-dup pairs
+    "q75_source_overlap" -> q(t =>
+      Dedup.sourceOverlap(t.documents, threshold = 0.7)),
+    // Per-doc shared-shingle (boilerplate) fraction; 8-grams match
+    // the decontamination shingle width, selective at corpus scale
+    "q76_boilerplate"    -> q(t => Dedup.boilerplate(t.documents, n = 8)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -194,12 +200,11 @@ object TrainingEntries {
     s"SELECT doc_id, $b AS band, md5($cols) AS bhash FROM sig"
   }.mkString(" UNION ALL ")
 
-  /** Normalized docs → minhash dup pairs (threshold 0.7) → recursive
-    * transitive closure — the component chain shared by q51/q72.
-    * Callers prepend `WITH RECURSIVE` and read `comp(doc_id,
-    * component)` / `cs(component, cluster_size)`.
+  /** Normalized docs → minhash→LSH→Jaccard-verified dup pairs
+    * (threshold 0.7) — the shared front of q51/q72/q75. Callers read
+    * `dup(id1, id2)`; plain `WITH` suffices.
     */
-  private val dupComponentsCtes =
+  private val dupPairsCtes =
     s"""$shinglesCte,
        |$hashedShinglesCte,
        |sig AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
@@ -223,7 +228,14 @@ object TrainingEntries {
        |          FROM common
        |          JOIN sizes s1 ON s1.doc_id = id1
        |          JOIN sizes s2 ON s2.doc_id = id2)
-       |        WHERE jaccard >= 0.7),
+       |        WHERE jaccard >= 0.7)""".stripMargin
+
+  /** [[dupPairsCtes]] + recursive transitive closure — shared by
+    * q51/q72. Callers prepend `WITH RECURSIVE` and read `comp(doc_id,
+    * component)` / `cs(component, cluster_size)`.
+    */
+  private val dupComponentsCtes =
+    s"""$dupPairsCtes,
        |sym AS (SELECT id1 AS src, id2 AS dst FROM dup
        |        UNION SELECT id2, id1 FROM dup),
        |reach(node, lbl) AS (
@@ -893,6 +905,40 @@ object TrainingEntries {
          |  CAST(row_number() OVER (PARTITION BY label
          |    ORDER BY proto_cos DESC, vec_id ASC) AS BIGINT) AS rn
          |FROM scored ORDER BY vec_id""".stripMargin,
+
+    // q26's verified dup pairs + endpoint sources, counted per
+    // unordered source pair
+    "q75_source_overlap" ->
+      s"""WITH $dupPairsCtes,
+         |ds AS (SELECT doc_id, source FROM documents),
+         |lab AS (SELECT least(a.source, b.source) AS src1,
+         |               greatest(a.source, b.source) AS src2
+         |        FROM dup JOIN ds a ON a.doc_id = dup.id1
+         |        JOIN ds b ON b.doc_id = dup.id2)
+         |SELECT src1, src2, COUNT(*) AS n_pairs
+         |FROM lab GROUP BY src1, src2 ORDER BY src1, src2""".stripMargin,
+
+    // Mirrors Dedup.boilerplate: 8-gram shingles (q43's width), md5 →
+    // 60-bit h before any aggregation, df >= 2 shared cut,
+    // integer/integer ratio
+    "q76_boilerplate" ->
+      s"""WITH docs AS (SELECT doc_id, $norm AS norm FROM documents),
+         |sh8 AS (SELECT DISTINCT doc_id, substr(norm, i, 8) AS shingle FROM (
+         |        SELECT doc_id, norm,
+         |          unnest(generate_series(1, greatest(length(norm) - 7, 1))) AS i
+         |        FROM docs)),
+         |shd AS (SELECT DISTINCT doc_id,
+         |          CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+         |            % 1000000007 AS h
+         |        FROM sh8),
+         |dfh AS (SELECT h, COUNT(*) AS df FROM shd GROUP BY h),
+         |perdoc AS (SELECT s.doc_id, COUNT(*) AS n_shingles,
+         |             SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_shared
+         |           FROM shd s JOIN dfh d USING (h) GROUP BY s.doc_id)
+         |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(n_shared AS BIGINT) AS n_shared,
+         |  CAST(n_shared AS DOUBLE) / n_shingles AS boiler_frac
+         |FROM perdoc ORDER BY doc_id""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

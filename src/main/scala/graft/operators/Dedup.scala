@@ -257,6 +257,58 @@ object Dedup {
         .select($("id1"), $("id2")),
       maxRounds)
 
+  /** Cross-source duplication matrix — which sources copy from each
+    * other: every near-duplicate pair ([[minhashDupPairs]]) labeled
+    * with its endpoints' sources, counted per unordered source pair
+    * (src1 ≤ src2; the diagonal is within-source duplication). The
+    * diagnostic a curation pass reads to find mirror sites and
+    * cross-crawl contamination before deciding per-source policies.
+    *
+    * Scale: rides the q26 candidate path unchanged; the only addition
+    * is two id→source equi-joins against a (doc_id, source) projection
+    * — pair-proportional, never corpus-proportional — and a tiny
+    * (sources²-bounded) aggregate.
+    */
+  def sourceOverlap(documents: DataFrame, n: Int = 5, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.7, maxBucket: Int = 256): DataFrame = {
+    val src = documents.select($("doc_id"), $("source"))
+    minhashDupPairs(documents, n, k, bands, threshold, maxBucket)
+      .join(src.select($("doc_id").as("id1"), $("source").as("s1")), Seq("id1"))
+      .join(src.select($("doc_id").as("id2"), $("source").as("s2")), Seq("id2"))
+      .select(least($("s1"), $("s2")).as("src1"),
+        greatest($("s1"), $("s2")).as("src2"))
+      .groupBy($("src1"), $("src2"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Per-document boilerplate fraction — the RefinedWeb-style shared-
+    * content signal: of a doc's distinct `n`-gram shingles, the share
+    * that also appears in at least `minDf` documents corpus-wide.
+    * High fractions flag template/mirror text that per-doc quality
+    * scores miss. Returns (doc_id, n_shingles, n_shared, boiler_frac).
+    *
+    * Scale: shingles are md5-hashed to 60-bit integers BEFORE any
+    * shuffle (the minhash discipline — 8-byte keys move, never
+    * shingle strings): one distinct on (doc_id, h), one partial-
+    * aggregated df count on h, one hash join back on h, one per-doc
+    * aggregate. The df table is vocabulary-sized, not corpus-sized.
+    * The ratio is integer/integer in both engines — bit-exact.
+    */
+  def boilerplate(documents: DataFrame, n: Int = 5, minDf: Int = 2): DataFrame = {
+    val dist = shingleOccurrences(documents, n)
+      .select($("doc_id"),
+        (conv(substring(md5($("shingle")), 1, 15), 16, 10).cast("long")
+          % HashP).as("h"))
+      .distinct()
+    val dfh = dist.groupBy($("h")).agg(count(lit(1)).as("df"))
+    dist.join(dfh, Seq("h"))
+      .groupBy($("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($("df") >= minDf, 1L).otherwise(0L)).as("n_shared"))
+      .select($("doc_id"), $("n_shingles"), $("n_shared"),
+        ($("n_shared").cast("double") / $("n_shingles")).as("boiler_frac"))
+  }
+
   /** KEEP/DROP resolution over the near-duplicate clusters — the final
     * dedup decision a curation pipeline actually applies: within each
     * [[dupClusters]] component keep the single "best" member (longest

@@ -72,6 +72,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(tied === Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("sourceOverlap counts dup pairs per unordered source pair") {
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and runs far away home", "A"),
+      (2L, "The quick brown fox jumps over the lazy dog and runs far away home", "B"),
+      (3L, "The quick brown fox jumps over the lazy dog and runs far away house", "A"),
+      (4L, "Completely different content about distributed query engines in the cloud", "C")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(docs, threshold = 0.7)
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    // pairs (1,2):A-B, (1,3):A-A, (2,3):B-A -> (A,A)=1, (A,B)=2; no C
+    assert(got === Map(("A", "A") -> 1L, ("A", "B") -> 2L))
+  }
+
+  test("boilerplate: duplicated text scores 1.0, unique text 0.0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact copy
+      (3L, "qxv jwz pfm rbk ytd hcn lsg wqe mvo uai zpx dkr")           // unique
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplate(docs, n = 8)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, ns, sh, f) => id -> ((ns, sh, f)) }.toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    // every shingle of the copied docs is shared; the unique doc
+    // shares none
+    assert(got(1L)._3 === 1.0 && got(2L)._3 === 1.0)
+    assert(got(3L)._3 === 0.0 && got(3L)._2 === 0L)
+    assert(got(1L) === got(2L))
+    assert(got(1L)._1 > 0 && got(1L)._1 === got(1L)._2)
+  }
+
   // -------------------------------------------------------------
   // length quantiles
   // -------------------------------------------------------------
