@@ -147,6 +147,14 @@ object TrainingEntries {
     // Per-doc shared-shingle (boilerplate) fraction; 8-grams match
     // the decontamination shingle width, selective at corpus scale
     "q76_boilerplate"    -> q(t => Dedup.boilerplate(t.documents, n = 8)),
+    // Gopher-style rule FLAGS (auditable per-rule booleans + keep)
+    "q77_gopher_rules"   -> q(t => TextAnalysis.gopherRules(t.documents)),
+    // DSIR importance weights: target = sources src0-src3
+    "q78_dsir_weights"   -> q(t => Curation.dsirWeights(t.documents)),
+    // Per-doc char entropy via the codegen'd CharEntropyExpression
+    "q79_char_entropy"   -> q(t => TextAnalysis.charEntropy(t.documents)),
+    // Corpus PMI collocations (top-50 pairs, min bigram count 5)
+    "q80_pmi_pairs"      -> q(t => TextAnalysis.pmiPairs(t.documents)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -939,6 +947,114 @@ object TrainingEntries {
          |  CAST(n_shared AS BIGINT) AS n_shared,
          |  CAST(n_shared AS DOUBLE) / n_shingles AS boiler_frac
          |FROM perdoc ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextAnalysis.gopherRules: list-expression stats over
+    // the normalized tokens, micro ratios from exact ints
+    "q77_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split($norm, ' '), x -> length(x) > 0) AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, len(toks) AS n_words,
+         |    COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+         |      AS total_len,
+         |    len(list_distinct(toks)) AS n_uniq,
+         |    len(list_filter(toks, x -> x IN ('the','a','an','of','to','in',
+         |      'and','is','be','that'))) AS stop_count
+         |  FROM t),
+         |r AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |    CAST(CASE WHEN n_words = 0 THEN 0
+         |      ELSE round(1e6 * total_len / n_words) END AS BIGINT)
+         |      AS mean_word_len_micro,
+         |    CAST(CASE WHEN n_words = 0 THEN 0
+         |      ELSE round(1e6 * n_uniq / n_words) END AS BIGINT)
+         |      AS uniq_frac_micro,
+         |    CAST(stop_count AS BIGINT) AS stop_count
+         |  FROM s)
+         |SELECT doc_id, n_words, mean_word_len_micro, uniq_frac_micro,
+         |  stop_count,
+         |  (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+         |  (mean_word_len_micro >= 3000000 AND mean_word_len_micro <= 10000000)
+         |    AS ok_word_len,
+         |  (uniq_frac_micro >= 300000) AS ok_uniq,
+         |  (stop_count >= 2) AS ok_stop,
+         |  (n_words >= 50 AND n_words <= 100000
+         |    AND mean_word_len_micro >= 3000000
+         |    AND mean_word_len_micro <= 10000000
+         |    AND uniq_frac_micro >= 300000 AND stop_count >= 2) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Curation.dsirWeights: per-TYPE micro-nat log ratios
+    // from exact BIGINTs, per-doc exact integer Σ of c·lr_micro
+    "q78_dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id, source, tok FROM (
+         |    SELECT doc_id, source, unnest(string_split($norm, ' ')) AS tok
+         |    FROM documents) WHERE length(tok) > 0),
+         |raw AS (SELECT tok, COUNT(*) AS r_c FROM toks GROUP BY tok),
+         |tgt AS (SELECT tok, COUNT(*) AS t_c FROM toks
+         |        WHERE source IN ('src0','src1','src2','src3') GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(r_c) AS BIGINT) AS n_raw,
+         |        CAST(COUNT(*) AS BIGINT) AS v FROM raw),
+         |ttot AS (SELECT CAST(COALESCE(SUM(t_c), 0) AS BIGINT) AS n_tgt
+         |         FROM tgt),
+         |ratio AS (SELECT raw.tok,
+         |    CAST(round(1e6 * ln(
+         |      CAST(COALESCE(t_c, 0) + 1 AS DOUBLE) * (n_raw + v) /
+         |        (CAST(r_c + 1 AS DOUBLE) * (n_tgt + v)))) AS BIGINT)
+         |      AS lr_micro
+         |  FROM raw LEFT JOIN tgt USING (tok) CROSS JOIN tot CROSS JOIN ttot),
+         |pdt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks
+         |        GROUP BY doc_id, tok)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+         |  CAST(SUM(c * lr_micro) AS BIGINT) AS dsir_micro
+         |FROM pdt JOIN ratio ON pdt.tok = ratio.tok
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors CharEntropyExpression: per-codepoint HALF_UP milli-bit
+    // terms summed as BIGINTs (see the expression Scaladoc for why
+    // milli granularity makes the cross-engine round deterministic)
+    "q79_char_entropy" ->
+      s"""WITH n AS (SELECT doc_id, $norm AS t FROM documents),
+         |c AS (SELECT doc_id, unnest(string_split(t, '')) AS ch FROM n
+         |      WHERE length(t) > 0),
+         |h AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM c GROUP BY doc_id, ch),
+         |tot AS (SELECT doc_id, length(t) AS nn FROM n),
+         |e AS (SELECT h.doc_id,
+         |    SUM(CAST(round(1e3 * cnt * log2(nn * 1.0 / cnt) / nn) AS BIGINT))
+         |      AS entropy_milli
+         |  FROM h JOIN tot ON h.doc_id = tot.doc_id GROUP BY h.doc_id)
+         |SELECT n.doc_id, CAST(length(t) AS BIGINT) AS n_cp,
+         |  CAST(COALESCE(e.entropy_milli, 0) AS BIGINT) AS entropy_milli
+         |FROM n LEFT JOIN e ON n.doc_id = e.doc_id ORDER BY n.doc_id""".stripMargin,
+
+    // Mirrors TextAnalysis.pmiPairs: q64's bigram CTE + unigram tf,
+    // one fixed-order double ratio, ln + HALF_UP micro round, total
+    // order (pmi desc, w1, w2)
+    "q80_pmi_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+         |    FROM documents) WHERE length(tok) > 0),
+         |uni AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+         |ntok AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_tok FROM uni),
+         |docs AS (SELECT doc_id, string_split($norm, ' ') AS toks
+         |         FROM documents),
+         |bgs AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram FROM (
+         |        SELECT doc_id, toks,
+         |          unnest(generate_series(1, len(toks) - 1)) AS i
+         |        FROM docs WHERE len(toks) >= 2)),
+         |bg AS (SELECT bigram, COUNT(*) AS c_ab FROM bgs GROUP BY bigram),
+         |nbg AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bg FROM bg),
+         |pairs AS (SELECT string_split(bigram, ' ')[1] AS w1,
+         |    string_split(bigram, ' ')[2] AS w2, c_ab
+         |  FROM bg WHERE c_ab >= 5)
+         |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+         |  CAST(round(1e6 * ln(
+         |    CAST(c_ab AS DOUBLE) * n_tok * n_tok /
+         |      (CAST(n_bg AS DOUBLE) * u1.tf * u2.tf))) AS BIGINT) AS pmi_micro
+         |FROM pairs
+         |JOIN uni u1 ON u1.tok = pairs.w1
+         |JOIN uni u2 ON u2.tok = pairs.w2
+         |CROSS JOIN ntok CROSS JOIN nbg
+         |ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

@@ -331,4 +331,72 @@ object Curation {
     sh0.unpersist(false)
     result
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — public): per
+    * document, the unigram log-likelihood ratio between a TARGET
+    * domain (here: the docs whose `source` is in `targetSources`) and
+    * the raw corpus, `Σ_tok c_doc(tok) · [ln p_target(tok) −
+    * ln p_raw(tok)]` with add-one smoothing over the corpus
+    * vocabulary. High weights mark documents that look like the
+    * target domain; resampling by weight is the selection step.
+    *
+    * Determinism contract (hash-gated): the per-TOKEN-TYPE log ratio
+    * `ln( (t_c+1)·(N_raw+V) / ((r_c+1)·(N_tgt+V)) )` is computed once
+    * per vocabulary type from exact BIGINTs (one fixed-order double
+    * expression, one `ln`), HALF_UP-rounded to integer micro-nats —
+    * and the per-document weight is then an exact integer Σ of
+    * c·lr_micro products. No partition-order-dependent double sum
+    * exists anywhere.
+    *
+    * Scale: the token stream aggregates to type-level tables
+    * map-side-combined (raw counts; target counts via a pre-shuffle
+    * source filter); the log-ratio table is vocab-sized and joins
+    * BROADCAST into the per-doc (doc_id, token, c) aggregate — text
+    * never shuffles, and the only row-proportional exchange is the
+    * (doc_id, token, c) partial-aggregate that every LM-scoring
+    * sibling ([[TextAnalysis.unigramLmScore]]) already pays.
+    */
+  def dsirWeights(documents: DataFrame,
+      targetSources: Seq[String] = Seq("src0", "src1", "src2", "src3")): DataFrame = {
+    // raw fans out (vocab totals + the ratio table) — materialize the
+    // type-level table before the fan-out (q51 cache-race lesson);
+    // it is vocab-sized, cheap to checkpoint eagerly.
+    // three consumers of the token stream (raw counts, target counts,
+    // per-doc counts) — persist the explode once; the FIRST consumer
+    // is materialized eagerly (raw's checkpoint) so the cache is
+    // populated before any fan-out could race it.
+    val toks = documents.spread()
+      .select($("doc_id"), $("source"),
+        explode(split(TextAnalysis.normText($("text")), " ")).as("token"))
+      .filter(length($("token")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = toks.groupBy("token").agg(count(lit(1)).as("r_c"))
+      .localCheckpoint(true)
+    val tgt = toks.filter($("source").isInCollection(targetSources))
+      .groupBy("token").agg(count(lit(1)).as("t_c"))
+    val totals = raw.agg(
+      sum($("r_c")).cast("long").as("n_raw"),
+      count(lit(1)).cast("long").as("v"))
+    val tgtTotal = tgt.agg(
+      coalesce(sum($("t_c")), lit(0L)).cast("long").as("n_tgt"))
+    val ratio = raw
+      .join(tgt, Seq("token"), "left")
+      .na.fill(0L, Seq("t_c"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(tgtTotal))
+      .select($("token"),
+        round(lit(1e6) * log(
+          ($("t_c") + 1).cast("double") * ($("n_raw") + $("v")) /
+            (($("r_c") + 1).cast("double") * ($("n_tgt") + $("v")))))
+          .cast("long").as("lr_micro"))
+    val result = toks.groupBy($("doc_id"), $("token")).agg(count(lit(1)).as("c"))
+      .join(broadcast(ratio), Seq("token"))
+      .groupBy("doc_id")
+      .agg(sum($("c")).cast("long").as("n_tok"),
+        sum($("c") * $("lr_micro")).cast("long").as("dsir_micro"))
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    result
+  }
 }

@@ -161,7 +161,7 @@ object TextAnalysis {
   /** (doc_id, token) pairs of the normalized whitespace tokenization —
     * the exploded form feeding vocabulary and frequency scoring.
     */
-  private def tokens(documents: DataFrame): DataFrame =
+  private[operators] def tokens(documents: DataFrame): DataFrame =
     documents.spread()
       .select($("doc_id"),
         explode(split(normText($("text")), " ")).as("token"))
@@ -458,5 +458,133 @@ object TextAnalysis {
       .select($("doc_id"), $("token").as("top_token"),
         $("c").as("top_c"), $("n_tok").cast("long").as("n_tok"),
         ($("c").cast("double") / $("n_tok").cast("double")).as("rep_ratio"))
+  }
+
+  /** The fixed stopword list the Gopher-style rule counts against —
+    * shared verbatim with the oracle SQL (TrainingEntries q77).
+    */
+  private[operators] val ruleStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "in", "and", "is", "be", "that")
+
+  /** Gopher-style rule-based quality FLAGS (Rae et al. 2021,
+    * "Scaling Language Models" — public; rule family, thresholds
+    * adapted to this corpus): unlike [[qualityScore]]'s blended
+    * score, each rule is a separate boolean a curation pass can audit
+    * ("why was this doc dropped?"), plus the conjunction `keep`.
+    *
+    * Rules (per document, over the normalized whitespace tokens):
+    *  - `ok_word_count`: 50 <= n_words <= 100000
+    *  - `ok_word_len`:   mean word length in [3, 10]
+    *  - `ok_uniq`:       >= 30% of tokens are distinct (degenerate
+    *                     repetition guard — the doc-level sibling of
+    *                     [[repetition]]'s top-token ratio)
+    *  - `ok_stop`:       >= 2 hits from a fixed 10-word stopword list
+    *                     (real-prose evidence)
+    *
+    * Determinism: ratios are emitted as HALF_UP-rounded integer
+    * micro-units (`round(1e6·a/b)` of exact BIGINTs — one correctly
+    * rounded double division each), never free doubles.
+    *
+    * Scale: one scan, zero shuffle — every rule is an array
+    * expression (`filter`/`aggregate`/`array_distinct`) over the
+    * per-row token array inside whole-stage codegen; the token array
+    * never explodes into a shuffle.
+    */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    documents.spread()
+      .withColumn("toks",
+        filter(split(normText($("text")), " "), t => length(t) > 0))
+      .select(
+        $("doc_id"),
+        size($("toks")).cast("long").as("n_words"),
+        aggregate($("toks"), lit(0L), (a, t) => a + length(t)).as("total_len"),
+        size(array_distinct($("toks"))).cast("long").as("n_uniq"),
+        size(filter($("toks"), t => t.isInCollection(ruleStopwords)))
+          .cast("long").as("stop_count"))
+      .select(
+        $("doc_id"), $("n_words"),
+        when($("n_words") === 0, 0L).otherwise(
+          round(lit(1e6) * $("total_len") / $("n_words")).cast("long"))
+          .as("mean_word_len_micro"),
+        when($("n_words") === 0, 0L).otherwise(
+          round(lit(1e6) * $("n_uniq") / $("n_words")).cast("long"))
+          .as("uniq_frac_micro"),
+        $("stop_count"))
+      .withColumn("ok_word_count",
+        $("n_words") >= 50 && $("n_words") <= 100000)
+      .withColumn("ok_word_len",
+        $("mean_word_len_micro") >= 3000000L &&
+          $("mean_word_len_micro") <= 10000000L)
+      .withColumn("ok_uniq", $("uniq_frac_micro") >= 300000L)
+      .withColumn("ok_stop", $("stop_count") >= 2)
+      .withColumn("keep",
+        $("ok_word_count") && $("ok_word_len") && $("ok_uniq") && $("ok_stop"))
+  }
+
+  /** Per-document Shannon character entropy (milli-bits) — the
+    * compression-proxy signal that catches both degenerate boilerplate
+    * (entropy near 0) and random/encoded noise (entropy near
+    * log2(alphabet)). Computed by the custom codegen'd
+    * [[graft.plans.CharEntropyExpression]]: per-row histogram, ONE
+    * corpus scan, zero shuffle — the composed alternative (char
+    * explode → two groupBys) would shuffle every character in the
+    * corpus. See the expression's Scaladoc for the integer-milli-term
+    * determinism contract the oracle mirrors.
+    */
+  def charEntropy(documents: DataFrame): DataFrame = {
+    import graft.plans.CharEntropyExpression.charEntropyMilli
+    val n = normText($("text"))
+    documents.spread().select(
+      $("doc_id"),
+      length(n).cast("long").as("n_cp"),
+      charEntropyMilli(n).as("entropy_milli"))
+  }
+
+  /** Corpus-level PMI collocations: the `topK` adjacent-token pairs
+    * most over-represented vs their unigram frequencies —
+    * `pmi = ln( (c_ab · N_tok²) / (N_bg · tf_a · tf_b) )`, bigrams
+    * with fewer than `minCount` occurrences dropped. The classic
+    * collocation-mining signal (Church & Hanks 1990, public) a
+    * pipeline uses to build phrase vocabularies and spot templated
+    * text (top PMI pairs that cover many docs = boilerplate phrases).
+    *
+    * Determinism: all counts are exact BIGINTs; the ratio is ONE
+    * fixed-order double expression and `ln` + HALF_UP micro rounding
+    * happen once per surviving pair; ordering ties break on
+    * (w1, w2) asc — a total order.
+    *
+    * Scale: token and bigram counts partial-aggregate map-side (only
+    * (type, partial-count) pairs shuffle — types, not tokens); the
+    * unigram vocabulary joins in twice BROADCAST (vocab is
+    * heavy-tailed-small); totals are one-row broadcasts; the final
+    * top-k is a TakeOrderedAndProject heap, never a global sort.
+    */
+  def pmiPairs(documents: DataFrame, minCount: Long = 5,
+      topK: Int = 50): DataFrame = {
+    // uni and bg each fan out (tf1/tf2/total; pair table/total) —
+    // materialize BEFORE the fan-out (the q51 cache-race lesson,
+    // PLANS.md) so the corpus-token aggregation runs exactly once.
+    // Both are type-level tables (vocab-sized), cheap to checkpoint.
+    val uni = tokens(documents).groupBy("token")
+      .agg(count(lit(1)).as("tf")).localCheckpoint(true)
+    val nTok = uni.agg(sum($("tf")).cast("long").as("n_tok"))
+    val bg = bigrams(documents).groupBy("bigram")
+      .agg(count(lit(1)).as("c_ab")).localCheckpoint(true)
+    val nBg = bg.agg(sum($("c_ab")).cast("long").as("n_bg"))
+    bg
+      .filter($("c_ab") >= minCount)
+      .select(split($("bigram"), " ").getItem(0).as("w1"),
+        split($("bigram"), " ").getItem(1).as("w2"), $("c_ab"))
+      .join(broadcast(uni.select($("token").as("w1"), $("tf").as("tf1"))), Seq("w1"))
+      .join(broadcast(uni.select($("token").as("w2"), $("tf").as("tf2"))), Seq("w2"))
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBg))
+      .select($("w1"), $("w2"), $("c_ab").cast("long").as("c_ab"),
+        round(lit(1e6) * log(
+          $("c_ab").cast("double") * $("n_tok") * $("n_tok") /
+            ($("n_bg").cast("double") * $("tf1") * $("tf2"))))
+          .cast("long").as("pmi_micro"))
+      .orderBy($("pmi_micro").desc, $("w1").asc, $("w2").asc)
+      .limit(topK)
   }
 }

@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.simhash32Descriptor)
+    ext.injectFunction(GraftExtensions.charEntropyDescriptor)
   }
 }
 
@@ -29,8 +30,23 @@ object GraftExtensions {
       SimHash32Expression(children.head)
     })
 
+  private[plans] val charEntropyDescriptor:
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_entropy_milli"),
+    new ExpressionInfo(classOf[CharEntropyExpression].getName,
+      "char_entropy_milli"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "char_entropy_milli takes exactly one argument")
+      CharEntropyExpression(children.head)
+    })
+
   /** Register on an already-built session (tests, REPL). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash32", exprs => SimHash32Expression(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_entropy_milli", exprs => CharEntropyExpression(exprs.head),
+      "built-in")
+  }
 }

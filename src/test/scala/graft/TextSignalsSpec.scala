@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, TextAnalysis}
+import graft.plans.{CharEntropyExpression, GraftExtensions}
+import graft.sources.Tables
+
+/** Round-6 text-signal operators: Gopher rule flags, DSIR importance
+  * weights, the codegen'd char-entropy expression, and PMI
+  * collocations. Oracle-gated as q77-q80; these specs pin the planted
+  * semantics the DuckDB hash can't explain on its own.
+  */
+class TextSignalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- charEntropy (q79) -----------------------------------------
+
+  test("char entropy: closed-form cases (uniform, constant, empty)") {
+    def e(s: String): Long = Seq(Tuple1(s)).toDF("t")
+      .select(CharEntropyExpression.charEntropyMilli($"t")).as[Long].head()
+    assert(e("aaaa") === 0L)        // constant: 0 bits
+    assert(e("") === 0L)            // empty: defined as 0
+    assert(e("abab") === 1000L)     // two equiprobable symbols: 1 bit
+    assert(e("abcdabcd") === 2000L) // four equiprobable symbols: 2 bits
+  }
+
+  test("char entropy expression == driver-side recomputation on real docs") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val got = TextAnalysis.charEntropy(docs)
+      .select($"doc_id", $"entropy_milli").as[(Long, Long)].collect().toMap
+    val texts = docs
+      .select($"doc_id", trim(regexp_replace(lower($"text"), "\\s+", " ")))
+      .as[(Long, String)].collect()
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, t) =>
+      val n = t.codePointCount(0, t.length).toDouble
+      val ref =
+        if (n == 0) 0L
+        else t.codePoints().toArray.groupBy(identity).values.map { g =>
+          val c = g.length.toDouble
+          math.floor(1e3 * c * (math.log(n / c) / math.log(2.0)) / n + 0.5).toLong
+        }.sum
+      assert(got(id) === ref, s"doc $id")
+    }
+  }
+
+  test("char_entropy_milli is SQL-registered") {
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT char_entropy_milli('abab')").as[Long].head() === 1000L)
+  }
+
+  // ---- gopherRules (q77) -----------------------------------------
+
+  test("gopher rules: each planted defect trips exactly its own flag") {
+    val good = ((1 to 58).map(i => f"word$i%02d") ++ Seq("the", "a")).mkString(" ")
+    val short = "the a word01 word02 word03"
+    val repeated = (Seq.fill(58)("spam") ++ Seq("the", "a")).mkString(" ")
+    // distinct 2-char tokens: trips ONLY the mean-word-length rule
+    val tiny = ((0 until 58).map(i =>
+      s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}") ++ Seq("the", "a"))
+      .mkString(" ")
+    val docs = Seq((1L, good), (2L, short), (3L, repeated), (4L, tiny))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs)
+      .select($"doc_id", $"ok_word_count", $"ok_word_len", $"ok_uniq",
+        $"ok_stop", $"keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) === ((true, true, true, true, true)))
+    assert(got(2L) === ((false, true, true, true, false)))  // too short
+    assert(got(3L)._3 === false)                            // uniq trip
+    assert(got(3L)._5 === false)                            // keep trips too
+    assert(got(4L) === ((true, false, true, true, false)))  // word len trip
+  }
+
+  // ---- dsirWeights (q78) -----------------------------------------
+
+  test("dsir weights rank target-like docs above off-target docs") {
+    val docs = Seq(
+      (1L, "src0", "alpha beta gamma alpha beta gamma"),
+      (2L, "src0", "alpha gamma beta beta"),
+      (3L, "src9", "alpha beta gamma"),          // looks like target
+      (4L, "src9", "delta epsilon zeta"),        // off-target
+      (5L, "src9", "delta zeta epsilon delta")
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.dsirWeights(docs)
+      .select($"doc_id", $"dsir_micro").as[(Long, Long)].collect().toMap
+    assert(got(3L) > got(4L))
+    assert(got(3L) > got(5L))
+    // weights are per-token sums: the all-target-token doc is positive,
+    // the all-off-target doc negative (target never emits its tokens)
+    assert(got(3L) > 0L)
+    assert(got(4L) < 0L)
+  }
+
+  // ---- pmiPairs (q80) --------------------------------------------
+
+  test("pmi pairs surface the planted collocation") {
+    val docs = Seq(
+      (1L, "new york is big today"),
+      (2L, "i love new york dearly"),
+      (3L, "new york was loud yesterday"),
+      (4L, "they visit new york often"),
+      (5L, "snow hit new york hard"),
+      (6L, "new york feels alive tonight")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiPairs(docs, minCount = 5, topK = 10)
+      .as[(String, String, Long, Long)].collect()
+    // only "new york" recurs >= 5 times; every other bigram is unique
+    assert(got.length === 1)
+    val (w1, w2, c, pmi) = got.head
+    assert((w1, w2, c) === (("new", "york", 6L)))
+    assert(pmi > 0L)
+  }
+}
