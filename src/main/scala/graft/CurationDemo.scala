@@ -12,10 +12,11 @@ import graft.sources.Tables
   * composed path a library user runs, stage by stage, from raw
   * documents to packed training shards:
   *
-  *   quality filter → exact dedup → near-dup clusters (keep cluster
-  *   minimum) → decontaminate vs the eval split → hash split →
-  *   sequence-pack → write train shards partitioned by split/bin,
-  *   plus a sketch profile of what survived.
+  *   quality filter → Gopher rule flags → exact dedup → near-dup
+  *   clusters (keep cluster minimum) → decontaminate vs the eval
+  *   split → hash split → sequence-pack → write train shards
+  *   partitioned by split/bin, plus a sketch profile + DSIR/entropy
+  *   selection signals over what survived.
   *
   * `runMain graft.CurationDemo [sfDir] [workDir]`. Each stage prints
   * its surviving count — the funnel a curation run reports.
@@ -47,10 +48,19 @@ object CurationDemo {
         .select("doc_id"), Seq("doc_id"))
     report("quality >= 0.5", quality.count())
 
+    // 1b. rule-based filter (Gopher-style flags, q77): auditable
+    //     per-rule booleans — the length floor is the one rule the
+    //     word-soup fixture can trip, so `keep` is relaxed to it here
+    val ruled = quality.join(
+      TextAnalysis.gopherRules(quality)
+        .filter(col("ok_uniq") && col("ok_stop")).select("doc_id"),
+      Seq("doc_id"))
+    report("gopher rules", ruled.count())
+
     // 2. exact dedup: keep the canonical copy per fingerprint
-    val keepExact = Dedup.exactDuplicates(quality)
+    val keepExact = Dedup.exactDuplicates(ruled)
       .select(col("keep_id").as("doc_id"))
-    val exact = quality.join(keepExact, Seq("doc_id"))
+    val exact = ruled.join(keepExact, Seq("doc_id"))
     report("exact-deduped", exact.count())
 
     // 3. near-dup clusters: drop every clustered doc except the
@@ -77,9 +87,19 @@ object CurationDemo {
       .partitionBy("split", "bin").parquet(s"$work/shards")
     report("packed shards", spark.read.parquet(s"$work/shards").count())
 
-    // 6. profile what survived (sketches: the 100 TB report path)
+    // 6. profile what survived (sketches: the 100 TB report path),
+    //    plus the round-6 selection signals: DSIR target-likeness
+    //    (how much of the surviving corpus resembles src0-src3) and
+    //    the char-entropy band (degenerate/noise outliers)
     val profile = Curation.approxProfile(cleanTrain)
     profile.orderBy("source").show(5, truncate = false)
+    val dsirPos = Curation.dsirWeights(cleanTrain)
+      .filter(col("dsir_micro") > 0).count()
+    report("dsir target-like", dsirPos)
+    val entropyBand = TextAnalysis.charEntropy(cleanTrain)
+      .filter(col("entropy_milli") >= 2000 && col("entropy_milli") <= 6000)
+      .count()
+    report("entropy in [2,6] bits", entropyBand)
     println(s"[demo] shards + profile under $work")
     spark.stop()
   }

@@ -359,6 +359,21 @@ object Curation {
     */
   def dsirWeights(documents: DataFrame,
       targetSources: Seq[String] = Seq("src0", "src1", "src2", "src3")): DataFrame = {
+    val (toks, weights) = dsirWeightsBuild(documents, targetSources)
+    // checkpoint the one-row-per-doc result eagerly so the token
+    // cache can drop before returning (the unigramLmScore pattern)
+    val result = weights.localCheckpoint(true)
+    toks.unpersist(false)
+    result
+  }
+
+  /** The un-checkpointed q78 pipeline — split out so PlanAuditSpec
+    * can assert the join strategy on the REAL plan (the public
+    * surface returns a checkpoint scan). Returns (persisted token
+    * stream, weights plan); callers own the unpersist.
+    */
+  private[graft] def dsirWeightsBuild(documents: DataFrame,
+      targetSources: Seq[String]): (DataFrame, DataFrame) = {
     // raw fans out (vocab totals + the ratio table) — materialize the
     // type-level table before the fan-out (q51 cache-race lesson);
     // it is vocab-sized, cheap to checkpoint eagerly.
@@ -390,13 +405,11 @@ object Curation {
           ($("t_c") + 1).cast("double") * ($("n_raw") + $("v")) /
             (($("r_c") + 1).cast("double") * ($("n_tgt") + $("v")))))
           .cast("long").as("lr_micro"))
-    val result = toks.groupBy($("doc_id"), $("token")).agg(count(lit(1)).as("c"))
+    val weights = toks.groupBy($("doc_id"), $("token")).agg(count(lit(1)).as("c"))
       .join(broadcast(ratio), Seq("token"))
       .groupBy("doc_id")
       .agg(sum($("c")).cast("long").as("n_tok"),
         sum($("c") * $("lr_micro")).cast("long").as("dsir_micro"))
-      .localCheckpoint(true)
-    toks.unpersist(false)
-    result
+    (toks, weights)
   }
 }

@@ -27,4 +27,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"single-partition funnels in:\n${offenders.mkString("\n")}")
   }
+
+  test("q77/q79 are zero-shuffle scans (expression-only, no hash exchange)") {
+    Seq("q77_gopher_rules", "q79_char_entropy").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      // the only allowed exchange is the conditional round-robin
+      // spread() of a single-file local input — never a key shuffle
+      assert(!plan.contains("hashpartitioning"),
+        s"$name shuffles on a key:\n$plan")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("q78/q80 join their type-level tables broadcast, never sort-merge") {
+    // q78's public surface returns a checkpoint scan — audit the
+    // un-checkpointed build instead
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val (toks, q78) = graft.operators.Curation
+      .dsirWeightsBuild(docs, Seq("src0", "src1", "src2", "src3"))
+    val q80 = SparkEntry.queries("q80_pmi_pairs")(spark, sfDir)
+    try {
+      Seq("q78_dsir_weights" -> q78, "q80_pmi_pairs" -> q80).foreach {
+        case (name, df) =>
+          val plan = df.queryExecution.executedPlan.toString
+          assert(plan.contains("BroadcastHashJoin"), s"$name: no broadcast join")
+          assert(!plan.contains("SortMergeJoin"),
+            s"$name: row-proportional sort-merge join:\n$plan")
+      }
+    } finally {
+      toks.unpersist(true)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
 }
