@@ -155,6 +155,10 @@ object TrainingEntries {
     "q79_char_entropy"   -> q(t => TextAnalysis.charEntropy(t.documents)),
     // Corpus PMI collocations (top-50 pairs, min bigram count 5)
     "q80_pmi_pairs"      -> q(t => TextAnalysis.pmiPairs(t.documents)),
+    // Rademacher JL projection: exact-integer reduced dims
+    "q81_random_projection" -> q(t => Similarity.randomProjection(t.embeddings)),
+    // ANN evaluation: LSH recall vs exact ground truth (q31 vs q30)
+    "q82_ann_recall"     -> q(t => Similarity.annRecall(t.embeddings)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -1055,6 +1059,61 @@ object TrainingEntries {
          |JOIN uni u2 ON u2.tok = pairs.w2
          |CROSS JOIN ntok CROSS JOIN nbg
          |ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // Mirrors Similarity.randomProjection: the first 4 hyperplane
+    // sums (same (a,b) constants as the LSH tables) as exact BIGINTs
+    "q81_random_projection" ->
+      s"""WITH $flatCte,
+         |hd AS (SELECT vec_id,
+         |${graft.operators.Similarity.hyperplaneParams.take(4).zipWithIndex
+            .map { case ((a, b), h) =>
+              s"  SUM(v * (CASE WHEN ((i*$a + $b) % 1000000007) % 2 = 0" +
+                s" THEN 1 ELSE -1 END)) AS p$h" }.mkString(",\n")}
+         |  FROM flat GROUP BY vec_id)
+         |SELECT vec_id, CAST(p0 AS BIGINT) AS p0, CAST(p1 AS BIGINT) AS p1,
+         |  CAST(p2 AS BIGINT) AS p2, CAST(p3 AS BIGINT) AS p3
+         |FROM hd ORDER BY vec_id""".stripMargin,
+
+    // Mirrors Similarity.annRecall: q30's exact top-5 as ground
+    // truth, q31's LSH top-5 as the approximate side, hit-counted
+    "q82_ann_recall" ->
+      s"""WITH $flatCte,
+         |${hplaneCte(4, 8)},
+         |bd AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot
+         |       FROM flat q JOIN flat c ON q.i = c.i
+         |       WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |       GROUP BY q.vec_id, c.vec_id),
+         |bc AS (SELECT qid, cid, CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+         |       FROM bd JOIN norms nq ON nq.vec_id = qid
+         |       JOIN norms nc ON nc.vec_id = cid),
+         |tr AS (SELECT qid, cid FROM (
+         |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, cid) AS rn FROM bc)
+         |       WHERE rn <= 5),
+         |lp AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+         |       FROM hbb q JOIN hbb c
+         |       ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |       WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |ld AS (SELECT p.qid, p.cid, SUM(fq.v * fc.v) AS dot
+         |       FROM lp p
+         |       JOIN flat fq ON fq.vec_id = p.qid
+         |       JOIN flat fc ON fc.vec_id = p.cid AND fc.i = fq.i
+         |       GROUP BY p.qid, p.cid),
+         |lc AS (SELECT qid, cid, CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+         |       FROM ld JOIN norms nq ON nq.vec_id = qid
+         |       JOIN norms nc ON nc.vec_id = cid),
+         |ap AS (SELECT qid, cid, 1 AS hit FROM (
+         |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, cid) AS rn FROM lc)
+         |       WHERE rn <= 5),
+         |agg AS (SELECT tr.qid, COUNT(*) AS n_truth,
+         |          SUM(COALESCE(ap.hit, 0)) AS n_hit
+         |        FROM tr LEFT JOIN ap ON tr.qid = ap.qid AND tr.cid = ap.cid
+         |        GROUP BY tr.qid)
+         |SELECT qid, CAST(n_truth AS BIGINT) AS n_truth,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(round(1e6 * n_hit / n_truth) AS BIGINT) AS recall_micro
+         |FROM agg ORDER BY qid""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

@@ -396,4 +396,56 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter($("rn") <= k)
   }
+
+  /** Deterministic Rademacher random projection (Achlioptas 2003 /
+    * Johnson-Lindenstrauss, public): each output dimension is the
+    * signed sum of the quantized input under one ±1 hyperplane from
+    * [[hyperplaneParams]] — the same seedless sign family the LSH
+    * tables use, so the projection is an EXACT integer per dimension
+    * (hash-gated bit-for-bit) and identical across engines, retries,
+    * and shard orders. The 100-TB use: project once, run the
+    * distance-heavy stages (clustering, dedup candidate generation)
+    * in `m` dims instead of the raw width — JL preserves pairwise
+    * structure at a fraction of the fold cost.
+    *
+    * Output: (vec_id, p0..p{m-1}) — wide exact-BIGINT columns.
+    * Scale: one scan, zero shuffle; m folds per row inside
+    * whole-stage codegen.
+    */
+  def randomProjection(embeddings: DataFrame, m: Int = 4): DataFrame = {
+    require(m <= hyperplaneParams.length, s"at most ${hyperplaneParams.length} dims")
+    val quant = embeddings.spread()
+      .select($("vec_id"), quantize($("embedding")).as("qe"))
+    val projCols = hyperplaneParams.take(m).zipWithIndex.map {
+      case ((a, b), h) => hyperplaneDot($("qe"), a, b).as(s"p$h")
+    }
+    quant.select($("vec_id") +: projCols: _*)
+  }
+
+  /** ANN recall report — the evaluation harness a pipeline runs
+    * before trusting an approximate index: per query, how many of the
+    * exact top-k ([[bruteForceTopK]], the ground truth) the LSH index
+    * ([[lshTopK]], same parameters as q31) actually returned.
+    * `recall_micro = round(1e6 · n_hit / k)` from exact BIGINTs.
+    *
+    * Scale: ground truth over sampled queries only (`maxQueryId`
+    * bounds the brute-force side — the standard recall-evaluation
+    * protocol; the index side is the production path); the final join
+    * is k·queries rows on both sides.
+    */
+  def annRecall(embeddings: DataFrame, maxQueryId: Long = 10, k: Int = 5,
+      tables: Int = 4, bits: Int = 8, maxBucket: Int = 256): DataFrame = {
+    val truth = bruteForceTopK(embeddings, maxQueryId, k)
+      .select($("qid"), $("cid"))
+    val approx = lshTopK(embeddings, maxQueryId, k, tables, bits, maxBucket)
+      .select($("qid"), $("cid"), lit(1L).as("hit"))
+    truth.join(approx, Seq("qid", "cid"), "left")
+      .na.fill(0L, Seq("hit"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_truth"), sum($("hit")).as("n_hit"))
+      .select($("qid"), $("n_truth").cast("long").as("n_truth"),
+        $("n_hit").cast("long").as("n_hit"),
+        round(lit(1e6) * $("n_hit") / $("n_truth")).cast("long")
+          .as("recall_micro"))
+  }
 }

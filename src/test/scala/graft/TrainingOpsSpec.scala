@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import graft.operators.{Dedup, Events, Similarity, TextAnalysis}
+import graft.sources.Tables
 
 /** Semantic tests of the training-data-pipeline operators on planted
   * fixtures (the DuckDB oracle checks engine parity; these check the
@@ -349,5 +350,42 @@ class TrainingOpsSpec extends SparkSpec {
     assert(r === Seq(
       (ts("2024-01-01 10:00:00"), "view", 2L, 4.0),
       (ts("2024-01-01 11:00:00"), "view", 1L, 1.0)))
+  }
+
+  test("random projection: exact, deterministic, equal for equal inputs") {
+    val emb = Seq(
+      (1L, Seq(0.5f, -0.25f, 0.125f, 1.0f)),
+      (2L, Seq(0.5f, -0.25f, 0.125f, 1.0f)),   // identical to 1
+      (3L, Seq(-1.0f, 0.75f, 0.0f, -0.5f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(emb, m = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // identical vectors project identically (the dedup-safety property)
+    assert(got(1L) === got(2L))
+    assert(got(1L) !== got(3L))
+    // differential: recompute one projection in plain Scala
+    val q = Seq(0.5, -0.25, 0.125, 1.0).map(v => math.round(v * 1e6))
+    val (a, b) = Similarity.hyperplaneParams.head
+    val expected = q.zipWithIndex.map { case (v, i0) =>
+      val sign = if (((i0 + 1) * a + b) % Similarity.HashP % 2 == 0) 1L else -1L
+      v * sign
+    }.sum
+    assert(got(1L)._1 === expected)
+  }
+
+  test("ann recall: per-query hit counts are well-formed and non-trivial") {
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val r = Similarity.annRecall(emb)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (_, nTruth, nHit, recallMicro) =>
+      assert(nTruth === 5L)
+      assert(nHit >= 0L && nHit <= 5L)
+      assert(recallMicro === math.round(1e6 * nHit / 5.0))
+    }
+    // the multi-table LSH must recover a non-trivial share of the
+    // exact neighbors on the real fixture
+    assert(r.map(_._3).sum > 0L)
   }
 }
