@@ -159,6 +159,8 @@ object TrainingEntries {
     "q81_random_projection" -> q(t => Similarity.randomProjection(t.embeddings)),
     // ANN evaluation: LSH recall vs exact ground truth (q31 vs q30)
     "q82_ann_recall"     -> q(t => Similarity.annRecall(t.embeddings)),
+    // IVF index-health: per-cell member count + corpus share
+    "q83_cell_balance"   -> q(t => Similarity.cellBalance(t.embeddings)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -1114,6 +1116,19 @@ object TrainingEntries {
          |  CAST(n_hit AS BIGINT) AS n_hit,
          |  CAST(round(1e6 * n_hit / n_truth) AS BIGINT) AS recall_micro
          |FROM agg ORDER BY qid""".stripMargin,
+
+    // Mirrors Similarity.cellBalance: the q34/q49 IVF training CTEs'
+    // single-probe assignment, counted per cell
+    "q83_cell_balance" ->
+      s"""WITH $flatCte,
+         |${ivfCte(nCentroids = 16, lloydIters = 2, nprobe = 1)},
+         |counts AS (SELECT cell, COUNT(*) AS n_vecs FROM assign
+         |           GROUP BY cell),
+         |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM counts)
+         |SELECT CAST(cell AS BIGINT) AS cell,
+         |  CAST(n_vecs AS BIGINT) AS n_vecs,
+         |  CAST(round(1e6 * n_vecs / total) AS BIGINT) AS share_micro
+         |FROM counts CROSS JOIN tot ORDER BY cell""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

@@ -270,9 +270,21 @@ object Dedup {
     * (sources²-bounded) aggregate.
     */
   def sourceOverlap(documents: DataFrame, n: Int = 5, k: Int = 16,
-      bands: Int = 4, threshold: Double = 0.7, maxBucket: Int = 256): DataFrame = {
+      bands: Int = 4, threshold: Double = 0.7, maxBucket: Int = 256): DataFrame =
+    sourceOverlapFromPairs(
+      minhashDupPairs(documents, n, k, bands, threshold, maxBucket), documents)
+
+  /** [[sourceOverlap]] over a PRECOMPUTED (id1, id2) pair table. The
+    * pair graph is the expensive artifact of the dedup family — a
+    * session that resolves clusters (q51), picks keeps (q72), and
+    * reads the source matrix (q75) should materialize
+    * [[minhashDupPairs]] ONCE (parquet at warehouse scale) and feed
+    * all three consumers, not re-run the minhash pipeline per report.
+    */
+  def sourceOverlapFromPairs(pairs: DataFrame,
+      documents: DataFrame): DataFrame = {
     val src = documents.select($("doc_id"), $("source"))
-    minhashDupPairs(documents, n, k, bands, threshold, maxBucket)
+    pairs
       .join(src.select($("doc_id").as("id1"), $("source").as("s1")), Seq("id1"))
       .join(src.select($("doc_id").as("id2"), $("source").as("s2")), Seq("id2"))
       .select(least($("s1"), $("s2")).as("src1"),
@@ -325,9 +337,18 @@ object Dedup {
     */
   def clusterKeeps(documents: DataFrame, n: Int = 5, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.7, maxBucket: Int = 256,
+      maxRounds: Int = 30): DataFrame =
+    clusterKeepsFromPairs(
+      minhashDupPairs(documents, n, k, bands, threshold, maxBucket)
+        .select($("id1"), $("id2")),
+      documents, maxRounds)
+
+  /** [[clusterKeeps]] over a PRECOMPUTED (id1, id2) pair table — see
+    * [[sourceOverlapFromPairs]] for the materialize-once rationale.
+    */
+  def clusterKeepsFromPairs(pairs: DataFrame, documents: DataFrame,
       maxRounds: Int = 30): DataFrame = {
-    val clustered = dupClusters(documents, n, k, bands, threshold,
-        maxBucket, maxRounds)
+    val clustered = componentsOf(pairs, maxRounds)
       .join(documents.select($("doc_id"), $("n_chars")), Seq("doc_id"))
     val winners = clustered.groupBy($("component"))
       .agg(max_by($("doc_id"), struct($("n_chars"), -$("doc_id")))

@@ -448,4 +448,29 @@ object Similarity {
         round(lit(1e6) * $("n_hit") / $("n_truth")).cast("long")
           .as("recall_micro"))
   }
+
+  /** IVF index-health report — the q82 recall check's structural
+    * sibling: per cell, the member count and corpus share. A skewed
+    * cell distribution is how an IVF index degrades (one hot cell ≈
+    * brute force for every query probing it; empty cells waste
+    * centroids), so a pipeline checks this table after (re)training,
+    * BEFORE serving queries — and reads it again to pick `maxCell` /
+    * `nCentroids` for [[semanticDupPairs]].
+    *
+    * Scale: training is [[trainCentroids]] (sample-able); the report
+    * itself is one assignment scan + a K-row aggregate.
+    */
+  def cellBalance(embeddings: DataFrame, nCentroids: Int = 16,
+      lloydIters: Int = 2, trainFraction: Double = 1.0): DataFrame = {
+    val quant = quantized(embeddings)
+    val centroids = trainCentroids(quant, nCentroids, lloydIters, trainFraction)
+    val counts = assignCells(quant, centroids, 1)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val total = counts.agg(sum($("n_vecs")).cast("long").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select($("cell").cast("long").as("cell"),
+        $("n_vecs").cast("long").as("n_vecs"),
+        round(lit(1e6) * $("n_vecs") / $("total")).cast("long")
+          .as("share_micro"))
+  }
 }

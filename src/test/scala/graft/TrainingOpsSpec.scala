@@ -388,4 +388,34 @@ class TrainingOpsSpec extends SparkSpec {
     // exact neighbors on the real fixture
     assert(r.map(_._3).sum > 0L)
   }
+
+  test("cell balance: counts cover the corpus, shares sum to ~1") {
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val rows = Similarity.cellBalance(emb)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum === emb.count())
+    // per-cell rounding leaves the share sum within n_cells/2 micro
+    val shareSum = rows.map(_._3).sum
+    assert(math.abs(shareSum - 1000000L) <= rows.length / 2 + 1)
+  }
+
+  test("FromPairs variants == the direct calls on a shared pair table") {
+    val docs = Seq(
+      (1L, "src0", "The quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "src1", "The quick brown fox jumps over the lazy dog and runs far away home"),
+      (3L, "src1", "The quick brown fox jumps over the lazy dog and runs far away house"),
+      (4L, "src2", "Completely different content about distributed query engines in the cloud")
+    ).toDF("doc_id", "source", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+    val pairs = Dedup.minhashDupPairs(docs, threshold = 0.7)
+      .select($"id1", $"id2").localCheckpoint(true)   // materialize ONCE
+    assert(
+      Dedup.clusterKeepsFromPairs(pairs, docs).collect().toSet ===
+        Dedup.clusterKeeps(docs, threshold = 0.7).collect().toSet)
+    assert(
+      Dedup.sourceOverlapFromPairs(
+        Dedup.minhashDupPairs(docs, threshold = 0.7), docs).collect().toSet ===
+        Dedup.sourceOverlap(docs, threshold = 0.7).collect().toSet)
+  }
 }
