@@ -68,4 +68,71 @@ object DocStreams extends Serializable {
           }
       }
   }
+
+  final case class BandDoc(band: Int, chunk: Long, doc_id: Long, sim: Long)
+  final case class SimPair(id1: Long, id2: Long, hamming: Long)
+
+  /** Streaming NEAR-dup detection — the incremental twin of the batch
+    * `Dedup.simhashDupPairs`: each arriving document is simhashed
+    * (the codegen'd [[graft.plans.SimHash32Expression]] is a pure
+    * narrow expression, so it runs in a stream unchanged), split into
+    * the same 4×8-bit bands, and compared against every earlier
+    * document that shared a band — a pair is emitted when Hamming
+    * distance ≤ `maxDist` (bands are pigeonhole-complete for ≤ 3).
+    *
+    * Emission semantics: a pair surfaces when its LATER member
+    * arrives, in the band bucket(s) the two share — a pair sharing
+    * two bands is emitted once per shared band, so consumers (and the
+    * twin spec) `dropDuplicates(id1, id2)`, exactly the dedup the
+    * batch operator applies after its band join.
+    *
+    * Scale: state per (band, chunk) bucket is capped at `maxBucket`
+    * (doc_id, simhash) entries — 16 bytes each, the SAME hot-bucket
+    * recall trade as the batch `capBuckets`: a bucket past the cap
+    * stops admitting members instead of quadratically exploding.
+    * Unlike exact dedup there is no unbounded-fingerprint floor
+    * argument here; for horizon-bounded deployments swap NoTimeout
+    * for a processing-time TTL and accept missed pairs across the
+    * horizon.
+    */
+  def nearDupPairs(docs: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = 1024): Dataset[SimPair] = {
+    import docs.sparkSession.implicits._
+    import graft.plans.SimHash32Expression.simhash32
+    val banded = docs
+      .select(col("doc_id"),
+        simhash32(split(TextAnalysis.normText(col("text")), " ")).as("sim"))
+      .select(col("doc_id"), col("sim"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sim"), b * 8).bitwiseAND(lit(255L))): _*))
+          .as(Seq("band", "chunk")))
+      .select(col("band").cast("int").as("band"), col("chunk"),
+        col("doc_id"), col("sim").as("sim"))
+      .as[BandDoc]
+    banded
+      .groupByKey(d => (d.band, d.chunk))
+      .flatMapGroupsWithState[List[(Long, Long)], SimPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), it: Iterator[BandDoc],
+            state: GroupState[List[(Long, Long)]]) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[SimPair]
+          // doc_id order within the batch: deterministic emission no
+          // matter how the micro-batch iterator is ordered
+          it.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (members.size < maxBucket &&
+                !members.exists(_._1 == d.doc_id)) {
+              members.foreach { case (oid, osim) =>
+                val ham = java.lang.Long.bitCount(osim ^ d.sim).toLong
+                if (ham <= maxDist)
+                  out += SimPair(math.min(oid, d.doc_id),
+                    math.max(oid, d.doc_id), ham)
+              }
+              members = (d.doc_id, d.sim) :: members
+            }
+          }
+          state.update(members)
+          out.result().iterator
+      }
+  }
 }

@@ -320,4 +320,51 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(7L, 2L, 3L),
       "keepers must be first-batch mins (7, 2) plus the new content (3)")
   }
+
+  test("streaming near-dup pairs == batch simhashDupPairs (single batch)") {
+    import graft.streaming.DocStreams
+    val tables = graft.sources.Tables(spark, dir)
+    val docDir = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    tables.documents.write.mode("overwrite").parquet(docDir)
+    val pairs = DocStreams.nearDupPairs(DocStreams.readDocs(spark, docDir))
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    // a pair sharing several bands emits once per band — consumers
+    // dropDuplicates, mirroring the batch operator's post-join dedup
+    val got = spark.table("neardup_stream")
+      .select("id1", "id2", "hamming").distinct()
+      .as[(Long, Long, Long)].collect().toSet
+    val want = graft.operators.Dedup.simhashDupPairs(tables.documents)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want,
+      "single-batch streaming pairs must equal the batch pair set")
+  }
+
+  test("streaming near-dup detects pairs straddling micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{length, lit}
+    import graft.streaming.DocStreams
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("mem"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val base = "The quick brown fox jumps over the lazy dog and runs far away"
+    val q = DocStreams.nearDupPairs(docs).writeStream.outputMode("append")
+      .format("memory").queryName("neardup_rebatch").start()
+    try {
+      in.addData((1L, base + " home"),
+        (4L, "Completely different content about distributed query engines"))
+      q.processAllAvailable()
+      // the near-copy arrives in a LATER batch: the pair must still
+      // surface, against the state kept from batch one
+      in.addData((2L, base + " home"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("neardup_rebatch")
+      .select("id1", "id2").distinct().as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)),
+      "the cross-batch near-dup pair (1,2) and nothing else")
+  }
 }
