@@ -161,6 +161,8 @@ object TrainingEntries {
     "q82_ann_recall"     -> q(t => Similarity.annRecall(t.embeddings)),
     // IVF index-health: per-cell member count + corpus share
     "q83_cell_balance"   -> q(t => Similarity.cellBalance(t.embeddings)),
+    // Data-card census: (split × source) rollup of docs/chars/tokens
+    "q84_data_card"      -> q(t => Curation.dataCard(t.documents)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -1129,6 +1131,25 @@ object TrainingEntries {
          |  CAST(n_vecs AS BIGINT) AS n_vecs,
          |  CAST(round(1e6 * n_vecs / total) AS BIGINT) AS share_micro
          |FROM counts CROSS JOIN tot ORDER BY cell""".stripMargin,
+
+    // Mirrors Curation.dataCard: q40's md5 split buckets + the token
+    // count over norm, rolled up with GROUPING ids
+    "q84_data_card" ->
+      s"""WITH rows_ AS (SELECT
+         |    CASE WHEN b < 80 THEN 'train'
+         |         WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         |    source, n_chars, $nTokens AS n_tok
+         |  FROM (SELECT
+         |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |        AS BIGINT) % 100 AS b,
+         |      source, n_chars, $norm AS norm
+         |    FROM documents))
+         |SELECT split, source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+         |  CAST(GROUPING(split, source) AS BIGINT) AS gid
+         |FROM rows_ GROUP BY ROLLUP(split, source)
+         |ORDER BY gid, split, source""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

@@ -412,4 +412,34 @@ object Curation {
         sum($("c") * $("lr_micro")).cast("long").as("dsir_micro"))
     (toks, weights)
   }
+
+  /** Data-card census — the per-(split, source) doc/char/token table
+    * a released dataset ships with: every rollup level (split×source,
+    * per split, grand total) in one aggregation, `gid` marking the
+    * level. Splits are the same md5 buckets as [[hashSplit]], so the
+    * census matches the shards [[hashSplit]] actually produces.
+    *
+    * Scale: ONE corpus scan — the split label and token count are
+    * narrow expressions, the rollup expands grouping sets inside a
+    * single partial-aggregated HashAggregate (no re-scan per level),
+    * and only (split, source, partial counts) rows shuffle.
+    */
+  def dataCard(documents: DataFrame, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    val norm = TextAnalysis.normText($("text"))
+    documents.spread()
+      .select(
+        when(hashBucket($("doc_id"), 100) < trainPct, "train")
+          .when(hashBucket($("doc_id"), 100) < trainPct + valPct, "val")
+          .otherwise("test").as("split"),
+        $("source"),
+        $("n_chars"),
+        when(length(norm) === 0, 0L)
+          .otherwise(size(split(norm, " ")).cast("long")).as("n_tok"))
+      .rollup($("split"), $("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($("n_chars")).cast("long").as("sum_chars"),
+        sum($("n_tok")).cast("long").as("sum_tokens"),
+        grouping_id().cast("long").as("gid"))
+  }
 }

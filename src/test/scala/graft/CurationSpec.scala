@@ -203,4 +203,23 @@ class CurationSpec extends SparkSpec {
     assert(fits.values.forall(_._2 >= zipfSse),
       s"zipf must be the min-SSE family: $fits")
   }
+
+  test("data card: rollup levels are mutually consistent with the splits") {
+    val card = Curation.dataCard(docs).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val total = card.filter(_._6 == 3L)
+    assert(total.length === 1)
+    assert(total.head._3 === docs.count())
+    // each level's doc count folds up to the grand total
+    Seq(0L, 1L).foreach { gid =>
+      assert(card.filter(_._6 == gid).map(_._3).sum === docs.count(), s"gid=$gid")
+    }
+    // the split-level rows agree with hashSplit's own bucket counts
+    val fromSplit = Curation.hashSplit(docs).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    card.filter(_._6 == 1L).foreach { case (split, _, n, _, _, _) =>
+      assert(n === fromSplit(split.get), s"split=$split")
+    }
+  }
 }
