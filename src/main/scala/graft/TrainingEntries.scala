@@ -163,6 +163,10 @@ object TrainingEntries {
     "q83_cell_balance"   -> q(t => Similarity.cellBalance(t.embeddings)),
     // Data-card census: (split × source) rollup of docs/chars/tokens
     "q84_data_card"      -> q(t => Curation.dataCard(t.documents)),
+    // Per-source token-spectrum fit: distribution-drift QA report
+    "q85_source_fit"     -> q(t => DistributionFit.sourceFit(t.documents)),
+    // Packing-efficiency report over the q45 bin assignment
+    "q86_pack_stats"     -> q(t => Curation.packStats(t.documents)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -1150,6 +1154,69 @@ object TrainingEntries {
          |  CAST(GROUPING(split, source) AS BIGINT) AS gid
          |FROM rows_ GROUP BY ROLLUP(split, source)
          |ORDER BY gid, split, source""".stripMargin,
+
+    // Mirrors DistributionFit.sourceFit: the q71 grid-fit CTEs with
+    // `source` threaded through every key set and window partition
+    "q85_source_fit" ->
+      s"""WITH toks AS (SELECT source, tok FROM (
+         |    SELECT source, unnest(string_split($norm, ' ')) AS tok
+         |    FROM documents) WHERE length(tok) > 0),
+         |kc AS (SELECT source, tok, COUNT(*) AS cnt FROM toks
+         |       GROUP BY source, tok),
+         |fr AS (SELECT source, cnt, COUNT(*) AS n_keys FROM kc
+         |       GROUP BY source, cnt),
+         |frr AS (SELECT source, cnt, n_keys,
+         |  CAST(1 + COALESCE(SUM(n_keys) OVER (PARTITION BY source
+         |    ORDER BY cnt DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS rank_start FROM fr),
+         |rk AS (SELECT source, CAST(cnt AS DOUBLE) AS f,
+         |         CAST(rank_start + i AS DOUBLE) AS rd
+         |       FROM (SELECT source, cnt, rank_start,
+         |               unnest(generate_series(0, CAST(n_keys - 1 AS BIGINT))) AS i
+         |             FROM frr)),
+         |params(family, p1, p2) AS (VALUES
+         |    ${DistributionFit.gridParamsSqlValues}),
+         |agg AS (SELECT source, family, p1, p2,
+         |         SUM(f * g) AS num, SUM(g * g) AS den, SUM(f * f) AS sff
+         |       FROM (SELECT source, family, p1, p2, f,
+         |         CASE family
+         |           WHEN 'zipf' THEN pow(rd, -p1)
+         |           WHEN 'pareto' THEN pow(rd, -(p1 + 1.0))
+         |           WHEN 'poisson' THEN exp(rd * ln(p1) - p1 -
+         |             (rd * ln(rd) - rd + 0.5 * ln(2.0 * 3.141592653589793 * rd)
+         |              + 1.0 / (12.0 * rd) - 1.0 / (360.0 * rd * rd * rd)))
+         |           ELSE exp(-0.5 * pow((ln(rd) - p1) / p2, 2)) / rd
+         |         END AS g
+         |         FROM rk CROSS JOIN params)
+         |       GROUP BY source, family, p1, p2),
+         |sse AS (SELECT source, family, p1, p2,
+         |          sff - CASE WHEN den > 0.0 THEN num * num / den ELSE 0.0 END AS s
+         |        FROM agg),
+         |best AS (SELECT source, family, p1, p2, s,
+         |           row_number() OVER (PARTITION BY source, family
+         |             ORDER BY s ASC, p1 ASC, p2 ASC) AS rn
+         |         FROM sse)
+         |SELECT source, family AS distribution, p1, p2,
+         |  round(ln(greatest(s, 1e-12)), 6) AS log_sse
+         |FROM best WHERE rn = 1 ORDER BY source, distribution""".stripMargin,
+
+    // Mirrors Curation.packStats: the q45 running-sum CTE + the
+    // (source, bin) aggregate and integer fill ratio
+    "q86_pack_stats" ->
+      s"""SELECT source, bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+         |  CAST(round(1e6 * SUM(n_tok) / 4096) AS BIGINT) AS fill_micro
+         |FROM (SELECT source, CAST((cum - n_tok) // 4096 AS BIGINT) AS bin,
+         |        n_tok
+         |      FROM (SELECT doc_id, source, n_tok,
+         |              SUM(n_tok) OVER (PARTITION BY source
+         |                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |                ROWS UNBOUNDED PRECEDING) AS cum
+         |            FROM (SELECT doc_id, source, CAST($nTokens AS BIGINT) AS n_tok
+         |                  FROM (SELECT doc_id, source, $norm AS norm
+         |                        FROM documents))))
+         |GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

@@ -229,15 +229,26 @@ object DistributionFit {
     * per-key global row_number would be the wrong plan here: it would
     * sort all N keys through one partition.
     */
-  def rankTable(keyCounts: DataFrame): DataFrame = {
+  def rankTable(keyCounts: DataFrame): DataFrame =
+    rankTableBy(keyCounts, Nil)
+
+  /** [[rankTable]] per group: ranks restart within each `groups`
+    * combination (e.g. a rank table per source). The running sum's
+    * window partitions on the group columns, so each group's
+    * frequency spectrum is the same tiny-table exchange as the global
+    * form — groups add parallelism, not funnel width.
+    */
+  def rankTableBy(keyCounts: DataFrame, groups: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val fr = keyCounts.groupBy(col("cnt")).agg(count(lit(1)).as("n_keys"))
-    val w = Window.orderBy(col("cnt").desc)
+    val gcols = groups.map(col)
+    val fr = keyCounts.groupBy(gcols :+ col("cnt"): _*)
+      .agg(count(lit(1)).as("n_keys"))
+    val w = Window.partitionBy(gcols: _*).orderBy(col("cnt").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    fr.select(col("cnt"), col("n_keys"),
+    fr.select(gcols ++ Seq(col("cnt"), col("n_keys"),
       (coalesce(sum(col("n_keys")).over(w), lit(0L)) + lit(1L))
-        .cast("long").as("rank_start"))
+        .cast("long").as("rank_start")): _*)
   }
 
   /** The fixed (family, p1, p2) parameter grid of [[gridFitSse]] —
@@ -283,16 +294,28 @@ object DistributionFit {
     * — the plan survives an arbitrary corpus because its input is the
     * already-aggregated rank table.
     */
-  def gridFitSse(rankTable: DataFrame): DataFrame = {
+  def gridFitSse(rankTable: DataFrame): DataFrame =
+    gridFitSseBy(rankTable, Nil)
+
+  /** [[gridFitSse]] per group (input from [[rankTableBy]]): one
+    * argmin fit per (group × family) — the per-source distribution
+    * drift report a corpus QA pass reads (a source whose token
+    * spectrum stops looking zipfian is usually machine-generated or
+    * truncated). Same plan shape; `groups` ride the aggregation keys
+    * and the argmin window partition.
+    */
+  def gridFitSseBy(rankTable: DataFrame, groups: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val spark = rankTable.sparkSession
     import spark.implicits._
+    val gcols = groups.map(col)
 
     val ranks = rankTable
-      .select(col("cnt").cast("double").as("f"), col("rank_start"),
-        explode(sequence(lit(0L), col("n_keys").cast("long") - 1L)).as("i"))
-      .select(col("f"), (col("rank_start") + col("i")).cast("double").as("rd"))
+      .select(gcols ++ Seq(col("cnt").cast("double").as("f"), col("rank_start"),
+        explode(sequence(lit(0L), col("n_keys").cast("long") - 1L)).as("i")): _*)
+      .select(gcols ++ Seq(col("f"),
+        (col("rank_start") + col("i")).cast("double").as("rd")): _*)
 
     val params = broadcast(gridParams.toDF("family", "p1", "p2"))
 
@@ -313,21 +336,40 @@ object DistributionFit {
     // extra multiply-add in the same pass — far cheaper than deriving
     // the rank table a second time for a scalar crossJoin
     val agg = ranks.crossJoin(params)
-      .select(col("family"), col("p1"), col("p2"), col("f"), g.as("g"))
-      .groupBy(col("family"), col("p1"), col("p2"))
+      .select(gcols ++ Seq(col("family"), col("p1"), col("p2"), col("f"),
+        g.as("g")): _*)
+      .groupBy(gcols ++ Seq(col("family"), col("p1"), col("p2")): _*)
       .agg(sum(col("f") * col("g")).as("num"), sum(col("g") * col("g")).as("den"),
         sum(col("f") * col("f")).as("sff"))
-    val w = Window.partitionBy(col("family"))
+    val w = Window.partitionBy(gcols :+ col("family"): _*)
       .orderBy(col("s").asc, col("p1").asc, col("p2").asc)
     agg
-      .select(col("family"), col("p1"), col("p2"),
+      .select(gcols ++ Seq(col("family"), col("p1"), col("p2"),
         (col("sff") - when(col("den") > 0.0, col("num") * col("num") / col("den"))
-          .otherwise(lit(0.0))).as("s"))
+          .otherwise(lit(0.0))).as("s")): _*)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("family").as("distribution"), col("p1"), col("p2"),
-        round(log(greatest(col("s"), lit(1e-12))), 6).as("log_sse"))
-      .orderBy(col("distribution"))
+      .select(gcols ++ Seq(col("family").as("distribution"), col("p1"), col("p2"),
+        round(log(greatest(col("s"), lit(1e-12))), 6).as("log_sse")): _*)
+      .orderBy(gcols :+ col("distribution"): _*)
+  }
+
+  /** Per-source token-frequency distribution fit — the corpus-drift
+    * QA report: for each source, the best (family, params) over the
+    * shared grid. Composes [[rankTableBy]] ∘ per-source token counts
+    * ∘ [[gridFitSseBy]]; output is sources × 4 family rows.
+    */
+  def sourceFit(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.OrderedOut._
+    val kc = documents.spread()
+      .select(col("source"),
+        explode(split(graft.operators.TextAnalysis.normText(col("text")), " "))
+          .as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    gridFitSseBy(rankTableBy(kc, Seq("source")), Seq("source"))
   }
 
   /** Collect the (small) sorted-frequency column once, fit all

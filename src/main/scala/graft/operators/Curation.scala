@@ -413,6 +413,36 @@ object Curation {
     (toks, weights)
   }
 
+  /** Packing-efficiency report over [[packBins]]'s bin assignment:
+    * per (source, bin), the doc count, token total, and fill ratio
+    * vs the context length (`fill_micro` > 1e6 marks straddling —
+    * the last doc of a bin overflowing into the next, i.e. tokens a
+    * non-splitting packer would truncate or pad around). The table a
+    * pipeline reads to choose `contextLen` and judge padding waste.
+    *
+    * Scale: identical plan to [[packBins]] (one per-source window
+    * pass over (doc_id, source, n_tok) triples) plus a (source, bin)
+    * aggregate whose output is total_tokens/contextLen rows.
+    */
+  def packStats(documents: DataFrame, contextLen: Int = 4096): DataFrame = {
+    val w = Window.partitionBy($("source"))
+      .orderBy(md5($("doc_id").cast("string")).asc, $("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select($("doc_id"), $("source"),
+        TextAnalysis.tokenCount($("text")).cast("long").as("n_tok"))
+      .withColumn("cum", sum($("n_tok")).over(w))
+      .select($("source"),
+        expr(s"(cum - n_tok) div $contextLen").cast("long").as("bin"),
+        $("n_tok"))
+      .groupBy($("source"), $("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($("n_tok")).cast("long").as("sum_tok"))
+      .select($("source"), $("bin"), $("n_docs"), $("sum_tok"),
+        round(lit(1e6) * $("sum_tok") / lit(contextLen)).cast("long")
+          .as("fill_micro"))
+  }
+
   /** Data-card census — the per-(split, source) doc/char/token table
     * a released dataset ships with: every rollup level (split×source,
     * per split, grand total) in one aggregation, `gid` marking the

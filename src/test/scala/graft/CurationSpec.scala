@@ -222,4 +222,38 @@ class CurationSpec extends SparkSpec {
       assert(n === fromSplit(split.get), s"split=$split")
     }
   }
+
+  test("pack stats: bins are contiguous and token totals are conserved") {
+    val stats = Curation.packStats(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(stats.map(_._3).sum === docs.count())
+    // per source: bins run 0..max with no gaps, fill = round(1e6·tok/4096)
+    stats.groupBy(_._1).foreach { case (src, rows) =>
+      val bins = rows.map(_._2).sorted
+      assert(bins === (0L until bins.length).toSeq, s"source=$src bins=$bins")
+    }
+    stats.foreach { case (_, _, _, tok, fill) =>
+      assert(fill === math.round(1e6 * tok / 4096.0))
+    }
+    // conservation vs the assignment the report summarizes
+    val viaBins = Curation.packBins(docs).count()
+    assert(stats.map(_._3).sum === viaBins)
+  }
+
+  test("per-source fit emits all four families per source, zipf sane") {
+    val fits = DistributionFit.sourceFit(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val bySrc = fits.groupBy(_._1)
+    val nSources = docs.select("source").distinct().count()
+    assert(bySrc.size === nSources)
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.map(_._2).sorted.toSeq ===
+        Seq("lognormal", "pareto", "poisson", "zipf"), s"source=$src")
+      // word frequencies are zipf-shaped: the chosen exponent must be
+      // inside the grid's interior, not railed at an endpoint
+      val zipfP1 = rows.find(_._2 == "zipf").get._3
+      assert(zipfP1 > 0.0 && zipfP1 <= 3.0, s"source=$src p1=$zipfP1")
+    }
+  }
 }
