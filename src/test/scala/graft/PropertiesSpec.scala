@@ -216,4 +216,71 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "the",
+    "a", "zz", "longishword", "epsilon", "mu")
+  private def randomTexts(n: Int, seed: Long): Seq[String] =
+    (1 to n).flatMap { i =>
+      Gen.listOfN(3 + i % 40, wordGen).apply(Gen.Parameters.default,
+        Seed(seed + i)).map(_.mkString(" "))
+    }
+
+  test("char entropy: bounded by log2(alphabet) and permutation-invariant") {
+    val texts = randomTexts(30, 901L)
+    val shuffled = texts.map(t => new scala.util.Random(7)
+      .shuffle(t.toList).mkString)
+    val df = texts.zip(shuffled).zipWithIndex
+      .map { case ((t, s), i) => (i.toLong, t, s) }
+      .toDF("doc_id", "text", "shuf")
+    import graft.plans.CharEntropyExpression.charEntropyMilli
+    val got = df.select($"doc_id", charEntropyMilli($"text").as("e"),
+        charEntropyMilli($"shuf").as("es"), $"text")
+      .as[(Long, Long, Long, String)].collect()
+    got.foreach { case (id, e, es, t) =>
+      // entropy is a bag-of-chars statistic: reordering cannot move it
+      assert(e === es, s"doc $id")
+      val distinct = t.toSet.size.toDouble
+      assert(e >= 0L, s"doc $id")
+      // per-term rounding can add at most 0.5 milli per distinct char
+      val bound = math.ceil(1e3 * math.log(math.max(distinct, 1.0)) /
+        math.log(2.0)).toLong + t.toSet.size
+      assert(e <= bound, s"doc $id: $e > $bound for $t")
+    }
+  }
+
+  test("gopher rule stats are invariant under token permutation") {
+    val texts = randomTexts(25, 1711L)
+    val perm = texts.map(t => new scala.util.Random(13)
+      .shuffle(t.split(" ").toList).mkString(" "))
+    def stats(ts: Seq[String]) = {
+      TextAnalysis.gopherRules(
+        ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"))
+        .select($"doc_id", $"n_words", $"mean_word_len_micro",
+          $"uniq_frac_micro", $"stop_count")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    }
+    assert(stats(texts) === stats(perm))
+  }
+
+  test("pmi pairs: every emitted pair is a real bigram above minCount") {
+    val texts = randomTexts(40, 3301L)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiPairs(docs, minCount = 3, topK = 100)
+      .as[(String, String, Long, Long)].collect()
+    // independent bigram census in plain Scala
+    val census = texts.flatMap { t =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      toks.zip(toks.drop(1))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    got.foreach { case (w1, w2, c, _) =>
+      assert(census((w1, w2)) === c, s"($w1,$w2)")
+      assert(c >= 3L)
+    }
+    // and nothing above the cut was silently dropped (topK not binding)
+    val expected = census.filter(_._2 >= 3L)
+    if (expected.size <= 100) assert(got.length === expected.size)
+  }
 }
