@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import org.apache.spark.sql.functions.{col, posexplode}
+import org.apache.spark.sql.functions.{col, concat, lit, md5, posexplode, when}
 
 import graft.analytics.DistributionFit
 import graft.operators.{Curation, Dedup, Events, Multimodal, Similarity, StarQueries, TextAnalysis}
@@ -167,6 +167,35 @@ object TrainingEntries {
     "q85_source_fit"     -> q(t => DistributionFit.sourceFit(t.documents)),
     // Packing-efficiency report over the q45 bin assignment
     "q86_pack_stats"     -> q(t => Curation.packStats(t.documents)),
+    // Dataset-version diff via ONE full outer join: two md5-bucket
+    // snapshots of documents (old = buckets 0-8 as-is; new = buckets
+    // 1-9 with bucket 5's text revised) → added/removed/changed/
+    // unchanged per doc_id
+    "q87_snapshot_diff"  -> q(t => {
+      val bucket = Curation.hashBucket(col("doc_id"), 10)
+      val fpOf = (text: org.apache.spark.sql.Column) =>
+        md5(TextAnalysis.normText(text))
+      Curation.snapshotDiff(
+        t.documents.filter(bucket < 9)
+          .select(col("doc_id"), fpOf(col("text")).as("fp")),
+        t.documents.filter(bucket >= 1)
+          .select(col("doc_id"),
+            fpOf(when(bucket === 5, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("fp")))
+    }),
+    // Per-source adaptive quality gate: keep the top 90% of each
+    // source by quality score (integer-exact rank·1000 ≤ 900·n cut)
+    "q88_quality_gate"   -> q(t => Curation.qualityGate(t.documents)),
+    // Dup-pair-graph degree histogram: near-dup partners per node →
+    // node count per degree (graph health before clustering)
+    "q89_pair_degrees"   -> q(t =>
+      Dedup.pairDegreeHistogram(Dedup.minhashDupPairs(t.documents, threshold = 0.7))),
+    // Pairwise cosine between per-label centroid embeddings
+    // (corpus-geometry report; exact-integer centroid arithmetic)
+    "q90_label_centroids" -> q(t => Similarity.labelCentroidSim(t.embeddings)),
+    // DSIR selection step: keep iff md5-uniform u < exp(weight),
+    // evaluated in log space with exact-integer milli-nat compare
+    "q91_dsir_resample"  -> q(t => Curation.dsirResample(t.documents)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -191,6 +220,64 @@ object TrainingEntries {
 
   private val nTokens =
     "CASE WHEN length(norm) = 0 THEN 0 ELSE len(string_split(norm, ' ')) END"
+
+  /** q78's DSIR importance-weight pipeline as reusable CTEs — callers
+    * read `w(doc_id, n_tok, dsir_micro)`. Shared by q78 and q91.
+    */
+  private val dsirCtes =
+    s"""toks AS (SELECT doc_id, source, tok FROM (
+       |    SELECT doc_id, source, unnest(string_split($norm, ' ')) AS tok
+       |    FROM documents) WHERE length(tok) > 0),
+       |raw AS (SELECT tok, COUNT(*) AS r_c FROM toks GROUP BY tok),
+       |tgt AS (SELECT tok, COUNT(*) AS t_c FROM toks
+       |        WHERE source IN ('src0','src1','src2','src3') GROUP BY tok),
+       |tot AS (SELECT CAST(SUM(r_c) AS BIGINT) AS n_raw,
+       |        CAST(COUNT(*) AS BIGINT) AS v FROM raw),
+       |ttot AS (SELECT CAST(COALESCE(SUM(t_c), 0) AS BIGINT) AS n_tgt
+       |         FROM tgt),
+       |ratio AS (SELECT raw.tok,
+       |    CAST(round(1e6 * ln(
+       |      CAST(COALESCE(t_c, 0) + 1 AS DOUBLE) * (n_raw + v) /
+       |        (CAST(r_c + 1 AS DOUBLE) * (n_tgt + v)))) AS BIGINT)
+       |      AS lr_micro
+       |  FROM raw LEFT JOIN tgt USING (tok) CROSS JOIN tot CROSS JOIN ttot),
+       |pdt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks
+       |        GROUP BY doc_id, tok),
+       |w AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+       |        CAST(SUM(c * lr_micro) AS BIGINT) AS dsir_micro
+       |      FROM pdt JOIN ratio ON pdt.tok = ratio.tok
+       |      GROUP BY doc_id)""".stripMargin
+
+  /** q23's quality-score pipeline as reusable CTEs — callers read
+    * `qual(doc_id, quality)`. Shared by q23 and q88.
+    */
+  private val qualityCte =
+    s"""base AS (
+       |  SELECT doc_id, norm, pad,
+       |    CAST(length(norm) AS DOUBLE) AS len,
+       |    CAST(${classCount("norm", "[.,;:!?]")} AS DOUBLE) AS npunct,
+       |    CAST(${classCount("norm", "[A-Za-z]")} AS DOUBLE) AS nalpha,
+       |    CASE WHEN regexp_matches(norm, '[一-鿿]') THEN 1.0 ELSE 0.0 END AS cjk,
+       |    ${stopScore("en")} AS s_en, ${stopScore("de")} AS s_de,
+       |    ${stopScore("fr")} AS s_fr, ${stopScore("es")} AS s_es
+       |  FROM (SELECT doc_id, $norm AS norm, ' ' || $norm || ' ' AS pad
+       |        FROM documents)),
+       |terms AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len >= 200 AND len <= 5000 THEN 1.0
+       |         WHEN len >= 50 THEN 0.5 ELSE 0.0 END AS len_score,
+       |    CASE WHEN npunct / greatest(len, 1.0) > 0.001
+       |          AND npunct / greatest(len, 1.0) < 0.2 THEN 1.0 ELSE 0.0 END AS punct_score,
+       |    greatest(CASE WHEN nalpha / greatest(len, 1.0) > 0.6 THEN 1.0
+       |                  ELSE (nalpha / greatest(len, 1.0)) / 0.6 END, cjk) AS alpha_score,
+       |    CASE WHEN greatest(s_en, s_de, s_fr, s_es) >= 2 OR cjk = 1.0
+       |         THEN 1.0 ELSE 0.0 END AS stop_score
+       |  FROM base),
+       |qual AS (
+       |  SELECT doc_id,
+       |    len_score * 0.25 + punct_score * 0.25 + alpha_score * 0.25 +
+       |      stop_score * 0.25 AS quality
+       |  FROM terms)""".stripMargin
 
   // 5-gram shingles CTE (shared by minhash queries). DuckDB 1.0 has no
   // lateral generate_series table function; unnest of the list form
@@ -455,31 +542,8 @@ object TrainingEntries {
          |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q23_quality" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, norm, pad,
-         |    CAST(length(norm) AS DOUBLE) AS len,
-         |    CAST(${classCount("norm", "[.,;:!?]")} AS DOUBLE) AS npunct,
-         |    CAST(${classCount("norm", "[A-Za-z]")} AS DOUBLE) AS nalpha,
-         |    CASE WHEN regexp_matches(norm, '[一-鿿]') THEN 1.0 ELSE 0.0 END AS cjk,
-         |    ${stopScore("en")} AS s_en, ${stopScore("de")} AS s_de,
-         |    ${stopScore("fr")} AS s_fr, ${stopScore("es")} AS s_es
-         |  FROM (SELECT doc_id, $norm AS norm, ' ' || $norm || ' ' AS pad
-         |        FROM documents)),
-         |terms AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len >= 200 AND len <= 5000 THEN 1.0
-         |         WHEN len >= 50 THEN 0.5 ELSE 0.0 END AS len_score,
-         |    CASE WHEN npunct / greatest(len, 1.0) > 0.001
-         |          AND npunct / greatest(len, 1.0) < 0.2 THEN 1.0 ELSE 0.0 END AS punct_score,
-         |    greatest(CASE WHEN nalpha / greatest(len, 1.0) > 0.6 THEN 1.0
-         |                  ELSE (nalpha / greatest(len, 1.0)) / 0.6 END, cjk) AS alpha_score,
-         |    CASE WHEN greatest(s_en, s_de, s_fr, s_es) >= 2 OR cjk = 1.0
-         |         THEN 1.0 ELSE 0.0 END AS stop_score
-         |  FROM base)
-         |SELECT doc_id,
-         |  len_score * 0.25 + punct_score * 0.25 + alpha_score * 0.25 +
-         |    stop_score * 0.25 AS quality
-         |FROM terms ORDER BY doc_id""".stripMargin,
+      s"""WITH $qualityCte
+         |SELECT doc_id, quality FROM qual ORDER BY doc_id""".stripMargin,
 
     "q24_fingerprints" ->
       s"SELECT doc_id, md5($norm) AS fp FROM documents ORDER BY doc_id",
@@ -998,28 +1062,8 @@ object TrainingEntries {
     // Mirrors Curation.dsirWeights: per-TYPE micro-nat log ratios
     // from exact BIGINTs, per-doc exact integer Σ of c·lr_micro
     "q78_dsir_weights" ->
-      s"""WITH toks AS (SELECT doc_id, source, tok FROM (
-         |    SELECT doc_id, source, unnest(string_split($norm, ' ')) AS tok
-         |    FROM documents) WHERE length(tok) > 0),
-         |raw AS (SELECT tok, COUNT(*) AS r_c FROM toks GROUP BY tok),
-         |tgt AS (SELECT tok, COUNT(*) AS t_c FROM toks
-         |        WHERE source IN ('src0','src1','src2','src3') GROUP BY tok),
-         |tot AS (SELECT CAST(SUM(r_c) AS BIGINT) AS n_raw,
-         |        CAST(COUNT(*) AS BIGINT) AS v FROM raw),
-         |ttot AS (SELECT CAST(COALESCE(SUM(t_c), 0) AS BIGINT) AS n_tgt
-         |         FROM tgt),
-         |ratio AS (SELECT raw.tok,
-         |    CAST(round(1e6 * ln(
-         |      CAST(COALESCE(t_c, 0) + 1 AS DOUBLE) * (n_raw + v) /
-         |        (CAST(r_c + 1 AS DOUBLE) * (n_tgt + v)))) AS BIGINT)
-         |      AS lr_micro
-         |  FROM raw LEFT JOIN tgt USING (tok) CROSS JOIN tot CROSS JOIN ttot),
-         |pdt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks
-         |        GROUP BY doc_id, tok)
-         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
-         |  CAST(SUM(c * lr_micro) AS BIGINT) AS dsir_micro
-         |FROM pdt JOIN ratio ON pdt.tok = ratio.tok
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_tok, dsir_micro FROM w ORDER BY doc_id""".stripMargin,
 
     // Mirrors CharEntropyExpression: per-codepoint HALF_UP milli-bit
     // terms summed as BIGINTs (see the expression Scaladoc for why
@@ -1217,6 +1261,86 @@ object TrainingEntries {
          |                  FROM (SELECT doc_id, source, $norm AS norm
          |                        FROM documents))))
          |GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    // Mirrors the q87 entry: old = md5-buckets 0-8 as-is, new =
+    // buckets 1-9 with bucket 5's text revised (' v2' suffix); ONE
+    // full outer join on doc_id classifies every key
+    "q87_snapshot_diff" ->
+      s"""WITH base AS (SELECT doc_id, text,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 10 AS b
+         |  FROM documents),
+         |olds AS (SELECT doc_id, md5($norm) AS old_fp FROM base WHERE b < 9),
+         |newd AS (SELECT doc_id,
+         |           CASE WHEN b = 5 THEN text || ' v2' ELSE text END AS text
+         |         FROM base WHERE b >= 1),
+         |news AS (SELECT doc_id, md5($norm) AS new_fp FROM newd)
+         |SELECT doc_id, old_fp, new_fp,
+         |  CASE WHEN old_fp IS NULL THEN 'added'
+         |       WHEN new_fp IS NULL THEN 'removed'
+         |       WHEN old_fp = new_fp THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM olds FULL JOIN news USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // q23's quality CTE + per-source windows; keep = integer-exact
+    // rn·1000 ≤ 900·n
+    "q88_quality_gate" ->
+      s"""WITH $qualityCte
+         |SELECT doc_id, source, quality, (rn * 1000 <= 900 * n) AS keep
+         |FROM (SELECT q.doc_id, d.source, q.quality,
+         |        CAST(row_number() OVER (PARTITION BY d.source
+         |          ORDER BY q.quality DESC, q.doc_id) AS BIGINT) AS rn,
+         |        CAST(COUNT(*) OVER (PARTITION BY d.source) AS BIGINT) AS n
+         |      FROM qual q JOIN documents d USING (doc_id))
+         |ORDER BY doc_id""".stripMargin,
+
+    // q26's verified dup pairs → node degrees → degree histogram
+    "q89_pair_degrees" ->
+      s"""WITH $dupPairsCtes,
+         |nodes AS (SELECT id1 AS node FROM dup
+         |          UNION ALL SELECT id2 FROM dup),
+         |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+         |        FROM nodes GROUP BY node)
+         |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+
+    // Mirrors Similarity.labelCentroidSim: exact-integer per-(label,
+    // dim) sums → floor-mean centroids → exact dots/norms → one
+    // double division
+    "q90_label_centroids" ->
+      s"""WITH lf AS (SELECT label, i,
+         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+         |  FROM (SELECT label, embedding,
+         |        unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings)),
+         |ln_ AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+         |        FROM embeddings GROUP BY label),
+         |c AS (SELECT lf.label, i,
+         |        CAST(floor(CAST(SUM(v) AS DOUBLE) / n) AS BIGINT) AS c
+         |      FROM lf JOIN ln_ ON lf.label = ln_.label
+         |      GROUP BY lf.label, i, n),
+         |nrm AS (SELECT label, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nrm
+         |        FROM c GROUP BY label),
+         |dots AS (SELECT a.label AS l1, b.label AS l2, SUM(a.c * b.c) AS dot
+         |         FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+         |         GROUP BY 1, 2)
+         |SELECT CAST(l1 AS BIGINT) AS label1, CAST(l2 AS BIGINT) AS label2,
+         |  CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cos
+         |FROM dots JOIN nrm na ON na.label = l1 JOIN nrm nb ON nb.label = l2
+         |ORDER BY label1, label2""".stripMargin,
+
+    // q78's weight CTE + the log-space keep test: u from the first 12
+    // md5 hex chars of doc_id, keep iff floor(1000·ln(u)) < w_milli
+    "q91_dsir_resample" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_tok, dsir_micro,
+         |  (CAST(floor(1000.0 * ln(
+         |     (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+         |        AS BIGINT) + 1) / 281474976710656.0)) AS BIGINT)
+         |   < CAST(floor(CAST(dsir_micro AS DOUBLE) / 1000.0) AS BIGINT))
+         |    AS keep
+         |FROM w ORDER BY doc_id""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

@@ -472,4 +472,93 @@ object Curation {
         sum($("n_tok")).cast("long").as("sum_tokens"),
         grouping_id().cast("long").as("gid"))
   }
+
+  /** Dataset-version diff: given two snapshots keyed by `doc_id` with
+    * a content fingerprint column `fp`, classify every key as
+    * added / removed / changed / unchanged via ONE full outer join.
+    * The reconciliation report a pipeline runs between two crawl
+    * versions (or before/after a cleaning pass) to audit exactly what
+    * a release changed.
+    *
+    * Scale: the join carries only (doc_id, fp) — never the text — so
+    * the shuffle is key-width at any corpus size; with both snapshots
+    * bucketed by doc_id ([[graft.engine.Bucketing]]) it is
+    * exchange-free. Full outer is required: semi/anti formulations
+    * would need two extra passes to recover both exclusive sides.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select($("doc_id"), $("fp").as("old_fp"))
+    val n = newSnap.select($("doc_id"), $("fp").as("new_fp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select($("doc_id"), $("old_fp"), $("new_fp"),
+        when($("old_fp").isNull, "added")
+          .when($("new_fp").isNull, "removed")
+          .when($("old_fp") === $("new_fp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** Per-source adaptive quality gate: rank each source's documents
+    * by [[TextAnalysis.qualityScore]] and keep the top
+    * `keepPermille`/1000 fraction — the "drop the worst decile of
+    * every source" filter, with the cut adapting to each source's own
+    * score distribution instead of one global threshold.
+    *
+    * Determinism: the keep rule is pure integer arithmetic
+    * (rn · 1000 ≤ keepPermille · n over exact BIGINT rank/count), and
+    * ties rank by (quality desc, doc_id) — a total order — so the cut
+    * is reproducible and shard-order-free.
+    *
+    * Scale: only (doc_id, source, quality) rides the per-source
+    * window (text stays at the scan); the window is the same
+    * source-partitioned pass [[sourceCap]]/[[packBins]] pay. For a
+    * pathologically dominant source, the two-pass variant — aggregate
+    * per-source count first, then cut on an md5-salted percentile
+    * estimate — bounds the sort, mirroring sourceCap's note.
+    */
+  def qualityGate(documents: DataFrame, keepPermille: Int = 900): DataFrame = {
+    val byScore = Window.partitionBy($("source"))
+      .orderBy($("quality").desc, $("doc_id").asc)
+    val bySource = Window.partitionBy($("source"))
+    documents.spread()
+      .select($("doc_id"), $("source"),
+        TextAnalysis.qualityScore($("text")).as("quality"))
+      .withColumn("rn", row_number().over(byScore).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySource))
+      .select($("doc_id"), $("source"), $("quality"),
+        ($("rn") * 1000 <= lit(keepPermille) * $("n")).as("keep"))
+  }
+
+  /** DSIR selection step: keep each document with probability
+    * min(1, exp(w)) where w is its [[dsirWeights]] importance weight
+    * in nats — the resampling that skews a raw corpus toward the
+    * target distribution. Deterministic: the uniform draw u derives
+    * from md5(doc_id) (seedless, retry/shard-order stable), and the
+    * keep test u < exp(w) is evaluated in log space as
+    * floor(1000·ln(u)) < w_milli — exact-integer compare, no exp
+    * overflow for the |w| ≫ 700-nat docs a real corpus produces, and
+    * milli granularity keeps the boundary ~3 orders clear of
+    * libm-vs-Math.log ulp divergence (the q79 discipline).
+    *
+    * Scale: [[dsirWeightsBuild]]'s plan (type-level tables shuffle,
+    * tokens partial-aggregate map-side) plus one narrow map — the
+    * draw and compare add nothing to the exchange profile.
+    */
+  def dsirResample(documents: DataFrame,
+      targetSources: Seq[String] = Seq("src0", "src1", "src2", "src3")): DataFrame = {
+    val (toks, weights) = dsirWeightsBuild(documents, targetSources)
+    // u = (h+1)/16^12 ∈ (0,1] from the first 12 md5 hex chars: 48
+    // uniform bits, exact as a double
+    val h = conv(substring(md5($("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val lnuMilli = floor(lit(1000.0) * log(
+      ($("h") + 1).cast("double") / lit(281474976710656.0))).cast("long")
+    val wMilli = floor($("dsir_micro").cast("double") / 1000.0).cast("long")
+    val result = weights
+      .withColumn("h", h)
+      .select($("doc_id"), $("n_tok"), $("dsir_micro"),
+        (lnuMilli < wMilli).as("keep"))
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    result
+  }
 }

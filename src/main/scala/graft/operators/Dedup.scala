@@ -573,4 +573,24 @@ object Dedup {
       .reduce(_ + _)
     counters.select($("doc_id"), packed.as("simhash"))
   }
+
+  /** Degree histogram of a dup-pair graph: how many nodes have k
+    * near-dup partners. The graph-health table read before running
+    * [[componentsOf]] — a heavy tail here predicts giant components
+    * (template/boilerplate families) and tells a pipeline to raise
+    * the Jaccard threshold or pre-split before clustering.
+    *
+    * Scale: input is the pair graph (already sliver-sized relative to
+    * the corpus); two key-only aggregates — (node, degree) then
+    * (degree, n_nodes) — nothing row-proportional to the corpus
+    * moves. Composes with [[minhashDupPairs]] materialized once (see
+    * PLANS.md on pair-graph reuse).
+    */
+  def pairDegreeHistogram(pairs: DataFrame): DataFrame =
+    pairs.select($("id1").as("node"))
+      .union(pairs.select($("id2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .select($("degree").cast("long").as("degree"),
+        $("n_nodes").cast("long").as("n_nodes"))
 }

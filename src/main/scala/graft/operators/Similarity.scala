@@ -473,4 +473,50 @@ object Similarity {
         round(lit(1e6) * $("n_vecs") / $("total")).cast("long")
           .as("share_micro"))
   }
+
+  /** Pairwise cosine similarity between per-label embedding
+    * centroids — the corpus-geometry report (which sources/classes
+    * overlap in embedding space) read when choosing dedup thresholds
+    * and mixture weights across sources.
+    *
+    * Numeric determinism: per-(label, dim) sums of quantized elements
+    * are exact BIGINTs; the centroid element is floor(sum/n) — an
+    * exact integer-valued double op for |sum| < 2^53 — so dots and
+    * norms are again exact integer folds and the one double division
+    * is order-free. Dividing before the pairwise step also bounds
+    * magnitudes: |c| ≤ 1e6·max|v| regardless of corpus size, so the
+    * 64-dim dot can never overflow BIGINT no matter how many rows a
+    * label has (summing first would overflow at ~1e9 rows/label).
+    *
+    * Scale: ONE corpus pass partial-aggregating (label, dim, Σv) —
+    * map-side combine makes the shuffle K·dims rows — then everything
+    * downstream is centroid-sized (K·dims) with the pairwise join
+    * broadcast. Labels multiply the aggregate width, not the scan.
+    */
+  def labelCentroidSim(embeddings: DataFrame): DataFrame = {
+    val flat = embeddings.spread()
+      .select($("label"), posexplode(quantize($("embedding"))).as(Seq("d", "v")))
+    val n = embeddings.groupBy("label").agg(count(lit(1)).as("n"))
+    val c = flat.groupBy($("label"), $("d"))
+      .agg(sum($("v")).as("s"))
+      .join(broadcast(n), Seq("label"))
+      .select($("label"), $("d"),
+        floor($("s").cast("double") / $("n")).cast("long").as("c"))
+    val nrm = c.groupBy("label")
+      .agg(sqrt(sum($("c") * $("c")).cast("double")).as("nrm"))
+    val dots = c.select($("label").as("label1"), $("d"), $("c").as("ca"))
+      .join(broadcast(c.select($("label").as("label2"), $("d"), $("c").as("cb"))),
+        Seq("d"))
+      .filter($("label1") < $("label2"))
+      .groupBy($("label1"), $("label2"))
+      .agg(sum($("ca") * $("cb")).as("dot"))
+    dots
+      .join(broadcast(nrm.select($("label").as("label1"), $("nrm").as("n1"))),
+        Seq("label1"))
+      .join(broadcast(nrm.select($("label").as("label2"), $("nrm").as("n2"))),
+        Seq("label2"))
+      .select($("label1").cast("long").as("label1"),
+        $("label2").cast("long").as("label2"),
+        ($("dot").cast("double") / ($("n1") * $("n2"))).as("cos"))
+  }
 }

@@ -256,4 +256,59 @@ class CurationSpec extends SparkSpec {
       assert(zipfP1 > 0.0 && zipfP1 <= 3.0, s"source=$src p1=$zipfP1")
     }
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "fp")
+    val newSnap = Seq((2L, "b"), (3L, "x"), (4L, "d")).toDF("doc_id", "fp")
+    val got = Curation.snapshotDiff(oldSnap, newSnap)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("qualityGate keeps exactly floor(0.9·n) per source, worst dropped") {
+    val gated = Curation.qualityGate(docs, keepPermille = 900).cache()
+    try {
+      assert(gated.count() === docs.count()) // a flag, not a filter
+      val per = gated.groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+        .collect()
+      per.foreach { r =>
+        val (n, kept) = (r.getAs[Long]("n"), r.getAs[Long]("kept"))
+        assert(kept === 900L * n / 1000L, s"source=${r.getString(0)}")
+      }
+      // the cut is by score: every dropped doc scores <= every kept one
+      val bounds = gated.groupBy("source")
+        .agg(min(when(col("keep"), col("quality"))).as("worst_kept"),
+          max(when(!col("keep"), col("quality"))).as("best_dropped"))
+        .collect()
+      bounds.filter(r => !r.isNullAt(2)).foreach { r =>
+        assert(r.getDouble(2) <= r.getDouble(1), s"source=${r.getString(0)}")
+      }
+    } finally gated.unpersist()
+  }
+
+  test("dsirResample keep matches the log-space rule row-for-row") {
+    import spark.implicits._
+    val got = Curation.dsirResample(docs)
+      .select("doc_id", "dsir_micro", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.length === docs.count())
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { case (id, wMicro, keep) =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(12)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val lnuMilli =
+        math.floor(1000.0 * math.log((h + 1).toDouble / 281474976710656.0)).toLong
+      val wMilli = math.floor(wMicro.toDouble / 1000.0).toLong
+      assert(keep === (lnuMilli < wMilli), s"doc $id: w_micro=$wMicro h=$h")
+    }
+    // a non-negative weight (exp(w) >= 1) can never be dropped
+    got.filter(_._2 >= 0).foreach { case (id, _, keep) =>
+      assert(keep, s"doc $id has w >= 0 but was dropped")
+    }
+  }
 }

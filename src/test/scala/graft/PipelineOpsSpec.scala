@@ -457,4 +457,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(15L) === ((1L, 1L, clean15.length.toLong)))
     assert(got(1L) === ((0L, 0L, "hello world".length.toLong)))
   }
+
+  // -------------------------------------------------------------
+  // pair-graph health
+  // -------------------------------------------------------------
+
+  test("pairDegreeHistogram counts near-dup partners per node") {
+    // star 1-{2,3,4} + edge 2-3 + isolated pair 10-11:
+    // degrees 1->3, 2->2, 3->2, 4->1, 10->1, 11->1
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (10L, 11L))
+      .toDF("id1", "id2")
+    val got = Dedup.pairDegreeHistogram(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+  }
 }

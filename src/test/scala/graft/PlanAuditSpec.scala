@@ -60,4 +60,14 @@ class PlanAuditSpec extends SparkSpec {
       spark.sharedState.cacheManager.clearCache()
     }
   }
+
+  test("q90's pairwise stage is centroid-sized: broadcast only, no sort-merge") {
+    val emb = graft.sources.Tables(spark, sfDir).embeddings
+    val plan = graft.operators.Similarity.labelCentroidSim(emb)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "no broadcast join")
+    assert(!plan.contains("SortMergeJoin"),
+      s"row-proportional sort-merge join in the pairwise stage:\n$plan")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -418,4 +418,22 @@ class TrainingOpsSpec extends SparkSpec {
         Dedup.minhashDupPairs(docs, threshold = 0.7), docs).collect().toSet ===
         Dedup.sourceOverlap(docs, threshold = 0.7).collect().toSet)
   }
+
+  test("labelCentroidSim: orthogonal labels at 0, aligned labels at 1") {
+    // label 0 centroid = [1, 0] (two copies), label 1 = [0, 1],
+    // label 2 = [1, 0] again
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(1f, 0f), 0),
+      (3L, Array(0f, 1f), 1),
+      (4L, Array(1f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidSim(emb)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(got.keySet === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(got((0L, 1L)) === 0.0)
+    assert(got((0L, 2L)) === 1.0)
+    assert(got((1L, 2L)) === 0.0)
+  }
 }
