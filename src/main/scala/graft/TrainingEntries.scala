@@ -196,6 +196,26 @@ object TrainingEntries {
     // DSIR selection step: keep iff md5-uniform u < exp(weight),
     // evaluated in log space with exact-integer milli-nat compare
     "q91_dsir_resample"  -> q(t => Curation.dsirResample(t.documents)),
+    // Incremental batch-vs-index exact dedup: index = fingerprints of
+    // md5-buckets 0-4; batch = buckets 3-9 as-is (3-4 hit the index)
+    // plus re-crawled clones of bucket 6 under doc_id+1e6 (clone loses
+    // the within-batch min → dup_in_batch; original stays new)
+    "q92_incremental_dedup" -> q(t => {
+      val bucket = Curation.hashBucket(col("doc_id"), 10)
+      val fp = md5(TextAnalysis.normText(col("text"))).as("fp")
+      Dedup.incrementalDedup(
+        t.documents.filter(bucket <= 4).select(fp),
+        t.documents.filter(bucket.between(3, 9))
+          .select(col("doc_id"), fp)
+          .unionAll(t.documents.filter(bucket === 6)
+            .select((col("doc_id") + 1000000L).as("doc_id"), fp)))
+    }),
+    // Eval-side contamination fraction (q43's mirror report)
+    "q93_contamination"  -> q(t => Curation.contaminationFraction(t.documents)),
+    // Verify-free MinHash similarity estimate over the LSH candidates
+    "q94_est_jaccard"    -> q(t => Dedup.estimatedJaccardPairs(t.documents)),
+    // Per-source unigram KL drift vs the corpus, integer micro-nats
+    "q95_source_kl"      -> q(t => Curation.sourceKlDrift(t.documents)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -306,6 +326,12 @@ object TrainingEntries {
       .mkString(" || '|' || ")
     s"SELECT doc_id, $b AS band, md5($cols) AS bhash FROM sig"
   }.mkString(" UNION ALL ")
+
+  /** Component-agreement count between two sig rows aliased a/b —
+    * mirrors Dedup.estimatedJaccardPairs' agree sum (q94). */
+  private val sigAgreeSql = (0 until 16)
+    .map(i => s"(CASE WHEN a.${sigName(i)} = b.${sigName(i)} THEN 1 ELSE 0 END)")
+    .mkString(" + ")
 
   /** Normalized docs → minhash→LSH→Jaccard-verified dup pairs
     * (threshold 0.7) — the shared front of q51/q72/q75. Callers read
@@ -1341,6 +1367,89 @@ object TrainingEntries {
          |   < CAST(floor(CAST(dsir_micro AS DOUBLE) / 1000.0) AS BIGINT))
          |    AS keep
          |FROM w ORDER BY doc_id""".stripMargin,
+
+    // Mirrors the q92 entry: index = buckets 0-4, batch = buckets 3-9
+    // plus bucket-6 clones re-keyed to doc_id+1e6
+    "q92_incremental_dedup" ->
+      s"""WITH base AS (SELECT doc_id, text,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 10 AS b
+         |  FROM documents),
+         |idx AS (SELECT DISTINCT md5($norm) AS fp FROM base WHERE b <= 4),
+         |batch AS (SELECT doc_id, md5($norm) AS fp FROM base
+         |            WHERE b BETWEEN 3 AND 9
+         |          UNION ALL
+         |          SELECT doc_id + 1000000, md5($norm) FROM base WHERE b = 6),
+         |fst AS (SELECT fp, MIN(doc_id) AS first_id FROM batch GROUP BY fp)
+         |SELECT b.doc_id, b.fp,
+         |  CASE WHEN i.fp IS NOT NULL THEN 'dup_of_index'
+         |       WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
+         |       ELSE 'new' END AS status
+         |FROM batch b JOIN fst f USING (fp) LEFT JOIN idx i ON i.fp = b.fp
+         |ORDER BY b.doc_id""".stripMargin,
+
+    // q43's shingle/rare/train CTEs, aggregated from the eval side
+    "q93_contamination" ->
+      s"""WITH docs AS (SELECT doc_id, $norm AS norm FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, substr(norm, i, 8) AS shingle FROM (
+         |       SELECT doc_id, norm,
+         |         unnest(generate_series(1, greatest(length(norm) - 7, 1))) AS i
+         |       FROM docs)),
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+         |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |tr AS (SELECT DISTINCT shingle FROM shr WHERE doc_id % 10 <> 0)
+         |SELECT shr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_contam,
+         |  CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*) AS contam_frac
+         |FROM shr LEFT JOIN tr ON shr.shingle = tr.shingle
+         |WHERE shr.doc_id % 10 = 0
+         |GROUP BY shr.doc_id ORDER BY shr.doc_id""".stripMargin,
+
+    // q26's candidate CTEs, scored by component agreement instead of
+    // the shingle-set verify
+    "q94_est_jaccard" ->
+      s"""WITH $shinglesCte,
+         |$hashedShinglesCte,
+         |sig AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |okb AS (SELECT band, bhash FROM bands
+         |        GROUP BY band, bhash HAVING COUNT(*) <= 256),
+         |bb AS (SELECT bands.doc_id, bands.band, bands.bhash
+         |       FROM bands JOIN okb USING (band, bhash)),
+         |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |          FROM bb a JOIN bb b
+         |          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+         |ag AS (SELECT c.id1, c.id2, CAST($sigAgreeSql AS BIGINT) AS n_agree
+         |       FROM cands c
+         |       JOIN sig a ON a.doc_id = c.id1
+         |       JOIN sig b ON b.doc_id = c.id2)
+         |SELECT id1, id2, n_agree,
+         |  CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
+         |FROM ag ORDER BY id1, id2""".stripMargin,
+
+    // Mirrors Curation.sourceKlDrift's fixed-order contribution
+    // expression exactly (micro-nat rounding, integer sum)
+    "q95_source_kl" ->
+      s"""WITH toks AS (SELECT source, tok FROM (
+         |    SELECT source, unnest(string_split($norm, ' ')) AS tok
+         |    FROM documents) WHERE length(tok) > 0),
+         |sc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_s
+         |       FROM toks GROUP BY source, tok),
+         |cc AS (SELECT tok, CAST(SUM(c_s) AS BIGINT) AS c_c FROM sc GROUP BY tok),
+         |st AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s
+         |       FROM sc GROUP BY source),
+         |ct AS (SELECT CAST(SUM(c_c) AS BIGINT) AS n_c FROM cc),
+         |contrib AS (SELECT sc.source, n_s,
+         |    CAST(round(1e6 * (CAST(c_s AS DOUBLE) / n_s) *
+         |      ln(CAST(c_s AS DOUBLE) * n_c / (CAST(c_c AS DOUBLE) * n_s)))
+         |      AS BIGINT) AS contrib_micro
+         |  FROM sc JOIN cc USING (tok) JOIN st ON sc.source = st.source
+         |  CROSS JOIN ct)
+         |SELECT source, MAX(n_s) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS vocab,
+         |  CAST(SUM(contrib_micro) AS BIGINT) AS kl_micro
+         |FROM contrib GROUP BY source ORDER BY source""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

@@ -332,6 +332,45 @@ object Curation {
     result
   }
 
+  /** The eval-side view of [[decontaminate]] — per EVAL document, how
+    * much of it leaked into training: of the doc's distinct rare
+    * `n`-gram shingles, the share also present in at least one
+    * training doc. The benchmark-integrity report read when deciding
+    * whether an eval set is still trustworthy against a trained
+    * corpus (a doc at frac 1.0 is fully memorizable). Returns
+    * (doc_id, n_shingles, n_contam, contam_frac) for eval docs with
+    * ≥ 1 rare shingle; membership = doc_id % evalMod == 0 as in
+    * [[decontaminate]].
+    *
+    * Scale: shares decontaminate's plan to the letter — one shingle
+    * index (materialized once, df-cut bounded), the train-side
+    * distinct, one equi-join on shingle — plus a per-eval-doc count
+    * aggregate. Eval sets are tiny relative to the corpus, so the
+    * final join is eval-shingle-proportional. The ratio is
+    * integer/integer — bit-exact cross-engine.
+    */
+  def contaminationFraction(documents: DataFrame, n: Int = 8,
+      maxDf: Int = 100, evalMod: Long = 10L): DataFrame = {
+    val sh0 = Dedup.shingles(documents, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter($("df") <= maxDf).select("shingle")
+    val sh = sh0.join(rare, Seq("shingle"))
+    val trainShingles = sh.filter($("doc_id") % evalMod =!= 0)
+      .select("shingle").distinct()
+      .withColumn("hit", lit(1L))
+    val result = sh.filter($("doc_id") % evalMod === 0)
+      .join(trainShingles, Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce($("hit"), lit(0L))).cast("long").as("n_contam"))
+      .select($("doc_id"), $("n_shingles"), $("n_contam"),
+        ($("n_contam").cast("double") / $("n_shingles")).as("contam_frac"))
+      .localCheckpoint(true)
+    sh0.unpersist(false)
+    result
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling" — public): per
     * document, the unigram log-likelihood ratio between a TARGET
@@ -411,6 +450,60 @@ object Curation {
       .agg(sum($("c")).cast("long").as("n_tok"),
         sum($("c") * $("lr_micro")).cast("long").as("dsir_micro"))
     (toks, weights)
+  }
+
+  /** Per-source token-distribution drift vs the corpus: KL(source ‖
+    * corpus) over unigram distributions, Σ_tok p_s(tok) ·
+    * ln(p_s(tok) / p_c(tok)) — the distribution-shift scalar a mixing
+    * pipeline tracks per source/snapshot (rising KL flags a source
+    * whose content is drifting away from the blend it was weighted
+    * for). No smoothing is needed: every source token is a corpus
+    * token, so p_c > 0 wherever p_s > 0. Returns one row per source:
+    * (source, n_tokens, vocab, kl_micro).
+    *
+    * Determinism contract (hash-gated, the [[dsirWeights]]
+    * discipline): each token type's contribution `1e6 · (c_s/N_s) ·
+    * ln(c_s·N_c / (c_c·N_s))` is ONE fixed-order double expression
+    * over exact BIGINTs, HALF_UP-rounded to integer micro-nats; the
+    * per-source KL is then an exact integer sum — no
+    * partition-order-dependent double accumulation anywhere.
+    *
+    * Scale: the (source, token) aggregate is map-side-combined off
+    * the token stream; corpus counts and totals DERIVE from it (no
+    * second corpus pass); the totals join broadcast. The only
+    * vocab-proportional exchange is the (token) re-aggregate + the
+    * sc⋈cc equi-join — type-level tables, not token occurrences.
+    */
+  def sourceKlDrift(documents: DataFrame): DataFrame = {
+    val toks = documents.spread()
+      .select($("source"),
+        explode(split(TextAnalysis.normText($("text")), " ")).as("token"))
+      .filter(length($("token")) > 0)
+    // sc fans into corpus counts, per-source totals, and the contrib
+    // join — materialize once (cache-race rule: first consumer below
+    // is the eager count)
+    val sc = toks.groupBy("source", "token").agg(count(lit(1)).as("c_s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sc.count()
+    val cc = sc.groupBy("token").agg(sum($("c_s")).cast("long").as("c_c"))
+    val st = sc.groupBy("source").agg(sum($("c_s")).cast("long").as("n_s"))
+    val ct = cc.agg(sum($("c_c")).cast("long").as("n_c"))
+    val contrib = sc
+      .join(cc, Seq("token"))
+      .join(broadcast(st), Seq("source"))
+      .crossJoin(broadcast(ct))
+      .select($("source"), $("n_s"),
+        round(lit(1e6) * ($("c_s").cast("double") / $("n_s")) *
+          log($("c_s").cast("double") * $("n_c") /
+            ($("c_c").cast("double") * $("n_s"))))
+          .cast("long").as("contrib_micro"))
+    val result = contrib.groupBy("source")
+      .agg(max($("n_s")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum($("contrib_micro")).cast("long").as("kl_micro"))
+      .localCheckpoint(true)
+    sc.unpersist(false)
+    result
   }
 
   /** Packing-efficiency report over [[packBins]]'s bin assignment:

@@ -593,4 +593,75 @@ object Dedup {
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
       .select($("degree").cast("long").as("degree"),
         $("n_nodes").cast("long").as("n_nodes"))
+
+  /** Incremental exact dedup of a NEW batch against an accumulated
+    * fingerprint index — the streaming-ingest shape of
+    * [[exactDuplicates]]: a crawl pipeline never re-dedups the whole
+    * corpus per delivery, it checks each batch against the store of
+    * fingerprints already admitted. Classifies every batch doc:
+    * `dup_of_index` (fingerprint already admitted), `dup_in_batch`
+    * (first seen in THIS batch under a smaller doc_id), or `new`.
+    * Returns (doc_id, fp, status).
+    *
+    * `index` needs only an `fp` column; `batch` needs (doc_id, fp) —
+    * fingerprint upstream with [[TextAnalysis.fingerprint]] so only
+    * 32-char keys ever move, never text.
+    *
+    * Scale: the within-batch first-occurrence is a map-side-combined
+    * `min`; the index probe is one equi-join on fp. In production the
+    * index is the accumulated fingerprint store — bucketed parquet on
+    * fp ([[graft.engine.Bucketing]]) makes the probe a co-located
+    * join with no index-side shuffle, and batch-vs-index size means
+    * AQE broadcasts the batch side when deliveries are small. The
+    * streaming twin of the same decision is
+    * [[graft.streaming.DocStreams]]' dropDuplicates state.
+    */
+  def incrementalDedup(index: DataFrame, batch: DataFrame): DataFrame = {
+    val idx = index.select($("fp")).distinct()
+      .withColumn("in_index", lit(true))
+    val first = batch.groupBy("fp").agg(min($("doc_id")).as("first_id"))
+    batch.join(first, Seq("fp"))
+      .join(idx, Seq("fp"), "left")
+      .select($("doc_id"), $("fp"),
+        when($("in_index"), lit("dup_of_index"))
+          .when($("doc_id") =!= $("first_id"), lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"))
+  }
+
+  /** Signature-ESTIMATED Jaccard for the LSH candidate pairs: the
+    * fraction of agreeing MinHash components, E[n_agree/k] = true
+    * Jaccard — the estimator a 100 TB pipeline actually thresholds
+    * on, because it needs NO shingle-set verify join at all: once
+    * signatures exist, every candidate pair is scored from 2·k
+    * BIGINTs. [[minhashDupPairs]] is the exact-verified variant; this
+    * is the cheap one (±1/√k standard error, k=16 → ±0.25 — wide, so
+    * production raises k for tight thresholds). Returns (id1, id2,
+    * n_agree, est_jaccard).
+    *
+    * Scale: signatures are computed once (persisted — they fan into
+    * the banding AND both probe legs) and the probes are equi-joins
+    * on doc_id carrying k BIGINTs per row; nothing
+    * shingle-proportional moves after the signature aggregate. The
+    * integer/integer ratio is bit-exact cross-engine.
+    */
+  def estimatedJaccardPairs(documents: DataFrame, n: Int = 5, k: Int = 16,
+      bands: Int = 4, maxBucket: Int = 256): DataFrame = {
+    val sigs = minhashSignaturesFrom(shingleOccurrences(documents, n), k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    val cands = lshCandidates(sigs, k, bands, maxBucket)
+    val a = sigs.select($("doc_id").as("id1") +:
+      (0 until k).map(i => col(f"sig$i%02d").as(f"a$i%02d")): _*)
+    val b = sigs.select($("doc_id").as("id2") +:
+      (0 until k).map(i => col(f"sig$i%02d").as(f"b$i%02d")): _*)
+    val agree = (0 until k).map(i =>
+      when(col(f"a$i%02d") === col(f"b$i%02d"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val result = cands.join(a, Seq("id1")).join(b, Seq("id2"))
+      .select($("id1"), $("id2"), agree.as("n_agree"))
+      .withColumn("est_jaccard", $("n_agree").cast("double") / k)
+      .localCheckpoint(true)
+    sigs.unpersist(false)
+    result
+  }
 }

@@ -311,4 +311,45 @@ class CurationSpec extends SparkSpec {
       assert(keep, s"doc $id has w >= 0 but was dropped")
     }
   }
+
+  test("contaminationFraction flags the leaked eval doc, not the clean one") {
+    import spark.implicits._
+    val leaked = "this exact benchmark passage leaked into the training corpus verbatim"
+    val fixture = Seq(
+      (1L, leaked), // train copy of the eval passage
+      (2L, "ordinary training document with its own unrelated content here"),
+      (10L, leaked), // eval doc (id % 10 == 0), fully leaked
+      (20L, "zyxw vutsrq ponmlk jihgfe dcba qwerty uiop zxcvbnm asdfghjkl")
+    ).toDF("doc_id", "text")
+    val got = Curation.contaminationFraction(fixture)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, c, f) => id -> ((n, c, f)) }.toMap
+    // only eval docs appear; the leaked one is fully covered, the
+    // pristine one shares nothing
+    assert(got.keySet === Set(10L, 20L))
+    assert(got(10L)._3 === 1.0)
+    assert(got(20L)._2 === 0L)
+    assert(got(20L)._3 === 0.0)
+  }
+
+  test("sourceKlDrift: matching sources score near zero, drifted source dominates") {
+    import spark.implicits._
+    val same = "alpha beta gamma delta epsilon zeta eta theta"
+    val fixture = Seq(
+      (1L, "s0", same), (2L, "s0", same), (3L, "s1", same),
+      (10L, "s2", "omega sigma tau upsilon phi chi psi totally different words")
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.sourceKlDrift(fixture)
+      .select("source", "kl_micro").as[(String, Long)].collect().toMap
+    // KL >= 0 always (Gibbs); the drifted source is the outlier
+    assert(got.keySet === Set("s0", "s1", "s2"))
+    assert(got.values.forall(_ >= 0L))
+    assert(got("s2") > got("s0") && got("s2") > got("s1"))
+    // a source whose distribution IS the corpus distribution scores 0
+    val uniform = Seq((1L, "a0", same), (2L, "a1", same))
+      .toDF("doc_id", "source", "text")
+    val zeros = Curation.sourceKlDrift(uniform)
+      .select("source", "kl_micro").as[(String, Long)].collect().toMap
+    assert(zeros === Map("a0" -> 0L, "a1" -> 0L))
+  }
 }

@@ -471,4 +471,34 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
+
+  // -------------------------------------------------------------
+  // incremental dedup / estimated jaccard
+  // -------------------------------------------------------------
+
+  test("incrementalDedup classifies index hits, batch dups, and new docs") {
+    val index = Seq("a", "b").toDF("fp")
+    val batch = Seq((1L, "a"), (5L, "c"), (7L, "c"), (9L, "d"))
+      .toDF("doc_id", "fp")
+    val got = Dedup.incrementalDedup(index, batch)
+      .as[(Long, String, String)].collect()
+      .map { case (id, _, st) => id -> st }.toMap
+    assert(got === Map(1L -> "dup_of_index", 5L -> "new",
+      7L -> "dup_in_batch", 9L -> "new"))
+  }
+
+  test("estimatedJaccardPairs: identical docs agree on all 16 components") {
+    val text = "The quick brown fox jumps over the lazy dog and runs far away home"
+    val docs = Seq((1L, text), (2L, text),
+      (3L, "Completely different content about distributed query engines in the cloud"))
+      .toDF("doc_id", "text")
+    val got = Dedup.estimatedJaccardPairs(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (a, b, n, e) => (a, b) -> ((n, e)) }.toMap
+    // identical shingle sets agree component-for-component
+    assert(got((1L, 2L)) === ((16L, 1.0)))
+    // any disjoint-content candidate that banding happened to surface
+    // must score well below full agreement
+    (got - ((1L, 2L))).values.foreach { case (n, _) => assert(n < 16L) }
+  }
 }
