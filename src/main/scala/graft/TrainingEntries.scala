@@ -216,6 +216,24 @@ object TrainingEntries {
     "q94_est_jaccard"    -> q(t => Dedup.estimatedJaccardPairs(t.documents)),
     // Per-source unigram KL drift vs the corpus, integer micro-nats
     "q95_source_kl"      -> q(t => Curation.sourceKlDrift(t.documents)),
+    // Incremental NEAR-dup detection: batch (md5-buckets 7-9) scored
+    // against the signature index of admitted docs (buckets 0-6) via
+    // band join + component agreement — no shingle sets retained
+    "q96_incremental_neardups" -> q(t => {
+      val bucket = Curation.hashBucket(col("doc_id"), 10)
+      Dedup.incrementalNearDups(
+        Dedup.minhashSignatures(t.documents.filter(bucket <= 6)),
+        Dedup.minhashSignatures(t.documents.filter(bucket >= 7)))
+    }),
+    // Tokenizer-sizing curve: top-100 token types by count with exact
+    // integer cumulative corpus coverage
+    "q97_vocab_coverage" -> q(t => TextAnalysis.vocabCoverage(t.documents)),
+    // Estimator-calibration report: per agreement count, the mean
+    // EXACT Jaccard of the LSH candidates scoring there
+    "q98_est_calibration" -> q(t => Dedup.estimatorCalibration(t.documents)),
+    // LSH banding design table: P(candidate | s) for the (k=16, b=4)
+    // family, powers expanded to fixed-order products
+    "q99_lsh_curve"      -> ((s, _) => Dedup.lshTuningCurve(s)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -1450,6 +1468,102 @@ object TrainingEntries {
          |SELECT source, MAX(n_s) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS vocab,
          |  CAST(SUM(contrib_micro) AS BIGINT) AS kl_micro
          |FROM contrib GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirrors the q96 entry: signatures per doc are independent of the
+    // index/batch split, so the oracle computes them corpus-wide and
+    // splits afterward; index-side hot-bucket cap, band equi-join,
+    // component-agreement score
+    "q96_incremental_neardups" ->
+      s"""WITH $shinglesCte,
+         |$hashedShinglesCte,
+         |sig0 AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
+         |sig AS (SELECT sig0.*,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 10 AS bkt
+         |  FROM sig0),
+         |bands AS ($bandsSql),
+         |bx AS (SELECT bands.doc_id, band, bhash, bkt
+         |       FROM bands JOIN sig USING (doc_id)),
+         |okb AS (SELECT band, bhash FROM bx WHERE bkt <= 6
+         |        GROUP BY band, bhash HAVING COUNT(*) <= 256),
+         |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |          FROM (SELECT bx.* FROM bx JOIN okb USING (band, bhash)
+         |                WHERE bkt <= 6) a
+         |          JOIN (SELECT * FROM bx WHERE bkt >= 7) b
+         |          ON a.band = b.band AND a.bhash = b.bhash)
+         |SELECT c.id1, c.id2, CAST($sigAgreeSql AS BIGINT) AS n_agree,
+         |  CAST($sigAgreeSql AS DOUBLE) / 16 AS est_jaccard
+         |FROM cands c
+         |JOIN sig a ON a.doc_id = c.id1
+         |JOIN sig b ON b.doc_id = c.id2
+         |WHERE $sigAgreeSql >= 8
+         |ORDER BY c.id1, c.id2""".stripMargin,
+
+    // Top-100 token types with exact integer cumulative coverage
+    "q97_vocab_coverage" ->
+      s"""WITH toks AS (SELECT tok FROM (
+         |    SELECT unnest(string_split($norm, ' ')) AS tok FROM documents)
+         |  WHERE length(tok) > 0),
+         |tc AS (SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM tc),
+         |r AS (SELECT token, tf,
+         |        CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT)
+         |          AS rank,
+         |        SUM(tf) OVER (ORDER BY tf DESC, token
+         |          ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM tc)
+         |SELECT rank, token, tf,
+         |  CAST((cum * 1000000) // total AS BIGINT) AS coverage_micro
+         |FROM r CROSS JOIN tot WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
+    // q26's candidate CTEs scored by BOTH the agreement estimate and
+    // the exact micro-Jaccard, bucketed by agreement
+    "q98_est_calibration" ->
+      s"""WITH $shinglesCte,
+         |$hashedShinglesCte,
+         |sig AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |okb AS (SELECT band, bhash FROM bands
+         |        GROUP BY band, bhash HAVING COUNT(*) <= 256),
+         |bb AS (SELECT bands.doc_id, bands.band, bands.bhash
+         |       FROM bands JOIN okb USING (band, bhash)),
+         |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |          FROM bb a JOIN bb b
+         |          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.id1, c.id2, COUNT(*) AS common
+         |           FROM cands c
+         |           JOIN sh a ON a.doc_id = c.id1
+         |           JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+         |           GROUP BY c.id1, c.id2),
+         |jm AS (SELECT id1, id2,
+         |         CAST((common * 1000000) // (s1.sz + s2.sz - common)
+         |           AS BIGINT) AS j_micro
+         |       FROM common
+         |       JOIN sizes s1 ON s1.doc_id = id1
+         |       JOIN sizes s2 ON s2.doc_id = id2),
+         |ag AS (SELECT c.id1, c.id2, CAST($sigAgreeSql AS BIGINT) AS n_agree
+         |       FROM cands c
+         |       JOIN sig a ON a.doc_id = c.id1
+         |       JOIN sig b ON b.doc_id = c.id2)
+         |SELECT n_agree, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(CAST(SUM(j_micro) AS BIGINT) // COUNT(*) AS BIGINT)
+         |    AS mean_j_micro
+         |FROM ag JOIN jm USING (id1, id2)
+         |GROUP BY n_agree ORDER BY n_agree""".stripMargin,
+
+    // Fixed-order product expansion of 1 - (1 - s^4)^4 over s = i/20
+    "q99_lsh_curve" -> {
+      val s = "(CAST(i AS DOUBLE) / 20)"
+      val pBand = Seq.fill(4)(s).mkString(" * ")
+      val q4 = Seq.fill(4)(s"(1.0 - $pBand)").mkString(" * ")
+      s"""SELECT CAST(i * 5 AS BIGINT) AS s_pct,
+         |  $pBand AS p_band,
+         |  1.0 - $q4 AS p_collide
+         |FROM (SELECT unnest(generate_series(1, 20)) AS i)
+         |ORDER BY s_pct""".stripMargin
+    },
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

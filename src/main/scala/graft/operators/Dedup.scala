@@ -130,19 +130,27 @@ object Dedup {
     * mass-duplicated template: run exactDuplicates FIRST and minhash
     * over the surviving uniques, which is also the cheaper pipeline.
     */
-  def lshCandidates(signatures: DataFrame, k: Int = 16, bands: Int = 4,
-      maxBucket: Int = 256): DataFrame = {
+  /** (doc_id, band, bhash) band-hash rows of a signature table — the
+    * shared front of [[lshCandidates]] and [[incrementalNearDups]].
+    */
+  private[graft] def bandHashes(signatures: DataFrame, k: Int,
+      bands: Int): DataFrame = {
     require(k % bands == 0,
       s"k=$k must divide evenly into bands=$bands (trailing signature " +
         "columns would be silently ignored, weakening recall)")
     val rowsPerBand = k / bands
-    val banded = signatures.select(
+    signatures.select(
       $("doc_id"),
       posexplode(array((0 until bands).map { b =>
         md5(concat_ws("|",
           (0 until rowsPerBand).map(r =>
             col(f"sig${b * rowsPerBand + r}%02d").cast("string")): _*))
       }: _*)).as(Seq("band", "bhash")))
+  }
+
+  def lshCandidates(signatures: DataFrame, k: Int = 16, bands: Int = 4,
+      maxBucket: Int = 256): DataFrame = {
+    val banded = bandHashes(signatures, k, bands)
     val okBuckets = banded.groupBy("band", "bhash")
       .agg(count(lit(1)).as("bsz"))
       .filter($("bsz") <= maxBucket)
@@ -178,7 +186,16 @@ object Dedup {
     * blocks (the result rows are the only storage the call leaves
     * behind).
     */
-  def jaccardFor(pairs: DataFrame, sh: DataFrame): DataFrame = {
+  def jaccardFor(pairs: DataFrame, sh: DataFrame): DataFrame =
+    jaccardDetailFor(pairs, sh).select("id1", "id2", "jaccard")
+
+  /** [[jaccardFor]] with the underlying integers exposed — (id1, id2,
+    * common, sz1, sz2, jaccard). Consumers needing exact-integer
+    * similarity arithmetic (the q98 calibration's micro-quantized
+    * mean) read common/sizes directly instead of re-deriving them
+    * from the double.
+    */
+  def jaccardDetailFor(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     p.count()
     val ids = p.select($("id1").as("doc_id"))
@@ -201,7 +218,8 @@ object Dedup {
     val result = common
       .join(sizes.select($("doc_id").as("id1"), $("sz").as("sz1")), Seq("id1"))
       .join(sizes.select($("doc_id").as("id2"), $("sz").as("sz2")), Seq("id2"))
-      .select($("id1"), $("id2"),
+      .select($("id1"), $("id2"), $("common").cast("long").as("common"),
+        $("sz1").cast("long").as("sz1"), $("sz2").cast("long").as("sz2"),
         ($("common").cast("double") /
           ($("sz1") + $("sz2") - $("common")).cast("double")).as("jaccard"))
       .localCheckpoint(true)
@@ -650,18 +668,131 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count()
     val cands = lshCandidates(sigs, k, bands, maxBucket)
-    val a = sigs.select($("doc_id").as("id1") +:
-      (0 until k).map(i => col(f"sig$i%02d").as(f"a$i%02d")): _*)
-    val b = sigs.select($("doc_id").as("id2") +:
-      (0 until k).map(i => col(f"sig$i%02d").as(f"b$i%02d")): _*)
-    val agree = (0 until k).map(i =>
-      when(col(f"a$i%02d") === col(f"b$i%02d"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    val result = cands.join(a, Seq("id1")).join(b, Seq("id2"))
-      .select($("id1"), $("id2"), agree.as("n_agree"))
+    val result = agreeScores(cands, sigs, sigs, k)
       .withColumn("est_jaccard", $("n_agree").cast("double") / k)
       .localCheckpoint(true)
     sigs.unpersist(false)
     result
+  }
+
+  /** (id1, id2, n_agree) — per candidate pair, the count of agreeing
+    * signature components; the two sides may come from DIFFERENT
+    * signature tables (incremental index vs batch). Shared by
+    * [[estimatedJaccardPairs]], [[incrementalNearDups]], and the q98
+    * calibration.
+    */
+  private[graft] def agreeScores(cands: DataFrame, sigs1: DataFrame,
+      sigs2: DataFrame, k: Int): DataFrame = {
+    val a = sigs1.select($("doc_id").as("id1") +:
+      (0 until k).map(i => col(f"sig$i%02d").as(f"a$i%02d")): _*)
+    val b = sigs2.select($("doc_id").as("id2") +:
+      (0 until k).map(i => col(f"sig$i%02d").as(f"b$i%02d")): _*)
+    val agree = (0 until k).map(i =>
+      when(col(f"a$i%02d") === col(f"b$i%02d"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cands.join(a, Seq("id1")).join(b, Seq("id2"))
+      .select($("id1"), $("id2"), agree.as("n_agree"))
+  }
+
+  /** Incremental NEAR-dup detection of a new batch against an
+    * accumulated SIGNATURE index — the [[incrementalDedup]] analogue
+    * for near-duplicates, and the reason MinHash signatures ARE the
+    * dedup index at scale: admitted docs are represented by k BIGINTs
+    * each (their shingle sets are gone), so the batch is scored
+    * against the store with the verify-free estimator of
+    * [[estimatedJaccardPairs]]. Returns (id1 = indexed doc, id2 =
+    * batch doc, n_agree, est_jaccard) for pairs sharing ≥ 1 LSH band
+    * with n_agree ≥ minAgree.
+    *
+    * `index` and `batch` are signature tables (doc_id, sig00..) —
+    * produce them with [[minhashSignatures]]; a production pipeline
+    * appends the admitted batch signatures to the store after each
+    * delivery.
+    *
+    * Scale: band hashes derive narrowly from each side; the hot-bucket
+    * cap is computed on the INDEX side (the side that accumulates —
+    * a template family in the store would otherwise make every future
+    * delivery quadratic against it) and the probe is an equi-join on
+    * (band, bhash) — batch-proportional, never index-rescanning. The
+    * scorer joins carry k BIGINTs per doc.
+    */
+  def incrementalNearDups(index: DataFrame, batch: DataFrame, k: Int = 16,
+      bands: Int = 4, maxBucket: Int = 256, minAgree: Int = 8): DataFrame = {
+    val ib = bandHashes(index, k, bands)
+    val okBuckets = ib.groupBy("band", "bhash")
+      .agg(count(lit(1)).as("bsz"))
+      .filter($("bsz") <= maxBucket)
+      .select("band", "bhash")
+    val cands = ib.join(okBuckets, Seq("band", "bhash"))
+      .select($("band"), $("bhash"), $("doc_id").as("id1"))
+      .join(bandHashes(batch, k, bands)
+        .select($("band"), $("bhash"), $("doc_id").as("id2")),
+        Seq("band", "bhash"))
+      .select("id1", "id2").distinct()
+    agreeScores(cands, index, batch, k)
+      .filter($("n_agree") >= minAgree)
+      .withColumn("est_jaccard", $("n_agree").cast("double") / k)
+  }
+
+  /** Calibration report for the [[estimatedJaccardPairs]] estimator:
+    * per agreement count (0..k), how many LSH candidate pairs scored
+    * there and their mean EXACT Jaccard — the table that tells a
+    * pipeline where to put the verify-free threshold (and whether the
+    * estimator is biased on this corpus). Returns (n_agree, n_pairs,
+    * mean_j_micro) with the mean in exact integer micro-Jaccard:
+    * per-pair j_micro = common·1e6 div (|A|+|B|−common), bucket mean
+    * = Σ div n — no order-dependent double accumulation, hash-exact.
+    *
+    * Scale: one candidate generation (shared shape with q26), the
+    * signature scorer (k BIGINTs per pair), and the exact verify for
+    * the candidate sliver only — the same bounded cost q26 already
+    * pays, feeding a (k+1)-row report.
+    */
+  def estimatorCalibration(documents: DataFrame, n: Int = 5, k: Int = 16,
+      bands: Int = 4, maxBucket: Int = 256): DataFrame = {
+    val raw = shingleOccurrences(documents, n)
+    val sigs = minhashSignaturesFrom(raw, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    val cands = lshCandidates(sigs, k, bands, maxBucket)
+      .localCheckpoint(true)
+    val est = agreeScores(cands, sigs, sigs, k)
+    val exact = jaccardDetailFor(cands, raw)
+      .select($("id1"), $("id2"),
+        expr("(common * 1000000) div (sz1 + sz2 - common)").cast("long")
+          .as("j_micro"))
+    val result = est.join(exact, Seq("id1", "id2"))
+      .groupBy("n_agree")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($("j_micro")).cast("long").as("sum_j_micro"))
+      .select($("n_agree"), $("n_pairs"),
+        expr("sum_j_micro div n_pairs").cast("long").as("mean_j_micro"))
+      .localCheckpoint(true)
+    sigs.unpersist(false)
+    result
+  }
+
+  /** The LSH family's design table: collision probability of
+    * [[lshCandidates]]' banding scheme as a function of true Jaccard
+    * similarity s — P(candidate) = 1 − (1 − s^r)^b with r = k/bands
+    * rows per band, over a gridSteps-point s grid. The planner a
+    * pipeline reads to pick (k, bands) for a target threshold before
+    * paying for a corpus pass. Returns (s_pct, p_band, p_collide).
+    *
+    * Both powers expand to explicit multiplication chains (r and b
+    * are small integers), so every value is a fixed-order product of
+    * IEEE doubles — bit-exact cross-engine, no `pow` parity bet.
+    */
+  def lshTuningCurve(spark: org.apache.spark.sql.SparkSession,
+      k: Int = 16, bands: Int = 4, gridSteps: Int = 20): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide evenly into bands=$bands")
+    val r = k / bands
+    val s = col("i").cast("double") / gridSteps
+    val pBand = Seq.fill(r)(s).reduce(_ * _)
+    val q = lit(1.0) - pBand
+    val pCollide = lit(1.0) - Seq.fill(bands)(q).reduce(_ * _)
+    spark.range(1, gridSteps + 1).toDF("i")
+      .select(($("i") * (100 / gridSteps)).cast("long").as("s_pct"),
+        pBand.as("p_band"), pCollide.as("p_collide"))
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.OrderedOut._
 
@@ -182,6 +183,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"),
         count_distinct($("doc_id")).as("df"))
       .filter($("tf") >= minCount)
+
+  /** Tokenizer-sizing curve: the top-`topK` token types by corpus
+    * count, with each rank's exact cumulative share of all token
+    * occurrences — the table read when choosing a vocabulary size
+    * (where does coverage flatten?). Returns (rank, token, tf,
+    * coverage_micro) with coverage_micro = cum·1e6 div total (exact
+    * integer arithmetic; ties broken by token for a total order).
+    *
+    * Scale: the type table partial-aggregates map-side; the top-k is
+    * a distributed TakeOrderedAndProject (never a global sort of the
+    * vocabulary); only the k surviving rows enter the rank/cumsum
+    * window, which is trivially single-partition at k rows. The
+    * corpus total is a one-row broadcast.
+    */
+  def vocabCoverage(documents: DataFrame, topK: Int = 100): DataFrame = {
+    val counts = tokens(documents)
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    val total = counts.agg(sum($("tf")).cast("long").as("total"))
+    val w = Window.orderBy($("tf").desc, $("token").asc)
+    counts
+      .orderBy($("tf").desc, $("token").asc).limit(topK)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum($("tf")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($("rank"), $("token"), $("tf"),
+        expr("(cum * 1000000) div total").cast("long").as("coverage_micro"))
+  }
 
   /** Word-frequency quality signal (unigram-LM proxy): per document,
     * the mean corpus frequency of its tokens —

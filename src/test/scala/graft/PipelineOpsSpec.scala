@@ -501,4 +501,55 @@ class PipelineOpsSpec extends SparkSpec {
     // must score well below full agreement
     (got - ((1L, 2L))).values.foreach { case (n, _) => assert(n < 16L) }
   }
+
+  test("incrementalNearDups finds the batch doc near an indexed one") {
+    val base = "The quick brown fox jumps over the lazy dog and runs far away"
+    val index = Dedup.minhashSignatures(Seq(
+      (1L, base + " home"),
+      (2L, "Completely different indexed content about query engines in the cloud"))
+      .toDF("doc_id", "text"))
+    val batch = Dedup.minhashSignatures(Seq(
+      (10L, base + " house"), // near-dup of indexed doc 1
+      (11L, "Fresh unrelated batch material concerning streaming state stores"))
+      .toDF("doc_id", "text"))
+    val got = Dedup.incrementalNearDups(index, batch)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (i1, i2, n, _) => (i1, i2) -> n }.toMap
+    assert(got.contains((1L, 10L)), s"expected (1,10) in ${got.keySet}")
+    assert(got((1L, 10L)) >= 8L)
+    // the fresh doc matches nothing
+    assert(!got.keySet.exists(_._2 == 11L))
+  }
+
+  test("estimatorCalibration: identical docs land in the 16-agree bucket at J=1") {
+    val text = "The quick brown fox jumps over the lazy dog and runs far away home"
+    val docs = Seq((1L, text), (2L, text),
+      (3L, "Completely different content about distributed query engines in the cloud"))
+      .toDF("doc_id", "text")
+    val got = Dedup.estimatorCalibration(docs)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, c, m) => n -> ((c, m)) }.toMap
+    // the identical pair: full agreement, exact mean J = 1e6 micro
+    assert(got(16L)._1 === 1L)
+    assert(got(16L)._2 === 1000000L)
+    // no bucket reports a mean outside [0, 1e6]
+    got.values.foreach { case (_, m) => assert(m >= 0L && m <= 1000000L) }
+  }
+
+  test("lshTuningCurve: monotone, exact at the endpoints") {
+    val got = Dedup.lshTuningCurve(spark)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.length === 20)
+    // s = 100%: every band matches with certainty
+    assert(got.last === ((100L, 1.0, 1.0)))
+    // monotone nondecreasing in s, p_collide >= p_band always
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3 && b._2 >= a._2)
+    }
+    got.foreach { case (_, pb, pc) => assert(pc >= pb) }
+    // closed form at s = 0.5: p_band = 1/16, p_collide = 1-(15/16)^4
+    val mid = got.find(_._1 == 50L).get
+    assert(mid._2 === 0.0625)
+    assert(math.abs(mid._3 - (1.0 - math.pow(15.0 / 16.0, 4))) < 1e-12)
+  }
 }

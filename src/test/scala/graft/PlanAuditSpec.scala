@@ -70,4 +70,15 @@ class PlanAuditSpec extends SparkSpec {
       s"row-proportional sort-merge join in the pairwise stage:\n$plan")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q97's top-k is TakeOrderedAndProject, never a global vocabulary sort") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val plan = graft.operators.TextAnalysis.vocabCoverage(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected a distributed top-k:\n$plan")
+    // the only Sort allowed is the k-row window's, under the take
+    assert(!plan.contains("GlobalLimit"),
+      s"sort+limit instead of TakeOrdered:\n$plan")
+  }
 }

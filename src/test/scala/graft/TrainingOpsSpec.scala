@@ -436,4 +436,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got((0L, 2L)) === 1.0)
     assert(got((1L, 2L)) === 0.0)
   }
+
+  test("vocabCoverage ranks by count and accumulates to full coverage") {
+    val d = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b d")
+    ).toDF("doc_id", "text")
+    // counts: a→4, b→3, c→1, d→1 (ties by token); total = 9
+    val got = TextAnalysis.vocabCoverage(d)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((1L, "a", 4L), (2L, "b", 3L), (3L, "c", 1L), (4L, "d", 1L)))
+    // exact integer coverage: 4/9, 7/9, 8/9, 9/9 in micro
+    assert(got.map(_._4).toSeq ===
+      Seq(4000000L / 9, 7000000L / 9, 8000000L / 9, 1000000L))
+    // topK truncates the same total order
+    val top2 = TextAnalysis.vocabCoverage(d, topK = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(top2.map(_._2).toSeq === Seq("a", "b"))
+  }
 }
