@@ -772,6 +772,74 @@ object Dedup {
     result
   }
 
+  /** Pairwise vocabulary overlap between sources: Jaccard similarity
+    * of the token TYPE sets, |V_a ∩ V_b| / |V_a ∪ V_b| — the
+    * lexical-level mirror-site detector that complements
+    * [[sourceOverlap]] (which needs actual near-dup DOCS; two sources
+    * paraphrasing the same domain show up here first). Returns
+    * (src1 < src2, v1, v2, common, vocab_jaccard).
+    *
+    * Scale: everything after the (source, token) distinct is
+    * type-level — the self-join on token is vocab-proportional, and
+    * the output is sources²-bounded. The ratio is integer/integer.
+    */
+  def sourceVocabOverlap(documents: DataFrame): DataFrame = {
+    val st = documents.spread()
+      .select($("source"),
+        explode(split(TextAnalysis.normText($("text")), " ")).as("token"))
+      .filter(length($("token")) > 0)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    st.count()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("v"))
+    val common = st.select($("source").as("src1"), $("token"))
+      .join(st.select($("source").as("src2"), $("token")), Seq("token"))
+      .filter($("src1") < $("src2"))
+      .groupBy("src1", "src2").agg(count(lit(1)).as("common"))
+    val result = common
+      .join(broadcast(sizes.select($("source").as("src1"), $("v").as("v1"))),
+        Seq("src1"))
+      .join(broadcast(sizes.select($("source").as("src2"), $("v").as("v2"))),
+        Seq("src2"))
+      .select($("src1"), $("src2"), $("v1"), $("v2"), $("common"),
+        ($("common").cast("double") /
+          ($("v1") + $("v2") - $("common")).cast("double"))
+          .as("vocab_jaccard"))
+      .localCheckpoint(true)
+    st.unpersist(false)
+    result
+  }
+
+  /** Per-document novelty under id-order processing: the share of a
+    * doc's distinct `n`-gram shingles whose corpus-wide FIRST
+    * occurrence (minimum doc_id) is this doc — "how much content
+    * does this doc introduce that nothing before it had". The
+    * diversity-curve signal dedup pipelines read alongside
+    * [[boilerplate]] (its exact complement: boilerplate measures
+    * shared-ness, novelty measures first-ness). Returns (doc_id,
+    * n_shingles, n_novel, novelty_frac).
+    *
+    * Scale: the [[boilerplate]] plan shape — shingles md5-hashed to
+    * 60-bit ints BEFORE any shuffle, one distinct, one
+    * map-side-combined min per shingle (vocabulary-sized table), one
+    * hash join back. Integer/integer ratio.
+    */
+  def novelty(documents: DataFrame, n: Int = 5): DataFrame = {
+    val dist = shingleOccurrences(documents, n)
+      .select($("doc_id"),
+        (conv(substring(md5($("shingle")), 1, 15), 16, 10).cast("long")
+          % HashP).as("h"))
+      .distinct()
+    val firsts = dist.groupBy($("h")).agg(min($("doc_id")).as("first_id"))
+    dist.join(firsts, Seq("h"))
+      .groupBy($("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($("doc_id") === $("first_id"), 1L).otherwise(0L))
+          .cast("long").as("n_novel"))
+      .select($("doc_id"), $("n_shingles"), $("n_novel"),
+        ($("n_novel").cast("double") / $("n_shingles")).as("novelty_frac"))
+  }
+
   /** The LSH family's design table: collision probability of
     * [[lshCandidates]]' banding scheme as a function of true Jaccard
     * similarity s — P(candidate) = 1 − (1 − s^r)^b with r = k/bands
