@@ -156,16 +156,29 @@ object Bench {
         s""""sf":"$sfDir","runs":$repeats,"queries":${obj(_.min)},""" +
         s""""medians":${obj(_.med)},"cpu_sec":${obj(_.cpuSec)},""" +
         s""""gc_sec":${obj(_.gcSec)}}""")
-    // the one stdout line: compact, driver-parseable. Per-query values
-    // at 2 decimals: 64+ queries at 4 decimals push the line past the
-    // driver's ~2000-char capture window (full precision is in the
-    // detail file). Adaptive guard: if the query set grows the line
-    // past 1900 bytes, drop to 1 decimal rather than lose the line.
-    def line(digits: Int): String =
+    // the one stdout line: compact, driver-parseable. The driver
+    // captures a bounded tail (~2000 chars) of process output, so the
+    // line must FIT — round 6's 108-query map exceeded the window even
+    // at 1 decimal and the headline failed to parse. Degradation
+    // ladder: all queries at 2 then 1 decimals, then only the SLOWEST
+    // queries (the ones a reader of the headline wants) at 1 decimal,
+    // shrinking until the line fits; full precision always lives in
+    // the detail file. Printed after spark.stop() so nothing trails it.
+    def lineFor(subset: Seq[(String, Stat)], digits: Int): String = {
+      val qs = subset.map { case (k, st) => "\"" + k + "\":" + fmt(st.min, digits) }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec",""" +
-        s""""queries":${obj(_.min, digits)},"sf":"$sfDir","runs":$repeats}"""
-    val l2 = line(2)
-    println(if (l2.length <= 1900) l2 else line(1))
+        s""""queries":$qs,"sf":"$sfDir","runs":$repeats}"""
+    }
+    val bySlowest = results.sortBy(-_._2.min)
+    val budget = 1900
+    val candidates =
+      Iterator(lineFor(results, 2), lineFor(results, 1)) ++
+        Iterator.iterate(bySlowest.size / 2)(_ / 2).takeWhile(_ >= 1)
+          .map(n => lineFor(bySlowest.take(n).sortBy(_._1), 1))
+    val headline = candidates.find(_.length <= budget)
+      .getOrElse(lineFor(Nil, 1))
     spark.stop()
+    println(headline)
   }
 }

@@ -121,11 +121,14 @@ object TrainingEntries {
     "q70_cube"           -> q(t => Events.typeDayCube(t.events)),
     // Sequence-aware LM signal over adjacent-token bigrams
     "q64_bigram_lm"      -> q(t => TextAnalysis.bigramLmScore(t.documents)),
-    // Sketch profile: HLL++ + quantile sketch — deliberately has NO
-    // oracleSql twin (sketches are engine-specific); the driver
-    // records the weaker rows-only check and PipelineOpsSpec bounds
-    // the error against the exact operators (q20/q52 semantics)
-    "q58_approx_profile" -> q(t => Curation.approxProfile(t.documents)),
+    // Sketch profile, hash-gated on its DETERMINISTIC columns only:
+    // the sketch outputs (HLL++ n_distinct_approx, quantile-sketch
+    // percentiles) are engine-specific by construction, so they are
+    // gated by PipelineOpsSpec's error bounds vs the exact operators
+    // (q20/q52 semantics) while the exact census columns get the
+    // full rows/schema/hash oracle here
+    "q58_approx_profile" -> q(t => Curation.approxProfile(t.documents)
+      .select("source", "n_docs", "n_tokens")),
     // §2.10 curve fit, oracle-gated: per-family min grid-SSE over the
     // q39 rank table (closed-form least-squares scale; log-rounded)
     "q71_dist_fit"       -> q(t =>
@@ -234,6 +237,12 @@ object TrainingEntries {
     // LSH banding design table: P(candidate | s) for the (k=16, b=4)
     // family, powers expanded to fixed-order products
     "q99_lsh_curve"      -> ((s, _) => Dedup.lshTuningCurve(s)),
+    // Lexical mirror-site detector: pairwise source vocabulary
+    // (token-TYPE set) Jaccard — type-level cost, sources²-bounded
+    "q100_vocab_overlap" -> q(t => Dedup.sourceVocabOverlap(t.documents)),
+    // Per-doc novelty: share of a doc's distinct 5-gram shingles
+    // whose corpus-wide first occurrence (min doc_id) is this doc
+    "q101_novelty"       -> q(t => Dedup.novelty(t.documents)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -1558,12 +1567,57 @@ object TrainingEntries {
       val s = "(CAST(i AS DOUBLE) / 20)"
       val pBand = Seq.fill(4)(s).mkString(" * ")
       val q4 = Seq.fill(4)(s"(1.0 - $pBand)").mkString(" * ")
-      s"""SELECT CAST(i * 5 AS BIGINT) AS s_pct,
+      s"""SELECT CAST(i * 100 // 20 AS BIGINT) AS s_pct,
          |  $pBand AS p_band,
          |  1.0 - $q4 AS p_collide
          |FROM (SELECT unnest(generate_series(1, 20)) AS i)
          |ORDER BY s_pct""".stripMargin
     },
+
+    // Mirrors approxProfile's deterministic census columns (the
+    // sketch columns are engine-specific — spec-gated, not here)
+    "q58_approx_profile" ->
+      s"""WITH d AS (SELECT source, $norm AS norm FROM documents)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM($nTokens) AS BIGINT) AS n_tokens
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirrors Dedup.sourceVocabOverlap: distinct (source, token)
+    // types, token-keyed self-join src1 < src2, integer sizes,
+    // one IEEE double division
+    "q100_vocab_overlap" ->
+      s"""WITH st AS (SELECT DISTINCT source, tok FROM (
+         |    SELECT source, unnest(string_split($norm, ' ')) AS tok
+         |    FROM documents) WHERE length(tok) > 0),
+         |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+         |          FROM st GROUP BY source),
+         |c AS (SELECT a.source AS src1, b.source AS src2,
+         |        CAST(COUNT(*) AS BIGINT) AS common
+         |      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+         |      GROUP BY a.source, b.source)
+         |SELECT src1, src2, s1.v AS v1, s2.v AS v2, common,
+         |  CAST(common AS DOUBLE) / (s1.v + s2.v - common) AS vocab_jaccard
+         |FROM c JOIN sizes s1 ON s1.source = c.src1
+         |JOIN sizes s2 ON s2.source = c.src2
+         |ORDER BY src1, src2""".stripMargin,
+
+    // Mirrors Dedup.novelty: distinct (doc_id, 60-bit shingle hash)
+    // — full hash, NO mod-p reduction — min doc_id per hash, join
+    // back, integer counts, one double division
+    "q101_novelty" ->
+      s"""WITH $shinglesCte,
+         |shd AS (SELECT DISTINCT doc_id,
+         |          CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+         |            AS h
+         |        FROM sh),
+         |f AS (SELECT h, MIN(doc_id) AS first_id FROM shd GROUP BY h),
+         |pd AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |         CAST(SUM(CASE WHEN s.doc_id = f.first_id THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_novel
+         |       FROM shd s JOIN f USING (h) GROUP BY s.doc_id)
+         |SELECT doc_id, n_shingles, n_novel,
+         |  CAST(n_novel AS DOUBLE) / n_shingles AS novelty_frac
+         |FROM pd ORDER BY doc_id""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

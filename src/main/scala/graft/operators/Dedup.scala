@@ -397,19 +397,31 @@ object Dedup {
     * re-count an already-cached 477-row result; q51 was 4x q26 with
     * caching alone). `localCheckpoint` materializes the rows and
     * replaces the plan with the stored RDD — the same discipline
-    * MLlib's iterative algorithms use. On a production cluster where
-    * executor loss must be survivable, swap for reliable `checkpoint`
-    * into the warehouse's checkpoint dir.
+    * MLlib's iterative algorithms use.
+    *
+    * `checkpointDir`: when set, per-round truncation uses RELIABLE
+    * `checkpoint` into that directory (set once on the SparkContext)
+    * instead of `localCheckpoint` — executor-stored blocks do not
+    * survive executor loss, so a multi-hour 100 TB clustering run
+    * should hand a durable (HDFS/object-store) path here; the local
+    * default keeps short interactive runs free of filesystem writes.
     */
-  def componentsOf(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
-    val p = pairs.filter($("id1") =!= $("id2")).localCheckpoint(true)
-    val nodes = p.select($("id1").as("node"))
-      .union(p.select($("id2").as("node"))).distinct()
-      .localCheckpoint(true)
-    var edges = p
+  def componentsOf(pairs: DataFrame, maxRounds: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // one round-truncation policy for the whole run (Scaladoc above)
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(true)
+      case None => df => df.localCheckpoint(true)
+    }
+    val p = ckpt(pairs.filter($("id1") =!= $("id2")))
+    val nodes = ckpt(p.select($("id1").as("node"))
+      .union(p.select($("id2").as("node"))).distinct())
+    var edges = ckpt(p
       .select(greatest($("id1"), $("id2")).as("src"),
         least($("id1"), $("id2")).as("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct())
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -419,19 +431,19 @@ object Dedup {
         .union(edges.select($("dst").as("src"), $("src").as("dst")))
       val lsMin = sym.groupBy("src").agg(min($("dst")).as("mind"))
         .select($("src"), least($("src"), $("mind")).as("m"))
-      val ls = sym.join(lsMin, Seq("src"))
+      val ls = ckpt(sym.join(lsMin, Seq("src"))
         .filter($("dst") > $("src"))
         .select($("dst").as("src"), $("m").as("dst"))
-        .distinct().localCheckpoint(true)
+        .distinct())
       // SMALL-STAR: with edges big→small, grouping by src IS the
       // smaller-neighborhood view; u and its smaller neighbors attach
       // to their minimum
       val ssMin = ls.groupBy("src").agg(min($("dst")).as("m"))
-      val next = ls.join(ssMin, Seq("src"))
+      val next = ckpt(ls.join(ssMin, Seq("src"))
         .select($("dst").as("src"), $("m").as("dst"))
         .union(ssMin.select($("src"), $("m").as("dst")))
         .filter($("src") =!= $("dst"))
-        .distinct().localCheckpoint(true)
+        .distinct())
       // fixpoint test: set equality via count + one-way except (cheap
       // on checkpointed inputs)
       changed =
@@ -781,16 +793,34 @@ object Dedup {
     *
     * Scale: everything after the (source, token) distinct is
     * type-level — the self-join on token is vocab-proportional, and
-    * the output is sources²-bounded. The ratio is integer/integer.
+    * the output is sources²-bounded. Per-token fan-out is bounded by
+    * the SQUARE OF THE SOURCE COUNT (a token present in every one of
+    * m sources emits m·(m−1)/2 rows), so the join's worst case is
+    * |vocab|·m²/2 — m is tens-to-hundreds in practice, never
+    * corpus-proportional, which is why no df cut is needed here
+    * (unlike [[ngramJaccardPairs]], whose fan-out is doc-quadratic).
+    * PlanAuditSpec pins the plan shape. The ratio is integer/integer.
     */
   def sourceVocabOverlap(documents: DataFrame): DataFrame = {
+    val (st, res) = sourceVocabOverlapBuild(documents)
+    st.count()
+    val result = res.localCheckpoint(true)
+    st.unpersist(false)
+    result
+  }
+
+  /** [[sourceVocabOverlap]]'s un-checkpointed build — returns
+    * (persisted type table, result plan); the caller owns the type
+    * table's lifecycle. Exposed so PlanAuditSpec can assert the join
+    * shape (the public surface returns a checkpoint scan).
+    */
+  def sourceVocabOverlapBuild(documents: DataFrame): (DataFrame, DataFrame) = {
     val st = documents.spread()
       .select($("source"),
         explode(split(TextAnalysis.normText($("text")), " ")).as("token"))
       .filter(length($("token")) > 0)
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    st.count()
     val sizes = st.groupBy("source").agg(count(lit(1)).as("v"))
     val common = st.select($("source").as("src1"), $("token"))
       .join(st.select($("source").as("src2"), $("token")), Seq("token"))
@@ -805,9 +835,7 @@ object Dedup {
         ($("common").cast("double") /
           ($("v1") + $("v2") - $("common")).cast("double"))
           .as("vocab_jaccard"))
-      .localCheckpoint(true)
-    st.unpersist(false)
-    result
+    (st, result)
   }
 
   /** Per-document novelty under id-order processing: the share of a
@@ -820,15 +848,19 @@ object Dedup {
     * n_shingles, n_novel, novelty_frac).
     *
     * Scale: the [[boilerplate]] plan shape — shingles md5-hashed to
-    * 60-bit ints BEFORE any shuffle, one distinct, one
-    * map-side-combined min per shingle (vocabulary-sized table), one
-    * hash join back. Integer/integer ratio.
+    * 60-bit ints BEFORE any shuffle (the full 60-bit value, NOT
+    * reduced mod p: a ~2^30 modulus would collide distinct shingles
+    * with 50% probability at only ~38k types, silently deflating
+    * novelty_frac; 60 bits pushes that birthday bound past 10^9
+    * shingle types), one distinct, one map-side-combined min per
+    * shingle (vocabulary-sized table), one hash join back.
+    * Integer/integer ratio.
     */
   def novelty(documents: DataFrame, n: Int = 5): DataFrame = {
     val dist = shingleOccurrences(documents, n)
       .select($("doc_id"),
-        (conv(substring(md5($("shingle")), 1, 15), 16, 10).cast("long")
-          % HashP).as("h"))
+        conv(substring(md5($("shingle")), 1, 15), 16, 10).cast("long")
+          .as("h"))
       .distinct()
     val firsts = dist.groupBy($("h")).agg(min($("doc_id")).as("first_id"))
     dist.join(firsts, Seq("h"))
@@ -854,13 +886,20 @@ object Dedup {
   def lshTuningCurve(spark: org.apache.spark.sql.SparkSession,
       k: Int = 16, bands: Int = 4, gridSteps: Int = 20): DataFrame = {
     require(k % bands == 0, s"k=$k must divide evenly into bands=$bands")
+    // > 100 steps would collide s_pct labels (i·100 div gridSteps is
+    // not injective past 100); the label is an integer percent
+    require(gridSteps >= 1 && gridSteps <= 100,
+      s"gridSteps=$gridSteps must be in [1, 100]")
     val r = k / bands
     val s = col("i").cast("double") / gridSteps
     val pBand = Seq.fill(r)(s).reduce(_ * _)
     val q = lit(1.0) - pBand
     val pCollide = lit(1.0) - Seq.fill(bands)(q).reduce(_ * _)
     spark.range(1, gridSteps + 1).toDF("i")
-      .select(($("i") * (100 / gridSteps)).cast("long").as("s_pct"),
+      // long arithmetic: i·100 FIRST, then integer-divide — correct
+      // for every gridSteps (100/gridSteps truncating first mislabels
+      // any non-divisor of 100)
+      .select(expr(s"(i * 100) div $gridSteps").cast("long").as("s_pct"),
         pBand.as("p_band"), pCollide.as("p_collide"))
   }
 }

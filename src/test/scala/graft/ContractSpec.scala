@@ -30,9 +30,9 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only entries (no oracle) are the documented exceptions only") {
+  test("every query is oracle-gated (no rows-only entries remain)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q58_approx_profile"),
-      "a query lost its oracle row (or a new rows-only op is undocumented)")
+    assert(rowsOnly === Set.empty[String],
+      "a query lost its oracle row (every operator must be hash-gated)")
   }
 }
