@@ -118,6 +118,76 @@ object Bench {
       if (t >= 0) samples(name) = t :: samples(name)
     }
 
+    // ---- pair-graph composition mode ----
+    // The dedup family's expensive artifact is the near-dup pair graph
+    // (and the signature/candidate tables behind it). A real pipeline
+    // materializes them ONCE and feeds every consumer (PLANS.md
+    // "pair-graph reuse"); the per-query suite above deliberately
+    // charges each query its full standalone cost. This section proves
+    // the composition claim with numbers: build the artifacts once
+    // (timed), then run the q51/q72/q75/q89/q98 semantics off the
+    // parquet artifacts via the *From APIs — marginal cost collapses
+    // to pair-proportional work. Reported under "composed" in the
+    // detail file; disable with SPARK_GRAFT_BENCH_COMPOSED=0.
+    val composed: Seq[(String, Double)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_COMPOSED", "1") == "0") Nil
+      else {
+        import graft.operators.Dedup
+        import org.apache.spark.sql.functions.col
+        val tmp = Files.createTempDirectory("graft-bench-composed")
+        def timedAt(name: String)(body: => Unit): (String, Double) = {
+          spark.sparkContext.setJobGroup(name, name)
+          val t0 = System.nanoTime()
+          val sec =
+            try { body; (System.nanoTime() - t0) / 1e9 }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] composed $name failed: ${e.getMessage}")
+              -1.0
+            } finally {
+              spark.sparkContext.clearJobGroup()
+              spark.sharedState.cacheManager.clearCache()
+            }
+          name -> sec
+        }
+        val docs = graft.sources.Tables(spark, sfDir).documents
+        val (sigsP, candsP, pairsP) =
+          (s"$tmp/sigs", s"$tmp/cands", s"$tmp/pairs")
+        def rd(p: String) = spark.read.parquet(p)
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val out = Seq(
+          timedAt("artifacts_build") {
+            val sigs = Dedup.minhashSignatures(docs)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              sigs.write.mode("overwrite").parquet(sigsP)
+              val cands = Dedup.lshCandidates(sigs).localCheckpoint(true)
+              cands.write.mode("overwrite").parquet(candsP)
+              Dedup.jaccardFor(cands, Dedup.shingleOccurrences(docs))
+                .filter(col("jaccard") >= 0.7)
+                .write.mode("overwrite").parquet(pairsP)
+            } finally sigs.unpersist(false)
+          },
+          timedAt("q51_from_pairs") {
+            noop(Dedup.componentsOf(rd(pairsP).select("id1", "id2"))) },
+          timedAt("q72_from_pairs") {
+            noop(Dedup.clusterKeepsFromPairs(
+              rd(pairsP).select("id1", "id2"), docs)) },
+          timedAt("q75_from_pairs") {
+            noop(Dedup.sourceOverlapFromPairs(rd(pairsP), docs)) },
+          timedAt("q89_from_pairs") {
+            noop(Dedup.pairDegreeHistogram(rd(pairsP))) },
+          timedAt("q98_from_artifacts") {
+            noop(Dedup.estimatorCalibrationFrom(rd(candsP), rd(sigsP), docs)) })
+        // artifacts are bench-scratch: delete so repeated local runs
+        // don't accumulate temp dirs' worth of parquet
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp.toFile)
+        out
+      }
+
     // drain the async listener bus before reading the counters: wait
     // until no event has arrived for 3 consecutive 100 ms polls.
     val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
@@ -150,12 +220,15 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.map(_._2.min).filter(_ >= 0).sum
 
+    val composedJson = composed
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     // full telemetry to a file (never truncated by output capture)
     Files.writeString(Paths.get(detailPath),
       s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec",""" +
         s""""sf":"$sfDir","runs":$repeats,"queries":${obj(_.min)},""" +
         s""""medians":${obj(_.med)},"cpu_sec":${obj(_.cpuSec)},""" +
-        s""""gc_sec":${obj(_.gcSec)}}""")
+        s""""gc_sec":${obj(_.gcSec)},"composed":$composedJson}""")
     // the one stdout line: compact, driver-parseable. The driver
     // captures a bounded tail (~2000 chars) of process output, so the
     // line must FIT — round 6's 108-query map exceeded the window even
@@ -172,9 +245,13 @@ object Bench {
     }
     val bySlowest = results.sortBy(-_._2.min)
     val budget = 1900
+    // walk n down one query at a time (not successive halving, which
+    // over-truncated round 7 to 54/110 when 100+ would have fit):
+    // the first fitting n IS the largest, since line length is
+    // monotone in n. ~110 cheap string builds, worst case.
     val candidates =
       Iterator(lineFor(results, 2), lineFor(results, 1)) ++
-        Iterator.iterate(bySlowest.size / 2)(_ / 2).takeWhile(_ >= 1)
+        Iterator.range(bySlowest.size - 1, 0, -1)
           .map(n => lineFor(bySlowest.take(n).sortBy(_._1), 1))
     val headline = candidates.find(_.length <= budget)
       .getOrElse(lineFor(Nil, 1))

@@ -12,11 +12,12 @@ import graft.sources.Tables
   * composed path a library user runs, stage by stage, from raw
   * documents to packed training shards:
   *
-  *   quality filter → Gopher rule flags → exact dedup → near-dup
-  *   clusters (keep cluster minimum) → decontaminate vs the eval
-  *   split → hash split → sequence-pack → write train shards
-  *   partitioned by split/bin, plus a sketch profile + DSIR/entropy
-  *   selection signals over what survived.
+  *   quality filter → Gopher rule flags → mirror-source diagnostic
+  *   (vocab overlap) → exact dedup → near-dup clusters (keep cluster
+  *   minimum) → novelty check → decontaminate vs the eval split →
+  *   hash split → sequence-pack → write train shards partitioned by
+  *   split/bin, plus a sketch profile + DSIR/entropy selection
+  *   signals over what survived.
   *
   * `runMain graft.CurationDemo [sfDir] [workDir]`. Each stage prints
   * its surviving count — the funnel a curation run reports.
@@ -57,6 +58,16 @@ object CurationDemo {
       Seq("doc_id"))
     report("gopher rules", ruled.count())
 
+    // 1c. mirror-site diagnostic (q100): vocabulary-level source
+    //     overlap — source pairs with near-identical type sets are
+    //     mirror candidates a policy merges BEFORE paying per-doc
+    //     dedup on both copies
+    val mirrorPairs = Dedup.sourceVocabOverlap(ruled)
+      .filter(col("vocab_jaccard") >= 0.9).count()
+    println(f"[demo] ${"mirror source pairs"}%-28s $mirrorPairs%7d pairs")
+    // (the synthetic sources draw from one vocabulary pool, so the
+    // count is expectedly > 0 here; real corpora gate on ~0.9+)
+
     // 2. exact dedup: keep the canonical copy per fingerprint
     val keepExact = Dedup.exactDuplicates(ruled)
       .select(col("keep_id").as("doc_id"))
@@ -70,6 +81,14 @@ object CurationDemo {
       .select("doc_id")
     val nearDeduped = exact.join(drop, Seq("doc_id"), "left_anti")
     report("near-dup clustered", nearDeduped.count())
+
+    // 3b. diversity check (q101): per-doc novelty under id-order —
+    //     how many survivors still introduce mostly-new shingles;
+    //     boilerplate's complement, read after dedup to confirm the
+    //     near-dup pass actually raised corpus-level novelty
+    val novel = Dedup.novelty(nearDeduped)
+      .filter(col("novelty_frac") >= 0.5).count()
+    report("novelty >= 0.5", novel)
 
     // 4. decontaminate the train side against the eval split (maxDf=2:
     //    the synthetic corpus shares "rare" 8-grams pervasively, the

@@ -400,28 +400,59 @@ object Dedup {
     * MLlib's iterative algorithms use.
     *
     * `checkpointDir`: when set, per-round truncation uses RELIABLE
-    * `checkpoint` into that directory (set once on the SparkContext)
-    * instead of `localCheckpoint` — executor-stored blocks do not
-    * survive executor loss, so a multi-hour 100 TB clustering run
-    * should hand a durable (HDFS/object-store) path here; the local
-    * default keeps short interactive runs free of filesystem writes.
+    * `checkpoint` into that directory instead of `localCheckpoint` —
+    * executor-stored blocks do not survive executor loss, so a
+    * multi-hour 100 TB clustering run should hand a durable
+    * (HDFS/object-store) path here; the local default keeps short
+    * interactive runs free of filesystem writes. Checkpoint hygiene:
+    * the dir is set on the SparkContext only if none is configured
+    * (an existing dir wins — this never clobbers shared-session
+    * state), and each round's superseded checkpoint files are
+    * DELETED as soon as the next round materializes, so disk usage is
+    * O(current edge set), not O(rounds). Only the final `edges` and
+    * `nodes` checkpoints (which back the returned plan) survive the
+    * call; the caller owns the directory itself. Superseded-file
+    * discovery diffs the checkpoint dir's `rdd-*` children around
+    * each materialize, which assumes no CONCURRENT reliable
+    * checkpoints on the same SparkContext during the call — the
+    * normal driver-sequential shape of a dedup pipeline.
     */
   def componentsOf(pairs: DataFrame, maxRounds: Int = 30,
       checkpointDir: Option[String] = None): DataFrame = {
-    // one round-truncation policy for the whole run (Scaladoc above)
-    val ckpt: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint(true)
-      case None => df => df.localCheckpoint(true)
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = checkpointDir.isDefined
+    if (reliable && sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(checkpointDir.get)
+    def listCk(): Set[String] =
+      if (!reliable) Set.empty
+      else {
+        val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+        val fs = root.getFileSystem(sc.hadoopConfiguration)
+        if (!fs.exists(root)) Set.empty
+        else fs.listStatus(root).map(_.getPath.toString).toSet
+      }
+    // one round-truncation policy for the whole run (Scaladoc above);
+    // returns the truncated frame plus the checkpoint files it
+    // created, so superseded rounds can be deleted eagerly
+    def ckpt(df: DataFrame): (DataFrame, Set[String]) =
+      if (!reliable) (df.localCheckpoint(true), Set.empty)
+      else {
+        val before = listCk()
+        val out = df.checkpoint(true)
+        (out, listCk() -- before)
+      }
+    def drop(paths: Set[String]): Unit = if (reliable) paths.foreach { s =>
+      val hp = new org.apache.hadoop.fs.Path(s)
+      hp.getFileSystem(sc.hadoopConfiguration).delete(hp, true)
     }
-    val p = ckpt(pairs.filter($("id1") =!= $("id2")))
-    val nodes = ckpt(p.select($("id1").as("node"))
+    val (p, pCk) = ckpt(pairs.filter($("id1") =!= $("id2")))
+    val (nodes, _) = ckpt(p.select($("id1").as("node"))
       .union(p.select($("id2").as("node"))).distinct())
-    var edges = ckpt(p
+    var (edges, edgesCk) = ckpt(p
       .select(greatest($("id1"), $("id2")).as("src"),
         least($("id1"), $("id2")).as("dst"))
       .distinct())
+    drop(pCk) // nodes + initial edges materialized: p is superseded
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -431,7 +462,7 @@ object Dedup {
         .union(edges.select($("dst").as("src"), $("src").as("dst")))
       val lsMin = sym.groupBy("src").agg(min($("dst")).as("mind"))
         .select($("src"), least($("src"), $("mind")).as("m"))
-      val ls = ckpt(sym.join(lsMin, Seq("src"))
+      val (ls, lsCk) = ckpt(sym.join(lsMin, Seq("src"))
         .filter($("dst") > $("src"))
         .select($("dst").as("src"), $("m").as("dst"))
         .distinct())
@@ -439,7 +470,7 @@ object Dedup {
       // smaller-neighborhood view; u and its smaller neighbors attach
       // to their minimum
       val ssMin = ls.groupBy("src").agg(min($("dst")).as("m"))
-      val next = ckpt(ls.join(ssMin, Seq("src"))
+      val (next, nextCk) = ckpt(ls.join(ssMin, Seq("src"))
         .select($("dst").as("src"), $("m").as("dst"))
         .union(ssMin.select($("src"), $("m").as("dst")))
         .filter($("src") =!= $("dst"))
@@ -449,7 +480,10 @@ object Dedup {
       changed =
         if (edges.count() != next.count()) 1L
         else next.except(edges).count()
+      drop(lsCk)    // intermediate of this round
+      drop(edgesCk) // previous round's edge set
       edges = next
+      edgesCk = nextCk
       round += 1
     }
     if (changed > 0)
@@ -762,26 +796,41 @@ object Dedup {
     */
   def estimatorCalibration(documents: DataFrame, n: Int = 5, k: Int = 16,
       bands: Int = 4, maxBucket: Int = 256): DataFrame = {
-    val raw = shingleOccurrences(documents, n)
-    val sigs = minhashSignaturesFrom(raw, k)
+    val sigs = minhashSignaturesFrom(shingleOccurrences(documents, n), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.count()
-    val cands = lshCandidates(sigs, k, bands, maxBucket)
-      .localCheckpoint(true)
+    // try/finally: a failed materialize must not leak the persisted
+    // signature table in a long-lived session
+    try {
+      sigs.count()
+      val cands = lshCandidates(sigs, k, bands, maxBucket)
+        .localCheckpoint(true)
+      estimatorCalibrationFrom(cands, sigs, documents, n, k)
+        .localCheckpoint(true)
+    } finally sigs.unpersist(false)
+  }
+
+  /** [[estimatorCalibration]] over PRECOMPUTED dedup artifacts — the
+    * candidate pairs and signature table a materialized run leaves
+    * behind (see [[sourceOverlapFromPairs]] for the materialize-once
+    * rationale). Only the exact-Jaccard verify leg re-derives shingles
+    * from the corpus: a production store keeps signatures (k BIGINTs
+    * per doc), never shingle sets. Caller owns the artifact lifecycle
+    * (these are parquet reads in the composed mode, nothing to
+    * persist here).
+    */
+  def estimatorCalibrationFrom(cands: DataFrame, sigs: DataFrame,
+      documents: DataFrame, n: Int = 5, k: Int = 16): DataFrame = {
     val est = agreeScores(cands, sigs, sigs, k)
-    val exact = jaccardDetailFor(cands, raw)
+    val exact = jaccardDetailFor(cands, shingleOccurrences(documents, n))
       .select($("id1"), $("id2"),
         expr("(common * 1000000) div (sz1 + sz2 - common)").cast("long")
           .as("j_micro"))
-    val result = est.join(exact, Seq("id1", "id2"))
+    est.join(exact, Seq("id1", "id2"))
       .groupBy("n_agree")
       .agg(count(lit(1)).as("n_pairs"),
         sum($("j_micro")).cast("long").as("sum_j_micro"))
       .select($("n_agree"), $("n_pairs"),
         expr("sum_j_micro div n_pairs").cast("long").as("mean_j_micro"))
-      .localCheckpoint(true)
-    sigs.unpersist(false)
-    result
   }
 
   /** Pairwise vocabulary overlap between sources: Jaccard similarity
@@ -803,10 +852,12 @@ object Dedup {
     */
   def sourceVocabOverlap(documents: DataFrame): DataFrame = {
     val (st, res) = sourceVocabOverlapBuild(documents)
-    st.count()
-    val result = res.localCheckpoint(true)
-    st.unpersist(false)
-    result
+    // try/finally: a failed count/checkpoint must not leak the
+    // MEMORY_AND_DISK type table in a long-lived session
+    try {
+      st.count()
+      res.localCheckpoint(true)
+    } finally st.unpersist(false)
   }
 
   /** [[sourceVocabOverlap]]'s un-checkpointed build — returns

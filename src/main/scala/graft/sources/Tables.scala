@@ -23,19 +23,31 @@ final case class Tables(spark: SparkSession, dir: String) {
   lazy val part: DataFrame       = t("part")
   lazy val orders: DataFrame     = t("orders")
   lazy val lineitem: DataFrame   = t("lineitem")
-  // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-  // reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong,
-  // and the nanos LONG is converted here to a microsecond timestamp
-  // (same truncation DuckDB applies reading ns into its us timestamps).
+  // events.parquet's `ts` physical type has drifted across testdata
+  // generations: TIMESTAMP(NANOS) (read as LONG under
+  // spark.sql.legacy.parquet.nanosAsLong, which sessions set), plain
+  // timestamp[us] without tz (read as TIMESTAMP_NTZ), or tz-adjusted
+  // timestamp (TIMESTAMP). Normalize all three to TIMESTAMP so every
+  // downstream `unix_micros(ts)` call analyses; any NEW shape fails
+  // loudly here instead of breaking operators at analysis time.
   lazy val events: DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = t("events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         // integer `div`, not `/`: double division of 1e18-scale nanos
         // loses precision and lands 1us off the oracle's truncation
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
+      case TimestampNTZType =>
+        // sessions run UTC, so NTZ->TIMESTAMP is value-preserving and
+        // matches DuckDB's (tz-naive) read of the same file.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unexpected type $other — testdata drifted again; " +
+            "add a normalization arm in Tables.events")
     }
   }
   lazy val documents: DataFrame  = t("documents")

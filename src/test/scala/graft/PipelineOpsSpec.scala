@@ -31,6 +31,29 @@ class PipelineOpsSpec extends SparkSpec {
     Seq(10L, 11L).foreach(id => assert(got(id) === ((10L, 2L))))
   }
 
+  test("componentsOf reliable-checkpoint branch: same labels, superseded rounds deleted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    def rddDirs(): Set[String] =
+      spark.sparkContext.getCheckpointDir.toSet.flatMap { (d: String) =>
+        val f = new java.io.File(new java.net.URI(d).getPath)
+        Option(f.list()).map(_.toSet).getOrElse(Set.empty[String])
+      }
+    val before = rddDirs()
+    // diameter-4 chain: several rounds, so superseded checkpoints exist
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id1", "id2")
+    val got = Dedup.componentsOf(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, comp, sz) => id -> ((comp, sz)) }.toMap
+    Seq(1L, 2L, 3L, 4L, 5L).foreach(id => assert(got(id) === ((1L, 5L))))
+    Seq(10L, 11L).foreach(id => assert(got(id) === ((10L, 2L))))
+    // hygiene: only the plan-backing checkpoints (final edges + nodes)
+    // survive the call — every superseded round's rdd-* dir is gone
+    val remained = rddDirs() -- before
+    assert(remained.size <= 2,
+      s"superseded checkpoints not cleaned: $remained")
+  }
+
   test("dupClusters groups the planted exact+near dups into one cluster") {
     val docs = Seq(
       (1L, "The quick brown fox jumps over the lazy dog and runs far away home"),
@@ -551,5 +574,37 @@ class PipelineOpsSpec extends SparkSpec {
     val mid = got.find(_._1 == 50L).get
     assert(mid._2 === 0.0625)
     assert(math.abs(mid._3 - (1.0 - math.pow(15.0 / 16.0, 4))) < 1e-12)
+  }
+
+  test("sourceVocabOverlap: mirror sources at J=1, partial overlap exact") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "A"),
+      (2L, "alpha beta gamma", "B"), // mirror of A via a DIFFERENT doc
+      (3L, "alpha delta", "C")       // shares only `alpha` with A/B
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceVocabOverlap(docs)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map { case (a, b, v1, v2, c, j) => (a, b) -> ((v1, v2, c, j)) }.toMap
+    // mirror sources: identical type sets -> vocab_jaccard exactly 1
+    assert(got(("A", "B")) === ((3L, 3L, 3L, 1.0)))
+    // partial: |{alpha}| / |{alpha,beta,gamma,delta}| = 1/4
+    assert(got(("A", "C")) === ((3L, 2L, 1L, 0.25)))
+    assert(got(("B", "C")) === ((3L, 2L, 1L, 0.25)))
+    assert(got.size === 3)
+  }
+
+  test("novelty: all-novel first doc, zero-novel mirror, shared-shingle deflation") {
+    val docs = Seq(
+      (1L, "abcdefghij"), // 6 distinct 5-grams, all first-seen here
+      (2L, "abcdefghij"), // exact mirror: every shingle first-seen in doc 1
+      (3L, "abcdezzzzz")  // shares exactly `abcde` with doc 1 -> 5/6 novel
+    ).toDF("doc_id", "text")
+    val got = Dedup.novelty(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, nov, f) => id -> ((n, nov, f)) }.toMap
+    assert(got(1L) === ((6L, 6L, 1.0)))
+    assert(got(2L) === ((6L, 0L, 0.0)))
+    // deflation: the one shingle doc 1 already introduced is not novel
+    assert(got(3L) === ((6L, 5L, 5.0 / 6.0)))
   }
 }

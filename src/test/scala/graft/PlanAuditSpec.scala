@@ -81,4 +81,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("GlobalLimit"),
       s"sort+limit instead of TakeOrdered:\n$plan")
   }
+
+  test("q100's size-table joins are broadcast; no cartesian anywhere") {
+    // the public surface returns a checkpoint scan — audit the
+    // un-checkpointed build (the scaladoc's promised plan pin)
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val (st, res) = graft.operators.Dedup.sourceVocabOverlapBuild(docs)
+    try {
+      val plan = res.queryExecution.executedPlan.toString
+      // the m²-bounded source-size joins must come in broadcast — a
+      // sources-sized table shuffled against the vocab join would be
+      // a needless exchange at 100 TB
+      assert(plan.contains("BroadcastHashJoin"),
+        s"q100: size joins not broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"q100: cartesian in the vocab overlap plan:\n$plan")
+    } finally {
+      st.unpersist(true)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
 }
