@@ -150,9 +150,15 @@ object Bench {
           name -> sec
         }
         val docs = graft.sources.Tables(spark, sfDir).documents
-        val (sigsP, candsP, pairsP) =
-          (s"$tmp/sigs", s"$tmp/cands", s"$tmp/pairs")
+        // two artifacts: the signature store (k BIGINTs per doc) and
+        // the SCORED candidate table (exact-Jaccard detail per LSH
+        // candidate). The near-dup pair graph is a filter view of the
+        // latter, so every consumer — including the q98 calibration —
+        // runs with zero corpus access.
+        val (sigsP, scoredP) = (s"$tmp/sigs", s"$tmp/scored")
         def rd(p: String) = spark.read.parquet(p)
+        def pairs() = rd(scoredP).filter(col("jaccard") >= 0.7)
+          .select("id1", "id2")
         def noop(df: org.apache.spark.sql.DataFrame): Unit =
           df.write.format("noop").mode("overwrite").save()
         val out = Seq(
@@ -162,23 +168,20 @@ object Bench {
             try {
               sigs.write.mode("overwrite").parquet(sigsP)
               val cands = Dedup.lshCandidates(sigs).localCheckpoint(true)
-              cands.write.mode("overwrite").parquet(candsP)
-              Dedup.jaccardFor(cands, Dedup.shingleOccurrences(docs))
-                .filter(col("jaccard") >= 0.7)
-                .write.mode("overwrite").parquet(pairsP)
+              Dedup.jaccardDetailFor(cands, Dedup.shingleOccurrences(docs))
+                .write.mode("overwrite").parquet(scoredP)
             } finally sigs.unpersist(false)
           },
           timedAt("q51_from_pairs") {
-            noop(Dedup.componentsOf(rd(pairsP).select("id1", "id2"))) },
+            noop(Dedup.componentsOf(pairs())) },
           timedAt("q72_from_pairs") {
-            noop(Dedup.clusterKeepsFromPairs(
-              rd(pairsP).select("id1", "id2"), docs)) },
+            noop(Dedup.clusterKeepsFromPairs(pairs(), docs)) },
           timedAt("q75_from_pairs") {
-            noop(Dedup.sourceOverlapFromPairs(rd(pairsP), docs)) },
+            noop(Dedup.sourceOverlapFromPairs(pairs(), docs)) },
           timedAt("q89_from_pairs") {
-            noop(Dedup.pairDegreeHistogram(rd(pairsP))) },
+            noop(Dedup.pairDegreeHistogram(pairs())) },
           timedAt("q98_from_artifacts") {
-            noop(Dedup.estimatorCalibrationFrom(rd(candsP), rd(sigsP), docs)) })
+            noop(Dedup.estimatorCalibrationFromScored(rd(scoredP), rd(sigsP))) })
         // artifacts are bench-scratch: delete so repeated local runs
         // don't accumulate temp dirs' worth of parquet
         def rm(f: java.io.File): Unit = {

@@ -804,27 +804,30 @@ object Dedup {
       sigs.count()
       val cands = lshCandidates(sigs, k, bands, maxBucket)
         .localCheckpoint(true)
-      estimatorCalibrationFrom(cands, sigs, documents, n, k)
+      val scored = jaccardDetailFor(cands, shingleOccurrences(documents, n))
+      estimatorCalibrationFromScored(scored, sigs, k)
         .localCheckpoint(true)
     } finally sigs.unpersist(false)
   }
 
-  /** [[estimatorCalibration]] over PRECOMPUTED dedup artifacts — the
-    * candidate pairs and signature table a materialized run leaves
-    * behind (see [[sourceOverlapFromPairs]] for the materialize-once
-    * rationale). Only the exact-Jaccard verify leg re-derives shingles
-    * from the corpus: a production store keeps signatures (k BIGINTs
-    * per doc), never shingle sets. Caller owns the artifact lifecycle
-    * (these are parquet reads in the composed mode, nothing to
-    * persist here).
+  /** [[estimatorCalibration]] over PRECOMPUTED dedup artifacts: the
+    * SCORED candidate table ([[jaccardDetailFor]] output — id1, id2,
+    * common, sz1, sz2, jaccard) plus the signature table. This is the
+    * artifact pair a materialized dedup run leaves behind (see
+    * [[sourceOverlapFromPairs]] for the materialize-once rationale;
+    * the near-dup pair set is just `scored.filter(jaccard >=
+    * threshold)`), and with common/sizes already present the
+    * calibration touches NO corpus data at all — one signature probe
+    * join plus a k-bounded aggregate. Caller owns the artifact
+    * lifecycle (parquet reads in the bench's composed mode; nothing
+    * persisted here).
     */
-  def estimatorCalibrationFrom(cands: DataFrame, sigs: DataFrame,
-      documents: DataFrame, n: Int = 5, k: Int = 16): DataFrame = {
-    val est = agreeScores(cands, sigs, sigs, k)
-    val exact = jaccardDetailFor(cands, shingleOccurrences(documents, n))
-      .select($("id1"), $("id2"),
-        expr("(common * 1000000) div (sz1 + sz2 - common)").cast("long")
-          .as("j_micro"))
+  def estimatorCalibrationFromScored(scored: DataFrame, sigs: DataFrame,
+      k: Int = 16): DataFrame = {
+    val est = agreeScores(scored.select($("id1"), $("id2")), sigs, sigs, k)
+    val exact = scored.select($("id1"), $("id2"),
+      expr("(common * 1000000) div (sz1 + sz2 - common)").cast("long")
+        .as("j_micro"))
     est.join(exact, Seq("id1", "id2"))
       .groupBy("n_agree")
       .agg(count(lit(1)).as("n_pairs"),

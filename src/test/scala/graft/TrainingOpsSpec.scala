@@ -417,6 +417,14 @@ class TrainingOpsSpec extends SparkSpec {
       Dedup.sourceOverlapFromPairs(
         Dedup.minhashDupPairs(docs, threshold = 0.7), docs).collect().toSet ===
         Dedup.sourceOverlap(docs, threshold = 0.7).collect().toSet)
+    // the scored-artifact path (composed bench mode): calibration off
+    // the materialized jaccardDetailFor table == the direct call
+    val sigs = Dedup.minhashSignatures(docs).localCheckpoint(true)
+    val scored = Dedup.jaccardDetailFor(
+      Dedup.lshCandidates(sigs), Dedup.shingleOccurrences(docs))
+    assert(
+      Dedup.estimatorCalibrationFromScored(scored, sigs).collect().toSet ===
+        Dedup.estimatorCalibration(docs).collect().toSet)
   }
 
   test("labelCentroidSim: orthogonal labels at 0, aligned labels at 1") {
