@@ -243,6 +243,12 @@ object TrainingEntries {
     // Per-doc novelty: share of a doc's distinct 5-gram shingles
     // whose corpus-wide first occurrence (min doc_id) is this doc
     "q101_novelty"       -> q(t => Dedup.novelty(t.documents)),
+    // Language-ID confusion matrix vs the gold labels — the eval
+    // closing the loop on q22's heuristic; langs²-bounded
+    "q102_langid_eval"   -> q(t => TextAnalysis.langIdEval(t.documents)),
+    // Per-source predicted-language mix: the quota-driving report
+    // (sources × langs)-bounded, totals derived, broadcast join back
+    "q103_source_lang_mix" -> q(t => TextAnalysis.sourceLangMix(t.documents)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -1618,6 +1624,31 @@ object TrainingEntries {
          |SELECT doc_id, n_shingles, n_novel,
          |  CAST(n_novel AS DOUBLE) / n_shingles AS novelty_frac
          |FROM pd ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextAnalysis.langIdEval: q22's scored CTE + prediction
+    // case, aggregated to the langs²-bounded confusion matrix
+    "q102_langid_eval" ->
+      s"""WITH $langScoresCte
+         |SELECT lang AS label_lang, $langCase AS pred_lang,
+         |  COUNT(*) AS n_docs
+         |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Mirrors TextAnalysis.sourceLangMix: per-source prediction mix
+    // with integer-micro shares (n·1e6 // src_total)
+    "q103_source_lang_mix" ->
+      s"""WITH $langScoresCte,
+         |pred AS (SELECT doc_id, $langCase AS pred_lang FROM scored),
+         |j AS (SELECT d.source, p.pred_lang
+         |      FROM pred p JOIN documents d USING (doc_id)),
+         |c AS (SELECT source, pred_lang, COUNT(*) AS n_docs
+         |      FROM j GROUP BY source, pred_lang),
+         |tot AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS src_total
+         |        FROM c GROUP BY source)
+         |SELECT c.source, c.pred_lang, c.n_docs,
+         |  CAST((c.n_docs * 1000000) // t.src_total AS BIGINT)
+         |    AS share_micro
+         |FROM c JOIN tot t USING (source)
+         |ORDER BY source, pred_lang""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

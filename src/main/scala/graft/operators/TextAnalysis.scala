@@ -145,6 +145,47 @@ object TextAnalysis {
       languageId($("text")).as("pred_lang"),
       $("lang").as("label_lang"))
 
+  /** Language-ID EVALUATION against the corpus's gold labels: the
+    * confusion matrix of [[langId]] — (label_lang, pred_lang, n_docs).
+    * The eval loop a pipeline closes after touching the stopword
+    * tables or thresholds: off-diagonal mass shows exactly which
+    * language pairs the heuristic confuses (reading per-doc q22
+    * output for that is corpus-sized; this is langs²-bounded).
+    *
+    * Scale: one scan; the aggregate partial-combines map-side and its
+    * key space is langs² (tens of rows), so nothing text- or
+    * corpus-proportional shuffles.
+    */
+  def langIdEval(documents: DataFrame): DataFrame =
+    langId(documents)
+      .groupBy($("label_lang"), $("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Per-source predicted-language mix — (source, pred_lang, n_docs,
+    * share_micro) with share_micro = n_docs·1e6 div docs-in-source.
+    * The report driving per-language sampling quotas in a curation
+    * pass (language filters are per-SOURCE policy decisions: a 2%
+    * non-English share in a crawl source means contamination; in a
+    * curated multilingual source it means under-collection).
+    *
+    * Scale: (sources × langs)-bounded aggregate off one scan; the
+    * per-source totals DERIVE from the counts (no second corpus
+    * pass) and join back broadcast. Integer micro share — exact
+    * cross-engine.
+    */
+  def sourceLangMix(documents: DataFrame): DataFrame = {
+    val counts = documents.spread()
+      .select($("source"), languageId($("text")).as("pred_lang"))
+      .groupBy($("source"), $("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = counts.groupBy($("source"))
+      .agg(sum($("n_docs")).cast("long").as("src_total"))
+    counts.join(broadcast(totals), Seq("source"))
+      .select($("source"), $("pred_lang"), $("n_docs"),
+        expr("(n_docs * 1000000) div src_total").cast("long")
+          .as("share_micro"))
+  }
+
   /** Quality scores per document. */
   def quality(documents: DataFrame): DataFrame =
     documents.spread().select(

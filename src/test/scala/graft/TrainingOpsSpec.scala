@@ -83,6 +83,37 @@ class TrainingOpsSpec extends SparkSpec {
       5L -> "zh", 6L -> "und"))
   }
 
+  test("langIdEval confusion matrix: diagonal hits plus the planted miss") {
+    val d = Seq(
+      (1L, "the cat and the dog of the house went to sleep in peace", "en"),
+      (2L, "the cat and the dog of the house went to sleep at home", "en"),
+      (3L, "der hund und die katze das ist ein haus", "de"),
+      // labeled French but stopword-free word soup -> predicted 'und'
+      (4L, "xyzzy qwerty 12345", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langIdEval(d)
+      .as[(String, String, Long)].collect()
+      .map { case (l, p, n) => (l, p) -> n }.toMap
+    assert(got === Map(
+      ("en", "en") -> 2L, ("de", "de") -> 1L, ("fr", "und") -> 1L))
+  }
+
+  test("sourceLangMix shares are exact integer micro per source") {
+    val d = Seq(
+      (1L, "the cat and the dog of the house went to sleep in peace", "A"),
+      (2L, "the cat and the dog of the house went to sleep at home", "A"),
+      (3L, "der hund und die katze das ist ein haus", "A"),
+      (4L, "el perro los gatos las casas una vida por ahora", "B")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceLangMix(d)
+      .as[(String, String, Long, Long)].collect()
+      .map { case (s, p, n, m) => (s, p) -> ((n, m)) }.toMap
+    // A: 2/3 en (666666 micro, floor), 1/3 de (333333); B: 1/1 es
+    assert(got === Map(
+      ("A", "en") -> ((2L, 666666L)), ("A", "de") -> ((1L, 333333L)),
+      ("B", "es") -> ((1L, 1000000L))))
+  }
+
   test("doc stats: token count and avg token length on known text") {
     val d = Seq((1L, "  ab   cd efg  ")).toDF("doc_id", "text")
     val r = TextAnalysis.docStats(d).head()
