@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, lit, md5, posexplode, when}
 
 import graft.analytics.DistributionFit
-import graft.operators.{Curation, Dedup, Events, Multimodal, Similarity, StarQueries, TextAnalysis}
+import graft.operators.{Curation, Dedup, Events, Multimodal, Similarity, SkewJoin, StarQueries, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver-contract entries for the training-data-pipeline operators
@@ -249,6 +249,10 @@ object TrainingEntries {
     // Per-source predicted-language mix: the quota-driving report
     // (sources × langs)-bounded, totals derived, broadcast join back
     "q103_source_lang_mix" -> q(t => TextAnalysis.sourceLangMix(t.documents)),
+    // Shuffle-key skew diagnostic: top-20 heaviest user_ids with
+    // exact micro shares — read before choosing salt/broadcast/AQE
+    "q104_key_skew"      -> q(t =>
+      SkewJoin.keySkewProfile(t.events, "user_id")),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -1649,6 +1653,21 @@ object TrainingEntries {
          |    AS share_micro
          |FROM c JOIN tot t USING (source)
          |ORDER BY source, pred_lang""".stripMargin,
+
+    // Mirrors SkewJoin.keySkewProfile over events.user_id: exact
+    // counts, total-order top-20, integer-micro shares of all rows
+    "q104_key_skew" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key_value,
+        |             CAST(COUNT(*) AS BIGINT) AS n_rows
+        |           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM c),
+        |r AS (SELECT key_value, n_rows,
+        |        CAST(row_number() OVER (ORDER BY n_rows DESC, key_value)
+        |          AS BIGINT) AS rank
+        |      FROM c)
+        |SELECT rank, key_value, n_rows,
+        |  CAST((n_rows * 1000000) // total AS BIGINT) AS share_micro
+        |FROM r CROSS JOIN tot WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Salted join for skewed keys (builder brief: "salting for skew").
@@ -40,6 +41,36 @@ object SkewJoin {
       explode(array((0 until salt).map(lit(_)): _*)))
     factSalted.join(dimSalted, keys :+ SaltCol)
       .drop(SaltCol)
+  }
+
+  /** Key-skew profile: the top-`topK` heaviest values of `key` with
+    * exact counts and integer-micro share of all (non-null-keyed)
+    * rows — the diagnostic read BEFORE choosing a skew strategy. A
+    * top key at 10%+ share predicts a straggler task in any shuffle
+    * on that key; the then-available tools are [[saltedJoin]] /
+    * [[saltedAgg]], `broadcast`, or AQE skew-join. Returns (rank,
+    * key_value, n_rows, share_micro) under a total order (count
+    * desc, value asc). Nulls are excluded: they hash to one
+    * partition like any hot key, but every engine orders them
+    * differently — count them separately if null-skew matters.
+    *
+    * Scale: map-side-combined count per key, distributed
+    * TakeOrderedAndProject top-k (never a global sort of the key
+    * space), one-row total broadcast; the rank window sees only the
+    * k survivors. The q97 vocabCoverage plan shape.
+    */
+  def keySkewProfile(df: DataFrame, key: String, topK: Int = 20): DataFrame = {
+    val counts = df.filter(col(key).isNotNull)
+      .select(col(key).cast("string").as("key_value"))
+      .groupBy("key_value").agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).cast("long").as("total"))
+    val w = Window.orderBy(col("n_rows").desc, col("key_value").asc)
+    counts
+      .orderBy(col("n_rows").desc, col("key_value").asc).limit(topK)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("key_value"), col("n_rows"),
+        expr("(n_rows * 1000000) div total").cast("long").as("share_micro"))
   }
 
   /** Two-phase skewed aggregation: aggregate on (keys + salt) first

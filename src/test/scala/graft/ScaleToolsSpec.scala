@@ -44,6 +44,25 @@ class ScaleToolsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("keySkewProfile ranks the hot key first with exact micro shares") {
+    // 6 rows of key 7, 3 of key 2, 1 of key 9 (+ a null, excluded)
+    val rows = Seq.fill(6)(Option(7L)) ++ Seq.fill(3)(Option(2L)) ++
+      Seq(Option(9L), Option.empty[Long])
+    val df = rows.toDF("k")
+    val got = SkewJoin.keySkewProfile(df, "k", topK = 2)
+      .as[(Long, String, Long, Long)].collect().toList
+    // total is over ALL non-null rows (10), not just the top-k
+    assert(got === List(
+      (1L, "7", 6L, 600000L),
+      (2L, "2", 3L, 300000L)))
+
+    // ties order by key_value asc for a total order
+    val tied = Seq(1L, 1L, 3L, 3L).toDF("k")
+    val t = SkewJoin.keySkewProfile(tied, "k")
+      .as[(Long, String, Long, Long)].collect().toList
+    assert(t === List((1L, "1", 2L, 500000L), (2L, "3", 2L, 500000L)))
+  }
+
   test("salted join spreads the hot key over multiple partitions") {
     val fact = (1 to 4000).map(i => (1L, i)).toDF("k", "v")
     val dim = Seq((1L, "x")).toDF("k", "attr")
