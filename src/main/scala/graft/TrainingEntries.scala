@@ -253,6 +253,9 @@ object TrainingEntries {
     // exact micro shares — read before choosing salt/broadcast/AQE
     "q104_key_skew"      -> q(t =>
       SkewJoin.keySkewProfile(t.events, "user_id")),
+    // ANN preflight: per-dim vector census with zero/non-finite
+    // counts and quantized-norm extrema; dims-bounded aggregate
+    "q105_vector_health" -> q(t => Similarity.vectorHealth(t.embeddings)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -1668,6 +1671,27 @@ object TrainingEntries {
         |SELECT rank, key_value, n_rows,
         |  CAST((n_rows * 1000000) // total AS BIGINT) AS share_micro
         |FROM r CROSS JOIN tot WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // Mirrors Similarity.vectorHealth: per-dim census over the same
+    // 1e6-quantized elements as the ANN oracles (flatCte)
+    "q105_vector_health" ->
+      s"""WITH $flatCte,
+         |nsq AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) AS nsq
+         |        FROM flat GROUP BY vec_id),
+         |meta AS (SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+         |    len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+         |      OR isinf(CAST(x AS DOUBLE)))) > 0 AS bad
+         |  FROM embeddings)
+         |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(CASE WHEN nsq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_zero,
+         |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nonfinite,
+         |  MIN(nsq) AS min_nsq, MAX(nsq) AS max_nsq,
+         |  CAST(CAST(SUM(nsq) AS BIGINT) // COUNT(*) AS BIGINT)
+         |    AS mean_nsq
+         |FROM meta JOIN nsq USING (vec_id)
+         |GROUP BY dim ORDER BY dim""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

@@ -351,6 +351,53 @@ object Similarity {
     * integer fold per row. Only the final per-label rank windows over
     * (vec_id, label, score) rows — never the vectors.
     */
+  /** Vector-health audit — the preflight a pipeline runs BEFORE
+    * paying for ANN index builds or similarity sweeps: per embedding
+    * dimensionality, the vector count, zero-vector count (cosine is
+    * undefined on them; every downstream op here would divide by 0),
+    * non-finite count (NaN/Inf elements poison quantization), and the
+    * min/max/mean quantized squared norm (a collapsed-norm
+    * distribution flags a broken encoder run). More than one output
+    * row IS the finding: mixed dimensionalities in one corpus break
+    * every zip_with. Returns (dim, n_vecs, n_zero, n_nonfinite,
+    * min_nsq, max_nsq, mean_nsq); norms in exact 1e6-quantized
+    * integer arithmetic ([[quantize]]), mean as integer div.
+    *
+    * Scale: one scan, per-row integer folds, dims-bounded aggregate
+    * map-side combined — nothing vector- or corpus-proportional
+    * shuffles. sum(nsq) holds to ~10^5 vecs/dim-group per 9.2e18
+    * headroom at unit-norm 64-dim (~6.4e13 nsq each); beyond that,
+    * pre-aggregate per bucket. Empty (len-0) arrays count as
+    * zero-vectors with nsq = 0.
+    */
+  def vectorHealth(embeddings: DataFrame): DataFrame = {
+    def nonfinite(x: Column): Column =
+      isnan(x.cast("double")) ||
+        abs(x.cast("double")) === lit(Double.PositiveInfinity)
+    // the auditor must SURVIVE the sickness it reports: under ANSI
+    // semantics a NaN/Inf element would throw in quantize's long
+    // cast, so non-finite elements fold as 0 into the norm (their
+    // presence is what n_nonfinite reports; a NaN-poisoned norm
+    // carries no information anyway)
+    val qv = quantize(transform($("embedding"),
+      x => when(nonfinite(x), lit(0.0f)).otherwise(x)))
+    val bad = exists($("embedding"), nonfinite)
+    embeddings.spread()
+      .select(size($("embedding")).cast("long").as("dim"),
+        qdot(qv, qv).as("nsq"), bad.as("bad"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when($("nsq") === 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_zero"),
+        sum(when($("bad"), 1L).otherwise(0L)).cast("long")
+          .as("n_nonfinite"),
+        min($("nsq")).as("min_nsq"), max($("nsq")).as("max_nsq"),
+        sum($("nsq")).cast("long").as("sum_nsq"))
+      .select($("dim"), $("n_vecs"), $("n_zero"), $("n_nonfinite"),
+        $("min_nsq"), $("max_nsq"),
+        expr("sum_nsq div n_vecs").cast("long").as("mean_nsq"))
+  }
+
   def prototypicality(embeddings: DataFrame): DataFrame = {
     val quant = embeddings.spread()
       .select($("vec_id"), $("label"), quantize($("embedding")).as("qv"))

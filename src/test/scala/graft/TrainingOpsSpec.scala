@@ -122,6 +122,25 @@ class TrainingOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(r.fieldIndex("avg_token_len")) - 7.0 / 3.0) < 1e-12)
   }
 
+  test("vectorHealth flags zero vectors, non-finite elements, and mixed dims") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),        // nsq = 1e12
+      (1L, Array(0.0f, 0.0f)),        // zero vector
+      (2L, Array(0.5f, Float.NaN)),   // non-finite (NaN quantizes to 0)
+      (3L, Array(1.0f, 1.0f, 1.0f))   // stray dimensionality
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.vectorHealth(vecs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // dim 2: 3 vecs, 1 zero, 1 non-finite; nsq = {1e12, 0, 2.5e11}
+    assert(got(2L) === ((2L, 3L, 1L, 1L, 0L, 1000000000000L,
+      1250000000000L / 3)))
+    // dim 3: the stray vector is its own row — that row existing IS
+    // the mixed-dimensionality finding
+    assert(got(3L) === ((3L, 1L, 0L, 0L, 3000000000000L,
+      3000000000000L, 3000000000000L)))
+  }
+
   test("brute-force knn: self excluded, neighbors ranked by cosine desc") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
