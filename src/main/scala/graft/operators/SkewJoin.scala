@@ -60,10 +60,14 @@ object SkewJoin {
     * k survivors. The q97 vocabCoverage plan shape.
     */
   def keySkewProfile(df: DataFrame, key: String, topK: Int = 20): DataFrame = {
-    val counts = df.filter(col(key).isNotNull)
+    val rows = df.filter(col(key).isNotNull)
       .select(col(key).cast("string").as("key_value"))
+    val counts = rows
       .groupBy("key_value").agg(count(lit(1)).as("n_rows"))
-    val total = counts.agg(sum(col("n_rows")).cast("long").as("total"))
+    // denominator straight off the scan — NOT sum over `counts`,
+    // which would recompute the per-key shuffle a second time just
+    // to fold it back into one number
+    val total = rows.agg(count(lit(1)).cast("long").as("total"))
     val w = Window.orderBy(col("n_rows").desc, col("key_value").asc)
     counts
       .orderBy(col("n_rows").desc, col("key_value").asc).limit(topK)
