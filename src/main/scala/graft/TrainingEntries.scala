@@ -256,6 +256,10 @@ object TrainingEntries {
     // ANN preflight: per-dim vector census with zero/non-finite
     // counts and quantized-norm extrema; dims-bounded aggregate
     "q105_vector_health" -> q(t => Similarity.vectorHealth(t.embeddings)),
+    // Embedding-space decontamination: train vectors near eval
+    // vectors (broadcast eval side, one train scan, no shuffle)
+    "q106_semantic_decontam" -> q(t =>
+      Similarity.semanticDecontaminate(t.embeddings)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -1692,6 +1696,23 @@ object TrainingEntries {
          |    AS mean_nsq
          |FROM meta JOIN nsq USING (vec_id)
          |GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // Mirrors Similarity.semanticDecontaminate: exact-integer dots
+    // over the shared flatCte quantization, eval = vec_id < 10
+    "q106_semantic_decontam" ->
+      s"""WITH $flatCte,
+         |dots AS (SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+         |           SUM(t.v * e.v) AS dot
+         |         FROM flat t JOIN flat e ON t.i = e.i
+         |         WHERE t.vec_id >= 10 AND e.vec_id < 10
+         |         GROUP BY 1, 2),
+         |cos AS (SELECT train_id, eval_id,
+         |          CAST(dot AS DOUBLE) / (nt.nrm * ne.nrm) AS cos
+         |        FROM dots
+         |        JOIN norms nt ON nt.vec_id = train_id
+         |        JOIN norms ne ON ne.vec_id = eval_id)
+         |SELECT train_id, eval_id, cos FROM cos
+         |WHERE cos >= 0.3 ORDER BY train_id, eval_id""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

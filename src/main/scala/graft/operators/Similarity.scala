@@ -351,6 +351,39 @@ object Similarity {
     * integer fold per row. Only the final per-label rank windows over
     * (vec_id, label, score) rows — never the vectors.
     */
+  /** Semantic decontamination: every (train, eval) vector pair with
+    * cosine ≥ `threshold` — the embedding-space complement of the
+    * lexical 8-gram decontaminate (Curation.decontaminate): a
+    * paraphrased eval item shares no shingles with its train-set
+    * leak, but the embeddings sit together. Eval membership is
+    * `vec_id < maxEvalId` (the q30 query-set convention). Returns
+    * (train_id, eval_id, cos).
+    *
+    * Scale: the EVAL side is the small one (benchmarks are thousands
+    * of items, the corpus is billions) — it broadcasts, and the train
+    * side streams through ONE scan with a per-row integer fold per
+    * eval vector; no shuffle at all. The crossJoin is
+    * broadcast-bounded (never corpus×corpus). Quantized-integer
+    * cosine ([[quantize]]/[[qdot]]) — exact cross-engine. At
+    * production eval-set sizes, pre-bucket with the q31 hyperplane
+    * tables and intersect buckets before scoring; this exact variant
+    * is the oracle-checkable baseline of that path.
+    */
+  def semanticDecontaminate(embeddings: DataFrame, maxEvalId: Long = 10,
+      threshold: Double = 0.3): DataFrame = {
+    val train = embeddings.spread().filter($("vec_id") >= maxEvalId)
+      .select($("vec_id").as("train_id"), quantize($("embedding")).as("tq"))
+      .withColumn("tn", qnorm($("tq")))
+    val evals = broadcast(embeddings.filter($("vec_id") < maxEvalId)
+      .select($("vec_id").as("eval_id"), quantize($("embedding")).as("eq"))
+      .withColumn("en", qnorm($("eq"))))
+    train.crossJoin(evals)
+      .select($("train_id"), $("eval_id"),
+        (qdot($("tq"), $("eq")).cast("double") / ($("tn") * $("en")))
+          .as("cos"))
+      .filter($("cos") >= threshold)
+  }
+
   /** Vector-health audit — the preflight a pipeline runs BEFORE
     * paying for ANN index builds or similarity sweeps: per embedding
     * dimensionality, the vector count, zero-vector count (cosine is

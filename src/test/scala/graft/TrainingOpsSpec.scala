@@ -122,6 +122,20 @@ class TrainingOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(r.fieldIndex("avg_token_len")) - 7.0 / 3.0) < 1e-12)
   }
 
+  test("semanticDecontaminate finds the paraphrase-aligned train vector only") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),    // eval item
+      (1L, Array(0.0f, 1.0f, 0.0f)),    // eval item, orthogonal
+      (10L, Array(0.9f, 0.1f, 0.0f)),   // train: near eval 0
+      (11L, Array(0.0f, 0.0f, 1.0f))    // train: orthogonal to both
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(vecs, maxEvalId = 10,
+      threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toList
+    assert(got.map(r => (r._1, r._2)) === List((10L, 0L)))
+    assert(got.head._3 > 0.99 && got.head._3 <= 1.0)
+  }
+
   test("vectorHealth flags zero vectors, non-finite elements, and mixed dims") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),        // nsq = 1e12
