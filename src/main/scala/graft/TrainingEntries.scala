@@ -260,6 +260,10 @@ object TrainingEntries {
     // vectors (broadcast eval side, one train scan, no shuffle)
     "q106_semantic_decontam" -> q(t =>
       Similarity.semanticDecontaminate(t.embeddings)),
+    // Its LSH-bucketed scale path: bucket-join candidates only,
+    // capped buckets — the shape that survives a billion-vec corpus
+    "q107_semantic_decontam_lsh" -> q(t =>
+      Similarity.semanticDecontaminateLsh(t.embeddings)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -1706,6 +1710,29 @@ object TrainingEntries {
          |         FROM flat t JOIN flat e ON t.i = e.i
          |         WHERE t.vec_id >= 10 AND e.vec_id < 10
          |         GROUP BY 1, 2),
+         |cos AS (SELECT train_id, eval_id,
+         |          CAST(dot AS DOUBLE) / (nt.nrm * ne.nrm) AS cos
+         |        FROM dots
+         |        JOIN norms nt ON nt.vec_id = train_id
+         |        JOIN norms ne ON ne.vec_id = eval_id)
+         |SELECT train_id, eval_id, cos FROM cos
+         |WHERE cos >= 0.3 ORDER BY train_id, eval_id""".stripMargin,
+
+    // Mirrors Similarity.semanticDecontaminateLsh: the q31 hyperplane
+    // bucket CTEs gate the candidate pairs before the exact scoring
+    "q107_semantic_decontam_lsh" ->
+      s"""WITH $flatCte,
+         |${hplaneCte(4, 8)},
+         |cand AS (SELECT DISTINCT t.vec_id AS train_id,
+         |           e.vec_id AS eval_id
+         |         FROM hbb t JOIN hbb e
+         |         ON t.tbl = e.tbl AND t.bucket = e.bucket
+         |         WHERE t.vec_id >= 10 AND e.vec_id < 10),
+         |dots AS (SELECT c.train_id, c.eval_id, SUM(ft.v * fe.v) AS dot
+         |         FROM cand c
+         |         JOIN flat ft ON ft.vec_id = c.train_id
+         |         JOIN flat fe ON fe.vec_id = c.eval_id AND fe.i = ft.i
+         |         GROUP BY c.train_id, c.eval_id),
          |cos AS (SELECT train_id, eval_id,
          |          CAST(dot AS DOUBLE) / (nt.nrm * ne.nrm) AS cos
          |        FROM dots

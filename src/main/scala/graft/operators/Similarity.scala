@@ -384,6 +384,40 @@ object Similarity {
       .filter($("cos") >= threshold)
   }
 
+  /** [[semanticDecontaminate]]'s LSH-bucketed scale path: candidates
+    * limited to (train, eval) pairs sharing a random-hyperplane
+    * bucket in ANY of the `tables` banding tables, then scored with
+    * the same exact integer cosine. At production scale the eval set
+    * no longer broadcasts against every train vector — the bucket
+    * equi-join touches only colliding slivers, with [[capBuckets]]
+    * bounding any degenerate bucket (worst case tables·N·maxBucket
+    * candidate rows — linear). Recall is the standard banding
+    * trade-off: a leaked pair missed by all tables' bits is missed
+    * (the q99-style tuning applies); the brute variant is the exact
+    * oracle baseline. Multi-table duplicate candidates collapse by
+    * pair key before scoring (payloads identical per vec, so the
+    * survivor is value-deterministic — the [[cosineDupPairs]]
+    * discipline).
+    */
+  def semanticDecontaminateLsh(embeddings: DataFrame, maxEvalId: Long = 10,
+      threshold: Double = 0.3, tables: Int = 4, bits: Int = 8,
+      maxBucket: Int = 256): DataFrame = {
+    val bucketed =
+      capBuckets(hyperplaneBucketed(embeddings, tables, bits), maxBucket)
+    val evals = bucketed.filter($("vec_id") < maxEvalId)
+      .select($("tbl"), $("bucket"), $("vec_id").as("eval_id"),
+        $("qv").as("eq"), $("nrm").as("en"))
+    val train = bucketed.filter($("vec_id") >= maxEvalId)
+      .select($("tbl"), $("bucket"), $("vec_id").as("train_id"),
+        $("qv").as("tq"), $("nrm").as("tn"))
+    train.join(evals, Seq("tbl", "bucket"))
+      .dropDuplicates("train_id", "eval_id")
+      .select($("train_id"), $("eval_id"),
+        (qdot($("tq"), $("eq")).cast("double") / ($("tn") * $("en")))
+          .as("cos"))
+      .filter($("cos") >= threshold)
+  }
+
   /** Vector-health audit — the preflight a pipeline runs BEFORE
     * paying for ANN index builds or similarity sweeps: per embedding
     * dimensionality, the vector count, zero-vector count (cosine is

@@ -136,6 +136,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.head._3 > 0.99 && got.head._3 <= 1.0)
   }
 
+  test("LSH decontaminate is a subset of brute, and recalls identical leaks") {
+    // an EXACT copy of an eval vector always shares every bucket
+    // (identical signs) — the planted leak the LSH path cannot miss
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.2f, 0.0f, 0.5f)),
+      (1L, Array(0.0f, 1.0f, 0.3f, 0.0f)),
+      (10L, Array(1.0f, 0.2f, 0.0f, 0.5f)),   // exact copy of eval 0
+      (11L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val brute = Similarity.semanticDecontaminate(vecs, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    val lsh = Similarity.semanticDecontaminateLsh(vecs, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(lsh.subsetOf(brute), "LSH may only drop candidates, never add")
+    assert(lsh.contains((10L, 0L)), "identical leak must be recalled")
+  }
+
   test("vectorHealth flags zero vectors, non-finite elements, and mixed dims") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),        // nsq = 1e12
