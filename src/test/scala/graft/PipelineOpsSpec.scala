@@ -576,6 +576,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(mid._3 - (1.0 - math.pow(15.0 / 16.0, 4))) < 1e-12)
   }
 
+  test("Tables.events fails loudly on an unnormalizable ts type") {
+    // the silent `case _ => raw` fallthrough once let a testdata-type
+    // drift break four operators at analysis time; the contract now is
+    // normalize-or-throw at table access
+    val dir = java.nio.file.Files.createTempDirectory("graft-evdrift")
+    Seq((1L, "not-a-timestamp")).toDF("event_id", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val ex = intercept[IllegalStateException] {
+      graft.sources.Tables(spark, dir.toString).events
+    }
+    assert(ex.getMessage.contains("unexpected type"))
+  }
+
   test("sourceVocabOverlap: mirror sources at J=1, partial overlap exact") {
     val docs = Seq(
       (1L, "alpha beta gamma", "A"),

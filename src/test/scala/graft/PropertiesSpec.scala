@@ -94,6 +94,33 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("novelty conservation: sum of n_novel == distinct shingle types") {
+    // every distinct shingle's first occurrence belongs to EXACTLY one
+    // doc, so Σ n_novel over the corpus must equal the corpus-wide
+    // distinct-shingle count — a global invariant no per-doc fixture
+    // can check. Also: the min-doc_id doc is all-novel by definition.
+    val textGen = Gen.listOfN(20,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
+      .map(_.mkString(" "))
+    for {
+      i <- 1 to 3
+      texts <- Gen.listOfN(10, textGen).apply(Gen.Parameters.default, Seed(400L + i))
+    } {
+      val df = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      val nov = Dedup.novelty(df)
+        .as[(Long, Long, Long, Double)].collect()
+      val distinctShingles = Dedup.shingles(df).select("shingle")
+        .distinct().count()
+      assert(nov.map(_._3).sum === distinctShingles)
+      val first = nov.minBy(_._1)
+      assert(first._3 === first._2 && first._4 === 1.0)
+      nov.foreach { case (_, n, nv, f) =>
+        assert(nv >= 0 && nv <= n); assert(f >= 0.0 && f <= 1.0)
+      }
+    }
+  }
+
   test("componentsOf == union-find on random edge lists") {
     val edgeGen = for {
       a <- Gen.choose(0L, 30L); b <- Gen.choose(0L, 30L) if a != b
