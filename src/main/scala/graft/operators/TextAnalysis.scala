@@ -178,8 +178,11 @@ object TextAnalysis {
       .select($("source"), languageId($("text")).as("pred_lang"))
       .groupBy($("source"), $("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
-    val totals = counts.groupBy($("source"))
-      .agg(sum($("n_docs")).cast("long").as("src_total"))
+    // every doc gets exactly one prediction, so docs-per-source IS the
+    // denominator — computed off a source-column-only scan (pruned),
+    // not by replaying the language-ID scan under a re-aggregate
+    val totals = documents.groupBy($("source"))
+      .agg(count(lit(1)).cast("long").as("src_total"))
     counts.join(broadcast(totals), Seq("source"))
       .select($("source"), $("pred_lang"), $("n_docs"),
         expr("(n_docs * 1000000) div src_total").cast("long")
