@@ -52,6 +52,26 @@ object EventStreams extends Serializable {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Windowed hot-key monitor — the streaming twin of
+    * `SkewJoin.keySkewProfile` for live pipelines: per tumbling
+    * window, per key, the exact row count (append-emitted once the
+    * watermark passes). The rank/top-k read deliberately happens
+    * DOWNSTREAM (foreachBatch or the serving store): an in-flight
+    * global rank would force complete-mode state over the whole key
+    * space, which is exactly the unbounded-state shape streaming
+    * operators here avoid. State is (in-flight windows × keys seen in
+    * them), watermark-bounded.
+    */
+  def hotKeys(events: DataFrame, keyCol: String = "user_id",
+      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen),
+        col(keyCol).cast("string").as("key_value"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("window.start").as("window_start"), col("key_value"),
+        col("n_rows"))
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
 

@@ -39,6 +39,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2, t._3)) === want.map(t => (t._1, t._2, t._3)))
   }
 
+  test("streaming hot-key counts == batch per-window groupBy") {
+    val tables = graft.sources.Tables(spark, dir)
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val got = EventStreams.runToMemory(
+      EventStreams.hotKeys(stream), "hotkeys_test", OutputMode.Complete())
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val want = tables.events
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"),
+        $"user_id".cast("string").as("key_value"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+      .select($"window.start".as("window_start"), $"key_value", $"n_rows")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(got === want)
+    // downstream top-k read (the documented foreachBatch shape) finds
+    // a per-window maximum consistent with the batch profile
+    assert(got.groupBy(_._1).forall { case (_, rows) =>
+      rows.exists(_._3 == rows.map(_._3).max)
+    })
+  }
+
   test("watermark finalizes windows and drops late data (append mode)") {
     import java.sql.Timestamp
     def ev(id: Long, ts: String, v: Double) =
