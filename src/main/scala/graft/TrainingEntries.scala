@@ -264,6 +264,11 @@ object TrainingEntries {
     // capped buckets — the shape that survives a billion-vec corpus
     "q107_semantic_decontam_lsh" -> q(t =>
       Similarity.semanticDecontaminateLsh(t.embeddings)),
+    // Byte-identical media dedup BEFORE decode: fingerprints shuffle,
+    // media bytes never move
+    "q108_media_dedup"   -> q(t =>
+      Multimodal.exactMediaDuplicates(
+        Multimodal.synthesizeFromDocuments(t.documents))),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -1740,6 +1745,15 @@ object TrainingEntries {
          |        JOIN norms ne ON ne.vec_id = eval_id)
          |SELECT train_id, eval_id, cos FROM cos
          |WHERE cos >= 0.3 ORDER BY train_id, eval_id""".stripMargin,
+
+    // Mirrors Multimodal.exactMediaDuplicates: DuckDB strings are
+    // UTF-8, so md5(text) == Spark's md5 over the synthesized bytes
+    "q108_media_dedup" ->
+      """SELECT md5(text) AS fp,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS modality,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1, 2 ORDER BY fp, modality""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

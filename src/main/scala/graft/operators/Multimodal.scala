@@ -53,6 +53,27 @@ object Multimodal {
       }
   }
 
+  /** Exact media dedup — byte-identical duplicate detection BEFORE
+    * any decode: the first, cheapest gate of a multimodal ingest
+    * (decode is the expensive step; never decode the same bytes
+    * twice). Groups by (content md5, modality) — identical bytes
+    * under different declared modalities are different assets;
+    * keeper is the smallest media_id. Returns (fp, modality,
+    * keep_id, n_copies).
+    *
+    * Scale: the md5 computes in the scan projection, so only 32-char
+    * fingerprints, modality, and ids shuffle — media BYTES never
+    * move (at 100 TB the bytes column dominates everything; any plan
+    * that shuffles it is wrong). Map-side combine on the (fp,
+    * modality) key; same plan family as Dedup.exactDuplicates.
+    */
+  def exactMediaDuplicates(media: Dataset[MediaRow]): DataFrame =
+    media.toDF()
+      .select(col("media_id"), col("modality"), md5(col("bytes")).as("fp"))
+      .groupBy(col("fp"), col("modality"))
+      .agg(min(col("media_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
   /** STUB decoder: deterministic pseudo-features from the byte
     * content (per-stripe byte sums, L2-normalized). Replace with a
     * real decoder; signature and batching stay.

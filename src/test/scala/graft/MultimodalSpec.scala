@@ -17,6 +17,27 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.meta.durationMs === r.bytes.length.toLong * 10L))
   }
 
+  test("exactMediaDuplicates groups identical bytes per modality, keeps min id") {
+    // ids 0 and 3 share text AND modality (both % 3 == 0 -> image):
+    // one group of 2. id 6 has the same text but... also image — use
+    // ids chosen so a same-bytes pair SPLITS across modalities too:
+    // 1 (audio) and 2 (video) share text -> two singleton groups.
+    val docs = Seq(
+      (0L, "same content"), (3L, "same content"),  // image + image
+      (1L, "other content"), (2L, "other content"),// audio vs video
+      (4L, "unique content")                        // audio singleton
+    ).toDF("doc_id", "text")
+    val got = Multimodal.exactMediaDuplicates(
+      Multimodal.synthesizeFromDocuments(docs))
+      .as[(String, String, Long, Long)].collect()
+      .map { case (_, m, keep, n) => (m, keep) -> n }.toMap
+    assert(got === Map(
+      ("image", 0L) -> 2L,   // 0 and 3 collapse, keeper = 0
+      ("audio", 1L) -> 1L,   // same bytes as 2 but different modality
+      ("video", 2L) -> 1L,
+      ("audio", 4L) -> 1L))
+  }
+
   test("feature extraction: deterministic, fixed dim, normalized, no row loss") {
     val f1 = Multimodal.extractFeatures(media, dim = 32).collect()
     val f2 = Multimodal.extractFeatures(media, dim = 32).collect()
