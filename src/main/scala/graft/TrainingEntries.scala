@@ -269,6 +269,11 @@ object TrainingEntries {
     "q108_media_dedup"   -> q(t =>
       Multimodal.exactMediaDuplicates(
         Multimodal.synthesizeFromDocuments(t.documents))),
+    // Frame-level exact dedup over the sampled video frames — repeated
+    // intro/logo frames across titles; hex-string md5, bytes stay put
+    "q109_frame_dedup"   -> q(t =>
+      Multimodal.frameDuplicates(
+        Multimodal.synthesizeFromDocuments(t.documents))),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -1754,6 +1759,32 @@ object TrainingEntries {
         |       ELSE 'video' END AS modality,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1, 2 ORDER BY fp, modality""".stripMargin,
+
+    // Mirrors Multimodal.frameDuplicates: every 4th 256-byte chunk of
+    // each video payload = 512 hex chars of the q37 hex expansion;
+    // md5 over the hex STRING on both sides (encoding-independent)
+    "q109_frame_dedup" ->
+      """WITH vid AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |               octet_length(encode(text)) AS blen
+        |             FROM documents WHERE doc_id % 3 = 2 AND
+        |               octet_length(encode(text)) > 0),
+        |fr AS (SELECT media_id, hx,
+        |         unnest(generate_series(0,
+        |           CAST((blen - 1) // 256 AS BIGINT), 4)) AS frame_no
+        |       FROM vid),
+        |ffp AS (SELECT media_id, frame_no,
+        |          md5(substr(hx, CAST(frame_no * 512 + 1 AS BIGINT), 512))
+        |            AS fp
+        |        FROM fr),
+        |r AS (SELECT fp, media_id, frame_no,
+        |        row_number() OVER (PARTITION BY fp
+        |          ORDER BY media_id, frame_no) AS rn,
+        |        COUNT(*) OVER (PARTITION BY fp) AS n_copies
+        |      FROM ffp)
+        |SELECT fp, media_id AS keep_media_id,
+        |  CAST(frame_no AS BIGINT) AS keep_frame_no,
+        |  CAST(n_copies AS BIGINT) AS n_copies
+        |FROM r WHERE rn = 1 ORDER BY fp""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

@@ -129,6 +129,34 @@ object Multimodal {
     }
   }
 
+  /** Frame-level exact dedup across the video corpus — static intros,
+    * logo cards, and black frames repeat across titles, and every
+    * duplicate frame decoded or embedded twice is wasted GPU
+    * downstream. Fingerprints [[sampleFrames]]' output; keeper is the
+    * lexicographically smallest (media_id, frame_no). Returns
+    * (fp, keep_media_id, keep_frame_no, n_copies).
+    *
+    * The fingerprint is md5 over the frame bytes' HEX string (not the
+    * raw bytes): byte-exact in any engine whose md5 is string-typed,
+    * with no reliance on text encodings (the oracle walks the same
+    * hex expansion it already uses for q37's feature stub). Only
+    * 32-char fingerprints shuffle; frame bytes stay in the scan
+    * stage.
+    */
+  def frameDuplicates(media: Dataset[MediaRow], everyNth: Int = 4,
+      frameBytes: Int = 256): DataFrame = {
+    val frames = sampleFrames(media, everyNth, frameBytes).toDF()
+    frames
+      .select(col("media_id"), col("frame_no"),
+        md5(hex(col("frame_bytes"))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(struct(col("media_id"), col("frame_no"))).as("k"),
+        count(lit(1)).as("n_copies"))
+      .select(col("fp"), col("k.media_id").as("keep_media_id"),
+        col("k.frame_no").cast("long").as("keep_frame_no"),
+        col("n_copies"))
+  }
+
   /** Resize stub for images: metadata-only transform (real impl
     * rewrites bytes; the pipeline contract — same row count, updated
     * meta — is what downstream stages depend on).

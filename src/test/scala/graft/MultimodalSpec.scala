@@ -38,6 +38,25 @@ class MultimodalSpec extends SparkSpec {
       ("audio", 4L) -> 1L))
   }
 
+  test("frameDuplicates collapses the shared first frame across videos") {
+    // ids 2 and 5 are videos (id % 3 == 2); identical first 256 bytes
+    // (one shared "intro frame"), divergent tails; id 8 fully unique
+    val intro = "x" * 256
+    val docs = Seq(
+      (2L, intro + "tail-one-" * 10),
+      (5L, intro + "tail-two-" * 10),
+      (8L, "y" * 300)
+    ).toDF("doc_id", "text")
+    val got = Multimodal.frameDuplicates(
+      Multimodal.synthesizeFromDocuments(docs))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (_, m, f, n) => (m, f) -> n }.toMap
+    // frame 0 of videos 2 and 5 is byte-identical -> keeper (2, 0), n=2;
+    // video 8's frame 0 is a singleton; no other frame survives
+    // sampling (chunk 1 exists but 1 % 4 != 0)
+    assert(got === Map((2L, 0L) -> 2L, (8L, 0L) -> 1L))
+  }
+
   test("feature extraction: deterministic, fixed dim, normalized, no row loss") {
     val f1 = Multimodal.extractFeatures(media, dim = 32).collect()
     val f2 = Multimodal.extractFeatures(media, dim = 32).collect()
