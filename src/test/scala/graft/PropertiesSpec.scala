@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{Airline, Dedup, TextAnalysis}
+import graft.operators.{Airline, Dedup, SkewJoin, TextAnalysis}
 
 /** Property-based checks (SURVEY.md §5): algebraic invariants of the
   * ranking/aggregation operators on generated inputs. Uses seeded
@@ -118,6 +118,49 @@ class PropertiesSpec extends SparkSpec {
       nov.foreach { case (_, n, nv, f) =>
         assert(nv >= 0 && nv <= n); assert(f >= 0.0 && f <= 1.0)
       }
+    }
+  }
+
+  test("sourceVocabOverlap invariants on generated corpora") {
+    val textGen = Gen.listOfN(12,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+        "eta", "theta")).map(_.mkString(" "))
+    for {
+      i <- 1 to 3
+      texts <- Gen.listOfN(9, textGen).apply(Gen.Parameters.default, Seed(500L + i))
+    } {
+      val docs = texts.zipWithIndex.map { case (t, j) =>
+        (j.toLong, t, s"src${j % 3}") }.toDF("doc_id", "text", "source")
+      val rows = Dedup.sourceVocabOverlap(docs)
+        .as[(String, String, Long, Long, Long, Double)].collect()
+      rows.foreach { case (s1, s2, v1, v2, common, j) =>
+        assert(s1 < s2)                       // unordered pair, once
+        assert(common >= 1 && common <= math.min(v1, v2))
+        assert(j === common.toDouble / (v1 + v2 - common)) // formula
+        assert(j > 0.0 && j <= 1.0)
+      }
+    }
+  }
+
+  test("keySkewProfile invariants: shares bounded, counts ranked, sum <= total") {
+    val keyGen = Gen.frequency((5, Gen.const(1L)), (3, Gen.choose(2L, 5L)))
+    for {
+      i <- 1 to 3
+      keys <- Gen.listOfN(60, keyGen).apply(Gen.Parameters.default, Seed(600L + i))
+    } {
+      val df = keys.toDF("k")
+      val rows = SkewJoin.keySkewProfile(df, "k", topK = 3)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      // ranks are 1..n, counts nonincreasing, micro shares consistent
+      assert(rows.map(_._1).toList === (1L to rows.length).toList)
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 >= b._3); case _ => ()
+      }
+      val total = keys.length
+      rows.foreach { case (_, _, n, micro) =>
+        assert(micro === n * 1000000L / total)
+      }
+      assert(rows.map(_._3).sum <= total)
     }
   }
 
