@@ -1,0 +1,136 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Scale rehearsal: run the heavy dedup/ANN family on a ~K× inflated
+  * corpus and print wall + executor-cpu + shuffle bytes per query at
+  * each factor — the measured datapoint behind the operators' "linear
+  * worst case" scale claims (a quadratic leak shows up as a >>K×
+  * shuffle-bytes jump between factors).
+  *
+  * Inflation design: the corpus unions K copies with disjoint id
+  * spaces. Document TEXT is passed through a per-copy Caesar shift
+  * over the ten commonest English letters (`translate`), so
+  *  - WITHIN a copy, pairwise shingle overlap is exactly the
+  *    original's (both sides shift identically → near-dup structure
+  *    and the LSH candidate count scale ×K, not ×K²);
+  *  - ACROSS copies, nearly every 5-gram contains a shifted letter,
+  *    so cross-copy docs stop colliding (no artificial K²-pair
+  *    blowup a plain copy would create via exact duplicates).
+  * Embeddings inflate by id-shift alone: ANN cost is row-linear in
+  * corpus size regardless of duplicate geometry (same cells, same
+  * top-k heap work), so copies measure the right thing there.
+  *
+  * Usage: `runMain graft.ScaleRehearsal [sfDir] [factors]` — factors
+  * default "1,10". Each factor runs the family once (cold plans, no
+  * warmup: the comparison is factor-vs-factor under identical
+  * conditions, not absolute).
+  */
+object ScaleRehearsal {
+
+  private val Common = "etaoinshrd"
+  private def shifted(i: Int): String = {
+    val k = i % Common.length
+    Common.drop(k) + Common.take(k)
+  }
+
+  def inflateDocuments(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+        translate(col("text"), Common, shifted(i)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+
+  def inflateEmbeddings(emb: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      emb.select((col("vec_id") + lit(i * 100000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-rehearsal")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // per-job-group counters (the Bench attribution pattern)
+    val stageGroup = new ConcurrentHashMap[Integer, String]()
+    def counter() = new ConcurrentHashMap[String, AtomicLong]()
+    val cpuNs = counter(); val shWr = counter(); val shRd = counter()
+    def bump(m: ConcurrentHashMap[String, AtomicLong], k: String, v: Long): Unit =
+      m.computeIfAbsent(k, _ => new AtomicLong(0L)).addAndGet(v)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val g = Option(j.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null) j.stageIds.foreach(sid => stageGroup.put(sid, g))
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        val g = stageGroup.get(t.stageId)
+        if (m != null && g != null) {
+          bump(cpuNs, g, m.executorCpuTime)
+          bump(shWr, g, m.shuffleWriteMetrics.bytesWritten)
+          bump(shRd, g, m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+    })
+
+    def ctr(m: ConcurrentHashMap[String, AtomicLong], k: String): Long =
+      Option(m.get(k)).map(_.get()).getOrElse(0L)
+
+    val t = Tables(spark, sfDir)
+
+    for (f <- factors) {
+      val docs = inflateDocuments(t.documents, f)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val emb = inflateEmbeddings(t.embeddings, f)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nd = docs.count(); val ne = emb.count()
+      val family: Seq[(String, () => DataFrame)] = Seq(
+        "q26_minhash_dups" -> (() => Dedup.minhashDupPairs(docs, threshold = 0.7)),
+        "q27_ngram_jaccard" -> (() => Dedup.ngramJaccardPairs(docs, n = 5, threshold = 0.5)),
+        "q51_dup_clusters" -> (() => Dedup.dupClusters(docs, threshold = 0.7)),
+        "q34_knn_ivf" -> (() => Similarity.ivfTopK(emb, trainFraction = 0.1)))
+      for ((name, fn) <- family) {
+        val g = s"x$f:$name"
+        spark.sparkContext.setJobGroup(g, g)
+        val t0 = System.nanoTime()
+        val rows =
+          try { val n = fn().count(); n }
+          catch { case e: Throwable =>
+            System.err.println(s"[scale] $g failed: ${e.getMessage}"); -1L
+          } finally spark.sparkContext.clearJobGroup()
+        // deliberately NO cache clear between family members: the
+        // shared corpus cache is the point (each query still derives
+        // its own signatures/shingles); operator-internal persists
+        // unpersist themselves
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"""{"factor":$f,"query":"$name","rows":$rows,""" +
+          f""""docs":$nd,"vecs":$ne,"wall_sec":$wall%.2f,""" +
+          f""""cpu_sec":${ctr(cpuNs, g) / 1e9}%.2f,""" +
+          f""""shuffle_write_mb":${ctr(shWr, g) / 1e6}%.1f,""" +
+          f""""shuffle_read_mb":${ctr(shRd, g) / 1e6}%.1f}""")
+      }
+      docs.unpersist(false); emb.unpersist(false)
+    }
+    spark.stop()
+  }
+}

@@ -274,6 +274,17 @@ object TrainingEntries {
     "q109_frame_dedup"   -> q(t =>
       Multimodal.frameDuplicates(
         Multimodal.synthesizeFromDocuments(t.documents))),
+    // Two-phase salted aggregation over the documents source key: the
+    // skew MITIGATION held to the same oracle standard as the q104
+    // profiler — partial count on (source, salt), merged partials
+    // must equal the direct groupBy exactly
+    "q110_salted_agg"    -> q(t =>
+      SkewJoin.saltedAgg(t.documents.select(col("source")),
+        Seq("source"), salt = 8)(
+        _.agg(org.apache.spark.sql.functions.count(lit(1)).as("pn")),
+        _.agg(org.apache.spark.sql.functions.sum(col("pn")).cast("long")
+          .as("n_docs")))
+        .orderBy("source")),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -1691,25 +1702,41 @@ object TrainingEntries {
         |FROM r CROSS JOIN tot WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // Mirrors Similarity.vectorHealth: per-dim census over the same
-    // 1e6-quantized elements as the ANN oracles (flatCte)
+    // 1e6 quantization as the ANN oracles, but with its OWN flat CTE
+    // that survives the pathologies the operator exists to detect
+    // (parity with the Spark side on sick inputs): non-finite
+    // elements zero-fold into the norm BEFORE the BIGINT cast (the
+    // shared flatCte would error in DuckDB where Spark reports them),
+    // and len-0 embeddings — which produce no flat rows — keep their
+    // dim=0 census row via LEFT JOIN + COALESCE(nsq, 0) (Spark emits
+    // a zero-vector row for them, as vectorHealth's scaladoc
+    // promises).
     "q105_vector_health" ->
-      s"""WITH $flatCte,
-         |nsq AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) AS nsq
-         |        FROM flat GROUP BY vec_id),
-         |meta AS (SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
-         |    len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
-         |      OR isinf(CAST(x AS DOUBLE)))) > 0 AS bad
-         |  FROM embeddings)
-         |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-         |  CAST(SUM(CASE WHEN nsq = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_zero,
-         |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_nonfinite,
-         |  MIN(nsq) AS min_nsq, MAX(nsq) AS max_nsq,
-         |  CAST(CAST(SUM(nsq) AS BIGINT) // COUNT(*) AS BIGINT)
-         |    AS mean_nsq
-         |FROM meta JOIN nsq USING (vec_id)
-         |GROUP BY dim ORDER BY dim""".stripMargin,
+      """WITH flat5 AS (SELECT vec_id, i,
+        |    CAST(round((CASE WHEN isnan(CAST(embedding[i] AS DOUBLE))
+        |          OR isinf(CAST(embedding[i] AS DOUBLE)) THEN 0.0
+        |        ELSE CAST(embedding[i] AS DOUBLE) END) * 1000000)
+        |      AS BIGINT) AS v
+        |  FROM (SELECT vec_id, embedding,
+        |        unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |nsq AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) AS nsq
+        |        FROM flat5 GROUP BY vec_id),
+        |meta AS (SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |    len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+        |      OR isinf(CAST(x AS DOUBLE)))) > 0 AS bad
+        |  FROM embeddings),
+        |j AS (SELECT m.dim, m.bad, COALESCE(n.nsq, 0) AS nsq
+        |      FROM meta m LEFT JOIN nsq n USING (vec_id))
+        |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CASE WHEN nsq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nonfinite,
+        |  MIN(nsq) AS min_nsq, MAX(nsq) AS max_nsq,
+        |  CAST(CAST(SUM(nsq) AS BIGINT) // COUNT(*) AS BIGINT)
+        |    AS mean_nsq
+        |FROM j GROUP BY dim ORDER BY dim""".stripMargin,
 
     // Mirrors Similarity.semanticDecontaminate: exact-integer dots
     // over the shared flatCte quantization, eval = vec_id < 10
@@ -1785,6 +1812,12 @@ object TrainingEntries {
         |  CAST(frame_no AS BIGINT) AS keep_frame_no,
         |  CAST(n_copies AS BIGINT) AS n_copies
         |FROM r WHERE rn = 1 ORDER BY fp""".stripMargin,
+
+    // Mirrors SkewJoin.saltedAgg over documents.source: salting is
+    // pure partitioning — merged partial counts ARE the plain GROUP BY
+    "q110_salted_agg" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

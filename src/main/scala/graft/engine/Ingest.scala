@@ -51,16 +51,26 @@ object Ingest {
     * the Spark-native form of the reference's file `Predicate` (S3).
     * At 100 TB this is the one full-data pass; everything after reads
     * pruned column chunks.
+    *
+    * `format` is any columnar file source — "parquet" (default) or
+    * "orc". Both run the same DataSource-v1 scan path
+    * (FileSourceScanExec): identical directory-level partition
+    * pruning, min/max predicate pushdown into stripe/row-group
+    * metadata, and column pruning; the choice is an ecosystem call
+    * (Hive/ORC ACID shops vs everything else), not a plan change —
+    * ServingSpec asserts pruning parity by scan metric.
     */
-  def writeWarehouse(df: DataFrame, path: String): Unit = {
+  def writeWarehouse(df: DataFrame, path: String,
+      format: String = "parquet"): Unit = {
     import org.apache.spark.sql.functions._
     df.withColumn("year", year(col("FlightDate")))
       .withColumn("month", month(col("FlightDate")))
       .write.mode("overwrite")
       .partitionBy("year", "month")
-      .parquet(path)
+      .format(format).save(path)
   }
 
-  def readWarehouse(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  def readWarehouse(spark: SparkSession, path: String,
+      format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(path)
 }

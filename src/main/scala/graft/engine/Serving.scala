@@ -32,17 +32,21 @@ object Serving {
     * (airport, carrier, date) — the same constraint Cassandra's
     * partition-key design imposes.
     */
-  def writeKeyed(df: DataFrame, path: String, keyCols: Seq[String]): Unit =
-    df.write.mode("overwrite").partitionBy(keyCols: _*).parquet(path)
+  def writeKeyed(df: DataFrame, path: String, keyCols: Seq[String],
+      format: String = "parquet"): Unit =
+    df.write.mode("overwrite").partitionBy(keyCols: _*)
+      .format(format).save(path)
 
   /** S9 (R:274, R:615) — point lookup: filters on the partition columns
     * prune to the matching directories; only non-key predicates touch
-    * row data.
+    * row data. `format` must match the [[writeKeyed]] that produced
+    * `path` ("parquet" default, "orc" for ORC warehouses — same
+    * pruning behavior, see Ingest.writeWarehouse).
     */
   def lookup(spark: SparkSession, path: String,
-      key: Map[String, Any]): DataFrame = {
+      key: Map[String, Any], format: String = "parquet"): DataFrame = {
     val pred = key.map { case (k, v) => col(k) === v }
       .reduce((a: Column, b: Column) => a && b)
-    spark.read.parquet(path).filter(pred)
+    spark.read.format(format).load(path).filter(pred)
   }
 }

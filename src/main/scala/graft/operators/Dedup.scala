@@ -411,11 +411,11 @@ object Dedup {
     * DELETED as soon as the next round materializes, so disk usage is
     * O(current edge set), not O(rounds). Only the final `edges` and
     * `nodes` checkpoints (which back the returned plan) survive the
-    * call; the caller owns the directory itself. Superseded-file
-    * discovery diffs the checkpoint dir's `rdd-*` children around
-    * each materialize, which assumes no CONCURRENT reliable
-    * checkpoints on the same SparkContext during the call — the
-    * normal driver-sequential shape of a dedup pipeline.
+    * call; the caller owns the directory itself. Superseded files are
+    * identified from the checkpointed RDD ITSELF (the `LogicalRDD`
+    * leaf's `getCheckpointFile`), so only files this call created can
+    * ever be deleted — a concurrent reliable checkpoint by another
+    * job/thread on the same SparkContext is untouched.
     */
   def componentsOf(pairs: DataFrame, maxRounds: Int = 30,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -423,23 +423,15 @@ object Dedup {
     val reliable = checkpointDir.isDefined
     if (reliable && sc.getCheckpointDir.isEmpty)
       sc.setCheckpointDir(checkpointDir.get)
-    def listCk(): Set[String] =
-      if (!reliable) Set.empty
-      else {
-        val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
-        val fs = root.getFileSystem(sc.hadoopConfiguration)
-        if (!fs.exists(root)) Set.empty
-        else fs.listStatus(root).map(_.getPath.toString).toSet
-      }
     // one round-truncation policy for the whole run (Scaladoc above);
-    // returns the truncated frame plus the checkpoint files it
-    // created, so superseded rounds can be deleted eagerly
+    // returns the truncated frame plus the exact checkpoint files it
+    // created (read off the materialized RDD — never a dir listing),
+    // so superseded rounds can be deleted eagerly and safely
     def ckpt(df: DataFrame): (DataFrame, Set[String]) =
       if (!reliable) (df.localCheckpoint(true), Set.empty)
       else {
-        val before = listCk()
         val out = df.checkpoint(true)
-        (out, listCk() -- before)
+        (out, org.apache.spark.sql.graft.ColumnBridge.checkpointFiles(out))
       }
     def drop(paths: Set[String]): Unit = if (reliable) paths.foreach { s =>
       val hp = new org.apache.hadoop.fs.Path(s)
@@ -541,8 +533,22 @@ object Dedup {
     * shuffle-heavy exact variant; minhashDupPairs is the cheap one.
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3,
+      threshold: Double = 0.5, maxDf: Int = 100): DataFrame =
+    ngramJaccardFromShingles(shingles(documents, n), threshold, maxDf)
+
+  /** [[ngramJaccardPairs]] over a PRECOMPUTED distinct (doc_id,
+    * shingle) table — the [[sourceOverlapFromPairs]] pattern applied
+    * to the dedup family's OTHER expensive artifact: the distinct
+    * shingle index. q27's standalone cost is dominated by re-deriving
+    * (explode + corpus-wide distinct) the same table that q43/q93's
+    * decontamination legs also derive; a session that runs more than
+    * one shingle consumer should materialize [[shingles]] once
+    * (parquet at warehouse scale — Bench's composed mode measures
+    * exactly this) and feed them all.
+    */
+  def ngramJaccardFromShingles(shingleSet: DataFrame,
       threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
-    val sh0 = shingles(documents, n)
+    val sh0 = shingleSet
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter($("df") <= maxDf).select("shingle")

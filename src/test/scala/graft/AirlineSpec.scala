@@ -119,6 +119,38 @@ class AirlineSpec extends SparkSpec {
     assert(fmt.getString(fmt.fieldIndex("leg2_arr_delay")) === "-5.00")
   }
 
+  test("G3Q2 golden: formatBestLegs matches the checked-in fixture byte-exact (R:553-571)") {
+    // two requests; the second exercises the full formatting surface:
+    // malformed-DepTime day carry (2400 + 780 min delay -> sched 11:00
+    // SAME day), dd/MM ordering on a single-digit month, negative and
+    // fractional %.2f delays
+    val legsFlights = Seq(
+      row("2008-08-16", "AA", 10, "ORD", "SEA", "0700", 0.0, 17.0),
+      row("2008-08-16", "UA", 11, "ORD", "SEA", "0800", 0.0, 3.5),   // best leg1 r1
+      row("2008-08-18", "AS", 20, "SEA", "JFK", "1400", 0.0, -5.25), // best leg2 r1
+      row("2008-08-18", "B6", 21, "SEA", "JFK", "1500", 0.0, 4.0),
+      row("2008-03-01", "WN", 30, "ORD", "LAX", "2400", 780.0, -2.5), // only leg1 r2
+      row("2008-03-03", "DL", 40, "LAX", "JFK", "1330", 5.0, 12.3)    // only leg2 r2
+    ).toDF("FlightDate", "UniqueCarrier", "FlightNum", "Origin", "Dest",
+      "DepTime", "DepDelay", "ArrDelay")
+    val requests = Seq(
+      ("ORD", "SEA", "JFK", Date.valueOf("2008-08-16")),
+      ("ORD", "LAX", "JFK", Date.valueOf("2008-03-01")))
+      .toDF("origin", "stop", "dest", "request_date")
+
+    val fmt = Airline.formatBestLegs(
+      Airline.bestLegs(requests, Airline.legCandidates(legsFlights)))
+      .orderBy("origin", "stop", "dest", "request_date")
+    val lines = fmt.collect().toSeq
+      .map(_.toSeq.map(String.valueOf).mkString("|"))
+    val golden = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/best_legs_golden.txt")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty)
+    assert(lines === golden,
+      "formatted best-legs output drifted from the golden fixture")
+  }
+
   test("G3Q2: broadcastRequests=false yields identical rows via shuffle joins") {
     val legsFlights = Seq(
       row("2008-08-16", "AA", 10, "ORD", "SEA", "0700", 0.0, 17.0),
