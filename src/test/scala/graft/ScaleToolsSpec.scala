@@ -105,6 +105,38 @@ class ScaleToolsSpec extends SparkSpec {
     assert(narrow.spread().rdd.getNumPartitions === target)
   }
 
+  test("ScaleRehearsal inflation: within-copy dup structure x K, zero cross-copy pairs") {
+    // two near-dup docs + one distinct: the original graph has exactly
+    // one pair. A valid K-fold inflation yields exactly K pairs (one
+    // per copy) — a plain text copy would add cross-copy pairs and
+    // grow the graph superlinearly, poisoning the linearity
+    // measurement the rehearsal exists to make.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away house"),
+      (3L, "completely different content about distributed query engines in the cloud"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val basePairs = Dedup.minhashDupPairs(docs, threshold = 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(basePairs.map(p => (p._1, p._2)) === Set((1L, 2L)))
+
+    val k = 3
+    val inflated = ScaleRehearsal.inflateDocuments(docs, k)
+    assert(inflated.count() === docs.count() * k)
+    val got = Dedup.minhashDupPairs(inflated, threshold = 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.size === k, s"expected $k within-copy pairs, got: $got")
+    val copyOf = (id: Long) => id / 100000000L
+    assert(got.forall(p => copyOf(p._1) === copyOf(p._2)),
+      s"cross-copy near-dup pairs must not exist: $got")
+    // each copy contributes exactly the original pair, id-shifted
+    assert(got.map(p => (p._1 % 100000000L, p._2 % 100000000L)) ===
+      Set((1L, 2L)))
+  }
+
   test("salted two-phase aggregation matches direct aggregation") {
     val df = ((1 to 3000).map(_ => ("hot", 1.0)) ++
       (1 to 50).map(i => (s"k$i", 2.0))).toDF("k", "v")
