@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, lit, md5, posexplode, when}
 
 import graft.analytics.DistributionFit
-import graft.operators.{Curation, Dedup, Events, Multimodal, Similarity, SkewJoin, StarQueries, TextAnalysis}
+import graft.operators.{Curation, Dedup, Events, Multimodal, Similarity, SkewJoin, StarQueries, SubstringDedup, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver-contract entries for the training-data-pipeline operators
@@ -285,6 +285,14 @@ object TrainingEntries {
         _.agg(org.apache.spark.sql.functions.sum(col("pn")).cast("long")
           .as("n_docs")))
         .orderBy("source")),
+    // Token-window substring dedup (Lee et al. 2022 shape): per-doc
+    // merged-interval coverage of 8-token spans repeated anywhere in
+    // the corpus — the dup_fraction a curation pipeline thresholds on
+    "q111_dup_spans"     -> q(t => SubstringDedup.dupSpanStats(t.documents)),
+    // Memorization audit: top-20 most-repeated 8-token spans with
+    // occurrence/document counts (fingerprint-grouped, span text
+    // min-combined map-side)
+    "q112_top_spans"     -> q(t => SubstringDedup.topDuplicatedSpans(t.documents)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -367,6 +375,22 @@ object TrainingEntries {
        |    len_score * 0.25 + punct_score * 0.25 + alpha_score * 0.25 +
        |      stop_score * 0.25 AS quality
        |  FROM terms)""".stripMargin
+
+  /** 8-token windows CTE (q111/q112): `tok(doc_id, toks)` is the
+    * whitespace token list of the normalized text (empty docs out —
+    * string_split('') yields [''], not []), `wins(doc_id, pos, fp)`
+    * one md5 fingerprint per 8-token window at 1-based token `pos`.
+    * Mirrors SubstringDedup.windowOccurrences exactly.
+    */
+  private val tokenWindowsCte =
+    s"""tok AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM (
+       |        SELECT doc_id, $norm AS norm FROM documents)
+       |        WHERE length(norm) > 0),
+       |wins AS (SELECT doc_id, i AS pos,
+       |           md5(array_to_string(toks[i:i+7], ' ')) AS fp
+       |         FROM (SELECT doc_id, toks,
+       |                 unnest(generate_series(1, len(toks) - 7)) AS i
+       |               FROM tok WHERE len(toks) >= 8))""".stripMargin
 
   // 5-gram shingles CTE (shared by minhash queries). DuckDB 1.0 has no
   // lateral generate_series table function; unnest of the list form
@@ -1818,6 +1842,45 @@ object TrainingEntries {
     "q110_salted_agg" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Token-window substring dedup: the oracle keys windows on their
+    // md5 like Spark (identical hex both engines), merges duplicated
+    // intervals gaps-and-islands style via a running max of ends —
+    // validated against a brute-force position-set computation.
+    "q111_dup_spans" ->
+      s"""WITH $tokenWindowsCte,
+         |dup AS (SELECT fp FROM wins GROUP BY fp HAVING COUNT(*) >= 2),
+         |hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (fp)),
+         |isl AS (SELECT doc_id, pos,
+         |  CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (PARTITION BY doc_id
+         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    -1) THEN 1 ELSE 0 END AS is_start
+         |  FROM hits),
+         |grp AS (SELECT doc_id, pos, SUM(is_start) OVER (PARTITION BY doc_id
+         |        ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g FROM isl),
+         |cov AS (SELECT doc_id, CAST(SUM(maxe - mins + 1) AS BIGINT)
+         |          AS dup_tokens FROM (
+         |        SELECT doc_id, g, MIN(pos) AS mins, MAX(pos) + 7 AS maxe
+         |        FROM grp GROUP BY doc_id, g) GROUP BY doc_id),
+         |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+         |         FROM tok WHERE len(toks) >= 8)
+         |SELECT l.doc_id, l.n_tokens,
+         |  COALESCE(c.dup_tokens, 0) AS dup_tokens,
+         |  CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / l.n_tokens
+         |    AS dup_fraction
+         |FROM lens l LEFT JOIN cov c USING (doc_id)
+         |ORDER BY l.doc_id""".stripMargin,
+
+    // Top-20 repeated spans: total order (n_occ DESC, span ASC) makes
+    // the limit-20 set deterministic in both engines.
+    "q112_top_spans" ->
+      s"""WITH $tokenWindowsCte
+         |SELECT array_to_string(toks[pos:pos+7], ' ') AS span,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |  CAST(COUNT(DISTINCT wins.doc_id) AS BIGINT) AS n_docs
+         |FROM wins JOIN tok ON wins.doc_id = tok.doc_id
+         |GROUP BY span HAVING COUNT(*) >= 2
+         |ORDER BY n_occ DESC, span LIMIT 20""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

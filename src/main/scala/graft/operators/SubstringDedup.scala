@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis.normText
+import graft.operators.OrderedOut._
+
+/** Token-window (substring-span) deduplication — the Lee et al. 2022
+  * "Deduplicating Training Data Makes Language Models Better" family,
+  * re-expressed Spark-first (builder brief; BASELINE.json north star).
+  *
+  * Where [[Dedup]] finds near-duplicate DOCUMENTS (minhash/simhash over
+  * character shingles), this module finds repeated SPANS: any `k`-token
+  * window whose exact text occurs more than once anywhere in the corpus
+  * (including twice within one document). The per-document output is the
+  * merged-interval coverage of such windows — the "duplicated token
+  * fraction" a curation pipeline thresholds on, and the memorization
+  * audit's top-repeated-spans report.
+  *
+  * Portability design: tokens are the whitespace split of
+  * [[TextAnalysis.normText]]; window identity is `md5` of the
+  * space-joined window (identical hex in Spark and DuckDB), so every
+  * operator here is hash-gated against a DuckDB oracle that keys on the
+  * window STRING — equal output unless md5 collides (~2^-64 per pair).
+  *
+  * Scale design (100 TB):
+  *  - window derivation is pure narrow expressions (split + sequence +
+  *    transform + posexplode) — no shuffle until the fingerprint agg;
+  *  - the duplicated-window set is a groupBy on the 32-char fingerprint
+  *    with map-side partial counts; window text never shuffles on the
+  *    coverage path (only the audit report carries one span string per
+  *    fingerprint, min-combined map-side);
+  *  - interval merging is a window function partitioned BY DOCUMENT
+  *    (gaps-and-islands over a running max), so no per-source or global
+  *    funnel — the largest window partition is one document's hits;
+  *  - everything is linear in corpus tokens: occurrences explode to
+  *    ~n_tokens rows/doc, the self-identifying fingerprint join is an
+  *    equi-join, and no step is quadratic in documents or spans.
+  */
+object SubstringDedup {
+
+  private def $(name: String): Column = col(name)
+
+  /** (doc_id, pos, fp) — one row per `k`-token window: `pos` is the
+    * 1-based token index of the window start, `fp` the md5 of the
+    * space-joined window text. Documents with fewer than `k` tokens
+    * produce no rows. Pure narrow derivation (no shuffle).
+    */
+  def windowOccurrences(documents: DataFrame, k: Int = 8): DataFrame =
+    documents
+      .spread()
+      .select($("doc_id"), normText($("text")).as("norm"))
+      .where(length($("norm")) > 0)
+      .select($("doc_id"), split($("norm"), " ").as("toks"))
+      .where(size($("toks")) >= k)
+      .select($("doc_id"), posexplode(transform(
+        sequence(lit(1), size($("toks")) - (k - 1)),
+        i => md5(concat_ws(" ", slice($("toks"), i, lit(k))))))
+        .as(Seq("pos0", "fp")))
+      .select($("doc_id"), ($("pos0") + 1).as("pos"), $("fp"))
+
+  /** Fingerprints of windows whose text repeats anywhere in the corpus
+    * (total occurrences ≥ 2 — within-doc repeats count, matching the
+    * Lee et al. rule of removing any span that appears more than once).
+    * One fingerprint groupBy with map-side combine.
+    */
+  def duplicatedWindows(documents: DataFrame, k: Int = 8): DataFrame =
+    windowOccurrences(documents, k)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_occ"), countDistinct($("doc_id")).as("n_docs"))
+      .where($("n_occ") >= 2)
+
+  /** Per-document duplicated-span coverage: (doc_id, n_tokens,
+    * dup_tokens, dup_fraction) over documents with ≥ `k` tokens.
+    * `dup_tokens` is the size of the UNION of all duplicated windows'
+    * token intervals `[pos, pos+k-1]` — merged gaps-and-islands style
+    * (running max of interval ends, partitioned per document), so
+    * overlapping hits are not double-counted. `dup_fraction` =
+    * dup_tokens / n_tokens; this is the column a curation pipeline
+    * thresholds on (e.g. drop documents > 0.5 duplicated).
+    */
+  def dupSpanStats(documents: DataFrame, k: Int = 8): DataFrame = {
+    val wins = windowOccurrences(documents, k)
+    val dupFp = wins.groupBy("fp").agg(count(lit(1)).as("n_occ"))
+      .where($("n_occ") >= 2).select("fp")
+    val hits = wins.join(dupFp, "fp").select($("doc_id"), $("pos"))
+
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMaxEnd = max($("pos") + (k - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = hits
+      .withColumn("is_start",
+        when($("pos") > coalesce(prevMaxEnd, lit(Long.MinValue)), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum($("is_start")).over(byDoc))
+    val covered = islands
+      .groupBy("doc_id", "island")
+      .agg((max($("pos")) + (k - 1) - min($("pos")) + 1).as("span_tokens"))
+      .groupBy("doc_id")
+      .agg(sum($("span_tokens")).as("dup_tokens"))
+
+    val lens = documents
+      .select($("doc_id"), normText($("text")).as("norm"))
+      .where(length($("norm")) > 0)
+      .select($("doc_id"), size(split($("norm"), " ")).cast("long").as("n_tokens"))
+      .where($("n_tokens") >= k)
+
+    lens.join(covered, Seq("doc_id"), "left")
+      .select($("doc_id"), $("n_tokens"),
+        coalesce($("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce($("dup_tokens"), lit(0L)).cast("double") /
+          $("n_tokens").cast("double")).as("dup_fraction"))
+  }
+
+  /** Memorization-audit report: the `topN` most-repeated `k`-token
+    * spans with their occurrence and distinct-document counts, span
+    * text included. Grouping is on the fingerprint (32 chars) with the
+    * span text carried as a map-side-combined `min` — one string per
+    * fingerprint per partition crosses the shuffle, never the raw
+    * window stream. Deterministic selection: total order (n_occ DESC,
+    * span ASC) via orderBy.limit → TakeOrderedAndProject (no global
+    * sort).
+    */
+  def topDuplicatedSpans(documents: DataFrame, k: Int = 8,
+                         topN: Int = 20): DataFrame =
+    documents
+      .spread()
+      .select($("doc_id"), normText($("text")).as("norm"))
+      .where(length($("norm")) > 0)
+      .select($("doc_id"), split($("norm"), " ").as("toks"))
+      .where(size($("toks")) >= k)
+      .select($("doc_id"), explode(transform(
+        sequence(lit(1), size($("toks")) - (k - 1)),
+        i => concat_ws(" ", slice($("toks"), i, lit(k))))).as("span"))
+      .select($("doc_id"), $("span"), md5($("span")).as("fp"))
+      .groupBy("fp")
+      .agg(min($("span")).as("span"), count(lit(1)).as("n_occ"),
+        countDistinct($("doc_id")).as("n_docs"))
+      .where($("n_occ") >= 2)
+      .select($("span"), $("n_occ"), $("n_docs"))
+      .orderBy($("n_occ").desc, $("span"))
+      .limit(topN)
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.SubstringDedup
+
+/** Hand-computed semantics for the token-window substring-dedup family
+  * (q111/q112): window fingerprints, the ≥2-occurrence dup rule
+  * (including within-doc repeats), merged-interval coverage, and the
+  * deterministic top-spans ordering.
+  */
+class SubstringDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // k=4 keeps the arithmetic small enough to verify by hand.
+  private val K = 4
+
+  /** doc 1: "a b c d e f"        → windows at 1..3
+    * doc 2: "x a b c d e y"      → shares the two windows "a b c d",
+    *                               "b c d e" with doc 1
+    * doc 3: "p q r s p q r s"    → the window "p q r s" repeats
+    *                               WITHIN the doc (positions 1 and 5);
+    *                               "q r s p" etc. occur once
+    * doc 4: "u v w"              → under k tokens, excluded
+    * doc 5: "  A  b   c d e F " → normalization: lowercase + collapse
+    *                               → "a b c d e f" = doc 1 exactly
+    */
+  private lazy val docs: DataFrame = Seq(
+    (1L, "a b c d e f"),
+    (2L, "x a b c d e y"),
+    (3L, "p q r s p q r s"),
+    (4L, "u v w"),
+    (5L, "  A  b   c d e F ")).toDF("doc_id", "text")
+
+  test("windowOccurrences: one row per k-window, 1-based pos, short docs out") {
+    val wins = SubstringDedup.windowOccurrences(docs, K)
+      .select("doc_id", "pos").as[(Long, Int)].collect().sorted
+    // doc1: 3 windows, doc2: 4, doc3: 5, doc5: 3; doc4 none
+    assert(wins.map(_._1).distinct === Array(1L, 2L, 3L, 5L))
+    assert(wins.filter(_._1 == 2L).map(_._2) === Array(1, 2, 3, 4))
+    assert(wins.filter(_._1 == 3L).map(_._2) === Array(1, 2, 3, 4, 5))
+  }
+
+  test("duplicatedWindows: corpus-wide ≥2 rule counts within-doc repeats") {
+    val dup = SubstringDedup.duplicatedWindows(docs, K)
+      .select("n_occ", "n_docs").as[(Long, Long)].collect().sorted
+    // "a b c d": docs 1,2,5 → 3 occ; "b c d e": 3 occ; "c d e f": docs
+    // 1,5 → 2 occ; "p q r s": twice in doc 3 → (2 occ, 1 doc)
+    assert(dup === Array((2L, 1L), (2L, 2L), (3L, 3L), (3L, 3L)))
+  }
+
+  test("dupSpanStats: merged-interval coverage, zero-dup docs included") {
+    val got = SubstringDedup.dupSpanStats(docs, K)
+      .select("doc_id", "n_tokens", "dup_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // doc1 "a b c d e f": dup windows at pos 1,2,3 → covers 1..6 (all)
+    // doc2: dup windows at pos 2,3 → covers tokens 2..6 of 7
+    // doc3: "p q r s" at pos 1 and 5 → [1,4] ∪ [5,8]: adjacent
+    //       intervals are separate islands but coverage sums to 8
+    // doc5 ≡ doc1
+    assert(got === Array(
+      (1L, 6L, 6L), (2L, 7L, 5L), (3L, 8L, 8L), (5L, 6L, 6L)))
+    val frac = SubstringDedup.dupSpanStats(docs, K)
+      .where($"doc_id" === 2L).select("dup_fraction").as[Double].head()
+    assert(frac === 5.0 / 7.0)
+  }
+
+  test("dupSpanStats: overlap is not double-counted") {
+    // two docs sharing one 6-token run → windows at pos 1,2,3 overlap;
+    // coverage must be 6, not 3·k
+    val pair = Seq((1L, "m n o p q r zz1"), (2L, "m n o p q r zz2"))
+      .toDF("doc_id", "text")
+    val got = SubstringDedup.dupSpanStats(pair, K)
+      .select("doc_id", "dup_tokens").as[(Long, Long)].collect().sorted
+    assert(got === Array((1L, 6L), (2L, 6L)))
+  }
+
+  test("topDuplicatedSpans: (n_occ desc, span asc) total order, text intact") {
+    val top = SubstringDedup.topDuplicatedSpans(docs, K, topN = 3)
+      .as[(String, Long, Long)].collect()
+    assert(top === Array(
+      ("a b c d", 3L, 3L), ("b c d e", 3L, 3L), ("c d e f", 2L, 2L)))
+  }
+}
