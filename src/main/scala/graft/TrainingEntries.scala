@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, lit, md5, posexplode, when}
 
 import graft.analytics.DistributionFit
-import graft.operators.{Curation, Dedup, Events, Multimodal, Similarity, SkewJoin, StarQueries, SubstringDedup, TextAnalysis}
+import graft.operators.{BloomDecontam, Curation, Dedup, Events, Multimodal, Similarity, SkewJoin, StarQueries, SubstringDedup, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver-contract entries for the training-data-pipeline operators
@@ -293,6 +293,12 @@ object TrainingEntries {
     // occurrence/document counts (fingerprint-grouped, span text
     // min-combined map-side)
     "q112_top_spans"     -> q(t => SubstringDedup.topDuplicatedSpans(t.documents)),
+    // Bloom-filter span decontamination, relational form: identical
+    // md5-derived bit arithmetic in both engines, so the oracle
+    // reproduces the hit set false-positives-and-all; the broadcast
+    // byte-array production path is spec-pinned equal
+    "q113_bloom_decontam" -> q(t =>
+      BloomDecontam.decontaminateRelational(t.documents)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -1870,6 +1876,29 @@ object TrainingEntries {
          |    AS dup_fraction
          |FROM lens l LEFT JOIN cov c USING (doc_id)
          |ORDER BY l.doc_id""".stripMargin,
+
+    // Deterministic bloom: bit j of fp = 60 bits of md5(fp||'#'||j)
+    // mod 65536 — same arithmetic as BloomDecontam.bitIndex, so the
+    // false-positive set matches bit for bit. A fp whose two seeds
+    // collide joins the (distinct) bit set twice → COUNT(*)=2 still
+    // (mirrors Spark's duplicate-keeping explode).
+    "q113_bloom_decontam" ->
+      s"""WITH $tokenWindowsCte,
+         |dw AS (SELECT DISTINCT doc_id, fp FROM wins),
+         |ev AS (SELECT DISTINCT fp FROM dw WHERE doc_id % 10 = 0),
+         |bits AS (SELECT DISTINCT CAST(concat('0x',
+         |           substr(md5(fp || '#' || s), 1, 15)) AS BIGINT) % 65536
+         |           AS bit
+         |         FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS s)),
+         |tb AS (SELECT doc_id, fp, CAST(concat('0x',
+         |         substr(md5(fp || '#' || s), 1, 15)) AS BIGINT) % 65536
+         |         AS bit
+         |       FROM dw CROSS JOIN (SELECT unnest([0, 1]) AS s)
+         |       WHERE doc_id % 10 <> 0),
+         |hit AS (SELECT doc_id, fp FROM tb JOIN bits USING (bit)
+         |        GROUP BY doc_id, fp HAVING COUNT(*) = 2)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_windows
+         |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Top-20 repeated spans: total order (n_occ DESC, span ASC) makes
     // the limit-20 set deterministic in both engines.
