@@ -65,11 +65,6 @@ object BloomDecontam {
   def bitArray(fp: Column, m: Int, seeds: Int): Column =
     array((0 until seeds).map(s => bitIndex(fp, s, m)): _*)
 
-  /** Distinct (doc_id, fp) token windows per document. */
-  private def docWindows(documents: DataFrame, k: Int): DataFrame =
-    SubstringDedup.windowOccurrences(documents, k)
-      .select($("doc_id"), $("fp")).distinct()
-
   // ----------------------------------------------------------------
   // relational formulation (the oracle-gated contract, q113)
   // ----------------------------------------------------------------
@@ -83,11 +78,21 @@ object BloomDecontam {
   def decontaminateRelational(documents: DataFrame, k: Int = 8,
       m: Int = DefaultM, seeds: Int = DefaultSeeds,
       evalMod: Long = DefaultEvalMod): DataFrame = {
-    val dw = docWindows(documents, k)
-    val bits = dw.filter($("doc_id") % evalMod === 0)
+    // the window stream feeds both legs — materialize once (the
+    // Curation.decontaminate persist/localCheckpoint pattern; a
+    // parquet intermediate at warehouse scale), result checkpointed
+    // eagerly so the cache drops before returning. The bit set is
+    // ≤ seeds × eval windows — AQE broadcasts it, so the train leg
+    // never shuffles for the join.
+    val wins = SubstringDedup.windowOccurrences(documents, k)
+      .select($("doc_id"), $("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bits = wins.filter($("doc_id") % evalMod === 0)
+      .select("fp").distinct()
       .select(explode(bitArray($("fp"), m, seeds)).as("bit"))
       .distinct()
-    dw.filter($("doc_id") % evalMod =!= 0)
+    val result = wins.filter($("doc_id") % evalMod =!= 0)
+      .distinct()
       .select($("doc_id"), $("fp"),
         explode(bitArray($("fp"), m, seeds)).as("bit"))
       .join(bits, Seq("bit"))
@@ -96,6 +101,9 @@ object BloomDecontam {
       .where($("n_bits") === seeds)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit_windows"))
+      .localCheckpoint(true)
+    wins.unpersist(false)
+    result
   }
 
   // ----------------------------------------------------------------
@@ -134,8 +142,9 @@ object BloomDecontam {
       evalMod: Long = DefaultEvalMod): Array[Byte] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    docWindows(documents, k)
+    SubstringDedup.windowOccurrences(documents, k)
       .filter($("doc_id") % evalMod === 0)
+      .select("fp").distinct()
       .select(explode(bitArray($("fp"), m, seeds)).as("bit"))
       .as[Long]
       .select(new BloomBitsAgg(m).toColumn)
@@ -157,8 +166,9 @@ object BloomDecontam {
       val a = bc.value
       bits.forall(b => (a((b / 8).toInt) & (1 << (b % 8).toInt)) != 0)
     }
-    docWindows(documents, k)
+    SubstringDedup.windowOccurrences(documents, k)
       .filter($("doc_id") % evalMod =!= 0)
+      .select($("doc_id"), $("fp")).distinct()
       .where(mightContain(bitArray($("fp"), m, seeds)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit_windows"))

@@ -82,10 +82,16 @@ object SubstringDedup {
     * thresholds on (e.g. drop documents > 0.5 duplicated).
     */
   def dupSpanStats(documents: DataFrame, k: Int = 8): DataFrame = {
+    // corpus-wide occurrence count as a whole-partition window over fp
+    // rather than groupBy + self-join: the window shuffles the
+    // occurrence stream ONCE and filters in place, where the join form
+    // would shuffle it twice (agg side + probe side) and recompute the
+    // scan+explode lineage for both
     val wins = windowOccurrences(documents, k)
-    val dupFp = wins.groupBy("fp").agg(count(lit(1)).as("n_occ"))
-      .where($("n_occ") >= 2).select("fp")
-    val hits = wins.join(dupFp, "fp").select($("doc_id"), $("pos"))
+    val hits = wins
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("fp")))
+      .where($("n_occ") >= 2)
+      .select($("doc_id"), $("pos"))
 
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevMaxEnd = max($("pos") + (k - 1))
