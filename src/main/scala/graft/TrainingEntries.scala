@@ -299,6 +299,11 @@ object TrainingEntries {
     // byte-array production path is spec-pinned equal
     "q113_bloom_decontam" -> q(t =>
       BloomDecontam.decontaminateRelational(t.documents)),
+    // Composed span-family curation: train docs long enough to window,
+    // ≤ half their tokens in corpus-duplicated spans, and clean under
+    // the bloom decontaminator — one persisted window table, id-only
+    // semi/anti joins
+    "q114_span_clean"    -> q(t => Curation.spanCleanCorpus(t.documents)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -397,6 +402,51 @@ object TrainingEntries {
        |         FROM (SELECT doc_id, toks,
        |                 unnest(generate_series(1, len(toks) - 7)) AS i
        |               FROM tok WHERE len(toks) >= 8))""".stripMargin
+
+  /** Coverage chain after [[tokenWindowsCte]] (q111/q114): merged
+    * duplicated-interval coverage per doc, gaps-and-islands over a
+    * running max of interval ends — callers read `cov(doc_id,
+    * dup_tokens)` and `lens(doc_id, n_tokens)`. Validated against a
+    * brute-force position-set computation.
+    */
+  private val spanCoverageCtes =
+    """dup AS (SELECT fp FROM wins GROUP BY fp HAVING COUNT(*) >= 2),
+      |hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (fp)),
+      |isl AS (SELECT doc_id, pos,
+      |  CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (PARTITION BY doc_id
+      |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    -1) THEN 1 ELSE 0 END AS is_start
+      |  FROM hits),
+      |grp AS (SELECT doc_id, pos, SUM(is_start) OVER (PARTITION BY doc_id
+      |        ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g FROM isl),
+      |cov AS (SELECT doc_id, CAST(SUM(maxe - mins + 1) AS BIGINT)
+      |          AS dup_tokens FROM (
+      |        SELECT doc_id, g, MIN(pos) AS mins, MAX(pos) + 7 AS maxe
+      |        FROM grp GROUP BY doc_id, g) GROUP BY doc_id),
+      |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+      |         FROM tok WHERE len(toks) >= 8)""".stripMargin
+
+  /** Bloom chain after [[tokenWindowsCte]] (q113/q114): deterministic
+    * bit j of fp = 60 bits of md5(fp||'#'||j) mod 65536 — the same
+    * arithmetic as BloomDecontam.bitIndex, so the false-positive set
+    * matches bit for bit. A fp whose two seeds collide joins the
+    * (distinct) bit set twice → COUNT(*)=2 still (mirrors Spark's
+    * duplicate-keeping explode). Callers read `hit(doc_id, fp)`.
+    */
+  private val bloomHitCtes =
+    """dw AS (SELECT DISTINCT doc_id, fp FROM wins),
+      |ev AS (SELECT DISTINCT fp FROM dw WHERE doc_id % 10 = 0),
+      |bits AS (SELECT DISTINCT CAST(concat('0x',
+      |           substr(md5(fp || '#' || s), 1, 15)) AS BIGINT) % 65536
+      |           AS bit
+      |         FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS s)),
+      |tb AS (SELECT doc_id, fp, CAST(concat('0x',
+      |         substr(md5(fp || '#' || s), 1, 15)) AS BIGINT) % 65536
+      |         AS bit
+      |       FROM dw CROSS JOIN (SELECT unnest([0, 1]) AS s)
+      |       WHERE doc_id % 10 <> 0),
+      |hit AS (SELECT doc_id, fp FROM tb JOIN bits USING (bit)
+      |        GROUP BY doc_id, fp HAVING COUNT(*) = 2)""".stripMargin
 
   // 5-gram shingles CTE (shared by minhash queries). DuckDB 1.0 has no
   // lateral generate_series table function; unnest of the list form
@@ -1850,26 +1900,10 @@ object TrainingEntries {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // Token-window substring dedup: the oracle keys windows on their
-    // md5 like Spark (identical hex both engines), merges duplicated
-    // intervals gaps-and-islands style via a running max of ends —
-    // validated against a brute-force position-set computation.
+    // md5 like Spark (identical hex both engines); see spanCoverageCtes.
     "q111_dup_spans" ->
       s"""WITH $tokenWindowsCte,
-         |dup AS (SELECT fp FROM wins GROUP BY fp HAVING COUNT(*) >= 2),
-         |hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (fp)),
-         |isl AS (SELECT doc_id, pos,
-         |  CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (PARTITION BY doc_id
-         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |    -1) THEN 1 ELSE 0 END AS is_start
-         |  FROM hits),
-         |grp AS (SELECT doc_id, pos, SUM(is_start) OVER (PARTITION BY doc_id
-         |        ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g FROM isl),
-         |cov AS (SELECT doc_id, CAST(SUM(maxe - mins + 1) AS BIGINT)
-         |          AS dup_tokens FROM (
-         |        SELECT doc_id, g, MIN(pos) AS mins, MAX(pos) + 7 AS maxe
-         |        FROM grp GROUP BY doc_id, g) GROUP BY doc_id),
-         |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
-         |         FROM tok WHERE len(toks) >= 8)
+         |$spanCoverageCtes
          |SELECT l.doc_id, l.n_tokens,
          |  COALESCE(c.dup_tokens, 0) AS dup_tokens,
          |  CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / l.n_tokens
@@ -1877,28 +1911,27 @@ object TrainingEntries {
          |FROM lens l LEFT JOIN cov c USING (doc_id)
          |ORDER BY l.doc_id""".stripMargin,
 
-    // Deterministic bloom: bit j of fp = 60 bits of md5(fp||'#'||j)
-    // mod 65536 — same arithmetic as BloomDecontam.bitIndex, so the
-    // false-positive set matches bit for bit. A fp whose two seeds
-    // collide joins the (distinct) bit set twice → COUNT(*)=2 still
-    // (mirrors Spark's duplicate-keeping explode).
+    // Deterministic bloom over window fingerprints; see bloomHitCtes.
     "q113_bloom_decontam" ->
       s"""WITH $tokenWindowsCte,
-         |dw AS (SELECT DISTINCT doc_id, fp FROM wins),
-         |ev AS (SELECT DISTINCT fp FROM dw WHERE doc_id % 10 = 0),
-         |bits AS (SELECT DISTINCT CAST(concat('0x',
-         |           substr(md5(fp || '#' || s), 1, 15)) AS BIGINT) % 65536
-         |           AS bit
-         |         FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS s)),
-         |tb AS (SELECT doc_id, fp, CAST(concat('0x',
-         |         substr(md5(fp || '#' || s), 1, 15)) AS BIGINT) % 65536
-         |         AS bit
-         |       FROM dw CROSS JOIN (SELECT unnest([0, 1]) AS s)
-         |       WHERE doc_id % 10 <> 0),
-         |hit AS (SELECT doc_id, fp FROM tb JOIN bits USING (bit)
-         |        GROUP BY doc_id, fp HAVING COUNT(*) = 2)
+         |$bloomHitCtes
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_windows
          |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Composed span-family curation: both chains over ONE window CTE;
+    // keep = train ∧ windowable ∧ ≤half-duplicated ∧ not bloom-hit.
+    "q114_span_clean" ->
+      s"""WITH $tokenWindowsCte,
+         |$spanCoverageCtes,
+         |$bloomHitCtes
+         |SELECT d.doc_id, d.source FROM documents d
+         |JOIN (SELECT l.doc_id FROM lens l
+         |      LEFT JOIN cov c USING (doc_id)
+         |      WHERE COALESCE(c.dup_tokens, 0) * 2 <= l.n_tokens) keep
+         |  USING (doc_id)
+         |WHERE d.doc_id % 10 <> 0
+         |  AND d.doc_id NOT IN (SELECT DISTINCT doc_id FROM hit)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Top-20 repeated spans: total order (n_occ DESC, span ASC) makes
     // the limit-20 set deterministic in both engines.

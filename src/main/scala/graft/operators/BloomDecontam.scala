@@ -75,24 +75,21 @@ object BloomDecontam {
     * Exactly the byte-array filter's semantics — false positives and
     * all — as an equi-join on bit indices.
     */
-  def decontaminateRelational(documents: DataFrame, k: Int = 8,
-      m: Int = DefaultM, seeds: Int = DefaultSeeds,
+  /** The relational bloom over a prepared (doc_id, fp) window table —
+    * factored so composed pipelines ([[Curation.spanCleanCorpus]]) can
+    * share one persisted table across the coverage and bloom legs.
+    * The bit set is ≤ seeds × eval windows — AQE broadcasts it, so
+    * the train leg never shuffles for the join.
+    */
+  def flaggedFromWindows(wins: DataFrame, m: Int = DefaultM,
+      seeds: Int = DefaultSeeds,
       evalMod: Long = DefaultEvalMod): DataFrame = {
-    // the window stream feeds both legs — materialize once (the
-    // Curation.decontaminate persist/localCheckpoint pattern; a
-    // parquet intermediate at warehouse scale), result checkpointed
-    // eagerly so the cache drops before returning. The bit set is
-    // ≤ seeds × eval windows — AQE broadcasts it, so the train leg
-    // never shuffles for the join.
-    val wins = SubstringDedup.windowOccurrences(documents, k)
-      .select($("doc_id"), $("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bits = wins.filter($("doc_id") % evalMod === 0)
       .select("fp").distinct()
       .select(explode(bitArray($("fp"), m, seeds)).as("bit"))
       .distinct()
-    val result = wins.filter($("doc_id") % evalMod =!= 0)
-      .distinct()
+    wins.filter($("doc_id") % evalMod =!= 0)
+      .select($("doc_id"), $("fp")).distinct()
       .select($("doc_id"), $("fp"),
         explode(bitArray($("fp"), m, seeds)).as("bit"))
       .join(bits, Seq("bit"))
@@ -101,6 +98,19 @@ object BloomDecontam {
       .where($("n_bits") === seeds)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit_windows"))
+  }
+
+  def decontaminateRelational(documents: DataFrame, k: Int = 8,
+      m: Int = DefaultM, seeds: Int = DefaultSeeds,
+      evalMod: Long = DefaultEvalMod): DataFrame = {
+    // the window stream feeds both legs — materialize once (the
+    // Curation.decontaminate persist/localCheckpoint pattern; a
+    // parquet intermediate at warehouse scale), result checkpointed
+    // eagerly so the cache drops before returning
+    val wins = SubstringDedup.windowOccurrences(documents, k)
+      .select($("doc_id"), $("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val result = flaggedFromWindows(wins, m, seeds, evalMod)
       .localCheckpoint(true)
     wins.unpersist(false)
     result

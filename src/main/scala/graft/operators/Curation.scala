@@ -298,6 +298,44 @@ object Curation {
       .join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Span-level corpus cleaning — [[cleanCorpus]]'s analogue for the
+    * token-window family: keep TRAIN documents (doc_id % evalMod != 0)
+    * that (a) are long enough to window (≥ k tokens), (b) have at most
+    * half their tokens covered by corpus-duplicated k-token windows
+    * (dup_tokens·2 ≤ n_tokens — integer-exact, no double threshold),
+    * and (c) are not flagged by the bloom span decontaminator.
+    * Returns (doc_id, source).
+    *
+    * Scale: ONE persisted window table ([[SubstringDedup
+    * .windowOccurrences]] output — a parquet intermediate at warehouse
+    * scale) feeds both analysis legs; the verdict sets join back as
+    * id-only semi/anti joins, so document text never moves past the
+    * initial scan.
+    */
+  def spanCleanCorpus(documents: DataFrame, k: Int = 8,
+      m: Int = BloomDecontam.DefaultM,
+      seeds: Int = BloomDecontam.DefaultSeeds,
+      evalMod: Long = BloomDecontam.DefaultEvalMod): DataFrame = {
+    val wins = SubstringDedup.windowOccurrences(documents, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lens = SubstringDedup.docTokenLengths(documents, k)
+    val tooDup = SubstringDedup.coverageFromWindows(wins, k)
+      .join(lens, Seq("doc_id"))
+      .where($("dup_tokens") * 2 > $("n_tokens"))
+      .select("doc_id")
+    val flagged = BloomDecontam
+      .flaggedFromWindows(wins.select($("doc_id"), $("fp")), m, seeds, evalMod)
+      .select("doc_id")
+    val result = documents.select($("doc_id"), $("source"))
+      .filter($("doc_id") % evalMod =!= 0)
+      .join(lens.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(tooDup, Seq("doc_id"), "left_anti")
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    wins.unpersist(false)
+    result
+  }
+
   /** Benchmark decontamination: flag training documents sharing at
     * least one rare character `n`-gram with the held-out eval set
     * (membership: doc_id % evalMod == 0 — stands in for "doc_id in

@@ -81,13 +81,19 @@ object SubstringDedup {
     * dup_tokens / n_tokens; this is the column a curation pipeline
     * thresholds on (e.g. drop documents > 0.5 duplicated).
     */
-  def dupSpanStats(documents: DataFrame, k: Int = 8): DataFrame = {
-    // corpus-wide occurrence count as a whole-partition window over fp
-    // rather than groupBy + self-join: the window shuffles the
-    // occurrence stream ONCE and filters in place, where the join form
-    // would shuffle it twice (agg side + probe side) and recompute the
-    // scan+explode lineage for both
-    val wins = windowOccurrences(documents, k)
+  /** Merged duplicated-interval coverage per document from a window
+    * table shaped like [[windowOccurrences]] output: (doc_id,
+    * dup_tokens) for documents with ≥ 1 duplicated window. Factored
+    * so composed pipelines ([[Curation.spanCleanCorpus]]) can feed a
+    * persisted window table to this and the bloom leg at once.
+    *
+    * Corpus-wide occurrence counting is a whole-partition count window
+    * over fp rather than groupBy + self-join: the occurrence stream
+    * shuffles ONCE and filters in place, where the join form would
+    * shuffle it twice (agg side + probe side) and recompute the
+    * scan+explode lineage for both.
+    */
+  def coverageFromWindows(wins: DataFrame, k: Int): DataFrame = {
     val hits = wins
       .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("fp")))
       .where($("n_occ") >= 2)
@@ -101,18 +107,26 @@ object SubstringDedup {
         when($("pos") > coalesce(prevMaxEnd, lit(Long.MinValue)), 1L)
           .otherwise(0L))
       .withColumn("island", sum($("is_start")).over(byDoc))
-    val covered = islands
+    islands
       .groupBy("doc_id", "island")
       .agg((max($("pos")) + (k - 1) - min($("pos")) + 1).as("span_tokens"))
       .groupBy("doc_id")
       .agg(sum($("span_tokens")).as("dup_tokens"))
+  }
 
-    val lens = documents
+  /** (doc_id, n_tokens) of documents long enough to window (≥ k
+    * tokens) — the denominator side of [[dupSpanStats]].
+    */
+  def docTokenLengths(documents: DataFrame, k: Int): DataFrame =
+    documents
       .select($("doc_id"), normText($("text")).as("norm"))
       .where(length($("norm")) > 0)
       .select($("doc_id"), size(split($("norm"), " ")).cast("long").as("n_tokens"))
       .where($("n_tokens") >= k)
 
+  def dupSpanStats(documents: DataFrame, k: Int = 8): DataFrame = {
+    val covered = coverageFromWindows(windowOccurrences(documents, k), k)
+    val lens = docTokenLengths(documents, k)
     lens.join(covered, Seq("doc_id"), "left")
       .select($("doc_id"), $("n_tokens"),
         coalesce($("dup_tokens"), lit(0L)).as("dup_tokens"),

@@ -49,6 +49,24 @@ class BloomDecontamSpec extends SparkSpec {
     assert(agg.merge(a, b).toSeq === Seq(1.toByte, (2 | 0x80).toByte))
   }
 
+  test("spanCleanCorpus: each drop rule fires independently (k=4)") {
+    // doc 10 = eval; doc 1 shares "a b c d" with it → bloom-flagged
+    // (kept by the ≤half-dup rule: 4·2 ≤ 12); docs 2,3 duplicate each
+    // other fully → 6·2 > 6 dropped; doc 4 too short to window;
+    // doc 5 clean → the only survivor
+    val docs = Seq(
+      (10L, "a b c d e f"),
+      (1L, "a b c d zz q r s t u v w"),
+      (2L, "m n o p q r"),
+      (3L, "m n o p q r"),
+      (4L, "u v w"),
+      (5L, "unique tokens here indeed truly")).toDF("doc_id", "text")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    val kept = graft.operators.Curation.spanCleanCorpus(docs, k = 4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(5L))
+  }
+
   test("bitIndex is stable and in range") {
     val bits = docs.limit(1)
       .select(BloomDecontam.bitArray(
