@@ -43,6 +43,21 @@ object SubstringDedup {
 
   private def $(name: String): Column = col(name)
 
+  /** All `k`-window fingerprints of one text as an array column —
+    * empty when the document has fewer than `k` tokens. Pure
+    * expression with no plan-shape helpers, so it runs unchanged in a
+    * Structured Streaming plan ([[graft.streaming.DocStreams
+    * .repeatedSpans]]).
+    */
+  def windowFpArray(text: Column, k: Int): Column = {
+    val norm = normText(text)
+    val toks = split(norm, " ")
+    when(length(norm) > 0 && size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => md5(concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** (doc_id, pos, fp) — one row per `k`-token window: `pos` is the
     * 1-based token index of the window start, `fp` the md5 of the
     * space-joined window text. Documents with fewer than `k` tokens

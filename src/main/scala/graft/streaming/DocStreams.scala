@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
-import graft.operators.TextAnalysis
+import graft.operators.{SubstringDedup, TextAnalysis}
 
 /** Structured Streaming over the documents table: the incremental twin
   * of the batch dedup pillar (graft.operators.Dedup), for pipelines
@@ -66,6 +66,43 @@ object DocStreams extends Serializable {
             state.update(keepId)
             Iterator.single(Keeper(fp, keepId))
           }
+      }
+  }
+
+  final case class RepeatedSpan(fp: String)
+
+  /** Streaming repeated-span detection — the incremental twin of the
+    * batch `SubstringDedup.duplicatedWindows` (q111/q112's dup rule):
+    * each arriving document explodes into its `k`-token window
+    * fingerprints (the same pure-expression derivation,
+    * [[SubstringDedup.windowFpArray]]), per-fingerprint occurrence
+    * counts accumulate in keyed state, and a fingerprint is emitted
+    * exactly ONCE — in the micro-batch where its corpus-lifetime count
+    * first reaches 2 (within-doc repeats count, matching the batch
+    * rule). Over a static input the emitted set equals the batch
+    * operator's fingerprint set.
+    *
+    * Scale: state is one counter per distinct window fingerprint ever
+    * seen — the same inherent floor as streaming exact dedup (forget a
+    * count and a later repeat is missed); the store shards by fp. For
+    * bounded-memory deployments compact cold counters into a
+    * [[graft.operators.BloomDecontam]]-style bit/count side input and
+    * accept approximate re-detection past the horizon.
+    */
+  def repeatedSpans(docs: DataFrame, k: Int = 8): Dataset[RepeatedSpan] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(explode(SubstringDedup.windowFpArray(col("text"), k)).as("fp"))
+      .as[String]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, RepeatedSpan](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: String, it: Iterator[String], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val now = prev + it.size
+          state.update(now)
+          if (prev < 2 && now >= 2) Iterator.single(RepeatedSpan(fp))
+          else Iterator.empty
       }
   }
 

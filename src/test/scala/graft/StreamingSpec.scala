@@ -388,4 +388,50 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 2L)),
       "the cross-batch near-dup pair (1,2) and nothing else")
   }
+
+  test("streaming repeated spans == batch duplicatedWindows fps (single batch)") {
+    import graft.streaming.DocStreams
+    val tables = graft.sources.Tables(spark, dir)
+    val docDir = java.nio.file.Files.createTempDirectory("graft-spans").toString
+    tables.documents.write.mode("overwrite").parquet(docDir)
+    val spans = DocStreams.repeatedSpans(DocStreams.readDocs(spark, docDir))
+    val q = spans.writeStream.outputMode("append")
+      .format("memory").queryName("spans_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("spans_stream").as[String].collect().toSet
+    val want = graft.operators.SubstringDedup.duplicatedWindows(tables.documents)
+      .select("fp").as[String].collect().toSet
+    assert(got === want,
+      "single-batch streaming span set must equal the batch dup-window set")
+    assert(got.nonEmpty)
+  }
+
+  test("streaming repeated spans fire once, on the batch that crosses 2") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{length, lit}
+    import graft.streaming.DocStreams
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("mem"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val span = "one two three four five six seven eight"
+    val q = DocStreams.repeatedSpans(docs).writeStream.outputMode("append")
+      .format("memory").queryName("spans_rebatch").start()
+    try {
+      in.addData((1L, span), (2L, "totally different words in this body here now"))
+      q.processAllAvailable()
+      assert(spark.table("spans_rebatch").count() === 0,
+        "no span repeated yet after batch one")
+      // the repeat arrives in a LATER batch — count crosses 2 against
+      // state kept from batch one
+      in.addData((3L, span))
+      q.processAllAvailable()
+      // a third copy must NOT re-emit
+      in.addData((4L, span))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("spans_rebatch").as[String].collect()
+    assert(got.length === 1, s"expected exactly one emission, got ${got.length}")
+  }
 }
