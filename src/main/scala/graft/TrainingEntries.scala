@@ -304,6 +304,13 @@ object TrainingEntries {
     // the bloom decontaminator — one persisted window table, id-only
     // semi/anti joins
     "q114_span_clean"    -> q(t => Curation.spanCleanCorpus(t.documents)),
+    // Bloom estimator-vs-exact calibration (the q98 methodology):
+    // measured false-positive share vs the sizing rule
+    "q115_bloom_calibration" -> q(t => BloomDecontam.calibration(t.documents)),
+    // Per-source span-duplication profile: which crawl is most
+    // duplicated, by corpus-level duplicated-token share
+    "q116_source_span_profile" -> q(t =>
+      SubstringDedup.sourceSpanProfile(t.documents)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -1932,6 +1939,36 @@ object TrainingEntries {
          |WHERE d.doc_id % 10 <> 0
          |  AND d.doc_id NOT IN (SELECT DISTINCT doc_id FROM hit)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // One-row calibration: bloom (train doc, window) hit pairs vs the
+    // exact shared-window join; integer counts, one final division.
+    "q115_bloom_calibration" ->
+      s"""WITH $tokenWindowsCte,
+         |$bloomHitCtes,
+         |exact AS (SELECT dw.doc_id, dw.fp FROM dw
+         |          JOIN ev USING (fp) WHERE doc_id % 10 <> 0)
+         |SELECT CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_bloom_hits,
+         |  CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact_hits,
+         |  CAST((SELECT COUNT(*) FROM hit) -
+         |       (SELECT COUNT(*) FROM exact) AS DOUBLE) /
+         |    (SELECT COUNT(*) FROM hit) AS fp_excess""".stripMargin,
+
+    // Per-source rollup of the q111 per-doc coverage stats.
+    "q116_source_span_profile" ->
+      s"""WITH $tokenWindowsCte,
+         |$spanCoverageCtes,
+         |perdoc AS (SELECT l.doc_id, l.n_tokens,
+         |             COALESCE(c.dup_tokens, 0) AS dup_tokens
+         |           FROM lens l LEFT JOIN cov c USING (doc_id))
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN p.dup_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_with_dups,
+         |  CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(p.dup_tokens) AS BIGINT) AS total_dup_tokens,
+         |  CAST(SUM(p.dup_tokens) AS DOUBLE) / SUM(p.n_tokens)
+         |    AS dup_token_share
+         |FROM perdoc p JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // Top-20 repeated spans: total order (n_occ DESC, span ASC) makes
     // the limit-20 set deterministic in both engines.

@@ -116,6 +116,37 @@ object BloomDecontam {
     result
   }
 
+  /** Estimator-vs-exact calibration (the q98 methodology applied to
+    * the bloom): one row of (n_bloom_hits, n_exact_hits, fp_excess)
+    * where hits are (train doc, window) pairs, exact = the true
+    * shared-window join, and fp_excess = (bloom − exact) / bloom —
+    * the measured false-positive share to hold against the
+    * (1-e^(-seeds·n/m))^seeds sizing rule. Integer counts divided
+    * once at the end (bit-identical across engines).
+    */
+  def calibration(documents: DataFrame, k: Int = 8, m: Int = DefaultM,
+      seeds: Int = DefaultSeeds,
+      evalMod: Long = DefaultEvalMod): DataFrame = {
+    val wins = SubstringDedup.windowOccurrences(documents, k)
+      .select($("doc_id"), $("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBloom = flaggedFromWindows(wins, m, seeds, evalMod)
+      .agg(sum($("n_hit_windows")).cast("long").as("n_bloom_hits"))
+    val evalFp = wins.filter($("doc_id") % evalMod === 0)
+      .select("fp").distinct()
+    val nExact = wins.filter($("doc_id") % evalMod =!= 0)
+      .select($("doc_id"), $("fp")).distinct()
+      .join(evalFp, Seq("fp"))
+      .agg(count(lit(1)).as("n_exact_hits"))
+    val result = nBloom.crossJoin(nExact)
+      .select($("n_bloom_hits"), $("n_exact_hits"),
+        (($("n_bloom_hits") - $("n_exact_hits")).cast("double") /
+          $("n_bloom_hits").cast("double")).as("fp_excess"))
+      .localCheckpoint(true)
+    wins.unpersist(false)
+    result
+  }
+
   // ----------------------------------------------------------------
   // byte-array formulation (the broadcast production path)
   // ----------------------------------------------------------------

@@ -149,6 +149,28 @@ object SubstringDedup {
           $("n_tokens").cast("double")).as("dup_fraction"))
   }
 
+  /** Per-source span-duplication profile — "which crawl is most
+    * duplicated": per source, windowable docs, docs with any
+    * duplicated span, token totals, and the corpus-level duplicated
+    * token share `dup_token_share` = Σdup_tokens / Σn_tokens (integer
+    * sums divided once — bit-identical across engines). The per-doc
+    * stats aggregate to one row per source; only (doc_id, source) and
+    * the counters shuffle.
+    */
+  def sourceSpanProfile(documents: DataFrame, k: Int = 8): DataFrame =
+    dupSpanStats(documents, k)
+      .join(documents.select($("doc_id"), $("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($("dup_tokens") > 0, 1L).otherwise(0L)).as("n_docs_with_dups"),
+        sum($("n_tokens")).as("total_tokens"),
+        sum($("dup_tokens")).as("total_dup_tokens"))
+      .select($("source"), $("n_docs"), $("n_docs_with_dups"),
+        $("total_tokens"), $("total_dup_tokens"),
+        ($("total_dup_tokens").cast("double") /
+          $("total_tokens").cast("double")).as("dup_token_share"))
+
   /** Memorization-audit report: the `topN` most-repeated `k`-token
     * spans with their occurrence and distinct-document counts, span
     * text included. Grouping is on the fingerprint (32 chars) with the
