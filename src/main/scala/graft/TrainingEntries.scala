@@ -311,6 +311,16 @@ object TrainingEntries {
     // duplicated, by corpus-level duplicated-token share
     "q116_source_span_profile" -> q(t =>
       SubstringDedup.sourceSpanProfile(t.documents)),
+    // Product quantization (Jégou et al. 2011): deterministic
+    // per-subspace k-means codebooks, every vector → m codewords with
+    // exact integer squared-L2 quantization error
+    "q117_pq_encode"     -> q(t => Similarity.pqEncode(t.embeddings)),
+    // ADC top-k over the PQ codes: queries keep exact subvectors,
+    // corpus vectors are scored as m LUT entries
+    "q118_pq_ann"        -> q(t => Similarity.pqAdcTopK(t.embeddings)),
+    // Compressed-index recall vs the brute-force ground truth — the
+    // q82 evaluation protocol applied to the PQ index
+    "q119_pq_recall"     -> q(t => Similarity.pqRecall(t.embeddings)),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -648,6 +658,55 @@ object TrainingEntries {
       |                  JOIN cnf cn ON cn.c_id = fd.c_id) WHERE arn <= $nprobe),
       |assign AS (SELECT vec_id, cell FROM ranked WHERE arn = 1),
       |probes AS (SELECT vec_id, cell FROM ranked)""".stripMargin)
+    sb.toString
+  }
+
+  /** Product-quantization CTEs — mirrors Similarity.pqEncode: vectors
+    * of width m·dsub split into m quantized subvectors; per-subspace
+    * k-means seeded from the first ksub vectors, `iters` Lloyd steps
+    * of exact-integer squared-L2 assignment (ties: code asc) and
+    * floor(sum/count) codeword update; `penc` = final (vec_id, sub,
+    * code, qerr) encoding.
+    */
+  private def pqCte(m: Int, dsub: Int, ksub: Int, iters: Int): String = {
+    val dim = m * dsub
+    val sb = new StringBuilder
+    sb.append(
+      s"""pok AS (SELECT vec_id FROM embeddings WHERE len(embedding) = $dim),
+         |sflat AS (SELECT f.vec_id, CAST((f.i - 1) // $dsub AS INTEGER) AS sub,
+         |            (f.i - 1) % $dsub AS j, f.v
+         |          FROM flat f JOIN pok USING (vec_id)),
+         |p0 AS (SELECT sub, vec_id AS c_id, j, v AS cv
+         |       FROM sflat WHERE vec_id < $ksub)""".stripMargin)
+    for (it <- 1 to iters) {
+      val prev = s"p${it - 1}"
+      sb.append(s""",
+        |pd$it AS (SELECT s.vec_id, s.sub, c.c_id,
+        |            CAST(SUM((s.v - c.cv) * (s.v - c.cv)) AS BIGINT) AS qerr
+        |          FROM sflat s JOIN $prev c ON c.sub = s.sub AND c.j = s.j
+        |          GROUP BY s.vec_id, s.sub, c.c_id),
+        |pa$it AS (SELECT vec_id, sub, c_id FROM (
+        |            SELECT vec_id, sub, c_id,
+        |              row_number() OVER (PARTITION BY vec_id, sub
+        |                ORDER BY qerr, c_id) AS arn FROM pd$it)
+        |          WHERE arn = 1),
+        |p$it AS (SELECT s.sub, a.c_id, s.j,
+        |           CAST(floor(CAST(SUM(s.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |         FROM pa$it a JOIN sflat s
+        |           ON s.vec_id = a.vec_id AND s.sub = a.sub
+        |         GROUP BY s.sub, a.c_id, s.j)""".stripMargin)
+    }
+    val last = s"p$iters"
+    sb.append(s""",
+      |pef AS (SELECT s.vec_id, s.sub, c.c_id,
+      |          CAST(SUM((s.v - c.cv) * (s.v - c.cv)) AS BIGINT) AS qerr
+      |        FROM sflat s JOIN $last c ON c.sub = s.sub AND c.j = s.j
+      |        GROUP BY s.vec_id, s.sub, c.c_id),
+      |penc AS (SELECT vec_id, sub, c_id AS code, qerr FROM (
+      |           SELECT vec_id, sub, c_id, qerr,
+      |             row_number() OVER (PARTITION BY vec_id, sub
+      |               ORDER BY qerr, c_id) AS arn FROM pef)
+      |         WHERE arn = 1)""".stripMargin)
     sb.toString
   }
 
@@ -1980,6 +2039,78 @@ object TrainingEntries {
          |FROM wins JOIN tok ON wins.doc_id = tok.doc_id
          |GROUP BY span HAVING COUNT(*) >= 2
          |ORDER BY n_occ DESC, span LIMIT 20""".stripMargin,
+
+    // Mirrors Similarity.pqEncode: per-subspace k-means over the
+    // shared flatCte quantization, exact integer squared-L2
+    "q117_pq_encode" ->
+      s"""WITH $flatCte,
+         |${pqCte(m = 4, dsub = 16, ksub = 16, iters = 2)}
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub,
+         |  CAST(code AS BIGINT) AS code, qerr
+         |FROM penc ORDER BY vec_id, sub""".stripMargin,
+
+    // Mirrors Similarity.pqAdcTopK: ADC = the query-side exact
+    // subvector vs codeword LUT, summed over the corpus codes
+    "q118_pq_ann" ->
+      s"""WITH $flatCte,
+         |${pqCte(m = 4, dsub = 16, ksub = 16, iters = 2)},
+         |plut AS (SELECT s.vec_id AS qid, s.sub, c.c_id AS code,
+         |           CAST(SUM((s.v - c.cv) * (s.v - c.cv)) AS BIGINT) AS d
+         |         FROM sflat s JOIN p2 c ON c.sub = s.sub AND c.j = s.j
+         |         WHERE s.vec_id < 10
+         |         GROUP BY s.vec_id, s.sub, c.c_id),
+         |padc AS (SELECT l.qid, e.vec_id AS cid,
+         |           CAST(SUM(l.d) AS BIGINT) AS adist
+         |         FROM penc e JOIN plut l
+         |           ON l.sub = e.sub AND l.code = e.code
+         |         WHERE l.qid <> e.vec_id
+         |         GROUP BY l.qid, e.vec_id)
+         |SELECT qid, cid, adist, rn FROM (
+         |  SELECT qid, cid, adist,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY adist, cid) AS BIGINT) AS rn
+         |  FROM padc)
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    // Mirrors Similarity.pqRecall: q30's brute-force truth vs the PQ
+    // ADC top-5 — the q82 evaluation protocol on the compressed index
+    "q119_pq_recall" ->
+      s"""WITH $flatCte,
+         |${pqCte(m = 4, dsub = 16, ksub = 16, iters = 2)},
+         |bd AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot
+         |       FROM flat q JOIN flat c ON q.i = c.i
+         |       WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |       GROUP BY q.vec_id, c.vec_id),
+         |bc AS (SELECT qid, cid, CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+         |       FROM bd JOIN norms nq ON nq.vec_id = qid
+         |       JOIN norms nc ON nc.vec_id = cid),
+         |tr AS (SELECT qid, cid FROM (
+         |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, cid) AS rn FROM bc)
+         |       WHERE rn <= 5),
+         |plut AS (SELECT s.vec_id AS qid, s.sub, c.c_id AS code,
+         |           CAST(SUM((s.v - c.cv) * (s.v - c.cv)) AS BIGINT) AS d
+         |         FROM sflat s JOIN p2 c ON c.sub = s.sub AND c.j = s.j
+         |         WHERE s.vec_id < 10
+         |         GROUP BY s.vec_id, s.sub, c.c_id),
+         |padc AS (SELECT l.qid, e.vec_id AS cid,
+         |           CAST(SUM(l.d) AS BIGINT) AS adist
+         |         FROM penc e JOIN plut l
+         |           ON l.sub = e.sub AND l.code = e.code
+         |         WHERE l.qid <> e.vec_id
+         |         GROUP BY l.qid, e.vec_id),
+         |ap AS (SELECT qid, cid, 1 AS hit FROM (
+         |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |           ORDER BY adist, cid) AS rn FROM padc)
+         |       WHERE rn <= 5),
+         |agg AS (SELECT tr.qid, COUNT(*) AS n_truth,
+         |          COALESCE(SUM(ap.hit), 0) AS n_hit
+         |        FROM tr LEFT JOIN ap ON tr.qid = ap.qid AND tr.cid = ap.cid
+         |        GROUP BY tr.qid)
+         |SELECT qid, CAST(n_truth AS BIGINT) AS n_truth,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(round(1e6 * n_hit / n_truth) AS BIGINT) AS recall_micro
+         |FROM agg ORDER BY qid""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

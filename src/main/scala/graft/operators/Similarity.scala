@@ -588,6 +588,175 @@ object Similarity {
           .as("share_micro"))
   }
 
+  // ----------------------------------------------------------------
+  // Product quantization (Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011 — public literature)
+  // ----------------------------------------------------------------
+
+  /** Exact integer squared-L2 distance between two quantized arrays.
+    * Elements are |v| ≤ 1e6, so a 16-dim subvector distance is
+    * ≤ 16·(2e6)² = 6.4e13 — exact in BIGINT with 10^5 headroom.
+    */
+  def qdist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** (vec_id, sub, sv): the `m` quantized `dim/m`-dim subvectors of
+    * each `dim`-dim vector (vectors of any other width are dropped —
+    * [[vectorHealth]] is the preflight that finds them). Narrow
+    * derivation; rows = m × corpus.
+    */
+  private def pqSubvectors(embeddings: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    embeddings.spread()
+      .filter(size($("embedding")) === dim)
+      .select($("vec_id"), quantize($("embedding")).as("qv"))
+      .select($("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice($("qv"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+  }
+
+  /** Nearest-codeword assignment: for every (vec_id, sub), the
+    * codebook entry minimizing exact integer squared L2 (ties: lower
+    * c_id). The codebook (m × ksub rows) broadcasts; the corpus never
+    * shuffles — the window partitions by (vec_id, sub), which the
+    * subvector derivation already co-locates.
+    */
+  private def pqAssignCodes(subs: DataFrame, codebook: DataFrame): DataFrame = {
+    val w = Window.partitionBy($("vec_id"), $("sub"))
+      .orderBy($("qerr").asc, $("c_id").asc)
+    subs.join(broadcast(codebook), Seq("sub"))
+      .select($("vec_id"), $("sub"), $("c_id"),
+        qdist($("sv"), $("cv")).as("qerr"))
+      .withColumn("arn", row_number().over(w))
+      .filter($("arn") === 1)
+      .select($("vec_id"), $("sub"), $("c_id").as("code"), $("qerr"))
+  }
+
+  /** One per-subspace Lloyd step — [[centroidStep]] with `sub` as an
+    * extra grouping key and squared-L2 assignment (the PQ metric):
+    * per-(sub, code, dim) floor(sum/count) of the member elements,
+    * exact and engine-portable. Codewords that lose all members
+    * disappear (both engines agree).
+    */
+  private def pqCentroidStep(subs: DataFrame, codebook: DataFrame): DataFrame =
+    pqAssignCodes(subs, codebook)
+      .join(subs, Seq("vec_id", "sub"))
+      .select($("sub"), $("code").as("c_id"),
+        posexplode($("sv")).as(Seq("j", "v")))
+      .groupBy($("sub"), $("c_id"), $("j"))
+      .agg(floor(sum($("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
+      .groupBy($("sub"), $("c_id"))
+      .agg(transform(array_sort(collect_list(struct($("j"), $("cv")))),
+        x => x("cv")).as("cv"))
+
+  /** Deterministic per-subspace k-means: seeds are the subvectors of
+    * the first `ksub` vectors (vec_id < ksub), refined by `iters`
+    * Lloyd steps. Like [[trainCentroids]], every refinement localizes
+    * the m·ksub·dsub codebook to the driver (tiny by construction —
+    * the MLlib pattern) so training executes once per call and the
+    * result feeds back as a LocalRelation.
+    */
+  private def pqTrainCodebook(subs: DataFrame, ksub: Int, iters: Int): DataFrame = {
+    val spark = subs.sparkSession
+    import spark.implicits._
+    def localize(df: DataFrame): DataFrame =
+      df.select($("sub").cast("int"), $("c_id").cast("long"), $("cv"))
+        .as[(Int, Long, Seq[Long])].collect().toSeq
+        .toDF("sub", "c_id", "cv")
+    var cb = localize(subs.filter($("vec_id") < ksub)
+      .select($("sub"), $("vec_id").as("c_id"), $("sv").as("cv")))
+    for (_ <- 1 to iters) cb = localize(pqCentroidStep(subs, cb))
+    cb
+  }
+
+  /** PQ encoding: every vector compressed to `m` codewords of `ksub`
+    * alternatives — m·log2(ksub) bits (default 4×4 = 2 bytes) instead
+    * of dim·4 bytes, the 100-TB embedding-store story (a petabyte of
+    * float32 vectors becomes single-digit TB of codes while ADC
+    * search stays centroid-accurate). Returns (vec_id, sub, code,
+    * qerr) — qerr is the exact integer squared-L2 quantization error
+    * of that subvector, the per-vector fidelity diagnostic (Σ qerr
+    * over subs = the vector's total reconstruction error).
+    *
+    * Determinism: quantized-integer arithmetic end to end — seeding,
+    * assignment ties (qerr, then code asc), and the floor(sum/count)
+    * centroid update are all exact, so the DuckDB oracle (q117)
+    * reproduces training bit-for-bit.
+    *
+    * Scale: training cost is iters·(m·N)·ksub integer folds over
+    * dsub-wide arrays — and at warehouse scale the Lloyd passes run
+    * on a hash sample exactly like [[trainCentroids]]'s
+    * `trainFraction` (omitted here to keep the contract bit-exact);
+    * encoding is ONE scan with a broadcast codebook; nothing
+    * vector-proportional ever shuffles except the m·N (id, code)
+    * rows.
+    */
+  def pqEncode(embeddings: DataFrame, m: Int = 4, dim: Int = 64,
+      ksub: Int = 16, iters: Int = 2): DataFrame = {
+    val subs = pqSubvectors(embeddings, m, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = pqTrainCodebook(subs, ksub, iters)
+    pqAssignCodes(subs, cb)
+      .select($("vec_id"), $("sub").cast("long").as("sub"),
+        $("code"), $("qerr"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: queries keep
+    * their exact subvectors; each corpus vector is represented by its
+    * `m` codewords, so the approximate squared distance is the sum of
+    * m lookup-table entries. The LUT (queries × m × ksub exact
+    * integer distances) broadcasts; per-query cost is one scan of the
+    * code table — never of the raw vectors. Returns (qid, cid, adist,
+    * rn) with rn ≤ k under (adist asc, cid asc).
+    *
+    * This is the compressed-domain complement of [[ivfTopK]]: IVF
+    * prunes WHICH vectors are scored, PQ shrinks WHAT is stored and
+    * scored; production systems compose them (IVF cells over PQ
+    * codes). Both halves are oracle-gated here (q34, q118).
+    */
+  def pqAdcTopK(embeddings: DataFrame, maxQueryId: Long = 10, k: Int = 5,
+      m: Int = 4, dim: Int = 64, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    val subs = pqSubvectors(embeddings, m, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = pqTrainCodebook(subs, ksub, iters)
+    val codes = pqAssignCodes(subs, cb)
+      .select($("vec_id").as("cid"), $("sub"), $("code"))
+    val lut = broadcast(subs.filter($("vec_id") < maxQueryId)
+      .join(broadcast(cb), Seq("sub"))
+      .select($("vec_id").as("qid"), $("sub"), $("c_id").as("code"),
+        qdist($("sv"), $("cv")).as("d")))
+    val w = Window.partitionBy($("qid")).orderBy($("adist").asc, $("cid").asc)
+    codes.join(lut, Seq("sub", "code"))
+      .filter($("qid") =!= $("cid"))
+      .groupBy($("qid"), $("cid"))
+      .agg(sum($("d")).cast("long").as("adist"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($("rn") <= k)
+  }
+
+  /** PQ recall report — [[annRecall]]'s sibling for the compressed
+    * index: per query, how many of the exact top-k ([[bruteForceTopK]]
+    * ground truth) survive in [[pqAdcTopK]]'s top-k. The number a
+    * pipeline reads before trading 128× storage for approximate
+    * ranking.
+    */
+  def pqRecall(embeddings: DataFrame, maxQueryId: Long = 10, k: Int = 5,
+      m: Int = 4, dim: Int = 64, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    val truth = bruteForceTopK(embeddings, maxQueryId, k)
+      .select($("qid"), $("cid"))
+    val approx = pqAdcTopK(embeddings, maxQueryId, k, m, dim, ksub, iters)
+      .select($("qid"), $("cid"), lit(1L).as("hit"))
+    truth.join(approx, Seq("qid", "cid"), "left")
+      .na.fill(0L, Seq("hit"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_truth"), sum($("hit")).as("n_hit"))
+      .select($("qid"), $("n_truth").cast("long").as("n_truth"),
+        $("n_hit").cast("long").as("n_hit"),
+        round(lit(1e6) * $("n_hit") / $("n_truth")).cast("long")
+          .as("recall_micro"))
+  }
+
   /** Pairwise cosine similarity between per-label embedding
     * centroids — the corpus-geometry report (which sources/classes
     * overlap in embedding space) read when choosing dedup thresholds
