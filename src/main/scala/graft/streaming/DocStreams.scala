@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
-import graft.operators.{SubstringDedup, TextAnalysis}
+import graft.operators.{BloomDecontam, SubstringDedup, TextAnalysis}
 
 /** Structured Streaming over the documents table: the incremental twin
   * of the batch dedup pillar (graft.operators.Dedup), for pipelines
@@ -104,6 +104,49 @@ object DocStreams extends Serializable {
           if (prev < 2 && now >= 2) Iterator.single(RepeatedSpan(fp))
           else Iterator.empty
       }
+  }
+
+  /** Streaming bloom decontamination — the firehose twin of the batch
+    * probe side ([[BloomDecontam.decontaminateWithFilter]]): a filter
+    * built OFFLINE from the eval set ([[BloomDecontam.buildFilter]])
+    * is broadcast once, and every arriving training document is
+    * flagged in place with the count of its distinct `k`-token
+    * windows the filter claims to have seen. Same output contract as
+    * the batch probe: (doc_id, n_hit_windows), training docs with ≥ 1
+    * hit only — StreamingSpec pins the equality over a static input.
+    *
+    * Unlike every other op in this module this one is STATELESS: the
+    * window fingerprints, their bit indices, and the distinct-count
+    * are per-row expressions ([[SubstringDedup.windowFpArray]] +
+    * `array_distinct` + a lambda filter over the broadcast blob), so
+    * there is no keyed state store at all — bounded memory by
+    * construction, the property the bloom exists to buy. The filter
+    * is a config-sized side input; refreshing it (a new eval release)
+    * is a stream restart with a new broadcast, the standard
+    * slowly-changing-side-input pattern.
+    */
+  def bloomFlagged(docs: DataFrame, filter: Array[Byte], k: Int = 8,
+      m: Int = BloomDecontam.DefaultM,
+      seeds: Int = BloomDecontam.DefaultSeeds,
+      evalMod: Long = BloomDecontam.DefaultEvalMod): DataFrame = {
+    require(filter.length == m / 8, "filter/m mismatch")
+    val bc = docs.sparkSession.sparkContext.broadcast(filter)
+    // the per-window bit indices are pure codegen'd expressions; the
+    // single UDF per row only tests the broadcast blob (the batch
+    // probe's justification applies: no Column expression can index a
+    // broadcast byte array)
+    val hitCount = udf { fpBits: Seq[Seq[Long]] =>
+      val a = bc.value
+      fpBits.count(_.forall(b =>
+        (a((b / 8).toInt) & (1 << (b % 8).toInt)) != 0)).toLong
+    }
+    docs
+      .filter(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id"),
+        hitCount(transform(
+          array_distinct(SubstringDedup.windowFpArray(col("text"), k)),
+          fp => BloomDecontam.bitArray(fp, m, seeds))).as("n_hit_windows"))
+      .filter(col("n_hit_windows") >= 1)
   }
 
   final case class BandDoc(band: Int, chunk: Long, doc_id: Long, sim: Long)

@@ -434,4 +434,58 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("spans_rebatch").as[String].collect()
     assert(got.length === 1, s"expected exactly one emission, got ${got.length}")
   }
+
+  test("streaming bloom probe == batch decontaminateWithFilter (single batch)") {
+    import graft.operators.BloomDecontam
+    import graft.streaming.DocStreams
+    val tables = graft.sources.Tables(spark, dir)
+    val docDir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    tables.documents.write.mode("overwrite").parquet(docDir)
+    // the filter is built OFFLINE from the (static) eval set, then
+    // broadcast into the stream — the slowly-changing-side-input shape
+    val filter = BloomDecontam.buildFilter(tables.documents)
+    val flagged = DocStreams.bloomFlagged(
+      DocStreams.readDocs(spark, docDir), filter)
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName("bloom_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("bloom_stream")
+      .as[(Long, Long)].collect().toSet
+    val want = BloomDecontam.decontaminateWithFilter(tables.documents, filter)
+      .as[(Long, Long)].collect().toSet
+    assert(got === want,
+      "streaming bloom flags must equal the batch probe exactly")
+    assert(got.nonEmpty)
+  }
+
+  test("streaming bloom probe is stateless: per-doc output ignores batch history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{length, lit}
+    import graft.operators.BloomDecontam
+    import graft.streaming.DocStreams
+    implicit val sqlCtx = spark.sqlContext
+    val leak = "alpha beta gamma delta epsilon zeta eta theta"
+    // eval doc 10 (doc_id % 10 == 0) defines the filter
+    val evalDocs = Seq((10L, leak)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("mem"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val filter = BloomDecontam.buildFilter(evalDocs)
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("mem"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val q = DocStreams.bloomFlagged(docs, filter).writeStream
+      .outputMode("append").format("memory").queryName("bloom_rebatch").start()
+    try {
+      in.addData((1L, leak), (2L, "totally different words in this body here now"))
+      q.processAllAvailable()
+      // the SAME contaminated text under a new id in a later batch is
+      // flagged again — no keyed state, every doc judged on arrival
+      in.addData((3L, leak))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bloom_rebatch").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L), (3L, 1L)),
+      "both arrivals of the leaked span flag, the clean doc never does")
+  }
 }
