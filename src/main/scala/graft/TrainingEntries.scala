@@ -321,6 +321,12 @@ object TrainingEntries {
     // Compressed-index recall vs the brute-force ground truth — the
     // q82 evaluation protocol applied to the PQ index
     "q119_pq_recall"     -> q(t => Similarity.pqRecall(t.embeddings)),
+    // Z-order (Morton) clustering key over the lineitem 2-D access
+    // pattern — the layout index writeZordered sorts 100 TB fact
+    // tables by (LayoutSpec pins the file-range pruning property)
+    "q120_zorder"        -> q(t => t.lineitem.select(col("l_orderkey"),
+      col("l_partkey"), graft.engine.Layout.zorderKey(
+        col("l_orderkey"), col("l_partkey"), bits = 20).as("zkey"))),
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -2111,6 +2117,17 @@ object TrainingEntries {
          |  CAST(n_hit AS BIGINT) AS n_hit,
          |  CAST(round(1e6 * n_hit / n_truth) AS BIGINT) AS recall_micro
          |FROM agg ORDER BY qid""".stripMargin,
+
+    // Mirrors Layout.zorderKey(bits = 20): identical bit interleave
+    // in DuckDB's BIGINT shift/mask arithmetic
+    "q120_zorder" -> {
+      val terms = (0 until 20).map(i =>
+        s"((((CAST(l_orderkey AS BIGINT) >> $i) & 1) << ${2 * i + 1}) | " +
+          s"(((CAST(l_partkey AS BIGINT) >> $i) & 1) << ${2 * i}))")
+        .mkString(" | ")
+      s"""SELECT l_orderkey, l_partkey, CAST($terms AS BIGINT) AS zkey
+         |FROM lineitem ORDER BY l_orderkey, l_partkey""".stripMargin
+    },
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c
