@@ -327,6 +327,16 @@ object TrainingEntries {
     "q120_zorder"        -> q(t => t.lineitem.select(col("l_orderkey"),
       col("l_partkey"), graft.engine.Layout.zorderKey(
         col("l_orderkey"), col("l_partkey"), bits = 20).as("zkey"))),
+    // JSONL edge round-trip: documents → JSON lines → schema'd read —
+    // hash-gated against the parquet original, so escaping/unicode/
+    // type fidelity of the interchange format is proven, not assumed
+    "q121_jsonl_roundtrip" -> q { t =>
+      import graft.sources.JsonLines
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_jsonl_q121_${t.dir.hashCode.toHexString}").toString
+      JsonLines.write(t.documents, tmp)
+      JsonLines.read(t.spark, tmp, t.documents.schema)
+    },
   )
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -2128,6 +2138,11 @@ object TrainingEntries {
       s"""SELECT l_orderkey, l_partkey, CAST($terms AS BIGINT) AS zkey
          |FROM lineitem ORDER BY l_orderkey, l_partkey""".stripMargin
     },
+
+    // The JSONL round-trip must reproduce the documents table exactly
+    "q121_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

@@ -176,4 +176,32 @@ class ServingSpec extends SparkSpec {
     Serving.dropDatabase(spark, "airline_ontime_test")
     assert(!spark.catalog.databaseExists("airline_ontime_test"))
   }
+
+  test("JSONL round-trip preserves control chars, quotes, and unicode exactly") {
+    import graft.sources.JsonLines
+    val dir = Files.createTempDirectory("graft-jsonl").toString + "/docs"
+    val hostile = Seq(
+      (1L, "plain text"),
+      (2L, "embedded\nnewline and\ttab"),
+      (3L, "quotes \" and \\ backslashes \\\" mixed"),
+      (4L, "unicode: éß中文 😀"),
+      (5L, ""),
+      (6L, "trailing space "),
+      (7L, "null char borders: abc")
+    ).toDF("doc_id", "text")
+    JsonLines.write(hostile, dir)
+    val back = JsonLines.read(spark, dir, hostile.schema)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back === hostile.as[(Long, String)].collect().sortBy(_._1).toSeq,
+      "every payload must survive the JSON escape/parse byte-exactly")
+    // DROPMALFORMED: a corrupt line vanishes instead of poisoning the read
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".json")).head
+    java.nio.file.Files.writeString(f.toPath,
+      "{not json at all\n" + java.nio.file.Files.readString(f.toPath))
+    // drop the Hadoop checksum sidecar the tamper just invalidated
+    new java.io.File(f.getParent, "." + f.getName + ".crc").delete()
+    val cleaned = JsonLines.read(spark, dir, hostile.schema)
+    assert(cleaned.count() === 7L, "the malformed line must drop, the rest stand")
+  }
 }
