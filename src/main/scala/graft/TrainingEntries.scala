@@ -327,6 +327,10 @@ object TrainingEntries {
     "q120_zorder"        -> q(t => t.lineitem.select(col("l_orderkey"),
       col("l_partkey"), graft.engine.Layout.zorderKey(
         col("l_orderkey"), col("l_partkey"), bits = 20).as("zkey"))),
+    // IVF-PQ composition (the FAISS index shape): IVF prunes the
+    // candidates, PQ codes + broadcast LUT score them — both
+    // trainings replayed bit-for-bit by the oracle
+    "q122_ivfpq_ann"     -> q(t => Similarity.ivfPqTopK(t.embeddings)),
     // JSONL edge round-trip: documents → JSON lines → schema'd read —
     // hash-gated against the parquet original, so escaping/unicode/
     // type fidelity of the interchange format is proven, not assumed
@@ -2143,6 +2147,34 @@ object TrainingEntries {
     "q121_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Similarity.ivfPqTopK: q34's IVF cell CTEs gate the
+    // candidates, q118's PQ LUT scores them
+    "q122_ivfpq_ann" ->
+      s"""WITH $flatCte,
+         |${ivfCte(nCentroids = 16, lloydIters = 2, nprobe = 2)},
+         |${pqCte(m = 4, dsub = 16, ksub = 16, iters = 2)},
+         |cand AS (SELECT q.vec_id AS qid, c.vec_id AS cid
+         |         FROM probes q JOIN assign c ON q.cell = c.cell
+         |         WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |plut AS (SELECT s.vec_id AS qid, s.sub, c.c_id AS code,
+         |           CAST(SUM((s.v - c.cv) * (s.v - c.cv)) AS BIGINT) AS d
+         |         FROM sflat s JOIN p2 c ON c.sub = s.sub AND c.j = s.j
+         |         WHERE s.vec_id < 10
+         |         GROUP BY s.vec_id, s.sub, c.c_id),
+         |padc AS (SELECT cand.qid, cand.cid,
+         |           CAST(SUM(l.d) AS BIGINT) AS adist
+         |         FROM cand
+         |         JOIN penc e ON e.vec_id = cand.cid
+         |         JOIN plut l ON l.qid = cand.qid
+         |           AND l.sub = e.sub AND l.code = e.code
+         |         GROUP BY cand.qid, cand.cid)
+         |SELECT qid, cid, adist, rn FROM (
+         |  SELECT qid, cid, adist,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY adist, cid) AS BIGINT) AS rn
+         |  FROM padc)
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
     "q52_length_quantiles" ->
       s"""WITH runs AS (SELECT source, CAST($nTokens AS BIGINT) AS n_tok, COUNT(*) AS c

@@ -757,6 +757,58 @@ object Similarity {
           .as("recall_micro"))
   }
 
+  /** IVF-PQ: the production ANN composition — IVF cells prune WHICH
+    * vectors are scored (each query probes its `nprobe` nearest
+    * cells), PQ codes shrink WHAT is stored and scored (each
+    * candidate costs m LUT lookups, never a raw-vector fold). This is
+    * the public FAISS `IVFxx,PQyy` index shape as relational algebra:
+    * candidates = an equi-join on cell, scoring = an equi-join on
+    * (sub, code) against a broadcast LUT, top-k = a per-query window.
+    *
+    * Scale: the corpus contributes only (cell, id, m codes) rows —
+    * at dim=1024/m=16 that is ~1/250th of the raw vector bytes — and
+    * the per-query candidate set is ~nprobe/nCentroids of the corpus.
+    * Both trainings sample at warehouse scale ([[trainCentroids]]'s
+    * trainFraction pattern); kept exact here so the oracle replays
+    * bit-for-bit (q122).
+    *
+    * Returns (qid, cid, adist, rn): candidates restricted to shared
+    * probed cells, ranked by exact-integer ADC distance (ties: cid).
+    * TrainingOpsSpec pins adist == [[pqAdcTopK]]'s for shared pairs
+    * (same arithmetic, pruned candidates).
+    */
+  def ivfPqTopK(embeddings: DataFrame, maxQueryId: Long = 10, k: Int = 5,
+      nCentroids: Int = 16, lloydIters: Int = 2, nprobe: Int = 2,
+      m: Int = 4, dim: Int = 64, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    val quant = quantized(embeddings)
+    val centroids = trainCentroids(quant, nCentroids, lloydIters)
+    val assigned = assignCells(quant, centroids, nprobe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subs = pqSubvectors(embeddings, m, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = pqTrainCodebook(subs, ksub, iters)
+    val corpus = assigned.filter($("arn") === 1)
+      .select($("vec_id"), $("cell"))
+      .join(pqAssignCodes(subs, cb), Seq("vec_id"))
+      .select($("cell"), $("vec_id").as("cid"), $("sub"), $("code"))
+    // per query: its nprobe cells × its full LUT — queries·nprobe·m·ksub
+    // rows, tiny by construction → broadcast
+    val lut = subs.filter($("vec_id") < maxQueryId)
+      .join(broadcast(cb), Seq("sub"))
+      .select($("vec_id").as("qid"), $("sub"), $("c_id").as("code"),
+        qdist($("sv"), $("cv")).as("d"))
+    val qside = broadcast(assigned.filter($("vec_id") < maxQueryId)
+      .select($("vec_id").as("qid"), $("cell"))
+      .join(lut, Seq("qid")))
+    val w = Window.partitionBy($("qid")).orderBy($("adist").asc, $("cid").asc)
+    corpus.join(qside, Seq("cell", "sub", "code"))
+      .filter($("qid") =!= $("cid"))
+      .groupBy($("qid"), $("cid"))
+      .agg(sum($("d")).cast("long").as("adist"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($("rn") <= k)
+  }
+
   /** Pairwise cosine similarity between per-label embedding
     * centroids — the corpus-geometry report (which sources/classes
     * overlap in embedding space) read when choosing dedup thresholds

@@ -525,6 +525,27 @@ class TrainingOpsSpec extends SparkSpec {
     assert(r.map(_._3).sum >= 5L)
   }
 
+  test("ivf-pq: ADC arithmetic identical to plain PQ on shared pairs") {
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val ivfpq = Similarity.ivfPqTopK(emb)
+      .select($"qid", $"cid", $"adist").as[(Long, Long, Long)].collect()
+    assert(ivfpq.nonEmpty)
+    // plain-PQ distances for every (query, corpus) pair the pruned
+    // index returned: IVF changes WHICH pairs are scored, never the
+    // ADC value of a pair
+    val full = Similarity.pqAdcTopK(emb, k = Int.MaxValue)
+      .select($"qid", $"cid", $"adist").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    ivfpq.foreach { case (qid, cid, adist) =>
+      assert(full((qid, cid)) === adist,
+        s"ADC distance drifted for ($qid, $cid)")
+    }
+    // per query at most k results, ranked by (adist, cid)
+    ivfpq.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+    }
+  }
+
   test("cell balance: counts cover the corpus, shares sum to ~1") {
     val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
     val rows = Similarity.cellBalance(emb)
