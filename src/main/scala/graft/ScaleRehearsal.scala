@@ -7,7 +7,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, SubstringDedup}
 import graft.sources.Tables
 
 /** Scale rehearsal: run the heavy dedup/ANN family on a ~K× inflated
@@ -108,7 +108,11 @@ object ScaleRehearsal {
         "q26_minhash_dups" -> (() => Dedup.minhashDupPairs(docs, threshold = 0.7)),
         "q27_ngram_jaccard" -> (() => Dedup.ngramJaccardPairs(docs, n = 5, threshold = 0.5)),
         "q51_dup_clusters" -> (() => Dedup.dupClusters(docs, threshold = 0.7)),
-        "q34_knn_ivf" -> (() => Similarity.ivfTopK(emb, trainFraction = 0.1)))
+        "q34_knn_ivf" -> (() => Similarity.ivfTopK(emb, trainFraction = 0.1)),
+        // round-9 heavies: span-dedup's window count path (linear in
+        // corpus tokens) and PQ training+encode (linear in m·N folds)
+        "q111_dup_spans" -> (() => SubstringDedup.dupSpanStats(docs)),
+        "q117_pq_encode" -> (() => Similarity.pqEncode(emb)))
       for ((name, fn) <- family) {
         val g = s"x$f:$name"
         spark.sparkContext.setJobGroup(g, g)
