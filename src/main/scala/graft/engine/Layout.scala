@@ -41,6 +41,41 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Compact a parquet dataset to ~`targetFileBytes` output files —
+    * the small-files remedy (a 100 TB table accreted by thousands of
+    * incremental writes degrades every scan: one task + one footer
+    * read per tiny file, and row-group min/max skipping loses its
+    * granularity). File count derives from the CURRENT on-disk bytes,
+    * so compaction is idempotent; rows round-trip unchanged
+    * (LayoutSpec). Uses a round-robin repartition — this utility
+    * fixes file SIZE; compose with [[writeZordered]] when the rewrite
+    * should also fix ORDER.
+    *
+    * The rewrite goes through a temp sibling then an atomic-ish
+    * swap: compacting in place with mode=overwrite would delete the
+    * input before reading it.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val dir = new java.io.File(path)
+    val bytes = Option(dir.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    val tmp = path.stripSuffix("/") + ".compact-tmp"
+    spark.read.parquet(path)
+      .repartition(nFiles.toInt)
+      .write.mode("overwrite").parquet(tmp)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(dir)
+    val ok = new java.io.File(tmp).renameTo(dir)
+    require(ok, s"compaction swap failed: $tmp -> $path")
+    nFiles
+  }
+
   /** Write `df` clustered by the Z-order of (`colA`, `colB`): the
     * derived `zkey` column rides along in the files (it IS the layout
     * index — predicates can address it directly), rows are range

@@ -77,4 +77,24 @@ class LayoutSpec extends SparkSpec {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(back === (for (a <- 0L until 8L; b <- 0L until 8L) yield (a, b)).toSet)
   }
+
+  test("compact: collapses a sprayed dataset, preserves rows, idempotent") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    val rows = (0L until 5000L).map(i => (i, s"payload-$i"))
+    rows.toDF("id", "payload").repartition(64)
+      .write.mode("overwrite").parquet(dir)
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parquetFiles() === 64, "fixture must start sprayed")
+    val n = Layout.compact(spark, dir, targetFileBytes = 64L * 1024)
+    assert(parquetFiles() === n.toInt)
+    assert(parquetFiles() < 64, "compaction must reduce the file count")
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(back === rows.toSet, "rows must survive compaction unchanged")
+    // idempotent: on-disk bytes already at target -> same file count
+    val n2 = Layout.compact(spark, dir, targetFileBytes = 64L * 1024)
+    assert(math.abs(n2 - n) <= 1,
+      s"re-compaction should be a near-no-op: $n -> $n2")
+    assert(spark.read.parquet(dir).count() === 5000L)
+  }
 }
