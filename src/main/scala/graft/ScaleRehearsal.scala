@@ -109,9 +109,13 @@ object ScaleRehearsal {
         "q27_ngram_jaccard" -> (() => Dedup.ngramJaccardPairs(docs, n = 5, threshold = 0.5)),
         "q51_dup_clusters" -> (() => Dedup.dupClusters(docs, threshold = 0.7)),
         "q34_knn_ivf" -> (() => Similarity.ivfTopK(emb, trainFraction = 0.1)),
-        // round-9 heavies: span-dedup's window count path (linear in
-        // corpus tokens) and PQ training+encode (linear in m·N folds)
-        "q111_dup_spans" -> (() => SubstringDedup.dupSpanStats(docs)),
+        // round-9 heavies: span-dedup's window aggregate (linear in
+        // corpus tokens) and PQ training+encode (linear in m·N folds).
+        // duplicatedWindows, not dupSpanStats: the latter's row count
+        // equals its left side, so a count() action lets Catalyst
+        // eliminate the join AND the span derivation (measured as a
+        // 0-shuffle no-op) — the fp aggregate is elimination-proof
+        "q111_dup_windows" -> (() => SubstringDedup.duplicatedWindows(docs)),
         "q117_pq_encode" -> (() => Similarity.pqEncode(emb)))
       for ((name, fn) <- family) {
         val g = s"x$f:$name"

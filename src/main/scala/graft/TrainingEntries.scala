@@ -331,6 +331,12 @@ object TrainingEntries {
     // candidates, PQ codes + broadcast LUT score them — both
     // trainings replayed bit-for-bit by the oracle
     "q122_ivfpq_ann"     -> q(t => Similarity.ivfPqTopK(t.embeddings)),
+    // Embedding drift between snapshots (old = even vec_id, new = odd
+    // — the snapshot-pair stand-in): per-label centroid cos shift +
+    // norm ratio, the encoder-regression preflight
+    "q123_embedding_drift" -> q(t => Similarity.embeddingDrift(
+      t.embeddings.filter(col("vec_id") % 2 === 0),
+      t.embeddings.filter(col("vec_id") % 2 === 1))),
     // JSONL edge round-trip: documents → JSON lines → schema'd read —
     // hash-gated against the parquet original, so escaping/unicode/
     // type fidelity of the interchange format is proven, not assumed
@@ -2131,6 +2137,37 @@ object TrainingEntries {
          |  CAST(n_hit AS BIGINT) AS n_hit,
          |  CAST(round(1e6 * n_hit / n_truth) AS BIGINT) AS recall_micro
          |FROM agg ORDER BY qid""".stripMargin,
+
+    // Mirrors Similarity.embeddingDrift over the parity-split
+    // snapshots: per-(label, dim) floor(sum/count) centroids, exact
+    // BIGINT dots/norms, one final sqrt/div/round
+    "q123_embedding_drift" ->
+      s"""WITH $flatCte,
+         |co AS (SELECT e.label, f.i AS d,
+         |         CAST(floor(CAST(SUM(f.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+         |       FROM flat f JOIN embeddings e ON e.vec_id = f.vec_id
+         |       WHERE f.vec_id % 2 = 0 GROUP BY e.label, f.i),
+         |cn AS (SELECT e.label, f.i AS d,
+         |         CAST(floor(CAST(SUM(f.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+         |       FROM flat f JOIN embeddings e ON e.vec_id = f.vec_id
+         |       WHERE f.vec_id % 2 = 1 GROUP BY e.label, f.i),
+         |agg AS (SELECT co.label, SUM(co.c * cn.c) AS dot,
+         |          SUM(co.c * co.c) AS no2, SUM(cn.c * cn.c) AS nn2
+         |        FROM co JOIN cn ON co.label = cn.label AND co.d = cn.d
+         |        GROUP BY co.label),
+         |cnts AS (SELECT label,
+         |           CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+         |             AS BIGINT) AS n_old,
+         |           CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+         |             AS BIGINT) AS n_new
+         |         FROM embeddings GROUP BY label)
+         |SELECT CAST(a.label AS BIGINT) AS label, c.n_old, c.n_new,
+         |  CAST(dot AS DOUBLE) / (sqrt(CAST(no2 AS DOUBLE)) *
+         |    sqrt(CAST(nn2 AS DOUBLE))) AS cos_shift,
+         |  CAST(round(1e6 * sqrt(CAST(nn2 AS DOUBLE)) /
+         |    sqrt(CAST(no2 AS DOUBLE))) AS BIGINT) AS norm_ratio_micro
+         |FROM agg a JOIN cnts c ON c.label = a.label
+         |ORDER BY label""".stripMargin,
 
     // Mirrors Layout.zorderKey(bits = 20): identical bit interleave
     // in DuckDB's BIGINT shift/mask arithmetic

@@ -809,6 +809,53 @@ object Similarity {
       .filter($("rn") <= k)
   }
 
+  /** Embedding-drift monitor: per label, how far the class centroid
+    * moved between two corpus snapshots — the encoder-regression /
+    * distribution-shift check a pipeline runs when a new embedding
+    * batch lands (a re-trained or buggy encoder shows up as cos_shift
+    * dropping from ~1, or norm_ratio leaving ~1e6, BEFORE any ANN
+    * index is rebuilt on poisoned vectors). The vector sibling of
+    * [[graft.operators.Curation.sourceKlDrift]] (token space) and
+    * `snapshotDiff` (document identity).
+    *
+    * Returns (label, n_old, n_new, cos_shift, norm_ratio_micro):
+    * cosine between the halves' centroids and the new/old centroid
+    * norm ratio in integer micro. Labels present in both snapshots
+    * only (an appearing/disappearing label is `snapshotDiff`'s
+    * finding, not a drift number).
+    *
+    * Determinism: [[centroidStep]]'s floor(sum/count) arithmetic per
+    * (label, dim) — exact BIGINTs until one final sqrt/div/round,
+    * IEEE-identical across engines (q123).
+    *
+    * Scale: each snapshot contributes ONE narrowly-exploded pass
+    * partially aggregated to (label × dim) rows — constant-size
+    * shuffle state regardless of corpus rows; everything downstream
+    * is centroid-sized.
+    */
+  def embeddingDrift(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def centFlat(df: DataFrame, out: String): DataFrame =
+      df.spread()
+        .select($("label"), posexplode(quantize($("embedding"))).as(Seq("d", "v")))
+        .groupBy($("label"), $("d"))
+        .agg(floor(sum($("v")).cast("double") / count(lit(1))).cast("long").as(out))
+    def cnt(df: DataFrame, out: String): DataFrame =
+      df.groupBy("label").agg(count(lit(1)).cast("long").as(out))
+    val j = centFlat(oldSnap, "co").join(centFlat(newSnap, "cn"), Seq("label", "d"))
+      .groupBy("label")
+      .agg(sum($("co") * $("cn")).as("dot"),
+        sum($("co") * $("co")).as("no2"),
+        sum($("cn") * $("cn")).as("nn2"))
+    j.join(broadcast(cnt(oldSnap, "n_old")), Seq("label"))
+      .join(broadcast(cnt(newSnap, "n_new")), Seq("label"))
+      .select($("label").cast("long").as("label"), $("n_old"), $("n_new"),
+        ($("dot").cast("double") /
+          (sqrt($("no2").cast("double")) * sqrt($("nn2").cast("double"))))
+          .as("cos_shift"),
+        round(lit(1e6) * sqrt($("nn2").cast("double")) /
+          sqrt($("no2").cast("double"))).cast("long").as("norm_ratio_micro"))
+  }
+
   /** Pairwise cosine similarity between per-label embedding
     * centroids — the corpus-geometry report (which sources/classes
     * overlap in embedding space) read when choosing dedup thresholds

@@ -546,6 +546,26 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("embedding drift: identical halves cos 1, inverted half cos -1") {
+    val base = Array.tabulate(8)(j => (j + 1).toFloat / 8f)
+    val rows = Seq(
+      (0L, base, 0), (1L, base, 0), // label 0: new == old
+      (2L, base, 1), (3L, base.map(-_), 1)) // label 1: new == -old
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.embeddingDrift(
+        rows.filter($"vec_id" % 2 === 0), rows.filter($"vec_id" % 2 === 1))
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    // quantization is sign-symmetric on these exact values; the one
+    // sqrt pair costs ≤ a couple ulp around the ±1 endpoints (the
+    // SAME ulp in DuckDB — q123 hash-matches regardless)
+    assert(r(0L)._2 === 1L && r(0L)._3 === 1L)
+    assert(math.abs(r(0L)._4 - 1.0) < 1e-12)
+    assert(r(0L)._5 === 1000000L)
+    assert(math.abs(r(1L)._4 - (-1.0)) < 1e-12)
+    assert(r(1L)._5 === 1000000L)
+  }
+
   test("cell balance: counts cover the corpus, shares sum to ~1") {
     val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
     val rows = Similarity.cellBalance(emb)
