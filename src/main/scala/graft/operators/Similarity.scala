@@ -702,6 +702,50 @@ object Similarity {
         $("code"), $("qerr"))
   }
 
+  /** The trained PQ codebook as a LOCAL value: (sub, code, codeword)
+    * triples — m·ksub rows of dsub BIGINTs, config-sized by
+    * construction. The export a pipeline ships to its serving /
+    * streaming tier (the codebook is the model; codes are the data).
+    */
+  def pqCodebookLocal(embeddings: DataFrame, m: Int = 4, dim: Int = 64,
+      ksub: Int = 16, iters: Int = 2): Seq[(Int, Long, Seq[Long])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val subs = pqSubvectors(embeddings, m, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = pqTrainCodebook(subs, ksub, iters)
+      .as[(Int, Long, Seq[Long])].collect().toSeq
+    subs.unpersist(false)
+    cb
+  }
+
+  /** Expression-only PQ assignment against a local codebook: per
+    * subspace, `least` over (qerr, code) structs — the argmin WITH
+    * the deterministic tie-break as one codegen'd expression chain,
+    * no join, no UDF, no shuffle. This is the encoder a STREAMING
+    * plan can run ([[graft.streaming.EmbStreams.pqCodes]]): the
+    * batch path's broadcast-join + window needs a batch plan; this
+    * form is a pure per-row projection. m·ksub integer folds per row
+    * (the same arithmetic the join form pays). Returns the m codes
+    * as an array column; spec-pinned equal to [[pqEncode]]'s codes.
+    */
+  def pqAssignExpr(emb: Column, codebook: Seq[(Int, Long, Seq[Long])],
+      m: Int = 4, dim: Int = 64): Column = {
+    require(m > 0 && dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val qv = quantize(emb)
+    val codes = (0 until m).map { s =>
+      val sv = slice(qv, s * dsub + 1, dsub)
+      val entries = codebook.filter(_._1 == s).sortBy(_._2).map {
+        case (_, cid, cv) =>
+          struct(qdist(sv, typedlit(cv)).as("d"), lit(cid).as("code"))
+      }
+      require(entries.nonEmpty, s"codebook has no entries for subspace $s")
+      least(entries: _*).getField("code")
+    }
+    array(codes: _*)
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: queries keep
     * their exact subvectors; each corpus vector is represented by its
     * `m` codewords, so the approximate squared distance is the sum of

@@ -488,4 +488,28 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 1L), (3L, 1L)),
       "both arrivals of the leaked span flag, the clean doc never does")
   }
+
+  test("streaming pq codes == batch pqEncode codes (single batch)") {
+    import graft.operators.Similarity
+    import graft.streaming.EmbStreams
+    val emb = graft.sources.Tables(spark, dir).embeddings
+    val embDir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    emb.write.mode("overwrite").parquet(embDir)
+    // the codebook is trained OFFLINE by the batch tier, then shipped
+    // into the stream as a literal — the model/data split
+    val cb = Similarity.pqCodebookLocal(emb)
+    val q = EmbStreams.pqCodes(EmbStreams.readEmbeddings(spark, embDir), cb)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pq_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("pq_stream")
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toList).toMap
+    val want = Similarity.pqEncode(emb)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+      .map { case (id, rows) => id -> rows.sortBy(_._2).map(_._3).toList }
+    assert(got === want,
+      "per-vector streaming codes must equal the oracle-gated batch encoding")
+    assert(got.nonEmpty)
+  }
 }
