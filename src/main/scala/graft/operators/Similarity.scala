@@ -841,9 +841,14 @@ object Similarity {
       .join(broadcast(cb), Seq("sub"))
       .select($("vec_id").as("qid"), $("sub"), $("c_id").as("code"),
         qdist($("sv"), $("cv")).as("d"))
-    val qside = broadcast(assigned.filter($("vec_id") < maxQueryId)
-      .select($("vec_id").as("qid"), $("cell"))
-      .join(lut, Seq("qid")))
+    // the inner probed-cells ⋈ LUT join is query-sized on BOTH sides,
+    // but neither side carries stats (both derive from the corpus
+    // scan) — without the inner broadcast hint Spark sort-merges two
+    // tiny tables through two exchanges (caught by PlanAuditSpec)
+    val qside = broadcast(
+      broadcast(assigned.filter($("vec_id") < maxQueryId)
+        .select($("vec_id").as("qid"), $("cell")))
+        .join(lut, Seq("qid")))
     val w = Window.partitionBy($("qid")).orderBy($("adist").asc, $("cid").asc)
     corpus.join(qside, Seq("cell", "sub", "code"))
       .filter($("qid") =!= $("cid"))

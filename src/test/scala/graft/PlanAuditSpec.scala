@@ -102,4 +102,36 @@ class PlanAuditSpec extends SparkSpec {
       spark.sharedState.cacheManager.clearCache()
     }
   }
+
+  test("q118/q122: PQ scoring joins are broadcast — the code table never sort-merges") {
+    // the ADC promise: the corpus-sized code table streams against a
+    // broadcast LUT/codebook; a sort-merge THERE would shuffle the
+    // whole code table per query set at 100 TB. q122 additionally
+    // carries one legitimate corpus×corpus equi-join (cell assignment
+    // ⋈ codes on vec_id — both sides N rows, co-partitioned, linear);
+    // that one MAY sort-merge, nothing else may.
+    Seq("q118_pq_ann", "q122_ivfpq_ann").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: no broadcast join in the scoring plan")
+      val smjKeys = "SortMergeJoin \\[(\\w+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(smjKeys.forall(_.startsWith("vec_id")),
+        s"$name: sort-merge join on non-corpus keys $smjKeys:\n$plan")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("q123: drift plan has no row-proportional join after the centroid aggregate") {
+    val plan = SparkEntry.queries("q123_embedding_drift")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // everything after the (label × dim) aggregates is centroid-sized;
+    // the count joins are declared broadcast
+    assert(plan.contains("BroadcastHashJoin"), "q123: count joins not broadcast")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q123: cartesian in the drift plan:\n$plan")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
