@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Serving layer (SURVEY.md §3.3): the Spark-native analogue of the
   * reference's Cassandra repositories.
@@ -36,6 +36,54 @@ object Serving {
       format: String = "parquet"): Unit =
     df.write.mode("overwrite").partitionBy(keyCols: _*)
       .format(format).save(path)
+
+  /** Partition-aware upsert into a [[writeKeyed]] table: rows in
+    * `updates` replace existing rows with the same `idCols` identity;
+    * everything else stands. ONLY the partitions `updates` touches
+    * are read and rewritten (dynamic partition overwrite — untouched
+    * partition directories keep their very files), so per-batch cost
+    * scales with the update's partition footprint, not the table —
+    * the incremental-maintenance shape that pairs with
+    * `Curation.snapshotDiff` / `Dedup.incrementalDedup` upstream.
+    *
+    * The merged result is materialized (`localCheckpoint`) before the
+    * write because it reads the same path it overwrites; memory is
+    * bounded by the AFFECTED partitions' size — the honest constraint
+    * of any rewrite-based upsert (incremental batches touch few
+    * partitions; a full-table update is [[writeKeyed]]).
+    */
+  def upsertKeyed(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], idCols: Seq[String],
+      format: String = "parquet"): Unit = {
+    require(idCols.nonEmpty, "idCols must identify rows")
+    val cols = updates.columns.toSeq
+    // affected partition keys, localized: bounded by the update's
+    // partition footprint (the same smallness writeKeyed's
+    // low-cardinality key constraint already imposes) — an explicit
+    // OR-of-ANDs predicate makes the pruning STATIC and plan-visible
+    // instead of betting on dynamic partition pruning firing
+    val affected = updates.select(keyCols.map(col): _*).distinct().collect()
+    require(affected.nonEmpty, "updates are empty")
+    val pred = affected.map { r =>
+      keyCols.zipWithIndex.map { case (k, i) => col(k) === lit(r.get(i)) }
+        .reduce((a: Column, b: Column) => a && b)
+    }.reduce((a: Column, b: Column) => a || b)
+    val existing = spark.read.format(format).load(path).filter(pred)
+    val survivors = existing
+      .join(updates.select(idCols.map(col): _*).distinct(), idCols,
+        "left_anti")
+      .select(cols.map(col): _*)
+    val merged = survivors.unionByName(updates.select(cols.map(col): _*))
+      .localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy(keyCols: _*)
+      .format(format).save(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 
   /** S9 (R:274, R:615) — point lookup: filters on the partition columns
     * prune to the matching directories; only non-key predicates touch

@@ -170,6 +170,40 @@ class ServingSpec extends SparkSpec {
       s"year filter should halve the scan: read $scanned of $total")
   }
 
+  test("upsertKeyed: replaces matched rows, keeps the rest, touches only affected partitions") {
+    val dir = Files.createTempDirectory("graft-upsert").toString + "/t"
+    val base = Seq(
+      ("CMI", 1L, 0.61), ("CMI", 2L, 0.97),
+      ("BWI", 3L, 0.16), ("LAX", 4L, 1.45)
+    ).toDF("airport", "id", "avg_dep_delay")
+    Serving.writeKeyed(base, dir, Seq("airport"))
+    def filesOf(part: String) = new java.io.File(s"$dir/airport=$part")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    val bwiBefore = filesOf("BWI")
+    val laxBefore = filesOf("LAX")
+
+    // update one CMI row, insert a new CMI row — BWI/LAX untouched
+    val updates = Seq(("CMI", 2L, 0.50), ("CMI", 9L, 2.00))
+      .toDF("airport", "id", "avg_dep_delay")
+    Serving.upsertKeyed(spark, dir, updates, Seq("airport"), Seq("id"))
+
+    val got = spark.read.parquet(dir)
+      .select("airport", "id", "avg_dep_delay")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("CMI", 1L, 0.61), ("CMI", 2L, 0.50), ("CMI", 9L, 2.00),
+      ("BWI", 3L, 0.16), ("LAX", 4L, 1.45)),
+      "matched row replaced, new row inserted, others intact")
+    // partition-level rewrite: the untouched partitions keep their
+    // very files (same names, same mtimes)
+    assert(filesOf("BWI") === bwiBefore, "BWI partition must be untouched")
+    assert(filesOf("LAX") === laxBefore, "LAX partition must be untouched")
+    // idempotent: replaying the same updates changes nothing
+    Serving.upsertKeyed(spark, dir, updates, Seq("airport"), Seq("id"))
+    assert(spark.read.parquet(dir).count() === 5)
+  }
+
   test("S7: catalog database create/drop") {
     Serving.createDatabase(spark, "airline_ontime_test")
     assert(spark.catalog.databaseExists("airline_ontime_test"))
