@@ -149,7 +149,8 @@ object Bench {
             }
           name -> sec
         }
-        val docs = graft.sources.Tables(spark, sfDir).documents
+        val tables = graft.sources.Tables(spark, sfDir)
+        val docs = tables.documents
         // three artifacts: the signature store (k BIGINTs per doc),
         // the SCORED candidate table (exact-Jaccard detail per LSH
         // candidate), and the distinct 5-gram SHINGLE index. The
@@ -190,7 +191,23 @@ object Bench {
           timedAt("q89_from_pairs") {
             noop(Dedup.pairDegreeHistogram(pairs())) },
           timedAt("q98_from_artifacts") {
-            noop(Dedup.estimatorCalibrationFromScored(rd(scoredP), rd(sigsP))) })
+            noop(Dedup.estimatorCalibrationFromScored(rd(scoredP), rd(sigsP))) },
+          // PQ family "train once, serve many": q117/q118/q119/q122
+          // each retrain the same codebook standalone; a pipeline
+          // persists codebook + codes once per corpus version and
+          // serve-time ADC pays only LUT + one code-table pass
+          timedAt("pq_artifacts_build") {
+            import graft.operators.Similarity
+            val emb = tables.embeddings
+            Similarity.pqCodebookDf(emb).write.mode("overwrite")
+              .parquet(s"$tmp/pq_codebook")
+            Similarity.pqEncode(emb).write.mode("overwrite")
+              .parquet(s"$tmp/pq_codes")
+          },
+          timedAt("q118_from_codes") {
+            noop(graft.operators.Similarity.pqAdcFromCodes(
+              rd(s"$tmp/pq_codes"), rd(s"$tmp/pq_codebook"),
+              tables.embeddings)) })
         // artifacts are bench-scratch: delete so repeated local runs
         // don't accumulate temp dirs' worth of parquet
         def rm(f: java.io.File): Unit = {

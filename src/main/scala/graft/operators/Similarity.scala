@@ -779,6 +779,47 @@ object Similarity {
       .filter($("rn") <= k)
   }
 
+  /** The trained codebook as a (sub, c_id, cv) DataFrame — the
+    * artifact form a pipeline persists next to the code table
+    * ([[pqEncode]]'s output) so every downstream searcher loads both
+    * instead of retraining ([[pqAdcFromCodes]]; Bench's composed mode
+    * measures the collapse).
+    */
+  def pqCodebookDf(embeddings: DataFrame, m: Int = 4, dim: Int = 64,
+      ksub: Int = 16, iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    pqCodebookLocal(embeddings, m, dim, ksub, iters).toDF("sub", "c_id", "cv")
+  }
+
+  /** ADC top-k off PERSISTED artifacts: `codes` shaped like
+    * [[pqEncode]] output, `codebook` like [[pqCodebookDf]] — no
+    * training, no corpus encode; the only embedding access is the
+    * QUERY vectors' subvectors. This is the serve-time path: the
+    * expensive artifacts are built once per corpus version, every
+    * query batch pays only lookup-table construction plus one pass
+    * over the code table. Same output contract as [[pqAdcTopK]]
+    * (spec-pinned equal).
+    */
+  def pqAdcFromCodes(codes: DataFrame, codebook: DataFrame,
+      embeddings: DataFrame, maxQueryId: Long = 10, k: Int = 5,
+      m: Int = 4, dim: Int = 64): DataFrame = {
+    val qsubs = pqSubvectors(
+      embeddings.filter($("vec_id") < maxQueryId), m, dim)
+    val lut = broadcast(
+      broadcast(qsubs).join(broadcast(codebook), Seq("sub"))
+        .select($("vec_id").as("qid"), $("sub"), $("c_id").as("code"),
+          qdist($("sv"), $("cv")).as("d")))
+    val w = Window.partitionBy($("qid")).orderBy($("adist").asc, $("cid").asc)
+    codes.select($("vec_id").as("cid"), $("sub"), $("code"))
+      .join(lut, Seq("sub", "code"))
+      .filter($("qid") =!= $("cid"))
+      .groupBy($("qid"), $("cid"))
+      .agg(sum($("d")).cast("long").as("adist"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($("rn") <= k)
+  }
+
   /** PQ recall report — [[annRecall]]'s sibling for the compressed
     * index: per query, how many of the exact top-k ([[bruteForceTopK]]
     * ground truth) survive in [[pqAdcTopK]]'s top-k. The number a

@@ -546,6 +546,20 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("pqAdcFromCodes == pqAdcTopK off persisted artifacts") {
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-art").toString
+    Similarity.pqCodebookDf(emb).write.mode("overwrite").parquet(s"$dir/cb")
+    Similarity.pqEncode(emb).write.mode("overwrite").parquet(s"$dir/codes")
+    val served = Similarity.pqAdcFromCodes(
+        spark.read.parquet(s"$dir/codes"), spark.read.parquet(s"$dir/cb"), emb)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val direct = Similarity.pqAdcTopK(emb)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(served === direct,
+      "serve-time ADC off artifacts must equal the end-to-end query")
+  }
+
   test("embedding drift: identical halves cos 1, inverted half cos -1") {
     val base = Array.tabulate(8)(j => (j + 1).toFloat / 8f)
     val rows = Seq(
