@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, lit, md5, posexplode, when}
 
 import graft.analytics.DistributionFit
-import graft.operators.{BloomDecontam, Curation, Dedup, Events, Multimodal, Similarity, SkewJoin, StarQueries, SubstringDedup, TextAnalysis}
+import graft.operators.{BloomDecontam, Bpe, Curation, Dedup, Events, Multimodal, Similarity, SkewJoin, StarQueries, SubstringDedup, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver-contract entries for the training-data-pipeline operators
@@ -337,6 +337,9 @@ object TrainingEntries {
     "q123_embedding_drift" -> q(t => Similarity.embeddingDrift(
       t.embeddings.filter(col("vec_id") % 2 === 0),
       t.embeddings.filter(col("vec_id") % 2 === 1))),
+    // BPE merge training (Sennrich et al. 2016): 6 greedy merges over
+    // the word-frequency table, whole training replayed by the oracle
+    "q124_bpe_merges"    -> q(t => Bpe.bpeTrain(t.documents)),
     // JSONL edge round-trip: documents → JSON lines → schema'd read —
     // hash-gated against the parquet original, so escaping/unicode/
     // type fidelity of the interchange format is proven, not assumed
@@ -684,6 +687,64 @@ object TrainingEntries {
       |                  JOIN cnf cn ON cn.c_id = fd.c_id) WHERE arn <= $nprobe),
       |assign AS (SELECT vec_id, cell FROM ranked WHERE arn = 1),
       |probes AS (SELECT vec_id, cell FROM ranked)""".stripMargin)
+    sb.toString
+  }
+
+  /** BPE training CTEs — mirrors Bpe.bpeTrain: word-frequency table,
+    * per-character symbolization, then `iters` unrolled merge
+    * iterations (pair counts → totally-ordered best pair → greedy
+    * left-to-right rewrite via the even-offset island rule).
+    */
+  private def bpeCte(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""bw AS MATERIALIZED (SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |  SELECT unnest(string_split($norm, ' ')) AS tok FROM documents)
+         |  WHERE length(tok) > 0 GROUP BY tok),
+         |bs0 AS MATERIALIZED (SELECT word, n, CAST(i AS BIGINT) AS pos,
+         |          substr(word, CAST(i AS INTEGER), 1) AS sym
+         |        FROM (SELECT word, n,
+         |              unnest(generate_series(1, length(word))) AS i
+         |              FROM bw))""".stripMargin)
+    for (r <- 1 to iters) {
+      val p = s"bs${r - 1}"
+      sb.append(s""",
+        |bpc$r AS (SELECT x.sym AS a, y.sym AS b,
+        |            CAST(SUM(x.n) AS BIGINT) AS cnt
+        |          FROM $p x JOIN $p y
+        |            ON y.word = x.word AND y.pos = x.pos + 1
+        |          GROUP BY x.sym, y.sym),
+        |bbp$r AS MATERIALIZED (SELECT a, b, cnt FROM bpc$r
+        |          ORDER BY cnt DESC, a, b LIMIT 1),
+        |bmt$r AS (SELECT s.word, s.pos FROM $p s JOIN $p t
+        |          ON t.word = s.word AND t.pos = s.pos + 1
+        |          WHERE s.sym = (SELECT a FROM bbp$r)
+        |            AND t.sym = (SELECT b FROM bbp$r)),
+        |bkp$r AS MATERIALIZED (SELECT word, pos FROM (
+        |            SELECT word, pos,
+        |              min(pos) OVER (PARTITION BY word, island) AS ist
+        |            FROM (SELECT word, pos,
+        |                    SUM(CASE WHEN prev IS NULL OR pos > prev + 1
+        |                        THEN 1 ELSE 0 END)
+        |                      OVER (PARTITION BY word ORDER BY pos
+        |                        ROWS UNBOUNDED PRECEDING) AS island
+        |                  FROM (SELECT word, pos,
+        |                          lag(pos) OVER (PARTITION BY word
+        |                            ORDER BY pos) AS prev
+        |                        FROM bmt$r)))
+        |          WHERE (pos - ist) % 2 = 0),
+        |bs$r AS MATERIALIZED (SELECT word, n,
+        |           CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
+        |             AS BIGINT) AS pos, sym FROM (
+        |           SELECT s.word, s.n, s.pos,
+        |             CASE WHEN k.pos IS NOT NULL
+        |                  THEN s.sym || (SELECT b FROM bbp$r)
+        |                  ELSE s.sym END AS sym
+        |           FROM $p s
+        |           LEFT JOIN bkp$r k ON k.word = s.word AND k.pos = s.pos
+        |           LEFT JOIN bkp$r c ON c.word = s.word AND c.pos + 1 = s.pos
+        |           WHERE c.pos IS NULL))""".stripMargin)
+    }
     sb.toString
   }
 
@@ -2168,6 +2229,17 @@ object TrainingEntries {
          |    sqrt(CAST(no2 AS DOUBLE))) AS BIGINT) AS norm_ratio_micro
          |FROM agg a JOIN cnts c ON c.label = a.label
          |ORDER BY label""".stripMargin,
+
+    // Mirrors Bpe.bpeTrain(merges = 6): the full training replay —
+    // each iteration's best pair is the contract row
+    "q124_bpe_merges" -> {
+      val rows = (1 to 6).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rank, a AS lhs, b AS rhs, " +
+          s"cnt AS pair_count FROM bbp$r").mkString("\n|UNION ALL ")
+      s"""WITH ${bpeCte(6)}
+         |$rows
+         |ORDER BY rank""".stripMargin
+    },
 
     // Mirrors Layout.zorderKey(bits = 20): identical bit interleave
     // in DuckDB's BIGINT shift/mask arithmetic

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units" — public
+  * literature): the tokenizer-TRAINING step the corpus pipeline feeds
+  * ([[TextAnalysis.vocabulary]] sizes the vocab; this learns the
+  * merges). Word-level BPE: the corpus is scanned ONCE into a
+  * (word, count) table, and every merge iteration runs over that
+  * vocab-sized table — the standard trainer shape, never a repeated
+  * corpus pass.
+  *
+  * Determinism & parity: merge selection is totally ordered (count
+  * desc, then pair lexicographic), the greedy left-to-right
+  * application over repeated-symbol runs is the gaps-and-islands
+  * even-offset rule, and every step is string/integer relational
+  * algebra — the DuckDB oracle (q124) replays the whole training
+  * bit-for-bit. No end-of-word marker: merges are intra-word
+  * (documented simplification; add a sentinel symbol upstream if
+  * word-boundary merges are wanted).
+  *
+  * Scale: the symbol table is Σ|word| rows over word TYPES (heavy-
+  * tailed-small vs the corpus); pair counting map-side-combines to
+  * (pairs) rows; each iteration's argmax is a 1-row driver collect
+  * (the zipf.py pattern — inherently scalar); the rewrite windows
+  * partition BY WORD, so the largest partition is one word's symbols.
+  * Each iteration localCheckpoints the new symbol table: k bounded
+  * materializations, no lineage tower.
+  */
+object Bpe {
+
+  private def $(name: String): Column = col(name)
+
+  /** (word, n): corpus word frequencies off one normalized scan. */
+  def wordTable(documents: DataFrame): DataFrame =
+    TextAnalysis.tokens(documents)
+      .groupBy($("token"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select($("token").as("word"), $("n"))
+
+  /** (word, n, pos, sym): each word split into single-character
+    * symbols, pos 1-based and contiguous.
+    */
+  def initialSymbols(words: DataFrame): DataFrame =
+    words.select($("word"), $("n"),
+      posexplode(transform(sequence(lit(1), length($("word"))),
+        i => $("word").substr(i, lit(1)))).as(Seq("pos0", "sym")))
+      .select($("word"), $("n"), ($("pos0") + 1).cast("long").as("pos"),
+        $("sym"))
+
+  /** Adjacent-pair frequencies over the current symbol table,
+    * weighted by word count (overlapping pairs counted, the original
+    * get_stats rule). Returns (a, b, cnt).
+    */
+  def pairCounts(syms: DataFrame): DataFrame = {
+    val w = Window.partitionBy("word").orderBy("pos")
+    syms.withColumn("b", lead($("sym"), 1).over(w))
+      .filter($("b").isNotNull)
+      .groupBy($("sym").as("a"), $("b"))
+      .agg(sum($("n")).cast("long").as("cnt"))
+  }
+
+  /** One greedy merge of pair (a, b) across the symbol table.
+    * Overlapping matches (only possible when a == b) resolve left to
+    * right: within each island of consecutive match positions, the
+    * even offsets merge — "aaaa" under (a,a) becomes "aa","aa".
+    */
+  def mergeOnce(syms: DataFrame, a: String, b: String): DataFrame = {
+    val w = Window.partitionBy("word").orderBy("pos")
+    val matches = syms.withColumn("nxt", lead($("sym"), 1).over(w))
+      .filter($("sym") === a && $("nxt") === b)
+      .select($("word"), $("pos"))
+    val kept = matches
+      .withColumn("prev", lag($("pos"), 1).over(w))
+      .withColumn("isStart",
+        when($("prev").isNull || $("pos") > $("prev") + 1, 1L).otherwise(0L))
+      .withColumn("island", sum($("isStart")).over(w))
+      .withColumn("ist",
+        min($("pos")).over(Window.partitionBy("word", "island")))
+      .filter((($("pos") - $("ist")) % 2) === 0)
+      .select($("word"), $("pos"))
+    val consumed = kept.select($("word"), ($("pos") + 1).as("pos"),
+      lit(1L).as("gone"))
+    syms
+      .join(kept.withColumn("hit", lit(1L)), Seq("word", "pos"), "left")
+      .join(consumed, Seq("word", "pos"), "left")
+      .filter($("gone").isNull)
+      .select($("word"), $("n"), $("pos").as("opos"),
+        when($("hit").isNotNull, concat($("sym"), lit(b)))
+          .otherwise($("sym")).as("sym"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("word").orderBy("opos"))
+          .cast("long"))
+      .select($("word"), $("n"), $("pos"), $("sym"))
+  }
+
+  /** Train `merges` BPE merges: returns (rank, lhs, rhs, pair_count)
+    * — the merge table a tokenizer ships. Stops early if the corpus
+    * runs out of adjacent pairs.
+    */
+  def bpeTrain(documents: DataFrame, merges: Int = 6): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    var syms = initialSymbols(wordTable(documents)).localCheckpoint(true)
+    val out = collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val top = pairCounts(syms)
+        .orderBy($("cnt").desc, $("a").asc, $("b").asc)
+        .limit(1).as[(String, String, Long)].collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = top.head
+        out += ((r.toLong, a, b, c))
+        val next = mergeOnce(syms, a, b).localCheckpoint(true)
+        syms.unpersist(false)
+        syms = next
+        r += 1
+      }
+    }
+    syms.unpersist(false)
+    out.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** Segment every vocabulary word with a trained merge table: the
+    * apply side of [[bpeTrain]] — (word, n, subwords array) after
+    * replaying the merges in rank order. The lookup a tokenizer
+    * runtime precomputes for its whole vocabulary.
+    */
+  def segment(documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    var syms = initialSymbols(wordTable(documents))
+    merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
+    syms.groupBy($("word"), $("n"))
+      .agg(transform(array_sort(collect_list(struct($("pos"), $("sym")))),
+        x => x("sym")).as("subwords"))
+  }
+}
