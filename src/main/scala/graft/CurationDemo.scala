@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, TextAnalysis}
+import graft.operators.{BloomDecontam, Bpe, Curation, Dedup, SubstringDedup, TextAnalysis}
 import graft.sources.Tables
 
 /** End-to-end drive of the training-data curation pipeline — the
@@ -98,6 +98,17 @@ object CurationDemo {
     val cleanTrain = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
     report("decontaminated", cleanTrain.count())
 
+    // 4b. span-level pass (q111/q113): duplicated-span coverage flags
+    //     and the broadcast bloom probe against the eval windows —
+    //     the Lee-et-al. substring complement of the shingle-level
+    //     decontamination above
+    val spanFlag = SubstringDedup.dupSpanStats(cleanTrain)
+      .filter(col("dup_fraction") > 0.5).count()
+    report("span-dup > 0.5 (flag)", spanFlag)
+    val bloom = BloomDecontam.buildFilter(cleanTrain)
+    report("bloom-flagged",
+      BloomDecontam.decontaminateWithFilter(cleanTrain, bloom).count())
+
     // 5. split + pack into fixed-token bins, write partitioned shards
     val split = Curation.hashSplit(cleanTrain).select(col("doc_id"), col("split"))
     val packed = Curation.packBins(cleanTrain)
@@ -119,6 +130,14 @@ object CurationDemo {
       .filter(col("entropy_milli") >= 2000 && col("entropy_milli") <= 6000)
       .count()
     report("entropy in [2,6] bits", entropyBand)
+
+    // 7. tokenizer prep (q47/q124): vocabulary size of the surviving
+    //    corpus and the first BPE merges learned from it — the merge
+    //    table a tokenizer ships with the shards
+    report("vocab types (tf>=2)", TextAnalysis.vocabulary(cleanTrain).count())
+    val merges = Bpe.bpeTrain(cleanTrain, merges = 4).orderBy("rank").collect()
+    println("[demo] bpe merges: " + merges.map(r =>
+      s"${r.getString(1)}+${r.getString(2)}").mkString(" "))
     println(s"[demo] shards + profile under $work")
     spark.stop()
   }
