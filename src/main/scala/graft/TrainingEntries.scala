@@ -340,6 +340,16 @@ object TrainingEntries {
     // BPE merge training (Sennrich et al. 2016): 6 greedy merges over
     // the word-frequency table, whole training replayed by the oracle
     "q124_bpe_merges"    -> q(t => Bpe.bpeTrain(t.documents)),
+    // BPE apply: the vocabulary segmented under the 6 trained merges,
+    // in exploded (word, n, pos, sym) form — train AND apply gated
+    "q125_bpe_segment"   -> q { t =>
+      val spark = t.spark
+      import spark.implicits._
+      val merges = Bpe.bpeTrain(t.documents)
+        .orderBy("rank").as[(Long, String, String, Long)].collect()
+        .map(r => (r._2, r._3)).toSeq
+      Bpe.segmentSymbols(t.documents, merges)
+    },
     // JSONL edge round-trip: documents → JSON lines → schema'd read —
     // hash-gated against the parquet original, so escaping/unicode/
     // type fidelity of the interchange format is proven, not assumed
@@ -2240,6 +2250,13 @@ object TrainingEntries {
          |$rows
          |ORDER BY rank""".stripMargin
     },
+
+    // Mirrors Bpe.segmentSymbols under the 6 trained merges: the
+    // final symbol table of the q124 training chain
+    "q125_bpe_segment" ->
+      s"""WITH ${bpeCte(6)}
+         |SELECT word, n, pos, sym FROM bs6
+         |ORDER BY word, pos""".stripMargin,
 
     // Mirrors Layout.zorderKey(bits = 20): identical bit interleave
     // in DuckDB's BIGINT shift/mask arithmetic

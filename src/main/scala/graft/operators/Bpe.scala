@@ -126,16 +126,25 @@ object Bpe {
     out.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
   }
 
+  /** Symbol table after replaying a merge list in rank order —
+    * (word, n, pos, sym), the apply side of [[bpeTrain]] in its
+    * oracle-comparable exploded form (q125).
+    */
+  def segmentSymbols(documents: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    var syms = initialSymbols(wordTable(documents))
+    merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
+    syms
+  }
+
   /** Segment every vocabulary word with a trained merge table: the
     * apply side of [[bpeTrain]] — (word, n, subwords array) after
     * replaying the merges in rank order. The lookup a tokenizer
     * runtime precomputes for its whole vocabulary.
     */
-  def segment(documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    var syms = initialSymbols(wordTable(documents))
-    merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
-    syms.groupBy($("word"), $("n"))
+  def segment(documents: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    segmentSymbols(documents, merges)
+      .groupBy($("word"), $("n"))
       .agg(transform(array_sort(collect_list(struct($("pos"), $("sym")))),
         x => x("sym")).as("subwords"))
-  }
 }
