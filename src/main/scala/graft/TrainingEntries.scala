@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, lit, md5, posexplode, when}
 
 import graft.analytics.DistributionFit
-import graft.operators.{BloomDecontam, Bpe, Curation, Dedup, Events, Multimodal, Similarity, SkewJoin, StarQueries, SubstringDedup, TextAnalysis}
+import graft.operators.{BloomDecontam, Bpe, Curation, Dedup, Events, Multimodal, Similarity, Sketches, SkewJoin, StarQueries, SubstringDedup, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver-contract entries for the training-data-pipeline operators
@@ -350,6 +350,16 @@ object TrainingEntries {
         .map(r => (r._2, r._3)).toSeq
       Bpe.segmentSymbols(t.documents, merges)
     },
+    // Count-min sketch heavy hitters: exact top-50 tokens next to
+    // their estimates from the depth=4 x width=1024 mergeable sketch
+    // (est >= exact always; the constant-size per-shard profile)
+    "q127_cms_heavy"     -> q(t => Sketches.cmsHeavyHitters(t.documents)),
+    // SCD Type-2 dimension history from a 3-snapshot series (the
+    // n-snapshot generalization of q87): validity intervals per key
+    // with revision, late arrival, deletion, and reappearance all
+    // exercised by the md5-bucket perturbations of snapshotSeries
+    "q126_scd2"          -> q(t =>
+      Curation.scd2(Curation.snapshotSeries(t.documents))),
     // JSONL edge round-trip: documents → JSON lines → schema'd read —
     // hash-gated against the parquet original, so escaping/unicode/
     // type fidelity of the interchange format is proven, not assumed
@@ -2268,6 +2278,76 @@ object TrainingEntries {
       s"""SELECT l_orderkey, l_partkey, CAST($terms AS BIGINT) AS zkey
          |FROM lineitem ORDER BY l_orderkey, l_partkey""".stripMargin
     },
+
+    // Mirrors Sketches.cmsHeavyHitters(depth=4, width=1024, topK=50):
+    // type table once, ×4 row expansion on the vocabulary, md5-derived
+    // cell coordinates, min-over-rows estimates for the exact top-50
+    "q127_cms_heavy" ->
+      s"""WITH tt AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest(string_split($norm, ' ')) AS tok FROM documents)
+         |  WHERE length(tok) > 0 GROUP BY tok),
+         |cells AS (SELECT CAST(r AS BIGINT) AS rw,
+         |    CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':' || tok),
+         |      1, 8)) AS BIGINT) % 1024 AS cl,
+         |    CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM tt CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+         |  GROUP BY rw, cl),
+         |top AS (SELECT tok, n AS exact_n FROM tt
+         |        ORDER BY n DESC, tok LIMIT 50),
+         |probes AS (SELECT tok, exact_n, CAST(r AS BIGINT) AS rw,
+         |    CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':' || tok),
+         |      1, 8)) AS BIGINT) % 1024 AS cl
+         |  FROM top CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r))
+         |SELECT p.tok AS token, p.exact_n, MIN(c.cnt) AS est_n
+         |FROM probes p JOIN cells c ON c.rw = p.rw AND c.cl = p.cl
+         |GROUP BY p.tok, p.exact_n
+         |ORDER BY token""".stripMargin,
+
+    // Mirrors Curation.scd2 ∘ snapshotSeries: the same three
+    // md5-bucket snapshot perturbations, then gaps-and-islands over
+    // per-key windows — interval starts at first appearance / fp
+    // change / reappearance, ends at the next snapshot index
+    "q126_scd2" ->
+      s"""WITH base AS (SELECT doc_id, text,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 10 AS b
+         |  FROM documents),
+         |snaps AS (
+         |  SELECT doc_id, md5($norm) AS fp, CAST(0 AS BIGINT) AS snap
+         |  FROM base WHERE b <> 7
+         |  UNION ALL
+         |  SELECT doc_id, md5($norm) AS fp, CAST(1 AS BIGINT) AS snap
+         |  FROM (SELECT doc_id,
+         |          CASE WHEN b = 3 THEN text || ' v2' ELSE text END AS text
+         |        FROM base WHERE b <> 8 AND b <> 9)
+         |  UNION ALL
+         |  SELECT doc_id, md5($norm) AS fp, CAST(2 AS BIGINT) AS snap
+         |  FROM (SELECT doc_id,
+         |          CASE WHEN b = 3 THEN text || ' v2'
+         |               WHEN b = 5 THEN text || ' v3'
+         |               ELSE text END AS text
+         |        FROM base WHERE b <> 8)),
+         |lagd AS (SELECT doc_id, fp, snap,
+         |    lag(fp) OVER (PARTITION BY doc_id ORDER BY snap) AS prev_fp,
+         |    lag(snap) OVER (PARTITION BY doc_id ORDER BY snap) AS prev_snap
+         |  FROM snaps),
+         |isl AS (SELECT doc_id, fp, snap,
+         |    SUM(CASE WHEN prev_snap IS NULL OR prev_fp <> fp
+         |               OR prev_snap <> snap - 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY snap
+         |            ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM lagd),
+         |agg AS (SELECT doc_id, island, MIN(fp) AS fp,
+         |          MIN(snap) AS valid_from, MAX(snap) AS last_snap
+         |        FROM isl GROUP BY doc_id, island),
+         |mx AS (SELECT MAX(snap) AS max_snap FROM snaps)
+         |SELECT doc_id, fp, CAST(valid_from AS BIGINT) AS valid_from,
+         |  CAST(CASE WHEN last_snap = max_snap THEN NULL
+         |            ELSE last_snap + 1 END AS BIGINT) AS valid_to,
+         |  last_snap = max_snap AS is_current
+         |FROM agg CROSS JOIN mx
+         |ORDER BY doc_id, valid_from""".stripMargin,
 
     // The JSONL round-trip must reproduce the documents table exactly
     "q121_jsonl_roundtrip" ->

@@ -692,4 +692,80 @@ object Curation {
     toks.unpersist(false)
     result
   }
+
+  /** SCD Type-2 dimension builder from periodic full snapshots: given
+    * one row per (doc_id, fp, snap) for every key PRESENT in snapshot
+    * `snap`, emit validity intervals (doc_id, fp, valid_from,
+    * valid_to, is_current) — the slowly-changing-dimension history a
+    * warehouse keeps so any past corpus state can be reconstructed
+    * ([[snapshotDiff]] is the two-snapshot special case; this is the
+    * n-snapshot generalization that also handles deletion and
+    * reappearance).
+    *
+    * Semantics (gaps-and-islands): an interval starts where a key
+    * first appears, its fingerprint changes, or it reappears after an
+    * absence; it ends (`valid_to` = last_snap + 1, exclusive) when the
+    * fingerprint changes OR the key goes absent at the next snapshot.
+    * Intervals alive at the latest snapshot get `valid_to` NULL and
+    * `is_current` true.
+    *
+    * Determinism: island boundaries are exact integer/equality tests
+    * over a per-key window ordered by (snap) — a total order, since a
+    * key occurs at most once per snapshot — so the history is
+    * reproducible and shard-order-free.
+    *
+    * Scale: only (doc_id, fp, snap) rides the shuffle — one key-width
+    * exchange, then two window passes over the SAME per-key
+    * partitioning (Spark plans one Exchange, two Window nodes) plus a
+    * partial-aggregated island groupBy on the same key prefix. Text
+    * never moves; per-key row count is bounded by the snapshot count,
+    * so window sorts are tiny regardless of corpus size. The global
+    * max-snapshot scalar joins back as a broadcast literal row.
+    */
+  def scd2(snapshots: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy($("doc_id")).orderBy($("snap"))
+    val isStart = $("prev_snap").isNull || $("prev_fp") =!= $("fp") ||
+      $("prev_snap") =!= $("snap") - 1
+    val islands = snapshots
+      .select($("doc_id"), $("fp"), $("snap").cast("long").as("snap"))
+      .withColumn("prev_fp", lag($("fp"), 1).over(byKey))
+      .withColumn("prev_snap", lag($("snap"), 1).over(byKey))
+      .withColumn("island",
+        sum(when(isStart, 1L).otherwise(0L)).over(byKey))
+      .groupBy($("doc_id"), $("island"))
+      .agg(min($("fp")).as("fp"), min($("snap")).as("valid_from"),
+        max($("snap")).as("last_snap"))
+    val maxSnap = snapshots.agg(max($("snap").cast("long")).as("max_snap"))
+    islands.crossJoin(broadcast(maxSnap))
+      .select($("doc_id"), $("fp"), $("valid_from"),
+        when($("last_snap") === $("max_snap"), lit(null).cast("long"))
+          .otherwise($("last_snap") + 1L).as("valid_to"),
+        ($("last_snap") === $("max_snap")).as("is_current"))
+  }
+
+  /** The deterministic snapshot series the q126 contract runs [[scd2]]
+    * over: three md5-bucket perturbations of `documents` exercising
+    * every interval shape — revision at snap 1 (bucket 3), revision at
+    * snap 2 (bucket 5), late arrival (bucket 7 absent from snap 0),
+    * deletion (bucket 8 absent from snap ≥ 1), and absence-then-
+    * reappearance (bucket 9 missing only at snap 1).
+    */
+  def snapshotSeries(documents: DataFrame): DataFrame = {
+    val b = hashBucket($("doc_id"), 10)
+    def fpOf(text: Column): Column = md5(TextAnalysis.normText(text))
+    val s0 = documents.filter(b =!= 7)
+      .select($("doc_id"), fpOf($("text")).as("fp"), lit(0L).as("snap"))
+    val s1 = documents.filter(b =!= 8 && b =!= 9)
+      .select($("doc_id"),
+        fpOf(when(b === 3, concat($("text"), lit(" v2")))
+          .otherwise($("text"))).as("fp"),
+        lit(1L).as("snap"))
+    val s2 = documents.filter(b =!= 8)
+      .select($("doc_id"),
+        fpOf(when(b === 3, concat($("text"), lit(" v2")))
+          .when(b === 5, concat($("text"), lit(" v3")))
+          .otherwise($("text"))).as("fp"),
+        lit(2L).as("snap"))
+    s0.unionByName(s1).unionByName(s2)
+  }
 }

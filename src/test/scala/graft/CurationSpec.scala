@@ -267,6 +267,59 @@ class CurationSpec extends SparkSpec {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("scd2 builds one interval per island: change, delete, late, blip") {
+    import spark.implicits._
+    val snaps = Seq(
+      // stable key across all three snapshots
+      (1L, "a", 0L), (1L, "a", 1L), (1L, "a", 2L),
+      // fingerprint change at snap 2
+      (2L, "b", 0L), (2L, "b", 1L), (2L, "B", 2L),
+      // deleted after snap 0
+      (3L, "c", 0L),
+      // late arrival at snap 1
+      (4L, "d", 1L), (4L, "d", 2L),
+      // absent at snap 1 only (blip) — same fp must still split
+      (5L, "e", 0L), (5L, "e", 2L)
+    ).toDF("doc_id", "fp", "snap")
+    val got = Curation.scd2(snaps)
+      .select("doc_id", "fp", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(got === Set(
+      (1L, "a", 0L, -1L, true),
+      (2L, "b", 0L, 2L, false), (2L, "B", 2L, -1L, true),
+      (3L, "c", 0L, 1L, false),
+      (4L, "d", 1L, -1L, true),
+      (5L, "e", 0L, 1L, false), (5L, "e", 2L, -1L, true)))
+  }
+
+  test("scd2 over snapshotSeries: every bucket shape appears, point-in-time consistent") {
+    import spark.implicits._
+    val series = Curation.snapshotSeries(docs)
+    val hist = Curation.scd2(series).cache()
+    try {
+      // reconstructing snapshot 1 from the intervals must equal the
+      // snapshot itself (the SCD2 guarantee the warehouse relies on)
+      val at1 = hist.filter(col("valid_from") <= 1 &&
+          (col("valid_to").isNull || col("valid_to") > 1))
+        .select("doc_id", "fp")
+      val s1 = series.filter(col("snap") === 1).select("doc_id", "fp")
+      assert(at1.exceptAll(s1).isEmpty && s1.exceptAll(at1).isEmpty)
+      // revised docs (bucket 3) have exactly two intervals
+      val b3 = docs.select(Curation.hashBucket(col("doc_id"), 10)
+        .as("b"), col("doc_id")).filter(col("b") === 3)
+        .select("doc_id").as[Long].collect().toSet
+      if (b3.nonEmpty) {
+        val nIntervals = hist.filter(col("doc_id").isin(b3.toSeq: _*))
+          .groupBy("doc_id").count().select("count").as[Long]
+          .collect().toSet
+        assert(nIntervals === Set(2L))
+      }
+    } finally hist.unpersist()
+  }
+
   test("qualityGate keeps exactly floor(0.9·n) per source, worst dropped") {
     val gated = Curation.qualityGate(docs, keepPermille = 900).cache()
     try {
