@@ -354,6 +354,22 @@ object TrainingEntries {
     // their estimates from the depth=4 x width=1024 mergeable sketch
     // (est >= exact always; the constant-size per-shard profile)
     "q127_cms_heavy"     -> q(t => Sketches.cmsHeavyHitters(t.documents)),
+    // Exact-integer PageRank over the q26 dup-pair graph (3 fixed
+    // iterations, damping 85/100 in micro units): the centrality read
+    // for picking a cluster's canonical document
+    "q128_pagerank"      -> q(t =>
+      Dedup.pairPageRank(Dedup.minhashDupPairs(t.documents, threshold = 0.7))),
+    // Weighted sampling without replacement (Efraimidis–Spirakis):
+    // top-100 by the exact-integer log-space A-ES key, weight = token
+    // count — reservoir sampling as one distributed TakeOrdered
+    "q129_weighted_sample" -> q(t => Curation.weightedSample(t.documents)),
+    // Inverted-index build: per token, df/tf and the md5 fingerprint
+    // of the full ascending posting list (the bm25 serving artifact)
+    "q130_inverted_index" -> q(t => TextAnalysis.invertedIndex(t.documents)),
+    // Conjunctive boolean retrieval: docs containing ALL of the q62
+    // query terms, via posting-list intersection
+    "q131_search_and"    -> q(t =>
+      TextAnalysis.searchAnd(t.documents, Seq("data", "query", "table"))),
     // SCD Type-2 dimension history from a 3-snapshot series (the
     // n-snapshot generalization of q87): validity intervals per key
     // with revision, late arrival, deletion, and reappearance all
@@ -2303,6 +2319,72 @@ object TrainingEntries {
          |FROM probes p JOIN cells c ON c.rw = p.rw AND c.cl = p.cl
          |GROUP BY p.tok, p.exact_n
          |ORDER BY token""".stripMargin,
+
+    // Mirrors Dedup.pairPageRank(iters = 3) over the q26 dup pairs:
+    // undirected edges, BIGINT floor-division contributions, damping
+    // 85//100 in micro units — the exact-integer PageRank replay
+    "q128_pagerank" -> {
+      val prIters = (1 to 3).map { k =>
+        val prev = if (k == 1) "pr0" else s"pr${k - 1}"
+        s"""pr$k AS (SELECT e.dst AS id,
+           |    CAST(150000 + (85 * SUM(p.pr // d.deg)) // 100 AS BIGINT) AS pr
+           |  FROM edges e
+           |  JOIN deg d ON d.src = e.src
+           |  JOIN $prev p ON p.id = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $dupPairsCtes,
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM dup
+         |          UNION ALL SELECT id2 AS src, id1 AS dst FROM dup),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY src),
+         |pr0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |$prIters
+         |SELECT id AS doc_id, pr AS pr_micro FROM pr3
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // Mirrors Curation.weightedSample(k = 100): A-ES keys compared in
+    // log space as exact integers — truncated division on
+    // non-negative operands so Spark `div` and DuckDB `//` agree
+    "q129_weighted_sample" ->
+      s"""WITH base AS (SELECT doc_id, source, $norm AS norm FROM documents),
+         |wt AS (SELECT doc_id, source,
+         |    GREATEST(CAST($nTokens AS BIGINT), 1) AS n_tok,
+         |    CAST(concat('0x', substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+         |      1, 12)) AS BIGINT) AS h
+         |  FROM base),
+         |keyed AS (SELECT doc_id, source, n_tok,
+         |    -((-CAST(floor(1000000.0 * ln((h + 1) / 281474976710656.0))
+         |        AS BIGINT)) // n_tok) AS aes_key
+         |  FROM wt)
+         |SELECT doc_id, source, n_tok, CAST(aes_key AS BIGINT) AS aes_key
+         |FROM keyed ORDER BY aes_key DESC, doc_id LIMIT 100""".stripMargin,
+
+    // Mirrors TextAnalysis.invertedIndex: (token, doc_id) aggregate,
+    // then md5 over the comma-joined ascending posting list
+    "q130_inverted_index" ->
+      s"""WITH td AS (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf_d
+         |  FROM (SELECT doc_id, unnest(string_split($norm, ' ')) AS token
+         |        FROM documents)
+         |  WHERE length(token) > 0 GROUP BY token, doc_id)
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+         |  CAST(SUM(tf_d) AS BIGINT) AS tf,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         |    AS postings_fp
+         |FROM td GROUP BY token ORDER BY token""".stripMargin,
+
+    // Mirrors TextAnalysis.searchAnd({data, query, table}): a doc
+    // survives iff it appears in all three posting lists
+    "q131_search_and" ->
+      s"""WITH td AS (SELECT DISTINCT token, doc_id
+         |  FROM (SELECT doc_id, unnest(string_split($norm, ' ')) AS token
+         |        FROM documents)
+         |  WHERE length(token) > 0)
+         |SELECT doc_id FROM td
+         |WHERE token IN ('data', 'query', 'table')
+         |GROUP BY doc_id HAVING COUNT(*) = 3
+         |ORDER BY doc_id""".stripMargin,
 
     // Mirrors Curation.scd2 ∘ snapshotSeries: the same three
     // md5-bucket snapshot perturbations, then gaps-and-islands over

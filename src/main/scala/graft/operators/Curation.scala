@@ -693,6 +693,44 @@ object Curation {
     result
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * draw `k` documents with inclusion probability proportional to
+    * token count, as one distributed top-k — the curation step that
+    * subsamples a corpus toward long documents (or any weight) without
+    * a global sort and without sequential draws.
+    *
+    * A-ES: assign each row the key u^(1/w) (u uniform, w its weight)
+    * and keep the k largest keys. Determinism (the [[dsirResample]]
+    * discipline): u derives from md5('ws:' ∥ doc_id) — seedless,
+    * shard-order-free — and the key is compared in log space as
+    * exact integers: key = −((−floor(1e6·ln u)) div w), truncated
+    * division on NON-NEGATIVE operands so Spark's `div` and DuckDB's
+    * `//` agree (they differ on negatives: truncate vs floor). Micro
+    * granularity keeps floor boundaries ~7 orders above libm ulp
+    * divergence; ties (coarse key collisions) break by doc_id — a
+    * total order, so the sample is reproducible bit-for-bit.
+    *
+    * Scale: one narrow scan computes (w, key); the top-k is
+    * TakeOrderedAndProject (per-partition bounded heaps + driver
+    * merge of k rows) — no shuffle of the corpus, no global sort, no
+    * coordination between draws. This is the 100 TB replacement for
+    * driver-side reservoir loops.
+    */
+  def weightedSample(documents: DataFrame, k: Int = 100): DataFrame = {
+    val h = conv(substring(md5(concat(lit("ws:"),
+      $("doc_id").cast("string"))), 1, 12), 16, 10).cast("long")
+    val w = greatest(TextAnalysis.tokenCount($("text")).cast("long"), lit(1L))
+    documents.spread()
+      .select($("doc_id"), $("source"), w.as("n_tok"), h.as("h"))
+      .withColumn("lnu_micro", floor(lit(1000000.0) *
+        log(($("h") + 1).cast("double") / lit(281474976710656.0)))
+        .cast("long"))
+      .select($("doc_id"), $("source"), $("n_tok"),
+        (-(expr("(-lnu_micro) div n_tok"))).cast("long").as("aes_key"))
+      .orderBy($("aes_key").desc, $("doc_id").asc)
+      .limit(k)
+  }
+
   /** SCD Type-2 dimension builder from periodic full snapshots: given
     * one row per (doc_id, fp, snap) for every key PRESENT in snapshot
     * `snap`, emit validity intervals (doc_id, fp, valid_from,

@@ -664,6 +664,52 @@ object Dedup {
       .select($("degree").cast("long").as("degree"),
         $("n_nodes").cast("long").as("n_nodes"))
 
+  /** PageRank centrality over the (id1, id2) dup-pair graph, fixed
+    * iteration count — the "which copy is the hub?" read before
+    * choosing a cluster's canonical document: in a near-dup cluster
+    * the highest-rank node is the version most other variants point
+    * at (mirror topologies are stars around the original), a
+    * centrality-based alternative to [[clusterKeepsFromPairs]]'s
+    * longest-text rule.
+    *
+    * Exact-integer PageRank (the repo's determinism discipline —
+    * float PageRank would drift across engines): ranks live in micro
+    * units, pr₀ = 1e6, and each iteration computes
+    * pr'(v) = 150000 + (85 · Σ_{u∼v} (pr(u) div deg(u))) div 100
+    * with BIGINT floor divisions — damping 0.85 with per-node
+    * teleport mass (1−d)·1e6. Every node of the undirected pair
+    * graph has degree ≥ 1 and ≥ 1 in-edge, so no dangling-mass term.
+    *
+    * Scale: `iters` is FIXED (default 3 — cluster-local centrality
+    * converges fast on near-dup topologies; this is a ranking read,
+    * not a convergence solver), so the plan is iters joins of the
+    * edge list against a (node, pr) sliver plus one key-width
+    * groupBy each — the [[componentsOf]] shape without the
+    * variable-round loop. Each round localCheckpoints so the lineage
+    * stays flat; edges are re-read per round (at warehouse scale,
+    * persist or pre-bucket the edge table by src to co-locate every
+    * round's join).
+    */
+  def pairPageRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = pairs.select($("id1").as("src"), $("id2").as("dst"))
+      .unionByName(pairs.select($("id2").as("src"), $("id1").as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy($("src")).agg(count(lit(1)).as("deg"))
+    var pr = deg.select($("src").as("id"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      pr = edges
+        .join(deg, Seq("src"))
+        .join(pr, edges("src") === pr("id"))
+        .select($("dst"), expr("pr div deg").as("contrib"))
+        .groupBy($("dst"))
+        .agg(sum($("contrib")).as("s"))
+        .select($("dst").as("id"),
+          expr("150000 + (85 * s) div 100").cast("long").as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select($("id").as("doc_id"), $("pr").as("pr_micro"))
+  }
+
   /** Incremental exact dedup of a NEW batch against an accumulated
     * fingerprint index — the streaming-ingest shape of
     * [[exactDuplicates]]: a crawl pipeline never re-dedups the whole

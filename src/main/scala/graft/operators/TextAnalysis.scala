@@ -660,4 +660,55 @@ object TextAnalysis {
       .orderBy($("pmi_micro").desc, $("w1").asc, $("w2").asc)
       .limit(topK)
   }
+
+  /** Inverted-index build: per token type, document frequency, total
+    * term frequency, and a fingerprint of the full ascending posting
+    * list — the retrieval-serving artifact behind [[bm25]] (which
+    * scores on the fly; a serving stack materializes THIS once and
+    * probes it per query).
+    *
+    * The contract row carries `postings_fp` = md5 of the
+    * comma-joined sorted doc_ids rather than the array itself: the
+    * list content is hash-pinned cross-engine without betting the
+    * gate on array-type hashing parity. At warehouse scale the
+    * posting lists would be written as a token-bucketed TABLE
+    * (token, doc_id) — exactly the `td` aggregate below, which is
+    * the real index; the per-token array is only collected here to
+    * fingerprint it, and a stopword-class token's list should be
+    * df-capped the way [[Dedup.shingleOccurrences]] caps buckets.
+    *
+    * Scale: one token-stream pass, both aggregates partial-combine
+    * map-side on (token, doc_id) then (token); only integer pairs
+    * shuffle.
+    */
+  def invertedIndex(documents: DataFrame): DataFrame =
+    tokens(documents)
+      .groupBy($("token"), $("doc_id"))
+      .agg(count(lit(1)).as("tf_d"))
+      .groupBy($("token"))
+      .agg(count(lit(1)).cast("long").as("df"),
+        sum($("tf_d")).cast("long").as("tf"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list($("doc_id"))),
+            x => x.cast("string")))).as("postings_fp"))
+
+  /** Conjunctive (AND) boolean retrieval over the inverted index:
+    * documents containing EVERY query term — posting-list
+    * intersection as a count-matching aggregate (a doc survives iff
+    * it appears in all |terms| lists). The boolean companion of
+    * [[bm25]]'s ranked retrieval.
+    *
+    * Scale: the term filter prunes the token stream at the scan
+    * (predicate pushdown on the index table's token key at serving
+    * time); what shuffles is (doc_id, token) for matching terms only
+    * — |terms| · df rows, never the corpus.
+    */
+  def searchAnd(documents: DataFrame, terms: Seq[String]): DataFrame =
+    tokens(documents)
+      .filter($("token").isin(terms: _*))
+      .select($("token"), $("doc_id")).distinct()
+      .groupBy($("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter($("n_hit") === terms.size)
+      .select($("doc_id"))
 }

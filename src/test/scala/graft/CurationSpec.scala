@@ -267,6 +267,41 @@ class CurationSpec extends SparkSpec {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("weightedSample: k rows, exact A-ES key recompute, heavy-weight bias") {
+    import spark.implicits._
+    val k = 25
+    val sample = Curation.weightedSample(docs, k).cache()
+    try {
+      assert(sample.count() === k)
+      // row-for-row key recompute in plain Scala (independent md5/ln)
+      val rows = sample.select("doc_id", "n_tok", "aes_key")
+        .as[(Long, Long, Long)].collect()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.foreach { case (id, w, key) =>
+        val hex = md.digest(s"ws:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+        val h = java.lang.Long.parseLong(hex, 16)
+        val lnuMicro =
+          math.floor(1e6 * math.log((h + 1).toDouble / 281474976710656.0)).toLong
+        assert(key === -((-lnuMicro) / w), s"doc $id")
+      }
+      // determinism: a second evaluation returns the identical set
+      val again = Curation.weightedSample(docs, k)
+        .select("doc_id").as[Long].collect().toSet
+      assert(again === rows.map(_._1).toSet)
+      // A-ES bias: sampling weights are token counts, so the sampled
+      // mean weight must be >= the corpus mean (strict inequality is
+      // distribution-dependent; equality would mean no bias at all)
+      val sampleMean = rows.map(_._2).sum.toDouble / rows.length
+      val corpusMean = docs
+        .select(greatest(graft.operators.TextAnalysis.tokenCount(col("text"))
+          .cast("long"), lit(1L)).as("w"))
+        .agg(avg("w")).as[Double].head()
+      assert(sampleMean >= corpusMean * 0.95,
+        s"sample mean $sampleMean vs corpus mean $corpusMean")
+    } finally sample.unpersist()
+  }
+
   test("scd2 builds one interval per island: change, delete, late, blip") {
     import spark.implicits._
     val snaps = Seq(

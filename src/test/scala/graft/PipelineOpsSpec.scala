@@ -495,6 +495,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("pairPageRank: hand-computed star ranks, hub strictly first") {
+    // star 1-{2,3,4}: deg(1)=3, deg(leaf)=1; 3 exact-integer
+    // iterations give pr(1)=2483250, pr(leaf)=505583 (hand-derived:
+    // pr' = 150000 + (85·Σ (pr div deg)) div 100 from pr0 = 1e6)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id1", "id2")
+    val got = Dedup.pairPageRank(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2483250L, 2L -> 505583L, 3L -> 505583L,
+      4L -> 505583L))
+    // symmetric pair: both nodes keep identical rank across iterations
+    val sym = Dedup.pairPageRank(Seq((7L, 8L)).toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+    assert(sym(7L) === sym(8L))
+  }
+
   // -------------------------------------------------------------
   // incremental dedup / estimated jaccard
   // -------------------------------------------------------------

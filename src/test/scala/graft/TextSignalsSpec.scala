@@ -113,4 +113,35 @@ class TextSignalsSpec extends SparkSpec {
     assert((w1, w2, c) === (("new", "york", 6L)))
     assert(pmi > 0L)
   }
+
+  test("invertedIndex: planted df/tf and byte-exact posting fingerprint") {
+    val docs = Seq(
+      (3L, "cat dog cat"),
+      (1L, "dog bird"),
+      (2L, "cat fish")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def fp(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // cat: docs {2,3} (ascending!), tf 3; dog: {1,3}; bird/fish singletons
+    assert(got("cat") === ((2L, 3L, fp("2,3"))))
+    assert(got("dog") === ((2L, 2L, fp("1,3"))))
+    assert(got("bird") === ((1L, 1L, fp("1"))))
+    assert(got("fish") === ((1L, 1L, fp("2"))))
+  }
+
+  test("searchAnd returns exactly the docs containing every term") {
+    val docs = Seq(
+      (1L, "data query table extra"),
+      (2L, "data query"),            // missing 'table'
+      (3L, "table data query data"), // repeats must not double-count
+      (4L, "other words entirely")
+    ).toDF("doc_id", "text")
+    val hits = TextAnalysis.searchAnd(docs, Seq("data", "query", "table"))
+      .as[Long].collect().toSet
+    assert(hits === Set(1L, 3L))
+  }
 }
