@@ -129,11 +129,22 @@ object Bpe {
   /** Symbol table after replaying a merge list in rank order —
     * (word, n, pos, sym), the apply side of [[bpeTrain]] in its
     * oracle-comparable exploded form (q125).
+    *
+    * Each round materializes (localCheckpoint) before the next —
+    * [[mergeOnce]] references its input ~3× (match scan, kept join,
+    * consumed join), so an unmaterialized k-merge replay re-expands
+    * the base plan ~3^k times: the Spark-side twin of the DuckDB
+    * CTE-inlining blowup the q124 oracle pins with MATERIALIZED
+    * (measured: 62 s → ~3 s at sf0.1 for the 6-merge replay).
     */
   def segmentSymbols(documents: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
-    var syms = initialSymbols(wordTable(documents))
-    merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
+    var syms = initialSymbols(wordTable(documents)).localCheckpoint(true)
+    merges.foreach { case (a, b) =>
+      val next = mergeOnce(syms, a, b).localCheckpoint(true)
+      syms.unpersist(false)
+      syms = next
+    }
     syms
   }
 

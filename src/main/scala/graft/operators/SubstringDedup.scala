@@ -108,7 +108,21 @@ object SubstringDedup {
     * shuffle it twice (agg side + probe side) and recompute the
     * scan+explode lineage for both.
     */
-  def coverageFromWindows(wins: DataFrame, k: Int): DataFrame = {
+  def coverageFromWindows(wins: DataFrame, k: Int): DataFrame =
+    dupIntervals(wins, k)
+      .groupBy("doc_id")
+      .agg(sum($("end") - $("start") + 1).as("dup_tokens"))
+
+  /** Merged duplicated-token intervals per document from a window
+    * table shaped like [[windowOccurrences]] output: (doc_id, start,
+    * end) with `[start, end]` the 1-based token ranges covered by ≥ 1
+    * corpus-duplicated window — gaps-and-islands over a running max
+    * of interval ends, partitioned per document, so overlapping hits
+    * merge and the emitted ranges are disjoint and contiguous. The
+    * common core of [[coverageFromWindows]] (which sums the range
+    * sizes) and [[removeSpans]] (which cuts the ranges out).
+    */
+  def dupIntervals(wins: DataFrame, k: Int): DataFrame = {
     val hits = wins
       .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("fp")))
       .where($("n_occ") >= 2)
@@ -117,16 +131,65 @@ object SubstringDedup {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevMaxEnd = max($("pos") + (k - 1))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = hits
+    hits
       .withColumn("is_start",
         when($("pos") > coalesce(prevMaxEnd, lit(Long.MinValue)), 1L)
           .otherwise(0L))
       .withColumn("island", sum($("is_start")).over(byDoc))
-    islands
       .groupBy("doc_id", "island")
-      .agg((max($("pos")) + (k - 1) - min($("pos")) + 1).as("span_tokens"))
+      .agg(min($("pos")).as("start"), (max($("pos")) + (k - 1)).as("end"))
+      .select($("doc_id"), $("start"), $("end"))
+  }
+
+  /** The REWRITE step of exact substring dedup (Lee et al. 2022 §3
+    * actually cuts the repeated spans out of the corpus; [[dupSpanStats]]
+    * only measures them): per document, remove every token covered by
+    * a corpus-duplicated `k`-window and reassemble the survivors —
+    * (doc_id, n_tokens, removed_tokens, clean_text). Documents whose
+    * normalized text is empty are skipped; a fully-duplicated document
+    * comes back with `clean_text = ''` (the curation step after this
+    * drops length-0 docs).
+    *
+    * This is the CONSERVATIVE variant: every occurrence of a repeated
+    * span is removed (deterministic and shard-order-free). The
+    * keep-one-copy variant needs a global owner election per span
+    * ([[Dedup.incrementalDedup]]'s min-key pattern) and triples the
+    * shuffle for little curation benefit — Lee et al. remove all but
+    * one occurrence chosen arbitrarily; arbitrary is exactly what a
+    * reproducible pipeline can't have.
+    *
+    * Scale: the heavy stream (window fingerprints) shuffles twice
+    * (occurrence count, per-doc islands) exactly like
+    * [[dupSpanStats]]; the rewrite itself joins documents against the
+    * MERGED interval arrays (rows ≤ hits/2 per doc, usually ~1) and
+    * cuts tokens with pure array expressions (`zip_with` + `filter` +
+    * `exists` — per-token cost is #intervals, inside codegen) — the
+    * corpus text moves through ONE doc-keyed join and never explodes
+    * to token rows.
+    */
+  def removeSpans(documents: DataFrame, k: Int = 8): DataFrame = {
+    val ivs = dupIntervals(windowOccurrences(documents, k), k)
       .groupBy("doc_id")
-      .agg(sum($("span_tokens")).as("dup_tokens"))
+      .agg(collect_list(struct($("start"), $("end"))).as("ivs"))
+    val emptyIvs = array().cast("array<struct<start:int,end:int>>")
+    val withIvs = documents.spread()
+      .select($("doc_id"), normText($("text")).as("norm"))
+      .where(length($("norm")) > 0)
+      .join(ivs, Seq("doc_id"), "left")
+      .select($("doc_id"), split($("norm"), " ").as("toks"),
+        coalesce($("ivs"), emptyIvs).as("ivs"))
+    val pairs = zip_with($("toks"), sequence(lit(1), size($("toks"))),
+      (t, p) => struct(t.as("tok"), p.as("tpos")))
+    val kept = filter(pairs, s => !exists($("ivs"),
+      iv => s.getField("tpos") >= iv.getField("start") &&
+        s.getField("tpos") <= iv.getField("end")))
+    withIvs
+      .select($("doc_id"), $("toks"), kept.as("kept"))
+      .select($("doc_id"),
+        size($("toks")).cast("long").as("n_tokens"),
+        (size($("toks")) - size($("kept"))).cast("long").as("removed_tokens"),
+        concat_ws(" ", transform($("kept"), x => x.getField("tok")))
+          .as("clean_text"))
   }
 
   /** (doc_id, n_tokens) of documents long enough to window (≥ k
