@@ -370,6 +370,10 @@ object TrainingEntries {
     // query terms, via posting-list intersection
     "q131_search_and"    -> q(t =>
       TextAnalysis.searchAnd(t.documents, Seq("data", "query", "table"))),
+    // The span-dedup REWRITE (Lee et al. cut the repeated spans, not
+    // just measure them): duplicated 8-token windows removed from
+    // every document, survivors reassembled — clean_text hash-gated
+    "q132_span_rewrite"  -> q(t => SubstringDedup.removeSpans(t.documents)),
     // SCD Type-2 dimension history from a 3-snapshot series (the
     // n-snapshot generalization of q87): validity intervals per key
     // with revision, late arrival, deletion, and reappearance all
@@ -2360,6 +2364,33 @@ object TrainingEntries {
          |  FROM wt)
          |SELECT doc_id, source, n_tok, CAST(aes_key AS BIGINT) AS aes_key
          |FROM keyed ORDER BY aes_key DESC, doc_id LIMIT 100""".stripMargin,
+
+    // Mirrors SubstringDedup.removeSpans: q111's window CTEs, covered
+    // token positions exploded from the duplicated hits, kept tokens
+    // reassembled in position order (all-removed docs come back '')
+    "q132_span_rewrite" ->
+      s"""WITH $tokenWindowsCte,
+         |dup AS (SELECT fp FROM wins GROUP BY fp HAVING COUNT(*) >= 2),
+         |hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (fp)),
+         |cov AS (SELECT DISTINCT doc_id, pos + o AS tpos
+         |        FROM hits CROSS JOIN
+         |          (SELECT unnest(generate_series(0, 7)) AS o)),
+         |tp AS (SELECT doc_id, toks,
+         |         unnest(generate_series(1, len(toks))) AS tpos FROM tok),
+         |tokp AS (SELECT doc_id, tpos, toks[tpos] AS tok_s FROM tp),
+         |keptagg AS (SELECT t.doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS kept_n,
+         |    string_agg(t.tok_s, ' ' ORDER BY t.tpos) AS clean_text
+         |  FROM tokp t LEFT JOIN cov c
+         |    ON c.doc_id = t.doc_id AND c.tpos = t.tpos
+         |  WHERE c.doc_id IS NULL GROUP BY t.doc_id),
+         |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+         |         FROM tok)
+         |SELECT l.doc_id, l.n_tokens,
+         |  l.n_tokens - COALESCE(k.kept_n, 0) AS removed_tokens,
+         |  COALESCE(k.clean_text, '') AS clean_text
+         |FROM lens l LEFT JOIN keptagg k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // Mirrors TextAnalysis.invertedIndex: (token, doc_id) aggregate,
     // then md5 over the comma-joined ascending posting list

@@ -76,6 +76,29 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got === Array((1L, 6L), (2L, 6L)))
   }
 
+  test("dupIntervals: merged disjoint ranges per doc") {
+    val ivs = SubstringDedup.dupIntervals(
+      SubstringDedup.windowOccurrences(docs, K), K)
+      .select("doc_id", "start", "end").as[(Long, Int, Int)]
+      .collect().sorted
+    // doc1: [1,6]; doc2: hits at 2,3 merge to [2,6]; doc3: hits at
+    // 1 and 5 are adjacent but disjoint islands [1,4], [5,8]; doc5 = doc1
+    assert(ivs === Array((1L, 1, 6), (2L, 2, 6), (3L, 1, 4), (3L, 5, 8),
+      (5L, 1, 6)))
+  }
+
+  test("removeSpans cuts covered tokens, keeps the rest in order") {
+    val got = SubstringDedup.removeSpans(docs, K)
+      .select("doc_id", "n_tokens", "removed_tokens", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, 6L, 6L, ""),            // fully duplicated
+      (2L, 7L, 5L, "x y"),         // interior [2,6] cut, ends survive
+      (3L, 8L, 8L, ""),            // within-doc repeat covers all
+      (4L, 3L, 0L, "u v w"),       // under k: untouched
+      (5L, 6L, 6L, "")))           // normalizes to doc1
+  }
+
   test("topDuplicatedSpans: (n_occ desc, span asc) total order, text intact") {
     val top = SubstringDedup.topDuplicatedSpans(docs, K, topN = 3)
       .as[(String, Long, Long)].collect()
