@@ -374,6 +374,11 @@ object TrainingEntries {
     // just measure them): duplicated 8-token windows removed from
     // every document, survivors reassembled — clean_text hash-gated
     "q132_span_rewrite"  -> q(t => SubstringDedup.removeSpans(t.documents)),
+    // q72's keep-election with the winner chosen by PageRank
+    // centrality instead of text length: components + q128's ranks off
+    // one materialized pair table, canonical = highest-rank node
+    "q133_canonical_rank" -> q(t =>
+      Dedup.canonicalByRank(Dedup.minhashDupPairs(t.documents, threshold = 0.7))),
     // SCD Type-2 dimension history from a 3-snapshot series (the
     // n-snapshot generalization of q87): validity intervals per key
     // with revision, late arrival, deletion, and reappearance all
@@ -2391,6 +2396,41 @@ object TrainingEntries {
          |  COALESCE(k.clean_text, '') AS clean_text
          |FROM lens l LEFT JOIN keptagg k USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Dedup.canonicalByRank: q51's recursive closure + q128's
+    // integer PageRank, winner = per-component argmax by (pr, -doc_id)
+    "q133_canonical_rank" -> {
+      val prIters = (1 to 3).map { k =>
+        val prev = if (k == 1) "pr0" else s"pr${k - 1}"
+        s"""pr$k AS (SELECT e.dst AS id,
+           |    CAST(150000 + (85 * SUM(p.pr // d.deg)) // 100 AS BIGINT) AS pr
+           |  FROM edges e
+           |  JOIN deg d ON d.src = e.src
+           |  JOIN $prev p ON p.id = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $dupComponentsCtes,
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM dup
+         |          UNION ALL SELECT id2 AS src, id1 AS dst FROM dup),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY src),
+         |pr0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |$prIters,
+         |mem AS (SELECT c.doc_id, c.component, cs.cluster_size,
+         |          p.pr AS pr_micro
+         |        FROM comp c JOIN cs USING (component)
+         |        JOIN pr3 p ON p.id = c.doc_id),
+         |win AS (SELECT component, doc_id AS keep_id FROM (
+         |          SELECT component, doc_id,
+         |            row_number() OVER (PARTITION BY component
+         |              ORDER BY pr_micro DESC, doc_id ASC) AS rn
+         |          FROM mem) WHERE rn = 1)
+         |SELECT m.doc_id, m.component, CAST(m.cluster_size AS BIGINT)
+         |    AS cluster_size, m.pr_micro,
+         |  m.doc_id = w.keep_id AS canonical
+         |FROM mem m JOIN win w USING (component)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // Mirrors TextAnalysis.invertedIndex: (token, doc_id) aggregate,
     // then md5 over the comma-joined ascending posting list

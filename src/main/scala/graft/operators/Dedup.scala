@@ -664,6 +664,33 @@ object Dedup {
       .select($("degree").cast("long").as("degree"),
         $("n_nodes").cast("long").as("n_nodes"))
 
+  /** [[clusterKeepsFromPairs]] with the winner chosen by CENTRALITY
+    * instead of length: connected components + [[pairPageRank]] over
+    * ONE materialized pair table, canonical = the component's highest-
+    * rank node (ties to the smallest doc_id — a total order). In a
+    * mirror-site star the original is the hub every variant links to;
+    * the longest-text rule would keep whichever mirror appended the
+    * most boilerplate.
+    *
+    * Scale: both consumers (closure, rank) read the same
+    * localCheckpointed pair sliver — the materialize-once discipline
+    * of the composed bench mode; the winner election is a
+    * component-keyed max_by hash aggregate, no window sort.
+    */
+  def canonicalByRank(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val p = pairs.select($("id1"), $("id2")).localCheckpoint(true)
+    val m = componentsOf(p, maxRounds).join(pairPageRank(p), Seq("doc_id"))
+    val winners = m.groupBy($("component"))
+      .agg(max_by($("doc_id"), struct($("pr_micro"), -$("doc_id")))
+        .as("keep_id"))
+    val result = m.join(winners, Seq("component"))
+      .select($("doc_id"), $("component"), $("cluster_size"),
+        $("pr_micro"), ($("doc_id") === $("keep_id")).as("canonical"))
+      .localCheckpoint(true)
+    p.unpersist(false)
+    result
+  }
+
   /** PageRank centrality over the (id1, id2) dup-pair graph, fixed
     * iteration count — the "which copy is the hub?" read before
     * choosing a cluster's canonical document: in a near-dup cluster

@@ -215,4 +215,37 @@ object DocStreams extends Serializable {
           out.result().iterator
       }
   }
+
+  /** Streaming count-min sketch: the running (row, col, cnt) cell
+    * table over the document firehose — update mode emits the cells a
+    * micro-batch touched with their new running sums. The CMS is THE
+    * sketch built for this deployment (cellwise sums commute and
+    * merge), so the streaming twin is a plain streaming aggregation:
+    * state is the ≤ depth·width live cells, constant in corpus size —
+    * no per-key eviction policy needed, ever.
+    *
+    * Twin contract (StreamingSpec): run over the static corpus and the
+    * final cell values equal [[graft.operators.Sketches.cmsTable]].
+    * One structural difference, documented: the batch side aggregates
+    * the TYPE table first and expands ×depth on the vocabulary;
+    * chained aggregations are unsupported in a streaming query, so
+    * here the ×depth expansion rides the token stream itself — same
+    * cells, same sums, more pre-aggregation rows (the map-side partial
+    * agg still combines within each micro-batch before the shuffle).
+    */
+  def cmsCells(docs: DataFrame, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    val tok = docs
+      .select(explode(split(TextAnalysis.normText(col("text")), " "))
+        .as("token"))
+      .where(length(col("token")) > 0)
+    tok
+      .select(col("token"),
+        explode(array((0 until depth).map(lit(_)): _*)).as("row"))
+      .select(col("row").cast("long").as("row"),
+        graft.operators.Sketches.cmsCol(col("row"), col("token"), width)
+          .as("col"))
+      .groupBy(col("row"), col("col"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -495,6 +495,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("canonicalByRank: hub elected in the star, min-id on rank ties") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L))
+      .toDF("id1", "id2")
+    val got = Dedup.canonicalByRank(pairs)
+      .select("doc_id", "component", "cluster_size", "canonical")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    val canonicals = got.filter(_._4).map(_._1).toSet
+    assert(canonicals === Set(1L, 10L),
+      "star hub by rank; symmetric pair ties to the smaller id")
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L, 4L, 10L, 11L))
+    assert(got.filter(_._2 == 1L).head._3 === 4L) // star cluster size
+  }
+
   test("pairPageRank: hand-computed star ranks, hub strictly first") {
     // star 1-{2,3,4}: deg(1)=3, deg(leaf)=1; 3 exact-integer
     // iterations give pr(1)=2483250, pr(leaf)=505583 (hand-derived:

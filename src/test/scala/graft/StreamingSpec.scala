@@ -489,6 +489,31 @@ class StreamingSpec extends SparkSpec {
       "both arrivals of the leaked span flag, the clean doc never does")
   }
 
+  test("streaming cms cells == batch cmsTable, including across batches") {
+    import graft.streaming.DocStreams
+    val tables = graft.sources.Tables(spark, dir)
+    val cmsDir = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    // two deliveries: the stream must MERGE, not restart, across them
+    tables.documents.filter($"doc_id" % 2 === 0)
+      .write.mode("append").parquet(cmsDir)
+    val q = DocStreams.cmsCells(DocStreams.readDocs(spark, cmsDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream").start()
+    try {
+      q.processAllAvailable()
+      tables.documents.filter($"doc_id" % 2 === 1)
+        .write.mode("append").parquet(cmsDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cms_stream")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = graft.operators.Sketches.cmsTable(tables.documents)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want,
+      "final streaming cells must equal the oracle-gated batch sketch")
+    assert(got.nonEmpty)
+  }
+
   test("streaming pq codes == batch pqEncode codes (single batch)") {
     import graft.operators.Similarity
     import graft.streaming.EmbStreams
