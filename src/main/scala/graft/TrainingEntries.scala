@@ -379,6 +379,16 @@ object TrainingEntries {
     // one materialized pair table, canonical = highest-rank node
     "q133_canonical_rank" -> q(t =>
       Dedup.canonicalByRank(Dedup.minhashDupPairs(t.documents, threshold = 0.7))),
+    // The tokenizer story closed end-to-end: train (q124) → segment
+    // the vocab (q125) → price the corpus in subwords per doc
+    "q134_bpe_tokenize"  -> q { t =>
+      val spark = t.spark
+      import spark.implicits._
+      val merges = Bpe.bpeTrain(t.documents)
+        .orderBy("rank").as[(Long, String, String, Long)].collect()
+        .map(r => (r._2, r._3)).toSeq
+      Bpe.tokenizeCorpus(t.documents, merges)
+    },
     // SCD Type-2 dimension history from a 3-snapshot series (the
     // n-snapshot generalization of q87): validity intervals per key
     // with revision, late arrival, deletion, and reappearance all
@@ -2396,6 +2406,21 @@ object TrainingEntries {
          |  COALESCE(k.clean_text, '') AS clean_text
          |FROM lens l LEFT JOIN keptagg k USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Bpe.tokenizeCorpus under the q124 training: bs6's
+    // per-word subword counts joined back to the corpus token stream
+    "q134_bpe_tokenize" ->
+      s"""WITH ${bpeCte(6)},
+         |sw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub
+         |       FROM bs6 GROUP BY word),
+         |dt AS (SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+         |    FROM documents)
+         |  WHERE length(tok) > 0)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(s.n_sub) AS BIGINT) AS n_subwords
+         |FROM dt JOIN sw s ON s.word = dt.tok
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Mirrors Dedup.canonicalByRank: q51's recursive closure + q128's
     // integer PageRank, winner = per-component argmax by (pr, -doc_id)

@@ -158,4 +158,29 @@ object Bpe {
       .groupBy($("word"), $("n"))
       .agg(transform(array_sort(collect_list(struct($("pos"), $("sym")))),
         x => x("sym")).as("subwords"))
+
+  /** Tokenize the CORPUS under a trained merge table: per document,
+    * whitespace word count and total subword count after BPE — the
+    * number that actually prices a training run (token budgets, pack
+    * bins, context-length fits are all in SUBWORDS, not words).
+    *
+    * Scale: the per-word subword table is vocabulary-sized and joins
+    * BROADCAST against the corpus token stream — the canonical
+    * model/data split (segment the vocab once, never re-segment per
+    * occurrence); the per-doc aggregate partial-combines map-side.
+    * Every corpus token hits the vocab by construction (the vocab was
+    * built from this corpus); for tokenizing FOREIGN text against a
+    * shipped vocab, left-join and count misses as OOV upstream.
+    */
+  def tokenizeCorpus(documents: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val sw = segmentSymbols(documents, merges)
+      .groupBy($("word"))
+      .agg(count(lit(1)).cast("long").as("n_sub"))
+    TextAnalysis.tokens(documents)
+      .join(broadcast(sw), $("token") === $("word"))
+      .groupBy($("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum($("n_sub")).cast("long").as("n_subwords"))
+  }
 }

@@ -68,4 +68,16 @@ class BpeSpec extends SparkSpec {
     assert(seg.exists(_._3.exists(_.length > 1)),
       "at least one word must contain a merged subword")
   }
+
+  test("tokenizeCorpus prices documents in subwords, merges compress") {
+    val docs = Seq((1L, "ab ab c"), (2L, "c ab")).toDF("doc_id", "text")
+    // no merges: every char is a subword
+    val plain = Bpe.tokenizeCorpus(docs, Nil)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(plain === Map(1L -> ((3L, 5L)), 2L -> ((2L, 3L))))
+    // merge (a,b): "ab" collapses to one subword everywhere it occurs
+    val merged = Bpe.tokenizeCorpus(docs, Seq(("a", "b")))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(merged === Map(1L -> ((3L, 3L)), 2L -> ((2L, 2L))))
+  }
 }
