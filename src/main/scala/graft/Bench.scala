@@ -190,6 +190,10 @@ object Bench {
             noop(Dedup.sourceOverlapFromPairs(pairs(), docs)) },
           timedAt("q89_from_pairs") {
             noop(Dedup.pairDegreeHistogram(pairs())) },
+          timedAt("q128_from_pairs") {
+            noop(Dedup.pairPageRank(pairs())) },
+          timedAt("q133_from_pairs") {
+            noop(Dedup.canonicalByRank(pairs())) },
           timedAt("q98_from_artifacts") {
             noop(Dedup.estimatorCalibrationFromScored(rd(scoredP), rd(sigsP))) },
           // PQ family "train once, serve many": q117/q118/q119/q122

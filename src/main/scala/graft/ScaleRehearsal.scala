@@ -116,7 +116,21 @@ object ScaleRehearsal {
         // eliminate the join AND the span derivation (measured as a
         // 0-shuffle no-op) — the fp aggregate is elimination-proof
         "q111_dup_windows" -> (() => SubstringDedup.duplicatedWindows(docs)),
-        "q117_pq_encode" -> (() => Similarity.pqEncode(emb)))
+        // the rolling-hash twin right after its md5 sibling: same
+        // aggregate, O(n) derivation + 8-byte keys — the rehearsal
+        // prints the head-to-head wall/cpu/shuffle-bytes at each factor
+        "q135_dup_windows_rolling" -> (() =>
+          SubstringDedup.duplicatedWindowsRolling(docs)),
+        "q117_pq_encode" -> (() => Similarity.pqEncode(emb)),
+        // round-9 session-2 heavies: the span REWRITE (coverage legs +
+        // the doc-keyed interval join; the removed_tokens filter keeps
+        // count() from eliminating the rewrite work — the output row
+        // count would otherwise equal the left side) and the 3-round
+        // integer PageRank over the pair graph
+        "q132_span_rewrite" -> (() =>
+          SubstringDedup.removeSpans(docs).filter(col("removed_tokens") > 0)),
+        "q128_pagerank" -> (() =>
+          Dedup.pairPageRank(Dedup.minhashDupPairs(docs, threshold = 0.7))))
       for ((name, fn) <- family) {
         val g = s"x$f:$name"
         spark.sparkContext.setJobGroup(g, g)

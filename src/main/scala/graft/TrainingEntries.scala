@@ -379,6 +379,12 @@ object TrainingEntries {
     // one materialized pair table, canonical = highest-rank node
     "q133_canonical_rank" -> q(t =>
       Dedup.canonicalByRank(Dedup.minhashDupPairs(t.documents, threshold = 0.7))),
+    // Rolling-hash span dedup (scale path of q111's window aggregate):
+    // the contract row is the fingerprint-AGNOSTIC (n_occ, n_docs)
+    // histogram, so the FNV rolling path hash-gates against the md5
+    // oracle; per-window equality is additionally spec-pinned
+    "q135_rolling_span_profile" -> q(t =>
+      SubstringDedup.dupWindowProfileRolling(t.documents)),
     // The tokenizer story closed end-to-end: train (q124) → segment
     // the vocab (q125) → price the corpus in subwords per doc
     "q134_bpe_tokenize"  -> q { t =>
@@ -2406,6 +2412,16 @@ object TrainingEntries {
          |  COALESCE(k.clean_text, '') AS clean_text
          |FROM lens l LEFT JOIN keptagg k USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Gates SubstringDedup.dupWindowProfileRolling: the histogram is
+    // hash-family-independent, so the md5 CTEs replay the FNV path
+    "q135_rolling_span_profile" ->
+      s"""WITH $tokenWindowsCte,
+         |dw AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |       FROM wins GROUP BY fp HAVING COUNT(*) >= 2)
+         |SELECT n_occ, n_docs, CAST(COUNT(*) AS BIGINT) AS n_windows
+         |FROM dw GROUP BY n_occ, n_docs ORDER BY n_occ, n_docs""".stripMargin,
 
     // Mirrors Bpe.tokenizeCorpus under the q124 training: bs6's
     // per-word subword counts joined back to the corpus token stream

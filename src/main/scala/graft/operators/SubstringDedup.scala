@@ -76,6 +76,26 @@ object SubstringDedup {
         .as(Seq("pos0", "fp")))
       .select($("doc_id"), ($("pos0") + 1).as("pos"), $("fp"))
 
+  /** The O(n) scale path of [[windowOccurrences]]: identical (doc_id,
+    * pos) rows, but the fingerprint is the 64-bit rolling hash of
+    * [[graft.plans.WindowHashesExpression]] instead of md5 of the
+    * joined window — per-document cost drops from O(n·k) digested
+    * bytes to O(n), and the (fp) shuffle keys shrink 32-char → 8-byte
+    * (the dominant exchange of the whole span family). Same collision
+    * budget as md5 (~2^-64 per distinct pair); SubstringDedupSpec pins
+    * the duplicated-window sets equal on real data. Contract queries
+    * stay on md5 (DuckDB replays that); deploy THIS at corpus scale.
+    */
+  def windowOccurrencesRolling(documents: DataFrame, k: Int = 8): DataFrame =
+    documents
+      .spread()
+      .select($("doc_id"), normText($("text")).as("norm"))
+      .where(length($("norm")) > 0)
+      .select($("doc_id"),
+        posexplode(graft.plans.WindowHashesExpression
+          .windowHashes(split($("norm"), " "), k)).as(Seq("pos0", "fp")))
+      .select($("doc_id"), ($("pos0") + 1).as("pos"), $("fp"))
+
   /** Fingerprints of windows whose text repeats anywhere in the corpus
     * (total occurrences ≥ 2 — within-doc repeats count, matching the
     * Lee et al. rule of removing any span that appears more than once).
@@ -86,6 +106,31 @@ object SubstringDedup {
       .groupBy("fp")
       .agg(count(lit(1)).as("n_occ"), countDistinct($("doc_id")).as("n_docs"))
       .where($("n_occ") >= 2)
+
+  /** [[duplicatedWindows]] on the rolling-hash path — the deploy-at-
+    * scale variant (O(n) derivation, 8-byte shuffle keys). Driver
+    * contract is rows-only (FNV-1a is not expressible in DuckDB); the
+    * semantics are pinned by SubstringDedupSpec's equality with the
+    * oracle-gated md5 path.
+    */
+  def duplicatedWindowsRolling(documents: DataFrame, k: Int = 8): DataFrame =
+    windowOccurrencesRolling(documents, k)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_occ"), countDistinct($("doc_id")).as("n_docs"))
+      .where($("n_occ") >= 2)
+
+  /** The (n_occ, n_docs) histogram of the rolling-path duplicated
+    * windows — FINGERPRINT-AGNOSTIC, so although FNV-1a itself has no
+    * DuckDB spelling, this q135 contract row is fully hash-gated
+    * against the md5-CTE oracle: equal histograms ⇔ the two hash
+    * families flagged the same windows (up to the shared 2^-64
+    * collision budget). The report itself is the span-dedup sizing
+    * read: how many spans repeat, how widely.
+    */
+  def dupWindowProfileRolling(documents: DataFrame, k: Int = 8): DataFrame =
+    duplicatedWindowsRolling(documents, k)
+      .groupBy($("n_occ"), $("n_docs"))
+      .agg(count(lit(1)).as("n_windows"))
 
   /** Per-document duplicated-span coverage: (doc_id, n_tokens,
     * dup_tokens, dup_fraction) over documents with ≥ `k` tokens.

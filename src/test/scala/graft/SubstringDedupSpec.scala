@@ -99,6 +99,29 @@ class SubstringDedupSpec extends SparkSpec {
       (5L, 6L, 6L, "")))           // normalizes to doc1
   }
 
+  test("rolling window hashes: identical dup sets and coverage vs the md5 path") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, lit}
+    def dupSet(w: DataFrame): Set[(Long, Int)] = w
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("fp")))
+      .where(col("n") >= 2)
+      .select("doc_id", "pos").as[(Long, Int)].collect().toSet
+    // planted fixture: cross-doc, within-doc, and normalization dups
+    val md5Set = dupSet(SubstringDedup.windowOccurrences(docs, K))
+    val rollSet = dupSet(SubstringDedup.windowOccurrencesRolling(docs, K))
+    assert(md5Set === rollSet)
+    assert(rollSet.nonEmpty)
+    // real corpus: merged coverage must agree row-for-row
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val covM = SubstringDedup.coverageFromWindows(
+      SubstringDedup.windowOccurrences(real, 8), 8)
+      .as[(Long, Long)].collect().toSet
+    val covR = SubstringDedup.coverageFromWindows(
+      SubstringDedup.windowOccurrencesRolling(real, 8), 8)
+      .as[(Long, Long)].collect().toSet
+    assert(covM === covR)
+  }
+
   test("topDuplicatedSpans: (n_occ desc, span asc) total order, text intact") {
     val top = SubstringDedup.topDuplicatedSpans(docs, K, topN = 3)
       .as[(String, Long, Long)].collect()
