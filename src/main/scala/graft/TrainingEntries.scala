@@ -385,6 +385,13 @@ object TrainingEntries {
     // oracle; per-window equality is additionally spec-pinned
     "q135_rolling_span_profile" -> q(t =>
       SubstringDedup.dupWindowProfileRolling(t.documents)),
+    // Per-source A-ES reservoirs: 20 weighted picks from EVERY crawl
+    // (the quota-preserving sibling of q129's global sample)
+    "q136_weighted_per_source" -> q(t =>
+      Curation.weightedSamplePerSource(t.documents)),
+    // OOV rate of the held-out split (md5 buckets 8-9) against the
+    // training split's vocabulary — the pre-ship tokenizer/vocab read
+    "q137_oov_report"    -> q(t => TextAnalysis.oovReport(t.documents)),
     // The tokenizer story closed end-to-end: train (q124) → segment
     // the vocab (q125) → price the corpus in subwords per doc
     "q134_bpe_tokenize"  -> q { t =>
@@ -2412,6 +2419,49 @@ object TrainingEntries {
          |  COALESCE(k.clean_text, '') AS clean_text
          |FROM lens l LEFT JOIN keptagg k USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Curation.weightedSamplePerSource(k = 20): q129's keys,
+    // per-source rank window instead of a global top-k
+    "q136_weighted_per_source" ->
+      s"""WITH base AS (SELECT doc_id, source, $norm AS norm FROM documents),
+         |wt AS (SELECT doc_id, source,
+         |    GREATEST(CAST($nTokens AS BIGINT), 1) AS n_tok,
+         |    CAST(concat('0x', substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+         |      1, 12)) AS BIGINT) AS h
+         |  FROM base),
+         |keyed AS (SELECT doc_id, source, n_tok,
+         |    -((-CAST(floor(1000000.0 * ln((h + 1) / 281474976710656.0))
+         |        AS BIGINT)) // n_tok) AS aes_key
+         |  FROM wt)
+         |SELECT doc_id, source, n_tok, CAST(aes_key AS BIGINT) AS aes_key,
+         |  rn FROM (
+         |    SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY aes_key DESC, doc_id ASC) AS BIGINT) AS rn
+         |    FROM keyed)
+         |WHERE rn <= 20 ORDER BY source, rn""".stripMargin,
+
+    // Mirrors TextAnalysis.oovReport: train-bucket vocabulary (md5
+    // b<=7, tf>=1), eval tokens (b>=8) left-joined, exact-integer rate
+    "q137_oov_report" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 10 AS b,
+         |    $norm AS norm FROM documents),
+         |vt AS (SELECT DISTINCT tok AS token FROM (
+         |    SELECT unnest(string_split(norm, ' ')) AS tok
+         |    FROM base WHERE b <= 7)
+         |  WHERE length(tok) > 0),
+         |et AS (SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+         |    FROM base WHERE b >= 8)
+         |  WHERE length(tok) > 0)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS oov_micro
+         |FROM et LEFT JOIN vt v ON v.token = et.tok
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Gates SubstringDedup.dupWindowProfileRolling: the histogram is
     // hash-family-independent, so the md5 CTEs replay the FNV path

@@ -731,6 +731,36 @@ object Curation {
       .limit(k)
   }
 
+  /** Per-source [[weightedSample]]: the A-ES draw with a SEPARATE
+    * reservoir per source — "k weighted picks from every crawl", the
+    * quota-preserving form ([[sourceCap]] is its unweighted uniform
+    * sibling). Same exact-integer log-space keys; the per-source top-k
+    * is a rank window partitioned by source, so the only sort is over
+    * each source's rows with just (ids, key) riding it.
+    *
+    * Scale: one narrow scan computes keys; the window shuffles
+    * key-width rows by source. For a pathologically dominant source,
+    * pre-filter with an md5-threshold guess of the k-th key
+    * (sourceCap's note) to bound the window input before ranking.
+    */
+  def weightedSamplePerSource(documents: DataFrame, k: Int = 20): DataFrame = {
+    val h = conv(substring(md5(concat(lit("ws:"),
+      $("doc_id").cast("string"))), 1, 12), 16, 10).cast("long")
+    val w = greatest(TextAnalysis.tokenCount($("text")).cast("long"), lit(1L))
+    val bySource = Window.partitionBy($("source"))
+      .orderBy($("aes_key").desc, $("doc_id").asc)
+    documents.spread()
+      .select($("doc_id"), $("source"), w.as("n_tok"), h.as("h"))
+      .withColumn("lnu_micro", floor(lit(1000000.0) *
+        log(($("h") + 1).cast("double") / lit(281474976710656.0)))
+        .cast("long"))
+      .select($("doc_id"), $("source"), $("n_tok"),
+        (-(expr("(-lnu_micro) div n_tok"))).cast("long").as("aes_key"))
+      .withColumn("rn", row_number().over(bySource).cast("long"))
+      .where($("rn") <= k)
+      .select($("doc_id"), $("source"), $("n_tok"), $("aes_key"), $("rn"))
+  }
+
   /** SCD Type-2 dimension builder from periodic full snapshots: given
     * one row per (doc_id, fp, snap) for every key PRESENT in snapshot
     * `snap`, emit validity intervals (doc_id, fp, valid_from,

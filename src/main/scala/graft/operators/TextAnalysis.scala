@@ -703,6 +703,36 @@ object TextAnalysis {
     * time); what shuffles is (doc_id, token) for matching terms only
     * — |terms| · df rows, never the corpus.
     */
+  /** Out-of-vocabulary report: each held-out document's token count,
+    * OOV count, and exact-integer OOV rate (micro) against the
+    * vocabulary of the TRAINING split — the read before shipping a
+    * tokenizer/vocab (does the eval distribution fall off the vocab?)
+    * and the drift alarm when re-run on a new crawl. Split is the
+    * md5-bucket rule (buckets 0-7 train, 8-9 eval — [[Curation
+    * .hashSplit]]'s content-stable discipline, so membership never
+    * depends on shard order).
+    *
+    * Scale: both token streams partial-aggregate/filter before any
+    * join; the vocabulary is type-level (heavy-tailed-small) and the
+    * probe is a left join on the token key — at warehouse scale
+    * bucket both sides by token to co-locate ([[graft.engine
+    * .Bucketing]]).
+    */
+  def oovReport(documents: DataFrame, minCount: Long = 1): DataFrame = {
+    val bucket = Curation.hashBucket($("doc_id"), 10)
+    val vocab = tokens(documents.filter(bucket <= 7))
+      .groupBy($("token")).agg(count(lit(1)).as("tf"))
+      .filter($("tf") >= minCount)
+      .select($("token"), lit(1L).as("in_vocab"))
+    tokens(documents.filter(bucket >= 8))
+      .join(vocab, Seq("token"), "left")
+      .groupBy($("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tok"),
+        sum(when($("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($("doc_id"), $("n_tok"), $("n_oov"),
+        expr("n_oov * 1000000 div n_tok").cast("long").as("oov_micro"))
+  }
+
   def searchAnd(documents: DataFrame, terms: Seq[String]): DataFrame =
     tokens(documents)
       .filter($("token").isin(terms: _*))

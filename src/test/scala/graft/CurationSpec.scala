@@ -302,6 +302,34 @@ class CurationSpec extends SparkSpec {
     } finally sample.unpersist()
   }
 
+  test("weightedSamplePerSource: exact per-source quotas, keys match the global sampler") {
+    import spark.implicits._
+    val k = 5
+    val per = Curation.weightedSamplePerSource(docs, k).cache()
+    try {
+      val counts = per.groupBy("source").count()
+        .as[(String, Long)].collect().toMap
+      val sizes = docs.groupBy("source").count()
+        .as[(String, Long)].collect().toMap
+      sizes.foreach { case (src, n) =>
+        assert(counts.getOrElse(src, 0L) === math.min(n, k.toLong),
+          s"source $src")
+      }
+      // the A-ES key formula is shared with the global sampler: any
+      // doc in both outputs carries the identical key
+      val global = Curation.weightedSample(docs, 1000)
+        .select("doc_id", "aes_key").as[(Long, Long)].collect().toMap
+      per.select("doc_id", "aes_key").as[(Long, Long)].collect()
+        .foreach { case (id, key) =>
+          assert(global.get(id).forall(_ === key), s"doc $id key drift") }
+      // rank is dense 1..quota within each source
+      val ranks = per.select("source", "rn").as[(String, Long)].collect()
+        .groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).sorted.toSeq }
+      ranks.foreach { case (src, rs) =>
+        assert(rs === (1L to rs.size.toLong), s"source $src ranks $rs") }
+    } finally per.unpersist()
+  }
+
   test("scd2 builds one interval per island: change, delete, late, blip") {
     import spark.implicits._
     val snaps = Seq(

@@ -114,6 +114,28 @@ class TextSignalsSpec extends SparkSpec {
     assert(pmi > 0L)
   }
 
+  test("oovReport matches an independent driver-side recompute") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val withB = real.select(col("doc_id"),
+      Curation.hashBucket(col("doc_id"), 10).as("b"),
+      lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
+    val rows = withB.as[(Long, Long, String)].collect()
+    def toks(s: String): Seq[String] =
+      s.trim.split(" ").filter(_.nonEmpty).toSeq
+    val vocab = rows.filter(_._2 <= 7).flatMap(r => toks(r._3)).toSet
+    val want = rows.filter(r => r._2 >= 8 && r._3.trim.nonEmpty)
+      .map { case (id, _, norm) =>
+      val ts = toks(norm)
+      val oov = ts.count(!vocab.contains(_)).toLong
+      id -> ((ts.size.toLong, oov, oov * 1000000L / ts.size))
+    }.toMap
+    val got = TextAnalysis.oovReport(real)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("invertedIndex: planted df/tf and byte-exact posting fingerprint") {
     val docs = Seq(
       (3L, "cat dog cat"),
