@@ -385,6 +385,22 @@ object TrainingEntries {
     // oracle; per-window equality is additionally spec-pinned
     "q135_rolling_span_profile" -> q(t =>
       SubstringDedup.dupWindowProfileRolling(t.documents)),
+    // Batch BM25: a 3-query table scored in ONE corpus pass, top-10
+    // docs per query; per-term micro-integer scores → order-free sums
+    "q139_bm25_batch"    -> q { t =>
+      val spark = t.spark
+      import spark.implicits._
+      val queries = Seq(
+        (0L, "data"), (0L, "query"),
+        (1L, "table"), (1L, "scan"),
+        (2L, "stream"), (2L, "window"), (2L, "fast"))
+        .toDF("query_id", "token")
+      TextAnalysis.bm25Batch(t.documents, queries)
+    },
+    // Lee et al.'s keep-one-copy span rewrite: per repeated span the
+    // globally-first occurrence survives, every other copy is cut
+    "q138_span_keep_one" -> q(t =>
+      SubstringDedup.removeSpansKeepOne(t.documents)),
     // Per-source A-ES reservoirs: 20 weighted picks from EVERY crawl
     // (the quota-preserving sibling of q129's global sample)
     "q136_weighted_per_source" -> q(t =>
@@ -2400,6 +2416,74 @@ object TrainingEntries {
       s"""WITH $tokenWindowsCte,
          |dup AS (SELECT fp FROM wins GROUP BY fp HAVING COUNT(*) >= 2),
          |hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (fp)),
+         |cov AS (SELECT DISTINCT doc_id, pos + o AS tpos
+         |        FROM hits CROSS JOIN
+         |          (SELECT unnest(generate_series(0, 7)) AS o)),
+         |tp AS (SELECT doc_id, toks,
+         |         unnest(generate_series(1, len(toks))) AS tpos FROM tok),
+         |tokp AS (SELECT doc_id, tpos, toks[tpos] AS tok_s FROM tp),
+         |keptagg AS (SELECT t.doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS kept_n,
+         |    string_agg(t.tok_s, ' ' ORDER BY t.tpos) AS clean_text
+         |  FROM tokp t LEFT JOIN cov c
+         |    ON c.doc_id = t.doc_id AND c.tpos = t.tpos
+         |  WHERE c.doc_id IS NULL GROUP BY t.doc_id),
+         |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+         |         FROM tok)
+         |SELECT l.doc_id, l.n_tokens,
+         |  l.n_tokens - COALESCE(k.kept_n, 0) AS removed_tokens,
+         |  COALESCE(k.clean_text, '') AS clean_text
+         |FROM lens l LEFT JOIN keptagg k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextAnalysis.bm25Batch: q62's double chain per term,
+    // floored to micro, integer-summed per (query, doc), ranked
+    "q139_bm25_batch" ->
+      s"""WITH toks AS (SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+         |    FROM documents) WHERE length(tok) > 0),
+         |qt(query_id, token) AS (SELECT * FROM (VALUES
+         |  (CAST(0 AS BIGINT), 'data'), (CAST(0 AS BIGINT), 'query'),
+         |  (CAST(1 AS BIGINT), 'table'), (CAST(1 AS BIGINT), 'scan'),
+         |  (CAST(2 AS BIGINT), 'stream'), (CAST(2 AS BIGINT), 'window'),
+         |  (CAST(2 AS BIGINT), 'fast'))),
+         |terms AS (SELECT DISTINCT token FROM qt),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |          CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         |dfq AS (SELECT tok AS token, COUNT(DISTINCT doc_id) AS df
+         |        FROM toks JOIN terms ON tok = token GROUP BY tok),
+         |pd AS (SELECT doc_id, tok AS token, COUNT(*) AS tf
+         |       FROM toks JOIN terms ON tok = token GROUP BY doc_id, tok),
+         |sc AS (SELECT pd.doc_id, pd.token,
+         |    CAST(floor(((CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) *
+         |    (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+         |     (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+         |       0.75 * CAST(dl.dl AS DOUBLE) /
+         |       (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) *
+         |     1000000.0) AS BIGINT) AS ts_micro
+         |  FROM pd JOIN dfq USING (token) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats),
+         |qs AS (SELECT q.query_id, s.doc_id,
+         |         CAST(SUM(s.ts_micro) AS BIGINT) AS score_micro
+         |       FROM sc s JOIN qt q ON q.token = s.token
+         |       GROUP BY q.query_id, s.doc_id)
+         |SELECT query_id, doc_id, score_micro, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rn
+         |  FROM qs)
+         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+
+    // Mirrors SubstringDedup.removeSpansKeepOne: q132's rewrite with
+    // the per-fingerprint rank-1 occurrence excluded from coverage
+    "q138_span_keep_one" ->
+      s"""WITH $tokenWindowsCte,
+         |dw AS (SELECT doc_id, pos,
+         |    CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_occ,
+         |    CAST(row_number() OVER (PARTITION BY fp
+         |      ORDER BY doc_id, pos) AS BIGINT) AS rn
+         |  FROM wins),
+         |hits AS (SELECT doc_id, pos FROM dw WHERE n_occ >= 2 AND rn > 1),
          |cov AS (SELECT DISTINCT doc_id, pos + o AS tpos
          |        FROM hits CROSS JOIN
          |          (SELECT unnest(generate_series(0, 7)) AS o)),

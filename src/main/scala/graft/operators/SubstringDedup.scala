@@ -167,12 +167,19 @@ object SubstringDedup {
     * common core of [[coverageFromWindows]] (which sums the range
     * sizes) and [[removeSpans]] (which cuts the ranges out).
     */
-  def dupIntervals(wins: DataFrame, k: Int): DataFrame = {
-    val hits = wins
-      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("fp")))
-      .where($("n_occ") >= 2)
-      .select($("doc_id"), $("pos"))
+  def dupIntervals(wins: DataFrame, k: Int): DataFrame =
+    mergeHits(
+      wins.withColumn("n_occ", count(lit(1)).over(Window.partitionBy("fp")))
+        .where($("n_occ") >= 2)
+        .select($("doc_id"), $("pos")),
+      k)
 
+  /** Merged `[start, end]` token intervals from a (doc_id, pos) hit
+    * table — the gaps-and-islands core shared by [[dupIntervals]]
+    * (all duplicated hits) and [[removeSpansKeepOne]] (non-owner hits
+    * only).
+    */
+  private def mergeHits(hits: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevMaxEnd = max($("pos") + (k - 1))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -212,8 +219,42 @@ object SubstringDedup {
     * corpus text moves through ONE doc-keyed join and never explodes
     * to token rows.
     */
-  def removeSpans(documents: DataFrame, k: Int = 8): DataFrame = {
-    val ivs = dupIntervals(windowOccurrences(documents, k), k)
+  def removeSpans(documents: DataFrame, k: Int = 8): DataFrame =
+    rewriteByIntervals(documents,
+      dupIntervals(windowOccurrences(documents, k), k))
+
+  /** [[removeSpans]] with the Lee et al. keep-ONE-copy rule: per
+    * repeated span, the globally first occurrence — min (doc_id, pos),
+    * a deterministic owner election, where the paper keeps an
+    * arbitrary one — survives; every other occurrence is cut. The
+    * corpus keeps exactly one copy of each repeated span's text
+    * instead of losing it entirely ([[removeSpans]] is the
+    * conservative cut-all variant; this one preserves recall of the
+    * span's content for training).
+    *
+    * An owner's tokens can still fall to a DIFFERENT span's non-owner
+    * hit overlapping them — the standard interaction; ownership is
+    * per-fingerprint, coverage is per-token.
+    *
+    * Scale: adds one row_number window over the hit stream partitioned
+    * by fingerprint (hit-width rows) to [[removeSpans]]'s plan; the
+    * election needs no extra join — rank 1 IS the owner.
+    */
+  def removeSpansKeepOne(documents: DataFrame, k: Int = 8): DataFrame = {
+    val wins = windowOccurrences(documents, k)
+    val nonOwnerHits = wins
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("fp")))
+      .where($("n_occ") >= 2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy($("doc_id"), $("pos"))))
+      .where($("rn") > 1)
+      .select($("doc_id"), $("pos"))
+    rewriteByIntervals(documents, mergeHits(nonOwnerHits, k))
+  }
+
+  private def rewriteByIntervals(documents: DataFrame,
+      intervals: DataFrame): DataFrame = {
+    val ivs = intervals
       .groupBy("doc_id")
       .agg(collect_list(struct($("start"), $("end"))).as("ivs"))
     val emptyIvs = array().cast("array<struct<start:int,end:int>>")

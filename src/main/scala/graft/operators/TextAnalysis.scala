@@ -703,6 +703,62 @@ object TextAnalysis {
     * time); what shuffles is (doc_id, token) for matching terms only
     * — |terms| · df rows, never the corpus.
     */
+  /** BATCH BM25: score a whole TABLE of queries — (query_id, token)
+    * rows — against the corpus in one pass, top-`topK` documents per
+    * query. [[bm25]] serves one ad-hoc query; a retrieval deployment
+    * scores thousands per batch, and re-scanning the corpus per query
+    * is the anti-pattern this exists to kill.
+    *
+    * Determinism across a VARIABLE term set: q62's fixed-associativity
+    * pivot can't generalize (one column per term needs the terms at
+    * plan time), so each per-term score — the q62 double chain,
+    * bit-identical — is floored to integer MICRO units and the
+    * per-(query, doc) total is an exact integer sum: order-free,
+    * engine-free. The micro floor costs ≤ 1e-6 absolute score
+    * resolution (documented semantic difference from q62's raw-double
+    * variant).
+    *
+    * Scale: ONE corpus token pass feeds document lengths and the
+    * (token, tf) aggregates; the query-term table (|terms| rows) and
+    * df table broadcast; per-query ranking is a window over candidate
+    * docs only (docs containing ≥ 1 term of that query).
+    */
+  def bm25Batch(documents: DataFrame, queries: DataFrame, topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokens(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qterms = queries.select($("query_id"), $("token")).distinct()
+    val termList = qterms.select($("token")).distinct()
+    val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = docLen.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum($("dl")).cast("long").as("total_len"))
+    val dfTab = toks.join(broadcast(termList), Seq("token"))
+      .groupBy("token").agg(count_distinct($("doc_id")).as("df"))
+    val perDoc = toks.join(broadcast(termList), Seq("token"))
+      .groupBy($("doc_id"), $("token")).agg(count(lit(1)).as("tf"))
+    val avgdl = $("total_len").cast("double") / $("n_docs").cast("double")
+    val idf = $("n_docs").cast("double") / $("df").cast("double")
+    val tfD = $("tf").cast("double")
+    val tfNorm = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * $("dl").cast("double") / avgdl))
+    val byQuery = Window.partitionBy($("query_id"))
+      .orderBy($("score_micro").desc, $("doc_id").asc)
+    val result = perDoc
+      .join(broadcast(dfTab), Seq("token"))
+      .join(docLen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select($("doc_id"), $("token"),
+        floor((idf * tfNorm) * lit(1000000.0)).cast("long").as("ts_micro"))
+      .join(broadcast(qterms), Seq("token"))
+      .groupBy($("query_id"), $("doc_id"))
+      .agg(sum($("ts_micro")).as("score_micro"))
+      .withColumn("rn", row_number().over(byQuery).cast("long"))
+      .where($("rn") <= topK)
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    result
+  }
+
   /** Out-of-vocabulary report: each held-out document's token count,
     * OOV count, and exact-integer OOV rate (micro) against the
     * vocabulary of the TRAINING split — the read before shipping a

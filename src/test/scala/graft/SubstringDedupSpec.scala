@@ -99,6 +99,18 @@ class SubstringDedupSpec extends SparkSpec {
       (5L, 6L, 6L, "")))           // normalizes to doc1
   }
 
+  test("removeSpansKeepOne: the globally-first occurrence survives the cut") {
+    val got = SubstringDedup.removeSpansKeepOne(docs, K)
+      .select("doc_id", "n_tokens", "removed_tokens", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, 6L, 0L, "a b c d e f"), // owns every shared span: untouched
+      (2L, 7L, 5L, "x y"),         // non-owner copies of A/B cut
+      (3L, 8L, 4L, "p q r s"),     // within-doc repeat: first kept
+      (4L, 3L, 0L, "u v w"),       // under k: untouched
+      (5L, 6L, 6L, "")))           // doc1's mirror loses everything
+  }
+
   test("rolling window hashes: identical dup sets and coverage vs the md5 path") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, count, lit}

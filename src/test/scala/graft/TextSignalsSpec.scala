@@ -114,6 +114,28 @@ class TextSignalsSpec extends SparkSpec {
     assert(pmi > 0L)
   }
 
+  test("bm25Batch ranks per query, saturates tf, skips term-free docs") {
+    val docs = Seq(
+      (1L, "data data data pad pad"),
+      (2L, "data pad pad pad pad"),
+      (3L, "other words entirely here now"),
+      (4L, "scan table scan pad pad")
+    ).toDF("doc_id", "text")
+    val queries = Seq((0L, "data"), (1L, "table"), (1L, "scan"))
+      .toDF("query_id", "token")
+    val got = TextAnalysis.bm25Batch(docs, queries, topK = 10)
+      .select("query_id", "doc_id", "score_micro", "rn")
+      .as[(Long, Long, Long, Long)].collect()
+    val q0 = got.filter(_._1 == 0L).sortBy(_._4)
+    // only docs containing 'data' appear, higher tf first
+    assert(q0.map(_._2).toSeq === Seq(1L, 2L))
+    // BM25 saturation: tf=3 scores less than 3x tf=1
+    assert(q0(0)._3 < 3 * q0(1)._3 && q0(0)._3 > q0(1)._3)
+    val q1 = got.filter(_._1 == 1L)
+    assert(q1.map(_._2).toSet === Set(4L)) // both terms only in doc 4
+    assert(got.forall(_._4 >= 1L))
+  }
+
   test("oovReport matches an independent driver-side recompute") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val withB = real.select(col("doc_id"),
