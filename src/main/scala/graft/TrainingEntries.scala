@@ -385,6 +385,9 @@ object TrainingEntries {
     // oracle; per-window equality is additionally spec-pinned
     "q135_rolling_span_profile" -> q(t =>
       SubstringDedup.dupWindowProfileRolling(t.documents)),
+    // Asymmetric containment dedup: |A∩B|/min(|A|,|B|) catches the
+    // excerpt/quote shape symmetric Jaccard is blind to
+    "q140_containment"   -> q(t => Dedup.ngramContainmentPairs(t.documents)),
     // Batch BM25: a 3-query table scored in ONE corpus pass, top-10
     // docs per query; per-term micro-integer scores → order-free sums
     "q139_bm25_batch"    -> q { t =>
@@ -2435,6 +2438,35 @@ object TrainingEntries {
          |  COALESCE(k.clean_text, '') AS clean_text
          |FROM lens l LEFT JOIN keptagg k USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Dedup.ngramContainmentPairs: q27's CTEs with the ratio
+    // over the SMALLER set instead of the union
+    "q140_containment" ->
+      s"""WITH docs AS (SELECT doc_id, $norm AS norm FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, substr(norm, i, 5) AS shingle FROM (
+         |       SELECT doc_id, norm,
+         |         unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+         |       FROM docs)),
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+         |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |          FROM shr a JOIN shr b
+         |          ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.id1, c.id2, COUNT(*) AS common
+         |           FROM cands c
+         |           JOIN sh a ON a.doc_id = c.id1
+         |           JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+         |           GROUP BY c.id1, c.id2),
+         |ct AS (SELECT id1, id2, CAST(common AS BIGINT) AS common,
+         |        CAST(s1.sz AS BIGINT) AS sz1, CAST(s2.sz AS BIGINT) AS sz2,
+         |        CAST(common AS DOUBLE) / CAST(least(s1.sz, s2.sz) AS DOUBLE)
+         |          AS containment
+         |      FROM common
+         |      JOIN sizes s1 ON s1.doc_id = id1
+         |      JOIN sizes s2 ON s2.doc_id = id2)
+         |SELECT id1, id2, common, sz1, sz2, containment FROM ct
+         |WHERE containment >= 0.6 ORDER BY id1, id2""".stripMargin,
 
     // Mirrors TextAnalysis.bm25Batch: q62's double chain per term,
     // floored to micro, integer-summed per (query, doc), ranked

@@ -85,6 +85,59 @@ object Serving {
     }
   }
 
+  /** Hard delete of specific rows from a keyed warehouse table — the
+    * right-to-be-forgotten / takedown primitive ([[upsertKeyed]]'s
+    * destructive sibling; a 100 TB corpus under data-governance rules
+    * needs targeted deletes that do NOT rewrite the world). `tombstones`
+    * must carry `keyCols` (the partition columns — used ONLY to bound
+    * the rewrite to affected partitions, statically) and `idCols` (the
+    * row identity to delete). Untouched partitions keep their very
+    * files (dynamic partition overwrite); affected partitions are
+    * rewritten minus the anti-joined ids. Idempotent: deleting already-
+    * absent ids rewrites the partitions to identical content.
+    */
+  def deleteKeyed(spark: SparkSession, path: String, tombstones: DataFrame,
+      keyCols: Seq[String], idCols: Seq[String],
+      format: String = "parquet"): Unit = {
+    require(idCols.nonEmpty, "idCols must identify rows")
+    val affected = tombstones.select(keyCols.map(col): _*).distinct().collect()
+    require(affected.nonEmpty, "tombstones are empty")
+    val pred = affected.map { r =>
+      keyCols.zipWithIndex.map { case (k, i) => col(k) === lit(r.get(i)) }
+        .reduce((a: Column, b: Column) => a && b)
+    }.reduce((a: Column, b: Column) => a || b)
+    val existing = spark.read.format(format).load(path).filter(pred)
+    val survivors = existing
+      .join(tombstones.select(idCols.map(col): _*).distinct(), idCols,
+        "left_anti")
+      .localCheckpoint(true)
+    // dynamic overwrite only rewrites partitions PRESENT in the
+    // output — a partition whose every row died would silently keep
+    // its old files. Remove fully-emptied partition dirs explicitly.
+    val survivedKeys = survivors.select(keyCols.map(col): _*).distinct()
+      .collect().map(_.toSeq).toSet
+    val emptied = affected.map(_.toSeq).filterNot(survivedKeys.contains)
+    if (survivedKeys.nonEmpty) {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try survivors.write.mode("overwrite").partitionBy(keyCols: _*)
+        .format(format).save(path)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { vals =>
+        val dir = keyCols.zip(vals).map { case (k, v) => s"$k=$v" }
+          .mkString("/")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$dir"), true)
+      }
+    }
+  }
+
   /** S9 (R:274, R:615) — point lookup: filters on the partition columns
     * prune to the matching directories; only non-key predicates touch
     * row data. `format` must match the [[writeKeyed]] that produced

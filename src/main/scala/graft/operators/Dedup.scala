@@ -565,6 +565,42 @@ object Dedup {
     verified.filter($("jaccard") >= threshold)
   }
 
+  /** Asymmetric near-dup detection by shingle CONTAINMENT:
+    * C = |A∩B| / min(|A|, |B|) — the excerpt/quote detector. Symmetric
+    * Jaccard ([[ngramJaccardPairs]]) goes to zero when a short
+    * document is wholly contained in a much longer one (|A∩B|/|A∪B| ≈
+    * |A|/|B|), which is exactly the shape of quoted articles, pull-out
+    * summaries, and boilerplate-wrapped mirrors; containment stays at
+    * 1.0 there. Same candidate generation (df-capped rare-shingle
+    * buckets) and the same exact verify machinery
+    * ([[jaccardDetailFor]]) — only the final ratio differs, so a
+    * pipeline materializing the shingle index pays one extra
+    * projection to get both reports.
+    *
+    * Returns (id1, id2, common, sz1, sz2, containment) for pairs at or
+    * above `threshold` (id1 < id2; the SMALLER set is the contained
+    * side by construction of the min).
+    */
+  def ngramContainmentPairs(documents: DataFrame, n: Int = 5,
+      threshold: Double = 0.6, maxDf: Int = 100): DataFrame = {
+    val sh0 = shingles(documents, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter($("df") <= maxDf).select("shingle")
+    val sh = sh0.join(rare, Seq("shingle"))
+    val pairs = sh.select($("shingle"), $("doc_id").as("id1"))
+      .join(sh.select($("shingle"), $("doc_id").as("id2")), Seq("shingle"))
+      .filter($("id1") < $("id2"))
+      .select("id1", "id2").distinct()
+    val detail = jaccardDetailFor(pairs, sh0)
+    sh0.unpersist(false)
+    detail
+      .select($("id1"), $("id2"), $("common"), $("sz1"), $("sz2"),
+        ($("common").cast("double") /
+          least($("sz1"), $("sz2")).cast("double")).as("containment"))
+      .filter($("containment") >= threshold)
+  }
+
   /** SimHash-32 per document: per token, 32 bits from the first 8 hex
     * chars of md5(token); bit j contributes +1/−1 to counter j; the
     * sign vector is packed into a BIGINT. Near-dups differ in few bits

@@ -495,6 +495,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("containment catches a verbatim excerpt that Jaccard misses") {
+    val long = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen violinists rehearse an entirely different movement " +
+      "in the hall and the janitor counts every single chair twice"
+    val excerpt = "seventeen violinists rehearse"
+    val docs = Seq(
+      (1L, long),
+      (2L, excerpt),
+      (3L, "completely unrelated text about databases and sorting")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, n = 5, threshold = 0.9)
+      .select("id1", "id2", "containment")
+      .as[(Long, Long, Double)].collect()
+    assert(cont.map(p => (p._1, p._2)).toSet === Set((1L, 2L)),
+      "the excerpt must be flagged as contained, nothing else")
+    assert(cont.head._3 === 1.0, "a verbatim excerpt has containment 1.0")
+    // the symmetric-Jaccard view of the same pair is far below any
+    // dedup threshold -- the blind spot this operator exists for
+    val jac = Dedup.ngramJaccardPairs(docs, n = 5, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
   test("canonicalByRank: hub elected in the star, min-id on rank ties") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L))
       .toDF("id1", "id2")

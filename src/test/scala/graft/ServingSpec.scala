@@ -204,6 +204,39 @@ class ServingSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 5)
   }
 
+  test("deleteKeyed: targeted rows gone, foreign partitions byte-untouched, emptied partition removed") {
+    val dir = Files.createTempDirectory("graft-delete").toString + "/t"
+    val base = Seq(
+      ("CMI", 1L, 0.61), ("CMI", 2L, 0.97),
+      ("BWI", 3L, 0.16), ("LAX", 4L, 1.45)
+    ).toDF("airport", "id", "avg_dep_delay")
+    Serving.writeKeyed(base, dir, Seq("airport"))
+    def filesOf(part: String) = {
+      val d = new java.io.File(s"$dir/airport=$part")
+      if (!d.exists()) Map.empty[String, Long]
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+    val laxBefore = filesOf("LAX")
+
+    // delete one CMI row and the whole BWI partition's only row
+    val tombs = Seq(("CMI", 2L), ("BWI", 3L)).toDF("airport", "id")
+    Serving.deleteKeyed(spark, dir, tombs, Seq("airport"), Seq("id"))
+
+    val got = spark.read.parquet(dir)
+      .select("airport", "id", "avg_dep_delay")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === Set(("CMI", 1L, 0.61), ("LAX", 4L, 1.45)),
+      "targeted rows deleted, others intact")
+    assert(filesOf("LAX") === laxBefore, "LAX partition must be untouched")
+    // the fully-emptied partition's directory is gone (dynamic
+    // overwrite alone would have silently kept its files)
+    assert(filesOf("BWI").isEmpty, "emptied BWI partition dir must be removed")
+    // idempotent: replaying the tombstones changes nothing
+    Serving.deleteKeyed(spark, dir, tombs, Seq("airport"), Seq("id"))
+    assert(spark.read.parquet(dir).count() === 2)
+  }
+
   test("S7: catalog database create/drop") {
     Serving.createDatabase(spark, "airline_ontime_test")
     assert(spark.catalog.databaseExists("airline_ontime_test"))
