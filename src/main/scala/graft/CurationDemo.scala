@@ -109,6 +109,18 @@ object CurationDemo {
     report("bloom-flagged",
       BloomDecontam.decontaminateWithFilter(cleanTrain, bloom).count())
 
+    // 4c. span REWRITE (q138): cut every non-owner copy of a repeated
+    //     8-token span — the corpus keeps exactly one copy of each.
+    //     The packed shards downstream carry the rewritten text.
+    val rewritten = SubstringDedup.removeSpansKeepOne(cleanTrain)
+    report("span-rewritten (cut > 0)",
+      rewritten.filter(col("removed_tokens") > 0).count())
+
+    // 4d. budget subsample (q129): A-ES weighted draw toward long
+    //     documents — the deterministic "fit the token budget" step
+    report("weighted sample (k=400)",
+      Curation.weightedSample(cleanTrain, k = 400).count())
+
     // 5. split + pack into fixed-token bins, write partitioned shards
     val split = Curation.hashSplit(cleanTrain).select(col("doc_id"), col("split"))
     val packed = Curation.packBins(cleanTrain)
@@ -138,6 +150,12 @@ object CurationDemo {
     val merges = Bpe.bpeTrain(cleanTrain, merges = 4).orderBy("rank").collect()
     println("[demo] bpe merges: " + merges.map(r =>
       s"${r.getString(1)}+${r.getString(2)}").mkString(" "))
+    // price the surviving corpus in subwords under those merges — the
+    // number the training run budgets against (q134)
+    val priced = Bpe.tokenizeCorpus(cleanTrain,
+      merges.map(r => (r.getString(1), r.getString(2))).toSeq)
+    val subwords = priced.agg(sum(col("n_subwords"))).head().getLong(0)
+    println(f"[demo] ${"corpus subword count"}%-28s $subwords%7d")
     println(s"[demo] shards + profile under $work")
     spark.stop()
   }
