@@ -385,6 +385,10 @@ object TrainingEntries {
     // oracle; per-window equality is additionally spec-pinned
     "q135_rolling_span_profile" -> q(t =>
       SubstringDedup.dupWindowProfileRolling(t.documents)),
+    // Hard-negative mining: per anchor, the 5 most-similar same-cell
+    // vectors still under the q49 positive threshold — the
+    // contrastive-training complement of semanticDupPairs
+    "q141_hard_negatives" -> q(t => Similarity.hardNegatives(t.embeddings)),
     // Asymmetric containment dedup: |A∩B|/min(|A|,|B|) catches the
     // excerpt/quote shape symmetric Jaccard is blind to
     "q140_containment"   -> q(t => Dedup.ngramContainmentPairs(t.documents)),
@@ -2438,6 +2442,33 @@ object TrainingEntries {
          |  COALESCE(k.clean_text, '') AS clean_text
          |FROM lens l LEFT JOIN keptagg k USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Similarity.hardNegatives: q49's cell CTEs, DIRECTED
+    // pairs under the positive threshold, per-anchor rank
+    "q141_hard_negatives" ->
+      s"""WITH $flatCte,
+         |${ivfCte(nCentroids = 16, lloydIters = 2, nprobe = 1)},
+         |szok AS (SELECT cell FROM assign GROUP BY cell HAVING COUNT(*) <= 256),
+         |memb AS (SELECT assign.vec_id, assign.cell FROM assign JOIN szok USING (cell)),
+         |pairs AS (SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id, a.cell
+         |          FROM memb a JOIN memb b
+         |          ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |dots AS (SELECT p.anchor_id, p.neg_id, p.cell, SUM(f1.v * f2.v) AS dot
+         |         FROM pairs p
+         |         JOIN flat f1 ON f1.vec_id = p.anchor_id
+         |         JOIN flat f2 ON f2.vec_id = p.neg_id AND f2.i = f1.i
+         |         GROUP BY p.anchor_id, p.neg_id, p.cell),
+         |cs AS (SELECT anchor_id, neg_id, cell,
+         |         CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cos
+         |       FROM dots
+         |       JOIN norms na ON na.vec_id = anchor_id
+         |       JOIN norms nb ON nb.vec_id = neg_id),
+         |neg AS (SELECT anchor_id, neg_id, cell, cos,
+         |          CAST(row_number() OVER (PARTITION BY anchor_id
+         |            ORDER BY cos DESC, neg_id ASC) AS BIGINT) AS rn
+         |        FROM cs WHERE cos < 0.35)
+         |SELECT anchor_id, neg_id, cell, cos, rn FROM neg
+         |WHERE rn <= 5 ORDER BY anchor_id, rn""".stripMargin,
 
     // Mirrors Dedup.ngramContainmentPairs: q27's CTEs with the ratio
     // over the SMALLER set instead of the union

@@ -332,6 +332,49 @@ object Similarity {
       .filter($("cos") >= threshold)
   }
 
+  /** Hard-negative mining for contrastive training: for every anchor
+    * vector, the `k` most-similar SAME-CELL vectors whose cosine is
+    * still below `posThreshold` — semantically close enough to be
+    * informative, far enough to be true negatives. Random negatives
+    * are trivially separable and teach a dual encoder nothing; the
+    * hard ones live exactly in the anchor's IVF cell just under the
+    * positive threshold, which is where [[semanticDupPairs]] stops —
+    * the two operators partition the same-cell pair space at
+    * `posThreshold`.
+    *
+    * Deterministic: same cell assignment, same exact integer dots;
+    * ranking (cos desc, neg_id) is a total order. Scale: identical
+    * join shape to [[semanticDupPairs]] (maxCell-bounded within-cell
+    * pairs), plus one per-anchor rank window over cell-local rows.
+    */
+  def hardNegatives(embeddings: DataFrame, k: Int = 5,
+      posThreshold: Double = 0.35, nCentroids: Int = 16,
+      lloydIters: Int = 2, maxCell: Int = 256,
+      trainFraction: Double = 1.0): DataFrame = {
+    val quant = quantized(embeddings)
+    val centroids = trainCentroids(quant, nCentroids, lloydIters, trainFraction)
+    val members = assignCells(quant, centroids, 1)
+      .select($("vec_id"), $("cell"))
+      .join(quant, Seq("vec_id"))
+    val ok = members.groupBy("cell").agg(count(lit(1)).as("csz"))
+      .filter($("csz") <= maxCell).select("cell")
+    val bounded = members.join(ok, Seq("cell"))
+    val a = bounded.select($("cell"), $("vec_id").as("anchor_id"),
+      $("qv").as("v1"), $("nrm").as("n1"))
+    val b = bounded.select($("cell"), $("vec_id").as("neg_id"),
+      $("qv").as("v2"), $("nrm").as("n2"))
+    val w = Window.partitionBy($("anchor_id"))
+      .orderBy($("cos").desc, $("neg_id").asc)
+    a.join(b, Seq("cell"))
+      .filter($("anchor_id") =!= $("neg_id"))
+      .select($("anchor_id"), $("neg_id"), $("cell"),
+        (qdot($("v1"), $("v2")).cast("double") / ($("n1") * $("n2")))
+          .as("cos"))
+      .filter($("cos") < posThreshold)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($("rn") <= k)
+  }
+
   /** Per-class prototypicality scores — the dataset-pruning signal
     * (Sorscher et al., "Beyond neural scaling laws", NeurIPS'22;
     * public literature): each vector's cosine to its class (`label`)

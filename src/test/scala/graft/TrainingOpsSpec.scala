@@ -390,6 +390,32 @@ class TrainingOpsSpec extends SparkSpec {
     assert(planted.subsetOf(got), s"missed planted twins: ${planted -- got}")
   }
 
+  test("hard negatives: same cell, below positive threshold, disjoint from dup pairs") {
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val negs = Similarity.hardNegatives(vecs, k = 3, posThreshold = 0.35)
+      .select("anchor_id", "neg_id", "cos", "rn")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(negs.nonEmpty)
+    assert(negs.forall(_._3 < 0.35), "a negative must sit under the threshold")
+    assert(negs.groupBy(_._1).values.forall(_.length <= 3))
+    // ranks are dense from 1 and ordered by descending cosine
+    negs.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to sorted.length.toLong))
+      assert(sorted.map(-_._3).toSeq === sorted.map(-_._3).sorted.toSeq)
+    }
+    // the positives (dup pairs) and negatives partition the pair space:
+    // no (anchor, neg) pair may also be a dup pair at the same threshold
+    val dups = Similarity.semanticDupPairs(vecs, threshold = 0.35)
+      .select("id1", "id2").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p, p.swap)).toSet
+    assert(negs.forall(n => !dups.contains((n._1, n._2))),
+      "negatives must be disjoint from the positive pair set")
+  }
+
   test("semantic dup pairs: degenerate cell dropped by maxCell cap") {
     // 6 copies of one vector collapse into a single cell of 6 — at
     // maxCell=4 the cell is dropped outright (no quadratic blowup),
