@@ -385,6 +385,13 @@ object TrainingEntries {
     // oracle; per-window equality is additionally spec-pinned
     "q135_rolling_span_profile" -> q(t =>
       SubstringDedup.dupWindowProfileRolling(t.documents)),
+    // Multi-benchmark contamination matrix: q43 generalized to a
+    // benchmark suite ((doc_id div 10) parity stands in for the
+    // manifest); per benchmark, contaminated train docs + match rows
+    "q143_bench_contamination" -> q(t =>
+      Curation.contaminationByBenchmark(t.documents)),
+    // Per-source PII governance report over q57's counts
+    "q142_pii_report"    -> q(t => TextAnalysis.piiReport(t.documents)),
     // Hard-negative mining: per anchor, the 5 most-similar same-cell
     // vectors still under the q49 positive threshold — the
     // contrastive-training complement of semanticDupPairs
@@ -2442,6 +2449,60 @@ object TrainingEntries {
          |  COALESCE(k.clean_text, '') AS clean_text
          |FROM lens l LEFT JOIN keptagg k USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Curation.contaminationByBenchmark: q43's CTEs with the
+    // (doc_id // 10) parity benchmark labels
+    "q143_bench_contamination" ->
+      s"""WITH docs AS (SELECT doc_id, $norm AS norm FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, substr(norm, i, 8) AS shingle FROM (
+         |       SELECT doc_id, norm,
+         |         unnest(generate_series(1, greatest(length(norm) - 7, 1))) AS i
+         |       FROM docs)),
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+         |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |evb AS (SELECT DISTINCT CASE WHEN (doc_id // 10) % 2 = 0
+         |          THEN 'benchA' ELSE 'benchB' END AS benchmark, shingle
+         |        FROM shr WHERE doc_id % 10 = 0),
+         |ne AS (SELECT CASE WHEN (doc_id // 10) % 2 = 0
+         |         THEN 'benchA' ELSE 'benchB' END AS benchmark,
+         |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_eval_docs
+         |       FROM shr WHERE doc_id % 10 = 0 GROUP BY 1),
+         |ct AS (SELECT e.benchmark,
+         |         CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_contaminated_train,
+         |         CAST(COUNT(*) AS BIGINT) AS n_shared_rows
+         |       FROM shr s JOIN evb e USING (shingle)
+         |       WHERE s.doc_id % 10 <> 0 GROUP BY e.benchmark)
+         |SELECT n.benchmark, n.n_eval_docs,
+         |  COALESCE(ct.n_contaminated_train, 0) AS n_contaminated_train,
+         |  COALESCE(ct.n_shared_rows, 0) AS n_shared_rows
+         |FROM ne n LEFT JOIN ct USING (benchmark)
+         |ORDER BY benchmark""".stripMargin,
+
+    // Mirrors TextAnalysis.piiReport: q57's planted/regex CTEs
+    // aggregated per source with the exact-integer rate
+    "q142_pii_report" ->
+      s"""WITH planted AS (SELECT doc_id,
+         |    $norm ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+         |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' see https://example.org/d/' ||
+         |      CAST(doc_id AS VARCHAR) ELSE '' END AS txt
+         |  FROM documents),
+         |cnt AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(txt,
+         |      '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+')) AS BIGINT) AS n_emails,
+         |    CAST(len(regexp_extract_all(txt,
+         |      'https?://[a-z0-9./_-]+')) AS BIGINT) AS n_urls
+         |  FROM planted)
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_emails + n_urls > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_docs_with_pii,
+         |  CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+         |  CAST(SUM(n_urls) AS BIGINT) AS total_urls,
+         |  CAST(SUM(CASE WHEN n_emails + n_urls > 0 THEN 1 ELSE 0 END)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS pii_rate_micro
+         |FROM cnt JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // Mirrors Similarity.hardNegatives: q49's cell CTEs, DIRECTED
     // pairs under the positive threshold, per-anchor rank

@@ -370,6 +370,50 @@ object Curation {
     result
   }
 
+  /** Multi-benchmark contamination matrix — [[decontaminate]]
+    * generalized from one eval set to a SUITE: per benchmark, how many
+    * training documents share rare shingles with it and how many
+    * matches there are. A release review reads this per-benchmark
+    * (leaking into one benchmark poisons that metric only); the
+    * per-doc flag list stays [[decontaminate]]'s job. Benchmark
+    * membership here derives from the eval split deterministically
+    * ((doc_id div evalMod) parity → two synthetic benchmarks), the
+    * stand-in for a real (benchmark, doc) manifest.
+    *
+    * Scale: ONE shingle index feeds everything (persist-once); the
+    * benchmark-distinct shingle sliver drives the probe join — for a
+    * real benchmark suite that is broadcastable, making the whole
+    * matrix a map-side semi-join over the training corpus.
+    */
+  def contaminationByBenchmark(documents: DataFrame, n: Int = 8,
+      maxDf: Int = 100, evalMod: Long = 10L): DataFrame = {
+    val sh0 = Dedup.shingles(documents, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter($("df") <= maxDf).select("shingle")
+    val sh = sh0.join(rare, Seq("shingle"))
+    val bench = when(expr(s"(doc_id div $evalMod) % 2") === 0, "benchA")
+      .otherwise("benchB")
+    val evalSh = sh.filter($("doc_id") % evalMod === 0)
+      .select(bench.as("benchmark"), $("shingle"), $("doc_id"))
+    val nEval = evalSh.groupBy("benchmark")
+      .agg(count_distinct($("doc_id")).as("n_eval_docs"))
+    val shared = sh.filter($("doc_id") % evalMod =!= 0)
+      .join(evalSh.select($("benchmark"), $("shingle")).distinct(),
+        Seq("shingle"))
+      .groupBy("benchmark")
+      .agg(count_distinct($("doc_id")).as("n_contaminated_train"),
+        count(lit(1)).as("n_shared_rows"))
+    val result = nEval.join(shared, Seq("benchmark"), "left")
+      .select($("benchmark"), $("n_eval_docs"),
+        coalesce($("n_contaminated_train"), lit(0L))
+          .as("n_contaminated_train"),
+        coalesce($("n_shared_rows"), lit(0L)).as("n_shared_rows"))
+      .localCheckpoint(true)
+    sh0.unpersist(false)
+    result
+  }
+
   /** The eval-side view of [[decontaminate]] — per EVAL document, how
     * much of it leaked into training: of the doc's distinct rare
     * `n`-gram shingles, the share also present in at least one

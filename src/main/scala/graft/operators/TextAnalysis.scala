@@ -468,6 +468,28 @@ object TextAnalysis {
       md5(redacted).as("clean_fp"))
   }
 
+  /** Per-source PII governance report over [[piiRedact]]'s counts:
+    * docs scanned, docs carrying any PII instance, total emails/URLs,
+    * and the exact-integer PII-document rate — the table a data-
+    * governance review (and a takedown-risk ranking of crawls) reads
+    * before release. Scale: the per-doc leg is q57's zero-shuffle
+    * regex scan; only (doc_id, counters, source) reach the
+    * source-keyed aggregate.
+    */
+  def piiReport(documents: DataFrame): DataFrame =
+    piiRedact(documents)
+      .join(documents.select($("doc_id"), $("source")), Seq("doc_id"))
+      .groupBy($("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($("n_emails") + $("n_urls") > 0, 1L).otherwise(0L))
+          .as("n_docs_with_pii"),
+        sum($("n_emails")).as("total_emails"),
+        sum($("n_urls")).as("total_urls"))
+      .select($("source"), $("n_docs"), $("n_docs_with_pii"),
+        $("total_emails"), $("total_urls"),
+        expr("n_docs_with_pii * 1000000 div n_docs").cast("long")
+          .as("pii_rate_micro"))
+
   /** (doc_id, bigram) pairs of adjacent normalized tokens — built by
     * a `transform` over the split array (narrow; no window, no
     * per-position shuffle). Documents with fewer than two tokens have

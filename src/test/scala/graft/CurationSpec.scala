@@ -302,6 +302,24 @@ class CurationSpec extends SparkSpec {
     } finally sample.unpersist()
   }
 
+  test("contaminationByBenchmark: leak lands in its benchmark only") {
+    import spark.implicits._
+    // (doc_id div 10) parity: doc 20 -> benchA, doc 10 -> benchB
+    val planted = Seq(
+      (20L, "zqxwvuts leak marker phrase"),        // benchA eval doc
+      (10L, "totally unrelated benchmark items"),  // benchB eval doc
+      (21L, "train doc carrying zqxwvuts leak"),   // train, leaks into A
+      (1L, "innocent train doc about nothing")     // train, clean
+    ).toDF("doc_id", "text")
+    val got = Curation.contaminationByBenchmark(planted)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("benchA")._1 === 1L)
+    assert(got("benchA")._2 === 1L, "doc 21 contaminates benchA")
+    assert(got("benchA")._3 >= 1L)
+    assert(got("benchB") === ((1L, 0L, 0L)), "benchB stays clean")
+  }
+
   test("weightedSamplePerSource: exact per-source quotas, keys match the global sampler") {
     import spark.implicits._
     val k = 5

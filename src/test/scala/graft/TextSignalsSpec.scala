@@ -114,6 +114,21 @@ class TextSignalsSpec extends SparkSpec {
     assert(pmi > 0L)
   }
 
+  test("piiReport aggregates planted instances per source exactly") {
+    // planting rule: email iff id % 3 == 0, url iff id % 5 == 0
+    val docs = Seq(
+      (1L, "clean text", "a"),   // nothing
+      (3L, "email doc", "a"),    // 1 email
+      (5L, "url doc", "b"),      // 1 url
+      (15L, "both doc", "b")     // email + url
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.piiReport(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 2L, 1L, 1L, 0L, 500000L)))
+    assert(got("b") === (("b", 2L, 2L, 1L, 2L, 1000000L)))
+  }
+
   test("bm25Batch ranks per query, saturates tf, skips term-free docs") {
     val docs = Seq(
       (1L, "data data data pad pad"),
