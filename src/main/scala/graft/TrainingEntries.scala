@@ -385,6 +385,9 @@ object TrainingEntries {
     // oracle; per-window equality is additionally spec-pinned
     "q135_rolling_span_profile" -> q(t =>
       SubstringDedup.dupWindowProfileRolling(t.documents)),
+    // Median/MAD robust outliers: the skew-proof sibling of q60,
+    // exact-integer end to end (cents + run-length medians)
+    "q144_robust_outliers" -> q(t => Events.robustOutliers(t.events)),
     // Multi-benchmark contamination matrix: q43 generalized to a
     // benchmark suite ((doc_id div 10) parity stands in for the
     // manifest); per benchmark, contaminated train docs + match rows
@@ -2449,6 +2452,39 @@ object TrainingEntries {
          |  COALESCE(k.clean_text, '') AS clean_text
          |FROM lens l LEFT JOIN keptagg k USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Events.robustOutliers: run-length lower medians
+    // (rk = (n+1)//2) for value and absolute deviation, k=3 gate
+    "q144_robust_outliers" ->
+      """WITH cents AS (SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |vr AS (SELECT event_type, cents AS v, COUNT(*) AS c
+        |       FROM cents GROUP BY event_type, cents),
+        |vc AS (SELECT event_type, v, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM vr),
+        |med AS (SELECT event_type, v AS med_cents FROM vc
+        |        WHERE (n + 1) // 2 > cum - c AND (n + 1) // 2 <= cum),
+        |dev AS (SELECT c0.event_type, c0.event_id, c0.cents, m.med_cents,
+        |          abs(c0.cents - m.med_cents) AS absdev
+        |        FROM cents c0 JOIN med m USING (event_type)),
+        |ar AS (SELECT event_type, absdev AS v, COUNT(*) AS c
+        |       FROM dev GROUP BY event_type, absdev),
+        |ac AS (SELECT event_type, v, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM ar),
+        |mad AS (SELECT event_type, v AS mad_cents FROM ac
+        |        WHERE (n + 1) // 2 > cum - c AND (n + 1) // 2 <= cum)
+        |SELECT d.event_type, d.event_id, d.cents, d.med_cents,
+        |  md.mad_cents, d.absdev
+        |FROM dev d JOIN mad md USING (event_type)
+        |WHERE md.mad_cents > 0 AND d.absdev > 3 * md.mad_cents
+        |ORDER BY d.absdev DESC, d.event_id ASC LIMIT 20""".stripMargin,
 
     // Mirrors Curation.contaminationByBenchmark: q43's CTEs with the
     // (doc_id // 10) parity benchmark labels

@@ -183,6 +183,55 @@ object Events {
       .groupBy($("event_type"), $("bin"))
       .agg(count(lit(1)).as("n"))
 
+  /** Robust outliers by median/MAD — the skew-proof sibling of
+    * [[valueOutliers]] (whose mean/std are themselves dragged by the
+    * outliers they hunt; one whale purchase can mask every other
+    * anomaly of its type). Flags events with
+    * |value − median| > k·MAD per event type, top-`topK` by absolute
+    * deviation. ENTIRELY exact-integer: values in decimal cents, both
+    * medians via the run-length/cumulative-rank rule
+    * ([[graft.operators.Curation.lengthQuantiles]]'s machinery, lower
+    * median rk = (n+1) div 2) — no floating point anywhere, so the
+    * report hash-matches the oracle with no decimal gymnastics.
+    *
+    * Scale: two run-length aggregates per type (map-side combined to
+    * (type, value) rows — bounded by distinct cents values, not
+    * events), medians join back BROADCAST (types-bounded), final
+    * top-k is TakeOrderedAndProject.
+    */
+  def robustOutliers(events: DataFrame, k: Long = 3, topK: Int = 20): DataFrame = {
+    def medianBy(df: DataFrame, vCol: String): DataFrame = {
+      val runs = df.groupBy($("event_type"), col(vCol))
+        .agg(count(lit(1)).as("c"))
+      val byK = Window.partitionBy($("event_type"))
+      val cum = Window.partitionBy($("event_type")).orderBy(col(vCol).asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      runs.withColumn("cum", sum($("c")).over(cum))
+        .withColumn("n", sum($("c")).over(byK))
+        .withColumn("rk", expr("(n + 1) div 2"))
+        .filter($("rk") > $("cum") - $("c") && $("rk") <= $("cum"))
+        .select($("event_type"), col(vCol).as("m"))
+    }
+    val cents = events.select($("event_type"), $("event_id"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = medianBy(cents, "cents")
+      .withColumnRenamed("m", "med_cents")
+    val dev = cents.join(broadcast(med), Seq("event_type"))
+      .withColumn("absdev", abs($("cents") - $("med_cents")))
+    val mad = medianBy(dev.select($("event_type"), $("absdev")), "absdev")
+      .withColumnRenamed("m", "mad_cents")
+    val result = dev.join(broadcast(mad), Seq("event_type"))
+      .filter($("mad_cents") > 0 && $("absdev") > lit(k) * $("mad_cents"))
+      .select($("event_type"), $("event_id"), $("cents"),
+        $("med_cents"), $("mad_cents"), $("absdev"))
+      .orderBy($("absdev").desc, $("event_id").asc)
+      .limit(topK)
+      .localCheckpoint(true)
+    cents.unpersist(false)
+    result
+  }
+
   /** Hour-of-day × event-type activity matrix via `pivot` — the
     * wide-format report shape. The pivot values are declared (the five
     * fixture types): an undeclared pivot scans once to discover them;

@@ -495,6 +495,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("robustOutliers: MAD flags the whale the mean-dragged z-score hides") {
+    import java.sql.Timestamp
+    def ev(id: Long, v: Double) =
+      (id, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "purchase", v, "{}")
+    // 9 ordinary values (median 10.00, MAD 1.00) + one 10000.00 whale
+    val rows = (1L to 9L).map(i => ev(i, 9.0 + (i % 3))) :+ ev(99L, 10000.0)
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val got = Events.robustOutliers(events)
+      .select("event_id", "med_cents", "mad_cents", "absdev")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq(99L), "exactly the whale flags")
+    val (_, med, mad, dev) = got.head
+    // values: three each of 9/10/11 + 10000 -> lower median (rk=5) 10.00;
+    // absdevs: 0 x3, 1.00 x6, 9990.00 -> lower median (rk=5) = 1.00
+    assert(med === 1000L && mad === 100L && dev === 999000L)
+  }
+
   test("containment catches a verbatim excerpt that Jaccard misses") {
     val long = "the quick brown fox jumps over the lazy dog while " +
       "seventeen violinists rehearse an entirely different movement " +
