@@ -182,6 +182,8 @@ object Bench {
           },
           timedAt("q27_from_shingles") {
             noop(Dedup.ngramJaccardFromShingles(rd(shP))) },
+          timedAt("q140_from_shingles") {
+            noop(Dedup.ngramContainmentFromShingles(rd(shP))) },
           timedAt("q51_from_pairs") {
             noop(Dedup.componentsOf(pairs())) },
           timedAt("q72_from_pairs") {

@@ -582,8 +582,18 @@ object Dedup {
     * side by construction of the min).
     */
   def ngramContainmentPairs(documents: DataFrame, n: Int = 5,
+      threshold: Double = 0.6, maxDf: Int = 100): DataFrame =
+    ngramContainmentFromShingles(shingles(documents, n), threshold, maxDf)
+
+  /** [[ngramContainmentPairs]] over a PRECOMPUTED distinct (doc_id,
+    * shingle) table — the [[ngramJaccardFromShingles]] pattern: a
+    * session materializing the shingle index feeds Jaccard AND
+    * containment from the same artifact (Bench composed mode measures
+    * both).
+    */
+  def ngramContainmentFromShingles(shingleSet: DataFrame,
       threshold: Double = 0.6, maxDf: Int = 100): DataFrame = {
-    val sh0 = shingles(documents, n)
+    val sh0 = shingleSet
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter($("df") <= maxDf).select("shingle")
