@@ -385,6 +385,10 @@ object TrainingEntries {
     // oracle; per-window equality is additionally spec-pinned
     "q135_rolling_span_profile" -> q(t =>
       SubstringDedup.dupWindowProfileRolling(t.documents)),
+    // Greedy token-budget trim: highest quality first until the
+    // 10k-token budget fills; two-phase (quality-level histogram,
+    // boundary-level doc cumsum) -- no corpus-wide window
+    "q145_token_budget"  -> q(t => Curation.tokenBudgetTrim(t.documents)),
     // Median/MAD robust outliers: the skew-proof sibling of q60,
     // exact-integer end to end (cents + run-length medians)
     "q144_robust_outliers" -> q(t => Events.robustOutliers(t.events)),
@@ -2452,6 +2456,33 @@ object TrainingEntries {
          |  COALESCE(k.clean_text, '') AS clean_text
          |FROM lens l LEFT JOIN keptagg k USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Curation.tokenBudgetTrim(budget = 10000): q23's quality
+    // CTE, level histogram with desc cumsum, boundary doc cumsum
+    "q145_token_budget" ->
+      s"""WITH $qualityCte,
+         |nt AS (SELECT doc_id, CAST($nTokens AS BIGINT) AS n_tok
+         |       FROM (SELECT doc_id, $norm AS norm FROM documents)),
+         |sc AS (SELECT q.doc_id, q.quality, nt.n_tok
+         |       FROM qual q JOIN nt USING (doc_id)),
+         |hist AS (SELECT quality, CAST(SUM(n_tok) AS BIGINT) AS q_tok
+         |         FROM sc GROUP BY quality),
+         |hc AS (SELECT quality, q_tok,
+         |    CAST(COALESCE(SUM(q_tok) OVER (ORDER BY quality DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM hist),
+         |dc AS (SELECT sc.doc_id, sc.quality, sc.n_tok, hc.q_tok,
+         |         hc.cum_before,
+         |         CAST(SUM(sc.n_tok) OVER (PARTITION BY sc.quality
+         |           ORDER BY sc.doc_id ROWS UNBOUNDED PRECEDING)
+         |           AS BIGINT) AS doc_cum
+         |       FROM sc JOIN hc USING (quality))
+         |SELECT doc_id, quality, n_tok,
+         |  (cum_before + q_tok <= 10000)
+         |    OR (cum_before < 10000 AND cum_before + doc_cum <= 10000)
+         |    AS keep
+         |FROM dc ORDER BY doc_id""".stripMargin,
 
     // Mirrors Events.robustOutliers: run-length lower medians
     // (rk = (n+1)//2) for value and absolute deviation, k=3 gate

@@ -775,6 +775,42 @@ object Curation {
       .limit(k)
   }
 
+  /** Greedy token-budget trim: keep the highest-quality documents
+    * until the corpus fits `budgetTokens` — the "fit 1T tokens" cut
+    * every training run makes, as a deterministic flag column
+    * (greedy by quality desc, then doc_id asc at the boundary).
+    *
+    * Scale-safe global greedy WITHOUT a corpus-wide window: phase 1
+    * aggregates tokens per DISTINCT QUALITY VALUE (map-side combined;
+    * the quality score is a coarse discrete signal, so this histogram
+    * is tiny) and cumsums it desc — whole levels inside the budget
+    * keep everything; phase 2 resolves only the ONE boundary level
+    * with a doc-level cumsum window partitioned by quality value.
+    * The only unpartitioned window runs over the histogram rows, the
+    * [[lengthQuantiles]]/[[graft.operators.TextAnalysis.vocabCoverage]]
+    * bounded-input pattern. If one quality value dominated the corpus,
+    * pre-split its boundary window with an md5-salted sub-key
+    * (sourceCap's note).
+    */
+  def tokenBudgetTrim(documents: DataFrame,
+      budgetTokens: Long = 10000L): DataFrame = {
+    val scored = documents.spread()
+      .select($("doc_id"),
+        TextAnalysis.qualityScore($("text")).as("quality"),
+        TextAnalysis.tokenCount($("text")).cast("long").as("n_tok"))
+    val qOrder = Window.orderBy($("quality").desc)
+    val hist = scored.groupBy($("quality")).agg(sum($("n_tok")).as("q_tok"))
+      .withColumn("cum_before", coalesce(sum($("q_tok"))
+        .over(qOrder.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val byBoundary = Window.partitionBy($("quality")).orderBy($("doc_id").asc)
+    scored.join(broadcast(hist), Seq("quality"))
+      .withColumn("doc_cum", sum($("n_tok")).over(byBoundary))
+      .select($("doc_id"), $("quality"), $("n_tok"),
+        (($("cum_before") + $("q_tok") <= budgetTokens) ||
+          ($("cum_before") < budgetTokens &&
+            $("cum_before") + $("doc_cum") <= budgetTokens)).as("keep"))
+  }
+
   /** Per-source [[weightedSample]]: the A-ES draw with a SEPARATE
     * reservoir per source — "k weighted picks from every crawl", the
     * quota-preserving form ([[sourceCap]] is its unweighted uniform

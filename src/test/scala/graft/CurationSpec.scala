@@ -302,6 +302,26 @@ class CurationSpec extends SparkSpec {
     } finally sample.unpersist()
   }
 
+  test("tokenBudgetTrim equals the greedy prefix recompute, budget held") {
+    import spark.implicits._
+    val budget = 300L
+    val got = Curation.tokenBudgetTrim(docs, budget)
+      .as[(Long, Double, Long, Boolean)].collect()
+    // independent greedy recompute: walk (quality desc, doc_id asc),
+    // keep while the running token total stays within budget, stop at
+    // the first overflow
+    val order = got.sortBy(r => (-r._2, r._1))
+    var cum = 0L; var stopped = false
+    val want = order.map { case (id, _, n, _) =>
+      if (!stopped && cum + n <= budget) { cum += n; id -> true }
+      else { stopped = true; id -> false }
+    }.toMap
+    got.foreach { case (id, _, _, keep) =>
+      assert(keep === want(id), s"doc $id") }
+    val keptTokens = got.filter(_._4).map(_._3).sum
+    assert(keptTokens <= budget && keptTokens > 0)
+  }
+
   test("contaminationByBenchmark: leak lands in its benchmark only") {
     import spark.implicits._
     // (doc_id div 10) parity: doc 20 -> benchA, doc 10 -> benchB
