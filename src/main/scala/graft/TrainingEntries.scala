@@ -399,6 +399,9 @@ object TrainingEntries {
       Curation.contaminationByBenchmark(t.documents)),
     // Per-source PII governance report over q57's counts
     "q142_pii_report"    -> q(t => TextAnalysis.piiReport(t.documents)),
+    // kNN label-noise audit: per vector, the disagreement rate of its
+    // 5 nearest same-cell neighbors' labels (mislabel detector)
+    "q146_label_noise"   -> q(t => Similarity.labelNoise(t.embeddings)),
     // Hard-negative mining: per anchor, the 5 most-similar same-cell
     // vectors still under the q49 positive threshold — the
     // contrastive-training complement of semanticDupPairs
@@ -2570,6 +2573,44 @@ object TrainingEntries {
          |    * 1000000 // COUNT(*) AS BIGINT) AS pii_rate_micro
          |FROM cnt JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // Mirrors Similarity.labelNoise: q141's directed-pair CTEs with
+    // labels, rank <= 5 regardless of threshold, exact-integer rate
+    "q146_label_noise" -> {
+      s"""WITH $flatCte,
+         |${ivfCte(nCentroids = 16, lloydIters = 2, nprobe = 1)},
+         |szok AS (SELECT cell FROM assign GROUP BY cell HAVING COUNT(*) <= 256),
+         |memb AS (SELECT assign.vec_id, assign.cell, e.label
+         |         FROM assign JOIN szok USING (cell)
+         |         JOIN embeddings e ON e.vec_id = assign.vec_id),
+         |pairs AS (SELECT a.vec_id, a.label, b.vec_id AS nb_id,
+         |            b.label AS nb_label, a.cell
+         |          FROM memb a JOIN memb b
+         |          ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |dots AS (SELECT p.vec_id, p.label, p.nb_id, p.nb_label,
+         |           SUM(f1.v * f2.v) AS dot
+         |         FROM pairs p
+         |         JOIN flat f1 ON f1.vec_id = p.vec_id
+         |         JOIN flat f2 ON f2.vec_id = p.nb_id AND f2.i = f1.i
+         |         GROUP BY p.vec_id, p.label, p.nb_id, p.nb_label),
+         |cs AS (SELECT d.vec_id, d.label, d.nb_id, d.nb_label,
+         |         CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) AS cos
+         |       FROM dots d
+         |       JOIN norms na ON na.vec_id = d.vec_id
+         |       JOIN norms nb ON nb.vec_id = d.nb_id),
+         |nn AS (SELECT vec_id, label, nb_label FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cos DESC, nb_id ASC) AS rn FROM cs)
+         |       WHERE rn <= 5)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST(COUNT(*) AS BIGINT) AS n_nb,
+         |  CAST(SUM(CASE WHEN nb_label <> label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_disagree,
+         |  CAST(SUM(CASE WHEN nb_label <> label THEN 1 ELSE 0 END)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS disagree_micro
+         |FROM nn GROUP BY vec_id, label
+         |ORDER BY vec_id""".stripMargin
+    },
 
     // Mirrors Similarity.hardNegatives: q49's cell CTEs, DIRECTED
     // pairs under the positive threshold, per-anchor rank

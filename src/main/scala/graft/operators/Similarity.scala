@@ -375,6 +375,54 @@ object Similarity {
       .filter($("rn") <= k)
   }
 
+  /** kNN label-noise audit (the Confident-Learning-style read): for
+    * every vector, the fraction of its `k` nearest same-cell
+    * neighbors carrying a DIFFERENT label — mislabeled examples sit
+    * inside another class's neighborhood and score near 1.0, clean
+    * ones near 0. The curation signal for dropping or re-labeling
+    * noisy supervised data before it poisons a fine-tune.
+    *
+    * Deterministic: same cell assignment and exact integer dots as
+    * [[hardNegatives]]; neighbor selection (cos desc, nb_id) is a
+    * total order; the disagreement rate is exact-integer micro.
+    * Scale: maxCell-bounded within-cell pairs + a per-anchor rank
+    * window — [[semanticDupPairs]]' join budget, nothing more.
+    */
+  def labelNoise(embeddings: DataFrame, k: Int = 5, nCentroids: Int = 16,
+      lloydIters: Int = 2, maxCell: Int = 256,
+      trainFraction: Double = 1.0): DataFrame = {
+    val quant = quantized(embeddings)
+    val centroids = trainCentroids(quant, nCentroids, lloydIters, trainFraction)
+    val members = assignCells(quant, centroids, 1)
+      .select($("vec_id"), $("cell"))
+      .join(quant, Seq("vec_id"))
+      .join(embeddings.select($("vec_id"), $("label")), Seq("vec_id"))
+    val ok = members.groupBy("cell").agg(count(lit(1)).as("csz"))
+      .filter($("csz") <= maxCell).select("cell")
+    val bounded = members.join(ok, Seq("cell"))
+    val a = bounded.select($("cell"), $("vec_id"), $("qv").as("v1"),
+      $("nrm").as("n1"), $("label"))
+    val b = bounded.select($("cell"), $("vec_id").as("nb_id"),
+      $("qv").as("v2"), $("nrm").as("n2"), $("label").as("nb_label"))
+    val w = Window.partitionBy($("vec_id"))
+      .orderBy($("cos").desc, $("nb_id").asc)
+    a.join(b, Seq("cell"))
+      .filter($("vec_id") =!= $("nb_id"))
+      .select($("vec_id"), $("label"), $("nb_id"), $("nb_label"),
+        (qdot($("v1"), $("v2")).cast("double") / ($("n1") * $("n2")))
+          .as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter($("rn") <= k)
+      .groupBy($("vec_id"), $("label"))
+      .agg(count(lit(1)).as("n_nb"),
+        sum(when($("nb_label") =!= $("label"), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .select($("vec_id"), $("label").cast("long").as("label"), $("n_nb"),
+        $("n_disagree"),
+        expr("n_disagree * 1000000 div n_nb").cast("long")
+          .as("disagree_micro"))
+  }
+
   /** Per-class prototypicality scores — the dataset-pruning signal
     * (Sorscher et al., "Beyond neural scaling laws", NeurIPS'22;
     * public literature): each vector's cosine to its class (`label`)

@@ -390,6 +390,25 @@ class TrainingOpsSpec extends SparkSpec {
     assert(planted.subsetOf(got), s"missed planted twins: ${planted -- got}")
   }
 
+  test("labelNoise: a planted mislabel scores 1.0, clean members score 0") {
+    val rnd = new scala.util.Random(7)
+    def around(base: Array[Float]) =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val c0 = Array.fill(8)(rnd.nextFloat() + 0.5f)
+    val c1 = c0.map(-_) // opposite direction: separate cells, cos < 0
+    val clean0 = (0 until 10).map(i => (i.toLong, around(c0), 0))
+    val clean1 = (0 until 10).map(i => (20L + i, around(c1), 1))
+    // vec 99 sits in cluster 0's geometry but carries label 1
+    val noisy = Seq((99L, around(c0), 1))
+    val vecs = (clean0 ++ clean1 ++ noisy)
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelNoise(vecs, k = 5, nCentroids = 2)
+      .select("vec_id", "disagree_micro").as[(Long, Long)].collect().toMap
+    assert(got(99L) === 1000000L, "the mislabel disagrees with every neighbor")
+    // clean label-1 members: all neighbors share their label
+    (20L until 30L).foreach(id => assert(got(id) === 0L, s"vec $id"))
+  }
+
   test("hard negatives: same cell, below positive threshold, disjoint from dup pairs") {
     val rnd = new scala.util.Random(23)
     val vecs = (0 until 60).map(i =>
