@@ -406,6 +406,10 @@ object TrainingEntries {
     // vectors still under the q49 positive threshold — the
     // contrastive-training complement of semanticDupPairs
     "q141_hard_negatives" -> q(t => Similarity.hardNegatives(t.embeddings)),
+    // Directed cross-source containment matrix: which crawl QUOTES
+    // which (the directed sibling of q75's symmetric overlap)
+    "q147_source_containment" -> q(t =>
+      Dedup.sourceContainmentMatrix(t.documents)),
     // Asymmetric containment dedup: |A∩B|/min(|A|,|B|) catches the
     // excerpt/quote shape symmetric Jaccard is blind to
     "q140_containment"   -> q(t => Dedup.ngramContainmentPairs(t.documents)),
@@ -2638,6 +2642,47 @@ object TrainingEntries {
          |        FROM cs WHERE cos < 0.35)
          |SELECT anchor_id, neg_id, cell, cos, rn FROM neg
          |WHERE rn <= 5 ORDER BY anchor_id, rn""".stripMargin,
+
+    // Mirrors Dedup.sourceContainmentMatrix: q140's ct CTE labeled
+    // with sources, contained = smaller set, ties lexicographic
+    "q147_source_containment" ->
+      s"""WITH docs AS (SELECT doc_id, $norm AS norm FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, substr(norm, i, 5) AS shingle FROM (
+         |       SELECT doc_id, norm,
+         |         unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+         |       FROM docs)),
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+         |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |          FROM shr a JOIN shr b
+         |          ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.id1, c.id2, COUNT(*) AS common
+         |           FROM cands c
+         |           JOIN sh a ON a.doc_id = c.id1
+         |           JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+         |           GROUP BY c.id1, c.id2),
+         |ct AS (SELECT id1, id2, s1.sz AS sz1, s2.sz AS sz2,
+         |        CAST(common AS DOUBLE) / CAST(least(s1.sz, s2.sz) AS DOUBLE)
+         |          AS containment
+         |      FROM common
+         |      JOIN sizes s1 ON s1.doc_id = id1
+         |      JOIN sizes s2 ON s2.doc_id = id2),
+         |lab AS (SELECT
+         |    CASE WHEN sz1 < sz2 THEN d2.source
+         |         WHEN sz2 < sz1 THEN d1.source
+         |         ELSE greatest(d1.source, d2.source) END AS container_src,
+         |    CASE WHEN sz1 < sz2 THEN d1.source
+         |         WHEN sz2 < sz1 THEN d2.source
+         |         ELSE least(d1.source, d2.source) END AS contained_src
+         |  FROM ct
+         |  JOIN documents d1 ON d1.doc_id = ct.id1
+         |  JOIN documents d2 ON d2.doc_id = ct.id2
+         |  WHERE containment >= 0.6)
+         |SELECT container_src, contained_src,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM lab GROUP BY container_src, contained_src
+         |ORDER BY container_src, contained_src""".stripMargin,
 
     // Mirrors Dedup.ngramContainmentPairs: q27's CTEs with the ratio
     // over the SMALLER set instead of the union

@@ -611,6 +611,35 @@ object Dedup {
       .filter($("containment") >= threshold)
   }
 
+  /** Cross-source containment matrix — which crawl QUOTES which:
+    * [[ngramContainmentPairs]] aggregated per (container source,
+    * contained source), where the contained side is the pair's
+    * smaller shingle set (ties → both directions are the same doc
+    * size; attribute to the lexicographically first source—the
+    * deterministic tie rule). [[sourceOverlap]] counts symmetric
+    * near-dups; this is its DIRECTED sibling that separates "B
+    * excerpts A" from "A and B mirror each other".
+    */
+  def sourceContainmentMatrix(documents: DataFrame, n: Int = 5,
+      threshold: Double = 0.6, maxDf: Int = 100): DataFrame = {
+    val pairs = ngramContainmentPairs(documents, n, threshold, maxDf)
+    val src = documents.select($("doc_id"), $("source"))
+    pairs
+      .join(src.select($("doc_id").as("id1"), $("source").as("src1")), Seq("id1"))
+      .join(src.select($("doc_id").as("id2"), $("source").as("src2")), Seq("id2"))
+      // contained = smaller set; container = larger; equal sizes tie
+      // to (id1=contained, id2=container), already deterministic
+      .select(
+        when($("sz1") < $("sz2"), $("src2")).otherwise(
+          when($("sz2") < $("sz1"), $("src1"))
+            .otherwise(greatest($("src1"), $("src2")))).as("container_src"),
+        when($("sz1") < $("sz2"), $("src1")).otherwise(
+          when($("sz2") < $("sz1"), $("src2"))
+            .otherwise(least($("src1"), $("src2")))).as("contained_src"))
+      .groupBy($("container_src"), $("contained_src"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** SimHash-32 per document: per token, 32 bits from the first 8 hex
     * chars of md5(token); bit j contributes +1/−1 to counter j; the
     * sign vector is packed into a BIGINT. Near-dups differ in few bits

@@ -536,6 +536,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!jac.contains((1L, 2L)))
   }
 
+  test("sourceContainmentMatrix attributes the quote to the right direction") {
+    val long = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen violinists rehearse an entirely different movement"
+    val docs = Seq(
+      (1L, long, "big_crawl"),
+      (2L, "seventeen violinists rehearse", "quote_site"),
+      (3L, "unrelated corpus text entirely", "clean_src")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceContainmentMatrix(docs, threshold = 0.9)
+      .as[(String, String, Long)].collect()
+    assert(got.toSeq === Seq(("big_crawl", "quote_site", 1L)),
+      "the long doc contains the quote-site doc, never the reverse")
+  }
+
   test("canonicalByRank: hub elected in the star, min-id on rank ties") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L))
       .toDF("id1", "id2")
