@@ -130,7 +130,16 @@ object ScaleRehearsal {
         "q132_span_rewrite" -> (() =>
           SubstringDedup.removeSpans(docs).filter(col("removed_tokens") > 0)),
         "q128_pagerank" -> (() =>
-          Dedup.pairPageRank(Dedup.minhashDupPairs(docs, threshold = 0.7))))
+          Dedup.pairPageRank(Dedup.minhashDupPairs(docs, threshold = 0.7))),
+        // the within-cell ANN family (q141/q146 share this join
+        // budget): maxCell caps the quadratic leg, which means
+        // nCentroids MUST grow with the corpus (cells ≈ N/cap) — a
+        // fixed 16 cells at x10 put every cell over the cap and the
+        // first rehearsal run returned ZERO rows. Scaling cells with
+        // the factor holds per-cell size constant: the correct
+        // deployment, and the measured cost stays ~linear.
+        "q141_hard_negatives" -> (() =>
+          Similarity.hardNegatives(emb, nCentroids = 16 * f)))
       for ((name, fn) <- family) {
         val g = s"x$f:$name"
         spark.sparkContext.setJobGroup(g, g)

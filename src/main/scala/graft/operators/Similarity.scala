@@ -346,6 +346,10 @@ object Similarity {
     * ranking (cos desc, neg_id) is a total order. Scale: identical
     * join shape to [[semanticDupPairs]] (maxCell-bounded within-cell
     * pairs), plus one per-anchor rank window over cell-local rows.
+    * SIZE `nCentroids` WITH THE CORPUS (cells ≈ N / maxCell): the cap
+    * drops oversized cells outright, so a fixed cell count on a
+    * grown corpus silently empties the result — ScaleRehearsal
+    * measured exactly that at x10 before scaling cells with N.
     */
   def hardNegatives(embeddings: DataFrame, k: Int = 5,
       posThreshold: Double = 0.35, nCentroids: Int = 16,
@@ -386,7 +390,10 @@ object Similarity {
     * [[hardNegatives]]; neighbor selection (cos desc, nb_id) is a
     * total order; the disagreement rate is exact-integer micro.
     * Scale: maxCell-bounded within-cell pairs + a per-anchor rank
-    * window — [[semanticDupPairs]]' join budget, nothing more.
+    * window — [[semanticDupPairs]]' join budget, nothing more, and
+    * the same sizing rule: grow `nCentroids` with the corpus
+    * (cells ≈ N / maxCell) or the cap silently empties the audit
+    * (see [[hardNegatives]]).
     */
   def labelNoise(embeddings: DataFrame, k: Int = 5, nCentroids: Int = 16,
       lloydIters: Int = 2, maxCell: Int = 256,
