@@ -399,6 +399,9 @@ object TrainingEntries {
       Curation.contaminationByBenchmark(t.documents)),
     // Per-source PII governance report over q57's counts
     "q142_pii_report"    -> q(t => TextAnalysis.piiReport(t.documents)),
+    // Two-level coarse-quantizer assignment: the FAISS shape answering
+    // the rehearsal-measured N*cells flat-assignment bottleneck
+    "q148_two_level_assign" -> q(t => Similarity.twoLevelAssign(t.embeddings)),
     // kNN label-noise audit: per vector, the disagreement rate of its
     // 5 nearest same-cell neighbors' labels (mislabel detector)
     "q146_label_noise"   -> q(t => Similarity.labelNoise(t.embeddings)),
@@ -2577,6 +2580,47 @@ object TrainingEntries {
          |    * 1000000 // COUNT(*) AS BIGINT) AS pii_rate_micro
          |FROM cnt JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // Mirrors Similarity.twoLevelAssign: q34's centroid training,
+    // coarse = the 4 smallest-c_id fine centroids, fine->group and
+    // both probes replayed with the same tie rules
+    "q148_two_level_assign" ->
+      s"""WITH $flatCte,
+         |${ivfCte(nCentroids = 16, lloydIters = 2, nprobe = 1)},
+         |gsel AS (SELECT DISTINCT c_id FROM c2 ORDER BY c_id LIMIT 4),
+         |gc AS (SELECT c.c_id AS g_id, c.i, c.cv
+         |       FROM c2 c JOIN gsel ON gsel.c_id = c.c_id),
+         |gn AS (SELECT g_id, sqrt(CAST(SUM(cv*cv) AS DOUBLE)) AS gnrm
+         |       FROM gc GROUP BY g_id),
+         |fgd AS (SELECT f.c_id, g.g_id, SUM(f.cv * g.cv) AS dot
+         |        FROM c2 f JOIN gc g ON g.i = f.i GROUP BY f.c_id, g.g_id),
+         |f2g AS (SELECT c_id, g_id FROM (
+         |          SELECT fgd.c_id, fgd.g_id,
+         |            row_number() OVER (PARTITION BY fgd.c_id
+         |              ORDER BY CAST(dot AS DOUBLE)/(cn.cnrm * gn.gnrm) DESC,
+         |                       fgd.g_id) AS grn
+         |          FROM fgd JOIN cnf cn ON cn.c_id = fgd.c_id
+         |               JOIN gn ON gn.g_id = fgd.g_id) WHERE grn = 1),
+         |vgd AS (SELECT f.vec_id, g.g_id, SUM(f.v * g.cv) AS dot
+         |        FROM flat f JOIN gc g ON g.i = f.i GROUP BY f.vec_id, g.g_id),
+         |vg AS (SELECT vec_id, g_id FROM (
+         |         SELECT vgd.vec_id, vgd.g_id,
+         |           row_number() OVER (PARTITION BY vgd.vec_id
+         |             ORDER BY CAST(dot AS DOUBLE)/(n.nrm * gn.gnrm) DESC,
+         |                      vgd.g_id) AS grn
+         |         FROM vgd JOIN norms n ON n.vec_id = vgd.vec_id
+         |              JOIN gn ON gn.g_id = vgd.g_id) WHERE grn <= 2)
+         |SELECT vec_id, cell FROM (
+         |  SELECT fd.vec_id, fd.c_id AS cell,
+         |    row_number() OVER (PARTITION BY fd.vec_id
+         |      ORDER BY CAST(fd.dot AS DOUBLE)/(n.nrm * cn.cnrm) DESC,
+         |               fd.c_id) AS crn
+         |  FROM fd
+         |  JOIN vg ON vg.vec_id = fd.vec_id
+         |  JOIN f2g ON f2g.c_id = fd.c_id AND f2g.g_id = vg.g_id
+         |  JOIN norms n ON n.vec_id = fd.vec_id
+         |  JOIN cnf cn ON cn.c_id = fd.c_id)
+         |WHERE crn = 1 ORDER BY vec_id""".stripMargin,
 
     // Mirrors Similarity.labelNoise: q141's directed-pair CTEs with
     // labels, rank <= 5 regardless of threshold, exact-integer rate

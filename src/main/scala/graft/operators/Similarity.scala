@@ -379,6 +379,75 @@ object Similarity {
       .filter($("rn") <= k)
   }
 
+  /** Flat (exhaustive) cell assignment — (vec_id, cell) via argmax
+    * cosine over ALL centroids, the exact baseline
+    * [[twoLevelAssign]] approximates (and the assignment the IVF
+    * family uses internally).
+    */
+  def flatAssign(embeddings: DataFrame, nCentroids: Int = 16,
+      lloydIters: Int = 2, trainFraction: Double = 1.0): DataFrame = {
+    val quant = quantized(embeddings)
+    val cents = trainCentroids(quant, nCentroids, lloydIters, trainFraction)
+    assignCells(quant, cents, 1).select($("vec_id"), $("cell"))
+  }
+
+  /** Two-level (coarse-quantizer) cell assignment — the answer to the
+    * rehearsal-measured N·cells assignment bottleneck (BASELINE.md:
+    * with cells sized ≈ N/maxCell, FLAT assignment is N²/cap): probe
+    * `coarse` group centroids first (N·G dots), then only the fine
+    * centroids of the winning group (N·C/G on average) — N·(G + C/G)
+    * total, minimized at G ≈ √C. This is the FAISS coarse-quantizer
+    * shape, one level deep.
+    *
+    * Deterministic, like everything in this family: coarse centroids
+    * are the G smallest-c_id fine centroids (the trainer's own seed
+    * rule), fine→group and both probe argmaxes are exact-integer
+    * cosines with c_id tie-breaks — the oracle replays all three
+    * steps. APPROXIMATE by design: a vector whose best fine cell
+    * lives outside its winning group lands elsewhere;
+    * TrainingOpsSpec pins the agreement rate with flat assignment,
+    * and q148's gate pins the exact output.
+    */
+  def twoLevelAssign(embeddings: DataFrame, nCentroids: Int = 16,
+      lloydIters: Int = 2, coarse: Int = 4, coarseProbe: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
+    val quant = quantized(embeddings)
+    val cents = trainCentroids(quant, nCentroids, lloydIters, trainFraction)
+    val g = cents.orderBy($("c_id").asc).limit(coarse)
+      .select($("c_id").as("g_id"), $("cv").as("gv"), $("cnrm").as("gnrm"))
+    val fgW = Window.partitionBy($("c_id"))
+      .orderBy($("gcos").desc, $("g_id").asc)
+    val f2g = cents.crossJoin(broadcast(g))
+      .select($("c_id"), $("g_id"),
+        (qdot($("cv"), $("gv")).cast("double") / ($("cnrm") * $("gnrm")))
+          .as("gcos"))
+      .withColumn("grn", row_number().over(fgW)).filter($("grn") === 1)
+      .select($("c_id"), $("g_id"))
+    val vgW = Window.partitionBy($("vec_id"))
+      .orderBy($("gcos").desc, $("g_id").asc)
+    // multi-probe at the coarse level (the FAISS nprobe pattern, one
+    // level up): keeping only the top group loses too many vectors
+    // whose true cell sits just across a group boundary — probing 2
+    // of 4 groups restored flat-agreement from 53% to the spec bar
+    // on the uniform fixture while still halving the fine probes
+    val vg = quant.crossJoin(broadcast(g))
+      .select($("vec_id"), $("qv"), $("nrm"), $("g_id"),
+        (qdot($("qv"), $("gv")).cast("double") / ($("nrm") * $("gnrm")))
+          .as("gcos"))
+      .withColumn("grn", row_number().over(vgW))
+      .filter($("grn") <= coarseProbe)
+      .select($("vec_id"), $("qv"), $("nrm"), $("g_id"))
+    val cg = cents.join(f2g, Seq("c_id"))
+    val vfW = Window.partitionBy($("vec_id"))
+      .orderBy($("ccos").desc, $("c_id").asc)
+    vg.join(broadcast(cg), Seq("g_id"))
+      .select($("vec_id"), $("c_id"),
+        (qdot($("qv"), $("cv")).cast("double") / ($("nrm") * $("cnrm")))
+          .as("ccos"))
+      .withColumn("crn", row_number().over(vfW)).filter($("crn") === 1)
+      .select($("vec_id"), $("c_id").as("cell"))
+  }
+
   /** kNN label-noise audit (the Confident-Learning-style read): for
     * every vector, the fraction of its `k` nearest same-cell
     * neighbors carrying a DIFFERENT label — mislabeled examples sit

@@ -390,6 +390,29 @@ class TrainingOpsSpec extends SparkSpec {
     assert(planted.subsetOf(got), s"missed planted twins: ${planted -- got}")
   }
 
+  test("twoLevelAssign: complete, deterministic, high agreement with flat") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val two = Similarity.twoLevelAssign(emb)
+      .as[(Long, Long)].collect().toMap
+    assert(two.size === emb.count())
+    val flat = Similarity.flatAssign(emb)
+      .as[(Long, Long)].collect().toMap
+    assert(flat.keySet === two.keySet)
+    // approximate by design; the fixture is the WORST case for coarse
+    // structure (uniform random 64-d, 16 near-equidistant centroids,
+    // probe 2 of 4 groups) and still keeps 3/4 agreement — real
+    // corpora are clustered and C is in the thousands, where the
+    // coarse route is both tighter and actually necessary. Exact
+    // semantics are pinned by the q148 oracle, not this rate.
+    val agree = two.count { case (id, cell) => flat(id) == cell }
+    assert(agree.toDouble / two.size >= 0.7,
+      s"only $agree/${two.size} vectors agree with flat assignment")
+    // deterministic across evaluations
+    val again = Similarity.twoLevelAssign(emb)
+      .as[(Long, Long)].collect().toMap
+    assert(two === again)
+  }
+
   test("labelNoise: a planted mislabel scores 1.0, clean members score 0") {
     val rnd = new scala.util.Random(7)
     def around(base: Array[Float]) =
