@@ -416,6 +416,10 @@ object TrainingEntries {
     // Asymmetric containment dedup: |A∩B|/min(|A|,|B|) catches the
     // excerpt/quote shape symmetric Jaccard is blind to
     "q140_containment"   -> q(t => Dedup.ngramContainmentPairs(t.documents)),
+    // BM25 impact index: per-(token, doc) micro score contributions
+    // for the WHOLE vocabulary -- the serve-time artifact behind
+    // q139 and the streaming query-scoring twin
+    "q149_bm25_impacts"  -> q(t => TextAnalysis.bm25TermTable(t.documents)),
     // Batch BM25: a 3-query table scored in ONE corpus pass, top-10
     // docs per query; per-term micro-integer scores → order-free sums
     "q139_bm25_batch"    -> q { t =>
@@ -2756,6 +2760,30 @@ object TrainingEntries {
          |      JOIN sizes s2 ON s2.doc_id = id2)
          |SELECT id1, id2, common, sz1, sz2, containment FROM ct
          |WHERE containment >= 0.6 ORDER BY id1, id2""".stripMargin,
+
+    // Mirrors TextAnalysis.bm25TermTable: q139's score chain with NO
+    // term filter -- every (token, doc) pair carries its impact
+    "q149_bm25_impacts" ->
+      s"""WITH toks AS (SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+         |    FROM documents) WHERE length(tok) > 0),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |          CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         |dft AS (SELECT tok AS token, COUNT(DISTINCT doc_id) AS df
+         |        FROM toks GROUP BY tok),
+         |pd AS (SELECT doc_id, tok AS token, COUNT(*) AS tf
+         |       FROM toks GROUP BY doc_id, tok)
+         |SELECT pd.token, pd.doc_id,
+         |  CAST(floor(((CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) *
+         |  (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+         |   (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+         |     0.75 * CAST(dl.dl AS DOUBLE) /
+         |     (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) *
+         |   1000000.0) AS BIGINT) AS ts_micro
+         |FROM pd JOIN dft USING (token) JOIN dl USING (doc_id)
+         |CROSS JOIN stats
+         |ORDER BY token, doc_id""".stripMargin,
 
     // Mirrors TextAnalysis.bm25Batch: q62's double chain per term,
     // floored to micro, integer-summed per (query, doc), ranked

@@ -725,6 +725,46 @@ object TextAnalysis {
     * time); what shuffles is (doc_id, token) for matching terms only
     * — |terms| · df rows, never the corpus.
     */
+  /** BM25 IMPACT INDEX: the per-(token, doc) score contribution for
+    * EVERY vocabulary token — ts_micro = floor(1e6 · idf · tfNorm),
+    * the quantity [[bm25Batch]] computes per query term. A term's
+    * contribution is query-INDEPENDENT, so a serving stack
+    * materializes this table once (the Lucene-style impact-ordered
+    * posting shape) and any query's score is a pure
+    * join-and-integer-sum over it — no corpus access at query time.
+    * [[graft.streaming.DocStreams.bm25ScoreStream]] serves a query
+    * FIREHOSE off exactly this artifact.
+    *
+    * Scale: one token pass; (token, doc) aggregates partial-combine;
+    * df/stat tables broadcast. Output rows = distinct (doc, token)
+    * pairs — the inverted index with scores, written token-bucketed
+    * at warehouse scale.
+    */
+  def bm25TermTable(documents: DataFrame, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = tokens(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = docLen.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum($("dl")).cast("long").as("total_len"))
+    val dfTab = toks.groupBy("token").agg(count_distinct($("doc_id")).as("df"))
+    val perDoc = toks.groupBy($("doc_id"), $("token")).agg(count(lit(1)).as("tf"))
+    val avgdl = $("total_len").cast("double") / $("n_docs").cast("double")
+    val idf = $("n_docs").cast("double") / $("df").cast("double")
+    val tfD = $("tf").cast("double")
+    val tfNorm = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * $("dl").cast("double") / avgdl))
+    val result = perDoc
+      .join(dfTab, Seq("token"))
+      .join(docLen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select($("token"), $("doc_id"),
+        floor((idf * tfNorm) * lit(1000000.0)).cast("long").as("ts_micro"))
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    result
+  }
+
   /** BATCH BM25: score a whole TABLE of queries — (query_id, token)
     * rows — against the corpus in one pass, top-`topK` documents per
     * query. [[bm25]] serves one ad-hoc query; a retrieval deployment

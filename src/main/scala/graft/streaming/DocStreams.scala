@@ -216,6 +216,29 @@ object DocStreams extends Serializable {
       }
   }
 
+  /** Streaming BM25 query scoring: a QUERY firehose — (query_id,
+    * token) rows arriving over time — scored against the
+    * batch-precomputed impact index
+    * ([[graft.operators.TextAnalysis.bm25TermTable]], the model/data
+    * split of the pqCodes twin: the corpus-side artifact trains/
+    * builds offline and ships in). The stream-static join is
+    * STATELESS; the per-(query, doc) running sum is a streaming
+    * aggregation in update mode; duplicate (query, token) arrivals
+    * dedupe via `dropDuplicates` keyed state (one row per query term,
+    * [[graft.operators.TextAnalysis.bm25Batch]]'s distinct contract —
+    * compose a watermark upstream to bound that state for unbounded
+    * query streams).
+    *
+    * Twin contract (StreamingSpec): final (query_id, doc_id,
+    * score_micro) values equal bm25Batch's pre-rank scores.
+    */
+  def bm25ScoreStream(queries: DataFrame, impactIndex: DataFrame): DataFrame =
+    queries
+      .dropDuplicates("query_id", "token")
+      .join(impactIndex, Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ts_micro")).as("score_micro"))
+
   /** Streaming count-min sketch: the running (row, col, cnt) cell
     * table over the document firehose — update mode emits the cells a
     * micro-batch touched with their new running sums. The CMS is THE

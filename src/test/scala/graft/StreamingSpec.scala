@@ -489,6 +489,38 @@ class StreamingSpec extends SparkSpec {
       "both arrivals of the leaked span flag, the clean doc never does")
   }
 
+  test("streaming bm25 query scoring == batch bm25Batch pre-rank scores") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysis
+    import graft.streaming.DocStreams
+    implicit val sqlCtx = spark.sqlContext
+    val docsT = graft.sources.Tables(spark, dir).documents
+    val impacts = TextAnalysis.bm25TermTable(docsT)
+    val in = MemoryStream[(Long, String)]
+    val q = DocStreams.bm25ScoreStream(
+      in.toDF().toDF("query_id", "token"), impacts)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("bm25_stream").start()
+    try {
+      // two deliveries, including a duplicate term that must not
+      // double-count and a second query arriving late
+      in.addData((0L, "data"), (0L, "query"), (0L, "data"))
+      q.processAllAvailable()
+      in.addData((1L, "table"), (1L, "scan"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bm25_stream")
+      .as[(Long, Long, Long)].collect().toSet
+    val queries = Seq((0L, "data"), (0L, "query"), (1L, "table"),
+      (1L, "scan")).toDF("query_id", "token")
+    val want = TextAnalysis.bm25Batch(docsT, queries, topK = 1000000)
+      .select("query_id", "doc_id", "score_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want,
+      "streamed scores must equal the oracle-gated batch scores")
+    assert(got.nonEmpty)
+  }
+
   test("streaming cms cells == batch cmsTable, including across batches") {
     import graft.streaming.DocStreams
     val tables = graft.sources.Tables(spark, dir)
