@@ -416,6 +416,10 @@ object TrainingEntries {
     // Asymmetric containment dedup: |A∩B|/min(|A|,|B|) catches the
     // excerpt/quote shape symmetric Jaccard is blind to
     "q140_containment"   -> q(t => Dedup.ngramContainmentPairs(t.documents)),
+    // Conjunctive search ranked by impacts: AND semantics (q131) +
+    // relevance order (q149) in one index probe
+    "q150_ranked_search" -> q(t =>
+      TextAnalysis.rankedSearchAnd(t.documents, Seq("data", "query", "table"))),
     // BM25 impact index: per-(token, doc) micro score contributions
     // for the WHOLE vocabulary -- the serve-time artifact behind
     // q139 and the streaming query-scoring twin
@@ -2760,6 +2764,33 @@ object TrainingEntries {
          |      JOIN sizes s2 ON s2.doc_id = id2)
          |SELECT id1, id2, common, sz1, sz2, containment FROM ct
          |WHERE containment >= 0.6 ORDER BY id1, id2""".stripMargin,
+
+    // Mirrors TextAnalysis.rankedSearchAnd: q149's impacts filtered to
+    // the terms, conjunctive HAVING, impact-sum rank
+    "q150_ranked_search" ->
+      s"""WITH toks AS (SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+         |    FROM documents) WHERE length(tok) > 0),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |          CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         |dft AS (SELECT tok AS token, COUNT(DISTINCT doc_id) AS df
+         |        FROM toks GROUP BY tok),
+         |pd AS (SELECT doc_id, tok AS token, COUNT(*) AS tf
+         |       FROM toks GROUP BY doc_id, tok),
+         |imp AS (SELECT pd.token, pd.doc_id,
+         |  CAST(floor(((CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) *
+         |  (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+         |   (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+         |     0.75 * CAST(dl.dl AS DOUBLE) /
+         |     (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) *
+         |   1000000.0) AS BIGINT) AS ts_micro
+         |  FROM pd JOIN dft USING (token) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE pd.token IN ('data', 'query', 'table'))
+         |SELECT doc_id, CAST(SUM(ts_micro) AS BIGINT) AS score_micro
+         |FROM imp GROUP BY doc_id HAVING COUNT(*) = 3
+         |ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     // Mirrors TextAnalysis.bm25TermTable: q139's score chain with NO
     // term filter -- every (token, doc) pair carries its impact

@@ -821,6 +821,27 @@ object TextAnalysis {
     result
   }
 
+  /** Conjunctive search, RANKED: documents containing every query
+    * term ([[searchAnd]]'s AND semantics), ordered by their BM25
+    * impact sum ([[bm25TermTable]]'s artifact) — boolean retrieval
+    * and relevance ranking in one index probe, the standard serving
+    * composition. Scale: the term filter prunes the impact index at
+    * the scan; |terms|·df rows aggregate; top-k is
+    * TakeOrderedAndProject.
+    */
+  def rankedSearchAnd(documents: DataFrame, terms: Seq[String],
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    bm25TermTable(documents)
+      .filter($("token").isin(terms: _*))
+      .groupBy($("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum($("ts_micro")).as("score_micro"))
+      .filter($("n_hit") === terms.size)
+      .select($("doc_id"), $("score_micro"))
+      .orderBy($("score_micro").desc, $("doc_id").asc)
+      .limit(topK)
+  }
+
   /** Out-of-vocabulary report: each held-out document's token count,
     * OOV count, and exact-integer OOV rate (micro) against the
     * vocabulary of the TRAINING split — the read before shipping a

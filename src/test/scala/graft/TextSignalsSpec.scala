@@ -114,6 +114,21 @@ class TextSignalsSpec extends SparkSpec {
     assert(pmi > 0L)
   }
 
+  test("rankedSearchAnd: AND semantics with relevance order") {
+    val docs = Seq(
+      (1L, "data query table extra words here"),
+      (2L, "data query table data query table"), // doubled terms -> higher
+      (3L, "data query only"),                   // missing 'table'
+      (4L, "nothing relevant at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.rankedSearchAnd(docs,
+      Seq("data", "query", "table"))
+      .as[(Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq(2L, 1L),
+      "both conjunctive docs, the term-heavy one first")
+    assert(got(0)._2 > got(1)._2)
+  }
+
   test("piiReport aggregates planted instances per source exactly") {
     // planting rule: email iff id % 3 == 0, url iff id % 5 == 0
     val docs = Seq(
