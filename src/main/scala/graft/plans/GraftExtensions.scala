@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.simhash32Descriptor)
     ext.injectFunction(GraftExtensions.charEntropyDescriptor)
+    ext.injectFunction(GraftExtensions.windowHashesDescriptor)
   }
 }
 
@@ -41,6 +42,29 @@ object GraftExtensions {
       CharEntropyExpression(children.head)
     })
 
+  private def windowHashesBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      "window_hashes takes (tokens array, k int literal)")
+    val k = children(1) match {
+      case e if e.foldable => e.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"window_hashes k must be an int literal, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "window_hashes k must be a literal")
+    }
+    WindowHashesExpression(children.head, k)
+  }
+
+  private[plans] val windowHashesDescriptor:
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("window_hashes"),
+    new ExpressionInfo(classOf[WindowHashesExpression].getName,
+      "window_hashes"),
+    windowHashesBuilder)
+
   /** Register on an already-built session (tests, REPL). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -48,5 +72,7 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_entropy_milli", exprs => CharEntropyExpression(exprs.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "window_hashes", windowHashesBuilder, "built-in")
   }
 }

@@ -47,6 +47,23 @@ class SimHashExpressionSpec extends SparkSpec {
     assert(viaSql === viaCol)
   }
 
+  test("registered window_hashes SQL function matches the Column API") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT window_hashes(array('a', 'b', 'c', 'd'), 3)")
+      .as[Seq[Long]].head()
+    val viaCol = Seq(Seq("a", "b", "c", "d")).toDF("t")
+      .select(graft.plans.WindowHashesExpression.windowHashes($"t", 3))
+      .as[Seq[Long]].head()
+    assert(viaSql === viaCol)
+    assert(viaSql.length === 2) // 4 tokens, k=3 -> 2 windows
+    // equal windows hash equal regardless of position/derivation
+    val shifted = spark.sql(
+      "SELECT window_hashes(array('x', 'a', 'b', 'c'), 3)")
+      .as[Seq[Long]].head()
+    assert(shifted(1) === viaSql(0), "window 'a b c' must hash identically")
+  }
+
   test("hamming locality: near-identical token sets have close hashes") {
     val base = (1 to 50).map(i => s"tok$i")
     val near = base.updated(0, "changed")
