@@ -184,6 +184,12 @@ object Bench {
             noop(Dedup.ngramJaccardFromShingles(rd(shP))) },
           timedAt("q140_from_shingles") {
             noop(Dedup.ngramContainmentFromShingles(rd(shP))) },
+          timedAt("containment_pairs_build") {
+            Dedup.ngramContainmentFromShingles(rd(shP))
+              .write.mode("overwrite").parquet(s"$tmp/cont_pairs") },
+          timedAt("q147_from_pairs") {
+            noop(Dedup.sourceContainmentMatrixFromPairs(
+              rd(s"$tmp/cont_pairs"), docs)) },
           timedAt("q51_from_pairs") {
             noop(Dedup.componentsOf(pairs())) },
           timedAt("q72_from_pairs") {

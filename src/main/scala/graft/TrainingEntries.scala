@@ -444,6 +444,10 @@ object TrainingEntries {
     // (the quota-preserving sibling of q129's global sample)
     "q136_weighted_per_source" -> q(t =>
       Curation.weightedSamplePerSource(t.documents)),
+    // Held-out cross-entropy under the train-split unigram LM
+    // (add-1 smoothed, exact-integer micro-nats) -- the LM-metric
+    // twin of the OOV report
+    "q151_cross_entropy" -> q(t => TextAnalysis.crossEntropy(t.documents)),
     // OOV rate of the held-out split (md5 buckets 8-9) against the
     // training split's vocabulary — the pre-ship tokenizer/vocab read
     "q137_oov_report"    -> q(t => TextAnalysis.oovReport(t.documents)),
@@ -2903,6 +2907,38 @@ object TrainingEntries {
          |      ORDER BY aes_key DESC, doc_id ASC) AS BIGINT) AS rn
          |    FROM keyed)
          |WHERE rn <= 20 ORDER BY source, rn""".stripMargin,
+
+    // Mirrors TextAnalysis.crossEntropy: per-TYPE micro-nat ln floors,
+    // integer sums, reserved OOV mass 1/(T+V+1)
+    "q151_cross_entropy" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 10 AS b,
+         |    $norm AS norm FROM documents),
+         |vt AS (SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+         |    SELECT unnest(string_split(norm, ' ')) AS tok
+         |    FROM base WHERE b <= 7)
+         |  WHERE length(tok) > 0 GROUP BY tok),
+         |st AS (SELECT CAST(SUM(tf) AS BIGINT) AS T,
+         |       CAST(COUNT(*) AS BIGINT) AS V FROM vt),
+         |lm AS (SELECT token,
+         |    CAST(floor(1000000.0 * ln((tf + 1) /
+         |      CAST(T + V + 1 AS DOUBLE))) AS BIGINT) AS lnp
+         |  FROM vt CROSS JOIN st),
+         |ec AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+         |    FROM base WHERE b >= 8)
+         |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
+         |ov AS (SELECT CAST(floor(1000000.0 * ln(1.0 /
+         |         CAST(T + V + 1 AS DOUBLE))) AS BIGINT) AS lnp FROM st),
+         |sc AS (SELECT e.doc_id, e.c,
+         |         COALESCE(lm.lnp, (SELECT lnp FROM ov)) AS lnp,
+         |         CASE WHEN lm.token IS NULL THEN e.c ELSE 0 END AS oovc
+         |       FROM ec e LEFT JOIN lm ON lm.token = e.tok)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+         |  CAST(SUM(oovc) AS BIGINT) AS n_oov,
+         |  CAST((-SUM(c * lnp)) // SUM(c) AS BIGINT) AS ce_micro
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Mirrors TextAnalysis.oovReport: train-bucket vocabulary (md5
     // b<=7, tf>=1), eval tokens (b>=8) left-joined, exact-integer rate

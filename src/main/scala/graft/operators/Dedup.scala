@@ -621,8 +621,18 @@ object Dedup {
     * excerpts A" from "A and B mirror each other".
     */
   def sourceContainmentMatrix(documents: DataFrame, n: Int = 5,
-      threshold: Double = 0.6, maxDf: Int = 100): DataFrame = {
-    val pairs = ngramContainmentPairs(documents, n, threshold, maxDf)
+      threshold: Double = 0.6, maxDf: Int = 100): DataFrame =
+    sourceContainmentMatrixFromPairs(
+      ngramContainmentPairs(documents, n, threshold, maxDf), documents)
+
+  /** [[sourceContainmentMatrix]] over PRECOMPUTED containment pairs —
+    * the composed-pipeline form: derive the pairs once
+    * ([[ngramContainmentFromShingles]] off the materialized shingle
+    * index), then both the pair report and this matrix are
+    * pair-sliver-priced (Bench composed mode measures it).
+    */
+  def sourceContainmentMatrixFromPairs(pairs: DataFrame,
+      documents: DataFrame): DataFrame = {
     val src = documents.select($("doc_id"), $("source"))
     pairs
       .join(src.select($("doc_id").as("id1"), $("source").as("src1")), Seq("id1"))

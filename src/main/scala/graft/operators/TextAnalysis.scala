@@ -821,6 +821,56 @@ object TextAnalysis {
     result
   }
 
+  /** Held-out cross-entropy under the TRAIN-split unigram LM — the
+    * LM-metric twin of [[oovReport]]: per eval document (md5 buckets
+    * 8-9), the mean negative log-probability of its tokens under the
+    * add-1-smoothed train LM (buckets 0-7), in exact-integer
+    * micro-nats. High ce = the eval distribution has drifted from
+    * training (or the doc is noise); THE standard domain-shift gauge
+    * in LM terms. Unseen tokens get the reserved smoothing mass
+    * 1/(T+V+1).
+    *
+    * Determinism: ln is floored to micro-nats ONCE PER TOKEN TYPE
+    * (the [[graft.operators.Curation.sourceKlDrift]] fixed-order
+    * discipline), then everything is integer multiply/sum/divide —
+    * no order-sensitive float accumulation.
+    *
+    * Scale: train side is one type-table aggregate; the LM is
+    * vocabulary-sized and joins the eval (doc, token) counts on the
+    * token key; one-row stats broadcast.
+    */
+  def crossEntropy(documents: DataFrame): DataFrame = {
+    val bucket = Curation.hashBucket($("doc_id"), 10)
+    val vocab = tokens(documents.filter(bucket <= 7))
+      .groupBy($("token")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = vocab.agg(sum($("tf")).cast("long").as("T"),
+      count(lit(1)).cast("long").as("V"))
+    val lm = vocab.crossJoin(broadcast(stats))
+      .select($("token"),
+        floor(lit(1000000.0) * log(($("tf") + 1).cast("double") /
+          ($("T") + $("V") + 1).cast("double"))).cast("long").as("lnp_micro"))
+    val evalCounts = tokens(documents.filter(bucket >= 8))
+      .groupBy($("doc_id"), $("token")).agg(count(lit(1)).as("c"))
+    val oovLnp = floor(lit(1000000.0) * log(lit(1.0) /
+      ($("T") + $("V") + 1).cast("double"))).cast("long")
+    val result = evalCounts
+      .join(lm, Seq("token"), "left")
+      .crossJoin(broadcast(stats))
+      .select($("doc_id"), $("c"),
+        coalesce($("lnp_micro"), oovLnp).as("lnp"),
+        when($("lnp_micro").isNull, $("c")).otherwise(0L).as("oovc"))
+      .groupBy($("doc_id"))
+      .agg(sum($("c")).cast("long").as("n_tok"),
+        sum($("oovc")).cast("long").as("n_oov"),
+        (-sum($("c") * $("lnp"))).cast("long").as("nll_micro"))
+      .select($("doc_id"), $("n_tok"), $("n_oov"),
+        expr("nll_micro div n_tok").cast("long").as("ce_micro"))
+      .localCheckpoint(true)
+    vocab.unpersist(false)
+    result
+  }
+
   /** Conjunctive search, RANKED: documents containing every query
     * term ([[searchAnd]]'s AND semantics), ordered by their BM25
     * impact sum ([[bm25TermTable]]'s artifact) — boolean retrieval

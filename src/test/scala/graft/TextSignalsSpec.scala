@@ -166,6 +166,37 @@ class TextSignalsSpec extends SparkSpec {
     assert(got.forall(_._4 >= 1L))
   }
 
+  test("crossEntropy matches an independent driver-side recompute") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = real.select(col("doc_id"),
+      Curation.hashBucket(col("doc_id"), 10).as("b"),
+      lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
+      .as[(Long, Long, String)].collect()
+    def toks(s: String): Seq[String] =
+      s.trim.split(" ").filter(_.nonEmpty).toSeq
+    val tf = rows.filter(_._2 <= 7).flatMap(r => toks(r._3))
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val bigT = tf.values.sum; val v = tf.size.toLong
+    val denom = (bigT + v + 1).toDouble
+    def lnp(t: String): Long = math.floor(1e6 *
+      math.log(tf.get(t).map(_ + 1L).getOrElse(1L).toDouble / denom)).toLong
+    val want = rows.filter(r => r._2 >= 8 && r._3.trim.nonEmpty)
+      .map { case (id, _, norm) =>
+        val ts = toks(norm)
+        val nll = -ts.map(lnp).sum
+        val oov = ts.count(!tf.contains(_)).toLong
+        id -> ((ts.size.toLong, oov, nll / ts.size))
+      }.toMap
+    val got = TextAnalysis.crossEntropy(real)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // an OOV-heavy doc must cost more than an in-vocab doc of the
+    // same length (the reserved mass is the worst probability)
+    assert(got.values.forall(_._3 > 0))
+  }
+
   test("oovReport matches an independent driver-side recompute") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val withB = real.select(col("doc_id"),
