@@ -389,6 +389,9 @@ object TrainingEntries {
     // 10k-token budget fills; two-phase (quality-level histogram,
     // boundary-level doc cumsum) -- no corpus-wide window
     "q145_token_budget"  -> q(t => Curation.tokenBudgetTrim(t.documents)),
+    // Rolling actives: exact DAU/WAU per day via a broadcast day
+    // spine range join over the (user, day) activity table
+    "q152_rolling_actives" -> q(t => Events.rollingActives(t.events)),
     // Median/MAD robust outliers: the skew-proof sibling of q60,
     // exact-integer end to end (cents + run-length medians)
     "q144_robust_outliers" -> q(t => Events.robustOutliers(t.events)),
@@ -2505,6 +2508,20 @@ object TrainingEntries {
          |    OR (cum_before < 10000 AND cum_before + doc_cum <= 10000)
          |    AS keep
          |FROM dc ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Events.rollingActives(windowDays = 7): day spine range
+    // join over distinct (user, day) activity
+    "q152_rolling_actives" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS uday
+        |            FROM events),
+        |days AS (SELECT DISTINCT uday AS day FROM ud)
+        |SELECT d.day,
+        |  CAST(COUNT(DISTINCT CASE WHEN u.uday = d.day
+        |    THEN u.user_id END) AS BIGINT) AS dau,
+        |  CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+        |FROM days d JOIN ud u
+        |  ON u.uday >= d.day - 6 AND u.uday <= d.day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin,
 
     // Mirrors Events.robustOutliers: run-length lower medians
     // (rk = (n+1)//2) for value and absolute deviation, k=3 gate

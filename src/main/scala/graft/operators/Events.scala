@@ -343,6 +343,33 @@ object Events {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Rolling active users — (day, dau, wau): distinct users that day
+    * and over the trailing `windowDays` — the engagement report every
+    * product dashboard leads with. EXACT sliding-window distinct (no
+    * HLL): the (user, day) activity table joins a broadcast day
+    * spine over the window range, so each activity row fans out to at
+    * most `windowDays` day rows — bounded expansion, then one
+    * count_distinct per day.
+    *
+    * Scale: |days| is tiny (broadcast); what shuffles is
+    * windowDays·|user-days| (user, day) pairs — linear in activity,
+    * never in raw events (the distinct pre-aggregates first). For
+    * very long windows, switch to mergeable sketches
+    * ([[graft.operators.Curation.approxProfile]]'s HLL discipline) —
+    * exactness is windowDays-priced.
+    */
+  def rollingActives(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val ud = events.select($("user_id"), to_date($("ts")).as("uday")).distinct()
+    val days = ud.select($("uday").as("day")).distinct()
+    ud.join(broadcast(days),
+        $("uday") >= date_sub($("day"), windowDays - 1) &&
+          $("uday") <= $("day"))
+      .groupBy($("day"))
+      .agg(
+        count_distinct(when($("uday") === $("day"), $("user_id"))).as("dau"),
+        count_distinct($("user_id")).as("wau"))
+  }
+
   /** Gap-based sessionization: a new session starts when a user is
     * idle longer than `gapMinutes`. Classic prefix-sum over a window
     * partitioned by user — fully parallel across users, no driver

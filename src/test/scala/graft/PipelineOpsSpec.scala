@@ -495,6 +495,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("rollingActives: hand-computed dau/wau over a 3-day fixture") {
+    import java.sql.Timestamp
+    def ev(id: Long, day: String, user: Long) =
+      (id, Timestamp.valueOf(s"2024-01-0$day 10:00:00"), user, "view", 1.0, "{}")
+    val events = Seq(
+      ev(1, "1", 100), ev(2, "1", 200),           // day 1: users 100, 200
+      ev(3, "2", 100), ev(4, "2", 100),           // day 2: user 100 (twice)
+      ev(5, "8", 300)                             // day 8: outside day-2's window
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.rollingActives(events)
+      .selectExpr("CAST(day AS STRING) AS day", "dau", "wau")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      "2024-01-01" -> ((2L, 2L)),
+      "2024-01-02" -> ((1L, 2L)),  // wau: 100 + 200 from day 1
+      "2024-01-08" -> ((1L, 2L)))) // window [02..08]: user 100 still in,
+                                   // day-1's user 200 aged out
+  }
+
   test("robustOutliers: MAD flags the whale the mean-dragged z-score hides") {
     import java.sql.Timestamp
     def ev(id: Long, v: Double) =
