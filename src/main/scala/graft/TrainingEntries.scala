@@ -820,6 +820,52 @@ object TrainingEntries {
     sb.toString
   }
 
+  /** Two-level (coarse-quantizer) assignment CTEs — mirrors
+    * Similarity.twoLevelAssign / singleCell: ivfCte's training, then
+    * coarse = the `coarse` smallest-c_id fine centroids, fine→group
+    * and both probe argmaxes replayed with the same tie rules. Ends
+    * with `assign2` = each vector's two-level cell — the assignment
+    * the within-cell family (q49/q141/q146) and q148 gate on.
+    */
+  private def twoLevelCte(nCentroids: Int, lloydIters: Int,
+      coarse: Int, coarseProbe: Int): String = {
+    val last = s"c$lloydIters"
+    s"""${ivfCte(nCentroids, lloydIters, nprobe = 1)},
+       |gsel AS (SELECT DISTINCT c_id FROM $last ORDER BY c_id LIMIT $coarse),
+       |gc AS (SELECT c.c_id AS g_id, c.i, c.cv
+       |       FROM $last c JOIN gsel ON gsel.c_id = c.c_id),
+       |gn AS (SELECT g_id, sqrt(CAST(SUM(cv*cv) AS DOUBLE)) AS gnrm
+       |       FROM gc GROUP BY g_id),
+       |fgd AS (SELECT f.c_id, g.g_id, SUM(f.cv * g.cv) AS dot
+       |        FROM $last f JOIN gc g ON g.i = f.i GROUP BY f.c_id, g.g_id),
+       |f2g AS (SELECT c_id, g_id FROM (
+       |          SELECT fgd.c_id, fgd.g_id,
+       |            row_number() OVER (PARTITION BY fgd.c_id
+       |              ORDER BY CAST(dot AS DOUBLE)/(cn.cnrm * gn.gnrm) DESC,
+       |                       fgd.g_id) AS grn
+       |          FROM fgd JOIN cnf cn ON cn.c_id = fgd.c_id
+       |               JOIN gn ON gn.g_id = fgd.g_id) WHERE grn = 1),
+       |vgd AS (SELECT f.vec_id, g.g_id, SUM(f.v * g.cv) AS dot
+       |        FROM flat f JOIN gc g ON g.i = f.i GROUP BY f.vec_id, g.g_id),
+       |vg AS (SELECT vec_id, g_id FROM (
+       |         SELECT vgd.vec_id, vgd.g_id,
+       |           row_number() OVER (PARTITION BY vgd.vec_id
+       |             ORDER BY CAST(dot AS DOUBLE)/(n.nrm * gn.gnrm) DESC,
+       |                      vgd.g_id) AS grn
+       |         FROM vgd JOIN norms n ON n.vec_id = vgd.vec_id
+       |              JOIN gn ON gn.g_id = vgd.g_id) WHERE grn <= $coarseProbe),
+       |assign2 AS (SELECT vec_id, cell FROM (
+       |  SELECT fd.vec_id, fd.c_id AS cell,
+       |    row_number() OVER (PARTITION BY fd.vec_id
+       |      ORDER BY CAST(fd.dot AS DOUBLE)/(n.nrm * cn.cnrm) DESC,
+       |               fd.c_id) AS crn
+       |  FROM fd
+       |  JOIN vg ON vg.vec_id = fd.vec_id
+       |  JOIN f2g ON f2g.c_id = fd.c_id AND f2g.g_id = vg.g_id
+       |  JOIN norms n ON n.vec_id = fd.vec_id
+       |  JOIN cnf cn ON cn.c_id = fd.c_id) WHERE crn = 1)""".stripMargin
+  }
+
   /** BPE training CTEs — mirrors Bpe.bpeTrain: word-frequency table,
     * per-character symbolization, then `iters` unrolled merge
     * iterations (pair counts → totally-ordered best pair → greedy
@@ -1351,11 +1397,13 @@ object TrainingEntries {
          |FROM pdt JOIN vocab USING (tok) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // assignment replays the TWO-LEVEL coarse-quantizer path (the
+    // Spark side's at-scale default; coarse = ceil(sqrt(16)) = 4)
     "q49_semantic_dups" ->
       s"""WITH $flatCte,
-         |${ivfCte(nCentroids = 16, lloydIters = 2, nprobe = 1)},
-         |szok AS (SELECT cell FROM assign GROUP BY cell HAVING COUNT(*) <= 256),
-         |memb AS (SELECT assign.vec_id, assign.cell FROM assign JOIN szok USING (cell)),
+         |${twoLevelCte(nCentroids = 16, lloydIters = 2, coarse = 4, coarseProbe = 2)},
+         |szok AS (SELECT cell FROM assign2 GROUP BY cell HAVING COUNT(*) <= 256),
+         |memb AS (SELECT assign2.vec_id, assign2.cell FROM assign2 JOIN szok USING (cell)),
          |pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.cell
          |          FROM memb a JOIN memb b
          |          ON a.cell = b.cell AND a.vec_id < b.vec_id),
@@ -2553,7 +2601,8 @@ object TrainingEntries {
         |SELECT d.event_type, d.event_id, d.cents, d.med_cents,
         |  md.mad_cents, d.absdev
         |FROM dev d JOIN mad md USING (event_type)
-        |WHERE md.mad_cents > 0 AND d.absdev > 3 * md.mad_cents
+        |WHERE (md.mad_cents > 0 AND d.absdev > 3 * md.mad_cents)
+        |   OR (md.mad_cents = 0 AND d.absdev > 0)
         |ORDER BY d.absdev DESC, d.event_id ASC LIMIT 20""".stripMargin,
 
     // Mirrors Curation.contaminationByBenchmark: q43's CTEs with the
@@ -2615,51 +2664,18 @@ object TrainingEntries {
     // both probes replayed with the same tie rules
     "q148_two_level_assign" ->
       s"""WITH $flatCte,
-         |${ivfCte(nCentroids = 16, lloydIters = 2, nprobe = 1)},
-         |gsel AS (SELECT DISTINCT c_id FROM c2 ORDER BY c_id LIMIT 4),
-         |gc AS (SELECT c.c_id AS g_id, c.i, c.cv
-         |       FROM c2 c JOIN gsel ON gsel.c_id = c.c_id),
-         |gn AS (SELECT g_id, sqrt(CAST(SUM(cv*cv) AS DOUBLE)) AS gnrm
-         |       FROM gc GROUP BY g_id),
-         |fgd AS (SELECT f.c_id, g.g_id, SUM(f.cv * g.cv) AS dot
-         |        FROM c2 f JOIN gc g ON g.i = f.i GROUP BY f.c_id, g.g_id),
-         |f2g AS (SELECT c_id, g_id FROM (
-         |          SELECT fgd.c_id, fgd.g_id,
-         |            row_number() OVER (PARTITION BY fgd.c_id
-         |              ORDER BY CAST(dot AS DOUBLE)/(cn.cnrm * gn.gnrm) DESC,
-         |                       fgd.g_id) AS grn
-         |          FROM fgd JOIN cnf cn ON cn.c_id = fgd.c_id
-         |               JOIN gn ON gn.g_id = fgd.g_id) WHERE grn = 1),
-         |vgd AS (SELECT f.vec_id, g.g_id, SUM(f.v * g.cv) AS dot
-         |        FROM flat f JOIN gc g ON g.i = f.i GROUP BY f.vec_id, g.g_id),
-         |vg AS (SELECT vec_id, g_id FROM (
-         |         SELECT vgd.vec_id, vgd.g_id,
-         |           row_number() OVER (PARTITION BY vgd.vec_id
-         |             ORDER BY CAST(dot AS DOUBLE)/(n.nrm * gn.gnrm) DESC,
-         |                      vgd.g_id) AS grn
-         |         FROM vgd JOIN norms n ON n.vec_id = vgd.vec_id
-         |              JOIN gn ON gn.g_id = vgd.g_id) WHERE grn <= 2)
-         |SELECT vec_id, cell FROM (
-         |  SELECT fd.vec_id, fd.c_id AS cell,
-         |    row_number() OVER (PARTITION BY fd.vec_id
-         |      ORDER BY CAST(fd.dot AS DOUBLE)/(n.nrm * cn.cnrm) DESC,
-         |               fd.c_id) AS crn
-         |  FROM fd
-         |  JOIN vg ON vg.vec_id = fd.vec_id
-         |  JOIN f2g ON f2g.c_id = fd.c_id AND f2g.g_id = vg.g_id
-         |  JOIN norms n ON n.vec_id = fd.vec_id
-         |  JOIN cnf cn ON cn.c_id = fd.c_id)
-         |WHERE crn = 1 ORDER BY vec_id""".stripMargin,
+         |${twoLevelCte(nCentroids = 16, lloydIters = 2, coarse = 4, coarseProbe = 2)}
+         |SELECT vec_id, cell FROM assign2 ORDER BY vec_id""".stripMargin,
 
     // Mirrors Similarity.labelNoise: q141's directed-pair CTEs with
     // labels, rank <= 5 regardless of threshold, exact-integer rate
     "q146_label_noise" -> {
       s"""WITH $flatCte,
-         |${ivfCte(nCentroids = 16, lloydIters = 2, nprobe = 1)},
-         |szok AS (SELECT cell FROM assign GROUP BY cell HAVING COUNT(*) <= 256),
-         |memb AS (SELECT assign.vec_id, assign.cell, e.label
-         |         FROM assign JOIN szok USING (cell)
-         |         JOIN embeddings e ON e.vec_id = assign.vec_id),
+         |${twoLevelCte(nCentroids = 16, lloydIters = 2, coarse = 4, coarseProbe = 2)},
+         |szok AS (SELECT cell FROM assign2 GROUP BY cell HAVING COUNT(*) <= 256),
+         |memb AS (SELECT assign2.vec_id, assign2.cell, e.label
+         |         FROM assign2 JOIN szok USING (cell)
+         |         JOIN embeddings e ON e.vec_id = assign2.vec_id),
          |pairs AS (SELECT a.vec_id, a.label, b.vec_id AS nb_id,
          |            b.label AS nb_label, a.cell
          |          FROM memb a JOIN memb b
@@ -2693,9 +2709,9 @@ object TrainingEntries {
     // pairs under the positive threshold, per-anchor rank
     "q141_hard_negatives" ->
       s"""WITH $flatCte,
-         |${ivfCte(nCentroids = 16, lloydIters = 2, nprobe = 1)},
-         |szok AS (SELECT cell FROM assign GROUP BY cell HAVING COUNT(*) <= 256),
-         |memb AS (SELECT assign.vec_id, assign.cell FROM assign JOIN szok USING (cell)),
+         |${twoLevelCte(nCentroids = 16, lloydIters = 2, coarse = 4, coarseProbe = 2)},
+         |szok AS (SELECT cell FROM assign2 GROUP BY cell HAVING COUNT(*) <= 256),
+         |memb AS (SELECT assign2.vec_id, assign2.cell FROM assign2 JOIN szok USING (cell)),
          |pairs AS (SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id, a.cell
          |          FROM memb a JOIN memb b
          |          ON a.cell = b.cell AND a.vec_id <> b.vec_id),

@@ -309,14 +309,21 @@ object Similarity {
     * cross-table dedup of candidate pairs is needed, at the cost of
     * missing pairs straddling a cell boundary (the recall trade
     * SemDeDup accepts).
+    *
+    * The assignment pass itself defaults to the TWO-LEVEL coarse
+    * quantizer ([[twoLevelAssign]]'s shape; `coarse = -1` auto-sizes
+    * G = ceil(√C)): per vector O(G + probe·C/G) centroid dots instead
+    * of the flat O(C) — with cells sized ∝ corpus, flat assignment is
+    * N²/maxCell and was rehearsal-measured at 17.7× cpu for 10× data.
+    * `coarse = 0` restores the exact flat baseline.
     */
   def semanticDupPairs(embeddings: DataFrame, threshold: Double = 0.35,
       nCentroids: Int = 16, lloydIters: Int = 2,
-      maxCell: Int = 256, trainFraction: Double = 1.0): DataFrame = {
+      maxCell: Int = 256, trainFraction: Double = 1.0,
+      coarse: Int = -1, coarseProbe: Int = 2): DataFrame = {
     val quant = quantized(embeddings)
     val centroids = trainCentroids(quant, nCentroids, lloydIters, trainFraction)
-    val members = assignCells(quant, centroids, 1)
-      .select($("vec_id"), $("cell"))
+    val members = singleCell(quant, centroids, coarse, coarseProbe, nCentroids)
       .join(quant, Seq("vec_id"))
     val ok = members.groupBy("cell").agg(count(lit(1)).as("csz"))
       .filter($("csz") <= maxCell).select("cell")
@@ -350,15 +357,17 @@ object Similarity {
     * drops oversized cells outright, so a fixed cell count on a
     * grown corpus silently empties the result — ScaleRehearsal
     * measured exactly that at x10 before scaling cells with N.
+    * Assignment defaults to the two-level coarse-quantizer path
+    * (see [[semanticDupPairs]]); `coarse = 0` forces flat.
     */
   def hardNegatives(embeddings: DataFrame, k: Int = 5,
       posThreshold: Double = 0.35, nCentroids: Int = 16,
       lloydIters: Int = 2, maxCell: Int = 256,
-      trainFraction: Double = 1.0): DataFrame = {
+      trainFraction: Double = 1.0,
+      coarse: Int = -1, coarseProbe: Int = 2): DataFrame = {
     val quant = quantized(embeddings)
     val centroids = trainCentroids(quant, nCentroids, lloydIters, trainFraction)
-    val members = assignCells(quant, centroids, 1)
-      .select($("vec_id"), $("cell"))
+    val members = singleCell(quant, centroids, coarse, coarseProbe, nCentroids)
       .join(quant, Seq("vec_id"))
     val ok = members.groupBy("cell").agg(count(lit(1)).as("csz"))
       .filter($("csz") <= maxCell).select("cell")
@@ -413,6 +422,15 @@ object Similarity {
       trainFraction: Double = 1.0): DataFrame = {
     val quant = quantized(embeddings)
     val cents = trainCentroids(quant, nCentroids, lloydIters, trainFraction)
+    twoLevelFromCentroids(quant, cents, coarse, coarseProbe)
+  }
+
+  /** [[twoLevelAssign]]'s assignment pass over already-trained
+    * centroids — shared with the within-cell family so their
+    * assignment is N·(G + probe·C/G) instead of N·C.
+    */
+  private def twoLevelFromCentroids(quant: DataFrame, cents: DataFrame,
+      coarse: Int, coarseProbe: Int): DataFrame = {
     val g = cents.orderBy($("c_id").asc).limit(coarse)
       .select($("c_id").as("g_id"), $("cv").as("gv"), $("cnrm").as("gnrm"))
     val fgW = Window.partitionBy($("c_id"))
@@ -448,6 +466,24 @@ object Similarity {
       .select($("vec_id"), $("c_id").as("cell"))
   }
 
+  /** Single-cell assignment dispatcher for the within-cell family
+    * ([[semanticDupPairs]]/[[hardNegatives]]/[[labelNoise]]):
+    * `coarse < 0` (the default) auto-sizes the coarse quantizer at
+    * G = ceil(√C) — the cost-minimizing group count for N·(G + C/G) —
+    * so the two-level path is ON by default and scales with
+    * `nCentroids`; `coarse == 0` forces the exact flat N·C baseline;
+    * `coarse > 0` is an explicit group count. With G ≥ C (tiny spec
+    * fixtures) every fine centroid is its own group and probing ≥ 2
+    * groups of ≤ 2 degenerates to the flat assignment exactly.
+    */
+  private def singleCell(quant: DataFrame, cents: DataFrame,
+      coarse: Int, coarseProbe: Int, nCentroids: Int): DataFrame = {
+    val g = if (coarse < 0) math.ceil(math.sqrt(nCentroids.toDouble)).toInt
+            else coarse
+    if (g == 0) assignCells(quant, cents, 1).select($("vec_id"), $("cell"))
+    else twoLevelFromCentroids(quant, cents, g, coarseProbe)
+  }
+
   /** kNN label-noise audit (the Confident-Learning-style read): for
     * every vector, the fraction of its `k` nearest same-cell
     * neighbors carrying a DIFFERENT label — mislabeled examples sit
@@ -462,15 +498,17 @@ object Similarity {
     * window — [[semanticDupPairs]]' join budget, nothing more, and
     * the same sizing rule: grow `nCentroids` with the corpus
     * (cells ≈ N / maxCell) or the cap silently empties the audit
-    * (see [[hardNegatives]]).
+    * (see [[hardNegatives]]). Assignment defaults to the two-level
+    * coarse-quantizer path (see [[semanticDupPairs]]); `coarse = 0`
+    * forces flat.
     */
   def labelNoise(embeddings: DataFrame, k: Int = 5, nCentroids: Int = 16,
       lloydIters: Int = 2, maxCell: Int = 256,
-      trainFraction: Double = 1.0): DataFrame = {
+      trainFraction: Double = 1.0,
+      coarse: Int = -1, coarseProbe: Int = 2): DataFrame = {
     val quant = quantized(embeddings)
     val centroids = trainCentroids(quant, nCentroids, lloydIters, trainFraction)
-    val members = assignCells(quant, centroids, 1)
-      .select($("vec_id"), $("cell"))
+    val members = singleCell(quant, centroids, coarse, coarseProbe, nCentroids)
       .join(quant, Seq("vec_id"))
       .join(embeddings.select($("vec_id"), $("label")), Seq("vec_id"))
     val ok = members.groupBy("cell").agg(count(lit(1)).as("csz"))

@@ -473,6 +473,31 @@ class TrainingOpsSpec extends SparkSpec {
       .map { case Seq(a, b) => (a, b) }.toSet)
   }
 
+  test("within-cell family: two-level default degenerates to flat when probes cover every group") {
+    // nCentroids=2 → auto G = ceil(√2) = 2; probing 2 of 2 groups
+    // covers every fine cell, so the two-level default must be
+    // row-identical to the exact flat path (coarse = 0) — the
+    // guarantee that makes the at-scale default safe on tiny corpora
+    val rnd = new scala.util.Random(7)
+    def around(base: Array[Float]) =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val c0 = Array.fill(8)(rnd.nextFloat() + 0.5f)
+    val c1 = c0.map(-_)
+    val vecs = ((0 until 10).map(i => (i.toLong, around(c0), 0)) ++
+      (0 until 10).map(i => (20L + i, around(c1), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val two = Similarity.labelNoise(vecs, k = 5, nCentroids = 2)
+      .collect().map(_.toSeq).toSet
+    val flat = Similarity.labelNoise(vecs, k = 5, nCentroids = 2, coarse = 0)
+      .collect().map(_.toSeq).toSet
+    assert(two === flat)
+    val twoNeg = Similarity.hardNegatives(vecs, k = 3, nCentroids = 2)
+      .collect().map(_.toSeq).toSet
+    val flatNeg = Similarity.hardNegatives(vecs, k = 3, nCentroids = 2,
+      coarse = 0).collect().map(_.toSeq).toSet
+    assert(twoNeg === flatNeg)
+  }
+
   test("sessionize splits on gaps > 30min and aggregates per session") {
     def ts(s: String) = Timestamp.valueOf(s)
     val ev = Seq(
