@@ -140,7 +140,38 @@ object AirlineEntries {
           $("FlightNum").cast("long").as("flightnum"),
           $("Origin").as("origin"), $("Dest").as("dest"),
           $("sched_dep"), $("ArrDelay").as("arr_delay"))),
+    // S10 (R:626-631) + S7 (R:63-70): the full serving load path —
+    // keyspace DDL, text → typed RequestLeg Dataset, keyed write
+    // (requestlegsbyrequest's partition key, R:596-611), read-back of
+    // the loaded table. Gates the loader's parse (F5 re-parse, int
+    // truncation, malformed-line drop), the keyed round-trip, and the
+    // deterministic surrogate id. Ignores sfDir: input is the
+    // committed fixture (the reference's own golden lines, R:553-571).
+    "a10_typed_loader" -> ((s: SparkSession, _: String) => {
+      graft.engine.Serving.createDatabase(s, "airline_ontime")
+      try {
+        val legs = graft.engine.Serving.loadRequestLegs(s, tomsLegsGlob)
+        val dir = java.nio.file.Files.createTempDirectory("graft-a10")
+          .toString + "/requestlegsbyrequest"
+        graft.engine.Serving.writeKeyed(legs.toDF(), dir,
+          Seq("request_origin", "request_stop", "request_dest",
+            "request_date"))
+        s.read.parquet(dir).select(
+          $("request_origin"), $("request_stop"), $("request_dest"),
+          $("request_date"), $("id"),
+          $("leg_num").cast("long").as("leg_num"),
+          $("leg_origin"), $("leg_dest"), $("leg_unique_carrier"),
+          $("leg_flight_num").cast("long").as("leg_flight_num"),
+          $("leg_scheduled_departure"),
+          $("leg_arr_delay").cast("long").as("leg_arr_delay"))
+      } finally graft.engine.Serving.dropDatabase(s, "airline_ontime")
+    }),
   )
+
+  /** Committed toms_legs text fixture — the reference's own golden
+    * loader input (R:553-571).
+    */
+  val tomsLegsGlob = "/root/repo/src/test/resources/toms_legs/*.txt"
 
   // ---------------------------------------------------------------
   // DuckDB twins — shared CTEs mirror syntheticFlights/legCandidates/
@@ -320,5 +351,35 @@ object AirlineEntries {
          |SELECT FlightDate AS flight_date, carrier, flightnum,
          |  origin, dest, sched_dep, arrdelay AS arr_delay
          |FROM legs ORDER BY flight_date, carrier, flightnum""".stripMargin,
+
+    // loadRequestLegs twin: tab-split record, space-split payloads,
+    // F5 strptime, double->int truncation (golden delays are .00),
+    // md5-of-natural-key surrogate id — the keyed write/read-back is
+    // value-preserving so the oracle parses the text directly
+    "a10_typed_loader" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_csv('$tomsLegsGlob', delim='\\t',
+         |    header=false, quote='',
+         |    columns={'tag': 'VARCHAR', 'req': 'VARCHAR', 'leg': 'VARCHAR'})),
+         |parsed AS (
+         |  SELECT string_split(req, ' ') AS r, string_split(leg, ' ') AS l
+         |  FROM raw
+         |  WHERE tag = 'request' AND len(string_split(req, ' ')) = 5
+         |    AND len(string_split(leg, ' ')) = 7)
+         |SELECT r[1] AS request_origin, r[2] AS request_stop,
+         |  r[3] AS request_dest,
+         |  CAST(r[4] AS DATE) AS request_date,
+         |  md5(concat_ws(' ', r[1], r[2], r[3],
+         |    CAST(CAST(r[4] AS DATE) AS VARCHAR), substr(r[5], 4))) AS id,
+         |  CAST(substr(r[5], 4) AS BIGINT) AS leg_num,
+         |  l[1] AS leg_origin, l[2] AS leg_dest,
+         |  l[3] AS leg_unique_carrier,
+         |  CAST(l[4] AS BIGINT) AS leg_flight_num,
+         |  strptime(l[5] || ' ' || l[6], '%H:%M %d/%m/%Y')
+         |    AS leg_scheduled_departure,
+         |  CAST(trunc(CAST(l[7] AS DOUBLE)) AS BIGINT) AS leg_arr_delay
+         |FROM parsed
+         |ORDER BY request_origin, request_stop, request_dest,
+         |  request_date, leg_num""".stripMargin,
   )
 }

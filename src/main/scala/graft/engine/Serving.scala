@@ -1,7 +1,22 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
+
+/** The reference's `RequestLeg` DTO (R:584-588; Cassandra DDL
+  * R:596-611): one best-leg row of the trip planner's output, keyed
+  * for `selectByRequest` lookups. `id` is the reference's surrogate
+  * key — a random UUID there; HERE a deterministic md5 of the natural
+  * key `(request, leg_num)`, because a re-runnable loader must be
+  * idempotent (same input → same table, bit for bit) where a random
+  * UUID would churn every row on every replay.
+  */
+case class RequestLeg(
+    request_origin: String, request_stop: String, request_dest: String,
+    request_date: java.sql.Date, id: String, leg_num: Int,
+    leg_origin: String, leg_dest: String, leg_unique_carrier: String,
+    leg_flight_num: Int,
+    leg_scheduled_departure: java.sql.Timestamp, leg_arr_delay: Int)
 
 /** Serving layer (SURVEY.md §3.3): the Spark-native analogue of the
   * reference's Cassandra repositories.
@@ -102,22 +117,36 @@ object Serving {
     require(idCols.nonEmpty, "idCols must identify rows")
     val affected = tombstones.select(keyCols.map(col): _*).distinct().collect()
     require(affected.nonEmpty, "tombstones are empty")
+    require(affected.forall(r => keyCols.indices.forall(!r.isNullAt(_))),
+      "tombstone partition-key values must be non-null")
     val pred = affected.map { r =>
       keyCols.zipWithIndex.map { case (k, i) => col(k) === lit(r.get(i)) }
         .reduce((a: Column, b: Column) => a && b)
     }.reduce((a: Column, b: Column) => a || b)
     val existing = spark.read.format(format).load(path).filter(pred)
-    val survivors = existing
+    // partition directories are resolved from the SCAN's own file
+    // paths (input_file_name), never re-rendered from key values —
+    // Spark escapes special chars in partition dir names and may
+    // re-type values on read-back, so a hand-built s"$k=$v" path can
+    // miss the real directory and silently leave "deleted" rows on
+    // disk. Collected BEFORE the checkpoint (which erases file
+    // lineage); bounded by the affected partitions' file count.
+    def fileDirs(df: DataFrame): Set[String] = df
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().collect()
+      .map { r => val f = r.getString(0); f.substring(0, f.lastIndexOf('/')) }
+      .toSet
+    val affectedDirs = fileDirs(existing)
+    val survivorsRaw = existing
       .join(tombstones.select(idCols.map(col): _*).distinct(), idCols,
         "left_anti")
-      .localCheckpoint(true)
+    val survivedDirs = fileDirs(survivorsRaw)
+    val survivors = survivorsRaw.localCheckpoint(true)
     // dynamic overwrite only rewrites partitions PRESENT in the
     // output — a partition whose every row died would silently keep
     // its old files. Remove fully-emptied partition dirs explicitly.
-    val survivedKeys = survivors.select(keyCols.map(col): _*).distinct()
-      .collect().map(_.toSeq).toSet
-    val emptied = affected.map(_.toSeq).filterNot(survivedKeys.contains)
-    if (survivedKeys.nonEmpty) {
+    val emptied = (affectedDirs -- survivedDirs).toSeq.sorted
+    if (survivedDirs.nonEmpty) {
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try survivors.write.mode("overwrite").partitionBy(keyCols: _*)
@@ -130,12 +159,64 @@ object Serving {
     if (emptied.nonEmpty) {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach { vals =>
-        val dir = keyCols.zip(vals).map { case (k, v) => s"$k=$v" }
-          .mkString("/")
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$dir"), true)
-      }
+      emptied.foreach(dir =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true))
     }
+  }
+
+  /** S10 (R:626-631) — the typed HDFS→Cassandra loader
+    * (`RequestsClientToCassandra`): read the trip planner's
+    * `toms_legs{1,2}.txt` text output, map each line to a
+    * [[RequestLeg]], ready for [[writeKeyed]] under the request
+    * partition key (the `requestlegsbyrequest` analogue, R:596-611).
+    *
+    * Line shape (R:553-571):
+    * `request\t<origin stop dest yyyy-MM-dd legN>\t<leg_origin
+    * leg_dest carrier flightnum HH:mm dd/MM/yyyy delay>` — split on
+    * tabs, then the two payloads on spaces; the schedule re-parses
+    * with F5's `HH:mm dd/MM/yyyy` format and the delay truncates to
+    * the DTO's int (R:587; golden delays are all `.00`). Malformed
+    * lines (wrong field count / unparseable date) are dropped, the
+    * same cleaning posture as readCsv's DROPMALFORMED.
+    *
+    * Scale: a pure per-line projection over `spark.read.text` — no
+    * shuffle at all; the downstream writeKeyed repartitions by the
+    * request key like any keyed sink.
+    */
+  def loadRequestLegs(spark: SparkSession, glob: String): Dataset[RequestLeg] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val f = split(col("value"), "\t")
+    val r = split(col("req"), " ")
+    val l = split(col("leg"), " ")
+    spark.read.text(glob)
+      .select(f.getItem(0).as("tag"), f.getItem(1).as("req"),
+        f.getItem(2).as("leg"))
+      .filter(col("tag") === "request" &&
+        size(split(col("req"), " ")) === 5 &&
+        size(split(col("leg"), " ")) === 7)
+      .select(
+        r.getItem(0).as("request_origin"),
+        r.getItem(1).as("request_stop"),
+        r.getItem(2).as("request_dest"),
+        to_date(r.getItem(3), "yyyy-MM-dd").as("request_date"),
+        substring(r.getItem(4), 4, 9).cast("int").as("leg_num"),
+        l.getItem(0).as("leg_origin"),
+        l.getItem(1).as("leg_dest"),
+        l.getItem(2).as("leg_unique_carrier"),
+        l.getItem(3).cast("int").as("leg_flight_num"),
+        to_timestamp(concat_ws(" ", l.getItem(4), l.getItem(5)),
+          "HH:mm dd/MM/yyyy").as("leg_scheduled_departure"),
+        l.getItem(6).cast("double").cast("int").as("leg_arr_delay"))
+      .filter(col("request_date").isNotNull &&
+        col("leg_scheduled_departure").isNotNull &&
+        col("leg_num").isNotNull && col("leg_flight_num").isNotNull &&
+        col("leg_arr_delay").isNotNull)
+      .withColumn("id", md5(concat_ws(" ",
+        col("request_origin"), col("request_stop"), col("request_dest"),
+        col("request_date").cast("string"),
+        col("leg_num").cast("string"))))
+      .as[RequestLeg]
   }
 
   /** S9 (R:274, R:615) — point lookup: filters on the partition columns

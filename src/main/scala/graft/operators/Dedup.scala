@@ -803,8 +803,18 @@ object Dedup {
     * round's join).
     */
   def pairPageRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
-    val edges = pairs.select($("id1").as("src"), $("id2").as("dst"))
-      .unionByName(pairs.select($("id2").as("src"), $("id1").as("dst")))
+    // normalize defensively: duplicate pair rows or both (a,b)/(b,a)
+    // orientations in the input would silently inflate degrees and
+    // shift every rank (and canonicalByRank's winner election). The
+    // least/greatest + distinct is a no-op on the already-canonical
+    // id1<id2 pairs the dedup family emits, and one cheap exchange
+    // relative to the rank iterations for anything else.
+    val norm = pairs
+      .select(least($("id1"), $("id2")).as("id1"),
+        greatest($("id1"), $("id2")).as("id2"))
+      .distinct()
+    val edges = norm.select($("id1").as("src"), $("id2").as("dst"))
+      .unionByName(norm.select($("id2").as("src"), $("id1").as("dst")))
       .localCheckpoint(true)
     val deg = edges.groupBy($("src")).agg(count(lit(1)).as("deg"))
     var pr = deg.select($("src").as("id"), lit(1000000L).as("pr"))

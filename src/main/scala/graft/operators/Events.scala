@@ -194,6 +194,14 @@ object Events {
     * median rk = (n+1) div 2) — no floating point anywhere, so the
     * report hash-matches the oracle with no decimal gymnastics.
     *
+    * Degenerate distributions: when ≥ half of a type's values are
+    * identical its MAD is 0 and k·MAD flags everything off-median —
+    * the textbook rule would either flag all deviation or (filtered
+    * naively) suppress even a 10000× whale, the exact masking this
+    * operator exists to fix. Here MAD=0 falls back to flagging any
+    * absdev > 0: every departure from the (majority) median value of
+    * such a type is anomalous by that type's own evidence.
+    *
     * Scale: two run-length aggregates per type (map-side combined to
     * (type, value) rows — bounded by distinct cents values, not
     * events), medians join back BROADCAST (types-bounded), final
@@ -222,7 +230,8 @@ object Events {
     val mad = medianBy(dev.select($("event_type"), $("absdev")), "absdev")
       .withColumnRenamed("m", "mad_cents")
     val result = dev.join(broadcast(mad), Seq("event_type"))
-      .filter($("mad_cents") > 0 && $("absdev") > lit(k) * $("mad_cents"))
+      .filter(($("mad_cents") > 0 && $("absdev") > lit(k) * $("mad_cents")) ||
+        ($("mad_cents") === 0 && $("absdev") > 0))
       .select($("event_type"), $("event_id"), $("cents"),
         $("med_cents"), $("mad_cents"), $("absdev"))
       .orderBy($("absdev").desc, $("event_id").asc)

@@ -714,17 +714,6 @@ object TextAnalysis {
           transform(sort_array(collect_list($("doc_id"))),
             x => x.cast("string")))).as("postings_fp"))
 
-  /** Conjunctive (AND) boolean retrieval over the inverted index:
-    * documents containing EVERY query term — posting-list
-    * intersection as a count-matching aggregate (a doc survives iff
-    * it appears in all |terms| lists). The boolean companion of
-    * [[bm25]]'s ranked retrieval.
-    *
-    * Scale: the term filter prunes the token stream at the scan
-    * (predicate pushdown on the index table's token key at serving
-    * time); what shuffles is (doc_id, token) for matching terms only
-    * — |terms| · df rows, never the corpus.
-    */
   /** BM25 IMPACT INDEX: the per-(token, doc) score contribution for
     * EVERY vocabulary token — ts_micro = floor(1e6 · idf · tfNorm),
     * the quantity [[bm25Batch]] computes per query term. A term's
@@ -922,6 +911,17 @@ object TextAnalysis {
         expr("n_oov * 1000000 div n_tok").cast("long").as("oov_micro"))
   }
 
+  /** Conjunctive (AND) boolean retrieval over the inverted index:
+    * documents containing EVERY query term — posting-list
+    * intersection as a count-matching aggregate (a doc survives iff
+    * it appears in all |terms| lists). The boolean companion of
+    * [[bm25]]'s ranked retrieval.
+    *
+    * Scale: the term filter prunes the token stream at the scan
+    * (predicate pushdown on the index table's token key at serving
+    * time); what shuffles is (doc_id, token) for matching terms only
+    * — |terms| · df rows, never the corpus.
+    */
   def searchAnd(documents: DataFrame, terms: Seq[String]): DataFrame =
     tokens(documents)
       .filter($("token").isin(terms: _*))

@@ -55,6 +55,9 @@ object GraftExtensions {
       case _ => throw new IllegalArgumentException(
         "window_hashes k must be a literal")
     }
+    // fail at plan time with a clear message: k=0 would silently
+    // return n+1 garbage hashes and k<0 would AIOOBE inside compute
+    require(k >= 1, s"window_hashes k must be >= 1, got $k")
     WindowHashesExpression(children.head, k)
   }
 

@@ -37,6 +37,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class WindowHashesExpression(child: Expression, k: Int)
     extends UnaryExpression {
 
+  // k=0 would return n+1 garbage hashes, k<0 would read h at a
+  // negative index — reject at construction (plan time), both from
+  // the Column API and the SQL builder
+  require(k >= 1, s"window_hashes k must be >= 1, got $k")
+
   // input contract: ArrayType(StringType) — constructed only via the
   // typed `windowHashes(tokens, k)` surface below
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -533,6 +533,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(med === 1000L && mad === 100L && dev === 999000L)
   }
 
+  test("robustOutliers: MAD=0 type still surfaces its whale (degenerate fallback)") {
+    import java.sql.Timestamp
+    def ev(id: Long, v: Double) =
+      (id, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "purchase", v, "{}")
+    // 8 of 9 values identical -> median 10.00, MAD 0: the k·MAD rule
+    // degenerates; the fallback must still flag the single 10000x whale
+    // instead of silently suppressing every outlier of the type
+    val rows = (1L to 8L).map(ev(_, 10.0)) :+ ev(99L, 10000.0)
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val got = Events.robustOutliers(events)
+      .select("event_id", "mad_cents", "absdev")
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq(99L), "exactly the whale flags")
+    assert(got.head._2 === 0L && got.head._3 === 999000L)
+  }
+
   test("containment catches a verbatim excerpt that Jaccard misses") {
     val long = "the quick brown fox jumps over the lazy dog while " +
       "seventeen violinists rehearse an entirely different movement " +
@@ -596,6 +613,13 @@ class PipelineOpsSpec extends SparkSpec {
     val sym = Dedup.pairPageRank(Seq((7L, 8L)).toDF("id1", "id2"))
       .as[(Long, Long)].collect().toMap
     assert(sym(7L) === sym(8L))
+    // un-normalized input — duplicate rows and both orientations —
+    // must NOT inflate degrees: ranks equal the canonical pair set's
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 3L), (4L, 1L))
+      .toDF("id1", "id2")
+    val messyGot = Dedup.pairPageRank(messy)
+      .as[(Long, Long)].collect().toMap
+    assert(messyGot === got)
   }
 
   // -------------------------------------------------------------

@@ -237,6 +237,33 @@ class ServingSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 2)
   }
 
+  test("deleteKeyed: escaped partition values (colon/space) still hard-delete on disk") {
+    // Spark URL-encodes special chars in partition dir names
+    // ("A:B C" -> "A%3AB C" or similar) — a hand-built s"$k=$v" path
+    // would miss the real directory; the file-lineage derivation
+    // must still remove it
+    val dir = Files.createTempDirectory("graft-delete-esc").toString + "/t"
+    val base = Seq(
+      ("A:B C", 1L, 0.5), ("plain", 2L, 0.7)
+    ).toDF("airport", "id", "avg_dep_delay")
+    Serving.writeKeyed(base, dir, Seq("airport"))
+    val tombs = Seq(("A:B C", 1L)).toDF("airport", "id")
+    Serving.deleteKeyed(spark, dir, tombs, Seq("airport"), Seq("id"))
+    val got = spark.read.parquet(dir)
+      .select("airport", "id").as[(String, Long)].collect().toSet
+    assert(got === Set(("plain", 2L)))
+    // the escaped directory itself is gone, not just unreadable
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs.forall(!_.contains("A%3A")) && dirs.forall(_ != "airport=A:B C"),
+      s"escaped partition dir must be deleted, found: $dirs")
+    // null partition values are rejected explicitly, not mis-pathed
+    val nullTombs = Seq((null.asInstanceOf[String], 2L)).toDF("airport", "id")
+    intercept[IllegalArgumentException] {
+      Serving.deleteKeyed(spark, dir, nullTombs, Seq("airport"), Seq("id"))
+    }
+  }
+
   test("S7: catalog database create/drop") {
     Serving.createDatabase(spark, "airline_ontime_test")
     assert(spark.catalog.databaseExists("airline_ontime_test"))

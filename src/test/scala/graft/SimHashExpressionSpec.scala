@@ -64,6 +64,24 @@ class SimHashExpressionSpec extends SparkSpec {
     assert(shifted(1) === viaSql(0), "window 'a b c' must hash identically")
   }
 
+  test("window_hashes rejects k < 1 at plan time, from SQL and Column API") {
+    GraftExtensions.register(spark)
+    // k=0 would silently emit n+1 garbage hashes; k<0 would AIOOBE
+    // inside compute — both must fail with a clear plan-time message
+    for (bad <- Seq(0, -1)) {
+      val eSql = intercept[Exception] {
+        spark.sql(s"SELECT window_hashes(array('a', 'b'), $bad)").collect()
+      }
+      assert(eSql.getMessage.contains("must be >= 1"), eSql.getMessage)
+      val eCol = intercept[IllegalArgumentException] {
+        Seq(Seq("a", "b")).toDF("t")
+          .select(graft.plans.WindowHashesExpression.windowHashes($"t", bad))
+          .collect()
+      }
+      assert(eCol.getMessage.contains("must be >= 1"))
+    }
+  }
+
   test("hamming locality: near-identical token sets have close hashes") {
     val base = (1 to 50).map(i => s"tok$i")
     val near = base.updated(0, "changed")
