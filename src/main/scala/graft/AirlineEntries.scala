@@ -148,15 +148,20 @@ object AirlineEntries {
     // deterministic surrogate id. Ignores sfDir: input is the
     // committed fixture (the reference's own golden lines, R:553-571).
     "a10_typed_loader" -> ((s: SparkSession, _: String) => {
-      graft.engine.Serving.createDatabase(s, "airline_ontime")
+      // entry-scoped database name (*_a10, matching ServingSpec's
+      // *_test convention): the DDL exercise must never CASCADE-drop a
+      // real database of the natural domain name in the host session
+      graft.engine.Serving.createDatabase(s, "airline_ontime_a10")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-a10")
       try {
         val legs = graft.engine.Serving.loadRequestLegs(s, tomsLegsGlob)
-        val dir = java.nio.file.Files.createTempDirectory("graft-a10")
-          .toString + "/requestlegsbyrequest"
+        val dir = tmp.toString + "/requestlegsbyrequest"
         graft.engine.Serving.writeKeyed(legs.toDF(), dir,
           Seq("request_origin", "request_stop", "request_dest",
             "request_date"))
-        s.read.parquet(dir).select(
+        // read-back fully materialized so the temp dir can be removed
+        // in the finally below without invalidating the returned frame
+        val out = s.read.parquet(dir).select(
           $("request_origin"), $("request_stop"), $("request_dest"),
           $("request_date"), $("id"),
           $("leg_num").cast("long").as("leg_num"),
@@ -164,7 +169,17 @@ object AirlineEntries {
           $("leg_flight_num").cast("long").as("leg_flight_num"),
           $("leg_scheduled_departure"),
           $("leg_arr_delay").cast("long").as("leg_arr_delay"))
-      } finally graft.engine.Serving.dropDatabase(s, "airline_ontime")
+          .localCheckpoint(true)
+        out
+      } finally {
+        graft.engine.Serving.dropDatabase(s, "airline_ontime_a10")
+        // best-effort temp cleanup (read-back is checkpointed above)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(tmp.toFile)
+      }
     }),
   )
 

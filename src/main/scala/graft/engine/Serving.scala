@@ -67,6 +67,24 @@ object Serving {
     * of any rewrite-based upsert (incremental batches touch few
     * partitions; a full-table update is [[writeKeyed]]).
     */
+  /** Ceiling on the affected-partition footprint [[upsertKeyed]] /
+    * [[deleteKeyed]] will localize to the driver. Keyed serving tables
+    * have low-to-mid-cardinality partition keys by construction (the
+    * [[writeKeyed]] constraint), so a real batch touches thousands of
+    * partitions at most; a tombstone/update set spanning millions of
+    * partitions is a misrouted full-table rewrite — fail it loudly
+    * (use [[writeKeyed]]) instead of OOMing the driver.
+    */
+  val MaxAffectedPartitions: Int = 100000
+
+  private def boundedDistinct(df: DataFrame, what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.distinct().limit(MaxAffectedPartitions + 1).collect()
+    require(rows.length <= MaxAffectedPartitions,
+      s"$what spans > $MaxAffectedPartitions partitions — this is a " +
+        "full-table rewrite; use writeKeyed instead")
+    rows
+  }
+
   def upsertKeyed(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], idCols: Seq[String],
       format: String = "parquet"): Unit = {
@@ -74,10 +92,11 @@ object Serving {
     val cols = updates.columns.toSeq
     // affected partition keys, localized: bounded by the update's
     // partition footprint (the same smallness writeKeyed's
-    // low-cardinality key constraint already imposes) — an explicit
-    // OR-of-ANDs predicate makes the pruning STATIC and plan-visible
-    // instead of betting on dynamic partition pruning firing
-    val affected = updates.select(keyCols.map(col): _*).distinct().collect()
+    // low-cardinality key constraint already imposes, and hard-capped
+    // at MaxAffectedPartitions) — an explicit OR-of-ANDs predicate
+    // makes the pruning STATIC and plan-visible instead of betting on
+    // dynamic partition pruning firing
+    val affected = boundedDistinct(updates.select(keyCols.map(col): _*), "updates")
     require(affected.nonEmpty, "updates are empty")
     val pred = affected.map { r =>
       keyCols.zipWithIndex.map { case (k, i) => col(k) === lit(r.get(i)) }
@@ -115,7 +134,8 @@ object Serving {
       keyCols: Seq[String], idCols: Seq[String],
       format: String = "parquet"): Unit = {
     require(idCols.nonEmpty, "idCols must identify rows")
-    val affected = tombstones.select(keyCols.map(col): _*).distinct().collect()
+    val affected =
+      boundedDistinct(tombstones.select(keyCols.map(col): _*), "tombstones")
     require(affected.nonEmpty, "tombstones are empty")
     require(affected.forall(r => keyCols.indices.forall(!r.isNullAt(_))),
       "tombstone partition-key values must be non-null")
@@ -123,33 +143,48 @@ object Serving {
       keyCols.zipWithIndex.map { case (k, i) => col(k) === lit(r.get(i)) }
         .reduce((a: Column, b: Column) => a && b)
     }.reduce((a: Column, b: Column) => a || b)
-    val existing = spark.read.format(format).load(path).filter(pred)
     // partition directories are resolved from the SCAN's own file
-    // paths (input_file_name), never re-rendered from key values —
-    // Spark escapes special chars in partition dir names and may
-    // re-type values on read-back, so a hand-built s"$k=$v" path can
-    // miss the real directory and silently leave "deleted" rows on
-    // disk. Collected BEFORE the checkpoint (which erases file
-    // lineage); bounded by the affected partitions' file count.
-    def fileDirs(df: DataFrame): Set[String] = df
-      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
-      .distinct().collect()
-      .map { r => val f = r.getString(0); f.substring(0, f.lastIndexOf('/')) }
-      .toSet
+    // paths, never re-rendered from key values — Spark escapes special
+    // chars in partition dir names and may re-type values on
+    // read-back, so a hand-built s"$k=$v" path can miss the real
+    // directory and silently leave "deleted" rows on disk.
+    // input_file_name() is projected IMMEDIATELY above the file scan
+    // (it only yields real paths inside the scan stage: above a
+    // shuffled join it returns ""), then carried through the anti-join
+    // as ordinary data, so the survivors join is computed exactly once
+    // and both dir sets come from the one lineage. The value is a
+    // URL-ENCODED URI string ("…/airport=A%3AB%20C/part-…") — it must
+    // be decoded via java.net.URI before building a Path, or fs.delete
+    // resolves a different, non-existent directory.
+    val srcFile = "__graft_src_file"
+    val existing = spark.read.format(format).load(path).filter(pred)
+      .withColumn(srcFile,
+        org.apache.spark.sql.functions.input_file_name())
+    def fileDirs(df: DataFrame): Set[org.apache.hadoop.fs.Path] = df
+      .select(col(srcFile)).distinct().collect()
+      .map { r =>
+        val f = r.getString(0)
+        require(f.nonEmpty, "input_file_name lineage lost — file-path " +
+          "column must be projected inside the scan stage")
+        new org.apache.hadoop.fs.Path(new java.net.URI(f)).getParent
+      }.toSet
     val affectedDirs = fileDirs(existing)
-    val survivorsRaw = existing
+    val survivors = existing
       .join(tombstones.select(idCols.map(col): _*).distinct(), idCols,
         "left_anti")
-    val survivedDirs = fileDirs(survivorsRaw)
-    val survivors = survivorsRaw.localCheckpoint(true)
+      .localCheckpoint(true)
+    val survivedDirs = fileDirs(survivors)
     // dynamic overwrite only rewrites partitions PRESENT in the
     // output — a partition whose every row died would silently keep
-    // its old files. Remove fully-emptied partition dirs explicitly.
-    val emptied = (affectedDirs -- survivedDirs).toSeq.sorted
+    // its old files. Remove fully-emptied partition dirs explicitly,
+    // and FAIL if the filesystem reports a miss: a silent false from
+    // fs.delete would leave "forgotten" rows on disk.
+    val emptied = (affectedDirs -- survivedDirs).toSeq.sortBy(_.toString)
     if (survivedDirs.nonEmpty) {
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try survivors.write.mode("overwrite").partitionBy(keyCols: _*)
+      try survivors.drop(srcFile).write.mode("overwrite")
+        .partitionBy(keyCols: _*)
         .format(format).save(path)
       finally prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
@@ -160,7 +195,8 @@ object Serving {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       emptied.foreach(dir =>
-        fs.delete(new org.apache.hadoop.fs.Path(dir), true))
+        require(fs.delete(dir, true),
+          s"failed to hard-delete emptied partition dir $dir"))
     }
   }
 
@@ -200,7 +236,10 @@ object Serving {
         r.getItem(1).as("request_stop"),
         r.getItem(2).as("request_dest"),
         to_date(r.getItem(3), "yyyy-MM-dd").as("request_date"),
-        substring(r.getItem(4), 4, 9).cast("int").as("leg_num"),
+        // unbounded strip of the "leg" prefix (the DuckDB twin's
+        // substr(r[5], 4) has no length cap — a capped substring would
+        // silently truncate pathological leg numbers and diverge)
+        regexp_replace(r.getItem(4), "^leg", "").cast("int").as("leg_num"),
         l.getItem(0).as("leg_origin"),
         l.getItem(1).as("leg_dest"),
         l.getItem(2).as("leg_unique_carrier"),
