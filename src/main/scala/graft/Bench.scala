@@ -278,11 +278,23 @@ object Bench {
     // queries (the ones a reader of the headline wants) at 1 decimal,
     // shrinking until the line fits; full precision always lives in
     // the detail file. Printed after spark.stop() so nothing trails it.
+    // the composed-mode totals ride the headline as two scalars: the
+    // artifact build cost and the consumers' marginal cost — the
+    // production-path numbers (PipelineDemo) a reader should weigh
+    // against the standalone per-query map
+    val composedBuild = composed
+      .filter(_._1.endsWith("_build")).map(_._2).filter(_ >= 0).sum
+    val composedServe = composed
+      .filterNot(_._1.endsWith("_build")).map(_._2).filter(_ >= 0).sum
+    val composedTag =
+      if (composed.isEmpty) ""
+      else s""","composed_build_sec":${fmt(composedBuild, 2)}""" +
+        s""","composed_serve_sec":${fmt(composedServe, 2)}"""
     def lineFor(subset: Seq[(String, Stat)], digits: Int): String = {
       val qs = subset.map { case (k, st) => "\"" + k + "\":" + fmt(st.min, digits) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec",""" +
-        s""""queries":$qs,"sf":"$sfDir","runs":$repeats}"""
+        s""""queries":$qs,"sf":"$sfDir","runs":$repeats$composedTag}"""
     }
     val bySlowest = results.sortBy(-_._2.min)
     val budget = 1900

@@ -127,8 +127,15 @@ object ScaleRehearsal {
         // count() from eliminating the rewrite work — the output row
         // count would otherwise equal the left side) and the 3-round
         // integer PageRank over the pair graph
+        // the composed rewrite, rolling-default vs its md5 twin — the
+        // head-to-head that shows the O(n)+8-byte-key win carrying
+        // from the bare aggregate (q111/q135 above) into the full
+        // rewrite chain
         "q132_span_rewrite" -> (() =>
           SubstringDedup.removeSpans(docs).filter(col("removed_tokens") > 0)),
+        "q132_span_rewrite_md5" -> (() =>
+          SubstringDedup.removeSpans(docs, rolling = false)
+            .filter(col("removed_tokens") > 0)),
         "q128_pagerank" -> (() =>
           Dedup.pairPageRank(Dedup.minhashDupPairs(docs, threshold = 0.7))),
         // the within-cell ANN family (q141/q146 share this join

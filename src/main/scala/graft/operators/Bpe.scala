@@ -34,6 +34,17 @@ object Bpe {
 
   private def $(name: String): Column = col(name)
 
+  /** Materialize one round's table AND reset its carried statistics:
+    * localCheckpoint alone keeps the origin plan's size estimate,
+    * which compounds through each round's join products until the
+    * optimizer stalls in BigInteger stats arithmetic (measured at
+    * merges=64; see ColumnBridge.freshStatsView). Every round
+    * boundary in this file goes through here.
+    */
+  private def cut(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.ColumnBridge.freshStatsView(
+      df.localCheckpoint(true))
+
   /** (word, n): corpus word frequencies off one normalized scan. */
   def wordTable(documents: DataFrame): DataFrame =
     TextAnalysis.tokens(documents)
@@ -63,16 +74,43 @@ object Bpe {
       .agg(sum($("n")).cast("long").as("cnt"))
   }
 
-  /** One greedy merge of pair (a, b) across the symbol table.
-    * Overlapping matches (only possible when a == b) resolve left to
-    * right: within each island of consecutive match positions, the
-    * even offsets merge — "aaaa" under (a,a) becomes "aa","aa".
+  /** One greedy merge of pair (a, b) across the symbol table —
+    * [[mergeBatch]] with a single pair. Overlapping matches (only
+    * possible when a == b) resolve left to right: within each island
+    * of consecutive match positions, the even offsets merge — "aaaa"
+    * under (a,a) becomes "aa","aa".
     */
-  def mergeOnce(syms: DataFrame, a: String, b: String): DataFrame = {
+  def mergeOnce(syms: DataFrame, a: String, b: String): DataFrame =
+    mergeBatch(syms, Seq((a, b)))
+
+  /** SIMULTANEOUS application of a set of pairwise symbol-disjoint
+    * merges in one pass — the O(merges) → O(merges/M) driver-loop
+    * collapse. With `{a_i, b_i}` pairwise disjoint, no merge can
+    * create, destroy, or consume another's matches (a new adjacency
+    * would need a shared symbol), so one simultaneous pass is
+    * bit-identical to applying the pairs sequentially in any order;
+    * consecutive match positions can only belong to one SELF-pair
+    * (pos p and p+1 both matching forces sym(p+1) to be a right AND a
+    * left symbol — disjointness leaves only a == b), so the
+    * even-offset island rule carries over unchanged.
+    *
+    * Callers are responsible for BATCH VALIDITY (disjointness is
+    * asserted; the selection-order conditions live in [[bpeTrain]] /
+    * [[segmentSymbols]]).
+    */
+  def mergeBatch(syms: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "empty merge batch")
+    val sets = pairs.map(p => Set(p._1, p._2))
+    for (i <- sets.indices; j <- 0 until i)
+      require((sets(i) intersect sets(j)).isEmpty,
+        s"batch pairs ${pairs(j)} and ${pairs(i)} share a symbol")
+    val spark = syms.sparkSession
+    import spark.implicits._
+    val pdf = broadcast(pairs.toDF("ma", "mb"))
     val w = Window.partitionBy("word").orderBy("pos")
     val matches = syms.withColumn("nxt", lead($("sym"), 1).over(w))
-      .filter($("sym") === a && $("nxt") === b)
-      .select($("word"), $("pos"))
+      .join(pdf, $("sym") === $("ma") && $("nxt") === $("mb"))
+      .select($("word"), $("pos"), $("nxt"))
     val kept = matches
       .withColumn("prev", lag($("pos"), 1).over(w))
       .withColumn("isStart",
@@ -81,15 +119,17 @@ object Bpe {
       .withColumn("ist",
         min($("pos")).over(Window.partitionBy("word", "island")))
       .filter((($("pos") - $("ist")) % 2) === 0)
-      .select($("word"), $("pos"))
+      .select($("word"), $("pos"), $("nxt"))
     val consumed = kept.select($("word"), ($("pos") + 1).as("pos"),
       lit(1L).as("gone"))
     syms
-      .join(kept.withColumn("hit", lit(1L)), Seq("word", "pos"), "left")
+      .join(kept.withColumn("hit", lit(1L))
+        .select($("word"), $("pos"), $("hit"), $("nxt")),
+        Seq("word", "pos"), "left")
       .join(consumed, Seq("word", "pos"), "left")
       .filter($("gone").isNull)
       .select($("word"), $("n"), $("pos").as("opos"),
-        when($("hit").isNotNull, concat($("sym"), lit(b)))
+        when($("hit").isNotNull, concat($("sym"), $("nxt")))
           .otherwise($("sym")).as("sym"))
       .withColumn("pos",
         row_number().over(Window.partitionBy("word").orderBy("opos"))
@@ -100,48 +140,132 @@ object Bpe {
   /** Train `merges` BPE merges: returns (rank, lhs, rhs, pair_count)
     * — the merge table a tokenizer ships. Stops early if the corpus
     * runs out of adjacent pairs.
+    *
+    * BATCHED selection (default `batchM = 8`): each Spark round ranks
+    * the pair counts once, then the driver accepts the longest prefix
+    * of the (cnt desc, a, b) order that is PROVABLY what sequential
+    * greedy would pick — so the output is bit-for-bit identical to
+    * one-merge-per-round training (the q124 oracle replays the
+    * sequential algorithm and stays green) while the driver loop runs
+    * O(merges / batch) Spark rounds instead of O(merges): the wall
+    * fix for a real tokenizer's 32k merges, where one collect +
+    * checkpoint per merge is a driver-side bottleneck.
+    *
+    * A ranked candidate extends the batch iff sequential greedy could
+    * not have chosen differently at its turn:
+    *  1. its symbols are disjoint from every accepted pair's — an
+    *     accepted merge only changes counts of pairs sharing one of
+    *     its symbols, so this candidate's own count is still exact;
+    *  2. its count strictly exceeds every accepted pair's new-pair
+    *     bound B = max(max_x cnt(x, lhs), max_y cnt(rhs, y)) — a
+    *     merge's NEW pairs (x·lhsrhs / lhsrhs·y) inherit at most the
+    *     adjacent old counts, so nothing new can outrank it;
+    *  3. no accepted pair's product string aliases an existing symbol
+    *     (symbols only ever arise as merge products, so the driver
+    *     knows them all): an aliased product would ADD instances to
+    *     existing pairs, invalidating bound 2 — the batch closes
+    *     after such a merge instead.
     */
-  def bpeTrain(documents: DataFrame, merges: Int = 6): DataFrame = {
+  def bpeTrain(documents: DataFrame, merges: Int = 6,
+      batchM: Int = 8): DataFrame = {
+    require(batchM >= 1, s"batchM=$batchM must be >= 1")
     val spark = documents.sparkSession
     import spark.implicits._
-    var syms = initialSymbols(wordTable(documents)).localCheckpoint(true)
+    var syms = cut(initialSymbols(wordTable(documents)))
     val out = collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var r = 1
+    val products = collection.mutable.Set.empty[String]
     var exhausted = false
-    while (r <= merges && !exhausted) {
-      val top = pairCounts(syms)
+    while (out.size < merges && !exhausted) {
+      val counts = cut(pairCounts(syms))
+      val inMax = counts.groupBy($("b").as("ia"))
+        .agg(max($("cnt")).as("in_max"))
+      val outMax = counts.groupBy($("a").as("ob"))
+        .agg(max($("cnt")).as("out_max"))
+      val cand = counts
         .orderBy($("cnt").desc, $("a").asc, $("b").asc)
-        .limit(1).as[(String, String, Long)].collect()
-      if (top.isEmpty) exhausted = true
+        .limit(batchM)
+        .join(inMax, $("a") === $("ia"), "left")
+        .join(outMax, $("b") === $("ob"), "left")
+        .select($("a"), $("b"), $("cnt"), $("in_max"), $("out_max"))
+        .as[(String, String, Long, Option[Long], Option[Long])]
+        .collect().sortBy(c => (-c._3, c._1, c._2))
+      counts.unpersist(false)
+      if (cand.isEmpty) exhausted = true
       else {
-        val (a, b, c) = top.head
-        out += ((r.toLong, a, b, c))
-        val next = mergeOnce(syms, a, b).localCheckpoint(true)
+        val batch = collection.mutable.ArrayBuffer.empty[(String, String)]
+        var used = Set.empty[String]
+        var maxB = Long.MinValue
+        var open = true
+        for (c <- cand if open && out.size < merges) {
+          val (a, b, cnt, inMaxA, outMaxB) = c
+          val ok = batch.isEmpty ||
+            (!used.contains(a) && !used.contains(b) && cnt > maxB)
+          if (!ok) open = false
+          else {
+            out += ((out.size + 1L, a, b, cnt))
+            batch += ((a, b))
+            used = used + a + b
+            maxB = math.max(maxB, math.max(
+              inMaxA.getOrElse(Long.MinValue),
+              outMaxB.getOrElse(Long.MinValue)))
+            if (products.contains(a + b)) open = false
+            products += (a + b)
+          }
+        }
+        val next = cut(mergeBatch(syms, batch.toSeq))
         syms.unpersist(false)
         syms = next
-        r += 1
       }
     }
     syms.unpersist(false)
     out.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
   }
 
+  /** Greedy grouping of an ordered merge list into maximal
+    * consecutive runs that [[mergeBatch]] may apply simultaneously
+    * without changing the sequential result: members must be pairwise
+    * symbol-disjoint, and no member's lhs/rhs may equal an earlier
+    * batch member's product (the later merge would consume symbols
+    * the earlier one is only now creating — a true dependency, which
+    * string equality detects even when the product aliases an older
+    * symbol).
+    */
+  private[graft] def replayBatches(
+      merges: Seq[(String, String)]): Seq[Seq[(String, String)]] = {
+    val batches = collection.mutable.ArrayBuffer.empty[Seq[(String, String)]]
+    val cur = collection.mutable.ArrayBuffer.empty[(String, String)]
+    var used = Set.empty[String]
+    var prods = Set.empty[String]
+    def flush(): Unit = if (cur.nonEmpty) {
+      batches += cur.toSeq; cur.clear(); used = Set.empty; prods = Set.empty
+    }
+    merges.foreach { case (a, b) =>
+      if (used.contains(a) || used.contains(b) ||
+        prods.contains(a) || prods.contains(b)) flush()
+      cur += ((a, b)); used = used + a + b; prods = prods + (a + b)
+    }
+    flush()
+    batches.toSeq
+  }
+
   /** Symbol table after replaying a merge list in rank order —
     * (word, n, pos, sym), the apply side of [[bpeTrain]] in its
-    * oracle-comparable exploded form (q125).
+    * oracle-comparable exploded form (q125). Consecutive independent
+    * merges apply as ONE [[mergeBatch]] pass ([[replayBatches]]), so
+    * the replay runs O(merges / batch) Spark rounds like the trainer.
     *
-    * Each round materializes (localCheckpoint) before the next —
-    * [[mergeOnce]] references its input ~3× (match scan, kept join,
-    * consumed join), so an unmaterialized k-merge replay re-expands
+    * Each batch materializes (localCheckpoint) before the next —
+    * [[mergeBatch]] references its input ~3× (match scan, kept join,
+    * consumed join), so an unmaterialized k-round replay re-expands
     * the base plan ~3^k times: the Spark-side twin of the DuckDB
     * CTE-inlining blowup the q124 oracle pins with MATERIALIZED
     * (measured: 62 s → ~3 s at sf0.1 for the 6-merge replay).
     */
   def segmentSymbols(documents: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
-    var syms = initialSymbols(wordTable(documents)).localCheckpoint(true)
-    merges.foreach { case (a, b) =>
-      val next = mergeOnce(syms, a, b).localCheckpoint(true)
+    var syms = cut(initialSymbols(wordTable(documents)))
+    replayBatches(merges).foreach { batch =>
+      val next = cut(mergeBatch(syms, batch))
       syms.unpersist(false)
       syms = next
     }

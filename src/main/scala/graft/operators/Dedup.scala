@@ -427,11 +427,22 @@ object Dedup {
     // returns the truncated frame plus the exact checkpoint files it
     // created (read off the materialized RDD — never a dir listing),
     // so superseded rounds can be deleted eagerly and safely
+    // each round's leaf is re-wrapped WITHOUT the origin plan's
+    // statistics (ColumnBridge.freshStatsView): checkpoint carries
+    // the optimized plan's size estimate into the new LogicalRDD, and
+    // in a checkpoint-per-round loop that estimate COMPOUNDS through
+    // the round's join products until the optimizer drowns in
+    // BigInteger arithmetic (measured: a 64-round iterative loop hit
+    // multi-minute driver stalls by round ~14) — at warehouse scale
+    // components can legitimately need tens of rounds
     def ckpt(df: DataFrame): (DataFrame, Set[String]) =
-      if (!reliable) (df.localCheckpoint(true), Set.empty)
+      if (!reliable)
+        (org.apache.spark.sql.graft.ColumnBridge.freshStatsView(
+          df.localCheckpoint(true)), Set.empty)
       else {
         val out = df.checkpoint(true)
-        (out, org.apache.spark.sql.graft.ColumnBridge.checkpointFiles(out))
+        (org.apache.spark.sql.graft.ColumnBridge.freshStatsView(out),
+          org.apache.spark.sql.graft.ColumnBridge.checkpointFiles(out))
       }
     def drop(paths: Set[String]): Unit = if (reliable) paths.foreach { s =>
       val hp = new org.apache.hadoop.fs.Path(s)
@@ -510,9 +521,10 @@ object Dedup {
       val fromNeighbors = edges
         .join(labels.select($("node").as("dst"), $("comp")), Seq("dst"))
         .select($("src").as("node"), $("comp"))
-      val next = labels.select($("node"), $("comp")).union(fromNeighbors)
-        .groupBy("node").agg(min($("comp")).as("comp"))
-        .localCheckpoint(true)
+      val next = org.apache.spark.sql.graft.ColumnBridge.freshStatsView(
+        labels.select($("node"), $("comp")).union(fromNeighbors)
+          .groupBy("node").agg(min($("comp")).as("comp"))
+          .localCheckpoint(true))
       changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("node"))
         .filter($("comp") =!= $("old")).count()
       labels = next
@@ -828,6 +840,8 @@ object Dedup {
         .select($("dst").as("id"),
           expr("150000 + (85 * s) div 100").cast("long").as("pr"))
         .localCheckpoint(true)
+      // stats reset per round — see componentsOf's ckpt note
+      pr = org.apache.spark.sql.graft.ColumnBridge.freshStatsView(pr)
     }
     pr.select($("id").as("doc_id"), $("pr").as("pr_micro"))
   }

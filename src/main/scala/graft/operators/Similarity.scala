@@ -315,7 +315,12 @@ object Similarity {
     * G = ceil(√C)): per vector O(G + probe·C/G) centroid dots instead
     * of the flat O(C) — with cells sized ∝ corpus, flat assignment is
     * N²/maxCell and was rehearsal-measured at 17.7× cpu for 10× data.
-    * `coarse = 0` restores the exact flat baseline.
+    * `coarse = 0` restores the exact flat baseline. EXPECTED
+    * DIVERGENCE: two-level may move a boundary vector to a different
+    * cell, so some flat pairs are lost and others gained — never a
+    * wrong cosine; TrainingOpsSpec quantifies ≥ 70% pair recall vs
+    * flat at C=16 on the worst-case uniform fixture (clustered real
+    * corpora do better).
     */
   def semanticDupPairs(embeddings: DataFrame, threshold: Double = 0.35,
       nCentroids: Int = 16, lloydIters: Int = 2,
@@ -861,17 +866,33 @@ object Similarity {
     * the m·ksub·dsub codebook to the driver (tiny by construction —
     * the MLlib pattern) so training executes once per call and the
     * result feeds back as a LocalRelation.
+    *
+    * `trainFraction` < 1 runs the Lloyd passes over the SAME
+    * deterministic md5 hash-sample of vec_ids as [[trainCentroids]] —
+    * the 100 TB training path (FAISS trains on ~1% samples): the
+    * codebook quality degrades only marginally while each pass scans
+    * a fraction of the corpus. Seeds stay the full-corpus first-ksub
+    * rule, so fraction = 1.0 is bit-identical to the unsampled
+    * trainer (the oracle contract).
     */
-  private def pqTrainCodebook(subs: DataFrame, ksub: Int, iters: Int): DataFrame = {
+  private def pqTrainCodebook(subs: DataFrame, ksub: Int, iters: Int,
+      trainFraction: Double = 1.0): DataFrame = {
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction=$trainFraction outside (0, 1]")
     val spark = subs.sparkSession
     import spark.implicits._
+    val trainSet =
+      if (trainFraction >= 1.0) subs
+      else subs.filter(
+        conv(substring(md5($("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10000 < (trainFraction * 10000).toLong)
     def localize(df: DataFrame): DataFrame =
       df.select($("sub").cast("int"), $("c_id").cast("long"), $("cv"))
         .as[(Int, Long, Seq[Long])].collect().toSeq
         .toDF("sub", "c_id", "cv")
     var cb = localize(subs.filter($("vec_id") < ksub)
       .select($("sub"), $("vec_id").as("c_id"), $("sv").as("cv")))
-    for (_ <- 1 to iters) cb = localize(pqCentroidStep(subs, cb))
+    for (_ <- 1 to iters) cb = localize(pqCentroidStep(trainSet, cb))
     cb
   }
 
@@ -890,18 +911,20 @@ object Similarity {
     * reproduces training bit-for-bit.
     *
     * Scale: training cost is iters·(m·N)·ksub integer folds over
-    * dsub-wide arrays — and at warehouse scale the Lloyd passes run
-    * on a hash sample exactly like [[trainCentroids]]'s
-    * `trainFraction` (omitted here to keep the contract bit-exact);
+    * dsub-wide arrays — at warehouse scale set `trainFraction` < 1 so
+    * the Lloyd passes run on a deterministic hash sample exactly like
+    * [[trainCentroids]] (default 1.0 keeps the oracle contract
+    * bit-exact; TrainingOpsSpec pins sampled-codebook recall);
     * encoding is ONE scan with a broadcast codebook; nothing
     * vector-proportional ever shuffles except the m·N (id, code)
     * rows.
     */
   def pqEncode(embeddings: DataFrame, m: Int = 4, dim: Int = 64,
-      ksub: Int = 16, iters: Int = 2): DataFrame = {
+      ksub: Int = 16, iters: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
     val subs = pqSubvectors(embeddings, m, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = pqTrainCodebook(subs, ksub, iters)
+    val cb = pqTrainCodebook(subs, ksub, iters, trainFraction)
     pqAssignCodes(subs, cb)
       .select($("vec_id"), $("sub").cast("long").as("sub"),
         $("code"), $("qerr"))
@@ -913,12 +936,13 @@ object Similarity {
     * streaming tier (the codebook is the model; codes are the data).
     */
   def pqCodebookLocal(embeddings: DataFrame, m: Int = 4, dim: Int = 64,
-      ksub: Int = 16, iters: Int = 2): Seq[(Int, Long, Seq[Long])] = {
+      ksub: Int = 16, iters: Int = 2,
+      trainFraction: Double = 1.0): Seq[(Int, Long, Seq[Long])] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val subs = pqSubvectors(embeddings, m, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = pqTrainCodebook(subs, ksub, iters)
+    val cb = pqTrainCodebook(subs, ksub, iters, trainFraction)
       .as[(Int, Long, Seq[Long])].collect().toSeq
     subs.unpersist(false)
     cb
@@ -965,10 +989,11 @@ object Similarity {
     * codes). Both halves are oracle-gated here (q34, q118).
     */
   def pqAdcTopK(embeddings: DataFrame, maxQueryId: Long = 10, k: Int = 5,
-      m: Int = 4, dim: Int = 64, ksub: Int = 16, iters: Int = 2): DataFrame = {
+      m: Int = 4, dim: Int = 64, ksub: Int = 16, iters: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
     val subs = pqSubvectors(embeddings, m, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = pqTrainCodebook(subs, ksub, iters)
+    val cb = pqTrainCodebook(subs, ksub, iters, trainFraction)
     val codes = pqAssignCodes(subs, cb)
       .select($("vec_id").as("cid"), $("sub"), $("code"))
     val lut = broadcast(subs.filter($("vec_id") < maxQueryId)
@@ -991,10 +1016,12 @@ object Similarity {
     * measures the collapse).
     */
   def pqCodebookDf(embeddings: DataFrame, m: Int = 4, dim: Int = 64,
-      ksub: Int = 16, iters: Int = 2): DataFrame = {
+      ksub: Int = 16, iters: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    pqCodebookLocal(embeddings, m, dim, ksub, iters).toDF("sub", "c_id", "cv")
+    pqCodebookLocal(embeddings, m, dim, ksub, iters, trainFraction)
+      .toDF("sub", "c_id", "cv")
   }
 
   /** ADC top-k off PERSISTED artifacts: `codes` shaped like
@@ -1069,14 +1096,15 @@ object Similarity {
     */
   def ivfPqTopK(embeddings: DataFrame, maxQueryId: Long = 10, k: Int = 5,
       nCentroids: Int = 16, lloydIters: Int = 2, nprobe: Int = 2,
-      m: Int = 4, dim: Int = 64, ksub: Int = 16, iters: Int = 2): DataFrame = {
+      m: Int = 4, dim: Int = 64, ksub: Int = 16, iters: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
     val quant = quantized(embeddings)
-    val centroids = trainCentroids(quant, nCentroids, lloydIters)
+    val centroids = trainCentroids(quant, nCentroids, lloydIters, trainFraction)
     val assigned = assignCells(quant, centroids, nprobe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val subs = pqSubvectors(embeddings, m, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = pqTrainCodebook(subs, ksub, iters)
+    val cb = pqTrainCodebook(subs, ksub, iters, trainFraction)
     val corpus = assigned.filter($("arn") === 1)
       .select($("vec_id"), $("cell"))
       .join(pqAssignCodes(subs, cb), Seq("vec_id"))

@@ -20,10 +20,13 @@ import graft.operators.OrderedOut._
   * audit's top-repeated-spans report.
   *
   * Portability design: tokens are the whitespace split of
-  * [[TextAnalysis.normText]]; window identity is `md5` of the
-  * space-joined window (identical hex in Spark and DuckDB), so every
-  * operator here is hash-gated against a DuckDB oracle that keys on the
-  * window STRING — equal output unless md5 collides (~2^-64 per pair).
+  * [[TextAnalysis.normText]]; the DuckDB oracles key windows on `md5`
+  * of the space-joined window (identical hex in both engines). The
+  * coverage/rewrite consumers DEFAULT to the O(n) rolling-hash window
+  * source — their outputs are fingerprint-agnostic (the fp only
+  * groups duplicated hits), so the md5-keyed oracles still gate them
+  * exactly, and any fp-visible contract (q135) gates the
+  * fingerprint-agnostic (n_occ, n_docs) histogram instead.
   *
   * Scale design (100 TB):
   *  - window derivation is pure narrow expressions (split + sequence +
@@ -42,6 +45,22 @@ import graft.operators.OrderedOut._
 object SubstringDedup {
 
   private def $(name: String): Column = col(name)
+
+  /** Window-source dispatcher for the coverage/rewrite consumers:
+    * `rolling = true` (the DEFAULT since round 11) derives the O(n)
+    * 64-bit rolling-hash fingerprints ([[windowOccurrencesRolling]]);
+    * `false` the md5 path. The consumers' outputs carry NO
+    * fingerprint — the fp only partitions the duplicated-hit
+    * detection — so the md5-keyed DuckDB oracles gate the rolling
+    * path EXACTLY (equal output unless either hash family collides,
+    * ~2^-64 per pair). The bloom family and [[topDuplicatedSpans]]
+    * stay on md5: the bloom's false-positive identity IS the md5 bit
+    * pattern, and the audit report needs the span text anyway.
+    */
+  private def windows(documents: DataFrame, k: Int,
+      rolling: Boolean): DataFrame =
+    if (rolling) windowOccurrencesRolling(documents, k)
+    else windowOccurrences(documents, k)
 
   /** All `k`-window fingerprints of one text as an array column —
     * empty when the document has fewer than `k` tokens. Pure
@@ -219,9 +238,10 @@ object SubstringDedup {
     * corpus text moves through ONE doc-keyed join and never explodes
     * to token rows.
     */
-  def removeSpans(documents: DataFrame, k: Int = 8): DataFrame =
+  def removeSpans(documents: DataFrame, k: Int = 8,
+      rolling: Boolean = true): DataFrame =
     rewriteByIntervals(documents,
-      dupIntervals(windowOccurrences(documents, k), k))
+      dupIntervals(windows(documents, k, rolling), k))
 
   /** [[removeSpans]] with the Lee et al. keep-ONE-copy rule: per
     * repeated span, the globally first occurrence — min (doc_id, pos),
@@ -240,8 +260,9 @@ object SubstringDedup {
     * by fingerprint (hit-width rows) to [[removeSpans]]'s plan; the
     * election needs no extra join — rank 1 IS the owner.
     */
-  def removeSpansKeepOne(documents: DataFrame, k: Int = 8): DataFrame = {
-    val wins = windowOccurrences(documents, k)
+  def removeSpansKeepOne(documents: DataFrame, k: Int = 8,
+      rolling: Boolean = true): DataFrame = {
+    val wins = windows(documents, k, rolling)
     val nonOwnerHits = wins
       .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("fp")))
       .where($("n_occ") >= 2)
@@ -288,8 +309,9 @@ object SubstringDedup {
       .select($("doc_id"), size(split($("norm"), " ")).cast("long").as("n_tokens"))
       .where($("n_tokens") >= k)
 
-  def dupSpanStats(documents: DataFrame, k: Int = 8): DataFrame = {
-    val covered = coverageFromWindows(windowOccurrences(documents, k), k)
+  def dupSpanStats(documents: DataFrame, k: Int = 8,
+      rolling: Boolean = true): DataFrame = {
+    val covered = coverageFromWindows(windows(documents, k, rolling), k)
     val lens = docTokenLengths(documents, k)
     lens.join(covered, Seq("doc_id"), "left")
       .select($("doc_id"), $("n_tokens"),
@@ -306,8 +328,9 @@ object SubstringDedup {
     * stats aggregate to one row per source; only (doc_id, source) and
     * the counters shuffle.
     */
-  def sourceSpanProfile(documents: DataFrame, k: Int = 8): DataFrame =
-    dupSpanStats(documents, k)
+  def sourceSpanProfile(documents: DataFrame, k: Int = 8,
+      rolling: Boolean = true): DataFrame =
+    dupSpanStats(documents, k, rolling)
       .join(documents.select($("doc_id"), $("source")), Seq("doc_id"))
       .groupBy("source")
       .agg(

@@ -69,6 +69,56 @@ class BpeSpec extends SparkSpec {
       "at least one word must contain a merged subword")
   }
 
+  test("batched training is bit-identical to one-merge-per-round greedy") {
+    // the batch-acceptance proof (disjointness + new-pair bound +
+    // product-alias close) must make batchM>1 indistinguishable from
+    // the sequential algorithm the q124 oracle replays — on the real
+    // fixture AND on a corpus engineered so batches actually form
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
+    val seqn = Bpe.bpeTrain(docs, merges = 6, batchM = 1)
+      .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+    val bat = Bpe.bpeTrain(docs, merges = 6, batchM = 8)
+      .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+    assert(bat === seqn, "batched selection diverged from sequential greedy")
+    // planted: 4 disjoint dominant pairs with distinct counts batch in
+    // one round; the 5th merge consumes a product (dependency)
+    val planted = docsOf(
+      Seq.fill(9)("ab").mkString(" "), Seq.fill(8)("cd").mkString(" "),
+      Seq.fill(7)("ef").mkString(" "), Seq.fill(6)("gh").mkString(" "),
+      Seq.fill(5)("abcd").mkString(" "))
+    val ps = Bpe.bpeTrain(planted, merges = 5, batchM = 1)
+      .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+    val pb = Bpe.bpeTrain(planted, merges = 5, batchM = 8)
+      .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+    assert(pb === ps, s"planted corpus diverged: seq=$ps batched=$pb")
+  }
+
+  test("replayBatches groups independent merges, splits at dependencies") {
+    val batches = Bpe.replayBatches(Seq(
+      ("a", "b"), ("c", "d"),   // independent -> one batch
+      ("ab", "c"),              // consumes batch-mate 'ab' product? no —
+                                // 'ab' product came from an EARLIER batch
+      ("ab", "d")))             // shares 'ab' with previous -> splits
+    assert(batches === Seq(
+      Seq(("a", "b"), ("c", "d")),
+      Seq(("ab", "c")),
+      Seq(("ab", "d"))))
+    // a merge consuming an in-batch product must start a new batch
+    assert(Bpe.replayBatches(Seq(("a", "b"), ("ab", "c"))) ===
+      Seq(Seq(("a", "b")), Seq(("ab", "c"))))
+    // batched replay equals sequential replay on the fixture
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
+    val merges = Bpe.bpeTrain(docs, merges = 6)
+      .orderBy("rank").as[(Long, String, String, Long)].collect()
+      .map(r => (r._2, r._3)).toSeq
+    val got = Bpe.segmentSymbols(docs, merges)
+      .as[(String, Long, Long, String)].collect().toSet
+    var syms = Bpe.initialSymbols(Bpe.wordTable(docs))
+    merges.foreach { case (a, b) => syms = Bpe.mergeOnce(syms, a, b).localCheckpoint(true) }
+    val want = syms.as[(String, Long, Long, String)].collect().toSet
+    assert(got === want, "batched replay must equal merge-at-a-time replay")
+  }
+
   test("tokenizeCorpus prices documents in subwords, merges compress") {
     val docs = Seq((1L, "ab ab c"), (2L, "c ab")).toDF("doc_id", "text")
     // no merges: every char is a subword

@@ -134,6 +134,24 @@ class SubstringDedupSpec extends SparkSpec {
     assert(covM === covR)
   }
 
+  test("consumers on the rolling default equal their md5 twins on real data") {
+    // the coverage/rewrite consumers now DEFAULT to the rolling
+    // source; their outputs are fingerprint-agnostic, so the md5 path
+    // (what the DuckDB oracles replay) must match row-for-row
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rwR = SubstringDedup.removeSpans(real)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val rwM = SubstringDedup.removeSpans(real, rolling = false)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(rwR === rwM, "removeSpans rolling default diverged from md5 twin")
+    assert(rwR.exists(_._3 > 0), "fixture must actually contain repeated spans")
+    val koR = SubstringDedup.removeSpansKeepOne(real)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val koM = SubstringDedup.removeSpansKeepOne(real, rolling = false)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(koR === koM, "removeSpansKeepOne rolling default diverged from md5 twin")
+  }
+
   test("topDuplicatedSpans: (n_occ desc, span asc) total order, text intact") {
     val top = SubstringDedup.topDuplicatedSpans(docs, K, topN = 3)
       .as[(String, Long, Long)].collect()

@@ -390,6 +390,33 @@ class TrainingOpsSpec extends SparkSpec {
     assert(planted.subsetOf(got), s"missed planted twins: ${planted -- got}")
   }
 
+  test("semanticDupPairs: two-level default vs flat — pair recall at non-degenerate C=16") {
+    // the within-cell family silently switched its DEFAULT assignment
+    // to the approximate two-level path; this pins the operator-level
+    // drift at a real size (C=16 > G=4 — NOT the degenerate G >= C
+    // tiny-fixture case where the paths are exactly equal). The
+    // fixture is the worst case for coarse structure (uniform random
+    // 64-d): PAIR recall is roughly vector-agreement SQUARED (both
+    // endpoints must co-assign; agreement is pinned >= 0.7 below), so
+    // ~0.6 here is the honest floor; real corpora are clustered,
+    // where the coarse route is tighter.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val flat = Similarity.semanticDupPairs(emb, threshold = 0.2, coarse = 0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(flat.nonEmpty, "flat baseline found no pairs — fixture/threshold broken")
+    val two = Similarity.semanticDupPairs(emb, threshold = 0.2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val recall = (flat intersect two).size.toDouble / flat.size
+    assert(recall >= 0.6,
+      f"two-level default recalls only $recall%.2f of the exact " +
+        s"within-cell pairs (${(flat intersect two).size}/${flat.size})")
+    // every emitted pair still satisfies the threshold contract —
+    // approximation moves vectors between cells, never fakes a cosine
+    val cosOk = Similarity.semanticDupPairs(emb, threshold = 0.2)
+      .select("cos").as[Double].collect()
+    assert(cosOk.forall(_ >= 0.2))
+  }
+
   test("twoLevelAssign: complete, deterministic, high agreement with flat") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val two = Similarity.twoLevelAssign(emb)
@@ -577,6 +604,34 @@ class TrainingOpsSpec extends SparkSpec {
     val reSharded = Similarity.pqEncode(emb.repartition(7))
       .as[(Long, Long, Long, Long)].collect().sorted
     assert(reSharded.sameElements(enc))
+  }
+
+  test("pq sampled training: fraction=1.0 bit-identical, fraction=0.5 complete with bounded qerr") {
+    // the 100 TB path trains the codebook on a deterministic hash
+    // sample ([[trainCentroids]]' md5 rule); default 1.0 must stay
+    // bit-exact (the q117-q119/q122 oracle contract), and a half
+    // sample must still produce a complete, only-mildly-worse codebook
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val full = Similarity.pqEncode(emb, trainFraction = 1.0)
+      .as[(Long, Long, Long, Long)].collect().sorted
+    val default = Similarity.pqEncode(emb)
+      .as[(Long, Long, Long, Long)].collect().sorted
+    assert(full.sameElements(default), "fraction=1.0 must equal the default path")
+    val sampled = Similarity.pqEncode(emb, trainFraction = 0.5)
+      .as[(Long, Long, Long, Long)].collect().sorted
+    val n = emb.count()
+    assert(sampled.length === 4 * n,
+      "sampled training must still encode every vector in every subspace")
+    // quality bound: the half-sample codebook's total reconstruction
+    // error stays within 25% of the full-corpus codebook's
+    val fullErr = full.map(_._4).sum.toDouble
+    val sampErr = sampled.map(_._4).sum.toDouble
+    assert(sampErr <= fullErr * 1.25,
+      s"sampled codebook qerr $sampErr vs full $fullErr — sample degraded quality")
+    // deterministic: the hash sample is a pure function of vec_id
+    val again = Similarity.pqEncode(emb.repartition(5), trainFraction = 0.5)
+      .as[(Long, Long, Long, Long)].collect().sorted
+    assert(again.sameElements(sampled))
   }
 
   test("pq adc: a planted exact duplicate scores the query's own quantization error") {
