@@ -137,6 +137,42 @@ class ScaleToolsSpec extends SparkSpec {
       Set((1L, 2L)))
   }
 
+  test("freshStatsView stops iterative-checkpoint stats compounding") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    // localCheckpoint CARRIES the origin plan's size estimate into
+    // the new leaf; a checkpoint-per-round self-join loop compounds
+    // it multiplicatively (s^(2^k)) until optimizer stats arithmetic
+    // drowns in BigInteger multiplies (measured: a 64-round BPE
+    // trainer hung 25+ driver-cpu minutes before the fix). This pins
+    // both halves: the naked loop's estimate GROWS without bound, the
+    // cut loop's estimate stays at one round's product.
+    def stats(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val base = (1L to 100L).toDF("id")
+    var naked = base.localCheckpoint(true)
+    var cut = ColumnBridge.freshStatsView(base.localCheckpoint(true))
+    for (_ <- 1 to 4) {
+      naked = naked.as("a").join(naked.as("b"), "id").select(col("id"))
+        .localCheckpoint(true)
+      cut = ColumnBridge.freshStatsView(
+        cut.as("a").join(cut.as("b"), "id").select(col("id"))
+          .localCheckpoint(true))
+    }
+    val nakedFinal = stats(naked.as("a").join(naked.as("b"), "id"))
+    val cutFinal = stats(cut.as("a").join(cut.as("b"), "id"))
+    assert(nakedFinal > cutFinal,
+      s"carried stats must compound past the reset path ($nakedFinal vs $cutFinal)")
+    // the cut path is bounded by ONE round's join product of the
+    // default estimate — never by the round count
+    val oneRound = stats(ColumnBridge.freshStatsView(base.localCheckpoint(true))
+      .as("a").join(
+        ColumnBridge.freshStatsView(base.localCheckpoint(true)).as("b"), "id"))
+    assert(cutFinal <= oneRound,
+      s"reset path must stay at one round's estimate ($cutFinal vs $oneRound)")
+    // and the data itself is untouched by the re-wrap
+    assert(cut.count() === 100L)
+  }
+
   test("salted two-phase aggregation matches direct aggregation") {
     val df = ((1 to 3000).map(_ => ("hot", 1.0)) ++
       (1 to 50).map(i => (s"k$i", 2.0))).toDF("k", "v")
