@@ -204,6 +204,24 @@ object Bench {
             noop(Dedup.canonicalByRank(pairs())) },
           timedAt("q98_from_artifacts") {
             noop(Dedup.estimatorCalibrationFromScored(rd(scoredP), rd(sigsP))) },
+          // within-cell ANN family "assign once, consume thrice":
+          // q49/q141/q146 share one IVF training + (two-level)
+          // assignment pass standalone; the (vec_id, cell) artifact
+          // collapses each to its bounded within-cell join
+          timedAt("cells_artifact_build") {
+            import graft.operators.Similarity
+            Similarity.cellAssignments(tables.embeddings)
+              .write.mode("overwrite").parquet(s"$tmp/cells")
+          },
+          timedAt("q49_from_cells") {
+            noop(graft.operators.Similarity.semanticDupPairsFromCells(
+              rd(s"$tmp/cells"), tables.embeddings)) },
+          timedAt("q141_from_cells") {
+            noop(graft.operators.Similarity.hardNegativesFromCells(
+              rd(s"$tmp/cells"), tables.embeddings)) },
+          timedAt("q146_from_cells") {
+            noop(graft.operators.Similarity.labelNoiseFromCells(
+              rd(s"$tmp/cells"), tables.embeddings)) },
           // PQ family "train once, serve many": q117/q118/q119/q122
           // each retrain the same codebook standalone; a pipeline
           // persists codebook + codes once per corpus version and

@@ -14,7 +14,8 @@ import graft.sources.Tables
   *   1. minhash signature store + scored LSH candidate table
   *      (near-dup pair graph = a threshold filter view of it),
   *   2. distinct 5-gram shingle index (exact-Jaccard / containment),
-  *   3. PQ codebook + code table (compressed ANN serving),
+  *   3. PQ codebook + code table (compressed ANN serving) and the
+  *      IVF (vec_id, cell) assignment of the within-cell family,
   *
   * — persist them as parquet, and drive every downstream consumer off
   * the artifacts via the `*From` APIs. The per-query benchmark suite
@@ -75,6 +76,10 @@ object PipelineDemo {
       Dedup.ngramContainmentFromShingles(rd(s"$work/shingles"))
         .write.mode("overwrite").parquet(s"$work/cont_pairs")
     }
+    timed("artifacts: cell assignments") {
+      Similarity.cellAssignments(t.embeddings)
+        .write.mode("overwrite").parquet(s"$work/cells")
+    }
     timed("artifacts: pq codebook+codes") {
       val emb = t.embeddings
       Similarity.pqCodebookDf(emb).write.mode("overwrite")
@@ -106,7 +111,16 @@ object PipelineDemo {
         () => Dedup.sourceContainmentMatrix(docs)),
       ("q118 pq adc", () => Similarity.pqAdcFromCodes(
           rd(s"$work/pq_codes"), rd(s"$work/pq_codebook"), t.embeddings),
-        () => Similarity.pqAdcTopK(t.embeddings)))
+        () => Similarity.pqAdcTopK(t.embeddings)),
+      ("q49  semantic dups", () => Similarity.semanticDupPairsFromCells(
+          rd(s"$work/cells"), t.embeddings),
+        () => Similarity.semanticDupPairs(t.embeddings)),
+      ("q141 hard negatives", () => Similarity.hardNegativesFromCells(
+          rd(s"$work/cells"), t.embeddings),
+        () => Similarity.hardNegatives(t.embeddings)),
+      ("q146 label noise", () => Similarity.labelNoiseFromCells(
+          rd(s"$work/cells"), t.embeddings),
+        () => Similarity.labelNoise(t.embeddings)))
     var composedTotal = 0.0
     for ((label, composedFn, standaloneFn) <- consumers) {
       val t0 = System.nanoTime()

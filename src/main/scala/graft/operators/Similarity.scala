@@ -325,11 +325,38 @@ object Similarity {
   def semanticDupPairs(embeddings: DataFrame, threshold: Double = 0.35,
       nCentroids: Int = 16, lloydIters: Int = 2,
       maxCell: Int = 256, trainFraction: Double = 1.0,
+      coarse: Int = -1, coarseProbe: Int = 2): DataFrame =
+    semanticDupPairsFromCells(
+      cellAssignments(embeddings, nCentroids, lloydIters, trainFraction,
+        coarse, coarseProbe),
+      embeddings, threshold, maxCell)
+
+  /** The within-cell family's shared ARTIFACT: (vec_id, cell) under
+    * the deterministic IVF training + (two-level by default)
+    * assignment. [[semanticDupPairs]]/[[hardNegatives]]/[[labelNoise]]
+    * all pay this same training + assignment pass standalone; a
+    * pipeline materializes it ONCE per corpus version and drives the
+    * three consumers off the parquet via the `*FromCells` forms —
+    * the ANN-family twin of the pair-graph/PQ-code artifacts
+    * (PipelineDemo asserts composed == standalone; Bench's composed
+    * section measures the collapse).
+    */
+  def cellAssignments(embeddings: DataFrame, nCentroids: Int = 16,
+      lloydIters: Int = 2, trainFraction: Double = 1.0,
       coarse: Int = -1, coarseProbe: Int = 2): DataFrame = {
     val quant = quantized(embeddings)
     val centroids = trainCentroids(quant, nCentroids, lloydIters, trainFraction)
-    val members = singleCell(quant, centroids, coarse, coarseProbe, nCentroids)
-      .join(quant, Seq("vec_id"))
+    singleCell(quant, centroids, coarse, coarseProbe, nCentroids)
+  }
+
+  /** [[semanticDupPairs]] over a PRECOMPUTED (vec_id, cell) table —
+    * no training, no assignment; the embeddings are re-quantized
+    * narrowly (pure projection) and only same-cell pairs are scored.
+    */
+  def semanticDupPairsFromCells(cells: DataFrame, embeddings: DataFrame,
+      threshold: Double = 0.35, maxCell: Int = 256): DataFrame = {
+    val quant = quantized(embeddings)
+    val members = cells.join(quant, Seq("vec_id"))
     val ok = members.groupBy("cell").agg(count(lit(1)).as("csz"))
       .filter($("csz") <= maxCell).select("cell")
     val bounded = members.join(ok, Seq("cell"))
@@ -369,11 +396,20 @@ object Similarity {
       posThreshold: Double = 0.35, nCentroids: Int = 16,
       lloydIters: Int = 2, maxCell: Int = 256,
       trainFraction: Double = 1.0,
-      coarse: Int = -1, coarseProbe: Int = 2): DataFrame = {
+      coarse: Int = -1, coarseProbe: Int = 2): DataFrame =
+    hardNegativesFromCells(
+      cellAssignments(embeddings, nCentroids, lloydIters, trainFraction,
+        coarse, coarseProbe),
+      embeddings, k, posThreshold, maxCell)
+
+  /** [[hardNegatives]] over a PRECOMPUTED (vec_id, cell) table — see
+    * [[cellAssignments]].
+    */
+  def hardNegativesFromCells(cells: DataFrame, embeddings: DataFrame,
+      k: Int = 5, posThreshold: Double = 0.35,
+      maxCell: Int = 256): DataFrame = {
     val quant = quantized(embeddings)
-    val centroids = trainCentroids(quant, nCentroids, lloydIters, trainFraction)
-    val members = singleCell(quant, centroids, coarse, coarseProbe, nCentroids)
-      .join(quant, Seq("vec_id"))
+    val members = cells.join(quant, Seq("vec_id"))
     val ok = members.groupBy("cell").agg(count(lit(1)).as("csz"))
       .filter($("csz") <= maxCell).select("cell")
     val bounded = members.join(ok, Seq("cell"))
@@ -510,11 +546,19 @@ object Similarity {
   def labelNoise(embeddings: DataFrame, k: Int = 5, nCentroids: Int = 16,
       lloydIters: Int = 2, maxCell: Int = 256,
       trainFraction: Double = 1.0,
-      coarse: Int = -1, coarseProbe: Int = 2): DataFrame = {
+      coarse: Int = -1, coarseProbe: Int = 2): DataFrame =
+    labelNoiseFromCells(
+      cellAssignments(embeddings, nCentroids, lloydIters, trainFraction,
+        coarse, coarseProbe),
+      embeddings, k, maxCell)
+
+  /** [[labelNoise]] over a PRECOMPUTED (vec_id, cell) table — see
+    * [[cellAssignments]]. `embeddings` must carry the `label` column.
+    */
+  def labelNoiseFromCells(cells: DataFrame, embeddings: DataFrame,
+      k: Int = 5, maxCell: Int = 256): DataFrame = {
     val quant = quantized(embeddings)
-    val centroids = trainCentroids(quant, nCentroids, lloydIters, trainFraction)
-    val members = singleCell(quant, centroids, coarse, coarseProbe, nCentroids)
-      .join(quant, Seq("vec_id"))
+    val members = cells.join(quant, Seq("vec_id"))
       .join(embeddings.select($("vec_id"), $("label")), Seq("vec_id"))
     val ok = members.groupBy("cell").agg(count(lit(1)).as("csz"))
       .filter($("csz") <= maxCell).select("cell")

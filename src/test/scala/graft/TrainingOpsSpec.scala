@@ -766,6 +766,23 @@ class TrainingOpsSpec extends SparkSpec {
         Dedup.estimatorCalibration(docs).collect().toSet)
   }
 
+  test("FromCells variants == the direct calls on a shared cell artifact") {
+    // the within-cell family's composed form: one materialized
+    // (vec_id, cell) assignment feeds all three consumers — results
+    // must equal the standalone calls that retrain internally
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cells = Similarity.cellAssignments(emb).localCheckpoint(true)
+    assert(
+      Similarity.semanticDupPairsFromCells(cells, emb).collect().toSet ===
+        Similarity.semanticDupPairs(emb).collect().toSet)
+    assert(
+      Similarity.hardNegativesFromCells(cells, emb).collect().toSet ===
+        Similarity.hardNegatives(emb).collect().toSet)
+    assert(
+      Similarity.labelNoiseFromCells(cells, emb).collect().toSet ===
+        Similarity.labelNoise(emb).collect().toSet)
+  }
+
   test("labelCentroidSim: orthogonal labels at 0, aligned labels at 1") {
     // label 0 centroid = [1, 0] (two copies), label 1 = [0, 1],
     // label 2 = [1, 0] again
