@@ -392,6 +392,11 @@ object TrainingEntries {
     // Rolling actives: exact DAU/WAU per day via a broadcast day
     // spine range join over the (user, day) activity table
     "q152_rolling_actives" -> q(t => Events.rollingActives(t.events)),
+    // Deterministic epoch shuffle + loader-shard assignment: the
+    // data-loader handoff — reproducible per-epoch order, shard-local
+    // ranks (never a global sort)
+    "q153_epoch_shuffle" -> q(t =>
+      Curation.epochShuffle(t.documents, epoch = 3)),
     // Median/MAD robust outliers: the skew-proof sibling of q60,
     // exact-integer end to end (cents + run-length medians)
     "q144_robust_outliers" -> q(t => Events.robustOutliers(t.events)),
@@ -2570,6 +2575,20 @@ object TrainingEntries {
         |FROM days d JOIN ud u
         |  ON u.uday >= d.day - 6 AND u.uday <= d.day
         |GROUP BY d.day ORDER BY d.day""".stripMargin,
+
+    // Mirrors Curation.epochShuffle(epoch = 3, nShards = 8):
+    // md5("3:"||doc_id) order key, first-8-hex shard mod 8,
+    // shard-local rank
+    "q153_epoch_shuffle" ->
+      """SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM (SELECT doc_id, h,
+        |        CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 8 AS shard
+        |      FROM (SELECT doc_id,
+        |              md5('3:' || CAST(doc_id AS VARCHAR)) AS h
+        |            FROM documents))
+        |ORDER BY shard, pos""".stripMargin,
 
     // Mirrors Events.robustOutliers: run-length lower medians
     // (rk = (n+1)//2) for value and absolute deviation, k=3 gate

@@ -148,6 +148,38 @@ object Curation {
           .otherwise("test").as("split"))
   }
 
+  /** Deterministic epoch shuffle + loader-shard assignment — the step
+    * between packing and the data loader: for `epoch`, every document
+    * gets a pseudo-random but fully reproducible ORDER KEY
+    * (md5("epoch:key")) and a loader shard (first 8 hex chars mod
+    * `nShards`); `pos` is the 1-based rank WITHIN the shard under
+    * (hash, key) — the shard-local order a distributed loader
+    * actually consumes. Different epochs decorrelate the order (the
+    * hash reshuffles everything); the same epoch replays bit-for-bit
+    * across engines, reruns, and shard layouts — the property that
+    * makes a training run resumable and auditable, where a
+    * `rand()`-based shuffle is neither.
+    *
+    * Scale: one narrow projection, then ONE hash exchange on `shard`
+    * for the rank window — the largest partition is one shard, so
+    * size `nShards` at or above the cluster's parallelism (a loader
+    * fleet's shard count already is). No global sort, no funnel.
+    */
+  def epochShuffle(df: DataFrame, epoch: Int, nShards: Int = 8,
+      keyCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    val w = Window.partitionBy($("shard"))
+      .orderBy($("h").asc, $(keyCol).asc)
+    df.spread()
+      .select($(keyCol),
+        md5(concat_ws(":", lit(epoch), $(keyCol).cast("string"))).as("h"))
+      .select($(keyCol), $("h"),
+        (conv(substring($("h"), 1, 8), 16, 10).cast("long") % nShards)
+          .as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($(keyCol), $("shard"), $("pos"))
+  }
+
   /** Per-source quota sampling: keep at most `k` documents per source,
     * chosen by md5 order of doc_id (a deterministic uniform sample,
     * not "first k in file order" — file order correlates with crawl

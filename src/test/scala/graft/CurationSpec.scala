@@ -506,4 +506,36 @@ class CurationSpec extends SparkSpec {
       .select("source", "kl_micro").as[(String, Long)].collect().toMap
     assert(zeros === Map("a0" -> 0L, "a1" -> 0L))
   }
+
+  test("epochShuffle: complete, shard-contiguous, epoch-decorrelated, shard-order-free") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val e1 = Curation.epochShuffle(docs, epoch = 1, nShards = 4)
+      .as[(Long, Long, Long)].collect()
+    // complete: every doc exactly once; shards in range
+    assert(e1.length === n)
+    assert(e1.map(_._1).distinct.length === n)
+    assert(e1.forall(r => r._2 >= 0 && r._2 < 4))
+    // per shard, positions are contiguous 1..|shard|
+    e1.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length),
+        s"shard $sh positions not contiguous")
+    }
+    // deterministic under repartition (shard-order-free)
+    val again = Curation.epochShuffle(docs.repartition(7), epoch = 1, nShards = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(again.sorted.sameElements(e1.sorted))
+    // a different epoch reshuffles: most docs move shard or position
+    val e2 = Curation.epochShuffle(docs, epoch = 2, nShards = 4)
+      .as[(Long, Long, Long)].collect()
+    val m1 = e1.map(r => r._1 -> ((r._2, r._3))).toMap
+    val moved = e2.count(r => m1(r._1) != ((r._2, r._3)))
+    assert(moved.toDouble / n > 0.9,
+      s"epoch change must decorrelate the order, only $moved/$n moved")
+    // shards are roughly balanced (md5 is uniform): no shard over 2x
+    // the even share on the 500-doc fixture
+    val sizes = e1.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.values.forall(_ <= 2 * n / 4), s"unbalanced shards: $sizes")
+  }
 }
