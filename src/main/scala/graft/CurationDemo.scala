@@ -129,6 +129,16 @@ object CurationDemo {
       .partitionBy("split", "bin").parquet(s"$work/shards")
     report("packed shards", spark.read.parquet(s"$work/shards").count())
 
+    // 5b. loader handoff (q153): deterministic epoch-1 training order
+    //     over the packed train docs — reproducible shard + position
+    //     for every sequence, replayable bit-for-bit on resume
+    val order = Curation.epochShuffle(
+      packed.filter(col("split") === "train"), epoch = 1, nShards = 4)
+    order.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$work/epoch1_order")
+    report("epoch-1 loader rows",
+      spark.read.parquet(s"$work/epoch1_order").count())
+
     // 6. profile what survived (sketches: the 100 TB report path),
     //    plus the round-6 selection signals: DSIR target-likeness
     //    (how much of the surviving corpus resembles src0-src3) and
