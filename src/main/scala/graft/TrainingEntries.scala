@@ -397,6 +397,15 @@ object TrainingEntries {
     // ranks (never a global sort)
     "q153_epoch_shuffle" -> q(t =>
       Curation.epochShuffle(t.documents, epoch = 3)),
+    // Incremental span dedup (q92's span-level sibling): even docs =
+    // the accumulated window index, odd docs = the new delivery; a
+    // batch window is duplicated when index+batch occurrences >= 2
+    "q154_incremental_spans" -> q(t => {
+      val idx = SubstringDedup.windowIndex(
+        t.documents.filter(col("doc_id") % 2 === 0))
+      SubstringDedup.incrementalSpanStats(idx,
+        t.documents.filter(col("doc_id") % 2 === 1))
+    }),
     // Median/MAD robust outliers: the skew-proof sibling of q60,
     // exact-integer end to end (cents + run-length medians)
     "q144_robust_outliers" -> q(t => Events.robustOutliers(t.events)),
@@ -2575,6 +2584,38 @@ object TrainingEntries {
         |FROM days d JOIN ud u
         |  ON u.uday >= d.day - 6 AND u.uday <= d.day
         |GROUP BY d.day ORDER BY d.day""".stripMargin,
+
+    // Mirrors the q154 entry: index = even docs' window counts, batch
+    // = odd docs; hit when index+batch count >= 2; same island
+    // coverage as q111 over the batch hits only
+    "q154_incremental_spans" ->
+      s"""WITH $tokenWindowsCte,
+         |idx AS (SELECT fp, COUNT(*) AS n_idx FROM wins
+         |        WHERE doc_id % 2 = 0 GROUP BY fp),
+         |bc AS (SELECT doc_id, pos, fp,
+         |         COUNT(*) OVER (PARTITION BY fp) AS n_batch
+         |       FROM wins WHERE doc_id % 2 = 1),
+         |hits AS (SELECT bc.doc_id, bc.pos FROM bc LEFT JOIN idx USING (fp)
+         |         WHERE COALESCE(n_idx, 0) + n_batch >= 2),
+         |isl AS (SELECT doc_id, pos,
+         |  CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (PARTITION BY doc_id
+         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    -1) THEN 1 ELSE 0 END AS is_start
+         |  FROM hits),
+         |grp AS (SELECT doc_id, pos, SUM(is_start) OVER (PARTITION BY doc_id
+         |        ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g FROM isl),
+         |cov AS (SELECT doc_id, CAST(SUM(maxe - mins + 1) AS BIGINT)
+         |          AS dup_tokens FROM (
+         |        SELECT doc_id, g, MIN(pos) AS mins, MAX(pos) + 7 AS maxe
+         |        FROM grp GROUP BY doc_id, g) GROUP BY doc_id),
+         |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+         |         FROM tok WHERE len(toks) >= 8 AND doc_id % 2 = 1)
+         |SELECT l.doc_id, l.n_tokens,
+         |  COALESCE(c.dup_tokens, 0) AS dup_tokens,
+         |  CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / l.n_tokens
+         |    AS dup_fraction
+         |FROM lens l LEFT JOIN cov c USING (doc_id)
+         |ORDER BY l.doc_id""".stripMargin,
 
     // Mirrors Curation.epochShuffle(epoch = 3, nShards = 8):
     // md5("3:"||doc_id) order key, first-8-hex shard mod 8,

@@ -299,6 +299,59 @@ object SubstringDedup {
           .as("clean_text"))
   }
 
+  /** (fp, n_occ) corpus-wide window-occurrence counts — the PERSISTED
+    * INDEX artifact of incremental span dedup: an ingest pipeline
+    * never re-windows the whole corpus per delivery, it keeps this
+    * fingerprint-count table and checks each batch against it
+    * ([[incrementalSpanStats]]), then folds the batch in
+    * ([[updatedWindowIndex]]) — [[Dedup.incrementalDedup]]'s
+    * span-level sibling. Rolling fingerprints by default (8-byte
+    * index keys at corpus scale); both sides of the incremental pair
+    * must use the SAME hash family.
+    */
+  def windowIndex(documents: DataFrame, k: Int = 8,
+      rolling: Boolean = true): DataFrame =
+    windows(documents, k, rolling)
+      .groupBy("fp").agg(count(lit(1)).as("n_occ"))
+
+  /** [[dupSpanStats]] of a NEW batch against an accumulated
+    * [[windowIndex]]: a batch window is duplicated when its total
+    * occurrence count across index + batch reaches 2 (already known
+    * to the corpus, or repeated within the delivery — the Lee et al.
+    * rule applied at ingest). Returns the batch's (doc_id, n_tokens,
+    * dup_tokens, dup_fraction) without touching the indexed corpus:
+    * per-delivery cost is batch windows + one equi-join against the
+    * index, never a corpus re-scan.
+    */
+  def incrementalSpanStats(index: DataFrame, batch: DataFrame,
+      k: Int = 8, rolling: Boolean = true): DataFrame = {
+    val wins = windows(batch, k, rolling)
+    val hits = wins
+      .withColumn("n_batch", count(lit(1)).over(Window.partitionBy("fp")))
+      .join(index.select($("fp"), $("n_occ").as("n_index")), Seq("fp"),
+        "left")
+      .filter(coalesce($("n_index"), lit(0L)) + $("n_batch") >= 2)
+      .select($("doc_id"), $("pos"))
+    val covered = mergeHits(hits, k)
+      .groupBy("doc_id")
+      .agg(sum($("end") - $("start") + 1).as("dup_tokens"))
+    docTokenLengths(batch, k)
+      .join(covered, Seq("doc_id"), "left")
+      .select($("doc_id"), $("n_tokens"),
+        coalesce($("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce($("dup_tokens"), lit(0L)).cast("double") /
+          $("n_tokens").cast("double")).as("dup_fraction"))
+  }
+
+  /** Fold a processed batch into the window index — the maintenance
+    * half of the incremental pair: summed counts per fingerprint, one
+    * fingerprint-keyed aggregate over index ∪ batch windows.
+    */
+  def updatedWindowIndex(index: DataFrame, batch: DataFrame,
+      k: Int = 8, rolling: Boolean = true): DataFrame =
+    index.unionByName(windowIndex(batch, k, rolling))
+      .groupBy("fp").agg(sum($("n_occ")).as("n_occ"))
+
   /** (doc_id, n_tokens) of documents long enough to window (≥ k
     * tokens) — the denominator side of [[dupSpanStats]].
     */

@@ -152,6 +152,42 @@ class SubstringDedupSpec extends SparkSpec {
     assert(koR === koM, "removeSpansKeepOne rolling default diverged from md5 twin")
   }
 
+  test("incremental span dedup == full-corpus stats restricted to the batch") {
+    // the ingest identity: a batch window is duplicated iff its
+    // index+batch occurrence total reaches 2 — exactly the full-corpus
+    // >= 2 rule, so incremental(index(old), new) must equal
+    // dupSpanStats(old ∪ new) restricted to the new docs, and the
+    // folded index must equal the from-scratch index
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = real.filter($"doc_id" % 2 === 0)
+    val batch = real.filter($"doc_id" % 2 === 1)
+    val idx = SubstringDedup.windowIndex(old).localCheckpoint(true)
+    val inc = SubstringDedup.incrementalSpanStats(idx, batch)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val full = SubstringDedup.dupSpanStats(real)
+      .filter($"doc_id" % 2 === 1)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(inc === full, "incremental flags must equal the full-corpus rule")
+    assert(inc.exists(_._3 > 0), "fixture must contain cross-half repeats")
+    val folded = SubstringDedup.updatedWindowIndex(idx, batch)
+      .as[(Long, Long)].collect().toSet
+    val scratch = SubstringDedup.windowIndex(real)
+      .as[(Long, Long)].collect().toSet
+    assert(folded === scratch, "folded index must equal from-scratch index")
+    // planted within-batch repeat: unknown to the index, still flagged
+    val emptyIdx = SubstringDedup.windowIndex(
+      Seq((99L, "nothing shared here at all with anyone else today ok"))
+        .toDF("doc_id", "text"))
+    val selfDup = Seq(
+      (1L, "p q r s t u v w p q r s t u v w"),  // 8-window repeats itself
+      (2L, "a b c d e f g h i j k l m n o p")   // unique
+    ).toDF("doc_id", "text")
+    val got = SubstringDedup.incrementalSpanStats(emptyIdx, selfDup)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) === 16L, "within-batch repeat must be fully covered")
+    assert(got(2L) === 0L)
+  }
+
   test("topDuplicatedSpans: (n_occ desc, span asc) total order, text intact") {
     val top = SubstringDedup.topDuplicatedSpans(docs, K, topN = 3)
       .as[(String, Long, Long)].collect()
