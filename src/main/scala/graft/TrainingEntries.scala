@@ -400,6 +400,11 @@ object TrainingEntries {
     // Incremental span dedup (q92's span-level sibling): even docs =
     // the accumulated window index, odd docs = the new delivery; a
     // batch window is duplicated when index+batch occurrences >= 2
+    // Coarse-probe design curve: two-level vs flat agreement per
+    // probe count — the knob evidence behind the family's probe=2
+    // default (q99's banding-curve idea for the ANN approximation)
+    "q155_probe_curve" -> q(t =>
+      Similarity.coarseProbeCurve(t.embeddings)),
     "q154_incremental_spans" -> q(t => {
       val idx = SubstringDedup.windowIndex(
         t.documents.filter(col("doc_id") % 2 === 0))
@@ -841,8 +846,8 @@ object TrainingEntries {
     * with `assign2` = each vector's two-level cell — the assignment
     * the within-cell family (q49/q141/q146) and q148 gate on.
     */
-  private def twoLevelCte(nCentroids: Int, lloydIters: Int,
-      coarse: Int, coarseProbe: Int): String = {
+  private def twoLevelPrefixCte(nCentroids: Int, lloydIters: Int,
+      coarse: Int): String = {
     val last = s"c$lloydIters"
     s"""${ivfCte(nCentroids, lloydIters, nprobe = 1)},
        |gsel AS (SELECT DISTINCT c_id FROM $last ORDER BY c_id LIMIT $coarse),
@@ -860,25 +865,37 @@ object TrainingEntries {
        |          FROM fgd JOIN cnf cn ON cn.c_id = fgd.c_id
        |               JOIN gn ON gn.g_id = fgd.g_id) WHERE grn = 1),
        |vgd AS (SELECT f.vec_id, g.g_id, SUM(f.v * g.cv) AS dot
-       |        FROM flat f JOIN gc g ON g.i = f.i GROUP BY f.vec_id, g.g_id),
-       |vg AS (SELECT vec_id, g_id FROM (
+       |        FROM flat f JOIN gc g ON g.i = f.i GROUP BY f.vec_id, g.g_id)""".stripMargin
+  }
+
+  /** The probe-dependent tail of [[twoLevelPrefixCte]]: `vg$suffix` =
+    * each vector's top-`coarseProbe` groups, `assign2$suffix` = its
+    * within-probed-groups argmax cell. Suffixed so q155 can replay
+    * several probe counts over ONE shared prefix.
+    */
+  private def probeAssignCte(coarseProbe: Int, suffix: String = ""): String =
+    s"""vg$suffix AS (SELECT vec_id, g_id FROM (
        |         SELECT vgd.vec_id, vgd.g_id,
        |           row_number() OVER (PARTITION BY vgd.vec_id
        |             ORDER BY CAST(dot AS DOUBLE)/(n.nrm * gn.gnrm) DESC,
        |                      vgd.g_id) AS grn
        |         FROM vgd JOIN norms n ON n.vec_id = vgd.vec_id
        |              JOIN gn ON gn.g_id = vgd.g_id) WHERE grn <= $coarseProbe),
-       |assign2 AS (SELECT vec_id, cell FROM (
+       |assign2$suffix AS (SELECT vec_id, cell FROM (
        |  SELECT fd.vec_id, fd.c_id AS cell,
        |    row_number() OVER (PARTITION BY fd.vec_id
        |      ORDER BY CAST(fd.dot AS DOUBLE)/(n.nrm * cn.cnrm) DESC,
        |               fd.c_id) AS crn
        |  FROM fd
-       |  JOIN vg ON vg.vec_id = fd.vec_id
+       |  JOIN vg$suffix vg ON vg.vec_id = fd.vec_id
        |  JOIN f2g ON f2g.c_id = fd.c_id AND f2g.g_id = vg.g_id
        |  JOIN norms n ON n.vec_id = fd.vec_id
        |  JOIN cnf cn ON cn.c_id = fd.c_id) WHERE crn = 1)""".stripMargin
-  }
+
+  private def twoLevelCte(nCentroids: Int, lloydIters: Int,
+      coarse: Int, coarseProbe: Int): String =
+    s"""${twoLevelPrefixCte(nCentroids, lloydIters, coarse)},
+       |${probeAssignCte(coarseProbe)}""".stripMargin
 
   /** BPE training CTEs — mirrors Bpe.bpeTrain: word-frequency table,
     * per-character symbolization, then `iters` unrolled merge
@@ -2584,6 +2601,28 @@ object TrainingEntries {
         |FROM days d JOIN ud u
         |  ON u.uday >= d.day - 6 AND u.uday <= d.day
         |GROUP BY d.day ORDER BY d.day""".stripMargin,
+
+    // Mirrors Similarity.coarseProbeCurve: one shared two-level
+    // prefix, four probe replays, agreement vs ivfCte's flat `assign`
+    "q155_probe_curve" -> {
+      val legs = (1 to 4).map(p =>
+        s"""SELECT CAST($p AS BIGINT) AS probe,
+           |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           |  CAST(SUM(CASE WHEN a.cell = f.cell THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_agree
+           |FROM assign2_p$p a JOIN assign f ON f.vec_id = a.vec_id"""
+          .stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH $flatCte,
+         |${twoLevelPrefixCte(16, 2, 4)},
+         |${probeAssignCte(1, "_p1")},
+         |${probeAssignCte(2, "_p2")},
+         |${probeAssignCte(3, "_p3")},
+         |${probeAssignCte(4, "_p4")}
+         |SELECT probe, n_vectors, n_agree,
+         |  (n_agree * 1000000) // n_vectors AS agree_micro
+         |FROM ($legs)
+         |ORDER BY probe""".stripMargin
+    },
 
     // Mirrors the q154 entry: index = even docs' window counts, batch
     // = odd docs; hit when index+batch count >= 2; same island

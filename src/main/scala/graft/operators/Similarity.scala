@@ -441,6 +441,33 @@ object Similarity {
     assignCells(quant, cents, 1).select($("vec_id"), $("cell"))
   }
 
+  /** Coarse-probe design curve for the two-level default: per probe
+    * count 1..maxProbe, how many vectors the approximate assignment
+    * agrees with the exact flat baseline on — the knob evidence for
+    * choosing `coarseProbe` (the q99 banding-curve idea applied to
+    * the ANN family's own approximation). Returns (probe, n_vectors,
+    * n_agree, agree_micro), exact integers.
+    *
+    * Scale: each leg costs one two-level assignment; the flat
+    * baseline is the N·C exact pass — this is a DESIGN diagnostic to
+    * run on a sample, not a per-corpus production job.
+    */
+  def coarseProbeCurve(embeddings: DataFrame, nCentroids: Int = 16,
+      lloydIters: Int = 2, coarse: Int = 4, maxProbe: Int = 4): DataFrame = {
+    val flat = flatAssign(embeddings, nCentroids, lloydIters)
+      .select($("vec_id"), $("cell").as("flat_cell"))
+    (1 to maxProbe).map { p =>
+      twoLevelAssign(embeddings, nCentroids, lloydIters, coarse, p)
+        .join(flat, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when($("cell") === $("flat_cell"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .select(lit(p.toLong).as("probe"), $("n_vectors"), $("n_agree"),
+          expr("n_agree * 1000000 div n_vectors").cast("long")
+            .as("agree_micro"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Two-level (coarse-quantizer) cell assignment — the answer to the
     * rehearsal-measured N·cells assignment bottleneck (BASELINE.md:
     * with cells sized ≈ N/maxCell, FLAT assignment is N²/cap): probe

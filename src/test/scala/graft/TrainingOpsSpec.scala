@@ -417,6 +417,20 @@ class TrainingOpsSpec extends SparkSpec {
     assert(cosOk.forall(_ >= 0.2))
   }
 
+  test("coarseProbeCurve: monotone in probe, exact at probe == coarse") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val curve = Similarity.coarseProbeCurve(emb)
+      .orderBy("probe").as[(Long, Long, Long, Long)].collect()
+    assert(curve.map(_._1).sameElements(1L to 4L))
+    assert(curve.forall(_._2 === emb.count()), "every leg covers every vector")
+    // more probed groups can only recover agreement, never lose it
+    assert(curve.map(_._4).sliding(2).forall(w => w(0) <= w(1)),
+      s"agreement must be monotone in probe: ${curve.toSeq}")
+    // probing every group IS the flat assignment — agreement is total
+    assert(curve.last._4 === 1000000L,
+      "probe == coarse must degenerate to the exact flat baseline")
+  }
+
   test("twoLevelAssign: complete, deterministic, high agreement with flat") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val two = Similarity.twoLevelAssign(emb)
