@@ -119,6 +119,18 @@ object Serving {
     }
   }
 
+  /** The audit evidence a [[deleteKeyed]] call returns: row counts
+    * before/after over the affected partitions and the partition-
+    * directory fates — what a takedown pipeline logs as its receipt
+    * (a governance delete that cannot say what it deleted is not
+    * auditable).
+    */
+  final case class DeleteReceipt(
+      rowsBefore: Long, rowsAfter: Long,
+      partitionsRewritten: Int, partitionsRemoved: Int) {
+    def rowsDeleted: Long = rowsBefore - rowsAfter
+  }
+
   /** Hard delete of specific rows from a keyed warehouse table — the
     * right-to-be-forgotten / takedown primitive ([[upsertKeyed]]'s
     * destructive sibling; a 100 TB corpus under data-governance rules
@@ -128,11 +140,14 @@ object Serving {
     * row identity to delete). Untouched partitions keep their very
     * files (dynamic partition overwrite); affected partitions are
     * rewritten minus the anti-joined ids. Idempotent: deleting already-
-    * absent ids rewrites the partitions to identical content.
+    * absent ids rewrites the partitions to identical content. Returns
+    * the [[DeleteReceipt]] audit evidence; the counts come off the
+    * already-materialized scan and survivor frames (no extra I/O
+    * beyond two counts over the checkpointed rows).
     */
   def deleteKeyed(spark: SparkSession, path: String, tombstones: DataFrame,
       keyCols: Seq[String], idCols: Seq[String],
-      format: String = "parquet"): Unit = {
+      format: String = "parquet"): DeleteReceipt = {
     require(idCols.nonEmpty, "idCols must identify rows")
     val affected =
       boundedDistinct(tombstones.select(keyCols.map(col): _*), "tombstones")
@@ -169,6 +184,9 @@ object Serving {
         new org.apache.hadoop.fs.Path(new java.net.URI(f)).getParent
       }.toSet
     val affectedDirs = fileDirs(existing)
+    // receipt numerator: counted BEFORE the overwrite below mutates
+    // the very partitions this frame scans
+    val rowsBefore = existing.count()
     val survivors = existing
       .join(tombstones.select(idCols.map(col): _*).distinct(), idCols,
         "left_anti")
@@ -198,6 +216,11 @@ object Serving {
         require(fs.delete(dir, true),
           s"failed to hard-delete emptied partition dir $dir"))
     }
+    DeleteReceipt(
+      rowsBefore = rowsBefore,
+      rowsAfter = survivors.count(),
+      partitionsRewritten = survivedDirs.size,
+      partitionsRemoved = emptied.size)
   }
 
   /** S10 (R:626-631) — the typed HDFS→Cassandra loader

@@ -308,6 +308,12 @@ object SubstringDedup {
     * span-level sibling. Rolling fingerprints by default (8-byte
     * index keys at corpus scale); both sides of the incremental pair
     * must use the SAME hash family.
+    *
+    * Scale: the index is corpus-window-sized, so persist it BUCKETED
+    * by `fp` ([[graft.engine.Bucketing]]) — the per-delivery probe
+    * then shuffles only the batch's windows into the index's buckets
+    * instead of re-exchanging the whole index per delivery, and
+    * [[updatedWindowIndex]]'s fold aggregates bucket-local.
     */
   def windowIndex(documents: DataFrame, k: Int = 8,
       rolling: Boolean = true): DataFrame =

@@ -221,7 +221,11 @@ class ServingSpec extends SparkSpec {
 
     // delete one CMI row and the whole BWI partition's only row
     val tombs = Seq(("CMI", 2L), ("BWI", 3L)).toDF("airport", "id")
-    Serving.deleteKeyed(spark, dir, tombs, Seq("airport"), Seq("id"))
+    val receipt = Serving.deleteKeyed(spark, dir, tombs, Seq("airport"), Seq("id"))
+    // the audit receipt: 3 rows scanned in CMI+BWI, 2 deleted, CMI
+    // rewritten, BWI's directory removed outright
+    assert(receipt === Serving.DeleteReceipt(3L, 1L, 1, 1))
+    assert(receipt.rowsDeleted === 2L)
 
     val got = spark.read.parquet(dir)
       .select("airport", "id", "avg_dep_delay")
@@ -232,8 +236,10 @@ class ServingSpec extends SparkSpec {
     // the fully-emptied partition's directory is gone (dynamic
     // overwrite alone would have silently kept its files)
     assert(filesOf("BWI").isEmpty, "emptied BWI partition dir must be removed")
-    // idempotent: replaying the tombstones changes nothing
-    Serving.deleteKeyed(spark, dir, tombs, Seq("airport"), Seq("id"))
+    // idempotent: replaying the tombstones changes nothing — and the
+    // replay's receipt says so (0 deleted)
+    val replay = Serving.deleteKeyed(spark, dir, tombs, Seq("airport"), Seq("id"))
+    assert(replay.rowsDeleted === 0L)
     assert(spark.read.parquet(dir).count() === 2)
   }
 
@@ -248,7 +254,8 @@ class ServingSpec extends SparkSpec {
     ).toDF("airport", "id", "avg_dep_delay")
     Serving.writeKeyed(base, dir, Seq("airport"))
     val tombs = Seq(("A:B C", 1L)).toDF("airport", "id")
-    Serving.deleteKeyed(spark, dir, tombs, Seq("airport"), Seq("id"))
+    val receipt = Serving.deleteKeyed(spark, dir, tombs, Seq("airport"), Seq("id"))
+    assert(receipt === Serving.DeleteReceipt(1L, 0L, 0, 1))
     val got = spark.read.parquet(dir)
       .select("airport", "id").as[(String, Long)].collect().toSet
     assert(got === Set(("plain", 2L)))
