@@ -104,6 +104,13 @@ object ScaleRehearsal {
       val emb = inflateEmbeddings(t.embeddings, f)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nd = docs.count(); val ne = emb.count()
+      // the incremental span index (90% of the corpus) is built ONCE
+      // outside the timed legs — the ingest claim under test is the
+      // marginal delivery cost (10% batch probed against the index)
+      // vs re-running the full-corpus rule
+      val spanIdx = SubstringDedup
+        .windowIndex(docs.filter(col("doc_id") % 10 =!= 0))
+        .localCheckpoint(true)
       val family: Seq[(String, () => DataFrame)] = Seq(
         "q26_minhash_dups" -> (() => Dedup.minhashDupPairs(docs, threshold = 0.7)),
         "q27_ngram_jaccard" -> (() => Dedup.ngramJaccardPairs(docs, n = 5, threshold = 0.5)),
@@ -136,6 +143,19 @@ object ScaleRehearsal {
         "q132_span_rewrite_md5" -> (() =>
           SubstringDedup.removeSpans(docs, rolling = false)
             .filter(col("removed_tokens") > 0)),
+        // incremental ingest vs full re-run: the 10% delivery probed
+        // against the prebuilt index vs the whole-corpus >= 2 rule —
+        // the marginal-vs-total cost gap is the q154 scale claim
+        // the dup_tokens > 0 filter makes the coverage join
+        // elimination-proof under count() (same trap as q111's note
+        // above: both stats outputs are row-equal to their left side)
+        "q154_incremental_batch" -> (() =>
+          SubstringDedup.incrementalSpanStats(spanIdx,
+            docs.filter(col("doc_id") % 10 === 0))
+            .filter(col("dup_tokens") > 0)),
+        "q154_full_rerun" -> (() =>
+          SubstringDedup.dupSpanStats(docs)
+            .filter(col("doc_id") % 10 === 0 && col("dup_tokens") > 0)),
         "q128_pagerank" -> (() =>
           Dedup.pairPageRank(Dedup.minhashDupPairs(docs, threshold = 0.7))),
         // the within-cell ANN family (q141/q146 share this join
@@ -168,6 +188,7 @@ object ScaleRehearsal {
           f""""shuffle_read_mb":${ctr(shRd, g) / 1e6}%.1f}""")
       }
       docs.unpersist(false); emb.unpersist(false)
+      spanIdx.unpersist(false)
     }
     spark.stop()
   }

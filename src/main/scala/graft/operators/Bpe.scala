@@ -24,11 +24,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale: the symbol table is Σ|word| rows over word TYPES (heavy-
   * tailed-small vs the corpus); pair counting map-side-combines to
-  * (pairs) rows; each iteration's argmax is a 1-row driver collect
-  * (the zipf.py pattern — inherently scalar); the rewrite windows
-  * partition BY WORD, so the largest partition is one word's symbols.
-  * Each iteration localCheckpoints the new symbol table: k bounded
-  * materializations, no lineage tower.
+  * (pairs) rows; merge selection is BATCHED (one ranked collect per
+  * round accepts up to `batchM` provably-sequential-equal merges —
+  * see [[bpeTrain]]), so driver rounds are O(merges / batch); the
+  * rewrite windows partition BY WORD, so the largest partition is one
+  * word's symbols. Each round [[cut]]s the new symbol table
+  * (localCheckpoint + stats reset): bounded materializations, no
+  * lineage tower, no compounding size estimates.
   */
 object Bpe {
 
