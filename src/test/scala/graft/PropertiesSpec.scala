@@ -164,6 +164,31 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("batched BPE == sequential greedy on random corpora") {
+    // the batch-acceptance proof (disjoint prefix + new-pair bound +
+    // product-alias close) is subtle; this drives it over seeded
+    // random corpora engineered to stress the conditions — tiny
+    // alphabets force shared symbols, repeats force self-pairs and
+    // product aliases (merging (a,b) after "ab"-producing histories)
+    import graft.operators.Bpe
+    val word = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val doc = Gen.choose(3, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    for (i <- 1 to 6) {
+      val texts = Gen.listOfN(8, doc)
+        .apply(Gen.Parameters.default, Seed(1000L + i)).get
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      val seqn = Bpe.bpeTrain(docs, merges = 10, batchM = 1)
+        .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+      val bat = Bpe.bpeTrain(docs, merges = 10, batchM = 8)
+        .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+      assert(bat === seqn,
+        s"case $i diverged on corpus ${texts.take(3)}...: seq=$seqn bat=$bat")
+    }
+  }
+
   test("componentsOf == union-find on random edge lists") {
     val edgeGen = for {
       a <- Gen.choose(0L, 30L); b <- Gen.choose(0L, 30L) if a != b
