@@ -222,6 +222,21 @@ object Bench {
           timedAt("q146_from_cells") {
             noop(graft.operators.Similarity.labelNoiseFromCells(
               rd(s"$tmp/cells"), tables.embeddings)) },
+          // IVF serve-time index: centroids + flat cells persisted
+          // once, queries pay probe + cell-pruned join only (q34's
+          // standalone retrains per call)
+          timedAt("ivf_index_build") {
+            import graft.operators.Similarity
+            Similarity.ivfCentroidsDf(tables.embeddings)
+              .write.mode("overwrite").parquet(s"$tmp/ivf_centroids")
+            Similarity.cellsFromCentroids(
+              rd(s"$tmp/ivf_centroids"), tables.embeddings)
+              .write.mode("overwrite").parquet(s"$tmp/ivf_cells")
+          },
+          timedAt("q34_from_index") {
+            noop(graft.operators.Similarity.ivfTopKFrom(
+              rd(s"$tmp/ivf_centroids"), rd(s"$tmp/ivf_cells"),
+              tables.embeddings)) },
           // PQ family "train once, serve many": q117/q118/q119/q122
           // each retrain the same codebook standalone; a pipeline
           // persists codebook + codes once per corpus version and

@@ -80,6 +80,13 @@ object PipelineDemo {
       Similarity.cellAssignments(t.embeddings)
         .write.mode("overwrite").parquet(s"$work/cells")
     }
+    timed("artifacts: ivf index (centroids+cells)") {
+      Similarity.ivfCentroidsDf(t.embeddings)
+        .write.mode("overwrite").parquet(s"$work/ivf_centroids")
+      Similarity.cellsFromCentroids(
+        rd(s"$work/ivf_centroids"), t.embeddings)
+        .write.mode("overwrite").parquet(s"$work/ivf_cells")
+    }
     timed("artifacts: pq codebook+codes") {
       val emb = t.embeddings
       Similarity.pqCodebookDf(emb).write.mode("overwrite")
@@ -120,7 +127,10 @@ object PipelineDemo {
         () => Similarity.hardNegatives(t.embeddings)),
       ("q146 label noise", () => Similarity.labelNoiseFromCells(
           rd(s"$work/cells"), t.embeddings),
-        () => Similarity.labelNoise(t.embeddings)))
+        () => Similarity.labelNoise(t.embeddings)),
+      ("q34  ivf topk", () => Similarity.ivfTopKFrom(
+          rd(s"$work/ivf_centroids"), rd(s"$work/ivf_cells"), t.embeddings),
+        () => Similarity.ivfTopK(t.embeddings)))
     var composedTotal = 0.0
     for ((label, composedFn, standaloneFn) <- consumers) {
       val t0 = System.nanoTime()

@@ -429,6 +429,57 @@ object Similarity {
       .filter($("rn") <= k)
   }
 
+  /** The trained IVF centroid table as a PERSISTABLE artifact —
+    * (c_id, cv, cnrm), config-sized (nCentroids rows). With
+    * [[cellsFromCentroids]] this is the serve-time IVF index: train
+    * once per corpus version (optionally on a `trainFraction`
+    * sample), persist both, and every query batch runs
+    * [[ivfTopKFrom]] with zero training — the FAISS
+    * write-index/read-index shape, relationally.
+    */
+  def ivfCentroidsDf(embeddings: DataFrame, nCentroids: Int = 16,
+      lloydIters: Int = 2, trainFraction: Double = 1.0): DataFrame =
+    trainCentroids(quantized(embeddings), nCentroids, lloydIters,
+      trainFraction)
+
+  /** Flat (exact) corpus assignment against a persisted centroid
+    * table — the corpus-side artifact of the serve-time IVF index
+    * (one broadcast-centroid scan, no shuffle).
+    */
+  def cellsFromCentroids(centroids: DataFrame,
+      embeddings: DataFrame): DataFrame =
+    assignCells(quantized(embeddings), centroids, 1)
+      .select($("vec_id"), $("cell"))
+
+  /** Serve-time IVF top-k off PERSISTED artifacts: `centroids` shaped
+    * like [[ivfCentroidsDf]], `cells` like [[cellsFromCentroids]] —
+    * no training and no corpus re-assignment; queries probe their
+    * `nprobe` cells against the broadcast centroid table and join the
+    * cell-pruned corpus. Same output contract as [[ivfTopK]]
+    * (spec-pinned equal); Bench composed mode measures the collapse.
+    */
+  def ivfTopKFrom(centroids: DataFrame, cells: DataFrame,
+      embeddings: DataFrame, maxQueryId: Long = 10, k: Int = 5,
+      nprobe: Int = 2): DataFrame = {
+    val quant = quantized(embeddings)
+    val corpus = cells.select($("vec_id"), $("cell"))
+      .join(quant, Seq("vec_id"))
+      .select($("cell"), $("vec_id").as("cid"), $("qv").as("ce"),
+        $("nrm").as("cn"))
+    val queries = broadcast(
+      assignCells(quant.filter($("vec_id") < maxQueryId), centroids, nprobe)
+        .join(quant, Seq("vec_id"))
+        .select($("cell"), $("vec_id").as("qid"), $("qv").as("qe"),
+          $("nrm").as("qn")))
+    val w = Window.partitionBy($("qid")).orderBy($("cos").desc, $("cid").asc)
+    corpus.join(queries, Seq("cell"))
+      .filter($("qid") =!= $("cid"))
+      .select($("qid"), $("cid"),
+        (qdot($("qe"), $("ce")).cast("double") / ($("qn") * $("cn"))).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($("rn") <= k)
+  }
+
   /** Flat (exhaustive) cell assignment — (vec_id, cell) via argmax
     * cosine over ALL centroids, the exact baseline
     * [[twoLevelAssign]] approximates (and the assignment the IVF

@@ -797,6 +797,22 @@ class TrainingOpsSpec extends SparkSpec {
         Similarity.labelNoise(emb).collect().toSet)
   }
 
+  test("ivfTopKFrom == ivfTopK off persisted centroid+cell artifacts") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-art").toString
+    Similarity.ivfCentroidsDf(emb).write.parquet(s"$dir/centroids")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    Similarity.cellsFromCentroids(cents, emb).write.parquet(s"$dir/cells")
+    val served = Similarity.ivfTopKFrom(
+      cents, spark.read.parquet(s"$dir/cells"), emb)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val direct = Similarity.ivfTopK(emb)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(served === direct,
+      "serve-time IVF must equal the retraining form exactly")
+    assert(served.nonEmpty)
+  }
+
   test("labelCentroidSim: orthogonal labels at 0, aligned labels at 1") {
     // label 0 centroid = [1, 0] (two copies), label 1 = [0, 1],
     // label 2 = [1, 0] again
