@@ -175,7 +175,10 @@ object AirlineEntries {
         graft.engine.Serving.dropDatabase(s, "airline_ontime_a10")
         // best-effort temp cleanup (read-back is checkpointed above)
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
+          // listFiles() is null on I/O errors — never NPE inside a
+          // finally (it would mask the try body's real exception)
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
           f.delete()
         }
         rm(tmp.toFile)

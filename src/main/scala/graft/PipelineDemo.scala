@@ -57,8 +57,10 @@ object PipelineDemo {
       println(f"[demo] $label%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       out
     }
-    def rows(df: DataFrame): Set[String] =
-      df.collect().map(_.toString).toSet
+    // sorted multiset, not a Set: a fan-out duplicating one row while
+    // losing another of equal string form must NOT pass the assert
+    def rows(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
 
     // ---- artifact build (once per corpus version) ----
     timed("artifacts: sigs+shingles+scored") {
@@ -142,7 +144,7 @@ object PipelineDemo {
       val standaloneSec = (System.nanoTime() - t1) / 1e9
       require(got == want,
         s"$label: composed result diverged from standalone " +
-          s"(${got.size} vs ${want.size} rows)")
+          s"(${got.length} vs ${want.length} rows)")
       println(f"[demo] $label%-34s ${sec}%7.2f s composed  " +
         f"${standaloneSec}%7.2f s standalone  (${standaloneSec / sec}%4.1fx)")
       spark.sharedState.cacheManager.clearCache()

@@ -397,14 +397,14 @@ object TrainingEntries {
     // ranks (never a global sort)
     "q153_epoch_shuffle" -> q(t =>
       Curation.epochShuffle(t.documents, epoch = 3)),
-    // Incremental span dedup (q92's span-level sibling): even docs =
-    // the accumulated window index, odd docs = the new delivery; a
-    // batch window is duplicated when index+batch occurrences >= 2
     // Coarse-probe design curve: two-level vs flat agreement per
     // probe count — the knob evidence behind the family's probe=2
     // default (q99's banding-curve idea for the ANN approximation)
     "q155_probe_curve" -> q(t =>
       Similarity.coarseProbeCurve(t.embeddings)),
+    // Incremental span dedup (q92's span-level sibling): even docs =
+    // the accumulated window index, odd docs = the new delivery; a
+    // batch window is duplicated when index+batch occurrences >= 2
     "q154_incremental_spans" -> q(t => {
       val idx = SubstringDedup.windowIndex(
         t.documents.filter(col("doc_id") % 2 === 0))

@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, count, length, lit}
 
 /** The reference's `RequestLeg` DTO (R:584-588; Cassandra DDL
   * R:596-611): one best-leg row of the trip planner's output, keyed
@@ -73,9 +73,14 @@ object Serving {
     * [[writeKeyed]] constraint), so a real batch touches thousands of
     * partitions at most; a tombstone/update set spanning millions of
     * partitions is a misrouted full-table rewrite — fail it loudly
-    * (use [[writeKeyed]]) instead of OOMing the driver.
+    * (use [[writeKeyed]]) instead of OOMing the driver. The ceiling is
+    * also sized for the OR-of-ANDs pruning predicate the footprint
+    * becomes: a few thousand EqualTo nodes analyze fine, a 100k-node
+    * boolean tree stalls Catalyst before any scan starts — above this
+    * cap the right shape is a broadcast semi-join on the keys, i.e. a
+    * different primitive.
     */
-  val MaxAffectedPartitions: Int = 100000
+  val MaxAffectedPartitions: Int = 10000
 
   private def boundedDistinct(df: DataFrame, what: String): Array[org.apache.spark.sql.Row] = {
     val rows = df.distinct().limit(MaxAffectedPartitions + 1).collect()
@@ -141,9 +146,9 @@ object Serving {
     * files (dynamic partition overwrite); affected partitions are
     * rewritten minus the anti-joined ids. Idempotent: deleting already-
     * absent ids rewrites the partitions to identical content. Returns
-    * the [[DeleteReceipt]] audit evidence; the counts come off the
-    * already-materialized scan and survivor frames (no extra I/O
-    * beyond two counts over the checkpointed rows).
+    * the [[DeleteReceipt]] audit evidence: rowsBefore rides the same
+    * pre-overwrite pass that derives the affected directories,
+    * rowsAfter is one count over the checkpointed survivors.
     */
   def deleteKeyed(spark: SparkSession, path: String, tombstones: DataFrame,
       keyCols: Seq[String], idCols: Seq[String],
@@ -175,18 +180,21 @@ object Serving {
     val existing = spark.read.format(format).load(path).filter(pred)
       .withColumn(srcFile,
         org.apache.spark.sql.functions.input_file_name())
+    def dirOf(f: String): org.apache.hadoop.fs.Path = {
+      require(f.nonEmpty, "input_file_name lineage lost — file-path " +
+        "column must be projected inside the scan stage")
+      new org.apache.hadoop.fs.Path(new java.net.URI(f)).getParent
+    }
     def fileDirs(df: DataFrame): Set[org.apache.hadoop.fs.Path] = df
       .select(col(srcFile)).distinct().collect()
-      .map { r =>
-        val f = r.getString(0)
-        require(f.nonEmpty, "input_file_name lineage lost — file-path " +
-          "column must be projected inside the scan stage")
-        new org.apache.hadoop.fs.Path(new java.net.URI(f)).getParent
-      }.toSet
-    val affectedDirs = fileDirs(existing)
-    // receipt numerator: counted BEFORE the overwrite below mutates
-    // the very partitions this frame scans
-    val rowsBefore = existing.count()
+      .map(r => dirOf(r.getString(0))).toSet
+    // ONE pass over the scan yields both the affected dirs and the
+    // receipt numerator (counted BEFORE the overwrite below mutates
+    // the very partitions this frame reads)
+    val perFile = existing.groupBy(col(srcFile))
+      .agg(count(lit(1)).as("n")).collect()
+    val affectedDirs = perFile.map(r => dirOf(r.getString(0))).toSet
+    val rowsBefore = perFile.map(_.getLong(1)).sum
     val survivors = existing
       .join(tombstones.select(idCols.map(col): _*).distinct(), idCols,
         "left_anti")
@@ -259,10 +267,12 @@ object Serving {
         r.getItem(1).as("request_stop"),
         r.getItem(2).as("request_dest"),
         to_date(r.getItem(3), "yyyy-MM-dd").as("request_date"),
-        // unbounded strip of the "leg" prefix (the DuckDB twin's
-        // substr(r[5], 4) has no length cap — a capped substring would
-        // silently truncate pathological leg numbers and diverge)
-        regexp_replace(r.getItem(4), "^leg", "").cast("int").as("leg_num"),
+        // unconditional strip of the first 3 chars, exactly the DuckDB
+        // twin's substr(r[5], 4): no length cap (the old 9-char cap
+        // truncated) and no prefix match (a literal-"leg" regexp would
+        // diverge from the twin on any malformed prefix)
+        r.getItem(4).substr(lit(4), length(r.getItem(4)))
+          .cast("int").as("leg_num"),
         l.getItem(0).as("leg_origin"),
         l.getItem(1).as("leg_dest"),
         l.getItem(2).as("leg_unique_carrier"),

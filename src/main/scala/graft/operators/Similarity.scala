@@ -505,10 +505,15 @@ object Similarity {
     */
   def coarseProbeCurve(embeddings: DataFrame, nCentroids: Int = 16,
       lloydIters: Int = 2, coarse: Int = 4, maxProbe: Int = 4): DataFrame = {
-    val flat = flatAssign(embeddings, nCentroids, lloydIters)
+    // train ONCE and share across the flat baseline and every probe
+    // leg (the SQL twin shares one prefix the same way) — the legs
+    // differ only in their probe argmax
+    val quant = quantized(embeddings)
+    val cents = trainCentroids(quant, nCentroids, lloydIters)
+    val flat = assignCells(quant, cents, 1)
       .select($("vec_id"), $("cell").as("flat_cell"))
     (1 to maxProbe).map { p =>
-      twoLevelAssign(embeddings, nCentroids, lloydIters, coarse, p)
+      twoLevelFromCentroids(quant, cents, coarse, p)
         .join(flat, Seq("vec_id"))
         .agg(count(lit(1)).as("n_vectors"),
           sum(when($("cell") === $("flat_cell"), 1L).otherwise(0L))
