@@ -90,6 +90,21 @@ object Serving {
     rows
   }
 
+  /** Static pruning predicate for an affected-partition footprint:
+    * single partition column → `isin` (Catalyst folds it to one InSet
+    * — no boolean tree, still partition-prunable, comfortable at the
+    * full 10k cap); composite keys → OR-of-ANDs (fine at the
+    * footprint sizes composite serving keys produce).
+    */
+  private def footprintPredicate(keyCols: Seq[String],
+      affected: Array[org.apache.spark.sql.Row]): Column =
+    if (keyCols.size == 1)
+      col(keyCols.head).isin(affected.map(_.get(0)).toIndexedSeq: _*)
+    else affected.map { r =>
+      keyCols.zipWithIndex.map { case (k, i) => col(k) === lit(r.get(i)) }
+        .reduce((a: Column, b: Column) => a && b)
+    }.reduce((a: Column, b: Column) => a || b)
+
   def upsertKeyed(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], idCols: Seq[String],
       format: String = "parquet"): Unit = {
@@ -103,11 +118,8 @@ object Serving {
     // dynamic partition pruning firing
     val affected = boundedDistinct(updates.select(keyCols.map(col): _*), "updates")
     require(affected.nonEmpty, "updates are empty")
-    val pred = affected.map { r =>
-      keyCols.zipWithIndex.map { case (k, i) => col(k) === lit(r.get(i)) }
-        .reduce((a: Column, b: Column) => a && b)
-    }.reduce((a: Column, b: Column) => a || b)
-    val existing = spark.read.format(format).load(path).filter(pred)
+    val existing = spark.read.format(format).load(path)
+      .filter(footprintPredicate(keyCols, affected))
     val survivors = existing
       .join(updates.select(idCols.map(col): _*).distinct(), idCols,
         "left_anti")
@@ -159,10 +171,7 @@ object Serving {
     require(affected.nonEmpty, "tombstones are empty")
     require(affected.forall(r => keyCols.indices.forall(!r.isNullAt(_))),
       "tombstone partition-key values must be non-null")
-    val pred = affected.map { r =>
-      keyCols.zipWithIndex.map { case (k, i) => col(k) === lit(r.get(i)) }
-        .reduce((a: Column, b: Column) => a && b)
-    }.reduce((a: Column, b: Column) => a || b)
+    val pred = footprintPredicate(keyCols, affected)
     // partition directories are resolved from the SCAN's own file
     // paths, never re-rendered from key values — Spark escapes special
     // chars in partition dir names and may re-type values on
