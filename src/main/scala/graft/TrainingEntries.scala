@@ -402,6 +402,20 @@ object TrainingEntries {
     // default (q99's banding-curve idea for the ANN approximation)
     "q155_probe_curve" -> q(t =>
       Similarity.coarseProbeCurve(t.embeddings)),
+    // Source-supervised NB quality classifier: train src0-2 (class 1)
+    // vs src3-5 (class 0), score the WHOLE corpus with integer
+    // micro-nat log-likelihood ratios (the CCNet-style wiki-vs-crawl
+    // filter, relationally)
+    "q156_nb_classifier" -> q(t =>
+      TextAnalysis.nbClassifierScores(t.documents,
+        posSources = Seq("src0", "src1", "src2"),
+        negSources = Seq("src3", "src4", "src5"))),
+    // Held-out confusion matrix for q156's classifier: train on md5
+    // buckets 0-7 of the labeled slice, predict buckets 8-9
+    "q157_nb_eval" -> q(t =>
+      TextAnalysis.nbClassifierEval(t.documents,
+        posSources = Seq("src0", "src1", "src2"),
+        negSources = Seq("src3", "src4", "src5"))),
     // Incremental span dedup (q92's span-level sibling): even docs =
     // the accumulated window index, odd docs = the new delivery; a
     // batch window is duplicated when index+batch occurrences >= 2
@@ -509,6 +523,50 @@ object TrainingEntries {
 
   private def classCount(src: String, cls: String): String =
     s"length($src) - length(regexp_replace($src, '$cls', '', 'g'))"
+
+  /** Shared NB-classifier training CTEs (q156/q157), mirroring
+    * TextAnalysis.nbScored's micro-nat discipline: `lab` = the
+    * source-labeled slice (src0-2 vs src3-5) with its md5 bucket,
+    * `tr` = the training subset per `labFilter`, `vt`/`st`/`ds` =
+    * per-class type counts / totals / doc priors, `ct` = the OOV and
+    * prior constants, `lm` = the per-token micro-nat log-probs.
+    */
+  private def nbCtes(labFilter: String): String =
+    s"""lab AS (SELECT doc_id,
+       |    CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END
+       |      AS cls,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % 10 AS b,
+       |    $norm AS norm
+       |  FROM documents
+       |  WHERE source IN ('src0','src1','src2','src3','src4','src5')),
+       |tr AS (SELECT * FROM lab WHERE $labFilter),
+       |vt AS (SELECT tok AS token,
+       |    CAST(SUM(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+       |    CAST(SUM(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tf0
+       |  FROM (SELECT cls, unnest(string_split(norm, ' ')) AS tok FROM tr)
+       |  WHERE length(tok) > 0 GROUP BY tok),
+       |st AS (SELECT CAST(SUM(tf1) AS BIGINT) AS T1,
+       |    CAST(SUM(tf0) AS BIGINT) AS T0,
+       |    CAST(COUNT(*) AS BIGINT) AS V FROM vt),
+       |ds AS (SELECT CAST(SUM(cls) AS BIGINT) AS n1,
+       |    CAST(SUM(1 - cls) AS BIGINT) AS n0 FROM tr),
+       |ct AS (SELECT
+       |    CAST(floor(1000000.0 * ln(1 / CAST(T1 + V + 1 AS DOUBLE)))
+       |      AS BIGINT) AS oov1,
+       |    CAST(floor(1000000.0 * ln(1 / CAST(T0 + V + 1 AS DOUBLE)))
+       |      AS BIGINT) AS oov0,
+       |    CAST(floor(1000000.0 * ln(CAST(n1 AS DOUBLE) /
+       |        CAST(n1 + n0 AS DOUBLE))) AS BIGINT)
+       |      - CAST(floor(1000000.0 * ln(CAST(n0 AS DOUBLE) /
+       |        CAST(n1 + n0 AS DOUBLE))) AS BIGINT) AS prior_diff
+       |  FROM st CROSS JOIN ds),
+       |lm AS (SELECT token,
+       |    CAST(floor(1000000.0 * ln((tf1 + 1) /
+       |      CAST(T1 + V + 1 AS DOUBLE))) AS BIGINT) AS lnp1,
+       |    CAST(floor(1000000.0 * ln((tf0 + 1) /
+       |      CAST(T0 + V + 1 AS DOUBLE))) AS BIGINT) AS lnp0
+       |  FROM vt CROSS JOIN st)""".stripMargin
 
   private val stopwords = Map(
     "en" -> Seq("the", "and", "of", "to", "in"),
@@ -3039,6 +3097,50 @@ object TrainingEntries {
          |      ORDER BY aes_key DESC, doc_id ASC) AS BIGINT) AS rn
          |    FROM keyed)
          |WHERE rn <= 20 ORDER BY source, rn""".stripMargin,
+
+    // Mirrors TextAnalysis.nbClassifierScores: NB trained src0-2 vs
+    // src3-5 over the whole labeled slice, every doc scored with the
+    // integer micro-nat LLR (priors folded in, OOV constant dl)
+    "q156_nb_classifier" ->
+      s"""WITH ${nbCtes("TRUE")},
+         |dc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+         |    FROM documents)
+         |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
+         |sc AS (SELECT d.doc_id, d.c,
+         |    COALESCE(lm.lnp1, (SELECT oov1 FROM ct))
+         |      - COALESCE(lm.lnp0, (SELECT oov0 FROM ct)) AS dl
+         |  FROM dc d LEFT JOIN lm ON lm.token = d.tok),
+         |ag AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+         |    CAST(SUM(c * dl) AS BIGINT) AS tok_llr FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_tok,
+         |  CAST(tok_llr + (SELECT prior_diff FROM ct) AS BIGINT) AS llr_micro,
+         |  CAST(CASE WHEN tok_llr + (SELECT prior_diff FROM ct) > 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS pred_pos
+         |FROM ag ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextAnalysis.nbClassifierEval: train on labeled md5
+    // buckets 0-7, predict buckets 8-9, 2x2 confusion matrix
+    "q157_nb_eval" ->
+      s"""WITH ${nbCtes("b <= 7")},
+         |dc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+         |    FROM lab WHERE b >= 8)
+         |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
+         |sc AS (SELECT d.doc_id, d.c,
+         |    COALESCE(lm.lnp1, (SELECT oov1 FROM ct))
+         |      - COALESCE(lm.lnp0, (SELECT oov0 FROM ct)) AS dl
+         |  FROM dc d LEFT JOIN lm ON lm.token = d.tok),
+         |ag AS (SELECT doc_id,
+         |    CAST(SUM(c * dl) AS BIGINT) AS tok_llr FROM sc GROUP BY doc_id),
+         |pr AS (SELECT doc_id,
+         |    CASE WHEN tok_llr + (SELECT prior_diff FROM ct) > 0
+         |      THEN 1 ELSE 0 END AS pred_pos FROM ag)
+         |SELECT CAST(l.cls AS BIGINT) AS cls,
+         |  CAST(p.pred_pos AS BIGINT) AS pred_pos,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM pr p JOIN lab l ON l.doc_id = p.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Mirrors TextAnalysis.crossEntropy: per-TYPE micro-nat ln floors,
     // integer sums, reserved OOV mass 1/(T+V+1)

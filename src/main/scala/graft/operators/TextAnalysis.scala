@@ -911,6 +911,118 @@ object TextAnalysis {
         expr("n_oov * 1000000 div n_tok").cast("long").as("oov_micro"))
   }
 
+  /** Shared trainer+scorer for the Naive Bayes classifier family:
+    * `labeled` carries (`cls` 1L/0L, `text`); every doc in `toScore`
+    * with at least one normalized token gets (doc_id, n_tok,
+    * llr_micro, pred_pos). Add-1 smoothing over ONE shared vocabulary
+    * V (all token types in labeled text), so a token unseen in one
+    * class gets that class's reserved 1/(T_c+V+1) mass and a
+    * score-time OOV token contributes the constant oov1-oov0.
+    *
+    * Determinism: the [[crossEntropy]] discipline — ln floored to
+    * micro-nats once per (token TYPE, class), priors floored once,
+    * then integer multiply/sum only. Ties (llr == 0) predict 0.
+    */
+  private def nbScored(labeled: DataFrame, toScore: DataFrame): DataFrame = {
+    def lnpMicro(num: Column, den: Column): Column =
+      floor(lit(1000000.0) * log(num.cast("double") / den.cast("double")))
+        .cast("long")
+    val vt = labeled.spread()
+      .select($("cls"), explode(split(normText($("text")), " ")).as("token"))
+      .filter(length($("token")) > 0)
+      .groupBy($("token"))
+      .agg(sum(when($("cls") === 1L, 1L).otherwise(0L)).as("tf1"),
+        sum(when($("cls") === 0L, 1L).otherwise(0L)).as("tf0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = vt.agg(sum($("tf1")).cast("long").as("T1"),
+      sum($("tf0")).cast("long").as("T0"),
+      count(lit(1)).cast("long").as("V"))
+    val docCounts = labeled.agg(
+      sum(when($("cls") === 1L, 1L).otherwise(0L)).cast("long").as("n1"),
+      sum(when($("cls") === 0L, 1L).otherwise(0L)).cast("long").as("n0"))
+    val consts = stats.crossJoin(docCounts).select(
+      lnpMicro(lit(1), $("T1") + $("V") + 1).as("oov1"),
+      lnpMicro(lit(1), $("T0") + $("V") + 1).as("oov0"),
+      (lnpMicro($("n1"), $("n1") + $("n0")) -
+        lnpMicro($("n0"), $("n1") + $("n0"))).as("prior_diff"))
+    val lm = vt.crossJoin(broadcast(stats)).select($("token"),
+      lnpMicro($("tf1") + 1, $("T1") + $("V") + 1).as("lnp1"),
+      lnpMicro($("tf0") + 1, $("T0") + $("V") + 1).as("lnp0"))
+    val result = tokens(toScore)
+      .groupBy($("doc_id"), $("token")).agg(count(lit(1)).as("c"))
+      .join(lm, Seq("token"), "left")
+      .crossJoin(broadcast(consts))
+      .select($("doc_id"), $("c"),
+        (coalesce($("lnp1"), $("oov1")) -
+          coalesce($("lnp0"), $("oov0"))).as("dl"))
+      .groupBy($("doc_id"))
+      .agg(sum($("c")).cast("long").as("n_tok"),
+        sum($("c") * $("dl")).cast("long").as("tok_llr"))
+      .crossJoin(broadcast(consts))
+      .select($("doc_id"), $("n_tok"),
+        ($("tok_llr") + $("prior_diff")).as("llr_micro"))
+      .select($("doc_id"), $("n_tok"), $("llr_micro"),
+        when($("llr_micro") > 0, 1L).otherwise(0L).as("pred_pos"))
+      .localCheckpoint(true)
+    vt.unpersist(false)
+    result
+  }
+
+  /** Adds the 1L/0L `cls` label from source membership. */
+  private def withSourceClass(documents: DataFrame, posSources: Seq[String],
+      negSources: Seq[String]): DataFrame = {
+    require(posSources.nonEmpty && negSources.nonEmpty,
+      "need at least one source per class")
+    require(posSources.intersect(negSources).isEmpty,
+      s"sources in both classes: ${posSources.intersect(negSources)}")
+    documents
+      .filter($("source").isin((posSources ++ negSources): _*))
+      .withColumn("cls",
+        when($("source").isin(posSources: _*), 1L).otherwise(0L))
+  }
+
+  /** Source-supervised quality classifier: multinomial Naive Bayes
+    * with add-1 smoothing trained on documents whose `source` is in
+    * `posSources` (class 1) vs `negSources` (class 0), then EVERY
+    * document scored with its log-likelihood ratio — the CCNet /
+    * LLaMA-style "reference corpus" filter (train wiki-vs-crawl, keep
+    * what scores wiki-like), relationally. Per scorable doc: token
+    * count, `llr_micro` (class-1 minus class-0 log-posterior in
+    * micro-nats, priors included), and the 1/0 `pred_pos` decision.
+    * Docs with zero tokens after normalization carry no term evidence
+    * and are omitted (the same contract as [[crossEntropy]]).
+    *
+    * Both classes must be non-empty in the corpus (an empty class
+    * would put ln(0) in the prior).
+    *
+    * Scale: training is one type-level aggregate of the labeled slice
+    * (map-side combined, shuffles only (token, partial-count) pairs);
+    * the LM is vocabulary-sized and BROADCAST-joins the (doc, token,
+    * count) stream — corpus text never shuffles. Totals and priors
+    * are one-row broadcasts.
+    */
+  def nbClassifierScores(documents: DataFrame, posSources: Seq[String],
+      negSources: Seq[String]): DataFrame =
+    nbScored(withSourceClass(documents, posSources, negSources), documents)
+
+  /** Held-out evaluation of [[nbClassifierScores]]: train on the
+    * labeled docs in md5 buckets 0-7, predict buckets 8-9, and report
+    * the 2×2 confusion matrix (actual `cls`, `pred_pos`, `n_docs`) —
+    * the accuracy read you take BEFORE trusting the filter on the
+    * unlabeled corpus. Split is [[graft.operators.Curation
+    * .hashSplit]]'s content-stable bucket rule, so membership never
+    * depends on shard order.
+    */
+  def nbClassifierEval(documents: DataFrame, posSources: Seq[String],
+      negSources: Seq[String]): DataFrame = {
+    val bucket = Curation.hashBucket($("doc_id"), 10)
+    val labeled = withSourceClass(documents, posSources, negSources)
+    nbScored(labeled.filter(bucket <= 7), labeled.filter(bucket >= 8))
+      .join(labeled.select($("doc_id"), $("cls")), Seq("doc_id"))
+      .groupBy($("cls"), $("pred_pos"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+  }
+
   /** Conjunctive (AND) boolean retrieval over the inverted index:
     * documents containing EVERY query term — posting-list
     * intersection as a count-matching aggregate (a doc survives iff

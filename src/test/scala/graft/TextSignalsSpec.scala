@@ -238,6 +238,76 @@ class TextSignalsSpec extends SparkSpec {
     assert(got("fish") === ((1L, 1L, fp("2"))))
   }
 
+  test("nbClassifierScores: planted separation + exact integer recompute") {
+    val docs = Seq(
+      (1L, "good nice good", "en", "posA"),
+      (2L, "nice shiny good", "en", "posA"),
+      (3L, "bad awful bad", "en", "negA"),
+      (4L, "awful gross bad", "en", "negA"),
+      (5L, "good nice shiny thing", "en", "other"),
+      (6L, "bad gross stuff", "en", "other"),
+      (7L, "   ", "en", "other") // zero tokens after norm -> omitted
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis
+      .nbClassifierScores(docs, Seq("posA"), Seq("negA"))
+      .select($"doc_id", $"n_tok", $"llr_micro", $"pred_pos")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got(5L)._3 === 1L && got(6L)._3 === 0L) // unlabeled routed
+    // independent integer recompute (same micro-nat floors)
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.replaceAll("\\s+", " ").trim.split(" ").filter(_.nonEmpty).toSeq
+    def lnp(num: Long, den: Long): Long =
+      math.floor(1e6 * math.log(num.toDouble / den.toDouble)).toLong
+    val fixture = Seq(
+      1L -> ("good nice good", Some(1)), 2L -> ("nice shiny good", Some(1)),
+      3L -> ("bad awful bad", Some(0)), 4L -> ("awful gross bad", Some(0)),
+      5L -> ("good nice shiny thing", None), 6L -> ("bad gross stuff", None))
+    val labTok = fixture.collect { case (_, (t, Some(c))) => toks(t).map(_ -> c) }.flatten
+    val vocab = labTok.map(_._1).distinct
+    val tf = vocab.map(w => w -> ((labTok.count(p => p._1 == w && p._2 == 1).toLong,
+      labTok.count(p => p._1 == w && p._2 == 0).toLong))).toMap
+    val t1 = tf.values.map(_._1).sum; val t0 = tf.values.map(_._2).sum
+    val v = vocab.size.toLong
+    val (n1, n0) = (2L, 2L)
+    val priorDiff = lnp(n1, n1 + n0) - lnp(n0, n1 + n0)
+    val (oov1, oov0) = (lnp(1, t1 + v + 1), lnp(1, t0 + v + 1))
+    fixture.foreach { case (id, (text, _)) =>
+      val ts = toks(text)
+      val llr = priorDiff + ts.map { w =>
+        tf.get(w).map { case (a, b) =>
+          lnp(a + 1, t1 + v + 1) - lnp(b + 1, t0 + v + 1)
+        }.getOrElse(oov1 - oov0)
+      }.sum
+      assert(got(id) === ((ts.size.toLong, llr, if (llr > 0) 1L else 0L)),
+        s"doc $id")
+    }
+  }
+
+  test("nbClassifierEval: diagonal confusion matrix on separable held-out") {
+    val docs = (1L to 60L).map { i =>
+      if (i % 2 == 0) (i, "good nice gold", "en", "posA")
+      else (i, "bad awful slime", "en", "negA")
+    }.toDF("doc_id", "text", "lang", "source")
+    val cm = TextAnalysis.nbClassifierEval(docs, Seq("posA"), Seq("negA"))
+      .select($"cls", $"pred_pos", $"n_docs").as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // vocab is perfectly class-separating -> only diagonal cells
+    assert(cm.keySet.subsetOf(Set((1L, 1L), (0L, 0L))), cm.toString)
+    // every held-out labeled doc (md5 bucket 8-9) is accounted for
+    def bucket(i: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    val held = (1L to 60L).filter(bucket(_) >= 8)
+    assert(held.nonEmpty)
+    assert(cm.getOrElse((1L, 1L), 0L) === held.count(_ % 2 == 0).toLong)
+    assert(cm.getOrElse((0L, 0L), 0L) === held.count(_ % 2 == 1).toLong)
+  }
+
   test("searchAnd returns exactly the docs containing every term") {
     val docs = Seq(
       (1L, "data query table extra"),
