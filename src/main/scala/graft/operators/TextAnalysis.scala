@@ -924,16 +924,35 @@ object TextAnalysis {
     * then integer multiply/sum only. Ties (llr == 0) predict 0.
     */
   private def nbScored(labeled: DataFrame, toScore: DataFrame): DataFrame = {
-    def lnpMicro(num: Column, den: Column): Column =
-      floor(lit(1000000.0) * log(num.cast("double") / den.cast("double")))
-        .cast("long")
-    val vt = labeled.spread()
+    val vt = nbTypeCounts(labeled)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (lm, consts) = nbLmConsts(vt, labeled)
+    val result = nbScoreFrom(lm, consts, toScore).localCheckpoint(true)
+    vt.unpersist(false)
+    result
+  }
+
+  /** Per-token-type class counts (tf1, tf0) over the labeled slice —
+    * one map-side-combined aggregate; only (token, partial-count)
+    * pairs shuffle.
+    */
+  private def nbTypeCounts(labeled: DataFrame): DataFrame =
+    labeled.spread()
       .select($("cls"), explode(split(normText($("text")), " ")).as("token"))
       .filter(length($("token")) > 0)
       .groupBy($("token"))
       .agg(sum(when($("cls") === 1L, 1L).otherwise(0L)).as("tf1"),
         sum(when($("cls") === 0L, 1L).otherwise(0L)).as("tf0"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def lnpMicro(num: Column, den: Column): Column =
+    floor(lit(1000000.0) * log(num.cast("double") / den.cast("double")))
+      .cast("long")
+
+  /** The LM table (token, lnp1, lnp0) and one-row constants (oov1,
+    * oov0, prior_diff) from the type counts + labeled doc counts.
+    */
+  private def nbLmConsts(vt: DataFrame,
+      labeled: DataFrame): (DataFrame, DataFrame) = {
     val stats = vt.agg(sum($("tf1")).cast("long").as("T1"),
       sum($("tf0")).cast("long").as("T0"),
       count(lit(1)).cast("long").as("V"))
@@ -948,7 +967,42 @@ object TextAnalysis {
     val lm = vt.crossJoin(broadcast(stats)).select($("token"),
       lnpMicro($("tf1") + 1, $("T1") + $("V") + 1).as("lnp1"),
       lnpMicro($("tf0") + 1, $("T0") + $("V") + 1).as("lnp0"))
-    val result = tokens(toScore)
+    (lm, consts)
+  }
+
+  /** Train the NB classifier ONCE and return its two serve-time
+    * artifacts — the vocabulary-sized LM table (token, lnp1, lnp0)
+    * and the one-row constants (oov1, oov0, prior_diff). Persist
+    * both and every future delivery is scored by [[nbScoreFrom]] (or
+    * the streaming twin) without touching the training corpus again:
+    * the [[bm25TermTable]] / IVF-index artifact discipline, applied
+    * to quality filtering at ingest. Both outputs are materialized
+    * eagerly (vocab-sized and one row — cheap).
+    */
+  def nbModel(documents: DataFrame, posSources: Seq[String],
+      negSources: Seq[String]): (DataFrame, DataFrame) = {
+    val labeled = withSourceClass(documents, posSources, negSources)
+    val vt = nbTypeCounts(labeled)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (lm, consts) = nbLmConsts(vt, labeled)
+    val lmOut = lm.localCheckpoint(true)
+    val constsOut = consts.localCheckpoint(true)
+    vt.unpersist(false)
+    (lmOut, constsOut)
+  }
+
+  /** Score `toScore` against a trained NB model (the artifacts of
+    * [[nbModel]], fresh or read back from parquet) — per scorable doc
+    * (doc_id, n_tok, llr_micro, pred_pos), identical to
+    * [[nbClassifierScores]] run end-to-end (spec-pinned). The LM is
+    * vocabulary-sized (heavy-tailed-small next to the corpus) and
+    * joins the (doc, token, count) stream on the token key — AQE
+    * broadcasts it when it fits; corpus text never shuffles either
+    * way.
+    */
+  def nbScoreFrom(lm: DataFrame, consts: DataFrame,
+      toScore: DataFrame): DataFrame =
+    tokens(toScore)
       .groupBy($("doc_id"), $("token")).agg(count(lit(1)).as("c"))
       .join(lm, Seq("token"), "left")
       .crossJoin(broadcast(consts))
@@ -963,10 +1017,6 @@ object TextAnalysis {
         ($("tok_llr") + $("prior_diff")).as("llr_micro"))
       .select($("doc_id"), $("n_tok"), $("llr_micro"),
         when($("llr_micro") > 0, 1L).otherwise(0L).as("pred_pos"))
-      .localCheckpoint(true)
-    vt.unpersist(false)
-    result
-  }
 
   /** Adds the 1L/0L `cls` label from source membership. */
   private def withSourceClass(documents: DataFrame, posSources: Seq[String],

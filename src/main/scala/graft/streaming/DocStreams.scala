@@ -239,6 +239,41 @@ object DocStreams extends Serializable {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("ts_micro")).as("score_micro"))
 
+  /** Streaming NB quality-filter inference: the document firehose
+    * scored as it arrives against the OFFLINE-trained classifier
+    * ([[graft.operators.TextAnalysis.nbModel]]'s LM artifact; the
+    * three scalar constants ship as literals — the model/data split
+    * of the pqCodes twin). The stream-static token join is STATELESS;
+    * the per-doc sum is an update-mode streaming aggregation — this
+    * is how the quality gate runs on a live crawl without ever
+    * re-touching the training corpus.
+    *
+    * Structural twin note: the batch scorer pre-aggregates (doc,
+    * token) counts then multiplies; chained aggregations are
+    * unsupported in streaming, so `dl` is summed per token OCCURRENCE
+    * here — identical totals, more pre-agg rows (the micro-batch
+    * map-side combine still collapses them before the shuffle).
+    *
+    * Twin contract (StreamingSpec): final (doc_id, n_tok, llr_micro,
+    * pred_pos) rows equal [[graft.operators.TextAnalysis
+    * .nbClassifierScores]]'s.
+    */
+  def nbScoreStream(docs: DataFrame, lm: DataFrame, oov1: Long,
+      oov0: Long, priorDiff: Long): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(split(TextAnalysis.normText(col("text")), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .join(lm, Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tok"),
+        sum(coalesce(col("lnp1"), lit(oov1)) -
+          coalesce(col("lnp0"), lit(oov0))).cast("long").as("tok_llr"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("tok_llr") + lit(priorDiff)).as("llr_micro"),
+        when(col("tok_llr") + lit(priorDiff) > 0, 1L).otherwise(0L)
+          .as("pred_pos"))
+
   /** Streaming count-min sketch: the running (row, col, cnt) cell
     * table over the document firehose — update mode emits the cells a
     * micro-batch touched with their new running sums. The CMS is THE

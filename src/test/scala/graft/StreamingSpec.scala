@@ -521,6 +521,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming nb scoring == batch nbClassifierScores across batches") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.DocStreams
+    val docsT = graft.sources.Tables(spark, dir).documents
+    val (pos, neg) = (Seq("src0", "src1", "src2"), Seq("src3", "src4", "src5"))
+    // model trained OFFLINE by the batch tier; lm ships as the static
+    // join side, the three constants as literals
+    val (lm, consts) = TextAnalysis.nbModel(docsT, pos, neg)
+    val (o1, o0, pd) = consts.select($"oov1", $"oov0", $"prior_diff")
+      .as[(Long, Long, Long)].head()
+    val nbDir = java.nio.file.Files.createTempDirectory("graft-nb-stream").toString
+    docsT.filter($"doc_id" % 2 === 0).write.mode("append").parquet(nbDir)
+    val q = DocStreams.nbScoreStream(DocStreams.readDocs(spark, nbDir),
+        lm, o1, o0, pd)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("nb_stream").start()
+    try {
+      q.processAllAvailable()
+      docsT.filter($"doc_id" % 2 === 1).write.mode("append").parquet(nbDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("nb_stream")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = TextAnalysis.nbClassifierScores(docsT, pos, neg)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want,
+      "streamed scores must equal the oracle-gated batch scorer's")
+    assert(got.nonEmpty)
+  }
+
   test("streaming cms cells == batch cmsTable, including across batches") {
     import graft.streaming.DocStreams
     val tables = graft.sources.Tables(spark, dir)

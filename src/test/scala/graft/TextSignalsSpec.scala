@@ -285,6 +285,24 @@ class TextSignalsSpec extends SparkSpec {
     }
   }
 
+  test("nbModel artifacts round-trip through parquet == end-to-end scorer") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val (pos, neg) = (Seq("src0", "src1", "src2"), Seq("src3", "src4", "src5"))
+    val (lm, consts) = TextAnalysis.nbModel(docs, pos, neg)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb-model").toString
+    lm.write.mode("overwrite").parquet(s"$dir/lm")
+    consts.write.mode("overwrite").parquet(s"$dir/consts")
+    val served = TextAnalysis.nbScoreFrom(
+        spark.read.parquet(s"$dir/lm"),
+        spark.read.parquet(s"$dir/consts"), docs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val direct = TextAnalysis.nbClassifierScores(docs, pos, neg)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(served === direct,
+      "scoring off the persisted model must equal retraining end-to-end")
+    assert(served.nonEmpty)
+  }
+
   test("nbClassifierEval: diagonal confusion matrix on separable held-out") {
     val docs = (1L to 60L).map { i =>
       if (i % 2 == 0) (i, "good nice gold", "en", "posA")
