@@ -12,7 +12,8 @@ import graft.sources.Tables
   * composed path a library user runs, stage by stage, from raw
   * documents to packed training shards:
   *
-  *   quality filter → Gopher rule flags → mirror-source diagnostic
+  *   quality filter → Gopher rule flags → NB classifier read (model
+  *   trained, persisted, served back) → mirror-source diagnostic
   *   (vocab overlap) → exact dedup → near-dup clusters (keep cluster
   *   minimum) → novelty check → decontaminate vs the eval split →
   *   hash split → sequence-pack → write train shards partitioned by
@@ -57,6 +58,23 @@ object CurationDemo {
         .filter(col("ok_uniq") && col("ok_stop")).select("doc_id"),
       Seq("doc_id"))
     report("gopher rules", ruled.count())
+
+    // 1b2. model-based quality read (q156): train the NB classifier
+    //      on source labels, PERSIST the artifacts, and score the
+    //      ruled corpus off the persisted model — the serve path a
+    //      live crawl runs. The synthetic sources are not actually
+    //      quality-differentiated, so this gate is report-only here;
+    //      a real pipeline filters on pred_pos (or an llr threshold).
+    val (nbLm, nbConsts) = TextAnalysis.nbModel(ruled,
+      posSources = Seq("src0", "src1", "src2"),
+      negSources = Seq("src3", "src4", "src5"))
+    nbLm.write.mode("overwrite").parquet(s"$work/nb_model/lm")
+    nbConsts.write.mode("overwrite").parquet(s"$work/nb_model/consts")
+    val nbPos = TextAnalysis.nbScoreFrom(
+      spark.read.parquet(s"$work/nb_model/lm"),
+      spark.read.parquet(s"$work/nb_model/consts"), ruled)
+      .filter(col("pred_pos") === 1L).count()
+    report("nb classifier pred-pos", nbPos)
 
     // 1c. mirror-site diagnostic (q100): vocabulary-level source
     //     overlap — source pairs with near-identical type sets are
