@@ -7,7 +7,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, SubstringDedup}
+import graft.operators.{Dedup, Similarity, SubstringDedup, TextAnalysis}
 import graft.sources.Tables
 
 /** Scale rehearsal: run the heavy dedup/ANN family on a ~K× inflated
@@ -29,10 +29,12 @@ import graft.sources.Tables
   * corpus size regardless of duplicate geometry (same cells, same
   * top-k heap work), so copies measure the right thing there.
   *
-  * Usage: `runMain graft.ScaleRehearsal [sfDir] [factors]` — factors
-  * default "1,10". Each factor runs the family once (cold plans, no
-  * warmup: the comparison is factor-vs-factor under identical
-  * conditions, not absolute).
+  * Usage: `runMain graft.ScaleRehearsal [sfDir] [factors] [only]` —
+  * factors default "1,10"; `only` is an optional comma-separated list
+  * of query-name substrings to rehearse a single family member fast.
+  * Each factor runs the selection once (cold plans, no warmup: the
+  * comparison is factor-vs-factor under identical conditions, not
+  * absolute).
   */
 object ScaleRehearsal {
 
@@ -59,6 +61,9 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt)
+    val only: Option[Seq[String]] = args.lift(2).map(_.split(',').toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.contains))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -166,8 +171,17 @@ object ScaleRehearsal {
         // the factor holds per-cell size constant: the correct
         // deployment, and the measured cost stays ~linear.
         "q141_hard_negatives" -> (() =>
-          Similarity.hardNegatives(emb, nCentroids = 16 * f)))
-      for ((name, fn) <- family) {
+          Similarity.hardNegatives(emb, nCentroids = 16 * f)),
+        // the NB classifier (q156): two token-type aggregates + a
+        // vocab-sized join against per-doc counts — expected linear
+        // in corpus tokens. The Caesar copies also multiply the
+        // vocabulary, so the lm join side grows with the corpus the
+        // way a real crawl's type table does
+        "q156_nb_classifier" -> (() =>
+          TextAnalysis.nbClassifierScores(docs,
+            posSources = Seq("src0", "src1", "src2"),
+            negSources = Seq("src3", "src4", "src5"))))
+      for ((name, fn) <- family if selected(name)) {
         val g = s"x$f:$name"
         spark.sparkContext.setJobGroup(g, g)
         val t0 = System.nanoTime()
