@@ -189,6 +189,65 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("nbClassifierScores == in-memory reference on random corpora") {
+    // integer micro-nat NB over seeded random corpora: empty docs,
+    // single-class tokens, OOV-only docs, unlabeled sources — the
+    // edge shapes the fixed fixture can't cover
+    val word = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val docGen = Gen.choose(0, 9).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val srcGen = Gen.oneOf("posA", "posB", "negA", "other")
+    for (i <- 1 to 5) {
+      val rows = Gen.listOfN(20, Gen.zip(docGen, srcGen))
+        .apply(Gen.Parameters.default, Seed(500L + i)).get
+      // plant one non-empty doc per class (both priors must be > 0)
+      val all = Seq(("aa bb", "posA"), ("cc dd", "negA")) ++ rows
+      val docs = all.zipWithIndex.map { case ((t, s), j) =>
+        (j.toLong, t, "en", s) }
+      val got = TextAnalysis.nbClassifierScores(
+          docs.toDF("doc_id", "text", "lang", "source"),
+          Seq("posA", "posB"), Seq("negA"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === nbReference(docs, Set("posA", "posB"), Set("negA")),
+        s"case $i diverged on ${all.take(5)}...")
+    }
+  }
+
+  /** In-memory reference NB: same micro-nat floors, integer sums. */
+  private def nbReference(docs: Seq[(Long, String, String, String)],
+      pos: Set[String], neg: Set[String]): Map[Long, (Long, Long, Long)] = {
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.replaceAll("\\s+", " ").trim
+        .split(" ").filter(_.nonEmpty).toSeq
+    def lnp(num: Long, den: Long): Long =
+      math.floor(1e6 * math.log(num.toDouble / den.toDouble)).toLong
+    val labeled = docs.filter(d => pos(d._4) || neg(d._4))
+    val labTok = labeled.flatMap(d => toks(d._2).map(w => (w, pos(d._4))))
+    val tf = labTok.groupBy(_._1).view.mapValues { g =>
+      (g.count(_._2).toLong, g.count(!_._2).toLong) }.toMap
+    val t1 = tf.values.map(_._1).sum
+    val t0 = tf.values.map(_._2).sum
+    val v = tf.size.toLong
+    val n1 = labeled.count(d => pos(d._4)).toLong
+    val n0 = labeled.count(d => neg(d._4)).toLong
+    val priorDiff = lnp(n1, n1 + n0) - lnp(n0, n1 + n0)
+    val (oov1, oov0) = (lnp(1, t1 + v + 1), lnp(1, t0 + v + 1))
+    docs.flatMap { case (id, text, _, _) =>
+      val ts = toks(text)
+      if (ts.isEmpty) None
+      else {
+        val llr = priorDiff + ts.map { w =>
+          tf.get(w).map { case (a, b) =>
+            lnp(a + 1, t1 + v + 1) - lnp(b + 1, t0 + v + 1)
+          }.getOrElse(oov1 - oov0)
+        }.sum
+        Some(id -> ((ts.size.toLong, llr, if (llr > 0) 1L else 0L)))
+      }
+    }.toMap
+  }
+
   test("componentsOf == union-find on random edge lists") {
     val edgeGen = for {
       a <- Gen.choose(0L, 30L); b <- Gen.choose(0L, 30L) if a != b
