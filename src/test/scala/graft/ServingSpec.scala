@@ -271,6 +271,48 @@ class ServingSpec extends SparkSpec {
     }
   }
 
+  test("upsert/delete with COMPOSITE partition keys (OR-of-ANDs footprint)") {
+    // single-col footprints take the isin/InSet path; composite keys
+    // take the OR-of-ANDs branch — this pins that branch end to end
+    val dir = Files.createTempDirectory("graft-composite").toString + "/t"
+    val base = Seq(
+      (2024, "CMI", 1L, 0.61), (2024, "BWI", 2L, 0.97),
+      (2025, "CMI", 3L, 0.16), (2025, "LAX", 4L, 1.45)
+    ).toDF("year", "airport", "id", "avg_dep_delay")
+    Serving.writeKeyed(base, dir, Seq("year", "airport"))
+    def filesOf(part: String) = {
+      val d = new java.io.File(s"$dir/$part")
+      if (!d.exists()) Map.empty[String, Long]
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+    // (2025, CMI) must not touch (2024, CMI) or (2025, LAX) — the
+    // predicate is per-TUPLE, not per-column (a column-wise isin
+    // would wrongly sweep both)
+    val cmi2024 = filesOf("year=2024/airport=CMI")
+    val lax2025 = filesOf("year=2025/airport=LAX")
+    val updates = Seq((2025, "CMI", 3L, 9.99))
+      .toDF("year", "airport", "id", "avg_dep_delay")
+    Serving.upsertKeyed(spark, dir, updates, Seq("year", "airport"), Seq("id"))
+    assert(spark.read.parquet(dir)
+      .select("year", "airport", "id", "avg_dep_delay")
+      .as[(Int, String, Long, Double)].collect().toSet === Set(
+        (2024, "CMI", 1L, 0.61), (2024, "BWI", 2L, 0.97),
+        (2025, "CMI", 3L, 9.99), (2025, "LAX", 4L, 1.45)))
+    assert(filesOf("year=2024/airport=CMI") === cmi2024,
+      "(2024, CMI) must be untouched by a (2025, CMI) upsert")
+    assert(filesOf("year=2025/airport=LAX") === lax2025)
+    val receipt = Serving.deleteKeyed(spark, dir,
+      Seq((2025, "CMI", 3L)).toDF("year", "airport", "id"),
+      Seq("year", "airport"), Seq("id"))
+    assert(receipt.rowsDeleted === 1L)
+    assert(filesOf("year=2025/airport=CMI").isEmpty,
+      "emptied composite partition dir must be removed")
+    assert(filesOf("year=2024/airport=CMI") === cmi2024,
+      "(2024, CMI) must survive the (2025, CMI) delete untouched")
+    assert(spark.read.parquet(dir).count() === 3)
+  }
+
   test("S7: catalog database create/drop") {
     Serving.createDatabase(spark, "airline_ontime_test")
     assert(spark.catalog.databaseExists("airline_ontime_test"))
