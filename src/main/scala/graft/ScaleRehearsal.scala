@@ -112,10 +112,14 @@ object ScaleRehearsal {
       // the incremental span index (90% of the corpus) is built ONCE
       // outside the timed legs — the ingest claim under test is the
       // marginal delivery cost (10% batch probed against the index)
-      // vs re-running the full-corpus rule
-      val spanIdx = SubstringDedup
-        .windowIndex(docs.filter(col("doc_id") % 10 =!= 0))
-        .localCheckpoint(true)
+      // vs re-running the full-corpus rule. Built only when the q154
+      // leg is selected (still EAGER then — the build must stay
+      // outside the timed span)
+      val spanIdx: DataFrame =
+        if (selected("q154_incremental_batch"))
+          SubstringDedup.windowIndex(docs.filter(col("doc_id") % 10 =!= 0))
+            .localCheckpoint(true)
+        else null
       val family: Seq[(String, () => DataFrame)] = Seq(
         "q26_minhash_dups" -> (() => Dedup.minhashDupPairs(docs, threshold = 0.7)),
         "q27_ngram_jaccard" -> (() => Dedup.ngramJaccardPairs(docs, n = 5, threshold = 0.5)),
@@ -202,7 +206,7 @@ object ScaleRehearsal {
           f""""shuffle_read_mb":${ctr(shRd, g) / 1e6}%.1f}""")
       }
       docs.unpersist(false); emb.unpersist(false)
-      spanIdx.unpersist(false)
+      if (spanIdx != null) spanIdx.unpersist(false)
     }
     spark.stop()
   }

@@ -402,6 +402,14 @@ object TrainingEntries {
     // default (q99's banding-curve idea for the ANN approximation)
     "q155_probe_curve" -> q(t =>
       Similarity.coarseProbeCurve(t.embeddings)),
+    // Nearest-centroid classifier over embeddings: per-label
+    // centroids trained on md5 buckets 0-7, every vector assigned its
+    // most-cosine-similar centroid (q156's embedding-space twin)
+    "q158_centroid_classifier" -> q(t =>
+      Similarity.centroidClassifier(t.embeddings)),
+    // Held-out confusion matrix for q158 (buckets 8-9)
+    "q159_centroid_eval" -> q(t =>
+      Similarity.centroidClassifierEval(t.embeddings)),
     // Source-supervised NB quality classifier: train src0-2 (class 1)
     // vs src3-5 (class 0), score the WHOLE corpus with integer
     // micro-nat log-likelihood ratios (the CCNet-style wiki-vs-crawl
@@ -820,6 +828,36 @@ object TrainingEntries {
       |        unnest(generate_series(1, len(embedding))) AS i FROM embeddings)),
       |norms AS (SELECT vec_id, sqrt(CAST(SUM(v*v) AS DOUBLE)) AS nrm
       |          FROM flat GROUP BY vec_id)""".stripMargin
+
+  /** Nearest-centroid classifier CTEs (q158/q159), mirroring
+    * Similarity.centroidClassifier: `cent` = per-(label, dim)
+    * floor(sum/n) centroids over the md5-bucket 0-7 train split,
+    * `pred` = every vector's argmax-cosine label (ties to the lower
+    * label, the max_by struct rule).
+    */
+  private val centClassCte =
+    s"""$flatCte,
+       |ctr AS (SELECT f.vec_id, f.i, f.v, e.label
+       |        FROM flat f JOIN embeddings e ON e.vec_id = f.vec_id
+       |        WHERE CAST(concat('0x', substr(md5(CAST(f.vec_id AS VARCHAR)),
+       |          1, 8)) AS BIGINT) % 10 <= 7),
+       |cent AS (SELECT label, i,
+       |    CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |  FROM ctr GROUP BY label, i),
+       |cnorm AS (SELECT label, sqrt(CAST(SUM(cv*cv) AS DOUBLE)) AS cnrm
+       |          FROM cent GROUP BY label),
+       |cdots AS (SELECT f.vec_id, c.label AS clabel, SUM(f.v * c.cv) AS dot
+       |          FROM flat f JOIN cent c ON c.i = f.i
+       |          GROUP BY f.vec_id, c.label),
+       |ccs AS (SELECT d.vec_id, d.clabel,
+       |          CAST(d.dot AS DOUBLE) / (n.nrm * cn.cnrm) AS ccos
+       |        FROM cdots d JOIN norms n ON n.vec_id = d.vec_id
+       |        JOIN cnorm cn ON cn.label = d.clabel),
+       |pred AS (SELECT vec_id, clabel, ccos FROM (
+       |    SELECT vec_id, clabel, ccos,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY ccos DESC, clabel) AS rn FROM ccs)
+       |  WHERE rn = 1)""".stripMargin
 
   /** Random-hyperplane bucket CTEs — constants mirror
     * Similarity.hyperplaneParams; the signed projections are exact
@@ -3097,6 +3135,27 @@ object TrainingEntries {
          |      ORDER BY aes_key DESC, doc_id ASC) AS BIGINT) AS rn
          |    FROM keyed)
          |WHERE rn <= 20 ORDER BY source, rn""".stripMargin,
+
+    // Mirrors Similarity.centroidClassifier: per-label floor(sum/n)
+    // centroids on buckets 0-7, argmax cosine per vector
+    "q158_centroid_classifier" ->
+      s"""WITH $centClassCte
+         |SELECT p.vec_id, CAST(e.label AS BIGINT) AS label,
+         |  CAST(p.clabel AS BIGINT) AS pred_label, p.ccos AS best_cos
+         |FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id
+         |ORDER BY p.vec_id""".stripMargin,
+
+    // Mirrors Similarity.centroidClassifierEval: held-out (buckets
+    // 8-9) confusion matrix
+    "q159_centroid_eval" ->
+      s"""WITH $centClassCte
+         |SELECT CAST(e.label AS BIGINT) AS label,
+         |  CAST(p.clabel AS BIGINT) AS pred_label,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id
+         |WHERE CAST(concat('0x', substr(md5(CAST(p.vec_id AS VARCHAR)), 1, 8))
+         |  AS BIGINT) % 10 >= 8
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Mirrors TextAnalysis.nbClassifierScores: NB trained src0-2 vs
     // src3-5 over the whole labeled slice, every doc scored with the

@@ -1351,4 +1351,64 @@ object Similarity {
         $("label2").cast("long").as("label2"),
         ($("dot").cast("double") / ($("n1") * $("n2"))).as("cos"))
   }
+
+  /** Supervised nearest-centroid classifier over embeddings (the
+    * Rocchio shape; the embedding-space twin of
+    * [[graft.operators.TextAnalysis.nbClassifierScores]]): per-label
+    * centroids are trained on the md5-bucket 0-7 split of the labeled
+    * vectors — floor(sum/n) per dimension, [[labelCentroidSim]]'s
+    * exact-integer discipline — then EVERY vector is assigned the
+    * label of its most-cosine-similar centroid. Output per vector:
+    * (vec_id, label, pred_label, best_cos); cosine ties break to the
+    * lower label in both engines. The cheap embedding-quality
+    * classifier a pipeline runs when a labeled reference subset
+    * exists (DataComp-style curation: score everything by proximity
+    * to the reference classes).
+    *
+    * Scale: training is ONE map-side-combined (label, dim, Σv)
+    * aggregate (K·dims rows shuffle, never vectors); the K-row
+    * centroid-array table BROADCASTS into a crossJoin against the
+    * quantized corpus, and the per-vector argmax is a max_by
+    * aggregate — partial-combined map-side, so the only corpus-sized
+    * exchange is N pre-reduced rows. No window sort.
+    */
+  def centroidClassifier(embeddings: DataFrame): DataFrame = {
+    val q = embeddings.spread()
+      .select($("vec_id"), $("label"), quantize($("embedding")).as("qv"))
+      .withColumn("nrm", qnorm($("qv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = q.filter(Curation.hashBucket($("vec_id"), 10) <= 7)
+      .select($("label"), posexplode($("qv")).as(Seq("i", "v")))
+      .groupBy($("label"), $("i"))
+      .agg(floor(sum($("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
+      .groupBy($("label"))
+      .agg(transform(array_sort(collect_list(struct($("i"), $("cv")))),
+        x => x("cv")).as("cv"))
+      .select($("label").as("clabel"), $("cv"))
+      .withColumn("cnrm", qnorm($("cv")))
+    val result = q.crossJoin(broadcast(cents))
+      .select($("vec_id"), $("label"), $("clabel"),
+        (qdot($("qv"), $("cv")).cast("double") / ($("nrm") * $("cnrm")))
+          .as("ccos"))
+      .groupBy($("vec_id"), $("label"))
+      .agg(max_by(struct($("clabel"), $("ccos")),
+        struct($("ccos"), (-$("clabel")).as("nl"))).as("best"))
+      .select($("vec_id"), $("label").cast("long").as("label"),
+        $("best.clabel").cast("long").as("pred_label"),
+        $("best.ccos").as("best_cos"))
+      .localCheckpoint(true)
+    q.unpersist(false)
+    result
+  }
+
+  /** Held-out confusion matrix for [[centroidClassifier]]: vectors in
+    * md5 buckets 8-9 (never seen by centroid training) grouped by
+    * (actual label, pred_label) — the accuracy read before using
+    * centroid proximity as a curation signal. K² rows at most.
+    */
+  def centroidClassifierEval(embeddings: DataFrame): DataFrame =
+    centroidClassifier(embeddings)
+      .filter(Curation.hashBucket($("vec_id"), 10) >= 8)
+      .groupBy($("label"), $("pred_label"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
 }

@@ -849,4 +849,30 @@ class TrainingOpsSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().sortBy(_._1)
     assert(top2.map(_._2).toSeq === Seq("a", "b"))
   }
+
+  test("centroidClassifier: planted classes recovered; eval is diagonal") {
+    // two well-separated classes: label 0 near +e1, label 1 near +e2;
+    // noise small enough that every vector stays nearest its own
+    // class centroid — train (buckets 0-7) and held-out (8-9) alike
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 40L).map { i =>
+      val lab = (i % 2).toInt
+      val base =
+        if (lab == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      (i, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq, lab)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidClassifier(df)
+      .select($"vec_id", $"label", $"pred_label")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === 40, "every vector is scored")
+    got.foreach { case (id, lab, pred) =>
+      assert(pred === lab, s"vec $id routed to the wrong centroid") }
+    val cm = Similarity.centroidClassifierEval(df)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(cm.keySet.subsetOf(Set((0L, 0L), (1L, 1L))),
+      s"held-out confusion must be diagonal, got $cm")
+    assert(cm.values.sum > 0, "the held-out buckets must be non-empty")
+  }
 }
