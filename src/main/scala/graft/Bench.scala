@@ -252,7 +252,22 @@ object Bench {
           timedAt("q118_from_codes") {
             noop(graft.operators.Similarity.pqAdcFromCodes(
               rd(s"$tmp/pq_codes"), rd(s"$tmp/pq_codebook"),
-              tables.embeddings)) })
+              tables.embeddings)) },
+          // NB quality classifier "train once, score every delivery":
+          // q156's standalone retrains per call; the persisted LM +
+          // constants score deliveries with zero training-corpus
+          // access (the streaming twin runs the same join at ingest)
+          timedAt("nb_model_build") {
+            import graft.operators.TextAnalysis
+            val (lm, consts) = TextAnalysis.nbModel(docs,
+              posSources = Seq("src0", "src1", "src2"),
+              negSources = Seq("src3", "src4", "src5"))
+            lm.write.mode("overwrite").parquet(s"$tmp/nb_lm")
+            consts.write.mode("overwrite").parquet(s"$tmp/nb_consts")
+          },
+          timedAt("q156_from_model") {
+            noop(graft.operators.TextAnalysis.nbScoreFrom(
+              rd(s"$tmp/nb_lm"), rd(s"$tmp/nb_consts"), docs)) })
         // artifacts are bench-scratch: delete so repeated local runs
         // don't accumulate temp dirs' worth of parquet
         def rm(f: java.io.File): Unit = {

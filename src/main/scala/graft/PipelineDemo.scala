@@ -5,17 +5,19 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** The PRODUCTION entry point for the dedup/ANN family: build the
-  * three expensive artifact families ONCE —
+  * expensive artifact families ONCE —
   *
   *   1. minhash signature store + scored LSH candidate table
   *      (near-dup pair graph = a threshold filter view of it),
   *   2. distinct 5-gram shingle index (exact-Jaccard / containment),
   *   3. PQ codebook + code table (compressed ANN serving) and the
   *      IVF (vec_id, cell) assignment of the within-cell family,
+  *   4. the NB quality-classifier model (LM + constants — scores
+  *      every future delivery with zero training-corpus access),
   *
   * — persist them as parquet, and drive every downstream consumer off
   * the artifacts via the `*From` APIs. The per-query benchmark suite
@@ -96,6 +98,13 @@ object PipelineDemo {
       Similarity.pqEncode(emb).write.mode("overwrite")
         .parquet(s"$work/pq_codes")
     }
+    timed("artifacts: nb model (lm+consts)") {
+      val (lm, consts) = TextAnalysis.nbModel(docs,
+        posSources = Seq("src0", "src1", "src2"),
+        negSources = Seq("src3", "src4", "src5"))
+      lm.write.mode("overwrite").parquet(s"$work/nb_lm")
+      consts.write.mode("overwrite").parquet(s"$work/nb_consts")
+    }
 
     // ---- consumers off the artifacts ----
     def pairs() = rd(s"$work/scored").filter(col("jaccard") >= 0.7)
@@ -132,7 +141,12 @@ object PipelineDemo {
         () => Similarity.labelNoise(t.embeddings)),
       ("q34  ivf topk", () => Similarity.ivfTopKFrom(
           rd(s"$work/ivf_centroids"), rd(s"$work/ivf_cells"), t.embeddings),
-        () => Similarity.ivfTopK(t.embeddings)))
+        () => Similarity.ivfTopK(t.embeddings)),
+      ("q156 nb quality scores", () => TextAnalysis.nbScoreFrom(
+          rd(s"$work/nb_lm"), rd(s"$work/nb_consts"), docs),
+        () => TextAnalysis.nbClassifierScores(docs,
+          posSources = Seq("src0", "src1", "src2"),
+          negSources = Seq("src3", "src4", "src5"))))
     var composedTotal = 0.0
     for ((label, composedFn, standaloneFn) <- consumers) {
       val t0 = System.nanoTime()

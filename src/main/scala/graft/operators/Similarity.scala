@@ -1372,12 +1372,22 @@ object Similarity {
     * aggregate — partial-combined map-side, so the only corpus-sized
     * exchange is N pre-reduced rows. No window sort.
     */
-  def centroidClassifier(embeddings: DataFrame): DataFrame = {
+  def centroidClassifier(embeddings: DataFrame): DataFrame =
+    centroidScored(embeddings, heldOutOnly = false)
+
+  /** Shared trainer+scorer: centroids always train on buckets 0-7;
+    * `heldOutOnly` restricts SCORING to buckets 8-9 (the eval path
+    * must not pay a full-corpus materialization for a K²-row
+    * confusion matrix).
+    */
+  private def centroidScored(embeddings: DataFrame,
+      heldOutOnly: Boolean): DataFrame = {
+    val bucket = Curation.hashBucket($("vec_id"), 10)
     val q = embeddings.spread()
       .select($("vec_id"), $("label"), quantize($("embedding")).as("qv"))
       .withColumn("nrm", qnorm($("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = q.filter(Curation.hashBucket($("vec_id"), 10) <= 7)
+    val cents = q.filter(bucket <= 7)
       .select($("label"), posexplode($("qv")).as(Seq("i", "v")))
       .groupBy($("label"), $("i"))
       .agg(floor(sum($("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
@@ -1386,7 +1396,8 @@ object Similarity {
         x => x("cv")).as("cv"))
       .select($("label").as("clabel"), $("cv"))
       .withColumn("cnrm", qnorm($("cv")))
-    val result = q.crossJoin(broadcast(cents))
+    val toScore = if (heldOutOnly) q.filter(bucket >= 8) else q
+    val result = toScore.crossJoin(broadcast(cents))
       .select($("vec_id"), $("label"), $("clabel"),
         (qdot($("qv"), $("cv")).cast("double") / ($("nrm") * $("cnrm")))
           .as("ccos"))
@@ -1404,11 +1415,11 @@ object Similarity {
   /** Held-out confusion matrix for [[centroidClassifier]]: vectors in
     * md5 buckets 8-9 (never seen by centroid training) grouped by
     * (actual label, pred_label) — the accuracy read before using
-    * centroid proximity as a curation signal. K² rows at most.
+    * centroid proximity as a curation signal. K² rows at most; only
+    * the held-out sliver is scored.
     */
   def centroidClassifierEval(embeddings: DataFrame): DataFrame =
-    centroidClassifier(embeddings)
-      .filter(Curation.hashBucket($("vec_id"), 10) >= 8)
+    centroidScored(embeddings, heldOutOnly = true)
       .groupBy($("label"), $("pred_label"))
       .agg(count(lit(1)).cast("long").as("n_vecs"))
 }
