@@ -103,41 +103,50 @@ object ScaleRehearsal {
 
     val t = Tables(spark, sfDir)
 
+    // legs declare which shared inputs they consume; the loop builds
+    // (and pays for) only the inputs the SELECTED legs need — lazy
+    // vals defer the inflate+persist, the pre-loop count()s force
+    // them eagerly OUTSIDE the timed spans
+    final case class Leg(name: String, needsDocs: Boolean = false,
+        needsEmb: Boolean = false, needsSpanIdx: Boolean = false)(
+        val fn: () => DataFrame)
+
     for (f <- factors) {
-      val docs = inflateDocuments(t.documents, f)
+      lazy val docs = inflateDocuments(t.documents, f)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val emb = inflateEmbeddings(t.embeddings, f)
+      lazy val emb = inflateEmbeddings(t.embeddings, f)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nd = docs.count(); val ne = emb.count()
       // the incremental span index (90% of the corpus) is built ONCE
       // outside the timed legs — the ingest claim under test is the
       // marginal delivery cost (10% batch probed against the index)
-      // vs re-running the full-corpus rule. Built only when the q154
-      // leg is selected (still EAGER then — the build must stay
-      // outside the timed span)
-      val spanIdx: DataFrame =
-        if (selected("q154_incremental_batch"))
-          SubstringDedup.windowIndex(docs.filter(col("doc_id") % 10 =!= 0))
-            .localCheckpoint(true)
-        else null
-      val family: Seq[(String, () => DataFrame)] = Seq(
-        "q26_minhash_dups" -> (() => Dedup.minhashDupPairs(docs, threshold = 0.7)),
-        "q27_ngram_jaccard" -> (() => Dedup.ngramJaccardPairs(docs, n = 5, threshold = 0.5)),
-        "q51_dup_clusters" -> (() => Dedup.dupClusters(docs, threshold = 0.7)),
-        "q34_knn_ivf" -> (() => Similarity.ivfTopK(emb, trainFraction = 0.1)),
+      // vs re-running the full-corpus rule
+      lazy val spanIdx: DataFrame =
+        SubstringDedup.windowIndex(docs.filter(col("doc_id") % 10 =!= 0))
+          .localCheckpoint(true)
+      val family: Seq[Leg] = Seq(
+        Leg("q26_minhash_dups", needsDocs = true)(() =>
+          Dedup.minhashDupPairs(docs, threshold = 0.7)),
+        Leg("q27_ngram_jaccard", needsDocs = true)(() =>
+          Dedup.ngramJaccardPairs(docs, n = 5, threshold = 0.5)),
+        Leg("q51_dup_clusters", needsDocs = true)(() =>
+          Dedup.dupClusters(docs, threshold = 0.7)),
+        Leg("q34_knn_ivf", needsEmb = true)(() =>
+          Similarity.ivfTopK(emb, trainFraction = 0.1)),
         // round-9 heavies: span-dedup's window aggregate (linear in
         // corpus tokens) and PQ training+encode (linear in m·N folds).
         // duplicatedWindows, not dupSpanStats: the latter's row count
         // equals its left side, so a count() action lets Catalyst
         // eliminate the join AND the span derivation (measured as a
         // 0-shuffle no-op) — the fp aggregate is elimination-proof
-        "q111_dup_windows" -> (() => SubstringDedup.duplicatedWindows(docs)),
+        Leg("q111_dup_windows", needsDocs = true)(() =>
+          SubstringDedup.duplicatedWindows(docs)),
         // the rolling-hash twin right after its md5 sibling: same
         // aggregate, O(n) derivation + 8-byte keys — the rehearsal
         // prints the head-to-head wall/cpu/shuffle-bytes at each factor
-        "q135_dup_windows_rolling" -> (() =>
+        Leg("q135_dup_windows_rolling", needsDocs = true)(() =>
           SubstringDedup.duplicatedWindowsRolling(docs)),
-        "q117_pq_encode" -> (() => Similarity.pqEncode(emb)),
+        Leg("q117_pq_encode", needsEmb = true)(() =>
+          Similarity.pqEncode(emb)),
         // round-9 session-2 heavies: the span REWRITE (coverage legs +
         // the doc-keyed interval join; the removed_tokens filter keeps
         // count() from eliminating the rewrite work — the output row
@@ -147,9 +156,9 @@ object ScaleRehearsal {
         // head-to-head that shows the O(n)+8-byte-key win carrying
         // from the bare aggregate (q111/q135 above) into the full
         // rewrite chain
-        "q132_span_rewrite" -> (() =>
+        Leg("q132_span_rewrite", needsDocs = true)(() =>
           SubstringDedup.removeSpans(docs).filter(col("removed_tokens") > 0)),
-        "q132_span_rewrite_md5" -> (() =>
+        Leg("q132_span_rewrite_md5", needsDocs = true)(() =>
           SubstringDedup.removeSpans(docs, rolling = false)
             .filter(col("removed_tokens") > 0)),
         // incremental ingest vs full re-run: the 10% delivery probed
@@ -158,14 +167,15 @@ object ScaleRehearsal {
         // the dup_tokens > 0 filter makes the coverage join
         // elimination-proof under count() (same trap as q111's note
         // above: both stats outputs are row-equal to their left side)
-        "q154_incremental_batch" -> (() =>
+        Leg("q154_incremental_batch", needsDocs = true,
+            needsSpanIdx = true)(() =>
           SubstringDedup.incrementalSpanStats(spanIdx,
             docs.filter(col("doc_id") % 10 === 0))
             .filter(col("dup_tokens") > 0)),
-        "q154_full_rerun" -> (() =>
+        Leg("q154_full_rerun", needsDocs = true)(() =>
           SubstringDedup.dupSpanStats(docs)
             .filter(col("doc_id") % 10 === 0 && col("dup_tokens") > 0)),
-        "q128_pagerank" -> (() =>
+        Leg("q128_pagerank", needsDocs = true)(() =>
           Dedup.pairPageRank(Dedup.minhashDupPairs(docs, threshold = 0.7))),
         // the within-cell ANN family (q141/q146 share this join
         // budget): maxCell caps the quadratic leg, which means
@@ -174,23 +184,31 @@ object ScaleRehearsal {
         // first rehearsal run returned ZERO rows. Scaling cells with
         // the factor holds per-cell size constant: the correct
         // deployment, and the measured cost stays ~linear.
-        "q141_hard_negatives" -> (() =>
+        Leg("q141_hard_negatives", needsEmb = true)(() =>
           Similarity.hardNegatives(emb, nCentroids = 16 * f)),
         // the NB classifier (q156): two token-type aggregates + a
         // vocab-sized join against per-doc counts — expected linear
         // in corpus tokens. The Caesar copies also multiply the
         // vocabulary, so the lm join side grows with the corpus the
         // way a real crawl's type table does
-        "q156_nb_classifier" -> (() =>
+        Leg("q156_nb_classifier", needsDocs = true)(() =>
           TextAnalysis.nbClassifierScores(docs,
             posSources = Seq("src0", "src1", "src2"),
             negSources = Seq("src3", "src4", "src5"))))
-      for ((name, fn) <- family if selected(name)) {
-        val g = s"x$f:$name"
+      val sel = family.filter(l => selected(l.name))
+      val (needDocs, needEmb) =
+        (sel.exists(_.needsDocs) || sel.exists(_.needsSpanIdx),
+          sel.exists(_.needsEmb))
+      // force the shared inputs OUTSIDE the timed spans
+      val nd = if (needDocs) docs.count() else 0L
+      val ne = if (needEmb) emb.count() else 0L
+      if (sel.exists(_.needsSpanIdx)) spanIdx.count()
+      for (leg <- sel) {
+        val g = s"x$f:${leg.name}"
         spark.sparkContext.setJobGroup(g, g)
         val t0 = System.nanoTime()
         val rows =
-          try { val n = fn().count(); n }
+          try { val n = leg.fn().count(); n }
           catch { case e: Throwable =>
             System.err.println(s"[scale] $g failed: ${e.getMessage}"); -1L
           } finally spark.sparkContext.clearJobGroup()
@@ -199,14 +217,15 @@ object ScaleRehearsal {
         // its own signatures/shingles); operator-internal persists
         // unpersist themselves
         val wall = (System.nanoTime() - t0) / 1e9
-        println(f"""{"factor":$f,"query":"$name","rows":$rows,""" +
+        println(f"""{"factor":$f,"query":"${leg.name}","rows":$rows,""" +
           f""""docs":$nd,"vecs":$ne,"wall_sec":$wall%.2f,""" +
           f""""cpu_sec":${ctr(cpuNs, g) / 1e9}%.2f,""" +
           f""""shuffle_write_mb":${ctr(shWr, g) / 1e6}%.1f,""" +
           f""""shuffle_read_mb":${ctr(shRd, g) / 1e6}%.1f}""")
       }
-      docs.unpersist(false); emb.unpersist(false)
-      if (spanIdx != null) spanIdx.unpersist(false)
+      if (needDocs) docs.unpersist(false)
+      if (needEmb) emb.unpersist(false)
+      if (sel.exists(_.needsSpanIdx)) spanIdx.unpersist(false)
     }
     spark.stop()
   }

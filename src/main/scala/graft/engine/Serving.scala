@@ -113,9 +113,9 @@ object Serving {
     // affected partition keys, localized: bounded by the update's
     // partition footprint (the same smallness writeKeyed's
     // low-cardinality key constraint already imposes, and hard-capped
-    // at MaxAffectedPartitions) — an explicit OR-of-ANDs predicate
-    // makes the pruning STATIC and plan-visible instead of betting on
-    // dynamic partition pruning firing
+    // at MaxAffectedPartitions) — footprintPredicate's explicit
+    // isin / OR-of-ANDs makes the pruning STATIC and plan-visible
+    // instead of betting on dynamic partition pruning firing
     val affected = boundedDistinct(updates.select(keyCols.map(col): _*), "updates")
     require(affected.nonEmpty, "updates are empty")
     val existing = spark.read.format(format).load(path)

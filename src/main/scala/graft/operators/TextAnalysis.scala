@@ -959,11 +959,22 @@ object TextAnalysis {
     val docCounts = labeled.agg(
       sum(when($("cls") === 1L, 1L).otherwise(0L)).cast("long").as("n1"),
       sum(when($("cls") === 0L, 1L).otherwise(0L)).cast("long").as("n0"))
+    // fail LOUDLY on an empty training class: Spark's log(0) is NULL
+    // (not an error), which would otherwise silently NULL llr_micro
+    // and read as "everything predicted negative" — and the DuckDB
+    // oracle errors on ln(0), so the engines would diverge in failure
+    // mode instead of flagging rows
+    val priorDiff = when($("n1") > 0 && $("n0") > 0,
+      lnpMicro($("n1"), $("n1") + $("n0")) -
+        lnpMicro($("n0"), $("n1") + $("n0")))
+      .otherwise(raise_error(concat(
+        lit("NB classifier: empty training class (n1="),
+        $("n1").cast("string"), lit(", n0="), $("n0").cast("string"),
+        lit(")"))))
     val consts = stats.crossJoin(docCounts).select(
       lnpMicro(lit(1), $("T1") + $("V") + 1).as("oov1"),
       lnpMicro(lit(1), $("T0") + $("V") + 1).as("oov0"),
-      (lnpMicro($("n1"), $("n1") + $("n0")) -
-        lnpMicro($("n0"), $("n1") + $("n0"))).as("prior_diff"))
+      priorDiff.as("prior_diff"))
     val lm = vt.crossJoin(broadcast(stats)).select($("token"),
       lnpMicro($("tf1") + 1, $("T1") + $("V") + 1).as("lnp1"),
       lnpMicro($("tf0") + 1, $("T0") + $("V") + 1).as("lnp0"))

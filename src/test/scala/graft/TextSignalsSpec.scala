@@ -285,6 +285,23 @@ class TextSignalsSpec extends SparkSpec {
     }
   }
 
+  test("nbClassifierScores fails loudly on an empty training class") {
+    // Spark log(0) is NULL, not an error — without the raise_error
+    // guard this would silently score every doc llr_micro = NULL,
+    // pred_pos = 0
+    val docs = Seq((1L, "good stuff", "en", "posA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val e = intercept[Exception] {
+      TextAnalysis.nbClassifierScores(docs, Seq("posA"), Seq("absent"))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("empty training class"))),
+      s"expected the empty-class guard, got: $e")
+  }
+
   test("nbModel artifacts round-trip through parquet == end-to-end scorer") {
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
     val (pos, neg) = (Seq("src0", "src1", "src2"), Seq("src3", "src4", "src5"))
