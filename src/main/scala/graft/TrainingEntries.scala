@@ -402,6 +402,13 @@ object TrainingEntries {
     // default (q99's banding-curve idea for the ANN approximation)
     "q155_probe_curve" -> q(t =>
       Similarity.coarseProbeCurve(t.embeddings)),
+    // Per-shard integrity manifest over the hash-split corpus: doc
+    // count, exact token count, and the doc-id-ordered content md5
+    // per split — the reproducibility receipt stored with the shards
+    "q160_shard_manifest" -> q(t =>
+      Curation.shardManifest(t.documents.join(
+        Curation.hashSplit(t.documents).select("doc_id", "split"),
+        Seq("doc_id")))),
     // Nearest-centroid classifier over embeddings: per-label
     // centroids trained on md5 buckets 0-7, every vector assigned its
     // most-cosine-similar centroid (q156's embedding-space twin)
@@ -3135,6 +3142,25 @@ object TrainingEntries {
          |      ORDER BY aes_key DESC, doc_id ASC) AS BIGINT) AS rn
          |    FROM keyed)
          |WHERE rn <= 20 ORDER BY source, rn""".stripMargin,
+
+    // Mirrors Curation.shardManifest over hashSplit: per split, doc
+    // count, token count, md5 of doc-id-ordered fingerprints
+    "q160_shard_manifest" ->
+      s"""WITH sp AS (SELECT doc_id,
+         |    CASE WHEN b < 80 THEN 'train'
+         |         WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |        AS BIGINT) % 100 AS b FROM documents)),
+         |d AS (SELECT s.split, dd.doc_id, md5($norm) AS fp,
+         |    CASE WHEN length($norm) = 0 THEN 0
+         |         ELSE len(string_split($norm, ' ')) END AS n_tok
+         |  FROM documents dd JOIN sp s ON s.doc_id = dd.doc_id)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+         |  md5(string_agg(concat(CAST(doc_id AS VARCHAR), ':', fp), ''
+         |    ORDER BY doc_id)) AS content_md5
+         |FROM d GROUP BY split ORDER BY split""".stripMargin,
 
     // Mirrors Similarity.centroidClassifier: per-label floor(sum/n)
     // centroids on buckets 0-7, argmax cosine per vector

@@ -948,4 +948,37 @@ object Curation {
         lit(2L).as("snap"))
     s0.unionByName(s1).unionByName(s2)
   }
+
+  /** Per-shard integrity manifest: for each value of `shardCol`, the
+    * doc count, exact token count, and a CONTENT hash — md5 over the
+    * doc-id-ordered concatenation of per-doc content fingerprints.
+    * Two corpus versions produce identical manifest rows iff the
+    * shard's membership AND every member's normalized text are
+    * identical, so diffing manifests pinpoints exactly which shards a
+    * rewrite/dedup pass touched — the reproducibility receipt a
+    * training run stores next to its shards (and the shard-level
+    * sibling of [[snapshotDiff]]'s per-doc story).
+    *
+    * Scale: one scan computing (fp, n_tok) per doc, ONE shuffle on
+    * the shard key; the per-shard fingerprint list is 32 bytes/doc
+    * (a 10M-doc shard folds ~320 MB on one task — size shards
+    * accordingly, or run twice with a sub-shard key and hash the
+    * sub-manifests hierarchically).
+    */
+  def shardManifest(documents: DataFrame,
+      shardCol: String = "split"): DataFrame =
+    documents.spread()
+      .select(col(shardCol), $("doc_id"),
+        TextAnalysis.fingerprint($("text")).as("fp"),
+        TextAnalysis.tokenCount($("text")).cast("long").as("n_tok"))
+      .groupBy(shardCol)
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($("n_tok")).cast("long").as("n_tok"),
+        // hash units are "doc_id:fp" so a same-text membership swap
+        // (doc replaced by a twin under another id) still flips the
+        // hash — the manifest receipts identity, not just bytes
+        md5(concat_ws("", transform(
+          array_sort(collect_list(struct($("doc_id"), $("fp")))),
+          x => concat(x("doc_id").cast("string"), lit(":"), x("fp")))))
+          .as("content_md5"))
 }

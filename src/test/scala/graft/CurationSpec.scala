@@ -538,4 +538,30 @@ class CurationSpec extends SparkSpec {
     val sizes = e1.groupBy(_._2).view.mapValues(_.length)
     assert(sizes.values.forall(_ <= 2 * n / 4), s"unbalanced shards: $sizes")
   }
+
+  test("shardManifest: stats exact, order-free, flips on any change") {
+    import spark.implicits._
+    def manifest(rows: Seq[(Long, String, String)]) =
+      Curation.shardManifest(rows.toDF("doc_id", "text", "split"))
+        .as[(String, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val base = Seq((1L, "alpha beta", "s0"), (2L, "gamma delta", "s0"),
+      (3L, "epsilon zeta eta", "s1"))
+    val m = manifest(base)
+    assert(m("s0")._1 === 2L && m("s0")._2 === 4L)
+    assert(m("s1")._1 === 1L && m("s1")._2 === 3L)
+    // row order must not change the receipt
+    assert(manifest(base.reverse) === m)
+    // a text edit flips ONLY its own shard's hash
+    val edited = manifest(base.map {
+      case (2L, _, s) => (2L, "gamma delta prime", s); case r => r })
+    assert(edited("s0")._3 !== m("s0")._3)
+    assert(edited("s1") === m("s1"))
+    // a same-text membership swap (twin doc under a new id) flips the
+    // hash too — identity is part of the receipt
+    val swapped = manifest(base.map {
+      case (2L, t, s) => (9L, t, s); case r => r })
+    assert(swapped("s0")._3 !== m("s0")._3)
+    assert(swapped("s0")._1 === 2L && swapped("s0")._2 === 4L)
+  }
 }
