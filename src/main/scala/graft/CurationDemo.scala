@@ -147,6 +147,14 @@ object CurationDemo {
       .partitionBy("split", "bin").parquet(s"$work/shards")
     report("packed shards", spark.read.parquet(s"$work/shards").count())
 
+    // 5a2. integrity receipt (q160): per-split manifest written next
+    //      to the shards — doc/token counts + the membership+content
+    //      hash a rerun diffs to find exactly which shards changed
+    Curation.shardManifest(cleanTrain.join(split, Seq("doc_id")))
+      .write.mode("overwrite").parquet(s"$work/manifest")
+    report("manifest splits",
+      spark.read.parquet(s"$work/manifest").count())
+
     // 5b. loader handoff (q153): deterministic epoch-1 training order
     //     over the packed train docs — reproducible shard + position
     //     for every sequence, replayable bit-for-bit on resume

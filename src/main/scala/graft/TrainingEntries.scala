@@ -431,6 +431,20 @@ object TrainingEntries {
       TextAnalysis.nbClassifierEval(t.documents,
         posSources = Seq("src0", "src1", "src2"),
         negSources = Seq("src3", "src4", "src5"))),
+    // Incremental NB training: even docs = accumulated count
+    // artifacts, odd docs folded in via nbCountsUpdate, the whole
+    // corpus scored off the folded model — the batch q156 SQL is the
+    // exact oracle (counts are additive)
+    "q161_nb_incremental" -> q(t => {
+      val (pos, neg) =
+        (Seq("src0", "src1", "src2"), Seq("src3", "src4", "src5"))
+      val (vt0, dc0) = TextAnalysis.nbCounts(
+        t.documents.filter(col("doc_id") % 2 === 0), pos, neg)
+      val (vt, dc) = TextAnalysis.nbCountsUpdate(vt0, dc0,
+        t.documents.filter(col("doc_id") % 2 === 1), pos, neg)
+      val (lm, consts) = TextAnalysis.nbLmFromCounts(vt, dc)
+      TextAnalysis.nbScoreFrom(lm, consts, t.documents)
+    }),
     // Incremental span dedup (q92's span-level sibling): even docs =
     // the accumulated window index, odd docs = the new delivery; a
     // batch window is duplicated when index+batch occurrences >= 2
@@ -835,6 +849,27 @@ object TrainingEntries {
       |        unnest(generate_series(1, len(embedding))) AS i FROM embeddings)),
       |norms AS (SELECT vec_id, sqrt(CAST(SUM(v*v) AS DOUBLE)) AS nrm
       |          FROM flat GROUP BY vec_id)""".stripMargin
+
+  /** The full-corpus NB scoring SQL (q156, and q161's incremental
+    * build — additive counts make batch the exact oracle of the fold).
+    */
+  private lazy val nbScoreAllSql: String =
+    s"""WITH ${nbCtes("TRUE")},
+       |dc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+       |    FROM documents)
+       |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
+       |sc AS (SELECT d.doc_id, d.c,
+       |    COALESCE(lm.lnp1, (SELECT oov1 FROM ct))
+       |      - COALESCE(lm.lnp0, (SELECT oov0 FROM ct)) AS dl
+       |  FROM dc d LEFT JOIN lm ON lm.token = d.tok),
+       |ag AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+       |    CAST(SUM(c * dl) AS BIGINT) AS tok_llr FROM sc GROUP BY doc_id)
+       |SELECT doc_id, n_tok,
+       |  CAST(tok_llr + (SELECT prior_diff FROM ct) AS BIGINT) AS llr_micro,
+       |  CAST(CASE WHEN tok_llr + (SELECT prior_diff FROM ct) > 0
+       |    THEN 1 ELSE 0 END AS BIGINT) AS pred_pos
+       |FROM ag ORDER BY doc_id""".stripMargin
 
   /** Nearest-centroid classifier CTEs (q158/q159), mirroring
     * Similarity.centroidClassifier: `cent` = per-(label, dim)
@@ -3186,23 +3221,13 @@ object TrainingEntries {
     // Mirrors TextAnalysis.nbClassifierScores: NB trained src0-2 vs
     // src3-5 over the whole labeled slice, every doc scored with the
     // integer micro-nat LLR (priors folded in, OOV constant dl)
-    "q156_nb_classifier" ->
-      s"""WITH ${nbCtes("TRUE")},
-         |dc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
-         |    SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
-         |    FROM documents)
-         |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
-         |sc AS (SELECT d.doc_id, d.c,
-         |    COALESCE(lm.lnp1, (SELECT oov1 FROM ct))
-         |      - COALESCE(lm.lnp0, (SELECT oov0 FROM ct)) AS dl
-         |  FROM dc d LEFT JOIN lm ON lm.token = d.tok),
-         |ag AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
-         |    CAST(SUM(c * dl) AS BIGINT) AS tok_llr FROM sc GROUP BY doc_id)
-         |SELECT doc_id, n_tok,
-         |  CAST(tok_llr + (SELECT prior_diff FROM ct) AS BIGINT) AS llr_micro,
-         |  CAST(CASE WHEN tok_llr + (SELECT prior_diff FROM ct) > 0
-         |    THEN 1 ELSE 0 END AS BIGINT) AS pred_pos
-         |FROM ag ORDER BY doc_id""".stripMargin,
+    "q156_nb_classifier" -> nbScoreAllSql,
+
+    // q161 builds the model INCREMENTALLY (even docs as the
+    // accumulated counts, odd docs folded in) — counts are additive,
+    // so the oracle is exactly the batch-trained q156 SQL: passing
+    // proves fold == from-scratch
+    "q161_nb_incremental" -> nbScoreAllSql,
 
     // Mirrors TextAnalysis.nbClassifierEval: train on labeled md5
     // buckets 0-7, predict buckets 8-9, 2x2 confusion matrix

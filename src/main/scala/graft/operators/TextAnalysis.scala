@@ -926,11 +926,21 @@ object TextAnalysis {
   private def nbScored(labeled: DataFrame, toScore: DataFrame): DataFrame = {
     val vt = nbTypeCounts(labeled)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (lm, consts) = nbLmConsts(vt, labeled)
+    val (lm, consts) = nbLmConsts(vt, nbDocCounts(labeled))
     val result = nbScoreFrom(lm, consts, toScore).localCheckpoint(true)
     vt.unpersist(false)
     result
   }
+
+  /** One-row labeled doc counts (n1, n0); zeros, not NULLs, on an
+    * empty slice (an all-unlabeled delivery must fold as +0).
+    */
+  private def nbDocCounts(labeled: DataFrame): DataFrame =
+    labeled.agg(
+      coalesce(sum(when($("cls") === 1L, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n1"),
+      coalesce(sum(when($("cls") === 0L, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n0"))
 
   /** Per-token-type class counts (tf1, tf0) over the labeled slice —
     * one map-side-combined aggregate; only (token, partial-count)
@@ -949,16 +959,14 @@ object TextAnalysis {
       .cast("long")
 
   /** The LM table (token, lnp1, lnp0) and one-row constants (oov1,
-    * oov0, prior_diff) from the type counts + labeled doc counts.
+    * oov0, prior_diff) from the type counts + the one-row labeled
+    * doc counts.
     */
   private def nbLmConsts(vt: DataFrame,
-      labeled: DataFrame): (DataFrame, DataFrame) = {
+      docCounts: DataFrame): (DataFrame, DataFrame) = {
     val stats = vt.agg(sum($("tf1")).cast("long").as("T1"),
       sum($("tf0")).cast("long").as("T0"),
       count(lit(1)).cast("long").as("V"))
-    val docCounts = labeled.agg(
-      sum(when($("cls") === 1L, 1L).otherwise(0L)).cast("long").as("n1"),
-      sum(when($("cls") === 0L, 1L).otherwise(0L)).cast("long").as("n0"))
     // fail LOUDLY on an empty training class: Spark's log(0) is NULL
     // (not an error), which would otherwise silently NULL llr_micro
     // and read as "everything predicted negative" — and the DuckDB
@@ -995,11 +1003,60 @@ object TextAnalysis {
     val labeled = withSourceClass(documents, posSources, negSources)
     val vt = nbTypeCounts(labeled)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (lm, consts) = nbLmConsts(vt, labeled)
+    val (lm, consts) = nbLmConsts(vt, nbDocCounts(labeled))
     val lmOut = lm.localCheckpoint(true)
     val constsOut = consts.localCheckpoint(true)
     vt.unpersist(false)
     (lmOut, constsOut)
+  }
+
+  /** The NB classifier's INCREMENTAL artifacts: the per-token class
+    * counts (token, tf1, tf0) and the one-row labeled doc counts
+    * (n1, n0). Counts are additive, so a new labeled delivery folds
+    * into a persisted count table via [[nbCountsUpdate]] WITHOUT
+    * re-tokenizing the accumulated corpus — [[graft.operators
+    * .SubstringDedup.updatedWindowIndex]]'s ingest discipline applied
+    * to the quality model. [[nbLmFromCounts]] derives the serve
+    * artifacts whenever a fresh model should ship. Both outputs are
+    * materialized eagerly (vocab-sized and one row).
+    */
+  def nbCounts(documents: DataFrame, posSources: Seq[String],
+      negSources: Seq[String]): (DataFrame, DataFrame) = {
+    val labeled = withSourceClass(documents, posSources, negSources)
+    (nbTypeCounts(labeled).localCheckpoint(true),
+      nbDocCounts(labeled).localCheckpoint(true))
+  }
+
+  /** Fold a new delivery's labeled counts into the accumulated
+    * (vt, docCounts) artifacts — a full-outer count merge on the
+    * token key plus a two-row sum. The accumulated CORPUS is never
+    * re-read: the fold shuffles only the vocab-sized count tables and
+    * the delivery's own token stream. Folded == from-scratch exactly
+    * (spec-pinned), so incremental and batch training interchange.
+    */
+  def nbCountsUpdate(vt: DataFrame, docCounts: DataFrame,
+      delivery: DataFrame, posSources: Seq[String],
+      negSources: Seq[String]): (DataFrame, DataFrame) = {
+    val (dvt, ddc) = nbCounts(delivery, posSources, negSources)
+    val foldedVt = vt.select($("token"), $("tf1"), $("tf0"))
+      .unionByName(dvt)
+      .groupBy($("token"))
+      .agg(sum($("tf1")).as("tf1"), sum($("tf0")).as("tf0"))
+      .localCheckpoint(true)
+    val foldedDc = docCounts.unionByName(ddc)
+      .agg(sum($("n1")).cast("long").as("n1"),
+        sum($("n0")).cast("long").as("n0"))
+      .localCheckpoint(true)
+    (foldedVt, foldedDc)
+  }
+
+  /** Derive the serve-time artifacts ([[nbScoreFrom]]'s inputs) from
+    * the incremental count artifacts — vocab-sized work only.
+    */
+  def nbLmFromCounts(vt: DataFrame,
+      docCounts: DataFrame): (DataFrame, DataFrame) = {
+    val (lm, consts) = nbLmConsts(vt, docCounts)
+    (lm.localCheckpoint(true), consts.localCheckpoint(true))
   }
 
   /** Score `toScore` against a trained NB model (the artifacts of

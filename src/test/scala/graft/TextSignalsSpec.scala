@@ -320,6 +320,34 @@ class TextSignalsSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("nb incremental count fold == from-scratch training exactly") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val (pos, neg) =
+      (Seq("src0", "src1", "src2"), Seq("src3", "src4", "src5"))
+    val (vtAll, dcAll) = TextAnalysis.nbCounts(docs, pos, neg)
+    val (vt0, dc0) =
+      TextAnalysis.nbCounts(docs.filter($"doc_id" % 2 === 0), pos, neg)
+    val (vtF, dcF) = TextAnalysis.nbCountsUpdate(vt0, dc0,
+      docs.filter($"doc_id" % 2 === 1), pos, neg)
+    def vtSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long)].collect().toSet
+    assert(vtSet(vtF) === vtSet(vtAll),
+      "folded type counts must equal from-scratch")
+    assert(dcF.as[(Long, Long)].head() === dcAll.as[(Long, Long)].head())
+    // and the model derived from the fold scores identically
+    val (lm, consts) = TextAnalysis.nbLmFromCounts(vtF, dcF)
+    val got = TextAnalysis.nbScoreFrom(lm, consts, docs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = TextAnalysis.nbClassifierScores(docs, pos, neg)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    // an all-unlabeled delivery folds as +0, not NULL
+    val (vtZ, dcZ) = TextAnalysis.nbCountsUpdate(vt0, dc0,
+      docs.filter($"source" === "src9"), pos, neg)
+    assert(dcZ.as[(Long, Long)].head() === dc0.as[(Long, Long)].head())
+    assert(vtSet(vtZ) === vtSet(vt0))
+  }
+
   test("nbClassifierEval: diagonal confusion matrix on separable held-out") {
     val docs = (1L to 60L).map { i =>
       if (i % 2 == 0) (i, "good nice gold", "en", "posA")
