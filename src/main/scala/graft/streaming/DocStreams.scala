@@ -274,6 +274,29 @@ object DocStreams extends Serializable {
         when(col("tok_llr") + lit(priorDiff) > 0, 1L).otherwise(0L)
           .as("pred_pos"))
 
+  /** Streaming NB count maintenance: the running (token, tf1, tf0)
+    * class-count table over a LABELED document firehose — the
+    * incremental-model state [[graft.operators.TextAnalysis
+    * .nbCountsUpdate]] folds in batch, kept live as a plain streaming
+    * aggregation instead (counts are additive, so the running state
+    * IS the fold). Ship a model by deriving the LM from the current
+    * state (`nbLmFromCounts`) whenever retraining cadence demands.
+    * State is vocabulary-sized — the inherent floor for any count
+    * model — and constant per token regardless of corpus size.
+    *
+    * `cls` must be precomputed on the stream (1L/0L; the source
+    * labeling rule runs at ingest). Twin contract (StreamingSpec):
+    * final cells equal the batch `nbCounts` type table.
+    */
+  def nbCountStream(labeled: DataFrame): DataFrame =
+    labeled
+      .select(col("cls"),
+        explode(split(TextAnalysis.normText(col("text")), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(sum(when(col("cls") === 1L, 1L).otherwise(0L)).as("tf1"),
+        sum(when(col("cls") === 0L, 1L).otherwise(0L)).as("tf0"))
+
   /** Streaming count-min sketch: the running (row, col, cnt) cell
     * table over the document firehose — update mode emits the cells a
     * micro-batch touched with their new running sums. The CMS is THE

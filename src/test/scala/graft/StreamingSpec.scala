@@ -551,6 +551,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming nb counts == batch nbCounts type table across batches") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.DocStreams
+    val docsT = graft.sources.Tables(spark, dir).documents
+    val (pos, neg) = (Seq("src0", "src1", "src2"), Seq("src3", "src4", "src5"))
+    import org.apache.spark.sql.functions.when
+    val labeled = docsT
+      .filter($"source".isin((pos ++ neg): _*))
+      .withColumn("cls", when($"source".isin(pos: _*), 1L).otherwise(0L))
+      .select("doc_id", "text", "cls")
+    val nbDir = java.nio.file.Files.createTempDirectory("graft-nbc-stream").toString
+    labeled.filter($"doc_id" % 2 === 0).write.mode("append").parquet(nbDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cls",
+        org.apache.spark.sql.types.LongType)))
+    val q = DocStreams.nbCountStream(
+        spark.readStream.schema(schema).parquet(nbDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("nbc_stream").start()
+    try {
+      q.processAllAvailable()
+      labeled.filter($"doc_id" % 2 === 1).write.mode("append").parquet(nbDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("nbc_stream")
+      .as[(String, Long, Long)].collect().toSet
+    val want = TextAnalysis.nbCounts(docsT, pos, neg)._1
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === want,
+      "the running state must equal the batch count artifact")
+    assert(got.nonEmpty)
+  }
+
   test("streaming cms cells == batch cmsTable, including across batches") {
     import graft.streaming.DocStreams
     val tables = graft.sources.Tables(spark, dir)
