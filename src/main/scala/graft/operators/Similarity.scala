@@ -1380,14 +1380,12 @@ object Similarity {
     * must not pay a full-corpus materialization for a K²-row
     * confusion matrix).
     */
-  private def centroidScored(embeddings: DataFrame,
-      heldOutOnly: Boolean): DataFrame = {
-    val bucket = Curation.hashBucket($("vec_id"), 10)
-    val q = embeddings.spread()
-      .select($("vec_id"), $("label"), quantize($("embedding")).as("qv"))
-      .withColumn("nrm", qnorm($("qv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = q.filter(bucket <= 7)
+  /** Per-label centroid arrays (clabel, cv) from the bucket 0-7
+    * train split of a (vec_id, label, qv) table — floor(sum/n) per
+    * dimension, rebuilt into arrays via the [[centroidStep]] idiom.
+    */
+  private def labelCentroids(q: DataFrame): DataFrame =
+    q.filter(Curation.hashBucket($("vec_id"), 10) <= 7)
       .select($("label"), posexplode($("qv")).as(Seq("i", "v")))
       .groupBy($("label"), $("i"))
       .agg(floor(sum($("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
@@ -1395,7 +1393,15 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct($("i"), $("cv")))),
         x => x("cv")).as("cv"))
       .select($("label").as("clabel"), $("cv"))
-      .withColumn("cnrm", qnorm($("cv")))
+
+  private def centroidScored(embeddings: DataFrame,
+      heldOutOnly: Boolean): DataFrame = {
+    val bucket = Curation.hashBucket($("vec_id"), 10)
+    val q = embeddings.spread()
+      .select($("vec_id"), $("label"), quantize($("embedding")).as("qv"))
+      .withColumn("nrm", qnorm($("qv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = labelCentroids(q).withColumn("cnrm", qnorm($("cv")))
     val toScore = if (heldOutOnly) q.filter(bucket >= 8) else q
     val result = toScore.crossJoin(broadcast(cents))
       .select($("vec_id"), $("label"), $("clabel"),
@@ -1422,4 +1428,39 @@ object Similarity {
     centroidScored(embeddings, heldOutOnly = true)
       .groupBy($("label"), $("pred_label"))
       .agg(count(lit(1)).cast("long").as("n_vecs"))
+
+  /** Driver-localized label centroids (label, cv) — K·dims longs,
+    * the codebook-style model artifact the streaming classifier
+    * ships as literals ([[pqCodebookLocal]]'s pattern; the collect
+    * is K-row-bounded by construction).
+    */
+  def centroidModelLocal(embeddings: DataFrame): Seq[(Long, Seq[Long])] = {
+    import embeddings.sparkSession.implicits._
+    labelCentroids(embeddings.spread()
+        .select($("vec_id"), $("label"), quantize($("embedding")).as("qv")))
+      .select($("clabel").cast("long"), $("cv"))
+      .as[(Long, Seq[Long])].collect().toSeq
+  }
+
+  /** Pure-expression nearest-centroid assignment against LITERAL
+    * centroids — [[centroidClassifier]]'s scoring half for the
+    * streaming/serving tier ([[pqAssignExpr]]'s least-over-structs
+    * idiom: no join, no window, no state). Same quantized-integer
+    * cosine arithmetic and the same lower-label tie-break as the
+    * batch max_by rule.
+    */
+  def centroidAssignExpr(emb: Column,
+      centroids: Seq[(Long, Seq[Long])]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val qv = quantize(emb)
+    val nrm = qnorm(qv)
+    val entries = centroids.sortBy(_._1).map { case (label, cv) =>
+      val cnrm = math.sqrt(cv.map(x => x.toDouble * x).sum)
+      struct(
+        (-(qdot(qv, typedlit(cv)).cast("double") / (nrm * lit(cnrm))))
+          .as("negcos"),
+        lit(label).as("label"))
+    }
+    least(entries: _*).getField("label")
+  }
 }

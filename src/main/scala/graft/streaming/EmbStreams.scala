@@ -45,4 +45,22 @@ object EmbStreams {
       .select(col("vec_id"),
         Similarity.pqAssignExpr(col("embedding"), codebook, m, dim)
           .as("codes"))
+
+  /** Streaming nearest-centroid classification: a pred label per
+    * arriving vector against the OFFLINE-trained label centroids
+    * ([[Similarity.centroidModelLocal]] — shipped as literals like
+    * the PQ codebook). STATELESS pure expression, so a model refresh
+    * is a stream restart; wrong-width vectors drop. The online-
+    * inference half of the q158 classifier: route/score embeddings
+    * at ingest by reference-class proximity.
+    *
+    * Twin contract (StreamingSpec): (vec_id, pred_label) equals the
+    * batch classifier's assignment for every streamed vector.
+    */
+  def centroidLabels(emb: DataFrame,
+      centroids: Seq[(Long, Seq[Long])], dim: Int = 64): DataFrame =
+    emb.filter(size(col("embedding")) === dim)
+      .select(col("vec_id"),
+        Similarity.centroidAssignExpr(col("embedding"), centroids)
+          .as("pred_label"))
 }

@@ -613,6 +613,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming centroid labels == batch classifier assignment") {
+    import graft.operators.Similarity
+    import graft.streaming.EmbStreams
+    val emb = graft.sources.Tables(spark, dir).embeddings
+    val embDir = java.nio.file.Files.createTempDirectory("graft-cc-emb").toString
+    emb.write.mode("overwrite").parquet(embDir)
+    // centroids train OFFLINE on the batch tier's bucket 0-7 split,
+    // then ship into the stream as literals (the codebook pattern)
+    val model = Similarity.centroidModelLocal(emb)
+    val q = EmbStreams.centroidLabels(
+        EmbStreams.readEmbeddings(spark, embDir), model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cc_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("cc_stream")
+      .as[(Long, Long)].collect().toMap
+    val want = Similarity.centroidClassifier(emb)
+      .select($"vec_id", $"pred_label").as[(Long, Long)].collect().toMap
+    assert(got === want,
+      "streamed assignments must equal the oracle-gated batch classifier")
+    assert(got.nonEmpty)
+  }
+
   test("streaming pq codes == batch pqEncode codes (single batch)") {
     import graft.operators.Similarity
     import graft.streaming.EmbStreams
