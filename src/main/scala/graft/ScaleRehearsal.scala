@@ -194,7 +194,12 @@ object ScaleRehearsal {
         Leg("q156_nb_classifier", needsDocs = true)(() =>
           TextAnalysis.nbClassifierScores(docs,
             posSources = Seq("src0", "src1", "src2"),
-            negSources = Seq("src3", "src4", "src5"))))
+            negSources = Seq("src3", "src4", "src5"))),
+        // the centroid classifier (q158): one (label, dim, Σv)
+        // aggregate + a K-row broadcast crossJoin and a max_by —
+        // expected linear in vectors with a constant K·dims term
+        Leg("q158_centroid_classifier", needsEmb = true)(() =>
+          Similarity.centroidClassifier(emb)))
       val sel = family.filter(l => selected(l.name))
       val (needDocs, needEmb) =
         (sel.exists(_.needsDocs) || sel.exists(_.needsSpanIdx),
