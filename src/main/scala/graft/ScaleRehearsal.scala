@@ -108,8 +108,11 @@ object ScaleRehearsal {
     // vals defer the inflate+persist, the pre-loop count()s force
     // them eagerly OUTSIDE the timed spans
     final case class Leg(name: String, needsDocs: Boolean = false,
-        needsEmb: Boolean = false, needsSpanIdx: Boolean = false)(
+        needsEmb: Boolean = false, needsSpanIdx: Boolean = false,
+        needsNbIdx: Boolean = false)(
         val fn: () => DataFrame)
+    val nbPos = Seq("src0", "src1", "src2")
+    val nbNeg = Seq("src3", "src4", "src5")
 
     for (f <- factors) {
       lazy val docs = inflateDocuments(t.documents, f)
@@ -123,6 +126,11 @@ object ScaleRehearsal {
       lazy val spanIdx: DataFrame =
         SubstringDedup.windowIndex(docs.filter(col("doc_id") % 10 =!= 0))
           .localCheckpoint(true)
+      // accumulated NB count artifacts over 90% of the corpus (eager
+      // inside nbCounts) — the q161 fold leg probes a 10% delivery
+      // against them
+      lazy val nbIdx: (DataFrame, DataFrame) = TextAnalysis.nbCounts(
+        docs.filter(col("doc_id") % 10 =!= 0), nbPos, nbNeg)
       val family: Seq[Leg] = Seq(
         Leg("q26_minhash_dups", needsDocs = true)(() =>
           Dedup.minhashDupPairs(docs, threshold = 0.7)),
@@ -199,15 +207,27 @@ object ScaleRehearsal {
         // aggregate + a K-row broadcast crossJoin and a max_by —
         // expected linear in vectors with a constant K·dims term
         Leg("q158_centroid_classifier", needsEmb = true)(() =>
-          Similarity.centroidClassifier(emb)))
+          Similarity.centroidClassifier(emb)),
+        // incremental NB model update vs full retrain: fold a 10%
+        // delivery's counts into the prebuilt 90% artifacts (one
+        // delivery tokenization + a vocab-sized merge) vs
+        // re-tokenizing the whole corpus — q161's marginal-cost claim
+        // (nbCounts checkpoints eagerly, so both legs are
+        // elimination-proof under count())
+        Leg("q161_fold_delivery", needsDocs = true, needsNbIdx = true)(
+          () => TextAnalysis.nbCountsUpdate(nbIdx._1, nbIdx._2,
+            docs.filter(col("doc_id") % 10 === 0), nbPos, nbNeg)._1),
+        Leg("q161_full_retrain", needsDocs = true)(() =>
+          TextAnalysis.nbCounts(docs, nbPos, nbNeg)._1))
       val sel = family.filter(l => selected(l.name))
       val (needDocs, needEmb) =
-        (sel.exists(_.needsDocs) || sel.exists(_.needsSpanIdx),
-          sel.exists(_.needsEmb))
+        (sel.exists(_.needsDocs) || sel.exists(_.needsSpanIdx) ||
+          sel.exists(_.needsNbIdx), sel.exists(_.needsEmb))
       // force the shared inputs OUTSIDE the timed spans
       val nd = if (needDocs) docs.count() else 0L
       val ne = if (needEmb) emb.count() else 0L
       if (sel.exists(_.needsSpanIdx)) spanIdx.count()
+      if (sel.exists(_.needsNbIdx)) nbIdx._1.count()
       for (leg <- sel) {
         val g = s"x$f:${leg.name}"
         spark.sparkContext.setJobGroup(g, g)
