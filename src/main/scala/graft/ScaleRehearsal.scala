@@ -251,6 +251,9 @@ object ScaleRehearsal {
       if (needDocs) docs.unpersist(false)
       if (needEmb) emb.unpersist(false)
       if (sel.exists(_.needsSpanIdx)) spanIdx.unpersist(false)
+      if (sel.exists(_.needsNbIdx)) {
+        nbIdx._1.unpersist(false); nbIdx._2.unpersist(false)
+      }
     }
     spark.stop()
   }

@@ -3187,9 +3187,10 @@ object TrainingEntries {
          |  FROM (SELECT doc_id,
          |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
          |        AS BIGINT) % 100 AS b FROM documents)),
-         |d AS (SELECT s.split, dd.doc_id, md5($norm) AS fp,
-         |    CASE WHEN length($norm) = 0 THEN 0
-         |         ELSE len(string_split($norm, ' ')) END AS n_tok
+         |d AS (SELECT s.split, dd.doc_id,
+         |    COALESCE(md5($norm), 'null') AS fp,
+         |    COALESCE(CASE WHEN length($norm) = 0 THEN 0
+         |         ELSE len(string_split($norm, ' ')) END, 0) AS n_tok
          |  FROM documents dd JOIN sp s ON s.doc_id = dd.doc_id)
          |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(n_tok) AS BIGINT) AS n_tok,

@@ -969,8 +969,13 @@ object Curation {
       shardCol: String = "split"): DataFrame =
     documents.spread()
       .select(col(shardCol), $("doc_id"),
-        TextAnalysis.fingerprint($("text")).as("fp"),
-        TextAnalysis.tokenCount($("text")).cast("long").as("n_tok"))
+        // NULL text gets a sentinel fp (distinct from md5 of the
+        // empty string): concat of a NULL fp would make concat_ws
+        // silently DROP the doc's unit from the receipt
+        coalesce(TextAnalysis.fingerprint($("text")), lit("null"))
+          .as("fp"),
+        coalesce(TextAnalysis.tokenCount($("text")).cast("long"), lit(0L))
+          .as("n_tok"))
       .groupBy(shardCol)
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum($("n_tok")).cast("long").as("n_tok"),

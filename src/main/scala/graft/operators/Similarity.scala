@@ -1452,6 +1452,13 @@ object Similarity {
   def centroidAssignExpr(emb: Column,
       centroids: Seq[(Long, Seq[Long])]): Column = {
     require(centroids.nonEmpty, "need at least one centroid")
+    // a zero-norm centroid makes every cosine NaN, and NaN ranks
+    // OPPOSITE ways in batch max_by (greatest) vs least here — refuse
+    // the degenerate model at ship time instead of silently diverging
+    // from the batch twin
+    centroids.foreach { case (label, cv) =>
+      require(cv.exists(_ != 0L), s"zero-norm centroid for label $label")
+    }
     val qv = quantize(emb)
     val nrm = qnorm(qv)
     val entries = centroids.sortBy(_._1).map { case (label, cv) =>
@@ -1461,6 +1468,10 @@ object Similarity {
           .as("negcos"),
         lit(label).as("label"))
     }
-    least(entries: _*).getField("label")
+    // least() needs >= 2 args; a single reference class assigns
+    // unconditionally (K = 1 is the docstring's one-class proximity
+    // use, and the batch path handles it the same way)
+    if (entries.size == 1) entries.head.getField("label")
+    else least(entries: _*).getField("label")
   }
 }

@@ -563,5 +563,10 @@ class CurationSpec extends SparkSpec {
       case (2L, t, s) => (9L, t, s); case r => r })
     assert(swapped("s0")._3 !== m("s0")._3)
     assert(swapped("s0")._1 === 2L && swapped("s0")._2 === 4L)
+    // a NULL-text doc is counted AND hashed (sentinel fp — a NULL
+    // concat unit would silently vanish from concat_ws)
+    val withNull = manifest(base :+ (5L, null.asInstanceOf[String], "s1"))
+    assert(withNull("s1")._1 === 2L && withNull("s1")._2 === 3L)
+    assert(withNull("s1")._3 !== m("s1")._3)
   }
 }
