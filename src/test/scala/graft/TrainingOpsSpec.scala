@@ -850,6 +850,22 @@ class TrainingOpsSpec extends SparkSpec {
     assert(top2.map(_._2).toSeq === Seq("a", "b"))
   }
 
+  test("centroidAssignExpr: K=1 assigns unconditionally, zero-norm refused") {
+    import org.apache.spark.sql.functions.col
+    val vecs = Seq((1L, Seq(0.5f, 0.1f)), (2L, Seq(-0.3f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val one = vecs.select(col("vec_id"),
+        Similarity.centroidAssignExpr(col("embedding"),
+          Seq((7L, Seq(1000000L, 0L)))).as("pred"))
+      .as[(Long, Long)].collect().toMap
+    assert(one === Map(1L -> 7L, 2L -> 7L))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.centroidAssignExpr(col("embedding"),
+        Seq((1L, Seq(1000000L, 0L)), (2L, Seq(0L, 0L))))
+    }
+    assert(e.getMessage.contains("zero-norm centroid"))
+  }
+
   test("centroidClassifier: planted classes recovered; eval is diagonal") {
     // two well-separated classes: label 0 near +e1, label 1 near +e2;
     // noise small enough that every vector stays nearest its own
