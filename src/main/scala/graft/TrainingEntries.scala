@@ -409,6 +409,12 @@ object TrainingEntries {
       Curation.shardManifest(t.documents.join(
         Curation.hashSplit(t.documents).select("doc_id", "split"),
         Seq("doc_id")))),
+    // Hierarchical (sub-sharded) manifest: q160's receipt built in
+    // two bounded fold stages — the 10M-doc-shard scale path
+    "q162_manifest_hier" -> q(t =>
+      Curation.shardManifest(t.documents.join(
+        Curation.hashSplit(t.documents).select("doc_id", "split"),
+        Seq("doc_id")), subShards = 4)),
     // Nearest-centroid classifier over embeddings: per-label
     // centroids trained on md5 buckets 0-7, every vector assigned its
     // most-cosine-similar centroid (q156's embedding-space twin)
@@ -3197,6 +3203,32 @@ object TrainingEntries {
          |  md5(string_agg(concat(CAST(doc_id AS VARCHAR), ':', fp), ''
          |    ORDER BY doc_id)) AS content_md5
          |FROM d GROUP BY split ORDER BY split""".stripMargin,
+
+    // Mirrors Curation.shardManifest(subShards = 4): md5-bucketed
+    // sub-shard hashes folded by an ordered outer md5
+    "q162_manifest_hier" ->
+      s"""WITH sp AS (SELECT doc_id,
+         |    CASE WHEN b < 80 THEN 'train'
+         |         WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |        AS BIGINT) % 100 AS b FROM documents)),
+         |d AS (SELECT s.split, dd.doc_id,
+         |    CAST(concat('0x', substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 4 AS sub,
+         |    COALESCE(md5($norm), 'null') AS fp,
+         |    COALESCE(CASE WHEN length($norm) = 0 THEN 0
+         |         ELSE len(string_split($norm, ' ')) END, 0) AS n_tok
+         |  FROM documents dd JOIN sp s ON s.doc_id = dd.doc_id),
+         |sm AS (SELECT split, sub, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+         |    md5(string_agg(concat(CAST(doc_id AS VARCHAR), ':', fp), ''
+         |      ORDER BY doc_id)) AS sub_md5
+         |  FROM d GROUP BY split, sub)
+         |SELECT split, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+         |  md5(string_agg(sub_md5, '' ORDER BY sub)) AS content_md5
+         |FROM sm GROUP BY split ORDER BY split""".stripMargin,
 
     // Mirrors Similarity.centroidClassifier: per-label floor(sum/n)
     // centroids on buckets 0-7, argmax cosine per vector

@@ -960,14 +960,19 @@ object Curation {
     * sibling of [[snapshotDiff]]'s per-doc story).
     *
     * Scale: one scan computing (fp, n_tok) per doc, ONE shuffle on
-    * the shard key; the per-shard fingerprint list is 32 bytes/doc
-    * (a 10M-doc shard folds ~320 MB on one task — size shards
-    * accordingly, or run twice with a sub-shard key and hash the
-    * sub-manifests hierarchically).
+    * the shard key; the per-shard fingerprint list is 32 bytes/doc,
+    * so a 10M-doc shard folds ~320 MB on one task — pass
+    * `subShards` > 1 and the fold becomes TWO bounded stages: units
+    * hash within md5-bucketed sub-shards first, then the shard hash
+    * folds the ordered sub-hashes (subShards 32-byte strings). Any
+    * unit change still flips exactly its shard's receipt; the
+    * hierarchical hash VALUE differs from the flat one by
+    * construction, so pick one form per warehouse and keep it.
     */
-  def shardManifest(documents: DataFrame,
-      shardCol: String = "split"): DataFrame =
-    documents.spread()
+  def shardManifest(documents: DataFrame, shardCol: String = "split",
+      subShards: Int = 1): DataFrame = {
+    require(subShards >= 1, s"subShards must be >= 1, got $subShards")
+    val units = documents.spread()
       .select(col(shardCol), $("doc_id"),
         // NULL text gets a sentinel fp (distinct from md5 of the
         // empty string): concat of a NULL fp would make concat_ws
@@ -976,14 +981,31 @@ object Curation {
           .as("fp"),
         coalesce(TextAnalysis.tokenCount($("text")).cast("long"), lit(0L))
           .as("n_tok"))
-      .groupBy(shardCol)
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum($("n_tok")).cast("long").as("n_tok"),
-        // hash units are "doc_id:fp" so a same-text membership swap
-        // (doc replaced by a twin under another id) still flips the
-        // hash — the manifest receipts identity, not just bytes
-        md5(concat_ws("", transform(
-          array_sort(collect_list(struct($("doc_id"), $("fp")))),
-          x => concat(x("doc_id").cast("string"), lit(":"), x("fp")))))
-          .as("content_md5"))
+    // hash units are "doc_id:fp" so a same-text membership swap (doc
+    // replaced by a twin under another id) still flips the hash —
+    // the manifest receipts identity, not just bytes
+    def unitHash(rows: Column): Column =
+      md5(concat_ws("", transform(array_sort(rows),
+        x => concat(x("doc_id").cast("string"), lit(":"), x("fp")))))
+    if (subShards == 1)
+      units.groupBy(shardCol)
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum($("n_tok")).cast("long").as("n_tok"),
+          unitHash(collect_list(struct($("doc_id"), $("fp"))))
+            .as("content_md5"))
+    else
+      units
+        .withColumn("sub", hashBucket($("doc_id"), subShards))
+        .groupBy(col(shardCol), $("sub"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum($("n_tok")).cast("long").as("n_tok"),
+          unitHash(collect_list(struct($("doc_id"), $("fp"))))
+            .as("sub_md5"))
+        .groupBy(shardCol)
+        .agg(sum($("n_docs")).cast("long").as("n_docs"),
+          sum($("n_tok")).cast("long").as("n_tok"),
+          md5(concat_ws("", transform(
+            array_sort(collect_list(struct($("sub"), $("sub_md5")))),
+            x => x("sub_md5")))).as("content_md5"))
+  }
 }

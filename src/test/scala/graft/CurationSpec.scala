@@ -568,5 +568,20 @@ class CurationSpec extends SparkSpec {
     val withNull = manifest(base :+ (5L, null.asInstanceOf[String], "s1"))
     assert(withNull("s1")._1 === 2L && withNull("s1")._2 === 3L)
     assert(withNull("s1")._3 !== m("s1")._3)
+    // hierarchical form: identical stats, order-free, same
+    // sensitivity (a unit edit flips exactly its shard's receipt)
+    def hier(rows: Seq[(Long, String, String)]) =
+      Curation.shardManifest(rows.toDF("doc_id", "text", "split"),
+          subShards = 4)
+        .as[(String, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val h = hier(base)
+    assert(h.view.mapValues(v => (v._1, v._2)).toMap ===
+      m.view.mapValues(v => (v._1, v._2)).toMap)
+    assert(hier(base.reverse) === h)
+    val hEdited = hier(base.map {
+      case (2L, _, s) => (2L, "gamma delta prime", s); case r => r })
+    assert(hEdited("s0")._3 !== h("s0")._3)
+    assert(hEdited("s1") === h("s1"))
   }
 }
