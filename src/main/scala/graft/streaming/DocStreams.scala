@@ -297,6 +297,28 @@ object DocStreams extends Serializable {
       .agg(sum(when(col("cls") === 1L, 1L).otherwise(0L)).as("tf1"),
         sum(when(col("cls") === 0L, 1L).otherwise(0L)).as("tf0"))
 
+  /** Streaming window-index maintenance: the running (fp, n_occ)
+    * span-dedup index over the document firehose — the accumulated
+    * state [[graft.operators.SubstringDedup.incrementalSpanStats]]
+    * probes per delivery, kept live as a plain streaming aggregation
+    * (window counts are additive). Uses the O(n) rolling-hash window
+    * source ([[graft.plans.WindowHashesExpression]] — a pure codegen
+    * expression, so it runs in a stream unchanged). State is one
+    * entry per DISTINCT window fingerprint — the same floor the
+    * batch index pays on disk.
+    *
+    * Twin contract (StreamingSpec): final cells equal the batch
+    * [[graft.operators.SubstringDedup.windowIndex]].
+    */
+  def windowIndexStream(docs: DataFrame, k: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"), TextAnalysis.normText(col("text")).as("norm"))
+      .where(length(col("norm")) > 0)
+      .select(posexplode(graft.plans.WindowHashesExpression
+        .windowHashes(split(col("norm"), " "), k)).as(Seq("pos0", "fp")))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_occ"))
+
   /** Streaming count-min sketch: the running (row, col, cnt) cell
     * table over the document firehose — update mode emits the cells a
     * micro-batch touched with their new running sums. The CMS is THE

@@ -551,6 +551,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming window index == batch windowIndex across batches") {
+    import graft.operators.SubstringDedup
+    import graft.streaming.DocStreams
+    val docsT = graft.sources.Tables(spark, dir).documents
+    val wDir = java.nio.file.Files.createTempDirectory("graft-widx-stream").toString
+    docsT.filter($"doc_id" % 2 === 0).write.mode("append").parquet(wDir)
+    val q = DocStreams.windowIndexStream(DocStreams.readDocs(spark, wDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("widx_stream").start()
+    try {
+      q.processAllAvailable()
+      docsT.filter($"doc_id" % 2 === 1).write.mode("append").parquet(wDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("widx_stream")
+      .as[(Long, Long)].collect().toSet
+    val want = SubstringDedup.windowIndex(docsT)
+      .as[(Long, Long)].collect().toSet
+    assert(got === want,
+      "the live index must equal the batch window index exactly")
+    assert(got.nonEmpty)
+  }
+
   test("streaming nb counts == batch nbCounts type table across batches") {
     import graft.operators.TextAnalysis
     import graft.streaming.DocStreams
