@@ -551,6 +551,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("A1 airportTraffic runs UNCHANGED as a streaming query") {
+    // the reference's flagship explode-count is declarative enough to
+    // be execution-mode-agnostic: the SAME operator object runs over
+    // readStream and its running counts equal the batch answer — no
+    // twin reimplementation needed (explode + groupBy-count is a
+    // supported streaming aggregation)
+    import graft.operators.Airline
+    val flights = Seq(
+      ("ORD", "JFK"), ("ORD", "SFO"), ("JFK", "ORD"),
+      ("CMI", null.asInstanceOf[String]))
+      .toDF("Origin", "Dest")
+    val fDir = java.nio.file.Files.createTempDirectory("graft-flights").toString
+    flights.limit(2).write.mode("append").parquet(fDir)
+    val schema = flights.schema
+    val q = Airline.airportTraffic(
+        spark.readStream.schema(schema).parquet(fDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("a1_stream").start()
+    try {
+      q.processAllAvailable()
+      flights.write.mode("append").parquet(fDir) // second delivery: all 4
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("a1_stream").as[(String, Long)].collect().toMap
+    val want = Airline.airportTraffic(
+        spark.read.parquet(fDir))
+      .as[(String, Long)].collect().toMap
+    assert(got === want)
+    assert(got("ORD") >= 3L)
+  }
+
   test("streaming window index == batch windowIndex across batches") {
     import graft.operators.SubstringDedup
     import graft.streaming.DocStreams
