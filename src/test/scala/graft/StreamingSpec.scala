@@ -605,6 +605,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("the live window index composes with incrementalSpanStats") {
+    // glue proof: the STREAMED index state is a drop-in input for the
+    // batch delivery prober — ingest keeps the index live, and span
+    // dedup of a new delivery probes it without any batch rebuild
+    import graft.operators.SubstringDedup
+    import graft.streaming.DocStreams
+    val docsT = graft.sources.Tables(spark, dir).documents
+    val even = docsT.filter($"doc_id" % 2 === 0)
+    val odd = docsT.filter($"doc_id" % 2 === 1)
+    val wDir = java.nio.file.Files.createTempDirectory("graft-widx-glue").toString
+    even.write.mode("append").parquet(wDir)
+    val q = DocStreams.windowIndexStream(DocStreams.readDocs(spark, wDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("widx_glue").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = SubstringDedup
+      .incrementalSpanStats(spark.table("widx_glue"), odd)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = SubstringDedup
+      .incrementalSpanStats(SubstringDedup.windowIndex(even), odd)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming nb counts == batch nbCounts type table across batches") {
     import graft.operators.TextAnalysis
     import graft.streaming.DocStreams
