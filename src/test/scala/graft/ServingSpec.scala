@@ -271,6 +271,30 @@ class ServingSpec extends SparkSpec {
     }
   }
 
+  test("upsert with a single INT partition key takes the isin path intact") {
+    // the isin/InSet footprint must behave for non-string partition
+    // values too (Spark re-types partition dir names on read; the
+    // predicate compares against the read-back type)
+    val dir = Files.createTempDirectory("graft-intkey").toString + "/t"
+    val base = Seq((2024, 1L, 0.5), (2025, 2L, 0.7), (2026, 3L, 0.9))
+      .toDF("year", "id", "v")
+    Serving.writeKeyed(base, dir, Seq("year"))
+    def filesOf(part: String) = {
+      val d = new java.io.File(s"$dir/year=$part")
+      if (!d.exists()) Map.empty[String, Long]
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+    val y2026 = filesOf("2026")
+    Serving.upsertKeyed(spark,
+      dir, Seq((2025, 2L, 9.9)).toDF("year", "id", "v"),
+      Seq("year"), Seq("id"))
+    assert(spark.read.parquet(dir).select("year", "id", "v")
+      .as[(Int, Long, Double)].collect().toSet ===
+      Set((2024, 1L, 0.5), (2025, 2L, 9.9), (2026, 3L, 0.9)))
+    assert(filesOf("2026") === y2026, "untouched int partition intact")
+  }
+
   test("upsert/delete with COMPOSITE partition keys (OR-of-ANDs footprint)") {
     // single-col footprints take the isin/InSet path; composite keys
     // take the OR-of-ANDs branch — this pins that branch end to end
