@@ -32,6 +32,11 @@ object OrderedOut {
       * count comes from the physical scan plan; no job runs.
       */
     def spread(): DataFrame = {
+      // streaming frames have no .rdd to probe — and micro-batch
+      // sources already control their split count, so the widening
+      // heuristic is a no-op there (this is what lets the narrow
+      // operator layer run UNCHANGED over readStream)
+      if (df.isStreaming) return df
       val target = df.sparkSession.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions >= target) df
       else df.repartition(target)

@@ -605,6 +605,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("the stateless quality layer runs UNCHANGED on a stream") {
+    // langId / quality / gopherRules are narrow per-row expression
+    // chains — the SAME operator objects run over readStream (append
+    // mode, no state), so the ingest tier gets the full rule-based
+    // quality gate without twin reimplementation
+    import graft.operators.TextAnalysis
+    import graft.streaming.DocStreams
+    val docsT = graft.sources.Tables(spark, dir).documents
+    val qDir = java.nio.file.Files.createTempDirectory("graft-qual-stream").toString
+    docsT.write.mode("append").parquet(qDir)
+    val stream = DocStreams.readDocs(spark, qDir)
+    val q = TextAnalysis.langId(stream)
+      .join(TextAnalysis.quality(stream), Seq("doc_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("qual_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("qual_stream")
+      .select($"doc_id", $"pred_lang", $"quality")
+      .as[(Long, String, Double)].collect().toSet
+    val want = TextAnalysis.langId(docsT)
+      .join(TextAnalysis.quality(docsT), Seq("doc_id"))
+      .select($"doc_id", $"pred_lang", $"quality")
+      .as[(Long, String, Double)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("the live window index composes with incrementalSpanStats") {
     // glue proof: the STREAMED index state is a drop-in input for the
     // batch delivery prober — ingest keeps the index live, and span
