@@ -409,6 +409,20 @@ object TrainingEntries {
       Curation.shardManifest(t.documents.join(
         Curation.hashSplit(t.documents).select("doc_id", "split"),
         Seq("doc_id")))),
+    // Manifest diff: the rerun report off two q160 receipts — bucket-3
+    // docs' text perturbed, so splits holding any flip to 'changed'
+    // with exact doc/token deltas
+    "q163_manifest_diff" -> q(t => {
+      val withSplit = t.documents.join(
+        Curation.hashSplit(t.documents).select("doc_id", "split"),
+        Seq("doc_id"))
+      val perturbed = withSplit.withColumn("text",
+        when(Curation.hashBucket(col("doc_id"), 10) === 3,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Curation.manifestDiff(
+        Curation.shardManifest(withSplit),
+        Curation.shardManifest(perturbed))
+    }),
     // Hierarchical (sub-sharded) manifest: q160's receipt built in
     // two bounded fold stages — the 10M-doc-shard scale path
     "q162_manifest_hier" -> q(t =>
@@ -3203,6 +3217,46 @@ object TrainingEntries {
          |  md5(string_agg(concat(CAST(doc_id AS VARCHAR), ':', fp), ''
          |    ORDER BY doc_id)) AS content_md5
          |FROM d GROUP BY split ORDER BY split""".stripMargin,
+
+    // Mirrors Curation.manifestDiff over two shardManifest receipts:
+    // the new side's bucket-3 texts carry ' v2'
+    "q163_manifest_diff" -> {
+      def normOf(c: String): String =
+        raw"trim(regexp_replace(lower($c), '\s+', ' ', 'g'))"
+      def man(src: String, alias: String): String =
+        s"""$alias AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(COALESCE(CASE WHEN length(${normOf(src)}) = 0
+           |      THEN 0 ELSE len(string_split(${normOf(src)}, ' ')) END, 0))
+           |      AS BIGINT) AS n_tok,
+           |    md5(string_agg(concat(CAST(doc_id AS VARCHAR), ':',
+           |      COALESCE(md5(${normOf(src)}), 'null')), ''
+           |      ORDER BY doc_id)) AS content_md5
+           |  FROM base GROUP BY split)""".stripMargin
+      s"""WITH sp AS (SELECT doc_id,
+         |    CASE WHEN b < 80 THEN 'train'
+         |         WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |        AS BIGINT) % 100 AS b FROM documents)),
+         |base AS (SELECT s.split, dd.doc_id, dd.text,
+         |    CASE WHEN CAST(concat('0x', substr(md5(CAST(dd.doc_id AS
+         |      VARCHAR)), 1, 8)) AS BIGINT) % 10 = 3
+         |      THEN dd.text || ' v2' ELSE dd.text END AS ptext
+         |  FROM documents dd JOIN sp s ON s.doc_id = dd.doc_id),
+         |${man("text", "om")},
+         |${man("ptext", "nm")}
+         |SELECT COALESCE(o.split, n.split) AS split,
+         |  CASE WHEN o.content_md5 IS NULL THEN 'added'
+         |       WHEN n.content_md5 IS NULL THEN 'removed'
+         |       WHEN o.content_md5 = n.content_md5 THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  CAST(COALESCE(n.n_docs, 0) - COALESCE(o.n_docs, 0) AS BIGINT)
+         |    AS docs_delta,
+         |  CAST(COALESCE(n.n_tok, 0) - COALESCE(o.n_tok, 0) AS BIGINT)
+         |    AS tok_delta
+         |FROM om o FULL OUTER JOIN nm n ON n.split = o.split
+         |ORDER BY 1""".stripMargin
+    },
 
     // Mirrors Curation.shardManifest(subShards = 4): md5-bucketed
     // sub-shard hashes folded by an ordered outer md5

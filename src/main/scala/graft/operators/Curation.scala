@@ -1008,4 +1008,34 @@ object Curation {
             array_sort(collect_list(struct($("sub"), $("sub_md5")))),
             x => x("sub_md5")))).as("content_md5"))
   }
+
+  /** Diff two [[shardManifest]] receipts: per shard,
+    * `unchanged` / `changed` / `added` / `removed` plus the doc and
+    * token deltas — the rerun report that tells a training job WHICH
+    * shards to re-read (and the cache/loader tier which to
+    * invalidate) without touching corpus bytes. Both inputs must be
+    * the same manifest form (flat or the same `subShards`); the
+    * receipts are engine-portable strings, so old can come off disk
+    * from any prior run.
+    *
+    * Scale: a full-outer join of two manifest tables — shard-count
+    * rows, nothing corpus-sized.
+    */
+  def manifestDiff(oldManifest: DataFrame, newManifest: DataFrame,
+      shardCol: String = "split"): DataFrame =
+    oldManifest.select(col(shardCol), $("content_md5").as("old_md5"),
+        $("n_docs").as("old_docs"), $("n_tok").as("old_tok"))
+      .join(newManifest.select(col(shardCol),
+          $("content_md5").as("new_md5"), $("n_docs").as("new_docs"),
+          $("n_tok").as("new_tok")),
+        Seq(shardCol), "full_outer")
+      .select(col(shardCol),
+        when($("old_md5").isNull, "added")
+          .when($("new_md5").isNull, "removed")
+          .when($("old_md5") === $("new_md5"), "unchanged")
+          .otherwise("changed").as("status"),
+        (coalesce($("new_docs"), lit(0L)) -
+          coalesce($("old_docs"), lit(0L))).as("docs_delta"),
+        (coalesce($("new_tok"), lit(0L)) -
+          coalesce($("old_tok"), lit(0L))).as("tok_delta"))
 }

@@ -584,4 +584,23 @@ class CurationSpec extends SparkSpec {
     assert(hEdited("s0")._3 !== h("s0")._3)
     assert(hEdited("s1") === h("s1"))
   }
+
+  test("manifestDiff: all four statuses with exact deltas") {
+    import spark.implicits._
+    def man(rows: Seq[(Long, String, String)]) =
+      Curation.shardManifest(rows.toDF("doc_id", "text", "split"))
+    val oldRows = Seq((1L, "alpha beta", "s0"), (2L, "gamma", "s1"),
+      (3L, "delta", "s2"))
+    // s0 untouched; s1's doc grows by 2 tokens; s2 removed; s3 added
+    val newRows = Seq((1L, "alpha beta", "s0"),
+      (2L, "gamma more words", "s1"), (4L, "eps zeta", "s3"))
+    val got = Curation.manifestDiff(man(oldRows), man(newRows))
+      .as[(String, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      "s0" -> (("unchanged", 0L, 0L)),
+      "s1" -> (("changed", 0L, 2L)),
+      "s2" -> (("removed", -1L, -1L)),
+      "s3" -> (("added", 1L, 2L))))
+  }
 }
