@@ -323,8 +323,11 @@ object SubstringDedup {
   /** [[dupSpanStats]] of a NEW batch against an accumulated
     * [[windowIndex]]: a batch window is duplicated when its total
     * occurrence count across index + batch reaches 2 (already known
-    * to the corpus, or repeated within the delivery — the Lee et al.
-    * rule applied at ingest). Returns the batch's (doc_id, n_tokens,
+    * to the corpus, or repeated within the delivery — dupSpanStats'
+    * >= 2 duplicated-window rule applied at ingest; every occurrence
+    * of a repeated span is flagged, with no keep-one-owner exemption
+    * — that Lee et al. rewrite rule lives in
+    * [[removeSpansKeepOne]]). Returns the batch's (doc_id, n_tokens,
     * dup_tokens, dup_fraction) without touching the indexed corpus:
     * per-delivery cost is batch windows + one equi-join against the
     * index, never a corpus re-scan.
