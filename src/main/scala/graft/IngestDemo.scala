@@ -1,0 +1,280 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Curation, Dedup, SubstringDedup, TextAnalysis}
+import graft.sources.Tables
+
+/** The PRODUCTION entry point for CONTINUOUS ingest — one corpus
+  * delivery driven end-to-end against persisted indexes, the way a
+  * continuously-crawled corpus actually grows. [[PipelineDemo]] is
+  * the batch story (build artifacts once, consumers collapse);
+  * this is the per-delivery story its incremental family
+  * (q92/q96/q154/q161/q163 + the streaming twins) was built for:
+  *
+  *   bootstrap (once per warehouse): fingerprint store, MinHash
+  *     signature store, span window index, NB count + serve
+  *     artifacts, shard manifest of corpus v0;
+  *   per delivery (marginal, batch-proportional):
+  *     1. exact dedup against the fp store (q92's
+  *        [[Dedup.incrementalDedup]]) — one fp equi-join;
+  *     2. near-dup against the signature store (q96's
+  *        [[Dedup.incrementalNearDups]]) — banded LSH probe, the
+  *        index is k BIGINTs/doc, the admitted corpus' text is gone;
+  *     3. span gate against the window index (q154's
+  *        [[SubstringDedup.incrementalSpanStats]]) — batch windows +
+  *        one fp join, never a corpus re-scan;
+  *     4. quality gate with the persisted NB model
+  *        ([[TextAnalysis.nbScoreFrom]]) — zero training-corpus
+  *        access;
+  *     5. shard manifest of corpus v1 + [[Curation.manifestDiff]] —
+  *        the rerun receipt telling the training job which shards to
+  *        re-read (the one stage that is corpus-FP-proportional, not
+  *        delivery-proportional: receipts hash every member unit;
+  *        32 bytes/doc, and the hierarchical q162 form bounds the
+  *        per-task fold);
+  *     6. index refresh: union-fold fp/signature stores, q154's
+  *        [[SubstringDedup.updatedWindowIndex]], q161's
+  *        [[TextAnalysis.nbCountsUpdate]] + re-derived serve model.
+  *
+  * Every fold is ASSERTED equal to the from-scratch build over
+  * corpus v1 (the PipelineDemo discipline): incremental maintenance
+  * must be a cost change, never a semantics change. Stages
+  * communicate through parquet under `work` — each reads the
+  * persisted artifacts exactly as a scheduled production job would,
+  * so the measured marginal cost includes the artifact IO.
+  *
+  * `runMain graft.IngestDemo [sfDir] [workDir]`. Bench runs
+  * [[stages]] (not [[checks]]) at the bench SF and reports the
+  * marginal delivery cost under "incremental".
+  */
+object IngestDemo {
+  private val Pos = Seq("src0", "src1", "src2")
+  private val Neg = Seq("src3", "src4", "src5")
+
+  /** Near-dup drop threshold on the estimated Jaccard (matches the
+    * q26/q51 family's 0.7).
+    */
+  private val NearDupThreshold = 0.7
+
+  /** Span gate: drop a batch doc when more than half its tokens sit
+    * in windows already known to the corpus (or repeated within the
+    * delivery) — Lee et al.'s dup_fraction read at ingest.
+    */
+  private val MaxDupFraction = 0.5
+
+  /** Corpus v0 = md5 buckets 0-7 of `documents`; the delivery =
+    * buckets 8-9 — a content-stable 80/20 split standing in for
+    * "yesterday's warehouse" and "today's crawl".
+    */
+  private def baseAndDelivery(t: Tables): (DataFrame, DataFrame) = {
+    val bucket = Curation.hashBucket(col("doc_id"), 10)
+    (t.documents.filter(bucket <= 7), t.documents.filter(bucket >= 8))
+  }
+
+  /** The ordered stage list: `boot_*` once per warehouse, `inc_*`
+    * once per delivery. Stages hand off through parquet under
+    * `work`, so each `inc_*` cost is what a scheduled job would pay
+    * (artifact reads included).
+    */
+  def stages(spark: SparkSession, sfDir: String,
+      work: String): Seq[(String, () => Unit)] = {
+    val t = Tables(spark, sfDir)
+    val (base, delivery) = baseAndDelivery(t)
+    def rd(p: String) = spark.read.parquet(s"$work/$p")
+    def wr(df: DataFrame, p: String): Unit =
+      df.write.mode("overwrite").parquet(s"$work/$p")
+    def docsOf(ids: DataFrame): DataFrame =
+      delivery.join(ids.select("doc_id"), Seq("doc_id"))
+    def withSplit(d: DataFrame): DataFrame =
+      d.join(Curation.hashSplit(d).select("doc_id", "split"), Seq("doc_id"))
+    Seq(
+      "boot_fp_store" -> (() =>
+        wr(TextAnalysis.fingerprints(base), "fp_store")),
+      "boot_sig_store" -> (() =>
+        wr(Dedup.minhashSignatures(base), "sig_store")),
+      "boot_span_index" -> (() =>
+        wr(SubstringDedup.windowIndex(base), "span_index")),
+      "boot_nb_model" -> { () =>
+        val (vt, dc) = TextAnalysis.nbCounts(base, Pos, Neg)
+        wr(vt, "nb_vt"); wr(dc, "nb_dc")
+        val (lm, consts) = TextAnalysis.nbLmFromCounts(rd("nb_vt"), rd("nb_dc"))
+        wr(lm, "nb_lm"); wr(consts, "nb_consts")
+      },
+      "boot_manifest" -> (() =>
+        wr(Curation.shardManifest(withSplit(base)), "manifest_v0")),
+
+      // ---- one delivery, marginal cost ----
+      "inc_exact_dedup" -> { () =>
+        wr(Dedup.incrementalDedup(rd("fp_store"),
+          TextAnalysis.fingerprints(delivery)), "delivery_status")
+        wr(rd("delivery_status").filter(col("status") === "new")
+          .select("doc_id"), "admit_exact")
+      },
+      "inc_near_dedup" -> { () =>
+        // signatures for the whole exact-surviving slice: the fold
+        // stage appends the admitted subset of this table to the
+        // store, so signatures are computed once per delivery
+        wr(Dedup.minhashSignatures(docsOf(rd("admit_exact"))),
+          "delivery_sigs")
+        val flagged = Dedup.incrementalNearDups(rd("sig_store"),
+            rd("delivery_sigs"))
+          .filter(col("est_jaccard") >= NearDupThreshold)
+          .select(col("id2").as("doc_id")).distinct()
+        wr(rd("admit_exact").join(flagged, Seq("doc_id"), "left_anti"),
+          "admit_near")
+      },
+      "inc_span_gate" -> { () =>
+        wr(SubstringDedup.incrementalSpanStats(rd("span_index"),
+          docsOf(rd("admit_near"))), "delivery_spans")
+        val heavy = rd("delivery_spans")
+          .filter(col("dup_fraction") > MaxDupFraction).select("doc_id")
+        wr(rd("admit_near").join(heavy, Seq("doc_id"), "left_anti"),
+          "admit_span")
+      },
+      "inc_quality_gate" -> { () =>
+        wr(TextAnalysis.nbScoreFrom(rd("nb_lm"), rd("nb_consts"),
+          docsOf(rd("admit_span"))), "delivery_scores")
+        wr(rd("delivery_scores").filter(col("pred_pos") === 1)
+          .select("doc_id"), "admitted")
+      },
+      "inc_manifest_diff" -> { () =>
+        val v1 = base.unionByName(docsOf(rd("admitted")))
+        wr(Curation.shardManifest(withSplit(v1)), "manifest_v1")
+        wr(Curation.manifestDiff(rd("manifest_v0"), rd("manifest_v1")),
+          "manifest_delta")
+      },
+      "inc_fold_fp" -> (() =>
+        wr(rd("fp_store").unionByName(
+          TextAnalysis.fingerprints(docsOf(rd("admitted")))), "fp_store_v1")),
+      "inc_fold_sigs" -> (() =>
+        wr(rd("sig_store").unionByName(
+          rd("delivery_sigs").join(rd("admitted"), Seq("doc_id"))),
+          "sig_store_v1")),
+      "inc_fold_span_index" -> (() =>
+        wr(SubstringDedup.updatedWindowIndex(rd("span_index"),
+          docsOf(rd("admitted"))), "span_index_v1")),
+      "inc_fold_nb" -> { () =>
+        val (vt1, dc1) = TextAnalysis.nbCountsUpdate(rd("nb_vt"),
+          rd("nb_dc"), docsOf(rd("admitted")), Pos, Neg)
+        wr(vt1, "nb_vt_v1"); wr(dc1, "nb_dc_v1")
+        val (lm1, consts1) =
+          TextAnalysis.nbLmFromCounts(rd("nb_vt_v1"), rd("nb_dc_v1"))
+        wr(lm1, "nb_lm_v1"); wr(consts1, "nb_consts_v1")
+      })
+  }
+
+  // sorted multiset compare, PipelineDemo's rule: a fold duplicating
+  // one row while losing an equal-print twin must NOT pass
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** Fold-vs-from-scratch equality per maintained artifact (over
+    * corpus v1 = base ∪ admitted) plus the gate invariants. Run
+    * AFTER [[stages]] against the same `work`.
+    */
+  def checks(spark: SparkSession, sfDir: String,
+      work: String): Seq[(String, () => Unit)] = {
+    val t = Tables(spark, sfDir)
+    val (base, delivery) = baseAndDelivery(t)
+    def rd(p: String) = spark.read.parquet(s"$work/$p")
+    def docsOf(ids: DataFrame): DataFrame =
+      delivery.join(ids.select("doc_id"), Seq("doc_id"))
+    def v1: DataFrame = base.unionByName(docsOf(rd("admitted")))
+    def same(label: String, got: DataFrame, want: DataFrame): Unit = {
+      val (g, w) = (rows(got), rows(want))
+      require(g == w,
+        s"$label: fold diverged from from-scratch (${g.length} vs ${w.length} rows)")
+    }
+    Seq(
+      "fp store fold == from-scratch" -> (() =>
+        same("fp_store_v1", rd("fp_store_v1"),
+          TextAnalysis.fingerprints(v1))),
+      "sig store fold == from-scratch" -> (() =>
+        same("sig_store_v1", rd("sig_store_v1"),
+          Dedup.minhashSignatures(v1))),
+      "span index fold == from-scratch" -> (() =>
+        same("span_index_v1", rd("span_index_v1"),
+          SubstringDedup.windowIndex(v1))),
+      "nb counts fold == from-scratch" -> { () =>
+        val (vt, dc) = TextAnalysis.nbCounts(v1, Pos, Neg)
+        same("nb_vt_v1", rd("nb_vt_v1"), vt)
+        same("nb_dc_v1", rd("nb_dc_v1"), dc)
+      },
+      "nb serve model fold == from-scratch" -> { () =>
+        val (lm, consts) = TextAnalysis.nbModel(v1, Pos, Neg)
+        same("nb_lm_v1", rd("nb_lm_v1"), lm)
+        same("nb_consts_v1", rd("nb_consts_v1"), consts)
+      },
+      "incremental span stats == from-scratch" -> (() =>
+        // the gate scored admit_near docs against the v0 index; the
+        // batch twin is dupSpanStats over v0 ∪ that same batch,
+        // restricted to the batch's ids
+        same("delivery_spans", rd("delivery_spans"),
+          SubstringDedup.dupSpanStats(
+            base.unionByName(docsOf(rd("admit_near"))))
+            .join(rd("admit_near").select("doc_id"), Seq("doc_id")))),
+      "delivery fully classified" -> { () =>
+        val n = delivery.count()
+        val s = rd("delivery_status").count()
+        require(n == s, s"delivery has $n docs but $s status rows")
+        val badStatus = rd("delivery_status")
+          .filter(!col("status").isin("new", "dup_of_index", "dup_in_batch"))
+          .count()
+        require(badStatus == 0, s"$badStatus rows with unknown status")
+      },
+      "admitted fingerprints unseen in v0 store" -> { () =>
+        val clash = TextAnalysis.fingerprints(docsOf(rd("admitted")))
+          .join(rd("fp_store"), Seq("fp")).count()
+        require(clash == 0, s"$clash admitted docs collide with the fp store")
+      },
+      "manifest diff is additive" -> { () =>
+        val removed = rd("manifest_delta")
+          .filter(col("status") === "removed").count()
+        require(removed == 0, s"additive ingest produced $removed removed shards")
+      })
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val work = args.drop(1).headOption.getOrElse(
+      Files.createTempDirectory("graft-ingest").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-ingest-demo")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    var bootSec = 0.0; var incSec = 0.0
+    for ((name, fn) <- stages(spark, sfDir, work)) {
+      val t0 = System.nanoTime()
+      fn()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (name.startsWith("boot_")) bootSec += sec else incSec += sec
+      println(f"[ingest] $name%-28s $sec%7.2f s")
+      spark.sharedState.cacheManager.clearCache()
+    }
+    // the delivery's funnel, for the log: crawled -> admitted
+    def n(p: String) = spark.read.parquet(s"$work/$p").count()
+    println(s"[ingest] funnel: delivery=${n("delivery_status")} " +
+      s"exact=${n("admit_exact")} near=${n("admit_near")} " +
+      s"span=${n("admit_span")} admitted=${n("admitted")}")
+    for ((name, fn) <- checks(spark, sfDir, work)) {
+      fn()
+      println(s"[ingest] check ok: $name")
+      spark.sharedState.cacheManager.clearCache()
+    }
+    println(f"[ingest] bootstrap $bootSec%7.2f s; " +
+      f"marginal delivery $incSec%7.2f s " +
+      "(every fold asserted == from-scratch over corpus v1)")
+    spark.stop()
+  }
+}
