@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Session-cached pair-graph artifacts backing the COMPOSED-PATH
+  * contract entries (q165-q171): the shingle index, the scored LSH
+  * candidate table, and the containment pair table are built ONCE per
+  * (session, sfDir) and persisted as parquet — exactly the artifacts
+  * [[PipelineDemo]] materializes — and every composed query entry
+  * consumes them through the `*From` APIs.
+  *
+  * Why this exists: the standalone contract entries charge each query
+  * its full self-contained cost and the oracle gates THAT form;
+  * PipelineDemo asserts composed == standalone at runtime. These
+  * entries close the remaining gap by putting the production path
+  * itself (persisted artifact → consumer) under the DuckDB oracle:
+  * each composed twin's oracle SQL is byte-identical to its
+  * standalone sibling's, so a hash match proves the artifact
+  * round-trip changed nothing.
+  *
+  * The cache key is (session identity, sfDir); Verify/Bench run
+  * queries sequentially in one session, so the build happens once and
+  * each consumer pays only its pair-proportional cost — the same
+  * shape a warehouse job sees.
+  */
+object ComposedArtifacts {
+  private val dirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The q26-family near-dup threshold shared by every pair consumer. */
+  private val JaccardThreshold = 0.7
+
+  private def build(spark: SparkSession, sfDir: String): String = {
+    val work = Files.createTempDirectory("graft-composed-artifacts").toString
+    val docs = Tables(spark, sfDir).documents
+    def rd(p: String) = spark.read.parquet(s"$work/$p")
+    val sigs = Dedup.minhashSignatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Dedup.shingles(docs).write.mode("overwrite").parquet(s"$work/shingles")
+      val cands = Dedup.lshCandidates(sigs).localCheckpoint(true)
+      Dedup.jaccardDetailFor(cands, rd("shingles"))
+        .write.mode("overwrite").parquet(s"$work/scored")
+      Dedup.ngramContainmentFromShingles(rd("shingles"))
+        .write.mode("overwrite").parquet(s"$work/cont_pairs")
+    } finally sigs.unpersist(false)
+    work
+  }
+
+  private def dir(spark: SparkSession, sfDir: String): String =
+    dirs.getOrElseUpdate(
+      System.identityHashCode(spark) + "|" + sfDir, build(spark, sfDir))
+
+  /** The near-dup pair graph — a threshold filter view of the scored
+    * candidate artifact (minhashDupPairs' semantics, off parquet).
+    */
+  def pairs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${dir(spark, sfDir)}/scored")
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("id1", "id2")
+
+  /** The containment pair artifact (id1, id2, common, sz1, sz2,
+    * containment) — ngramContainmentPairs' output, off parquet.
+    */
+  def contPairs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${dir(spark, sfDir)}/cont_pairs")
+}

@@ -562,7 +562,47 @@ object TrainingEntries {
       JsonLines.write(t.documents, tmp)
       JsonLines.read(t.spark, tmp, t.documents.schema)
     },
+    // Calibrated composite keep/drop gate: NB LLR (per-source
+    // adaptive cut, q88's rank rule) + gopher flags (q77) + entropy
+    // band (q79) folded into ONE decision column with per-rule
+    // attribution booleans — the FineWeb-style filter stack
+    "q164_composite_gate" -> q(t => Curation.compositeGate(t.documents)),
+    // Composed-path twins (q165-q171): the SAME pair-graph consumers
+    // as their standalone siblings, but consuming ComposedArtifacts'
+    // persisted parquet pair tables via the *From APIs — the
+    // production path under the production oracle (each twin's SQL is
+    // byte-identical to its sibling's, so a hash match proves the
+    // artifact round-trip changed nothing)
+    "q165_components_composed" -> ((s: SparkSession, d: String) =>
+      Dedup.componentsOf(ComposedArtifacts.pairs(s, d))),
+    "q166_cluster_keep_composed" -> ((s: SparkSession, d: String) =>
+      Dedup.clusterKeepsFromPairs(
+        ComposedArtifacts.pairs(s, d), Tables(s, d).documents)),
+    "q167_source_overlap_composed" -> ((s: SparkSession, d: String) =>
+      Dedup.sourceOverlapFromPairs(
+        ComposedArtifacts.pairs(s, d), Tables(s, d).documents)),
+    "q168_pair_degrees_composed" -> ((s: SparkSession, d: String) =>
+      Dedup.pairDegreeHistogram(ComposedArtifacts.pairs(s, d))),
+    "q169_pagerank_composed" -> ((s: SparkSession, d: String) =>
+      Dedup.pairPageRank(ComposedArtifacts.pairs(s, d))),
+    "q170_canonical_composed" -> ((s: SparkSession, d: String) =>
+      Dedup.canonicalByRank(ComposedArtifacts.pairs(s, d))),
+    "q171_containment_composed" -> ((s: SparkSession, d: String) =>
+      Dedup.sourceContainmentMatrixFromPairs(
+        ComposedArtifacts.contPairs(s, d), Tables(s, d).documents)),
   )
+
+  /** Composed twin → standalone sibling; the twin's oracle SQL is the
+    * sibling's, verbatim (same semantics, different physical path).
+    */
+  private val composedTwinOf: Map[String, String] = Map(
+    "q165_components_composed"     -> "q51_dup_clusters",
+    "q166_cluster_keep_composed"   -> "q72_cluster_keep",
+    "q167_source_overlap_composed" -> "q75_source_overlap",
+    "q168_pair_degrees_composed"   -> "q89_pair_degrees",
+    "q169_pagerank_composed"       -> "q128_pagerank",
+    "q170_canonical_composed"      -> "q133_canonical_rank",
+    "q171_containment_composed"    -> "q147_source_containment")
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
     * DuckDB's regexp_replace is single-match by default, Spark's is
@@ -873,9 +913,11 @@ object TrainingEntries {
   /** The full-corpus NB scoring SQL (q156, and q161's incremental
     * build — additive counts make batch the exact oracle of the fold).
     */
-  private lazy val nbScoreAllSql: String =
-    s"""WITH ${nbCtes("TRUE")},
-       |dc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+  /** dc/sc/ag CTEs scoring the whole corpus under lm/ct — shared by
+    * [[nbScoreAllSql]] and the q164 composite gate.
+    */
+  private lazy val nbScoreBodyCtes: String =
+    s"""dc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
        |    SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
        |    FROM documents)
        |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
@@ -884,7 +926,11 @@ object TrainingEntries {
        |      - COALESCE(lm.lnp0, (SELECT oov0 FROM ct)) AS dl
        |  FROM dc d LEFT JOIN lm ON lm.token = d.tok),
        |ag AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
-       |    CAST(SUM(c * dl) AS BIGINT) AS tok_llr FROM sc GROUP BY doc_id)
+       |    CAST(SUM(c * dl) AS BIGINT) AS tok_llr FROM sc GROUP BY doc_id)""".stripMargin
+
+  private lazy val nbScoreAllSql: String =
+    s"""WITH ${nbCtes("TRUE")},
+       |$nbScoreBodyCtes
        |SELECT doc_id, n_tok,
        |  CAST(tok_llr + (SELECT prior_diff FROM ct) AS BIGINT) AS llr_micro,
        |  CAST(CASE WHEN tok_llr + (SELECT prior_diff FROM ct) > 0
@@ -1209,7 +1255,7 @@ object TrainingEntries {
       |     WHEN s_fr >= s_es THEN 'fr'
       |     ELSE 'es' END""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     "q20_dedup_exact" ->
       s"""SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM (
          |  SELECT doc_id, md5($norm) AS fp FROM documents
@@ -3813,5 +3859,74 @@ object TrainingEntries {
            |      FROM events)
            |WHERE k IS NOT NULL
            |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Mirrors Curation.compositeGate: the q156 scorer (nbCtes +
+    // shared body), q77's gopher verdict, q79's entropy — joined on
+    // doc_id over the NB-scorable universe, with the per-source
+    // adaptive rank cut (q88's integer rule) on llr_micro
+    "q164_composite_gate" ->
+      s"""WITH ${nbCtes("TRUE")},
+         |$nbScoreBodyCtes,
+         |nbsc AS (SELECT doc_id,
+         |    CAST(tok_llr + (SELECT prior_diff FROM ct) AS BIGINT)
+         |      AS llr_micro FROM ag),
+         |gt AS (SELECT doc_id,
+         |    list_filter(string_split($norm, ' '), x -> length(x) > 0)
+         |      AS toks
+         |  FROM documents),
+         |gs AS (SELECT doc_id, len(toks) AS n_words,
+         |    COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+         |      AS total_len,
+         |    len(list_distinct(toks)) AS n_uniq,
+         |    len(list_filter(toks, x -> x IN ('the','a','an','of','to','in',
+         |      'and','is','be','that'))) AS stop_count
+         |  FROM gt),
+         |gr AS (SELECT doc_id,
+         |    (n_words >= 50 AND n_words <= 100000
+         |      AND (CASE WHEN n_words = 0 THEN 0
+         |        ELSE round(1e6 * total_len / n_words) END) >= 3000000
+         |      AND (CASE WHEN n_words = 0 THEN 0
+         |        ELSE round(1e6 * total_len / n_words) END) <= 10000000
+         |      AND (CASE WHEN n_words = 0 THEN 0
+         |        ELSE round(1e6 * n_uniq / n_words) END) >= 300000
+         |      AND stop_count >= 2) AS ok_gopher
+         |  FROM gs),
+         |en AS (SELECT doc_id, $norm AS t FROM documents),
+         |ec AS (SELECT doc_id, unnest(string_split(t, '')) AS ch FROM en
+         |       WHERE length(t) > 0),
+         |eh AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM ec
+         |       GROUP BY doc_id, ch),
+         |etot AS (SELECT doc_id, length(t) AS nn FROM en),
+         |ee AS (SELECT eh.doc_id,
+         |    SUM(CAST(round(1e3 * cnt * log2(nn * 1.0 / cnt) / nn) AS BIGINT))
+         |      AS entropy_milli
+         |  FROM eh JOIN etot ON eh.doc_id = etot.doc_id GROUP BY eh.doc_id),
+         |ent AS (SELECT en.doc_id,
+         |    CAST(COALESCE(ee.entropy_milli, 0) AS BIGINT) AS entropy_milli
+         |  FROM en LEFT JOIN ee ON en.doc_id = ee.doc_id),
+         |ranked AS (SELECT n.doc_id, d.source, n.llr_micro,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY n.llr_micro DESC, n.doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY d.source) AS cnt
+         |  FROM nbsc n JOIN documents d ON d.doc_id = n.doc_id)
+         |SELECT r.doc_id, r.source, r.llr_micro, ent.entropy_milli,
+         |  (r.rn * 1000 <= 900 * r.cnt) AS ok_nb,
+         |  gr.ok_gopher AS ok_gopher,
+         |  (ent.entropy_milli >= 3900 AND ent.entropy_milli <= 4500)
+         |    AS ok_entropy,
+         |  ((r.rn * 1000 <= 900 * r.cnt) AND gr.ok_gopher
+         |    AND ent.entropy_milli >= 3900 AND ent.entropy_milli <= 4500)
+         |    AS keep
+         |FROM ranked r JOIN gr ON gr.doc_id = r.doc_id
+         |JOIN ent ON ent.doc_id = r.doc_id
+         |ORDER BY r.doc_id""".stripMargin,
   )
+
+  /** The driver-facing oracle map: every standalone SQL plus the
+    * composed twins, whose SQL is their sibling's verbatim.
+    */
+  val oracleSql: Map[String, String] =
+    baseOracleSql ++
+      composedTwinOf.map { case (twin, sibling) =>
+        twin -> baseOracleSql(sibling) }
 }

@@ -735,6 +735,69 @@ object Curation {
         ($("rn") * 1000 <= lit(keepPermille) * $("n")).as("keep"))
   }
 
+  /** The CALIBRATED composite keep/drop gate — the FineWeb-style
+    * filter stack as ONE auditable decision table: per NB-scorable
+    * document, the classifier LLR ([[TextAnalysis
+    * .nbClassifierScores]], the CCNet wiki-vs-crawl signal), the
+    * Gopher rule verdict ([[TextAnalysis.gopherRules]]), and the
+    * character entropy ([[TextAnalysis.charEntropy]]), each reduced
+    * to its own attribution boolean so a dropped doc says WHICH rule
+    * killed it:
+    *
+    *   - `ok_nb`: per-SOURCE adaptive cut — [[qualityGate]]'s exact
+    *     integer rank rule (rn·1000 ≤ keepPermille·n over llr_micro
+    *     desc, doc_id asc) applied to the classifier score, so each
+    *     crawl loses its own worst `1000-keepPermille` permille
+    *     rather than one global threshold favoring whichever source
+    *     the classifier likes;
+    *   - `ok_gopher`: the absolute repetition/length/stopword rules
+    *     (q77's `keep`);
+    *   - `ok_entropy`: `entropy_milli` inside
+    *     [minEntropyMilli, maxEntropyMilli] — floor catches
+    *     degenerate boilerplate, ceiling catches random/encoded
+    *     noise. Defaults tuned to the fixture like q27's threshold
+    *     (corpus entropy spans ~3.7-4.2 bits; the 3900 floor trims
+    *     the lowest ~5%), with the 4500 ceiling as the noise guard.
+    *
+    *   `keep` = all three. Docs with zero tokens after normalization
+    *   carry no NB evidence and are omitted (q156's contract).
+    *
+    * Scale: two zero-shuffle codegen signal scans (gopher, entropy),
+    * one token-level aggregate with a broadcast LM (NB), all reduced
+    * to doc-keyed SIGNAL tables before any join — corpus text never
+    * shuffles; the only window is the per-source rank [[qualityGate]]
+    * already pays, and the joins are narrow doc_id equi-joins AQE
+    * broadcasts when a side is small.
+    */
+  def compositeGate(documents: DataFrame,
+      posSources: Seq[String] = Seq("src0", "src1", "src2"),
+      negSources: Seq[String] = Seq("src3", "src4", "src5"),
+      keepPermille: Int = 900,
+      minEntropyMilli: Long = 3900L,
+      maxEntropyMilli: Long = 4500L): DataFrame = {
+    val nb = TextAnalysis.nbClassifierScores(documents, posSources, negSources)
+      .select($("doc_id"), $("llr_micro"))
+    val gph = TextAnalysis.gopherRules(documents)
+      .select($("doc_id"), $("keep").as("ok_gopher"))
+    val ent = TextAnalysis.charEntropy(documents)
+      .select($("doc_id"), $("entropy_milli"))
+    val byLlr = Window.partitionBy($("source"))
+      .orderBy($("llr_micro").desc, $("doc_id").asc)
+    val bySource = Window.partitionBy($("source"))
+    nb.join(documents.select($("doc_id"), $("source")), Seq("doc_id"))
+      .withColumn("rn", row_number().over(byLlr).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySource))
+      .select($("doc_id"), $("source"), $("llr_micro"),
+        ($("rn") * 1000 <= lit(keepPermille) * $("n")).as("ok_nb"))
+      .join(gph, Seq("doc_id"))
+      .join(ent, Seq("doc_id"))
+      .select($("doc_id"), $("source"), $("llr_micro"), $("entropy_milli"),
+        $("ok_nb"), $("ok_gopher"),
+        ($("entropy_milli") >= minEntropyMilli &&
+          $("entropy_milli") <= maxEntropyMilli).as("ok_entropy"))
+      .withColumn("keep", $("ok_nb") && $("ok_gopher") && $("ok_entropy"))
+  }
+
   /** DSIR selection step: keep each document with probability
     * min(1, exp(w)) where w is its [[dsirWeights]] importance weight
     * in nats — the resampling that skews a raw corpus toward the

@@ -603,4 +603,47 @@ class CurationSpec extends SparkSpec {
       "s2" -> (("removed", -1L, -1L)),
       "s3" -> (("added", 1L, 2L))))
   }
+
+  test("compositeGate: keep is the conjunction, per-source NB cut exact, every rule bites") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val rows = Curation.compositeGate(docs)
+      .select("doc_id", "source", "llr_micro", "entropy_milli",
+        "ok_nb", "ok_gopher", "ok_entropy", "keep")
+      .as[(Long, String, Long, Long, Boolean, Boolean, Boolean, Boolean)]
+      .collect()
+    // universe = the NB-scorable docs (q156's contract)
+    val scorable = TextAnalysis.nbClassifierScores(docs,
+      posSources = Seq("src0", "src1", "src2"),
+      negSources = Seq("src3", "src4", "src5")).count()
+    assert(rows.length.toLong === scorable)
+    // keep == ok_nb && ok_gopher && ok_entropy, row for row
+    rows.foreach { case (id, _, _, _, nb, g, e, k) =>
+      assert(k === (nb && g && e), s"doc $id: keep is not the conjunction")
+    }
+    // the per-source NB cut is exactly qualityGate's integer rule:
+    // #ok_nb per source == #{rn : rn*1000 <= 900*n} == floor(0.9*n)
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val n = rs.length.toLong
+      val expected = (900L * n) / 1000L
+      assert(rs.count(_._5).toLong === expected,
+        s"$src: NB cut kept ${rs.count(_._5)} of $n, expected $expected")
+      // and the kept set IS the top of the (llr desc, doc_id asc) order
+      val order = rs.sortBy(r => (-r._3, r._1)).map(_._1)
+      val kept = rs.filter(_._5).map(_._1).toSet
+      assert(order.take(expected.toInt).toSet === kept,
+        s"$src: NB keeps are not the llr-rank prefix")
+    }
+    // entropy attribution matches the band
+    rows.foreach { case (id, _, _, em, _, _, e, _) =>
+      assert(e === (em >= 3900L && em <= 4500L), s"doc $id: ok_entropy wrong")
+    }
+    // non-degenerate: keeps AND per-rule drops both exist (the
+    // entropy CEILING intentionally doesn't bite — it's the noise
+    // guard; the floor must)
+    assert(rows.exists(_._8), "gate kept nothing")
+    assert(rows.exists(!_._5), "NB rule never fired")
+    assert(rows.exists(!_._6), "gopher rule never fired")
+    assert(rows.exists(r => !r._7 && r._4 < 3900L), "entropy floor never fired")
+  }
 }

@@ -437,4 +437,58 @@ class PropertiesSpec extends SparkSpec {
     val expected = census.filter(_._2 >= 3L)
     if (expected.size <= 100) assert(got.length === expected.size)
   }
+
+  test("rolling-hash window keys: adversarial token streams produce no false spans") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count, countDistinct, lit}
+    import graft.operators.SubstringDedup
+    // the rolling default is oracle-gated on real + planted corpora;
+    // this hunts the soft spot those can't reach — collision-driven
+    // false spans on degenerate inputs: long runs of one token,
+    // maximal-period repeats of short patterns, and near-identical
+    // low-alphabet noise, all of which maximize window-text overlap
+    // (and polynomial-hash stress) without making texts identical
+    val token = Gen.oneOf("a", "b", "ab", "ba", "aab")
+    val runDoc = for {
+      t <- token; n <- Gen.choose(8, 150)
+    } yield Seq.fill(n)(t).mkString(" ")
+    val periodicDoc = for {
+      p <- Gen.choose(1, 6); reps <- Gen.choose(2, 40)
+      pat <- Gen.listOfN(p, token)
+    } yield Seq.fill(reps)(pat).flatten.mkString(" ")
+    val noiseDoc = for {
+      n <- Gen.choose(8, 100); ts <- Gen.listOfN(n, token)
+    } yield ts.mkString(" ")
+    val docGen = Gen.frequency(1 -> runDoc, 2 -> periodicDoc, 1 -> noiseDoc)
+    val texts = (1 to 80).flatMap(i =>
+      docGen(Gen.Parameters.default, Seed(191L + i)))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val k = 8
+    val md5W = SubstringDedup.windowOccurrences(docs, k)
+      .withColumnRenamed("fp", "md5fp")
+    val rolW = SubstringDedup.windowOccurrencesRolling(docs, k)
+      .withColumnRenamed("fp", "rfp")
+    // fingerprint equivalence classes must be IDENTICAL: per window
+    // position, rolling neither merges two distinct window texts
+    // (a false span) nor splits one text into two keys (a missed span)
+    val joined = md5W.join(rolW, Seq("doc_id", "pos"))
+    assert(joined.count() === md5W.count(), "window universes diverge")
+    val merged = joined.groupBy("rfp")
+      .agg(countDistinct($"md5fp").as("n")).filter($"n" > 1).count()
+    assert(merged === 0L,
+      "rolling-hash collision: distinct window texts share a rolling key")
+    val split = joined.groupBy("md5fp")
+      .agg(countDistinct($"rfp").as("n")).filter($"n" > 1).count()
+    assert(split === 0L,
+      "rolling hash split one window text across keys")
+    // and therefore the flagged duplicated-window sets agree exactly
+    def dupSet(w: org.apache.spark.sql.DataFrame, fp: String): Set[(Long, Long)] =
+      w.withColumn("n", count(lit(1)).over(Window.partitionBy(fp)))
+        .filter($"n" >= 2).select($"doc_id", $"pos")
+        .as[(Long, Long)].collect().toSet
+    val rolDups = dupSet(rolW, "rfp")
+    assert(rolDups === dupSet(md5W, "md5fp"))
+    assert(rolDups.nonEmpty, "fixture produced no duplicated windows — not adversarial")
+  }
 }
