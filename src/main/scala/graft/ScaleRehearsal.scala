@@ -109,7 +109,7 @@ object ScaleRehearsal {
     // them eagerly OUTSIDE the timed spans
     final case class Leg(name: String, needsDocs: Boolean = false,
         needsEmb: Boolean = false, needsSpanIdx: Boolean = false,
-        needsNbIdx: Boolean = false)(
+        needsNbIdx: Boolean = false, needsContPairs: Boolean = false)(
         val fn: () => DataFrame)
     val nbPos = Seq("src0", "src1", "src2")
     val nbNeg = Seq("src3", "src4", "src5")
@@ -131,6 +131,13 @@ object ScaleRehearsal {
       // against them
       lazy val nbIdx: (DataFrame, DataFrame) = TextAnalysis.nbCounts(
         docs.filter(col("doc_id") % 10 =!= 0), nbPos, nbNeg)
+      // the materialized containment pair table (shingle index →
+      // ngramContainmentFromShingles), built ONCE outside the timed
+      // spans — the from-pairs leg measures the composed consumer's
+      // marginal cost the way PipelineDemo serves it
+      lazy val contPairs: DataFrame =
+        Dedup.ngramContainmentFromShingles(Dedup.shingles(docs))
+          .localCheckpoint(true)
       val family: Seq[Leg] = Seq(
         Leg("q26_minhash_dups", needsDocs = true)(() =>
           Dedup.minhashDupPairs(docs, threshold = 0.7)),
@@ -218,7 +225,19 @@ object ScaleRehearsal {
           () => TextAnalysis.nbCountsUpdate(nbIdx._1, nbIdx._2,
             docs.filter(col("doc_id") % 10 === 0), nbPos, nbNeg)._1),
         Leg("q161_full_retrain", needsDocs = true)(() =>
-          TextAnalysis.nbCounts(docs, nbPos, nbNeg)._1))
+          TextAnalysis.nbCounts(docs, nbPos, nbNeg)._1),
+        // the containment family (q140/q147): q27's inverted shingle
+        // index with the df<=100 cut bounding pair generation
+        // linearly, PLUS two id->source joins and a sources²-bounded
+        // aggregate for the directed matrix — the standalone legs
+        // prove the whole chain linear; the from-pairs leg prices the
+        // composed consumer off the materialized pair artifact
+        Leg("q140_containment", needsDocs = true)(() =>
+          Dedup.ngramContainmentPairs(docs)),
+        Leg("q147_containment_matrix", needsDocs = true)(() =>
+          Dedup.sourceContainmentMatrix(docs)),
+        Leg("q147_from_pairs", needsDocs = true, needsContPairs = true)(
+          () => Dedup.sourceContainmentMatrixFromPairs(contPairs, docs)))
       val sel = family.filter(l => selected(l.name))
       val (needDocs, needEmb) =
         (sel.exists(_.needsDocs) || sel.exists(_.needsSpanIdx) ||
@@ -228,6 +247,7 @@ object ScaleRehearsal {
       val ne = if (needEmb) emb.count() else 0L
       if (sel.exists(_.needsSpanIdx)) spanIdx.count()
       if (sel.exists(_.needsNbIdx)) nbIdx._1.count()
+      if (sel.exists(_.needsContPairs)) contPairs.count()
       for (leg <- sel) {
         val g = s"x$f:${leg.name}"
         spark.sparkContext.setJobGroup(g, g)
@@ -254,6 +274,7 @@ object ScaleRehearsal {
       if (sel.exists(_.needsNbIdx)) {
         nbIdx._1.unpersist(false); nbIdx._2.unpersist(false)
       }
+      if (sel.exists(_.needsContPairs)) contPairs.unpersist(false)
     }
     spark.stop()
   }
