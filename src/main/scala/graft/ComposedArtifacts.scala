@@ -32,10 +32,25 @@ import graft.sources.Tables
 object ComposedArtifacts {
   private val dirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // artifacts are session-scratch: delete them at JVM exit so
+  // repeated Verify/Bench/test runs don't accumulate parquet under
+  // /tmp (the sessions stop before shutdown hooks run, so no reader
+  // is live). One hook, registered lazily with the first build.
+  private lazy val cleanupHook: Unit = {
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      dirs.values.foreach(d => rm(new java.io.File(d)))
+    }
+    ()
+  }
+
   /** The q26-family near-dup threshold shared by every pair consumer. */
   private val JaccardThreshold = 0.7
 
   private def build(spark: SparkSession, sfDir: String): String = {
+    cleanupHook
     val work = Files.createTempDirectory("graft-composed-artifacts").toString
     val docs = Tables(spark, sfDir).documents
     def rd(p: String) = spark.read.parquet(s"$work/$p")

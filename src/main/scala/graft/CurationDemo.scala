@@ -76,6 +76,25 @@ object CurationDemo {
       .filter(col("pred_pos") === 1L).count()
     report("nb classifier pred-pos", nbPos)
 
+    // 1b3. consolidated composite gate (q164): the SAME three signal
+    //      families (NB LLR with a per-source adaptive cut, gopher
+    //      rules, entropy band) as ONE decision table with per-rule
+    //      attribution booleans — the auditable answer to "why was
+    //      this doc dropped" that stages 1-1b2 spread across reports.
+    //      Read over the raw corpus so the attribution covers every
+    //      doc, not just prior-stage survivors.
+    val gate = Curation.compositeGate(docs)
+      .select("ok_nb", "ok_gopher", "ok_entropy", "keep")
+      .groupBy().agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+        sum(when(!col("ok_nb"), 1L).otherwise(0L)).as("nb_kills"),
+        sum(when(!col("ok_gopher"), 1L).otherwise(0L)).as("gopher_kills"),
+        sum(when(!col("ok_entropy"), 1L).otherwise(0L)).as("entropy_kills"))
+      .head()
+    println(f"[demo] ${"composite gate keeps"}%-28s ${gate.getLong(0)}%7d docs " +
+      s"(kills: nb=${gate.getLong(1)} gopher=${gate.getLong(2)} " +
+      s"entropy=${gate.getLong(3)})")
+
     // 1c. mirror-site diagnostic (q100): vocabulary-level source
     //     overlap — source pairs with near-identical type sets are
     //     mirror candidates a policy merges BEFORE paying per-doc

@@ -167,11 +167,6 @@ object IngestDemo {
       })
   }
 
-  // sorted multiset compare, PipelineDemo's rule: a fold duplicating
-  // one row while losing an equal-print twin must NOT pass
-  private def rows(df: DataFrame): Seq[String] =
-    df.collect().map(_.toString).sorted.toSeq
-
   /** Fold-vs-from-scratch equality per maintained artifact (over
     * corpus v1 = base ∪ admitted) plus the gate invariants. Run
     * AFTER [[stages]] against the same `work`.
@@ -184,10 +179,16 @@ object IngestDemo {
     def docsOf(ids: DataFrame): DataFrame =
       delivery.join(ids.select("doc_id"), Seq("doc_id"))
     def v1: DataFrame = base.unionByName(docsOf(rd("admitted")))
+    // MULTISET equality via two-sided exceptAll — fully distributed
+    // (no driver collect, so the check itself survives warehouse
+    // scale), and duplicate-sensitive: a fold duplicating one row
+    // while losing another must NOT pass
     def same(label: String, got: DataFrame, want: DataFrame): Unit = {
-      val (g, w) = (rows(got), rows(want))
-      require(g == w,
-        s"$label: fold diverged from from-scratch (${g.length} vs ${w.length} rows)")
+      val extra = got.exceptAll(want).count()
+      val missing = want.exceptAll(got).count()
+      require(extra == 0 && missing == 0,
+        s"$label: fold diverged from from-scratch " +
+          s"($extra extra, $missing missing rows)")
     }
     Seq(
       "fp store fold == from-scratch" -> (() =>
