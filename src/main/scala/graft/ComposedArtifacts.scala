@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Session-cached pair-graph artifacts backing the COMPOSED-PATH
@@ -69,7 +69,62 @@ object ComposedArtifacts {
 
   private def dir(spark: SparkSession, sfDir: String): String =
     dirs.getOrElseUpdate(
-      System.identityHashCode(spark) + "|" + sfDir, build(spark, sfDir))
+      "pair|" + System.identityHashCode(spark) + "|" + sfDir,
+      build(spark, sfDir))
+
+  /** The ANN/model artifact family (built separately from the pair
+    * graph so each composed query group pays only its own build):
+    * the (vec_id, cell) assignment, the IVF serve index (centroids +
+    * cells), the PQ codebook + code table, and the NB quality model
+    * (LM + constants) — PipelineDemo's other five artifact stores.
+    */
+  private def buildAnn(spark: SparkSession, sfDir: String): String = {
+    cleanupHook
+    val work = Files.createTempDirectory("graft-composed-ann").toString
+    val t = Tables(spark, sfDir)
+    val emb = t.embeddings
+    def rd(p: String) = spark.read.parquet(s"$work/$p")
+    Similarity.cellAssignments(emb)
+      .write.mode("overwrite").parquet(s"$work/cells")
+    Similarity.ivfCentroidsDf(emb)
+      .write.mode("overwrite").parquet(s"$work/ivf_centroids")
+    Similarity.cellsFromCentroids(rd("ivf_centroids"), emb)
+      .write.mode("overwrite").parquet(s"$work/ivf_cells")
+    Similarity.pqCodebookDf(emb)
+      .write.mode("overwrite").parquet(s"$work/pq_codebook")
+    Similarity.pqEncode(emb)
+      .write.mode("overwrite").parquet(s"$work/pq_codes")
+    val (lm, consts) = TextAnalysis.nbModel(t.documents,
+      posSources = Seq("src0", "src1", "src2"),
+      negSources = Seq("src3", "src4", "src5"))
+    lm.write.mode("overwrite").parquet(s"$work/nb_lm")
+    consts.write.mode("overwrite").parquet(s"$work/nb_consts")
+    work
+  }
+
+  private def annDir(spark: SparkSession, sfDir: String): String =
+    dirs.getOrElseUpdate(
+      "ann|" + System.identityHashCode(spark) + "|" + sfDir,
+      buildAnn(spark, sfDir))
+
+  private def annRead(spark: SparkSession, sfDir: String,
+      name: String): DataFrame =
+    spark.read.parquet(s"${annDir(spark, sfDir)}/$name")
+
+  def cells(spark: SparkSession, sfDir: String): DataFrame =
+    annRead(spark, sfDir, "cells")
+  def ivfCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    annRead(spark, sfDir, "ivf_centroids")
+  def ivfCells(spark: SparkSession, sfDir: String): DataFrame =
+    annRead(spark, sfDir, "ivf_cells")
+  def pqCodebook(spark: SparkSession, sfDir: String): DataFrame =
+    annRead(spark, sfDir, "pq_codebook")
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    annRead(spark, sfDir, "pq_codes")
+  def nbLm(spark: SparkSession, sfDir: String): DataFrame =
+    annRead(spark, sfDir, "nb_lm")
+  def nbConsts(spark: SparkSession, sfDir: String): DataFrame =
+    annRead(spark, sfDir, "nb_consts")
 
   /** The near-dup pair graph — a threshold filter view of the scored
     * candidate artifact (minhashDupPairs' semantics, off parquet).

@@ -590,6 +590,30 @@ object TrainingEntries {
     "q171_containment_composed" -> ((s: SparkSession, d: String) =>
       Dedup.sourceContainmentMatrixFromPairs(
         ComposedArtifacts.contPairs(s, d), Tables(s, d).documents)),
+    // Composed-path twins, ANN/model family (q172-q177): the
+    // within-cell consumers off the persisted (vec_id, cell)
+    // assignment, ANN serving off the persisted IVF index and PQ
+    // codebook+codes, and quality scoring off the persisted NB model
+    // — PipelineDemo's remaining artifact stores, each gated by its
+    // standalone sibling's SQL verbatim
+    "q172_semantic_dups_composed" -> ((s: SparkSession, d: String) =>
+      Similarity.semanticDupPairsFromCells(
+        ComposedArtifacts.cells(s, d), Tables(s, d).embeddings)),
+    "q173_ivf_composed" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfTopKFrom(ComposedArtifacts.ivfCentroids(s, d),
+        ComposedArtifacts.ivfCells(s, d), Tables(s, d).embeddings)),
+    "q174_pq_adc_composed" -> ((s: SparkSession, d: String) =>
+      Similarity.pqAdcFromCodes(ComposedArtifacts.pqCodes(s, d),
+        ComposedArtifacts.pqCodebook(s, d), Tables(s, d).embeddings)),
+    "q175_nb_score_composed" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.nbScoreFrom(ComposedArtifacts.nbLm(s, d),
+        ComposedArtifacts.nbConsts(s, d), Tables(s, d).documents)),
+    "q176_hard_negatives_composed" -> ((s: SparkSession, d: String) =>
+      Similarity.hardNegativesFromCells(
+        ComposedArtifacts.cells(s, d), Tables(s, d).embeddings)),
+    "q177_label_noise_composed" -> ((s: SparkSession, d: String) =>
+      Similarity.labelNoiseFromCells(
+        ComposedArtifacts.cells(s, d), Tables(s, d).embeddings)),
   )
 
   /** Composed twin → standalone sibling; the twin's oracle SQL is the
@@ -602,7 +626,13 @@ object TrainingEntries {
     "q168_pair_degrees_composed"   -> "q89_pair_degrees",
     "q169_pagerank_composed"       -> "q128_pagerank",
     "q170_canonical_composed"      -> "q133_canonical_rank",
-    "q171_containment_composed"    -> "q147_source_containment")
+    "q171_containment_composed"    -> "q147_source_containment",
+    "q172_semantic_dups_composed"  -> "q49_semantic_dups",
+    "q173_ivf_composed"            -> "q34_knn_ivf",
+    "q174_pq_adc_composed"         -> "q118_pq_ann",
+    "q175_nb_score_composed"       -> "q156_nb_classifier",
+    "q176_hard_negatives_composed" -> "q141_hard_negatives",
+    "q177_label_noise_composed"    -> "q146_label_noise")
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
     * DuckDB's regexp_replace is single-match by default, Spark's is
