@@ -52,6 +52,9 @@ import graft.sources.Tables
   * marginal delivery cost under "incremental".
   */
 object IngestDemo {
+  /** Fixture defaults for the NB supervision labels — parameters of
+    * [[stages]]/[[checks]], so another warehouse passes its own.
+    */
   private val Pos = Seq("src0", "src1", "src2")
   private val Neg = Seq("src3", "src4", "src5")
 
@@ -66,24 +69,29 @@ object IngestDemo {
     */
   private val MaxDupFraction = 0.5
 
-  /** Corpus v0 = md5 buckets 0-7 of `documents`; the delivery =
-    * buckets 8-9 — a content-stable 80/20 split standing in for
-    * "yesterday's warehouse" and "today's crawl".
+  /** Corpus v0 = md5 buckets 0..baseBuckets-1 of `documents`; the
+    * delivery = the rest — a content-stable split (80/20 by default)
+    * standing in for "yesterday's warehouse" and "today's crawl".
     */
-  private def baseAndDelivery(t: Tables): (DataFrame, DataFrame) = {
+  private def baseAndDelivery(t: Tables,
+      baseBuckets: Int): (DataFrame, DataFrame) = {
     val bucket = Curation.hashBucket(col("doc_id"), 10)
-    (t.documents.filter(bucket <= 7), t.documents.filter(bucket >= 8))
+    (t.documents.filter(bucket < baseBuckets),
+      t.documents.filter(bucket >= baseBuckets))
   }
 
   /** The ordered stage list: `boot_*` once per warehouse, `inc_*`
     * once per delivery. Stages hand off through parquet under
     * `work`, so each `inc_*` cost is what a scheduled job would pay
-    * (artifact reads included).
+    * (artifact reads included). `posSources`/`negSources` supervise
+    * the NB quality model; `baseBuckets` (of 10) sets the
+    * corpus-v0/delivery split — defaults are the fixture corpus'.
     */
-  def stages(spark: SparkSession, sfDir: String,
-      work: String): Seq[(String, () => Unit)] = {
+  def stages(spark: SparkSession, sfDir: String, work: String,
+      posSources: Seq[String] = Pos, negSources: Seq[String] = Neg,
+      baseBuckets: Int = 8): Seq[(String, () => Unit)] = {
     val t = Tables(spark, sfDir)
-    val (base, delivery) = baseAndDelivery(t)
+    val (base, delivery) = baseAndDelivery(t, baseBuckets)
     def rd(p: String) = spark.read.parquet(s"$work/$p")
     def wr(df: DataFrame, p: String): Unit =
       df.write.mode("overwrite").parquet(s"$work/$p")
@@ -99,7 +107,7 @@ object IngestDemo {
       "boot_span_index" -> (() =>
         wr(SubstringDedup.windowIndex(base), "span_index")),
       "boot_nb_model" -> { () =>
-        val (vt, dc) = TextAnalysis.nbCounts(base, Pos, Neg)
+        val (vt, dc) = TextAnalysis.nbCounts(base, posSources, negSources)
         wr(vt, "nb_vt"); wr(dc, "nb_dc")
         val (lm, consts) = TextAnalysis.nbLmFromCounts(rd("nb_vt"), rd("nb_dc"))
         wr(lm, "nb_lm"); wr(consts, "nb_consts")
@@ -159,7 +167,7 @@ object IngestDemo {
           docsOf(rd("admitted"))), "span_index_v1")),
       "inc_fold_nb" -> { () =>
         val (vt1, dc1) = TextAnalysis.nbCountsUpdate(rd("nb_vt"),
-          rd("nb_dc"), docsOf(rd("admitted")), Pos, Neg)
+          rd("nb_dc"), docsOf(rd("admitted")), posSources, negSources)
         wr(vt1, "nb_vt_v1"); wr(dc1, "nb_dc_v1")
         val (lm1, consts1) =
           TextAnalysis.nbLmFromCounts(rd("nb_vt_v1"), rd("nb_dc_v1"))
@@ -171,10 +179,11 @@ object IngestDemo {
     * corpus v1 = base ∪ admitted) plus the gate invariants. Run
     * AFTER [[stages]] against the same `work`.
     */
-  def checks(spark: SparkSession, sfDir: String,
-      work: String): Seq[(String, () => Unit)] = {
+  def checks(spark: SparkSession, sfDir: String, work: String,
+      posSources: Seq[String] = Pos, negSources: Seq[String] = Neg,
+      baseBuckets: Int = 8): Seq[(String, () => Unit)] = {
     val t = Tables(spark, sfDir)
-    val (base, delivery) = baseAndDelivery(t)
+    val (base, delivery) = baseAndDelivery(t, baseBuckets)
     def rd(p: String) = spark.read.parquet(s"$work/$p")
     def docsOf(ids: DataFrame): DataFrame =
       delivery.join(ids.select("doc_id"), Seq("doc_id"))
@@ -201,12 +210,12 @@ object IngestDemo {
         same("span_index_v1", rd("span_index_v1"),
           SubstringDedup.windowIndex(v1))),
       "nb counts fold == from-scratch" -> { () =>
-        val (vt, dc) = TextAnalysis.nbCounts(v1, Pos, Neg)
+        val (vt, dc) = TextAnalysis.nbCounts(v1, posSources, negSources)
         same("nb_vt_v1", rd("nb_vt_v1"), vt)
         same("nb_dc_v1", rd("nb_dc_v1"), dc)
       },
       "nb serve model fold == from-scratch" -> { () =>
-        val (lm, consts) = TextAnalysis.nbModel(v1, Pos, Neg)
+        val (lm, consts) = TextAnalysis.nbModel(v1, posSources, negSources)
         same("nb_lm_v1", rd("nb_lm_v1"), lm)
         same("nb_consts_v1", rd("nb_consts_v1"), consts)
       },

@@ -59,10 +59,19 @@ object PipelineDemo {
       println(f"[demo] $label%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       out
     }
-    // sorted multiset, not a Set: a fan-out duplicating one row while
-    // losing another of equal string form must NOT pass the assert
-    def rows(df: DataFrame): Seq[String] =
-      df.collect().map(_.toString).sorted.toSeq
+    // MULTISET equality via two-sided exceptAll — distributed (no
+    // driver collect, so the assert itself survives warehouse-scale
+    // outputs) and duplicate-sensitive: a fan-out duplicating one row
+    // while losing another must NOT pass
+    def assertSame(label: String, got: DataFrame, want: DataFrame): Unit = {
+      val extra = got.exceptAll(want).count()
+      val missing = want.exceptAll(got).count()
+      require(extra == 0 && missing == 0,
+        s"$label: composed result diverged from standalone " +
+          s"($extra extra, $missing missing rows)")
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
 
     // ---- artifact build (once per corpus version) ----
     timed("artifacts: sigs+shingles+scored") {
@@ -149,16 +158,17 @@ object PipelineDemo {
           negSources = Seq("src3", "src4", "src5"))))
     var composedTotal = 0.0
     for ((label, composedFn, standaloneFn) <- consumers) {
+      // timings materialize via the noop sink (full execution, zero
+      // sink cost — the Bench rule); the equality assert runs after,
+      // unmeasured, so the printed ratio is pure execution-vs-execution
       val t0 = System.nanoTime()
-      val got = rows(composedFn())
+      noop(composedFn())
       val sec = (System.nanoTime() - t0) / 1e9
       composedTotal += sec
       val t1 = System.nanoTime()
-      val want = rows(standaloneFn())
+      noop(standaloneFn())
       val standaloneSec = (System.nanoTime() - t1) / 1e9
-      require(got == want,
-        s"$label: composed result diverged from standalone " +
-          s"(${got.length} vs ${want.length} rows)")
+      assertSame(label, composedFn(), standaloneFn())
       println(f"[demo] $label%-34s ${sec}%7.2f s composed  " +
         f"${standaloneSec}%7.2f s standalone  (${standaloneSec / sec}%4.1fx)")
       spark.sharedState.cacheManager.clearCache()

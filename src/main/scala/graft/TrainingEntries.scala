@@ -565,8 +565,13 @@ object TrainingEntries {
     // Calibrated composite keep/drop gate: NB LLR (per-source
     // adaptive cut, q88's rank rule) + gopher flags (q77) + entropy
     // band (q79) folded into ONE decision column with per-rule
-    // attribution booleans — the FineWeb-style filter stack
-    "q164_composite_gate" -> q(t => Curation.compositeGate(t.documents)),
+    // attribution booleans — the FineWeb-style filter stack. The
+    // cut/band arguments are passed EXPLICITLY because the oracle SQL
+    // hard-codes the same literals (900 permille, 3900-4500 milli) —
+    // a silent default change must not be able to drift them apart
+    "q164_composite_gate" -> q(t => Curation.compositeGate(t.documents,
+      keepPermille = 900, minEntropyMilli = 3900L,
+      maxEntropyMilli = 4500L)),
     // Composed-path twins (q165-q171): the SAME pair-graph consumers
     // as their standalone siblings, but consuming ComposedArtifacts'
     // persisted parquet pair tables via the *From APIs — the

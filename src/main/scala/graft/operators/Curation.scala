@@ -762,12 +762,13 @@ object Curation {
     *   `keep` = all three. Docs with zero tokens after normalization
     *   carry no NB evidence and are omitted (q156's contract).
     *
-    * Scale: two zero-shuffle codegen signal scans (gopher, entropy),
-    * one token-level aggregate with a broadcast LM (NB), all reduced
-    * to doc-keyed SIGNAL tables before any join — corpus text never
-    * shuffles; the only window is the per-source rank [[qualityGate]]
-    * already pays, and the joins are narrow doc_id equi-joins AQE
-    * broadcasts when a side is small.
+    * Scale: TWO corpus scans total — the NB token aggregate (with its
+    * broadcast LM join), and [[TextAnalysis.ruleSignals]]' one-scan
+    * fusion of the gopher verdict + entropy + source (all row-local
+    * expressions, zero shuffle) — reduced to doc-keyed SIGNAL tables
+    * before the one doc_id equi-join; corpus text never shuffles, and
+    * the only window is the per-source rank [[qualityGate]] already
+    * pays.
     */
   def compositeGate(documents: DataFrame,
       posSources: Seq[String] = Seq("src0", "src1", "src2"),
@@ -777,22 +778,16 @@ object Curation {
       maxEntropyMilli: Long = 4500L): DataFrame = {
     val nb = TextAnalysis.nbClassifierScores(documents, posSources, negSources)
       .select($("doc_id"), $("llr_micro"))
-    val gph = TextAnalysis.gopherRules(documents)
-      .select($("doc_id"), $("keep").as("ok_gopher"))
-    val ent = TextAnalysis.charEntropy(documents)
-      .select($("doc_id"), $("entropy_milli"))
+    val signals = TextAnalysis.ruleSignals(documents)
     val byLlr = Window.partitionBy($("source"))
       .orderBy($("llr_micro").desc, $("doc_id").asc)
     val bySource = Window.partitionBy($("source"))
-    nb.join(documents.select($("doc_id"), $("source")), Seq("doc_id"))
+    nb.join(signals, Seq("doc_id"))
       .withColumn("rn", row_number().over(byLlr).cast("long"))
       .withColumn("n", count(lit(1)).over(bySource))
-      .select($("doc_id"), $("source"), $("llr_micro"),
-        ($("rn") * 1000 <= lit(keepPermille) * $("n")).as("ok_nb"))
-      .join(gph, Seq("doc_id"))
-      .join(ent, Seq("doc_id"))
       .select($("doc_id"), $("source"), $("llr_micro"), $("entropy_milli"),
-        $("ok_nb"), $("ok_gopher"),
+        ($("rn") * 1000 <= lit(keepPermille) * $("n")).as("ok_nb"),
+        $("ok_gopher"),
         ($("entropy_milli") >= minEntropyMilli &&
           $("entropy_milli") <= maxEntropyMilli).as("ok_entropy"))
       .withColumn("keep", $("ok_nb") && $("ok_gopher") && $("ok_entropy"))

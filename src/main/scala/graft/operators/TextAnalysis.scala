@@ -585,18 +585,33 @@ object TextAnalysis {
     * per-row token array inside whole-stage codegen; the token array
     * never explodes into a shuffle.
     */
-  def gopherRules(documents: DataFrame): DataFrame = {
+  def gopherRules(documents: DataFrame): DataFrame =
+    gopherDerived(gopherRaw(documents, Nil), Nil)
+
+  /** (doc_id, n_words, total_len, n_uniq, stop_count) raw rule
+    * counters plus `carry`-through per-row columns — the one-scan
+    * stage [[gopherRules]] and [[ruleSignals]] share.
+    */
+  private def gopherRaw(documents: DataFrame,
+      carry: Seq[Column]): DataFrame =
     documents.spread()
       .withColumn("toks",
         filter(split(normText($("text")), " "), t => length(t) > 0))
-      .select(
+      .select(Seq(
         $("doc_id"),
         size($("toks")).cast("long").as("n_words"),
         aggregate($("toks"), lit(0L), (a, t) => a + length(t)).as("total_len"),
         size(array_distinct($("toks"))).cast("long").as("n_uniq"),
         size(filter($("toks"), t => t.isInCollection(ruleStopwords)))
-          .cast("long").as("stop_count"))
-      .select(
+          .cast("long").as("stop_count")) ++ carry: _*)
+
+  /** The micro-unit ratios + per-rule flags + `keep` over
+    * [[gopherRaw]]'s counters; `carryNames` columns pass through.
+    */
+  private def gopherDerived(raw: DataFrame,
+      carryNames: Seq[String]): DataFrame =
+    raw
+      .select(Seq(
         $("doc_id"), $("n_words"),
         when($("n_words") === 0, 0L).otherwise(
           round(lit(1e6) * $("total_len") / $("n_words")).cast("long"))
@@ -604,7 +619,7 @@ object TextAnalysis {
         when($("n_words") === 0, 0L).otherwise(
           round(lit(1e6) * $("n_uniq") / $("n_words")).cast("long"))
           .as("uniq_frac_micro"),
-        $("stop_count"))
+        $("stop_count")) ++ carryNames.map(n => $(n)): _*)
       .withColumn("ok_word_count",
         $("n_words") >= 50 && $("n_words") <= 100000)
       .withColumn("ok_word_len",
@@ -614,6 +629,25 @@ object TextAnalysis {
       .withColumn("ok_stop", $("stop_count") >= 2)
       .withColumn("keep",
         $("ok_word_count") && $("ok_word_len") && $("ok_uniq") && $("ok_stop"))
+
+  /** ONE-SCAN fusion of the per-row absolute quality signals — the
+    * [[gopherRules]] verdict, the [[charEntropy]] milli-bits, and the
+    * `source` label: all three are row-local expressions, so the
+    * composite gate ([[graft.operators.Curation.compositeGate]]) pays
+    * a single corpus scan for them instead of three scans joined on
+    * doc_id (the NB token aggregate keeps its own scan — two total).
+    * Returns (doc_id, source, ok_gopher, entropy_milli); semantics
+    * are exactly gopherRules' `keep` and charEntropy's
+    * `entropy_milli` (shared derivation, spec-pinned equal).
+    */
+  def ruleSignals(documents: DataFrame): DataFrame = {
+    import graft.plans.CharEntropyExpression.charEntropyMilli
+    gopherDerived(
+      gopherRaw(documents, Seq($("source"),
+        charEntropyMilli(normText($("text"))).as("entropy_milli"))),
+      Seq("source", "entropy_milli"))
+      .select($("doc_id"), $("source"), $("keep").as("ok_gopher"),
+        $("entropy_milli"))
   }
 
   /** Per-document Shannon character entropy (milli-bits) — the

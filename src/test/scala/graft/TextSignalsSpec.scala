@@ -382,4 +382,24 @@ class TextSignalsSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(hits === Set(1L, 3L))
   }
+
+  test("ruleSignals: one-scan fusion == gopherRules ⋈ charEntropy ⋈ source, zero shuffle") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val got = TextAnalysis.ruleSignals(docs)
+      .select("doc_id", "source", "ok_gopher", "entropy_milli")
+      .as[(Long, String, Boolean, Long)].collect().sortBy(_._1)
+    val want = TextAnalysis.gopherRules(docs)
+      .select($"doc_id", $"keep".as("ok_gopher"))
+      .join(TextAnalysis.charEntropy(docs)
+        .select($"doc_id", $"entropy_milli"), Seq("doc_id"))
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .select("doc_id", "source", "ok_gopher", "entropy_milli")
+      .as[(Long, String, Boolean, Long)].collect().sortBy(_._1)
+    assert(got === want)
+    // and the fused scan stays expression-only (the q77/q79 plan rule)
+    val plan = TextAnalysis.ruleSignals(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"ruleSignals shuffles on a key:\n$plan")
+  }
 }
