@@ -232,6 +232,14 @@ object ScaleRehearsal {
         // aggregate for the directed matrix — the standalone legs
         // prove the whole chain linear; the from-pairs leg prices the
         // composed consumer off the materialized pair artifact
+        // the composite gate (q164): the NB scorer's two token-level
+        // aggregates + ONE fused row-local signal scan + a per-source
+        // rank window — expected linear in corpus tokens (the keep
+        // filter makes the join+window chain elimination-proof under
+        // count(): kept rows are data-dependent)
+        Leg("q164_composite_gate", needsDocs = true)(() =>
+          graft.operators.Curation.compositeGate(docs)
+            .filter(col("keep"))),
         Leg("q140_containment", needsDocs = true)(() =>
           Dedup.ngramContainmentPairs(docs)),
         Leg("q147_containment_matrix", needsDocs = true)(() =>
