@@ -762,13 +762,15 @@ object Curation {
     *   `keep` = all three. Docs with zero tokens after normalization
     *   carry no NB evidence and are omitted (q156's contract).
     *
-    * Scale: TWO corpus scans total — the NB token aggregate (with its
-    * broadcast LM join), and [[TextAnalysis.ruleSignals]]' one-scan
-    * fusion of the gopher verdict + entropy + source (all row-local
-    * expressions, zero shuffle) — reduced to doc-keyed SIGNAL tables
-    * before the one doc_id equi-join; corpus text never shuffles, and
-    * the only window is the per-source rank [[qualityGate]] already
-    * pays.
+    * Scale: the NB scorer keeps its own two passes (labeled-slice
+    * training aggregate + the scoring pass, broadcast LM join), and
+    * [[TextAnalysis.ruleSignals]] fuses the gopher verdict + entropy
+    * + source into ONE more scan (all row-local expressions, zero
+    * shuffle) — three corpus scans total where the unfused
+    * composition paid five, reduced to doc-keyed SIGNAL tables before
+    * the one doc_id equi-join (the signal side BROADCASTS); corpus
+    * text never shuffles, and the only exchange is the per-source
+    * rank window [[qualityGate]] already pays.
     */
   def compositeGate(documents: DataFrame,
       posSources: Seq[String] = Seq("src0", "src1", "src2"),

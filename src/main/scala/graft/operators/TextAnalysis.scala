@@ -635,7 +635,7 @@ object TextAnalysis {
     * `source` label: all three are row-local expressions, so the
     * composite gate ([[graft.operators.Curation.compositeGate]]) pays
     * a single corpus scan for them instead of three scans joined on
-    * doc_id (the NB token aggregate keeps its own scan — two total).
+    * doc_id (the NB scorer keeps its own train + score passes).
     * Returns (doc_id, source, ok_gopher, entropy_milli); semantics
     * are exactly gopherRules' `keep` and charEntropy's
     * `entropy_milli` (shared derivation, spec-pinned equal).
