@@ -30,12 +30,13 @@ import graft.sources.Tables
   *     4. quality gate with the persisted NB model
   *        ([[TextAnalysis.nbScoreFrom]]) — zero training-corpus
   *        access;
-  *     5. shard manifest of corpus v1 + [[Curation.manifestDiff]] —
-  *        the rerun receipt telling the training job which shards to
-  *        re-read (the one stage that is corpus-FP-proportional, not
-  *        delivery-proportional: receipts hash every member unit;
-  *        32 bytes/doc, and the hierarchical q162 form bounds the
-  *        per-task fold);
+  *     5. INCREMENTAL shard manifest + [[Curation.manifestDiff]] —
+  *        the admitted units fold into the persisted sub-manifest
+  *        via [[Curation.updatedSubManifest]], recomputing only the
+  *        (split, sub) cells the delivery lands in (member re-reads
+  *        prune on the unit store's partitioning), then the v1
+  *        receipt derives from the folded cell table — the rerun
+  *        report without a corpus re-hash;
   *     6. index refresh: union-fold fp/signature stores, q154's
   *        [[SubstringDedup.updatedWindowIndex]], q161's
   *        [[TextAnalysis.nbCountsUpdate]] + re-derived serve model.
@@ -68,6 +69,12 @@ object IngestDemo {
     * delivery) — Lee et al.'s dup_fraction read at ingest.
     */
   private val MaxDupFraction = 0.5
+
+  /** Hierarchical-manifest fan-out (q162's form): the unit store is
+    * partitioned by (split, sub) so the incremental recompute prunes
+    * to the cells a delivery touches.
+    */
+  private val SubShards = 4
 
   /** Corpus v0 = md5 buckets 0..baseBuckets-1 of `documents`; the
     * delivery = the rest — a content-stable split (80/20 by default)
@@ -112,8 +119,18 @@ object IngestDemo {
         val (lm, consts) = TextAnalysis.nbLmFromCounts(rd("nb_vt"), rd("nb_dc"))
         wr(lm, "nb_lm"); wr(consts, "nb_consts")
       },
-      "boot_manifest" -> (() =>
-        wr(Curation.shardManifest(withSplit(base)), "manifest_v0")),
+      "boot_manifest" -> { () =>
+        // hierarchical form + the two persisted state tables of the
+        // INCREMENTAL manifest: the per-doc unit store (partitioned by
+        // (split, sub) so a delivery's cell recompute prunes) and the
+        // sub-shard cell table
+        Curation.manifestUnits(withSplit(base), subShards = SubShards)
+          .write.mode("overwrite").partitionBy("split", "sub")
+          .parquet(s"$work/manifest_units")
+        wr(Curation.subManifestFromUnits(rd("manifest_units")),
+          "sub_manifest")
+        wr(Curation.manifestFromSub(rd("sub_manifest")), "manifest_v0")
+      },
 
       // ---- one delivery, marginal cost ----
       "inc_exact_dedup" -> { () =>
@@ -150,11 +167,22 @@ object IngestDemo {
           .select("doc_id"), "admitted")
       },
       "inc_manifest_diff" -> { () =>
-        val v1 = base.unionByName(docsOf(rd("admitted")))
-        wr(Curation.shardManifest(withSplit(v1)), "manifest_v1")
+        // INCREMENTAL receipt: the admitted docs' units fold into the
+        // persisted sub-manifest, recomputing only the cells they
+        // land in (member re-reads prune on the (split, sub)
+        // partitioning) — delivery-proportional, never a corpus
+        // re-hash. v1 receipts derive from the folded cell table.
+        wr(Curation.manifestUnits(withSplit(docsOf(rd("admitted"))),
+          subShards = SubShards), "delivery_units")
+        wr(Curation.updatedSubManifest(rd("sub_manifest"),
+          rd("manifest_units"), rd("delivery_units")), "sub_manifest_v1")
+        wr(Curation.manifestFromSub(rd("sub_manifest_v1")), "manifest_v1")
         wr(Curation.manifestDiff(rd("manifest_v0"), rd("manifest_v1")),
           "manifest_delta")
       },
+      "inc_fold_units" -> (() =>
+        wr(rd("manifest_units").unionByName(rd("delivery_units")),
+          "manifest_units_v1")),
       "inc_fold_fp" -> (() =>
         wr(rd("fp_store").unionByName(
           TextAnalysis.fingerprints(docsOf(rd("admitted")))), "fp_store_v1")),
@@ -245,6 +273,25 @@ object IngestDemo {
         val removed = rd("manifest_delta")
           .filter(col("status") === "removed").count()
         require(removed == 0, s"additive ingest produced $removed removed shards")
+      },
+      "incremental manifest == from-scratch hierarchical" -> (() =>
+        same("manifest_v1", rd("manifest_v1"),
+          Curation.shardManifest(
+            v1.join(Curation.hashSplit(v1).select("doc_id", "split"),
+              Seq("doc_id")), subShards = SubShards))),
+      "sub-manifest fold == from-scratch cells" -> { () =>
+        val v1Units = Curation.manifestUnits(
+          v1.join(Curation.hashSplit(v1).select("doc_id", "split"),
+            Seq("doc_id")), subShards = SubShards)
+        same("sub_manifest_v1",
+          rd("sub_manifest_v1").select("split", "sub", "n_docs", "n_tok",
+            "sub_md5"),
+          Curation.subManifestFromUnits(v1Units)
+            .select("split", "sub", "n_docs", "n_tok", "sub_md5"))
+        same("manifest_units_v1",
+          rd("manifest_units_v1").select("split", "sub", "doc_id", "fp",
+            "n_tok"),
+          v1Units.select("split", "sub", "doc_id", "fp", "n_tok"))
       })
   }
 

@@ -619,6 +619,23 @@ object TrainingEntries {
     "q177_label_noise_composed" -> ((s: SparkSession, d: String) =>
       Similarity.labelNoiseFromCells(
         ComposedArtifacts.cells(s, d), Tables(s, d).embeddings)),
+    // Incremental hierarchical manifest: even docs = the persisted
+    // unit store + sub-manifest, odd docs folded in via
+    // updatedSubManifest (ONLY the touched cells recompute) — the
+    // batch q162 SQL is the exact oracle (receipts are deterministic
+    // functions of membership, so fold == from-scratch is the gate)
+    "q178_incremental_manifest" -> q(t => {
+      val withSplit = t.documents.join(
+        Curation.hashSplit(t.documents).select("doc_id", "split"),
+        Seq("doc_id"))
+      val store = Curation.manifestUnits(
+        withSplit.filter(col("doc_id") % 2 === 0), subShards = 4)
+      val sub0 = Curation.subManifestFromUnits(store)
+      val batch = Curation.manifestUnits(
+        withSplit.filter(col("doc_id") % 2 === 1), subShards = 4)
+      Curation.manifestFromSub(
+        Curation.updatedSubManifest(sub0, store, batch))
+    }),
   )
 
   /** Composed twin → standalone sibling; the twin's oracle SQL is the
@@ -637,7 +654,11 @@ object TrainingEntries {
     "q174_pq_adc_composed"         -> "q118_pq_ann",
     "q175_nb_score_composed"       -> "q156_nb_classifier",
     "q176_hard_negatives_composed" -> "q141_hard_negatives",
-    "q177_label_noise_composed"    -> "q146_label_noise")
+    "q177_label_noise_composed"    -> "q146_label_noise",
+    // not a composed *From twin but the same SQL-reuse contract: the
+    // incremental fold's exact oracle IS the batch hierarchical
+    // manifest (the q161/q92/q154 additivity pattern)
+    "q178_incremental_manifest"    -> "q162_manifest_hier")
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
     * DuckDB's regexp_replace is single-match by default, Spark's is

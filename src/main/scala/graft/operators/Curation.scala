@@ -1032,7 +1032,30 @@ object Curation {
   def shardManifest(documents: DataFrame, shardCol: String = "split",
       subShards: Int = 1): DataFrame = {
     require(subShards >= 1, s"subShards must be >= 1, got $subShards")
-    val units = documents.spread()
+    if (subShards == 1)
+      manifestUnits(documents, shardCol, subShards)
+        .groupBy(shardCol)
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum($("n_tok")).cast("long").as("n_tok"),
+          unitHash(collect_list(struct($("doc_id"), $("fp"))))
+            .as("content_md5"))
+    else
+      manifestFromSub(
+        subManifestFromUnits(
+          manifestUnits(documents, shardCol, subShards), shardCol),
+        shardCol)
+  }
+
+  /** Per-doc manifest units (shardCol, sub, doc_id, fp, n_tok) — the
+    * first stage of [[shardManifest]], exposed because the unit table
+    * IS the persisted state of the INCREMENTAL manifest: store it
+    * (partitioned by (shardCol, sub) so cell reads prune), and a
+    * delivery folds in with [[updatedSubManifest]] touching only the
+    * cells it lands in.
+    */
+  def manifestUnits(documents: DataFrame, shardCol: String = "split",
+      subShards: Int = 1): DataFrame =
+    documents.spread()
       .select(col(shardCol), $("doc_id"),
         // NULL text gets a sentinel fp (distinct from md5 of the
         // empty string): concat of a NULL fp would make concat_ws
@@ -1041,32 +1064,73 @@ object Curation {
           .as("fp"),
         coalesce(TextAnalysis.tokenCount($("text")).cast("long"), lit(0L))
           .as("n_tok"))
-    // hash units are "doc_id:fp" so a same-text membership swap (doc
-    // replaced by a twin under another id) still flips the hash —
-    // the manifest receipts identity, not just bytes
-    def unitHash(rows: Column): Column =
-      md5(concat_ws("", transform(array_sort(rows),
-        x => concat(x("doc_id").cast("string"), lit(":"), x("fp")))))
-    if (subShards == 1)
-      units.groupBy(shardCol)
-        .agg(count(lit(1)).cast("long").as("n_docs"),
-          sum($("n_tok")).cast("long").as("n_tok"),
-          unitHash(collect_list(struct($("doc_id"), $("fp"))))
-            .as("content_md5"))
-    else
-      units
-        .withColumn("sub", hashBucket($("doc_id"), subShards))
-        .groupBy(col(shardCol), $("sub"))
-        .agg(count(lit(1)).cast("long").as("n_docs"),
-          sum($("n_tok")).cast("long").as("n_tok"),
-          unitHash(collect_list(struct($("doc_id"), $("fp"))))
-            .as("sub_md5"))
-        .groupBy(shardCol)
-        .agg(sum($("n_docs")).cast("long").as("n_docs"),
-          sum($("n_tok")).cast("long").as("n_tok"),
-          md5(concat_ws("", transform(
-            array_sort(collect_list(struct($("sub"), $("sub_md5")))),
-            x => x("sub_md5")))).as("content_md5"))
+      .withColumn("sub", hashBucket($("doc_id"), subShards))
+
+  // hash units are "doc_id:fp" so a same-text membership swap (doc
+  // replaced by a twin under another id) still flips the hash —
+  // the manifest receipts identity, not just bytes
+  private def unitHash(rows: Column): Column =
+    md5(concat_ws("", transform(array_sort(rows),
+      x => concat(x("doc_id").cast("string"), lit(":"), x("fp")))))
+
+  /** (shardCol, sub, n_docs, n_tok, sub_md5) per sub-shard cell —
+    * [[shardManifest]]'s hierarchical first fold over
+    * [[manifestUnits]]; the cell table is the OTHER persisted state
+    * of the incremental manifest (sub-shard-count rows).
+    */
+  def subManifestFromUnits(units: DataFrame,
+      shardCol: String = "split"): DataFrame =
+    units
+      .groupBy(col(shardCol), $("sub"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($("n_tok")).cast("long").as("n_tok"),
+        unitHash(collect_list(struct($("doc_id"), $("fp"))))
+          .as("sub_md5"))
+
+  /** Fold a sub-manifest cell table into the per-shard receipt —
+    * [[shardManifest]]'s hierarchical second stage (sub-shard-count
+    * rows in, shard-count rows out; value-identical to
+    * `shardManifest(…, subShards = K)`).
+    */
+  def manifestFromSub(subManifest: DataFrame,
+      shardCol: String = "split"): DataFrame =
+    subManifest
+      .groupBy(shardCol)
+      .agg(sum($("n_docs")).cast("long").as("n_docs"),
+        sum($("n_tok")).cast("long").as("n_tok"),
+        md5(concat_ws("", transform(
+          array_sort(collect_list(struct($("sub"), $("sub_md5")))),
+          x => x("sub_md5")))).as("content_md5"))
+
+  /** INCREMENTAL manifest maintenance: fold a delivery's
+    * [[manifestUnits]] into an accumulated sub-manifest by
+    * recomputing ONLY the (shard, sub) cells the batch lands in —
+    * members of an affected cell re-read from `unitStore` ∪ the
+    * batch; every untouched cell's row carries over verbatim. The
+    * per-delivery cost is batch units + the affected cells' members,
+    * never a corpus re-hash: with the unit store partitioned by
+    * (shardCol, sub), the member re-read PRUNES to the affected
+    * cells, so a small delivery is delivery-proportional (the q154
+    * window-index discipline applied to integrity receipts — this
+    * closes the one non-delivery-proportional stage IngestDemo had).
+    * Fold == from-scratch exactly (spec-pinned, and the contract
+    * entry is gated by the hierarchical q162 SQL), so incremental and
+    * batch receipts interchange.
+    *
+    * `unitStore` must NOT already contain the batch (membership is
+    * identity-keyed, so a replay would double-count — the caller owns
+    * exactly-once delivery, same as [[graft.operators.SubstringDedup
+    * .updatedWindowIndex]]).
+    */
+  def updatedSubManifest(subManifest: DataFrame, unitStore: DataFrame,
+      batchUnits: DataFrame, shardCol: String = "split"): DataFrame = {
+    val affected = batchUnits.select(col(shardCol), $("sub")).distinct()
+    val recomputed = subManifestFromUnits(
+      unitStore.unionByName(batchUnits)
+        .join(affected, Seq(shardCol, "sub")), shardCol)
+    subManifest
+      .join(affected, Seq(shardCol, "sub"), "left_anti")
+      .unionByName(recomputed)
   }
 
   /** Diff two [[shardManifest]] receipts: per shard,

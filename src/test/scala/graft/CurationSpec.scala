@@ -604,6 +604,50 @@ class CurationSpec extends SparkSpec {
       "s3" -> (("added", 1L, 2L))))
   }
 
+  test("updatedSubManifest: fold == from-scratch, a one-doc batch touches exactly its cell") {
+    import spark.implicits._
+    val withSplit = docs.join(
+      Curation.hashSplit(docs).select("doc_id", "split"), Seq("doc_id"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("split", "sub", "n_docs", "n_tok", "sub_md5")
+        .collect().map(_.toString).toSet
+    // fold over an even/odd split == the from-scratch cell table
+    val store = Curation.manifestUnits(
+      withSplit.filter(col("doc_id") % 2 === 0), subShards = 4)
+    val batch = Curation.manifestUnits(
+      withSplit.filter(col("doc_id") % 2 === 1), subShards = 4)
+    val folded = Curation.updatedSubManifest(
+      Curation.subManifestFromUnits(store), store, batch)
+    val scratch = Curation.subManifestFromUnits(
+      Curation.manifestUnits(withSplit, subShards = 4))
+    assert(rows(folded) === rows(scratch))
+    // and the derived shard receipt equals shardManifest(subShards=4)
+    val receipt = Curation.manifestFromSub(folded)
+      .collect().map(_.toString).toSet
+    val direct = Curation.shardManifest(withSplit, subShards = 4)
+      .collect().map(_.toString).toSet
+    assert(receipt === direct)
+    // one-doc batch: exactly ONE cell row differs from the prior
+    // sub-manifest (the doc's (split, sub)); every other row carries
+    // over verbatim
+    val someId = withSplit.select("doc_id").as[Long].head()
+    val rest = withSplit.filter(col("doc_id") =!= someId)
+    val restUnits = Curation.manifestUnits(rest, subShards = 4)
+    val sub0 = Curation.subManifestFromUnits(restUnits)
+    val oneBatch = Curation.manifestUnits(
+      withSplit.filter(col("doc_id") === someId), subShards = 4)
+    val sub1 = Curation.updatedSubManifest(sub0, restUnits, oneBatch)
+    val changed = rows(sub1) -- rows(sub0)
+    assert(changed.size === 1, s"one-doc fold changed ${changed.size} cells")
+    val cell = oneBatch.select("split", "sub").as[(String, Long)].head()
+    val sub1Map = sub1.select("split", "sub", "n_docs")
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val sub0Map = sub0.select("split", "sub", "n_docs")
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(sub1Map(cell) === sub0Map.getOrElse(cell, 0L) + 1L,
+      "the touched cell did not gain exactly the batch doc")
+  }
+
   test("compositeGate: keep is the conjunction, per-source NB cut exact, every rule bites") {
     import spark.implicits._
     import graft.operators.TextAnalysis
