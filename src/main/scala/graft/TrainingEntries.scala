@@ -636,6 +636,20 @@ object TrainingEntries {
       Curation.manifestFromSub(
         Curation.updatedSubManifest(sub0, store, batch))
     }),
+    // The gate SERVED from its persisted artifacts: gateThresholds'
+    // K-row per-source cut table + the NB model, applied windowless
+    // (broadcast threshold join). On the training corpus the served
+    // rows equal q164's exactly, so q164's SQL is the verbatim oracle
+    // — the gate family's serve path under the production oracle
+    "q179_gate_served" -> q(t => {
+      val (lm, consts) = TextAnalysis.nbModel(t.documents,
+        posSources = Seq("src0", "src1", "src2"),
+        negSources = Seq("src3", "src4", "src5"))
+      Curation.compositeGateFrom(
+        Curation.gateThresholds(t.documents, keepPermille = 900),
+        lm, consts, t.documents,
+        minEntropyMilli = 3900L, maxEntropyMilli = 4500L)
+    }),
   )
 
   /** Composed twin → standalone sibling; the twin's oracle SQL is the
@@ -658,7 +672,9 @@ object TrainingEntries {
     // not a composed *From twin but the same SQL-reuse contract: the
     // incremental fold's exact oracle IS the batch hierarchical
     // manifest (the q161/q92/q154 additivity pattern)
-    "q178_incremental_manifest"    -> "q162_manifest_hier")
+    "q178_incremental_manifest"    -> "q162_manifest_hier",
+    // the served gate on its training corpus IS the windowed gate
+    "q179_gate_served"             -> "q164_composite_gate")
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
     * DuckDB's regexp_replace is single-match by default, Spark's is

@@ -795,6 +795,68 @@ object Curation {
       .withColumn("keep", $("ok_nb") && $("ok_gopher") && $("ok_entropy"))
   }
 
+  /** The composite gate's SERVE-TIME cut artifact: per source, the
+    * boundary of [[compositeGate]]'s rank rule — (source,
+    * thr_llr_micro, thr_doc_id) where the boundary is the LAST KEPT
+    * row under (llr_micro desc, doc_id asc). A doc is then kept by
+    * the NB rule iff `llr > thr OR (llr == thr AND doc_id <=
+    * thr_doc_id)` — the exact rank-prefix predicate, windowless. A
+    * source whose keep quota is zero emits NO row (every doc drops).
+    *
+    * This is the [[graft.operators.TextAnalysis.nbModel]] discipline
+    * applied to the gate itself: train the cuts once per corpus
+    * version, persist the K-row table, and every future delivery is
+    * gated by [[compositeGateFrom]] (or the streaming twin) with a
+    * broadcast join — no per-source window over the accumulated
+    * corpus ever again.
+    */
+  def gateThresholds(documents: DataFrame,
+      posSources: Seq[String] = Seq("src0", "src1", "src2"),
+      negSources: Seq[String] = Seq("src3", "src4", "src5"),
+      keepPermille: Int = 900): DataFrame = {
+    val nb = TextAnalysis.nbClassifierScores(documents, posSources, negSources)
+      .select($("doc_id"), $("llr_micro"))
+    val byLlr = Window.partitionBy($("source"))
+      .orderBy($("llr_micro").desc, $("doc_id").asc)
+    val bySource = Window.partitionBy($("source"))
+    nb.join(documents.select($("doc_id"), $("source")), Seq("doc_id"))
+      .withColumn("rn", row_number().over(byLlr).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySource))
+      .filter($("rn") * 1000 <= lit(keepPermille) * $("n"))
+      .groupBy($("source"))
+      .agg(max_by(struct($("llr_micro"), $("doc_id")), $("rn")).as("b"))
+      .select($("source"), $("b.llr_micro").as("thr_llr_micro"),
+        $("b.doc_id").as("thr_doc_id"))
+  }
+
+  /** [[compositeGate]] SERVED from persisted artifacts — the
+    * [[gateThresholds]] cut table and the NB model (lm + consts):
+    * identical output schema and, on the training corpus, identical
+    * rows (q179's oracle is q164's SQL verbatim). The plan has NO
+    * window at all: one NB scoring pass, one fused signal scan, and
+    * a BROADCAST join against the K-row threshold table — the shape
+    * a delivery gate actually runs at 100 TB, where re-windowing the
+    * accumulated corpus per delivery is the thing this artifact
+    * exists to avoid.
+    */
+  def compositeGateFrom(thresholds: DataFrame, lm: DataFrame,
+      consts: DataFrame, documents: DataFrame,
+      minEntropyMilli: Long = 3900L,
+      maxEntropyMilli: Long = 4500L): DataFrame =
+    TextAnalysis.nbScoreFrom(lm, consts, documents)
+      .select($("doc_id"), $("llr_micro"))
+      .join(TextAnalysis.ruleSignals(documents), Seq("doc_id"))
+      .join(broadcast(thresholds), Seq("source"), "left")
+      .select($("doc_id"), $("source"), $("llr_micro"), $("entropy_milli"),
+        ($("thr_llr_micro").isNotNull &&
+          ($("llr_micro") > $("thr_llr_micro") ||
+            ($("llr_micro") === $("thr_llr_micro") &&
+              $("doc_id") <= $("thr_doc_id")))).as("ok_nb"),
+        $("ok_gopher"),
+        ($("entropy_milli") >= minEntropyMilli &&
+          $("entropy_milli") <= maxEntropyMilli).as("ok_entropy"))
+      .withColumn("keep", $("ok_nb") && $("ok_gopher") && $("ok_entropy"))
+
   /** DSIR selection step: keep each document with probability
     * min(1, exp(w)) where w is its [[dsirWeights]] importance weight
     * in nats — the resampling that skews a raw corpus toward the

@@ -588,6 +588,39 @@ object TextAnalysis {
   def gopherRules(documents: DataFrame): DataFrame =
     gopherDerived(gopherRaw(documents, Nil), Nil)
 
+  // the Gopher rule constants — ONE definition feeding the frame
+  // pipeline (gopherDerived), the single-Column form (gopherKeepCol),
+  // and by mirror the oracle SQL literals
+  private val GopherMinWords = 50L
+  private val GopherMaxWords = 100000L
+  private val GopherMinMeanLenMicro = 3000000L
+  private val GopherMaxMeanLenMicro = 10000000L
+  private val GopherMinUniqFracMicro = 300000L
+  private val GopherMinStopCount = 2L
+
+  /** The [[gopherRules]] verdict as ONE row-local Column — for
+    * streaming plans that must carry the verdict THROUGH a tokenize
+    * (a streaming aggregate cannot join a second derivative of the
+    * same stream, so the flag rides the token rows as a grouping
+    * column instead). Shares the rule constants with the frame
+    * pipeline; spec-pinned equal to `gopherRules(…)("keep")`.
+    */
+  def gopherKeepCol(text: Column): Column = {
+    val toks = filter(split(normText(text), " "), t => length(t) > 0)
+    val nWords = size(toks).cast("long")
+    val totalLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val nUniq = size(array_distinct(toks)).cast("long")
+    val stopCount = size(filter(toks, t => t.isInCollection(ruleStopwords)))
+      .cast("long")
+    val meanLen = when(nWords === 0, 0L)
+      .otherwise(round(lit(1e6) * totalLen / nWords).cast("long"))
+    val uniqFrac = when(nWords === 0, 0L)
+      .otherwise(round(lit(1e6) * nUniq / nWords).cast("long"))
+    nWords >= GopherMinWords && nWords <= GopherMaxWords &&
+      meanLen >= GopherMinMeanLenMicro && meanLen <= GopherMaxMeanLenMicro &&
+      uniqFrac >= GopherMinUniqFracMicro && stopCount >= GopherMinStopCount
+  }
+
   /** (doc_id, n_words, total_len, n_uniq, stop_count) raw rule
     * counters plus `carry`-through per-row columns — the one-scan
     * stage [[gopherRules]] and [[ruleSignals]] share.
@@ -621,12 +654,12 @@ object TextAnalysis {
           .as("uniq_frac_micro"),
         $("stop_count")) ++ carryNames.map(n => $(n)): _*)
       .withColumn("ok_word_count",
-        $("n_words") >= 50 && $("n_words") <= 100000)
+        $("n_words") >= GopherMinWords && $("n_words") <= GopherMaxWords)
       .withColumn("ok_word_len",
-        $("mean_word_len_micro") >= 3000000L &&
-          $("mean_word_len_micro") <= 10000000L)
-      .withColumn("ok_uniq", $("uniq_frac_micro") >= 300000L)
-      .withColumn("ok_stop", $("stop_count") >= 2)
+        $("mean_word_len_micro") >= GopherMinMeanLenMicro &&
+          $("mean_word_len_micro") <= GopherMaxMeanLenMicro)
+      .withColumn("ok_uniq", $("uniq_frac_micro") >= GopherMinUniqFracMicro)
+      .withColumn("ok_stop", $("stop_count") >= GopherMinStopCount)
       .withColumn("keep",
         $("ok_word_count") && $("ok_word_len") && $("ok_uniq") && $("ok_stop"))
 

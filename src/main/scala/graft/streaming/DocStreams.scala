@@ -274,6 +274,62 @@ object DocStreams extends Serializable {
         when(col("tok_llr") + lit(priorDiff) > 0, 1L).otherwise(0L)
           .as("pred_pos"))
 
+  /** Streaming composite keep/drop gate — [[graft.operators.Curation
+    * .compositeGateFrom]]'s firehose twin: every arriving document is
+    * gated by the OFFLINE-trained artifacts with zero keyed state
+    * beyond the one per-doc score aggregation. The model/data split of
+    * the codebook pattern: the LM joins stream-static, the one-row
+    * constants and the K-row [[graft.operators.Curation
+    * .gateThresholds]] cut table ship as literals. The row-local
+    * signals (gopher verdict via [[TextAnalysis.gopherKeepCol]],
+    * entropy, source) ride the token rows as GROUPING columns —
+    * constants per doc, so the grouping is unchanged — because a
+    * streaming aggregate cannot join a second derivative of the same
+    * stream; the post-aggregation threshold test is a plain
+    * projection. Twin contract (StreamingSpec): final update-mode
+    * rows equal compositeGateFrom over the same corpus.
+    *
+    * `thresholds` rows are (source, thr_llr_micro, thr_doc_id).
+    */
+  def compositeGateStream(docs: DataFrame, lm: DataFrame, oov1: Long,
+      oov0: Long, priorDiff: Long,
+      thresholds: Seq[(String, Long, Long)],
+      minEntropyMilli: Long = 3900L,
+      maxEntropyMilli: Long = 4500L): DataFrame = {
+    require(thresholds.nonEmpty,
+      "empty threshold table: the trained gate keeps nothing anywhere")
+    import graft.plans.CharEntropyExpression.charEntropyMilli
+    val thrLlr = map(thresholds.flatMap { case (s, t, _) =>
+      Seq(lit(s), lit(t)) }: _*)
+    val thrId = map(thresholds.flatMap { case (s, _, i) =>
+      Seq(lit(s), lit(i)) }: _*)
+    docs
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.gopherKeepCol(col("text")).as("ok_gopher"),
+        charEntropyMilli(TextAnalysis.normText(col("text")))
+          .as("entropy_milli"),
+        explode(split(TextAnalysis.normText(col("text")), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .join(lm, Seq("token"), "left")
+      .groupBy(col("doc_id"), col("source"), col("ok_gopher"),
+        col("entropy_milli"))
+      .agg(sum(coalesce(col("lnp1"), lit(oov1)) -
+        coalesce(col("lnp0"), lit(oov0))).cast("long").as("tok_llr"))
+      .withColumn("llr_micro", col("tok_llr") + lit(priorDiff))
+      .withColumn("thr", element_at(thrLlr, col("source")))
+      .withColumn("thr_id", element_at(thrId, col("source")))
+      .select(col("doc_id"), col("source"), col("llr_micro"),
+        col("entropy_milli"),
+        (col("thr").isNotNull && (col("llr_micro") > col("thr") ||
+          (col("llr_micro") === col("thr") &&
+            col("doc_id") <= col("thr_id")))).as("ok_nb"),
+        col("ok_gopher"),
+        (col("entropy_milli") >= minEntropyMilli &&
+          col("entropy_milli") <= maxEntropyMilli).as("ok_entropy"))
+      .withColumn("keep",
+        col("ok_nb") && col("ok_gopher") && col("ok_entropy"))
+  }
+
   /** Streaming NB count maintenance: the running (token, tf1, tf0)
     * class-count table over a LABELED document firehose — the
     * incremental-model state [[graft.operators.TextAnalysis

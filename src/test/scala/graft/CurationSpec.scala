@@ -648,6 +648,47 @@ class CurationSpec extends SparkSpec {
       "the touched cell did not gain exactly the batch doc")
   }
 
+  test("gateThresholds + compositeGateFrom: served == windowed gate; quota-0 source drops") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val (pos, neg) = (Seq("src0", "src1", "src2"), Seq("src3", "src4", "src5"))
+    val (lm, consts) = TextAnalysis.nbModel(docs, pos, neg)
+    val thr = Curation.gateThresholds(docs, pos, neg)
+    // the served gate on the training corpus == the windowed gate
+    val served = Curation.compositeGateFrom(thr, lm, consts, docs)
+      .collect().map(_.toString).sorted.toSeq
+    val windowed = Curation.compositeGate(docs, pos, neg)
+      .collect().map(_.toString).sorted.toSeq
+    assert(served === windowed)
+    // one boundary row per source that keeps anything
+    val srcCount = docs.select("source").distinct().count()
+    assert(thr.count() <= srcCount && thr.count() > 0)
+    // a single-doc source has quota floor(0.9*1)=0: no threshold row,
+    // its doc served as ok_nb = false
+    val lone = Seq((99999991L, "the data table is a query of the scan " +
+      "and the index is a table of the data stream window fast scan",
+      "en", "solo_src", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val grown = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(lone)
+    val thr2 = Curation.gateThresholds(grown, pos, neg)
+    assert(thr2.filter(col("source") === "solo_src").count() === 0,
+      "quota-0 source must emit no threshold row")
+    val (lm2, consts2) = TextAnalysis.nbModel(grown, pos, neg)
+    val soloRow = Curation.compositeGateFrom(thr2, lm2, consts2, grown)
+      .filter(col("source") === "solo_src")
+      .select("ok_nb", "keep").as[(Boolean, Boolean)].collect()
+    assert(soloRow.length === 1 && !soloRow.head._1 && !soloRow.head._2,
+      "the quota-0 source's doc must be NB-dropped in the served gate")
+    // and the served form matches the windowed form on the grown
+    // corpus too (the tie/boundary predicate is exact, not approximate)
+    val served2 = Curation.compositeGateFrom(thr2, lm2, consts2, grown)
+      .collect().map(_.toString).sorted.toSeq
+    val windowed2 = Curation.compositeGate(grown, pos, neg)
+      .collect().map(_.toString).sorted.toSeq
+    assert(served2 === windowed2)
+  }
+
   test("compositeGate: keep is the conjunction, per-source NB cut exact, every rule bites") {
     import spark.implicits._
     import graft.operators.TextAnalysis

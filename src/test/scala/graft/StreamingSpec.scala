@@ -551,6 +551,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming composite gate == served batch gate across deliveries") {
+    import graft.operators.{Curation, TextAnalysis}
+    import graft.streaming.DocStreams
+    val docsT = graft.sources.Tables(spark, dir).documents
+    val (pos, neg) = (Seq("src0", "src1", "src2"), Seq("src3", "src4", "src5"))
+    // artifacts trained OFFLINE by the batch tier: the LM ships as
+    // the static join side, the constants AND the K-row threshold
+    // table as literals (the codebook pattern)
+    val (lm, consts) = TextAnalysis.nbModel(docsT, pos, neg)
+    val (o1, o0, pd) = consts.select($"oov1", $"oov0", $"prior_diff")
+      .as[(Long, Long, Long)].head()
+    val thrRows = Curation.gateThresholds(docsT, pos, neg)
+      .as[(String, Long, Long)].collect().toSeq
+    val gDir = java.nio.file.Files.createTempDirectory("graft-gate-stream").toString
+    docsT.filter($"doc_id" % 2 === 0).write.mode("append").parquet(gDir)
+    val q = DocStreams.compositeGateStream(DocStreams.readDocs(spark, gDir),
+        lm, o1, o0, pd, thrRows)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("gate_stream").start()
+    try {
+      q.processAllAvailable()
+      docsT.filter($"doc_id" % 2 === 1).write.mode("append").parquet(gDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("gate_stream")
+      .as[(Long, String, Long, Long, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSet
+    val want = Curation.compositeGateFrom(
+        Curation.gateThresholds(docsT, pos, neg), lm, consts, docsT)
+      .as[(Long, String, Long, Long, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSet
+    assert(got === want,
+      "streamed gate rows must equal the served batch gate's")
+    assert(got.exists(_._8) && got.exists(!_._8),
+      "fixture must exercise both keep verdicts")
+  }
+
   test("A1 airportTraffic runs UNCHANGED as a streaming query") {
     // the reference's flagship explode-count is declarative enough to
     // be execution-mode-agnostic: the SAME operator object runs over

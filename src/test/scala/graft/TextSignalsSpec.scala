@@ -402,4 +402,17 @@ class TextSignalsSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning"),
       s"ruleSignals shuffles on a key:\n$plan")
   }
+
+  test("gopherKeepCol == gopherRules keep, row for row (single-Column twin)") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val got = docs.select($"doc_id",
+      TextAnalysis.gopherKeepCol($"text").as("keep"))
+      .as[(Long, Boolean)].collect().sortBy(_._1)
+    val want = TextAnalysis.gopherRules(docs)
+      .select($"doc_id", $"keep")
+      .as[(Long, Boolean)].collect().sortBy(_._1)
+    assert(got === want)
+    assert(got.exists(_._2) && got.exists(!_._2),
+      "fixture must exercise both verdicts")
+  }
 }
