@@ -57,6 +57,7 @@ object ComposedArtifacts {
     val sigs = Dedup.minhashSignatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      sigs.write.mode("overwrite").parquet(s"$work/sigs")
       Dedup.shingles(docs).write.mode("overwrite").parquet(s"$work/shingles")
       val cands = Dedup.lshCandidates(sigs).localCheckpoint(true)
       Dedup.jaccardDetailFor(cands, rd("shingles"))
@@ -139,4 +140,16 @@ object ComposedArtifacts {
     */
   def contPairs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${dir(spark, sfDir)}/cont_pairs")
+
+  /** The distinct 5-gram shingle index (doc_id, shingle). */
+  def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${dir(spark, sfDir)}/shingles")
+
+  /** The MinHash signature store (doc_id, sig00..sig15). */
+  def sigs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${dir(spark, sfDir)}/sigs")
+
+  /** The full scored LSH candidate table (pre-threshold). */
+  def scored(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${dir(spark, sfDir)}/scored")
 }

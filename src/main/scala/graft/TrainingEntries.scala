@@ -636,6 +636,15 @@ object TrainingEntries {
       Curation.manifestFromSub(
         Curation.updatedSubManifest(sub0, store, batch))
     }),
+    // Composed twins for the shingle/signature artifacts' remaining
+    // heavy consumers: exact-Jaccard verify off the persisted shingle
+    // index (q27's dominant cost is re-deriving it) and the estimator
+    // calibration off the scored candidates + signature store
+    "q180_jaccard_composed" -> ((s: SparkSession, d: String) =>
+      Dedup.ngramJaccardFromShingles(ComposedArtifacts.shingles(s, d))),
+    "q181_calibration_composed" -> ((s: SparkSession, d: String) =>
+      Dedup.estimatorCalibrationFromScored(
+        ComposedArtifacts.scored(s, d), ComposedArtifacts.sigs(s, d))),
     // The gate SERVED from its persisted artifacts: gateThresholds'
     // K-row per-source cut table + the NB model, applied windowless
     // (broadcast threshold join). On the training corpus the served
@@ -674,7 +683,9 @@ object TrainingEntries {
     // manifest (the q161/q92/q154 additivity pattern)
     "q178_incremental_manifest"    -> "q162_manifest_hier",
     // the served gate on its training corpus IS the windowed gate
-    "q179_gate_served"             -> "q164_composite_gate")
+    "q179_gate_served"             -> "q164_composite_gate",
+    "q180_jaccard_composed"        -> "q27_ngram_jaccard",
+    "q181_calibration_composed"    -> "q98_est_calibration")
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
     * DuckDB's regexp_replace is single-match by default, Spark's is
