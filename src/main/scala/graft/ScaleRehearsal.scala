@@ -7,7 +7,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, SubstringDedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, Similarity, SubstringDedup, TextAnalysis}
 import graft.sources.Tables
 
 /** Scale rehearsal: run the heavy dedup/ANN family on a ~K× inflated
@@ -109,7 +109,8 @@ object ScaleRehearsal {
     // them eagerly OUTSIDE the timed spans
     final case class Leg(name: String, needsDocs: Boolean = false,
         needsEmb: Boolean = false, needsSpanIdx: Boolean = false,
-        needsNbIdx: Boolean = false, needsContPairs: Boolean = false)(
+        needsNbIdx: Boolean = false, needsContPairs: Boolean = false,
+        needsManifestIdx: Boolean = false)(
         val fn: () => DataFrame)
     val nbPos = Seq("src0", "src1", "src2")
     val nbNeg = Seq("src3", "src4", "src5")
@@ -138,6 +139,26 @@ object ScaleRehearsal {
       lazy val contPairs: DataFrame =
         Dedup.ngramContainmentFromShingles(Dedup.shingles(docs))
           .localCheckpoint(true)
+      // the incremental manifest's persisted state, built ONCE outside
+      // the timed legs. Shards are APPEND-SHAPED (crawl chunk =
+      // doc_id div 500): a delivery lands in its own shard, so the
+      // fold touches only the new cells and every old receipt carries
+      // over — the warehouse shape the artifact exists for. (A
+      // hash-split smears every delivery across ALL cells — the
+      // measured worst case where folding degenerates to a full
+      // re-aggregate; IngestDemo documents that shape, this leg
+      // measures the append case.) The 500-doc delivery is FIXED-SIZE
+      // across factors — the production constant — so the fold leg's
+      // cost should stay flat while the re-hash leg grows with the
+      // corpus.
+      def crawlOf(d: DataFrame): DataFrame =
+        d.withColumn("split", expr("doc_id div 500").cast("string"))
+      lazy val manifestIdx: (DataFrame, DataFrame) = {
+        val units = Curation.manifestUnits(
+          crawlOf(docs.filter(col("doc_id") >= 500)), subShards = 4)
+          .localCheckpoint(true)
+        (units, Curation.subManifestFromUnits(units).localCheckpoint(true))
+      }
       val family: Seq[Leg] = Seq(
         Leg("q26_minhash_dups", needsDocs = true)(() =>
           Dedup.minhashDupPairs(docs, threshold = 0.7)),
@@ -245,7 +266,19 @@ object ScaleRehearsal {
         Leg("q147_containment_matrix", needsDocs = true)(() =>
           Dedup.sourceContainmentMatrix(docs)),
         Leg("q147_from_pairs", needsDocs = true, needsContPairs = true)(
-          () => Dedup.sourceContainmentMatrixFromPairs(contPairs, docs)))
+          () => Dedup.sourceContainmentMatrixFromPairs(contPairs, docs)),
+        // incremental manifest fold vs full re-hash: the fold pays the
+        // fixed-size delivery's text hashing + its own cells' fold;
+        // the re-run fingerprints every document's TEXT again — the
+        // q154 marginal-vs-total story for integrity receipts
+        Leg("q178_manifest_fold", needsDocs = true, needsManifestIdx = true)(
+          () => Curation.manifestFromSub(Curation.updatedSubManifest(
+            manifestIdx._2, manifestIdx._1,
+            Curation.manifestUnits(
+              crawlOf(docs.filter(col("doc_id") < 500)),
+              subShards = 4)))),
+        Leg("q178_full_rehash", needsDocs = true)(() =>
+          Curation.shardManifest(crawlOf(docs), subShards = 4)))
       val sel = family.filter(l => selected(l.name))
       val (needDocs, needEmb) =
         (sel.exists(_.needsDocs) || sel.exists(_.needsSpanIdx) ||
@@ -256,6 +289,9 @@ object ScaleRehearsal {
       if (sel.exists(_.needsSpanIdx)) spanIdx.count()
       if (sel.exists(_.needsNbIdx)) nbIdx._1.count()
       if (sel.exists(_.needsContPairs)) contPairs.count()
+      if (sel.exists(_.needsManifestIdx)) {
+        manifestIdx._1.count(); manifestIdx._2.count()
+      }
       for (leg <- sel) {
         val g = s"x$f:${leg.name}"
         spark.sparkContext.setJobGroup(g, g)
@@ -283,6 +319,9 @@ object ScaleRehearsal {
         nbIdx._1.unpersist(false); nbIdx._2.unpersist(false)
       }
       if (sel.exists(_.needsContPairs)) contPairs.unpersist(false)
+      if (sel.exists(_.needsManifestIdx)) {
+        manifestIdx._1.unpersist(false); manifestIdx._2.unpersist(false)
+      }
     }
     spark.stop()
   }
