@@ -1183,6 +1183,14 @@ object Curation {
     * identity-keyed, so a replay would double-count — the caller owns
     * exactly-once delivery, same as [[graft.operators.SubstringDedup
     * .updatedWindowIndex]]).
+    *
+    * Deliberately NO streaming twin: the sorted-concat md5 receipt is
+    * not incrementally foldable without the member set (unlike the
+    * ADDITIVE counts behind the NB/window-index streams), so the
+    * live-maintenance form IS this batch fold over the persisted unit
+    * store. An order-insensitive digest (xor/sum of unit hashes)
+    * would stream, but it changes the receipt form and weakens it
+    * (xor cancels duplicate units) — receipts stay a batch artifact.
     */
   def updatedSubManifest(subManifest: DataFrame, unitStore: DataFrame,
       batchUnits: DataFrame, shardCol: String = "split"): DataFrame = {
