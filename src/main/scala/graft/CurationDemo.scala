@@ -94,6 +94,27 @@ object CurationDemo {
     println(f"[demo] ${"composite gate keeps"}%-28s ${gate.getLong(0)}%7d docs " +
       s"(kills: nb=${gate.getLong(1)} gopher=${gate.getLong(2)} " +
       s"entropy=${gate.getLong(3)})")
+    // ... and its SERVE artifacts: the per-source cut table persists
+    // next to the NB model, and future deliveries are gated
+    // windowless by compositeGateFrom (equality vs the windowed form
+    // asserted — the q179 contract, exercised in the composed demo)
+    val (gLm, gConsts) = TextAnalysis.nbModel(docs,
+      posSources = Seq("src0", "src1", "src2"),
+      negSources = Seq("src3", "src4", "src5"))
+    gLm.write.mode("overwrite").parquet(s"$work/gate/lm")
+    gConsts.write.mode("overwrite").parquet(s"$work/gate/consts")
+    Curation.gateThresholdsFrom(gLm, gConsts, docs)
+      .write.mode("overwrite").parquet(s"$work/gate/thresholds")
+    val servedGate = Curation.compositeGateFrom(
+      spark.read.parquet(s"$work/gate/thresholds"),
+      spark.read.parquet(s"$work/gate/lm"),
+      spark.read.parquet(s"$work/gate/consts"), docs)
+    val windowedGate = Curation.compositeGate(docs)
+    require(servedGate.exceptAll(windowedGate).count() == 0 &&
+      windowedGate.exceptAll(servedGate).count() == 0,
+      "served gate diverged from the windowed gate")
+    println(f"[demo] ${"gate served from artifacts"}%-28s " +
+      f"${servedGate.filter(col("keep")).count()}%7d docs (== windowed, asserted)")
 
     // 1c. mirror-site diagnostic (q100): vocabulary-level source
     //     overlap — source pairs with near-identical type sets are

@@ -654,8 +654,11 @@ object TrainingEntries {
       val (lm, consts) = TextAnalysis.nbModel(t.documents,
         posSources = Seq("src0", "src1", "src2"),
         negSources = Seq("src3", "src4", "src5"))
+      // ONE training pass: the cut table derives from the same model
+      // that serves (gateThresholdsFrom), never a second NB train
       Curation.compositeGateFrom(
-        Curation.gateThresholds(t.documents, keepPermille = 900),
+        Curation.gateThresholdsFrom(lm, consts, t.documents,
+          keepPermille = 900),
         lm, consts, t.documents,
         minEntropyMilli = 3900L, maxEntropyMilli = 4500L)
     }),

@@ -813,9 +813,28 @@ object Curation {
   def gateThresholds(documents: DataFrame,
       posSources: Seq[String] = Seq("src0", "src1", "src2"),
       negSources: Seq[String] = Seq("src3", "src4", "src5"),
-      keepPermille: Int = 900): DataFrame = {
-    val nb = TextAnalysis.nbClassifierScores(documents, posSources, negSources)
-      .select($("doc_id"), $("llr_micro"))
+      keepPermille: Int = 900): DataFrame =
+    thresholdsFromScores(
+      TextAnalysis.nbClassifierScores(documents, posSources, negSources)
+        .select($("doc_id"), $("llr_micro")),
+      documents, keepPermille)
+
+  /** [[gateThresholds]] off an already-trained NB model — the
+    * production form: one training pass yields (lm, consts), and the
+    * threshold derivation scores the corpus with [[TextAnalysis
+    * .nbScoreFrom]] instead of retraining (nbScoreFrom ==
+    * nbClassifierScores is spec-pinned, so the cut table is
+    * identical).
+    */
+  def gateThresholdsFrom(lm: DataFrame, consts: DataFrame,
+      documents: DataFrame, keepPermille: Int = 900): DataFrame =
+    thresholdsFromScores(
+      TextAnalysis.nbScoreFrom(lm, consts, documents)
+        .select($("doc_id"), $("llr_micro")),
+      documents, keepPermille)
+
+  private def thresholdsFromScores(nb: DataFrame, documents: DataFrame,
+      keepPermille: Int): DataFrame = {
     val byLlr = Window.partitionBy($("source"))
       .orderBy($("llr_micro").desc, $("doc_id").asc)
     val bySource = Window.partitionBy($("source"))

@@ -654,6 +654,11 @@ class CurationSpec extends SparkSpec {
     val (pos, neg) = (Seq("src0", "src1", "src2"), Seq("src3", "src4", "src5"))
     val (lm, consts) = TextAnalysis.nbModel(docs, pos, neg)
     val thr = Curation.gateThresholds(docs, pos, neg)
+    // deriving the cuts from the trained model (one training pass)
+    // yields the identical table
+    assert(Curation.gateThresholdsFrom(lm, consts, docs)
+      .collect().map(_.toString).sorted.toSeq ===
+      thr.collect().map(_.toString).sorted.toSeq)
     // the served gate on the training corpus == the windowed gate
     val served = Curation.compositeGateFrom(thr, lm, consts, docs)
       .collect().map(_.toString).sorted.toSeq
