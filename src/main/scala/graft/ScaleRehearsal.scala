@@ -110,7 +110,7 @@ object ScaleRehearsal {
     final case class Leg(name: String, needsDocs: Boolean = false,
         needsEmb: Boolean = false, needsSpanIdx: Boolean = false,
         needsNbIdx: Boolean = false, needsContPairs: Boolean = false,
-        needsManifestIdx: Boolean = false)(
+        needsManifestIdx: Boolean = false, needsGateIdx: Boolean = false)(
         val fn: () => DataFrame)
     val nbPos = Seq("src0", "src1", "src2")
     val nbNeg = Seq("src3", "src4", "src5")
@@ -158,6 +158,14 @@ object ScaleRehearsal {
           crawlOf(docs.filter(col("doc_id") >= 500)), subShards = 4)
           .localCheckpoint(true)
         (units, Curation.subManifestFromUnits(units).localCheckpoint(true))
+      }
+      // the composite gate's serve artifacts (NB model + per-source
+      // cut table), trained ONCE outside the timed legs — the served
+      // leg gates the corpus windowless against them
+      lazy val gateIdx: (DataFrame, DataFrame, DataFrame) = {
+        val (lm, consts) = TextAnalysis.nbModel(docs, nbPos, nbNeg)
+        (lm, consts,
+          Curation.gateThresholdsFrom(lm, consts, docs).localCheckpoint(true))
       }
       val family: Seq[Leg] = Seq(
         Leg("q26_minhash_dups", needsDocs = true)(() =>
@@ -261,6 +269,13 @@ object ScaleRehearsal {
         Leg("q164_composite_gate", needsDocs = true)(() =>
           graft.operators.Curation.compositeGate(docs)
             .filter(col("keep"))),
+        // the SERVED gate (q179): same decision, zero windows — one
+        // scoring pass + the fused signal scan + a broadcast join
+        // against the K-row cut table; head-to-head with q164's
+        // windowed form above (keep filter: same elimination-proofing)
+        Leg("q179_gate_served", needsDocs = true, needsGateIdx = true)(
+          () => Curation.compositeGateFrom(gateIdx._3, gateIdx._1,
+            gateIdx._2, docs).filter(col("keep"))),
         Leg("q140_containment", needsDocs = true)(() =>
           Dedup.ngramContainmentPairs(docs)),
         Leg("q147_containment_matrix", needsDocs = true)(() =>
@@ -292,6 +307,7 @@ object ScaleRehearsal {
       if (sel.exists(_.needsManifestIdx)) {
         manifestIdx._1.count(); manifestIdx._2.count()
       }
+      if (sel.exists(_.needsGateIdx)) gateIdx._3.count()
       for (leg <- sel) {
         val g = s"x$f:${leg.name}"
         spark.sparkContext.setJobGroup(g, g)
@@ -322,6 +338,7 @@ object ScaleRehearsal {
       if (sel.exists(_.needsManifestIdx)) {
         manifestIdx._1.unpersist(false); manifestIdx._2.unpersist(false)
       }
+      if (sel.exists(_.needsGateIdx)) gateIdx._3.unpersist(false)
     }
     spark.stop()
   }
