@@ -55,6 +55,22 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    // the PREVIOUS round's detail file (about to be overwritten below):
+    // its query set splits this round's total into carried vs new cost,
+    // so a round-over-round headline jump self-describes as surface
+    // growth vs regression without anyone re-deriving the common set
+    val prevQueries: Set[String] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          Paths.get(detailPath)), "UTF-8")
+        val tag = "\"queries\":{"
+        val start = txt.indexOf(tag)
+        val end = if (start < 0) -1 else txt.indexOf('}', start)
+        if (start < 0 || end < 0) Set.empty
+        else "\"([^\"]+)\":".r
+          .findAllMatchIn(txt.substring(start + tag.length, end))
+          .map(_.group(1)).toSet
+      } catch { case _: Throwable => Set.empty }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -380,6 +396,16 @@ object Bench {
       if (incremental.isEmpty) ""
       else s""","ingest_boot_sec":${fmt(ingestBoot, 2)}""" +
         s""","ingest_delivery_sec":${fmt(ingestDelivery, 2)}"""
+    // carried-vs-new split against the previous round's query set (see
+    // prevQueries above); absent when no prior detail file parsed
+    val carriedTotal = results
+      .filter { case (n, st) => prevQueries.contains(n) && st.min >= 0 }
+      .map(_._2.min).sum
+    val carriedN = results.count(r => prevQueries.contains(r._1))
+    val carriedTag =
+      if (prevQueries.isEmpty) ""
+      else s""","carried_total_sec":${fmt(carriedTotal, 2)}""" +
+        s""","carried_n":$carriedN,"new_n":${results.size - carriedN}"""
     // no-silent-caps: when the stdout budget elides sub-threshold
     // queries from the printed dict, the headline says so —
     // omitted_n (how many) and min_printed_sec (the cheapest query
@@ -398,7 +424,7 @@ object Bench {
         }
       s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec",""" +
         s""""queries":$qs,"sf":"$sfDir","runs":$repeats""" +
-        s"""$composedTag$ingestTag$omitTag}"""
+        s"""$composedTag$ingestTag$carriedTag$omitTag}"""
     }
     val bySlowest = results.sortBy(-_._2.min)
     val budget = 1900

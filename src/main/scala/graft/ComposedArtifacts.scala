@@ -2,18 +2,20 @@ package graft
 
 import java.nio.file.Files
 
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 
-/** Session-cached pair-graph artifacts backing the COMPOSED-PATH
-  * contract entries (q165-q171): the shingle index, the scored LSH
-  * candidate table, and the containment pair table are built ONCE per
-  * (session, sfDir) and persisted as parquet — exactly the artifacts
-  * [[PipelineDemo]] materializes — and every composed query entry
-  * consumes them through the `*From` APIs.
+/** VERSIONED-WAREHOUSE pair-graph/ANN/model artifacts backing the
+  * COMPOSED-PATH contract entries (q165-q181): the shingle index, the
+  * scored LSH candidate table, the containment pair table, and the
+  * ANN/model family are built ONCE per CORPUS VERSION and persisted as
+  * parquet — exactly the artifacts [[PipelineDemo]] materializes — and
+  * every composed query entry consumes them through the `*From` APIs.
   *
   * Why this exists: the standalone contract entries charge each query
   * its full self-contained cost and the oracle gates THAT form;
@@ -24,54 +26,133 @@ import graft.sources.Tables
   * standalone sibling's, so a hash match proves the artifact
   * round-trip changed nothing.
   *
-  * The cache key is (session identity, sfDir); Verify/Bench run
-  * queries sequentially in one session, so the build happens once and
-  * each consumer pays only its pair-proportional cost — the same
-  * shape a warehouse job sees.
+  * Warehouse layout (the production shape, not session scratch):
+  * artifacts live under `$SPARK_GRAFT_WAREHOUSE` (default
+  * `<tmpdir>/graft-warehouse`) in a directory keyed by
+  * `<family>-v<LayoutVersion>-<corpus fingerprint>`, where the corpus
+  * fingerprint is an md5 over the input tables' file listing
+  * (name, length, mtime — the Spark file-index identity). So:
+  *  - Verify, Bench, the demos and `sbt test` SHARE one build across
+  *    JVMs — exactly how a warehouse amortizes artifact cost across
+  *    jobs — and rebuild happens ONLY when the corpus content
+  *    changes (a regenerated fixture gets fresh mtimes → new key);
+  *  - builds are crash-safe and concurrency-safe: a build lands in a
+  *    hidden `.build-*` temp dir INSIDE the warehouse root and is
+  *    PUBLISHED by an atomic same-filesystem rename; a concurrent
+  *    builder that loses the race discards its own build and reads
+  *    the winner's (both paid the build — acceptable, rare — but no
+  *    reader ever sees a half-written store). A crashed JVM leaves
+  *    only an unpublished `.build-*` dir (bounded garbage, never
+  *    read);
+  *  - every family carries its own INTEGRITY RECEIPT
+  *    ([[Curation.artifactManifest]] over the family's tables,
+  *    written as `receipt` inside the family dir before publish) —
+  *    "which artifact version did this query serve from" is
+  *    answerable from the warehouse itself, the IngestDemo receipt
+  *    discipline applied to the composed-path stores;
+  *  - `LayoutVersion` rides the key: any change to an artifact
+  *    derivation must bump it, so a stale build can never serve a
+  *    newer consumer (and if one ever did, the byte-identical oracle
+  *    SQL of the composed twins fails the hash gate loudly).
+  *
+  * In-JVM, a per-key lazy holder memoizes the published path and
+  * guarantees the build thunk runs at most once even under concurrent
+  * first access (TrieMap.getOrElseUpdate may double-evaluate its
+  * by-name argument, but constructing the cheap holder twice is
+  * harmless — only the single stored holder's lazy body ever runs).
   */
 object ComposedArtifacts {
-  private val dirs = scala.collection.concurrent.TrieMap.empty[String, String]
-
-  // artifacts are session-scratch: delete them at JVM exit so
-  // repeated Verify/Bench/test runs don't accumulate parquet under
-  // /tmp (the sessions stop before shutdown hooks run, so no reader
-  // is live). One hook, registered lazily with the first build.
-  private lazy val cleanupHook: Unit = {
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      dirs.values.foreach(d => rm(new java.io.File(d)))
-    }
-    ()
-  }
+  /** Bump on ANY change to an artifact derivation below — the version
+    * is part of the warehouse key, so old builds become unreachable
+    * rather than silently served.
+    */
+  private val LayoutVersion = 1
 
   /** The q26-family near-dup threshold shared by every pair consumer. */
   private val JaccardThreshold = 0.7
 
-  private def build(spark: SparkSession, sfDir: String): String = {
-    cleanupHook
-    val work = Files.createTempDirectory("graft-composed-artifacts").toString
-    val docs = Tables(spark, sfDir).documents
-    def rd(p: String) = spark.read.parquet(s"$work/$p")
-    val sigs = Dedup.minhashSignatures(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      sigs.write.mode("overwrite").parquet(s"$work/sigs")
-      Dedup.shingles(docs).write.mode("overwrite").parquet(s"$work/shingles")
-      val cands = Dedup.lshCandidates(sigs).localCheckpoint(true)
-      Dedup.jaccardDetailFor(cands, rd("shingles"))
-        .write.mode("overwrite").parquet(s"$work/scored")
-      Dedup.ngramContainmentFromShingles(rd("shingles"))
-        .write.mode("overwrite").parquet(s"$work/cont_pairs")
-    } finally sigs.unpersist(false)
-    work
+  private def warehouseRoot: java.io.File = new java.io.File(
+    sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse"))
+
+  // compute-once memo: the holder's lazy val is the single point of
+  // evaluation no matter how many threads race the TrieMap insert
+  private final class Holder(thunk: () => String) {
+    lazy val dir: String = thunk()
+  }
+  private val dirs = TrieMap.empty[String, Holder]
+
+  /** md5 over the sorted (relative path, length, mtime) listing of the
+    * family's input tables — the file-index identity Spark's own scan
+    * planning keys on. Content-stable fixtures reuse builds across
+    * JVMs and rounds; any rewrite (even byte-identical, since mtime
+    * moves) re-keys conservatively.
+    */
+  private def corpusFp(sfDir: String, tables: Seq[String]): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val base = new java.io.File(sfDir)
+    val entries = tables.flatMap(t => walk(new java.io.File(base, t)))
+      .map(f => s"${base.toPath.relativize(f.toPath)}|${f.length}|${f.lastModified}")
+      .sorted
+    require(entries.nonEmpty, s"no input files under $sfDir for $tables")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(entries.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
   }
 
-  private def dir(spark: SparkSession, sfDir: String): String =
-    dirs.getOrElseUpdate(
-      "pair|" + System.identityHashCode(spark) + "|" + sfDir,
-      build(spark, sfDir))
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+  }
+
+  /** Resolve (building if absent) the family's published directory. */
+  private def obtain(spark: SparkSession, family: String, sfDir: String,
+      inputs: Seq[String])(build: String => Seq[(String, String)]): String = {
+    val key = s"$family-v$LayoutVersion-${corpusFp(sfDir, inputs)}"
+    dirs.getOrElseUpdate(key, new Holder(() => {
+      val root = warehouseRoot
+      root.mkdirs()
+      val published = new java.io.File(root, key)
+      if (published.isDirectory) published.toString
+      else {
+        val tmp = Files.createTempDirectory(root.toPath, s".build-$family-")
+        val names = build(tmp.toString)
+        // the family's durable integrity receipt, hashed from the
+        // just-written stores so it describes exactly what publishes
+        Curation.artifactManifest(names.map { case (n, p) =>
+          n -> spark.read.parquet(s"$tmp/$p") })
+          .write.mode("overwrite").parquet(s"$tmp/receipt")
+        if (!tmp.toFile.renameTo(published)) {
+          // lost the publish race (or a stale dir appeared): keep the
+          // winner's build, discard ours
+          rm(tmp.toFile)
+          require(published.isDirectory,
+            s"warehouse publish failed for $key")
+        }
+        published.toString
+      }
+    })).dir
+  }
+
+  private def pairDir(spark: SparkSession, sfDir: String): String =
+    obtain(spark, "pair", sfDir, Seq("documents.parquet")) { work =>
+      val docs = Tables(spark, sfDir).documents
+      def rd(p: String) = spark.read.parquet(s"$work/$p")
+      val sigs = Dedup.minhashSignatures(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        sigs.write.mode("overwrite").parquet(s"$work/sigs")
+        Dedup.shingles(docs).write.mode("overwrite").parquet(s"$work/shingles")
+        val cands = Dedup.lshCandidates(sigs).localCheckpoint(true)
+        Dedup.jaccardDetailFor(cands, rd("shingles"))
+          .write.mode("overwrite").parquet(s"$work/scored")
+        Dedup.ngramContainmentFromShingles(rd("shingles"))
+          .write.mode("overwrite").parquet(s"$work/cont_pairs")
+      } finally sigs.unpersist(false)
+      Seq("sigs" -> "sigs", "shingles" -> "shingles",
+        "scored" -> "scored", "cont_pairs" -> "cont_pairs")
+    }
 
   /** The ANN/model artifact family (built separately from the pair
     * graph so each composed query group pays only its own build):
@@ -79,34 +160,32 @@ object ComposedArtifacts {
     * cells), the PQ codebook + code table, and the NB quality model
     * (LM + constants) — PipelineDemo's other five artifact stores.
     */
-  private def buildAnn(spark: SparkSession, sfDir: String): String = {
-    cleanupHook
-    val work = Files.createTempDirectory("graft-composed-ann").toString
-    val t = Tables(spark, sfDir)
-    val emb = t.embeddings
-    def rd(p: String) = spark.read.parquet(s"$work/$p")
-    Similarity.cellAssignments(emb)
-      .write.mode("overwrite").parquet(s"$work/cells")
-    Similarity.ivfCentroidsDf(emb)
-      .write.mode("overwrite").parquet(s"$work/ivf_centroids")
-    Similarity.cellsFromCentroids(rd("ivf_centroids"), emb)
-      .write.mode("overwrite").parquet(s"$work/ivf_cells")
-    Similarity.pqCodebookDf(emb)
-      .write.mode("overwrite").parquet(s"$work/pq_codebook")
-    Similarity.pqEncode(emb)
-      .write.mode("overwrite").parquet(s"$work/pq_codes")
-    val (lm, consts) = TextAnalysis.nbModel(t.documents,
-      posSources = Seq("src0", "src1", "src2"),
-      negSources = Seq("src3", "src4", "src5"))
-    lm.write.mode("overwrite").parquet(s"$work/nb_lm")
-    consts.write.mode("overwrite").parquet(s"$work/nb_consts")
-    work
-  }
-
   private def annDir(spark: SparkSession, sfDir: String): String =
-    dirs.getOrElseUpdate(
-      "ann|" + System.identityHashCode(spark) + "|" + sfDir,
-      buildAnn(spark, sfDir))
+    obtain(spark, "ann", sfDir,
+      Seq("documents.parquet", "embeddings.parquet")) { work =>
+      val t = Tables(spark, sfDir)
+      val emb = t.embeddings
+      def rd(p: String) = spark.read.parquet(s"$work/$p")
+      Similarity.cellAssignments(emb)
+        .write.mode("overwrite").parquet(s"$work/cells")
+      Similarity.ivfCentroidsDf(emb)
+        .write.mode("overwrite").parquet(s"$work/ivf_centroids")
+      Similarity.cellsFromCentroids(rd("ivf_centroids"), emb)
+        .write.mode("overwrite").parquet(s"$work/ivf_cells")
+      Similarity.pqCodebookDf(emb)
+        .write.mode("overwrite").parquet(s"$work/pq_codebook")
+      Similarity.pqEncode(emb)
+        .write.mode("overwrite").parquet(s"$work/pq_codes")
+      val (lm, consts) = TextAnalysis.nbModel(t.documents,
+        posSources = Seq("src0", "src1", "src2"),
+        negSources = Seq("src3", "src4", "src5"))
+      lm.write.mode("overwrite").parquet(s"$work/nb_lm")
+      consts.write.mode("overwrite").parquet(s"$work/nb_consts")
+      Seq("cells" -> "cells", "ivf_centroids" -> "ivf_centroids",
+        "ivf_cells" -> "ivf_cells", "pq_codebook" -> "pq_codebook",
+        "pq_codes" -> "pq_codes", "nb_lm" -> "nb_lm",
+        "nb_consts" -> "nb_consts")
+    }
 
   private def annRead(spark: SparkSession, sfDir: String,
       name: String): DataFrame =
@@ -131,7 +210,7 @@ object ComposedArtifacts {
     * candidate artifact (minhashDupPairs' semantics, off parquet).
     */
   def pairs(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${dir(spark, sfDir)}/scored")
+    spark.read.parquet(s"${pairDir(spark, sfDir)}/scored")
       .filter(col("jaccard") >= JaccardThreshold)
       .select("id1", "id2")
 
@@ -139,17 +218,32 @@ object ComposedArtifacts {
     * containment) — ngramContainmentPairs' output, off parquet.
     */
   def contPairs(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${dir(spark, sfDir)}/cont_pairs")
+    spark.read.parquet(s"${pairDir(spark, sfDir)}/cont_pairs")
 
   /** The distinct 5-gram shingle index (doc_id, shingle). */
   def shingles(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${dir(spark, sfDir)}/shingles")
+    spark.read.parquet(s"${pairDir(spark, sfDir)}/shingles")
 
   /** The MinHash signature store (doc_id, sig00..sig15). */
   def sigs(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${dir(spark, sfDir)}/sigs")
+    spark.read.parquet(s"${pairDir(spark, sfDir)}/sigs")
 
   /** The full scored LSH candidate table (pre-threshold). */
   def scored(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"${dir(spark, sfDir)}/scored")
+    spark.read.parquet(s"${pairDir(spark, sfDir)}/scored")
+
+  /** The family's published integrity receipt
+    * ([[Curation.artifactManifest]] rows) — `family` is "pair" or
+    * "ann".
+    */
+  def receipt(spark: SparkSession, sfDir: String,
+      family: String): DataFrame = {
+    val dir = family match {
+      case "pair" => pairDir(spark, sfDir)
+      case "ann" => annDir(spark, sfDir)
+      case other => throw new IllegalArgumentException(
+        s"unknown artifact family '$other' (expected pair|ann)")
+    }
+    spark.read.parquet(s"$dir/receipt")
+  }
 }

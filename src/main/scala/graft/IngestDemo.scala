@@ -17,19 +17,29 @@ import graft.sources.Tables
   *
   *   bootstrap (once per warehouse): fingerprint store, MinHash
   *     signature store, span window index, NB count + serve
-  *     artifacts, shard manifest of corpus v0;
+  *     artifacts, the composite gate's per-source threshold table
+  *     ([[Curation.gateThresholds]]), shard manifest of corpus v0,
+  *     and INTEGRITY RECEIPTS for the artifacts themselves
+  *     ([[Curation.artifactManifest]]);
   *   per delivery (marginal, batch-proportional):
   *     1. exact dedup against the fp store (q92's
   *        [[Dedup.incrementalDedup]]) — one fp equi-join;
   *     2. near-dup against the signature store (q96's
   *        [[Dedup.incrementalNearDups]]) — banded LSH probe, the
-  *        index is k BIGINTs/doc, the admitted corpus' text is gone;
+  *        index is k BIGINTs/doc, the admitted corpus' text is gone —
+  *        PLUS a within-delivery LSH self-probe (a mass-duplicated
+  *        crawl template arriving as one delivery must not admit
+  *        every copy; greedy keep-one by smallest doc_id, the
+  *        exact stage's first-occurrence convention);
   *     3. span gate against the window index (q154's
   *        [[SubstringDedup.incrementalSpanStats]]) — batch windows +
   *        one fp join, never a corpus re-scan;
-  *     4. quality gate with the persisted NB model
-  *        ([[TextAnalysis.nbScoreFrom]]) — zero training-corpus
-  *        access;
+  *     4. quality gate with the SERVED COMPOSITE GATE
+  *        ([[Curation.compositeGateFrom]]): the persisted per-source
+  *        threshold artifact + NB model + fused rule signals — the
+  *        calibrated q164/q179 filter stack, window-free, exactly as
+  *        a 100 TB delivery would be gated (NOT the raw NB score:
+  *        per-rule attribution rides into `delivery_gate`);
   *     5. INCREMENTAL shard manifest + [[Curation.manifestDiff]] —
   *        the admitted units fold into the persisted sub-manifest
   *        via [[Curation.updatedSubManifest]], recomputing only the
@@ -39,7 +49,14 @@ import graft.sources.Tables
   *        report without a corpus re-hash;
   *     6. index refresh: union-fold fp/signature stores, q154's
   *        [[SubstringDedup.updatedWindowIndex]], q161's
-  *        [[TextAnalysis.nbCountsUpdate]] + re-derived serve model.
+  *        [[TextAnalysis.nbCountsUpdate]] + re-derived serve model,
+  *        the gate threshold re-calibration off the v1 model
+  *        ([[Curation.gateThresholdsFrom]] — one scoring pass over
+  *        the narrow (doc_id, source, llr) projection; production
+  *        runs it on recalibration cadence, amortized across
+  *        deliveries, unlike the strictly delivery-proportional
+  *        folds), and v1 ARTIFACT RECEIPTS + their diff — the
+  *        "which artifact version gated this delivery" record.
   *
   * Every fold is ASSERTED equal to the from-scratch build over
   * corpus v1 (the PipelineDemo discipline): incremental maintenance
@@ -87,25 +104,40 @@ object IngestDemo {
       t.documents.filter(bucket >= baseBuckets))
   }
 
-  /** The ordered stage list: `boot_*` once per warehouse, `inc_*`
-    * once per delivery. Stages hand off through parquet under
-    * `work`, so each `inc_*` cost is what a scheduled job would pay
-    * (artifact reads included). `posSources`/`negSources` supervise
-    * the NB quality model; `baseBuckets` (of 10) sets the
-    * corpus-v0/delivery split — defaults are the fixture corpus'.
+  /** The serve artifacts covered by the integrity receipts, as
+    * (name, path-under-work) — v1 paths are `<path>_v1`.
     */
-  def stages(spark: SparkSession, sfDir: String, work: String,
-      posSources: Seq[String] = Pos, negSources: Seq[String] = Neg,
-      baseBuckets: Int = 8): Seq[(String, () => Unit)] = {
-    val t = Tables(spark, sfDir)
-    val (base, delivery) = baseAndDelivery(t, baseBuckets)
+  private val ReceiptedArtifacts = Seq(
+    "fp_store" -> "fp_store", "sig_store" -> "sig_store",
+    "span_index" -> "span_index", "nb_lm" -> "nb_lm",
+    "nb_consts" -> "nb_consts", "gate_thr" -> "gate_thr")
+
+  /** [[stages]] with the corpus-v0/delivery split supplied as
+    * DataFrames — the rehearsal entry point (ScaleRehearsal inflates
+    * the base while holding the delivery fixed); [[stages]] itself
+    * applies the fixture's content-stable 80/20 md5 split.
+    */
+  def stagesOver(spark: SparkSession, base: DataFrame, delivery: DataFrame,
+      work: String, posSources: Seq[String] = Pos,
+      negSources: Seq[String] = Neg): Seq[(String, () => Unit)] = {
     def rd(p: String) = spark.read.parquet(s"$work/$p")
+    // the unit store round-trips through a (split, sub)-PARTITIONED
+    // parquet layout: partition columns come back via type inference
+    // ('sub' as int — or string with inference disabled) while every
+    // other unit table carries long, and the receipt fold must not
+    // depend on set-operation widening or, worse, a string coercion
+    // ordering '10' before '2' inside the sorted unit hash — so the
+    // store read re-asserts the schema explicitly
+    def rdUnits(p: String) = rd(p).withColumn("sub", col("sub").cast("long"))
     def wr(df: DataFrame, p: String): Unit =
       df.write.mode("overwrite").parquet(s"$work/$p")
     def docsOf(ids: DataFrame): DataFrame =
       delivery.join(ids.select("doc_id"), Seq("doc_id"))
     def withSplit(d: DataFrame): DataFrame =
       d.join(Curation.hashSplit(d).select("doc_id", "split"), Seq("doc_id"))
+    def receipts(suffix: String): DataFrame =
+      Curation.artifactManifest(ReceiptedArtifacts.map { case (n, p) =>
+        n -> rd(p + suffix) })
     Seq(
       "boot_fp_store" -> (() =>
         wr(TextAnalysis.fingerprints(base), "fp_store")),
@@ -119,6 +151,14 @@ object IngestDemo {
         val (lm, consts) = TextAnalysis.nbLmFromCounts(rd("nb_vt"), rd("nb_dc"))
         wr(lm, "nb_lm"); wr(consts, "nb_consts")
       },
+      "boot_gate_thr" -> (() =>
+        // the composite gate's per-source cut table, derived from the
+        // ALREADY-TRAINED model (one training pass total — the
+        // gateThresholdsFrom discipline); K rows, the whole windowed
+        // calibration cost is paid here once per corpus version so no
+        // delivery ever re-windows the accumulated corpus
+        wr(Curation.gateThresholdsFrom(rd("nb_lm"), rd("nb_consts"), base),
+          "gate_thr")),
       "boot_manifest" -> { () =>
         // hierarchical form + the two persisted state tables of the
         // INCREMENTAL manifest: the per-doc unit store (partitioned by
@@ -127,10 +167,12 @@ object IngestDemo {
         Curation.manifestUnits(withSplit(base), subShards = SubShards)
           .write.mode("overwrite").partitionBy("split", "sub")
           .parquet(s"$work/manifest_units")
-        wr(Curation.subManifestFromUnits(rd("manifest_units")),
+        wr(Curation.subManifestFromUnits(rdUnits("manifest_units")),
           "sub_manifest")
         wr(Curation.manifestFromSub(rd("sub_manifest")), "manifest_v0")
       },
+      "boot_artifact_receipts" -> (() =>
+        wr(receipts(""), "artifact_manifest_v0")),
 
       // ---- one delivery, marginal cost ----
       "inc_exact_dedup" -> { () =>
@@ -145,10 +187,24 @@ object IngestDemo {
         // store, so signatures are computed once per delivery
         wr(Dedup.minhashSignatures(docsOf(rd("admit_exact"))),
           "delivery_sigs")
-        val flagged = Dedup.incrementalNearDups(rd("sig_store"),
+        val storeHits = Dedup.incrementalNearDups(rd("sig_store"),
             rd("delivery_sigs"))
           .filter(col("est_jaccard") >= NearDupThreshold)
-          .select(col("id2").as("doc_id")).distinct()
+          .select(col("id2").as("doc_id"))
+        // within-delivery self-probe: two near-identical docs arriving
+        // in the SAME delivery (the mass-duplicated crawl template)
+        // must not both pass just because neither is indexed yet.
+        // Greedy keep-one by smallest doc_id: restrict flagged pairs
+        // to id1 < id2 and drop every id2 — deterministic, the exact
+        // stage's dup_in_batch convention (chains a~b~c drop both b
+        // and c; the cluster-accurate alternative is q72's
+        // clusterKeeps, deliberately not re-run per delivery)
+        val withinHits = Dedup.incrementalNearDups(rd("delivery_sigs"),
+            rd("delivery_sigs"))
+          .filter(col("est_jaccard") >= NearDupThreshold &&
+            col("id1") < col("id2"))
+          .select(col("id2").as("doc_id"))
+        val flagged = storeHits.unionByName(withinHits).distinct()
         wr(rd("admit_exact").join(flagged, Seq("doc_id"), "left_anti"),
           "admit_near")
       },
@@ -161,9 +217,15 @@ object IngestDemo {
           "admit_span")
       },
       "inc_quality_gate" -> { () =>
-        wr(TextAnalysis.nbScoreFrom(rd("nb_lm"), rd("nb_consts"),
-          docsOf(rd("admit_span"))), "delivery_scores")
-        wr(rd("delivery_scores").filter(col("pred_pos") === 1)
+        // the SERVED composite gate (q179's form): persisted
+        // thresholds + NB model + fused rule signals, window-free —
+        // the delivery is gated by the calibrated filter stack with
+        // per-rule attribution, not the raw NB score; `delivery_gate`
+        // records ok_nb/ok_gopher/ok_entropy per doc so a dropped doc
+        // says which rule killed it
+        wr(Curation.compositeGateFrom(rd("gate_thr"), rd("nb_lm"),
+          rd("nb_consts"), docsOf(rd("admit_span"))), "delivery_gate")
+        wr(rd("delivery_gate").filter(col("keep"))
           .select("doc_id"), "admitted")
       },
       "inc_manifest_diff" -> { () =>
@@ -175,13 +237,13 @@ object IngestDemo {
         wr(Curation.manifestUnits(withSplit(docsOf(rd("admitted"))),
           subShards = SubShards), "delivery_units")
         wr(Curation.updatedSubManifest(rd("sub_manifest"),
-          rd("manifest_units"), rd("delivery_units")), "sub_manifest_v1")
+          rdUnits("manifest_units"), rd("delivery_units")), "sub_manifest_v1")
         wr(Curation.manifestFromSub(rd("sub_manifest_v1")), "manifest_v1")
         wr(Curation.manifestDiff(rd("manifest_v0"), rd("manifest_v1")),
           "manifest_delta")
       },
       "inc_fold_units" -> (() =>
-        wr(rd("manifest_units").unionByName(rd("delivery_units")),
+        wr(rdUnits("manifest_units").unionByName(rd("delivery_units")),
           "manifest_units_v1")),
       "inc_fold_fp" -> (() =>
         wr(rd("fp_store").unionByName(
@@ -200,7 +262,43 @@ object IngestDemo {
         val (lm1, consts1) =
           TextAnalysis.nbLmFromCounts(rd("nb_vt_v1"), rd("nb_dc_v1"))
         wr(lm1, "nb_lm_v1"); wr(consts1, "nb_consts_v1")
+      },
+      "inc_refresh_gate_thr" -> (() =>
+        // re-calibrate the per-source cuts off the FOLDED v1 model —
+        // one nbScoreFrom pass over corpus v1 with only the narrow
+        // (doc_id, source, llr_micro) projection riding the rank
+        // window. This is the one refresh that is corpus-version-
+        // proportional rather than delivery-proportional (a rank
+        // prefix is not an additive fold); production runs it on
+        // recalibration cadence — per corpus version, amortized
+        // across deliveries — which is why it sits in the refresh
+        // stage and not on the per-delivery gate path
+        wr(Curation.gateThresholdsFrom(rd("nb_lm_v1"), rd("nb_consts_v1"),
+          base.unionByName(docsOf(rd("admitted")))), "gate_thr_v1")),
+      "inc_artifact_receipts" -> { () =>
+        // receipts over the REFRESHED artifact stores + the diff:
+        // the per-artifact "changed/unchanged" record a warehouse
+        // stores next to the delivery's corpus manifest_delta, so
+        // "which artifact version gated this delivery" is answerable
+        // without re-hashing artifact bytes later
+        wr(receipts("_v1"), "artifact_manifest_v1")
+        wr(Curation.manifestDiff(rd("artifact_manifest_v0"),
+          rd("artifact_manifest_v1"), "artifact"), "artifact_delta")
       })
+  }
+
+  /** The ordered stage list: `boot_*` once per warehouse, `inc_*`
+    * once per delivery. Stages hand off through parquet under
+    * `work`, so each `inc_*` cost is what a scheduled job would pay
+    * (artifact reads included). `posSources`/`negSources` supervise
+    * the NB quality model; `baseBuckets` (of 10) sets the
+    * corpus-v0/delivery split — defaults are the fixture corpus'.
+    */
+  def stages(spark: SparkSession, sfDir: String, work: String,
+      posSources: Seq[String] = Pos, negSources: Seq[String] = Neg,
+      baseBuckets: Int = 8): Seq[(String, () => Unit)] = {
+    val (base, delivery) = baseAndDelivery(Tables(spark, sfDir), baseBuckets)
+    stagesOver(spark, base, delivery, work, posSources, negSources)
   }
 
   /** Fold-vs-from-scratch equality per maintained artifact (over
@@ -210,8 +308,16 @@ object IngestDemo {
   def checks(spark: SparkSession, sfDir: String, work: String,
       posSources: Seq[String] = Pos, negSources: Seq[String] = Neg,
       baseBuckets: Int = 8): Seq[(String, () => Unit)] = {
-    val t = Tables(spark, sfDir)
-    val (base, delivery) = baseAndDelivery(t, baseBuckets)
+    val (base, delivery) = baseAndDelivery(Tables(spark, sfDir), baseBuckets)
+    checksOver(spark, base, delivery, work, posSources, negSources)
+  }
+
+  /** [[checks]] over supplied base/delivery frames (the [[stagesOver]]
+    * counterpart).
+    */
+  def checksOver(spark: SparkSession, base: DataFrame, delivery: DataFrame,
+      work: String, posSources: Seq[String] = Pos,
+      negSources: Seq[String] = Neg): Seq[(String, () => Unit)] = {
     def rd(p: String) = spark.read.parquet(s"$work/$p")
     def docsOf(ids: DataFrame): DataFrame =
       delivery.join(ids.select("doc_id"), Seq("doc_id"))
@@ -247,6 +353,21 @@ object IngestDemo {
         same("nb_lm_v1", rd("nb_lm_v1"), lm)
         same("nb_consts_v1", rd("nb_consts_v1"), consts)
       },
+      "gate thresholds refresh == from-scratch calibration" -> (() =>
+        // the v1 cut table (derived from the FOLDED model) must equal
+        // the one a from-scratch calibration over corpus v1 trains —
+        // gateThresholds retrains NB internally, so this transitively
+        // re-proves the model fold through the gate's own artifact
+        same("gate_thr_v1", rd("gate_thr_v1"),
+          Curation.gateThresholds(v1, posSources, negSources))),
+      "served gate (v1 artifacts) == windowed composite gate over v1" -> (() =>
+        // the CurationSpec served==windowed equality at the DEMO
+        // boundary: the refreshed artifacts, served window-free over
+        // corpus v1, reproduce the windowed compositeGate exactly
+        same("served_gate_v1",
+          Curation.compositeGateFrom(rd("gate_thr_v1"), rd("nb_lm_v1"),
+            rd("nb_consts_v1"), v1),
+          Curation.compositeGate(v1, posSources, negSources))),
       "incremental span stats == from-scratch" -> (() =>
         // the gate scored admit_near docs against the v0 index; the
         // batch twin is dupSpanStats over v0 ∪ that same batch,
@@ -268,6 +389,16 @@ object IngestDemo {
         val clash = TextAnalysis.fingerprints(docsOf(rd("admitted")))
           .join(rd("fp_store"), Seq("fp")).count()
         require(clash == 0, s"$clash admitted docs collide with the fp store")
+      },
+      "admitted near-dup-free within the delivery" -> { () =>
+        // the greedy keep-one rule must leave NO flagged pair among
+        // the admitted docs: re-probe the admitted slice's signatures
+        // against themselves
+        val kept = rd("delivery_sigs").join(rd("admitted"), Seq("doc_id"))
+        val pairs = Dedup.incrementalNearDups(kept, kept)
+          .filter(col("est_jaccard") >= NearDupThreshold &&
+            col("id1") < col("id2")).count()
+        require(pairs == 0, s"$pairs near-dup pairs survive among admitted")
       },
       "manifest diff is additive" -> { () =>
         val removed = rd("manifest_delta")
@@ -292,6 +423,35 @@ object IngestDemo {
           rd("manifest_units_v1").select("split", "sub", "doc_id", "fp",
             "n_tok"),
           v1Units.select("split", "sub", "doc_id", "fp", "n_tok"))
+      },
+      "artifact receipts deterministic + flip exactly on change" -> { () =>
+        // (a) determinism: re-hashing the SAME v0 artifacts must
+        // reproduce the stored receipt bit-for-bit
+        same("artifact_manifest_v0(redo)",
+          Curation.artifactManifest(ReceiptedArtifacts.map { case (n, p) =>
+            n -> rd(p) }),
+          rd("artifact_manifest_v0"))
+        // (b) the diff covers exactly the receipted artifacts, with
+        // no added/removed rows (refresh rewrites every store)
+        val delta = rd("artifact_delta")
+        require(delta.count() == ReceiptedArtifacts.size.toLong,
+          "artifact delta does not cover the receipted artifact set")
+        val phantom = delta.filter(col("status").isin("added", "removed"))
+          .count()
+        require(phantom == 0, s"$phantom artifacts appeared/vanished")
+        // (c) receipts FLIP where the refresh folded new content: a
+        // non-empty admitted set changes fp/sig/span stores by
+        // construction (the NB/threshold artifacts can legitimately
+        // be byte-identical when the admitted docs carry no labeled
+        // tokens, so no assertion there)
+        val admitted = rd("admitted").count()
+        if (admitted > 0) {
+          val stale = delta
+            .filter(col("artifact").isin("fp_store", "sig_store", "span_index")
+              && col("status") === "unchanged").count()
+          require(stale == 0,
+            s"$stale store receipts failed to flip on a non-empty fold")
+        }
       })
   }
 

@@ -70,9 +70,6 @@ object PipelineDemo {
         s"$label: composed result diverged from standalone " +
           s"($extra extra, $missing missing rows)")
     }
-    def noop(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-
     // ---- artifact build (once per corpus version) ----
     timed("artifacts: sigs+shingles+scored") {
       val sigs = Dedup.minhashSignatures(docs)
@@ -158,17 +155,21 @@ object PipelineDemo {
           negSources = Seq("src3", "src4", "src5"))))
     var composedTotal = 0.0
     for ((label, composedFn, standaloneFn) <- consumers) {
-      // timings materialize via the noop sink (full execution, zero
-      // sink cost — the Bench rule); the equality assert runs after,
-      // unmeasured, so the printed ratio is pure execution-vs-execution
+      // each side executes ONCE: the timed run materializes through an
+      // eager localCheckpoint (full execution; the block-store write
+      // rides both sides' timings equally, so the printed ratio stays
+      // execution-vs-execution) and the equality assert then reads the
+      // checkpointed results instead of re-executing both plans — the
+      // old noop-then-reassert shape roughly doubled the demo's wall
+      // time by running every consumer twice
       val t0 = System.nanoTime()
-      noop(composedFn())
+      val composedDf = composedFn().localCheckpoint(true)
       val sec = (System.nanoTime() - t0) / 1e9
       composedTotal += sec
       val t1 = System.nanoTime()
-      noop(standaloneFn())
+      val standaloneDf = standaloneFn().localCheckpoint(true)
       val standaloneSec = (System.nanoTime() - t1) / 1e9
-      assertSame(label, composedFn(), standaloneFn())
+      assertSame(label, composedDf, standaloneDf)
       println(f"[demo] $label%-34s ${sec}%7.2f s composed  " +
         f"${standaloneSec}%7.2f s standalone  (${standaloneSec / sec}%4.1fx)")
       spark.sharedState.cacheManager.clearCache()

@@ -328,6 +328,57 @@ object ScaleRehearsal {
           f""""shuffle_write_mb":${ctr(shWr, g) / 1e6}%.1f,""" +
           f""""shuffle_read_mb":${ctr(shRd, g) / 1e6}%.1f}""")
       }
+      // ---- end-to-end IngestDemo rehearsal (select "ingest_e2e") ----
+      // the WHOLE boot + one-delivery path — artifact IO included,
+      // since stages hand off through parquet exactly as scheduled
+      // jobs would — with the base corpus inflated ×f and the
+      // DELIVERY FIXED-SIZE (the production constant): boot cost may
+      // grow with the corpus, but the marginal delivery cost must
+      // stay ~flat or the incremental-ingest claim fails end-to-end
+      // (the per-stage rehearsals q92/q96/q154/q161/q178 prove each
+      // fold alone; this row prices the composed path). Caesar
+      // caveat: shifted base copies lose English stopwords, so the
+      // gate admits delivery docs against a base whose NB/gopher
+      // statistics dilute with f — cost still covers the full
+      // corpus, which is what the row measures (BASELINE.md notes
+      // the fixture effect).
+      if (selected("ingest_e2e")) {
+        val bucket = Curation.hashBucket(col("doc_id"), 10)
+        val iBase = inflateDocuments(t.documents.filter(bucket < 8), f)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val iDelivery = t.documents.filter(bucket >= 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nBase = iBase.count(); val nDel = iDelivery.count()
+        val work = java.nio.file.Files
+          .createTempDirectory("graft-rehearse-ingest").toString
+        val wallBy = scala.collection.mutable.Map(
+          "boot" -> 0.0, "delivery" -> 0.0)
+        for ((name, fn) <- IngestDemo.stagesOver(spark, iBase, iDelivery,
+            work)) {
+          val phase = if (name.startsWith("boot_")) "boot" else "delivery"
+          val g = s"x$f:ingest_$phase"
+          spark.sparkContext.setJobGroup(g, g)
+          val t0 = System.nanoTime()
+          try fn() finally spark.sparkContext.clearJobGroup()
+          wallBy(phase) += (System.nanoTime() - t0) / 1e9
+        }
+        Thread.sleep(1000) // let the async listener bus drain
+        for (phase <- Seq("boot", "delivery")) {
+          val g = s"x$f:ingest_$phase"
+          val n = if (phase == "boot") nBase else nDel
+          println(f"""{"factor":$f,"query":"ingest_e2e_$phase",""" +
+            f""""rows":$n,"docs":$nBase,"vecs":0,""" +
+            f""""wall_sec":${wallBy(phase)}%.2f,""" +
+            f""""cpu_sec":${ctr(cpuNs, g) / 1e9}%.2f,""" +
+            f""""shuffle_write_mb":${ctr(shWr, g) / 1e6}%.1f,""" +
+            f""""shuffle_read_mb":${ctr(shRd, g) / 1e6}%.1f}""")
+        }
+        def rmT(x: java.io.File): Unit = {
+          Option(x.listFiles).foreach(_.foreach(rmT)); x.delete(); ()
+        }
+        rmT(new java.io.File(work))
+        iBase.unpersist(false); iDelivery.unpersist(false)
+      }
       if (needDocs) docs.unpersist(false)
       if (needEmb) emb.unpersist(false)
       if (sel.exists(_.needsSpanIdx)) spanIdx.unpersist(false)

@@ -772,12 +772,27 @@ object Curation {
     * text never shuffles, and the only exchange is the per-source
     * rank window [[qualityGate]] already pays.
     */
+  /** The composite gate's entropy band, SHARED by the windowed form
+    * ([[compositeGate]]), the served form ([[compositeGateFrom]]) and
+    * the streaming twin ([[graft.streaming.DocStreams
+    * .compositeGateStream]]) as their default: one retune moves all
+    * three together (the q164 keepPermille drift warning applied to
+    * the band itself — duplicated literals were the silent-drift
+    * risk). Fixture-tuned like q27's threshold: corpus entropy spans
+    * ~3.7-4.2 bits, the 3900 floor trims the lowest ~5%, the 4500
+    * ceiling is the random/encoded-noise guard. The q164/q179 oracle
+    * SQL carries the literals independently, so a retune here without
+    * the matching SQL change fails the hash gate loudly.
+    */
+  val MinEntropyMilli: Long = 3900L
+  val MaxEntropyMilli: Long = 4500L
+
   def compositeGate(documents: DataFrame,
       posSources: Seq[String] = Seq("src0", "src1", "src2"),
       negSources: Seq[String] = Seq("src3", "src4", "src5"),
       keepPermille: Int = 900,
-      minEntropyMilli: Long = 3900L,
-      maxEntropyMilli: Long = 4500L): DataFrame = {
+      minEntropyMilli: Long = MinEntropyMilli,
+      maxEntropyMilli: Long = MaxEntropyMilli): DataFrame = {
     val nb = TextAnalysis.nbClassifierScores(documents, posSources, negSources)
       .select($("doc_id"), $("llr_micro"))
     val signals = TextAnalysis.ruleSignals(documents)
@@ -860,8 +875,8 @@ object Curation {
     */
   def compositeGateFrom(thresholds: DataFrame, lm: DataFrame,
       consts: DataFrame, documents: DataFrame,
-      minEntropyMilli: Long = 3900L,
-      maxEntropyMilli: Long = 4500L): DataFrame =
+      minEntropyMilli: Long = MinEntropyMilli,
+      maxEntropyMilli: Long = MaxEntropyMilli): DataFrame =
     TextAnalysis.nbScoreFrom(lm, consts, documents)
       .select($("doc_id"), $("llr_micro"))
       .join(TextAnalysis.ruleSignals(documents), Seq("doc_id"))
@@ -1251,4 +1266,43 @@ object Curation {
           coalesce($("old_docs"), lit(0L))).as("docs_delta"),
         (coalesce($("new_tok"), lit(0L)) -
           coalesce($("old_tok"), lit(0L))).as("tok_delta"))
+
+  /** Integrity receipts for the SERVE-ARTIFACT stores themselves —
+    * "which artifact version gated this delivery", the
+    * [[shardManifest]] discipline applied to arbitrary keyed artifact
+    * tables (fingerprint store, signature store, window index, NB
+    * model, gate thresholds, …). One receipt row per named artifact:
+    * (artifact, n_docs = row count, n_tok = 0, content_md5), diffable
+    * with [[manifestDiff]](…, "artifact") so an ingest run records
+    * receipts next to its index folds and a later job can prove which
+    * artifacts a refresh actually changed (n_tok rides as 0 — token
+    * counts are a corpus concept; the column stays so the manifest
+    * schema, and therefore manifestDiff, is shared verbatim).
+    *
+    * Row identity: md5 over ALL columns cast to string, joined on a
+    * U+0001 field separator with NULL cells as a U+0000 sentinel (a
+    * NULL cell must not silently equal an empty string, and "a"+"bc"
+    * must not collide with "ab"+"c"). Receipts are duplicate- and
+    * content-sensitive: the per-row hashes fold through the same
+    * sorted-concat unit hash as corpus manifests ([[shardManifest]]'s
+    * hierarchical form, so a 100M-row signature store folds in
+    * bounded sub-shard cells, never one task).
+    *
+    * Scale: one scan per artifact computing a 32-char fp, one shuffle
+    * on (artifact, sub); nothing artifact-row-sized concentrates — the
+    * same two bounded stages as the hierarchical corpus manifest.
+    */
+  def artifactManifest(artifacts: Seq[(String, DataFrame)],
+      subShards: Int = 4): DataFrame = {
+    require(artifacts.nonEmpty, "artifactManifest needs >= 1 artifact")
+    val units = artifacts.map { case (name, df) =>
+      val rowFp = md5(concat_ws("\u0001",
+        df.columns.toIndexedSeq.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+      df.select(lit(name).as("artifact"), rowFp.as("doc_id"),
+          rowFp.as("fp"), lit(0L).as("n_tok"))
+        .withColumn("sub", hashBucket($("fp"), subShards))
+    }.reduce(_ unionByName _)
+    manifestFromSub(subManifestFromUnits(units, "artifact"), "artifact")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -294,15 +294,20 @@ object DocStreams extends Serializable {
   def compositeGateStream(docs: DataFrame, lm: DataFrame, oov1: Long,
       oov0: Long, priorDiff: Long,
       thresholds: Seq[(String, Long, Long)],
-      minEntropyMilli: Long = 3900L,
-      maxEntropyMilli: Long = 4500L): DataFrame = {
-    require(thresholds.nonEmpty,
-      "empty threshold table: the trained gate keeps nothing anywhere")
+      minEntropyMilli: Long = graft.operators.Curation.MinEntropyMilli,
+      maxEntropyMilli: Long = graft.operators.Curation.MaxEntropyMilli): DataFrame = {
     import graft.plans.CharEntropyExpression.charEntropyMilli
-    val thrLlr = map(thresholds.flatMap { case (s, t, _) =>
-      Seq(lit(s), lit(t)) }: _*)
-    val thrId = map(thresholds.flatMap { case (s, _, i) =>
-      Seq(lit(s), lit(i)) }: _*)
+    // EMPTY threshold table (a gate whose every source has keep quota
+    // zero) must match the batch twin's contract, not throw:
+    // compositeGateFrom's left join yields NULL thr → ok_nb false for
+    // every doc. A zero-arg map() literal has no value type, so the
+    // empty case ships typed NULL lookup columns instead.
+    def lookup(entries: Seq[(String, Long)]): Column =
+      if (entries.isEmpty) lit(null).cast("long")
+      else element_at(map(entries.flatMap { case (s, v) =>
+        Seq(lit(s), lit(v)) }: _*), col("source"))
+    val thrLlr = lookup(thresholds.map { case (s, t, _) => (s, t) })
+    val thrId = lookup(thresholds.map { case (s, _, i) => (s, i) })
     docs
       .select(col("doc_id"), col("source"),
         TextAnalysis.gopherKeepCol(col("text")).as("ok_gopher"),
@@ -316,8 +321,8 @@ object DocStreams extends Serializable {
       .agg(sum(coalesce(col("lnp1"), lit(oov1)) -
         coalesce(col("lnp0"), lit(oov0))).cast("long").as("tok_llr"))
       .withColumn("llr_micro", col("tok_llr") + lit(priorDiff))
-      .withColumn("thr", element_at(thrLlr, col("source")))
-      .withColumn("thr_id", element_at(thrId, col("source")))
+      .withColumn("thr", thrLlr)
+      .withColumn("thr_id", thrId)
       .select(col("doc_id"), col("source"), col("llr_micro"),
         col("entropy_milli"),
         (col("thr").isNotNull && (col("llr_micro") > col("thr") ||

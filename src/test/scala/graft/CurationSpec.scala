@@ -736,4 +736,48 @@ class CurationSpec extends SparkSpec {
     assert(rows.exists(!_._6), "gopher rule never fired")
     assert(rows.exists(r => !r._7 && r._4 < 3900L), "entropy floor never fired")
   }
+
+  test("artifactManifest: deterministic receipts, flip on any change, null/dup/boundary-safe") {
+    import spark.implicits._
+    def receipts(arts: Seq[(String, org.apache.spark.sql.DataFrame)]) =
+      Curation.artifactManifest(arts)
+        .select("artifact", "n_docs", "content_md5")
+        .as[(String, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val a = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "fp")
+    val b = Seq(("src0", 10L, 5L), ("src1", 20L, 6L))
+      .toDF("source", "thr_llr_micro", "thr_doc_id")
+    val r0 = receipts(Seq("a" -> a, "b" -> b))
+    assert(r0("a")._1 === 2L && r0("b")._1 === 2L)
+    // determinism: same inputs → bit-identical receipts
+    assert(receipts(Seq("a" -> a, "b" -> b)) === r0)
+    // one changed cell flips exactly that artifact's receipt
+    val b2 = Seq(("src0", 10L, 5L), ("src1", 21L, 6L))
+      .toDF("source", "thr_llr_micro", "thr_doc_id")
+    val r1 = receipts(Seq("a" -> a, "b" -> b2))
+    assert(r1("a") === r0("a"))
+    assert(r1("b")._2 != r0("b")._2)
+    // and manifestDiff reads the flip: a unchanged, b changed
+    val diff = Curation.manifestDiff(
+        Curation.artifactManifest(Seq("a" -> a, "b" -> b)),
+        Curation.artifactManifest(Seq("a" -> a, "b" -> b2)), "artifact")
+      .select("artifact", "status").as[(String, String)].collect().toMap
+    assert(diff === Map("a" -> "unchanged", "b" -> "changed"))
+    // duplicate-sensitive: a repeated row changes the receipt
+    val aDup = a.unionAll(Seq((2L, "y")).toDF("doc_id", "fp"))
+    val rDup = receipts(Seq("a" -> aDup))
+    assert(rDup("a")._1 === 3L)
+    assert(rDup("a")._2 != r0("a")._2)
+    // NULL cell is not the empty string, and cell-boundary shifts
+    // ("a","bc") vs ("ab","c") do not collide
+    val withNull = Seq((1L, Some("x")), (2L, None))
+      .toDF("doc_id", "fp")
+    val withEmpty = Seq((1L, "x"), (2L, "")).toDF("doc_id", "fp")
+    assert(receipts(Seq("n" -> withNull))("n")._2 !=
+      receipts(Seq("n" -> withEmpty))("n")._2)
+    val ab1 = Seq(("a", "bc")).toDF("c1", "c2")
+    val ab2 = Seq(("ab", "c")).toDF("c1", "c2")
+    assert(receipts(Seq("x" -> ab1))("x")._2 !=
+      receipts(Seq("x" -> ab2))("x")._2)
+  }
 }

@@ -588,6 +588,39 @@ class StreamingSpec extends SparkSpec {
       "fixture must exercise both keep verdicts")
   }
 
+  test("streaming composite gate: EMPTY threshold table matches the batch twin") {
+    // a trained gate whose every source has keep quota zero emits NO
+    // threshold rows; both twins must then return every doc with
+    // ok_nb = false (and keep = false) rather than diverge — the
+    // batch form's left join yields NULL thr, the stream ships typed
+    // NULL lookup columns instead of a zero-arg map literal
+    import graft.operators.{Curation, TextAnalysis}
+    import graft.streaming.DocStreams
+    val docsT = graft.sources.Tables(spark, dir).documents
+    val (pos, neg) = (Seq("src0", "src1", "src2"), Seq("src3", "src4", "src5"))
+    val (lm, consts) = TextAnalysis.nbModel(docsT, pos, neg)
+    val (o1, o0, pd) = consts.select($"oov1", $"oov0", $"prior_diff")
+      .as[(Long, Long, Long)].head()
+    val gDir = java.nio.file.Files
+      .createTempDirectory("graft-gate-empty").toString
+    docsT.write.mode("append").parquet(gDir)
+    val q = DocStreams.compositeGateStream(DocStreams.readDocs(spark, gDir),
+        lm, o1, o0, pd, thresholds = Seq.empty)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("gate_empty_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("gate_empty_stream")
+      .as[(Long, String, Long, Long, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSet
+    val want = Curation.compositeGateFrom(
+        Curation.gateThresholds(docsT, pos, neg).limit(0), lm, consts, docsT)
+      .as[(Long, String, Long, Long, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSet
+    assert(got === want, "empty-threshold twins diverged")
+    assert(got.nonEmpty && got.forall(r => !r._5 && !r._8),
+      "empty threshold table must NB-drop (and keep-drop) every doc")
+  }
+
   test("A1 airportTraffic runs UNCHANGED as a streaming query") {
     // the reference's flagship explode-count is declarative enough to
     // be execution-mode-agnostic: the SAME operator object runs over
