@@ -392,10 +392,17 @@ object Bench {
       .filter(_._1.startsWith("boot_")).map(_._2).filter(_ >= 0).sum
     val ingestDelivery = incremental
       .filter(_._1.startsWith("inc_")).map(_._2).filter(_ >= 0).sum
+    // cal_* = recalibration-cadence stages (gate-threshold re-derive,
+    // artifact receipts): corpus-version-proportional by nature, so
+    // they get their own scalar instead of inflating the marginal
+    // delivery number
+    val ingestRecal = incremental
+      .filter(_._1.startsWith("cal_")).map(_._2).filter(_ >= 0).sum
     val ingestTag =
       if (incremental.isEmpty) ""
       else s""","ingest_boot_sec":${fmt(ingestBoot, 2)}""" +
-        s""","ingest_delivery_sec":${fmt(ingestDelivery, 2)}"""
+        s""","ingest_delivery_sec":${fmt(ingestDelivery, 2)}""" +
+        s""","ingest_recal_sec":${fmt(ingestRecal, 2)}"""
     // carried-vs-new split against the previous round's query set (see
     // prevQueries above); absent when no prior detail file parsed
     val carriedTotal = results

@@ -49,14 +49,25 @@ import graft.sources.Tables
   *        report without a corpus re-hash;
   *     6. index refresh: union-fold fp/signature stores, q154's
   *        [[SubstringDedup.updatedWindowIndex]], q161's
-  *        [[TextAnalysis.nbCountsUpdate]] + re-derived serve model,
-  *        the gate threshold re-calibration off the v1 model
-  *        ([[Curation.gateThresholdsFrom]] — one scoring pass over
-  *        the narrow (doc_id, source, llr) projection; production
-  *        runs it on recalibration cadence, amortized across
-  *        deliveries, unlike the strictly delivery-proportional
-  *        folds), and v1 ARTIFACT RECEIPTS + their diff — the
-  *        "which artifact version gated this delivery" record.
+  *        [[TextAnalysis.nbCountsUpdate]] + re-derived serve model —
+  *        every fold delivery-proportional;
+  *   recalibration cadence (`cal_*` stages — CORPUS-version-
+  *   proportional by nature, so they carry their own prefix and
+  *   their own Bench scalar rather than polluting the marginal
+  *   delivery cost; production runs them per corpus version or on a
+  *   schedule, amortized across deliveries):
+  *     7. gate threshold re-calibration off the folded v1 model
+  *        ([[Curation.gateThresholdsFrom]] — one scoring pass with
+  *        only the narrow (doc_id, source, llr) projection riding
+  *        the rank window; a rank prefix is not an additive fold,
+  *        so this cannot be made delivery-proportional without
+  *        changing the cut's semantics);
+  *     8. v1 ARTIFACT RECEIPTS + their diff ([[Curation
+  *        .artifactManifest]] re-hashes the refreshed stores — the
+  *        "which artifact version gated this delivery" record; the
+  *        corpus manifest folds incrementally (stage 5) but artifact
+  *        stores mutate in place (window-index counts, the rewritten
+  *        LM), so their receipts re-derive).
   *
   * Every fold is ASSERTED equal to the from-scratch build over
   * corpus v1 (the PipelineDemo discipline): incremental maintenance
@@ -263,7 +274,7 @@ object IngestDemo {
           TextAnalysis.nbLmFromCounts(rd("nb_vt_v1"), rd("nb_dc_v1"))
         wr(lm1, "nb_lm_v1"); wr(consts1, "nb_consts_v1")
       },
-      "inc_refresh_gate_thr" -> (() =>
+      "cal_gate_thr" -> (() =>
         // re-calibrate the per-source cuts off the FOLDED v1 model —
         // one nbScoreFrom pass over corpus v1 with only the narrow
         // (doc_id, source, llr_micro) projection riding the rank
@@ -275,7 +286,7 @@ object IngestDemo {
         // stage and not on the per-delivery gate path
         wr(Curation.gateThresholdsFrom(rd("nb_lm_v1"), rd("nb_consts_v1"),
           base.unionByName(docsOf(rd("admitted")))), "gate_thr_v1")),
-      "inc_artifact_receipts" -> { () =>
+      "cal_artifact_receipts" -> { () =>
         // receipts over the REFRESHED artifact stores + the diff:
         // the per-artifact "changed/unchanged" record a warehouse
         // stores next to the delivery's corpus manifest_delta, so
@@ -288,11 +299,13 @@ object IngestDemo {
   }
 
   /** The ordered stage list: `boot_*` once per warehouse, `inc_*`
-    * once per delivery. Stages hand off through parquet under
-    * `work`, so each `inc_*` cost is what a scheduled job would pay
-    * (artifact reads included). `posSources`/`negSources` supervise
-    * the NB quality model; `baseBuckets` (of 10) sets the
-    * corpus-v0/delivery split — defaults are the fixture corpus'.
+    * once per delivery, `cal_*` on recalibration cadence (corpus-
+    * version-proportional — see the object scaladoc). Stages hand
+    * off through parquet under `work`, so each stage's cost is what
+    * a scheduled job would pay (artifact reads included).
+    * `posSources`/`negSources` supervise the NB quality model;
+    * `baseBuckets` (of 10) sets the corpus-v0/delivery split —
+    * defaults are the fixture corpus'.
     */
   def stages(spark: SparkSession, sfDir: String, work: String,
       posSources: Seq[String] = Pos, negSources: Seq[String] = Neg,
@@ -470,12 +483,14 @@ object IngestDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    var bootSec = 0.0; var incSec = 0.0
+    var bootSec = 0.0; var incSec = 0.0; var calSec = 0.0
     for ((name, fn) <- stages(spark, sfDir, work)) {
       val t0 = System.nanoTime()
       fn()
       val sec = (System.nanoTime() - t0) / 1e9
-      if (name.startsWith("boot_")) bootSec += sec else incSec += sec
+      if (name.startsWith("boot_")) bootSec += sec
+      else if (name.startsWith("cal_")) calSec += sec
+      else incSec += sec
       println(f"[ingest] $name%-28s $sec%7.2f s")
       spark.sharedState.cacheManager.clearCache()
     }
@@ -490,7 +505,8 @@ object IngestDemo {
       spark.sharedState.cacheManager.clearCache()
     }
     println(f"[ingest] bootstrap $bootSec%7.2f s; " +
-      f"marginal delivery $incSec%7.2f s " +
+      f"marginal delivery $incSec%7.2f s; " +
+      f"recalibration $calSec%7.2f s " +
       "(every fold asserted == from-scratch over corpus v1)")
     spark.stop()
   }

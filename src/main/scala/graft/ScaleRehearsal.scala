@@ -352,10 +352,13 @@ object ScaleRehearsal {
         val work = java.nio.file.Files
           .createTempDirectory("graft-rehearse-ingest").toString
         val wallBy = scala.collection.mutable.Map(
-          "boot" -> 0.0, "delivery" -> 0.0)
+          "boot" -> 0.0, "delivery" -> 0.0, "recal" -> 0.0)
         for ((name, fn) <- IngestDemo.stagesOver(spark, iBase, iDelivery,
             work)) {
-          val phase = if (name.startsWith("boot_")) "boot" else "delivery"
+          val phase =
+            if (name.startsWith("boot_")) "boot"
+            else if (name.startsWith("cal_")) "recal"
+            else "delivery"
           val g = s"x$f:ingest_$phase"
           spark.sparkContext.setJobGroup(g, g)
           val t0 = System.nanoTime()
@@ -363,9 +366,9 @@ object ScaleRehearsal {
           wallBy(phase) += (System.nanoTime() - t0) / 1e9
         }
         Thread.sleep(1000) // let the async listener bus drain
-        for (phase <- Seq("boot", "delivery")) {
+        for (phase <- Seq("boot", "delivery", "recal")) {
           val g = s"x$f:ingest_$phase"
-          val n = if (phase == "boot") nBase else nDel
+          val n = if (phase == "delivery") nDel else nBase
           println(f"""{"factor":$f,"query":"ingest_e2e_$phase",""" +
             f""""rows":$n,"docs":$nBase,"vecs":0,""" +
             f""""wall_sec":${wallBy(phase)}%.2f,""" +
