@@ -106,6 +106,40 @@ object ComposedArtifacts {
     Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
   }
 
+  /** How many published corpus-fingerprint versions to retain per
+    * family before the sweep reclaims the oldest; generous because a
+    * published dir might still be read by a long-lived concurrent JVM
+    * pinned to an older fingerprint.
+    */
+  private[graft] val KeepPerFamily = 4
+  private[graft] val SweepTtlMs = 24L * 3600 * 1000
+
+  /** Opportunistic warehouse hygiene, once per in-JVM build key:
+    * reclaim `.build-*` leftovers from crashed JVMs (unpublished, so
+    * never read — but a LIVE concurrent build also lives in one, hence
+    * the one-day TTL before touching it) and, per family, published
+    * fingerprints beyond the [[KeepPerFamily]] most recent — those too
+    * only past the TTL, so a reader that resolved an old fingerprint
+    * moments ago never has the store deleted under it. Without this a
+    * long-lived host accumulates one directory per corpus version
+    * forever (ADVICE round-13).
+    */
+  private[graft] def sweep(root: java.io.File, family: String,
+      resolving: String): Unit = {
+    val now = System.currentTimeMillis()
+    val all = Option(root.listFiles).toSeq.flatten.filter(_.isDirectory)
+    all.filter(f => f.getName.startsWith(".build-") &&
+        now - f.lastModified > SweepTtlMs)
+      .foreach(rm)
+    val published = all
+      .filter(f => f.getName.startsWith(s"$family-v") &&
+        f.getName != resolving) // never the key being obtained
+      .sortBy(-_.lastModified)
+    published.drop(KeepPerFamily - 1)
+      .filter(now - _.lastModified > SweepTtlMs)
+      .foreach(rm)
+  }
+
   /** Resolve (building if absent) the family's published directory. */
   private def obtain(spark: SparkSession, family: String, sfDir: String,
       inputs: Seq[String])(build: String => Seq[(String, String)]): String = {
@@ -113,6 +147,7 @@ object ComposedArtifacts {
     dirs.getOrElseUpdate(key, new Holder(() => {
       val root = warehouseRoot
       root.mkdirs()
+      sweep(root, family, key)
       val published = new java.io.File(root, key)
       if (published.isDirectory) published.toString
       else {

@@ -115,12 +115,19 @@ object IngestDemo {
       t.documents.filter(bucket >= baseBuckets))
   }
 
-  /** The serve artifacts covered by the integrity receipts, as
-    * (name, path-under-work) — v1 paths are `<path>_v1`.
+  /** The artifacts covered by the integrity receipts, as
+    * (name, path-under-work) — v1 paths are `<path>_v1`. Covers the
+    * six SERVE artifacts plus the two NB count tables: the counts are
+    * training state rather than gating state, but they are the fold
+    * the serve model re-derives from, so a warehouse that ever
+    * re-trains the LM from counts can answer "which count version
+    * produced this model" from the same receipt row the gate
+    * artifacts get (ADVICE round-13).
     */
   private val ReceiptedArtifacts = Seq(
     "fp_store" -> "fp_store", "sig_store" -> "sig_store",
-    "span_index" -> "span_index", "nb_lm" -> "nb_lm",
+    "span_index" -> "span_index", "nb_vt" -> "nb_vt",
+    "nb_dc" -> "nb_dc", "nb_lm" -> "nb_lm",
     "nb_consts" -> "nb_consts", "gate_thr" -> "gate_thr")
 
   /** [[stages]] with the corpus-v0/delivery split supplied as

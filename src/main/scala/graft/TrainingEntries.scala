@@ -879,9 +879,14 @@ object TrainingEntries {
   // 5-gram shingles CTE (shared by minhash queries). DuckDB 1.0 has no
   // lateral generate_series table function; unnest of the list form
   // in the SELECT list is the portable spelling.
+  // `sh` is MATERIALIZED: every consumer reads it several times (shh
+  // + sizes + both sides of the `common` self-join), and DuckDB 1.0
+  // inlines plain CTEs per reference — at sf0.1 that re-derives the
+  // multi-million-row shingle table 4+ times per query (measured:
+  // >60 GB of spill on the PageRank family before this annotation).
   private val shinglesCte =
     s"""docs AS (SELECT doc_id, $norm AS norm FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, substr(norm, i, 5) AS shingle FROM (
+       |sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(norm, i, 5) AS shingle FROM (
        |       SELECT doc_id, norm,
        |         unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i
        |       FROM docs))""".stripMargin
@@ -912,7 +917,13 @@ object TrainingEntries {
 
   /** Normalized docs → minhash→LSH→Jaccard-verified dup pairs
     * (threshold 0.7) — the shared front of q51/q72/q75. Callers read
-    * `dup(id1, id2)`; plain `WITH` suffices.
+    * `dup(id1, id2)`. `dup` is MATERIALIZED: the graph consumers
+    * (q89 degrees, q128/q133 PageRank replays) reference it through
+    * `edges` several times per iteration, and with plain `WITH`
+    * DuckDB re-expands the whole shingle→LSH→verify pipeline per
+    * reference — the q125 ~3^k CTE blowup, here measured as an
+    * out-of-disk (>80 GB RAM + >79 GB spill) at sf0.1 where the
+    * materialized form completes in seconds.
     */
   private val dupPairsCtes =
     s"""$shinglesCte,
@@ -932,7 +943,7 @@ object TrainingEntries {
        |           JOIN sh a ON a.doc_id = c.id1
        |           JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
        |           GROUP BY c.id1, c.id2),
-       |dup AS (SELECT id1, id2 FROM (
+       |dup AS MATERIALIZED (SELECT id1, id2 FROM (
        |          SELECT id1, id2,
        |            CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE) AS jaccard
        |          FROM common

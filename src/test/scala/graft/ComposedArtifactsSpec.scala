@@ -33,4 +33,46 @@ class ComposedArtifactsSpec extends SparkSpec {
     // the ann family publishes a receipt too
     assert(rows(ComposedArtifacts.receipt(spark, sfDir, "ann")).nonEmpty)
   }
+
+  test("warehouse sweep: TTL-bounded, keeps recent fps, never the resolving key") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sweep-spec").toFile
+    def mk(name: String, ageMs: Long): java.io.File = {
+      val d = new java.io.File(root, name)
+      assert(d.mkdirs())
+      // a member file so deletion must recurse
+      java.nio.file.Files.write(new java.io.File(d, "part").toPath,
+        "x".getBytes)
+      d.setLastModified(System.currentTimeMillis() - ageMs)
+      d
+    }
+    val day = ComposedArtifacts.SweepTtlMs
+    try {
+      val staleBuild = mk(".build-pair-abc", 2 * day)
+      val liveBuild = mk(".build-pair-def", day / 2)
+      // six published pair fps, all past the TTL (ages 3-8 days,
+      // oldest first), so retention is decided purely by the keep
+      // window; fp0 is the key being re-obtained
+      val fps = (0 to 5).map(i =>
+        mk(s"pair-v1-fp$i", (8 - i) * day))
+      val otherFamily = mk("ann-v1-fpz", 10 * day)
+      ComposedArtifacts.sweep(root, "pair", "pair-v1-fp0")
+      assert(!staleBuild.exists, "stale .build-* survived the sweep")
+      assert(liveBuild.exists, "fresh .build-* (possibly live) was deleted")
+      assert(fps(0).exists, "the key being obtained was deleted")
+      // keep = resolving + (KeepPerFamily-1)=3 most recent others
+      // (fp5, fp4, fp3); fp1/fp2 are beyond the keep window AND past
+      // the TTL -> reclaimed
+      assert(!fps(1).exists && !fps(2).exists,
+        "old fps beyond the keep window survived")
+      assert(fps(3).exists && fps(4).exists && fps(5).exists,
+        "recent fps inside the keep window were deleted")
+      assert(otherFamily.exists, "sweep crossed family boundaries")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
 }

@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Dev-only harness replicating the driver's DuckDB oracle compare.
 
-Usage: python3 tools/local_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/local_oracle.py <sfDir> <verifyOutDir> [only]
+
+`only` is an optional comma-separated query-name subset — used to resume
+an interrupted run (e.g. a host-wide OOM killed DuckDB partway) without
+re-running queries that already passed against the same frozen Spark
+outputs.
 
 Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), registers
 the sfDir parquet tables as DuckDB views, runs each oracle SQL, and
@@ -49,10 +54,27 @@ def values_equal(a, b) -> bool:
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # Bound DuckDB so the heavy oracle SQL (the shingle self-join /
+    # PageRank families at sf0.1) spills to disk instead of taking the
+    # host down: an unbounded run was observed at >100 GB RSS.
+    import os
+    mem = os.environ.get("GRAFT_DUCKDB_MEM", "48GB")
+    spill = os.environ.get("GRAFT_DUCKDB_SPILL", "/tmp/duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='{spill}'")
+    con.execute(
+        f"SET threads={os.environ.get('GRAFT_DUCKDB_THREADS', '16')}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     sql_map = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        missing = only - set(sql_map)
+        if missing:
+            sys.exit(f"unknown query names in subset: {sorted(missing)}")
+        sql_map = {k: v for k, v in sql_map.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(sql_map.items()):
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
