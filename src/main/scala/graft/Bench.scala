@@ -14,7 +14,8 @@ import org.apache.spark.sql.SparkSession
   *  - stdout gets exactly one line — `{"metric":"total","value":…,
   *    "unit":"sec","queries":{name: min sec},"sf":…,"runs":N}` plus
   *    the composed/incremental scalars (`composed_build_sec`,
-  *    `composed_serve_sec`, `ingest_boot_sec`, `ingest_delivery_sec`)
+  *    `composed_serve_sec`, `ingest_boot_sec`, `ingest_delivery_sec`,
+  *    `ingest_recal_sec`, `ingest_takedown_sec`)
   *    and, when the budget elides sub-threshold queries from the
   *    dict, `omitted_n` + `min_printed_sec` (no silent caps) — kept
   *    well under 2 KB (the driver captures a bounded tail of the
@@ -316,8 +317,14 @@ object Bench {
         val tmp = Files.createTempDirectory("graft-bench-ingest")
         val out = IngestDemo.stages(spark, sfDir, tmp.toString)
           .map { case (n, f) => timedSection("incremental")(n)(f()) }
+        // tdn_* legs price ONE takedown (a content-stable ~1/7th of
+        // corpus v1 retracted from every persisted store) — the
+        // compliance-removal marginal cost, priced against the _v1
+        // generation the stages above produced
+        val tdn = IngestDemo.takedownStages(spark, sfDir, tmp.toString)
+          .map { case (n, f) => timedSection("incremental")(n)(f()) }
         rmTree(tmp.toFile)
-        out
+        out ++ tdn
       }
 
     // drain the async listener bus before reading the counters: wait
@@ -398,11 +405,15 @@ object Bench {
     // delivery number
     val ingestRecal = incremental
       .filter(_._1.startsWith("cal_")).map(_._2).filter(_ >= 0).sum
+    // tdn_* = one compliance takedown retracted from every store
+    val ingestTakedown = incremental
+      .filter(_._1.startsWith("tdn_")).map(_._2).filter(_ >= 0).sum
     val ingestTag =
       if (incremental.isEmpty) ""
       else s""","ingest_boot_sec":${fmt(ingestBoot, 2)}""" +
         s""","ingest_delivery_sec":${fmt(ingestDelivery, 2)}""" +
-        s""","ingest_recal_sec":${fmt(ingestRecal, 2)}"""
+        s""","ingest_recal_sec":${fmt(ingestRecal, 2)}""" +
+        s""","ingest_takedown_sec":${fmt(ingestTakedown, 2)}"""
     // carried-vs-new split against the previous round's query set (see
     // prevQueries above); absent when no prior detail file parsed
     val carriedTotal = results

@@ -305,6 +305,157 @@ object IngestDemo {
       })
   }
 
+  /** TAKEDOWN stages (`tdn_*`): retract a removal slice (compliance
+    * deletion / right-to-be-forgotten) from EVERY persisted store the
+    * ingest path maintains, producing the `_v2` artifact generation —
+    * without ever re-reading or re-tokenizing the surviving corpus:
+    * the id-keyed stores (fingerprints, signatures, manifest units)
+    * anti-join the removal ids; the count-based state folds DOWN
+    * (additive counts subtract exactly — [[graft.operators
+    * .SubstringDedup.retractedWindowIndex]], [[graft.operators
+    * .TextAnalysis.nbCountsRetract]]); the receipts recompute only
+    * the touched cells ([[graft.operators.Curation
+    * .retractedSubManifest]]); and the gate cut table re-derives from
+    * the retracted model (corpus-version-proportional, the cal_*
+    * recalibration class — a takedown IS a corpus version change).
+    * Every `_v2` artifact is asserted equal to a from-scratch build
+    * over the surviving corpus in [[takedownChecksOver]], so
+    * takedown-then-serve and rebuild-then-serve interchange. Runs
+    * AFTER [[stagesOver]] against the same `work` (it consumes the
+    * `_v1` generation). The removal slice is a content-stable md5
+    * bucket of corpus v1, cutting across the original base AND the
+    * admitted delivery.
+    */
+  def takedownStagesOver(spark: SparkSession, base: DataFrame,
+      delivery: DataFrame, work: String, posSources: Seq[String] = Pos,
+      negSources: Seq[String] = Neg): Seq[(String, () => Unit)] = {
+    def rd(p: String) = spark.read.parquet(s"$work/$p")
+    def wr(df: DataFrame, p: String): Unit =
+      df.write.mode("overwrite").parquet(s"$work/$p")
+    def docsOf(ids: DataFrame): DataFrame =
+      delivery.join(ids.select("doc_id"), Seq("doc_id"))
+    def v1Docs: DataFrame = base.unionByName(docsOf(rd("admitted")))
+    def withSplit(d: DataFrame): DataFrame =
+      d.join(Curation.hashSplit(d).select("doc_id", "split"), Seq("doc_id"))
+    def minusRemoved(df: DataFrame): DataFrame =
+      df.join(rd("removed_docs").select("doc_id"), Seq("doc_id"),
+        "left_anti")
+    def receipts(suffix: String): DataFrame =
+      Curation.artifactManifest(ReceiptedArtifacts.map { case (n, p) =>
+        n -> rd(p + suffix) })
+    Seq(
+      "tdn_removal_set" -> (() =>
+        // an md5 bucket of corpus v1 (~1/7th), not a doc_id range —
+        // takedowns arrive by content/ownership, not by ingest order
+        wr(v1Docs.filter(Curation.hashBucket(col("doc_id"), 7) === 3),
+          "removed_docs")),
+      "tdn_fp_store" -> (() =>
+        wr(minusRemoved(rd("fp_store_v1")), "fp_store_v2")),
+      "tdn_sig_store" -> (() =>
+        wr(minusRemoved(rd("sig_store_v1")), "sig_store_v2")),
+      "tdn_span_index" -> (() =>
+        wr(SubstringDedup.retractedWindowIndex(rd("span_index_v1"),
+          rd("removed_docs")), "span_index_v2")),
+      "tdn_nb" -> { () =>
+        val (vt2, dc2) = TextAnalysis.nbCountsRetract(rd("nb_vt_v1"),
+          rd("nb_dc_v1"), rd("removed_docs"), posSources, negSources)
+        wr(vt2, "nb_vt_v2"); wr(dc2, "nb_dc_v2")
+        val (lm2, consts2) =
+          TextAnalysis.nbLmFromCounts(rd("nb_vt_v2"), rd("nb_dc_v2"))
+        wr(lm2, "nb_lm_v2"); wr(consts2, "nb_consts_v2")
+      },
+      "tdn_manifest" -> { () =>
+        wr(Curation.manifestUnits(withSplit(rd("removed_docs")),
+          subShards = SubShards), "removed_units")
+        wr(Curation.retractedSubManifest(rd("sub_manifest_v1"),
+          rd("manifest_units_v1"), rd("removed_units")), "sub_manifest_v2")
+        wr(Curation.manifestFromSub(rd("sub_manifest_v2")), "manifest_v2")
+        wr(Curation.manifestDiff(rd("manifest_v1"), rd("manifest_v2")),
+          "manifest_delta_v2")
+        wr(minusRemoved(rd("manifest_units_v1")), "manifest_units_v2")
+      },
+      "tdn_gate_thr" -> (() =>
+        wr(Curation.gateThresholdsFrom(rd("nb_lm_v2"), rd("nb_consts_v2"),
+          minusRemoved(v1Docs)), "gate_thr_v2")),
+      "tdn_receipts" -> { () =>
+        wr(receipts("_v2"), "artifact_manifest_v2")
+        wr(Curation.manifestDiff(rd("artifact_manifest_v1"),
+          rd("artifact_manifest_v2"), "artifact"), "artifact_delta_v2")
+      })
+  }
+
+  /** Fold-down-vs-rebuild equality per retracted artifact (over the
+    * surviving corpus v2 = v1 ∖ removed) plus the no-trace
+    * invariants. Run AFTER [[takedownStagesOver]].
+    */
+  def takedownChecksOver(spark: SparkSession, base: DataFrame,
+      delivery: DataFrame, work: String, posSources: Seq[String] = Pos,
+      negSources: Seq[String] = Neg): Seq[(String, () => Unit)] = {
+    def rd(p: String) = spark.read.parquet(s"$work/$p")
+    def docsOf(ids: DataFrame): DataFrame =
+      delivery.join(ids.select("doc_id"), Seq("doc_id"))
+    def v2: DataFrame = base.unionByName(docsOf(rd("admitted")))
+      .join(rd("removed_docs").select("doc_id"), Seq("doc_id"), "left_anti")
+    def withSplit(d: DataFrame): DataFrame =
+      d.join(Curation.hashSplit(d).select("doc_id", "split"), Seq("doc_id"))
+    def same(label: String, got: DataFrame, want: DataFrame): Unit = {
+      val extra = got.exceptAll(want).count()
+      val missing = want.exceptAll(got).count()
+      require(extra == 0 && missing == 0,
+        s"$label: takedown diverged from rebuild " +
+          s"($extra extra, $missing missing rows)")
+    }
+    Seq(
+      "takedown removal set non-empty" -> (() =>
+        require(rd("removed_docs").count() > 0,
+          "empty removal slice — the takedown path went unexercised")),
+      "fp store takedown == rebuild" -> (() =>
+        same("fp_store_v2", rd("fp_store_v2"),
+          TextAnalysis.fingerprints(v2))),
+      "sig store takedown == rebuild" -> (() =>
+        same("sig_store_v2", rd("sig_store_v2"),
+          Dedup.minhashSignatures(v2))),
+      "span index takedown == rebuild" -> (() =>
+        same("span_index_v2", rd("span_index_v2"),
+          SubstringDedup.windowIndex(v2))),
+      "nb counts takedown == re-train" -> { () =>
+        val (vt, dc) = TextAnalysis.nbCounts(v2, posSources, negSources)
+        same("nb_vt_v2", rd("nb_vt_v2"), vt)
+        same("nb_dc_v2", rd("nb_dc_v2"), dc)
+      },
+      "nb serve model takedown == re-train" -> { () =>
+        val (lm, consts) = TextAnalysis.nbModel(v2, posSources, negSources)
+        same("nb_lm_v2", rd("nb_lm_v2"), lm)
+        same("nb_consts_v2", rd("nb_consts_v2"), consts)
+      },
+      "gate thresholds takedown == from-scratch calibration" -> (() =>
+        same("gate_thr_v2", rd("gate_thr_v2"),
+          Curation.gateThresholds(v2, posSources, negSources))),
+      "manifest takedown == from-scratch hierarchical" -> { () =>
+        same("manifest_v2", rd("manifest_v2"),
+          Curation.shardManifest(withSplit(v2), subShards = SubShards))
+        same("manifest_units_v2",
+          rd("manifest_units_v2").select("split", "sub", "doc_id", "fp",
+            "n_tok"),
+          Curation.manifestUnits(withSplit(v2), subShards = SubShards)
+            .select("split", "sub", "doc_id", "fp", "n_tok"))
+      },
+      "no removed doc remains in any id-keyed store" -> { () =>
+        val ids = rd("removed_docs").select("doc_id")
+        for (p <- Seq("fp_store_v2", "sig_store_v2", "manifest_units_v2")) {
+          val left = rd(p).join(ids, Seq("doc_id")).count()
+          require(left == 0, s"$left removed docs still present in $p")
+        }
+      },
+      "artifact receipts flip on the takedown" -> { () =>
+        val stale = rd("artifact_delta_v2")
+          .filter(col("artifact").isin("fp_store", "sig_store", "span_index")
+            && col("status") === "unchanged").count()
+        require(stale == 0,
+          s"$stale store receipts failed to flip on a non-empty takedown")
+      })
+  }
+
   /** The ordered stage list: `boot_*` once per warehouse, `inc_*`
     * once per delivery, `cal_*` on recalibration cadence (corpus-
     * version-proportional — see the object scaladoc). Stages hand
@@ -330,6 +481,22 @@ object IngestDemo {
       baseBuckets: Int = 8): Seq[(String, () => Unit)] = {
     val (base, delivery) = baseAndDelivery(Tables(spark, sfDir), baseBuckets)
     checksOver(spark, base, delivery, work, posSources, negSources)
+  }
+
+  /** [[takedownStagesOver]] with the fixture's corpus split. */
+  def takedownStages(spark: SparkSession, sfDir: String, work: String,
+      posSources: Seq[String] = Pos, negSources: Seq[String] = Neg,
+      baseBuckets: Int = 8): Seq[(String, () => Unit)] = {
+    val (base, delivery) = baseAndDelivery(Tables(spark, sfDir), baseBuckets)
+    takedownStagesOver(spark, base, delivery, work, posSources, negSources)
+  }
+
+  /** [[takedownChecksOver]] with the fixture's corpus split. */
+  def takedownChecks(spark: SparkSession, sfDir: String, work: String,
+      posSources: Seq[String] = Pos, negSources: Seq[String] = Neg,
+      baseBuckets: Int = 8): Seq[(String, () => Unit)] = {
+    val (base, delivery) = baseAndDelivery(Tables(spark, sfDir), baseBuckets)
+    takedownChecksOver(spark, base, delivery, work, posSources, negSources)
   }
 
   /** [[checks]] over supplied base/delivery frames (the [[stagesOver]]
@@ -511,10 +678,29 @@ object IngestDemo {
       println(s"[ingest] check ok: $name")
       spark.sharedState.cacheManager.clearCache()
     }
+    // one takedown against the v1 generation: retract a removal slice
+    // from every store, then prove v2 == rebuild over the survivors
+    var tdnSec = 0.0
+    for ((name, fn) <- takedownStages(spark, sfDir, work)) {
+      val t0 = System.nanoTime()
+      fn()
+      val sec = (System.nanoTime() - t0) / 1e9
+      tdnSec += sec
+      println(f"[ingest] $name%-28s $sec%7.2f s")
+      spark.sharedState.cacheManager.clearCache()
+    }
+    println(s"[ingest] takedown: removed=${n("removed_docs")} docs " +
+      s"from a v1 corpus of ${n("fp_store_v1")}")
+    for ((name, fn) <- takedownChecks(spark, sfDir, work)) {
+      fn()
+      println(s"[ingest] check ok: $name")
+      spark.sharedState.cacheManager.clearCache()
+    }
     println(f"[ingest] bootstrap $bootSec%7.2f s; " +
       f"marginal delivery $incSec%7.2f s; " +
-      f"recalibration $calSec%7.2f s " +
-      "(every fold asserted == from-scratch over corpus v1)")
+      f"recalibration $calSec%7.2f s; " +
+      f"takedown $tdnSec%7.2f s " +
+      "(every fold asserted == from-scratch over the surviving corpus)")
     spark.stop()
   }
 }

@@ -352,12 +352,20 @@ object ScaleRehearsal {
         val work = java.nio.file.Files
           .createTempDirectory("graft-rehearse-ingest").toString
         val wallBy = scala.collection.mutable.Map(
-          "boot" -> 0.0, "delivery" -> 0.0, "recal" -> 0.0)
+          "boot" -> 0.0, "delivery" -> 0.0, "recal" -> 0.0,
+          "takedown" -> 0.0)
+        // takedown runs against the _v1 generation the stages
+        // produce; its removal slice is a bucket of corpus v1, so it
+        // scales WITH the corpus — the claim under rehearsal is
+        // store-linear cost with the surviving text never re-read,
+        // not delivery-flatness
         for ((name, fn) <- IngestDemo.stagesOver(spark, iBase, iDelivery,
-            work)) {
+            work) ++ IngestDemo.takedownStagesOver(spark, iBase,
+            iDelivery, work)) {
           val phase =
             if (name.startsWith("boot_")) "boot"
             else if (name.startsWith("cal_")) "recal"
+            else if (name.startsWith("tdn_")) "takedown"
             else "delivery"
           val g = s"x$f:ingest_$phase"
           spark.sparkContext.setJobGroup(g, g)
@@ -366,7 +374,7 @@ object ScaleRehearsal {
           wallBy(phase) += (System.nanoTime() - t0) / 1e9
         }
         Thread.sleep(1000) // let the async listener bus drain
-        for (phase <- Seq("boot", "delivery", "recal")) {
+        for (phase <- Seq("boot", "delivery", "recal", "takedown")) {
           val g = s"x$f:ingest_$phase"
           val n = if (phase == "delivery") nDel else nBase
           println(f"""{"factor":$f,"query":"ingest_e2e_$phase",""" +

@@ -474,6 +474,32 @@ object TrainingEntries {
       SubstringDedup.incrementalSpanStats(idx,
         t.documents.filter(col("doc_id") % 2 === 1))
     }),
+    // TAKEDOWN of the window index (q154's inverse): the odd docs are
+    // retracted from the FULL-corpus index, then probed back against
+    // it — since retract == from-scratch-over-evens exactly, the
+    // probe reproduces q154's rows and its SQL is the verbatim
+    // oracle; a hash match proves the retraction left the surviving
+    // counts bit-identical (no residue, no over-removal)
+    "q182_span_retract" -> q(t => {
+      val odd = t.documents.filter(col("doc_id") % 2 === 1)
+      val idx = SubstringDedup.retractedWindowIndex(
+        SubstringDedup.windowIndex(t.documents), odd)
+      SubstringDedup.incrementalSpanStats(idx, odd)
+    }),
+    // TAKEDOWN of the NB quality model: odd labeled docs retracted
+    // from the full-corpus count artifacts, the serve model derived
+    // from the retracted counts, the whole corpus re-scored — the
+    // oracle trains on the even slice from scratch, so a hash match
+    // proves counts fold DOWN as exactly as they fold up
+    "q183_nb_retract" -> q(t => {
+      val (pos, neg) =
+        (Seq("src0", "src1", "src2"), Seq("src3", "src4", "src5"))
+      val (vtAll, dcAll) = TextAnalysis.nbCounts(t.documents, pos, neg)
+      val (vt, dc) = TextAnalysis.nbCountsRetract(vtAll, dcAll,
+        t.documents.filter(col("doc_id") % 2 === 1), pos, neg)
+      val (lm, consts) = TextAnalysis.nbLmFromCounts(vt, dc)
+      TextAnalysis.nbScoreFrom(lm, consts, t.documents)
+    }),
     // Median/MAD robust outliers: the skew-proof sibling of q60,
     // exact-integer end to end (cents + run-length medians)
     "q144_robust_outliers" -> q(t => Events.robustOutliers(t.events)),
@@ -636,6 +662,23 @@ object TrainingEntries {
       Curation.manifestFromSub(
         Curation.updatedSubManifest(sub0, store, batch))
     }),
+    // TAKEDOWN of the integrity receipts (q178's inverse): odd docs
+    // retracted from the FULL-corpus unit store + sub-manifest —
+    // only the touched cells recompute from surviving members — and
+    // the receipt must equal the batch hierarchical manifest over
+    // the even slice (the oracle), proving the takedown left exactly
+    // the surviving membership behind
+    "q184_manifest_retract" -> q(t => {
+      val withSplit = t.documents.join(
+        Curation.hashSplit(t.documents).select("doc_id", "split"),
+        Seq("doc_id"))
+      val store = Curation.manifestUnits(withSplit, subShards = 4)
+      val sub0 = Curation.subManifestFromUnits(store)
+      val removed = Curation.manifestUnits(
+        withSplit.filter(col("doc_id") % 2 === 1), subShards = 4)
+      Curation.manifestFromSub(
+        Curation.retractedSubManifest(sub0, store, removed))
+    }),
     // Composed twins for the shingle/signature artifacts' remaining
     // heavy consumers: exact-Jaccard verify off the persisted shingle
     // index (q27's dominant cost is re-deriving it) and the estimator
@@ -685,6 +728,10 @@ object TrainingEntries {
     // incremental fold's exact oracle IS the batch hierarchical
     // manifest (the q161/q92/q154 additivity pattern)
     "q178_incremental_manifest"    -> "q162_manifest_hier",
+    // takedown: retract(full index, odd) == from-scratch(even), so
+    // probing odd against the retracted index IS q154's scenario —
+    // its SQL gates the retraction verbatim
+    "q182_span_retract"            -> "q154_incremental_spans",
     // the served gate on its training corpus IS the windowed gate
     "q179_gate_served"             -> "q164_composite_gate",
     "q180_jaccard_composed"        -> "q27_ngram_jaccard",
@@ -1025,14 +1072,50 @@ object TrainingEntries {
        |ag AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
        |    CAST(SUM(c * dl) AS BIGINT) AS tok_llr FROM sc GROUP BY doc_id)""".stripMargin
 
-  private lazy val nbScoreAllSql: String =
-    s"""WITH ${nbCtes("TRUE")},
+  /** NB trained on the `labFilter` slice of the labeled docs, the
+    * whole corpus scored — "TRUE" is the q156/q161 batch oracle;
+    * "doc_id % 2 = 0" gates q183's takedown (retracted counts ==
+    * batch-trained on the surviving slice).
+    */
+  private def nbScoreSql(labFilter: String): String =
+    s"""WITH ${nbCtes(labFilter)},
        |$nbScoreBodyCtes
        |SELECT doc_id, n_tok,
        |  CAST(tok_llr + (SELECT prior_diff FROM ct) AS BIGINT) AS llr_micro,
        |  CAST(CASE WHEN tok_llr + (SELECT prior_diff FROM ct) > 0
        |    THEN 1 ELSE 0 END AS BIGINT) AS pred_pos
        |FROM ag ORDER BY doc_id""".stripMargin
+
+  private lazy val nbScoreAllSql: String = nbScoreSql("TRUE")
+
+  /** Hierarchical (subShards = 4) manifest over the `docFilter` slice
+    * of `documents` — "TRUE" is the q160/q162/q178 batch oracle;
+    * "doc_id % 2 = 0" gates q184's takedown receipt.
+    */
+  private def manifestHierSql(docFilter: String): String =
+    s"""WITH mdocs AS (SELECT * FROM documents WHERE $docFilter),
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN b < 80 THEN 'train'
+       |         WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |        AS BIGINT) % 100 AS b FROM mdocs)),
+       |d AS (SELECT s.split, dd.doc_id,
+       |    CAST(concat('0x', substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % 4 AS sub,
+       |    COALESCE(md5($norm), 'null') AS fp,
+       |    COALESCE(CASE WHEN length($norm) = 0 THEN 0
+       |         ELSE len(string_split($norm, ' ')) END, 0) AS n_tok
+       |  FROM mdocs dd JOIN sp s ON s.doc_id = dd.doc_id),
+       |sm AS (SELECT split, sub, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+       |    md5(string_agg(concat(CAST(doc_id AS VARCHAR), ':', fp), ''
+       |      ORDER BY doc_id)) AS sub_md5
+       |  FROM d GROUP BY split, sub)
+       |SELECT split, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+       |  md5(string_agg(sub_md5, '' ORDER BY sub)) AS content_md5
+       |FROM sm GROUP BY split ORDER BY split""".stripMargin
 
   /** Nearest-centroid classifier CTEs (q158/q159), mirroring
     * Similarity.centroidClassifier: `cent` = per-(label, dim)
@@ -3403,29 +3486,17 @@ object TrainingEntries {
 
     // Mirrors Curation.shardManifest(subShards = 4): md5-bucketed
     // sub-shard hashes folded by an ordered outer md5
-    "q162_manifest_hier" ->
-      s"""WITH sp AS (SELECT doc_id,
-         |    CASE WHEN b < 80 THEN 'train'
-         |         WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-         |  FROM (SELECT doc_id,
-         |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-         |        AS BIGINT) % 100 AS b FROM documents)),
-         |d AS (SELECT s.split, dd.doc_id,
-         |    CAST(concat('0x', substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8))
-         |      AS BIGINT) % 4 AS sub,
-         |    COALESCE(md5($norm), 'null') AS fp,
-         |    COALESCE(CASE WHEN length($norm) = 0 THEN 0
-         |         ELSE len(string_split($norm, ' ')) END, 0) AS n_tok
-         |  FROM documents dd JOIN sp s ON s.doc_id = dd.doc_id),
-         |sm AS (SELECT split, sub, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    CAST(SUM(n_tok) AS BIGINT) AS n_tok,
-         |    md5(string_agg(concat(CAST(doc_id AS VARCHAR), ':', fp), ''
-         |      ORDER BY doc_id)) AS sub_md5
-         |  FROM d GROUP BY split, sub)
-         |SELECT split, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
-         |  CAST(SUM(n_tok) AS BIGINT) AS n_tok,
-         |  md5(string_agg(sub_md5, '' ORDER BY sub)) AS content_md5
-         |FROM sm GROUP BY split ORDER BY split""".stripMargin,
+    "q162_manifest_hier" -> manifestHierSql("TRUE"),
+
+    // q184 retracts the odd docs from the full-corpus unit store +
+    // sub-manifest; the receipt must equal the batch hierarchical
+    // manifest over the EVEN slice
+    "q184_manifest_retract" -> manifestHierSql("doc_id % 2 = 0"),
+
+    // q183 retracts the odd labeled docs from the full-corpus NB
+    // counts; the whole corpus re-scored under the retracted model
+    // must equal batch training on the EVEN labeled slice
+    "q183_nb_retract" -> nbScoreSql("doc_id % 2 = 0"),
 
     // Mirrors Similarity.centroidClassifier: per-label floor(sum/n)
     // centroids on buckets 0-7, argmax cosine per vector

@@ -1237,6 +1237,35 @@ object Curation {
       .unionByName(recomputed)
   }
 
+  /** Retract removed documents from an accumulated sub-manifest —
+    * [[updatedSubManifest]]'s inverse, the TAKEDOWN receipt fold:
+    * only the (shard, sub) cells the removal touches recompute, from
+    * the unit store's SURVIVING members of those cells (the member
+    * re-read prunes on the store's (shardCol, sub) partitioning);
+    * every untouched cell's row carries over verbatim, and a cell
+    * emptied by the removal vanishes — exactly what from-scratch
+    * over the remaining corpus produces (spec-pinned, and the
+    * contract entry is gated by the hierarchical-manifest SQL over
+    * the remaining slice). Removal cost is removed units + the
+    * touched cells' members, never a corpus re-hash. `removedUnits`
+    * must be the removed docs' [[manifestUnits]] rows (identity-keyed
+    * membership; exactly-once ownership is the caller's, symmetric
+    * with the update fold — the fold==from-scratch check is the
+    * replay detector here, since an already-absent member leaves the
+    * anti-join, and therefore the receipt, unchanged).
+    */
+  def retractedSubManifest(subManifest: DataFrame, unitStore: DataFrame,
+      removedUnits: DataFrame, shardCol: String = "split"): DataFrame = {
+    val affected = removedUnits.select(col(shardCol), $("sub")).distinct()
+    val surviving = unitStore
+      .join(affected, Seq(shardCol, "sub")) // prune BEFORE the anti-join
+      .join(removedUnits.select(col(shardCol), $("sub"), $("doc_id")),
+        Seq(shardCol, "sub", "doc_id"), "left_anti")
+    subManifest
+      .join(affected, Seq(shardCol, "sub"), "left_anti")
+      .unionByName(subManifestFromUnits(surviving, shardCol))
+  }
+
   /** Diff two [[shardManifest]] receipts: per shard,
     * `unchanged` / `changed` / `added` / `removed` plus the doc and
     * token deltas — the rerun report that tells a training job WHICH

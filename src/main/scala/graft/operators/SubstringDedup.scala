@@ -361,6 +361,35 @@ object SubstringDedup {
     index.unionByName(windowIndex(batch, k, rolling))
       .groupBy("fp").agg(sum($("n_occ")).as("n_occ"))
 
+  /** Retract removed documents from the window index —
+    * [[updatedWindowIndex]]'s inverse, the TAKEDOWN fold: occurrence
+    * counts are additive, so subtracting the removed docs' own window
+    * counts (and dropping fingerprints that reach zero) reproduces
+    * the from-scratch index over the surviving corpus EXACTLY, with
+    * only the removed docs ever windowed — the surviving corpus text
+    * is never re-read (oracle-gated: probing against the retracted
+    * index is hash-identical to probing against a fresh index of the
+    * remaining docs). Exactly-once ownership is the caller's, but a
+    * count driven negative (doc retracted twice / never indexed)
+    * raises at execution rather than leaving a silently corrupt
+    * index. Same bucketed-by-fp layout advice as [[windowIndex]]:
+    * the subtraction joins on fp and aggregates bucket-local.
+    */
+  def retractedWindowIndex(index: DataFrame, removed: DataFrame,
+      k: Int = 8, rolling: Boolean = true): DataFrame =
+    index
+      .join(windowIndex(removed, k, rolling)
+        .select($("fp"), $("n_occ").as("r_occ")), Seq("fp"), "full_outer")
+      .select($("fp"),
+        (coalesce($("n_occ"), lit(0L)) - coalesce($("r_occ"), lit(0L)))
+          .as("n_occ"))
+      .select($("fp"), when($("n_occ") >= 0, $("n_occ"))
+        .otherwise(raise_error(concat(
+          lit("window-index retraction drove a count negative "),
+          lit("(doc retracted twice, or never indexed): fp="),
+          $("fp").cast("string")))).as("n_occ"))
+      .filter($("n_occ") > 0)
+
   /** (doc_id, n_tokens) of documents long enough to window (≥ k
     * tokens) — the denominator side of [[dupSpanStats]].
     */

@@ -1117,6 +1117,57 @@ object TextAnalysis {
     (foldedVt, foldedDc)
   }
 
+  /** Retract removed labeled documents from the accumulated
+    * (vt, docCounts) artifacts — [[nbCountsUpdate]]'s inverse, the
+    * TAKEDOWN half of incremental training: counts are additive, so
+    * they fold DOWN as exactly as they fold up, and a compliance
+    * removal never re-tokenizes the surviving corpus — only the
+    * removed docs tokenize, then vocab-sized merges. Tokens whose
+    * counts reach (0, 0) leave the table (from-scratch over the
+    * remaining corpus has no such rows), so retracted == re-trained
+    * bit-for-bit (spec-pinned, oracle-gated by the batch SQL over the
+    * remaining slice).
+    *
+    * Exactly-once ownership is the caller's, symmetric with the
+    * update fold — but over-retraction cannot pass silently: any
+    * count that would go negative (a doc retracted twice, or one
+    * never indexed) raises at execution, because a negative count is
+    * unrecoverable corruption while the update twin's replay merely
+    * double-counts.
+    */
+  def nbCountsRetract(vt: DataFrame, docCounts: DataFrame,
+      removed: DataFrame, posSources: Seq[String],
+      negSources: Seq[String]): (DataFrame, DataFrame) = {
+    val (rvt, rdc) = nbCounts(removed, posSources, negSources)
+    def guarded(c: Column, what: String): Column =
+      when(c >= 0, c).otherwise(raise_error(concat(
+        lit(s"NB retraction drove $what negative (doc retracted "),
+        lit("twice, or never indexed): "), c.cast("string"))))
+    // full outer: a removed-doc token ABSENT from the store is the
+    // same corruption as a negative count (0 - r < 0 raises)
+    val foldedVt = vt.select($("token"), $("tf1"), $("tf0"))
+      .join(rvt.select($("token"), $("tf1").as("rtf1"),
+        $("tf0").as("rtf0")), Seq("token"), "full_outer")
+      .select($("token"),
+        guarded(coalesce($("tf1"), lit(0L)) -
+          coalesce($("rtf1"), lit(0L)), "tf1").as("tf1"),
+        guarded(coalesce($("tf0"), lit(0L)) -
+          coalesce($("rtf0"), lit(0L)), "tf0").as("tf0"))
+      .filter($("tf1") + $("tf0") > 0)
+      .localCheckpoint(true)
+    // coalesce: a removal batch with no labeled docs retracts nothing
+    // from the doc counts (sum over empty is NULL, not 0)
+    val foldedDc = docCounts.crossJoin(
+        rdc.select($("n1").as("rn1"), $("n0").as("rn0")))
+      .select(
+        guarded($("n1") - coalesce($("rn1"), lit(0L)), "n1")
+          .cast("long").as("n1"),
+        guarded($("n0") - coalesce($("rn0"), lit(0L)), "n0")
+          .cast("long").as("n0"))
+      .localCheckpoint(true)
+    (foldedVt, foldedDc)
+  }
+
   /** Derive the serve-time artifacts ([[nbScoreFrom]]'s inputs) from
     * the incremental count artifacts — vocab-sized work only.
     */

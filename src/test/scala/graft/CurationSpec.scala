@@ -648,6 +648,46 @@ class CurationSpec extends SparkSpec {
       "the touched cell did not gain exactly the batch doc")
   }
 
+  test("retractedSubManifest: takedown == from-scratch, emptied cells vanish") {
+    import spark.implicits._
+    val withSplit = docs.join(
+      Curation.hashSplit(docs).select("doc_id", "split"), Seq("doc_id"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("split", "sub", "n_docs", "n_tok", "sub_md5")
+        .collect().map(_.toString).toSet
+    val store = Curation.manifestUnits(withSplit, subShards = 4)
+    val sub0 = Curation.subManifestFromUnits(store)
+    // takedown identity: retract(sub(all), odd) == sub(even)
+    val removed = Curation.manifestUnits(
+      withSplit.filter(col("doc_id") % 2 === 1), subShards = 4)
+    val retracted = Curation.retractedSubManifest(sub0, store, removed)
+    val scratch = Curation.subManifestFromUnits(Curation.manifestUnits(
+      withSplit.filter(col("doc_id") % 2 === 0), subShards = 4))
+    assert(rows(retracted) === rows(scratch),
+      "takedown receipt must equal from-scratch over the survivors")
+    // and the derived shard receipt matches shardManifest over them
+    val receipt = Curation.manifestFromSub(retracted)
+      .collect().map(_.toString).toSet
+    val direct = Curation.shardManifest(
+      withSplit.filter(col("doc_id") % 2 === 0), subShards = 4)
+      .collect().map(_.toString).toSet
+    assert(receipt === direct)
+    // a cell whose every member is retracted VANISHES (from-scratch
+    // over the survivors has no such row, so zero-doc residue would
+    // break receipt interchange): empty one whole (split, sub) cell
+    val someCell = store.select("split", "sub")
+      .as[(String, Long)].head()
+    val cellUnits = store.filter(
+      col("split") === someCell._1 && col("sub") === someCell._2)
+    val subAfter = Curation.retractedSubManifest(sub0, store, cellUnits)
+    val left = subAfter.filter(
+      col("split") === someCell._1 && col("sub") === someCell._2).count()
+    assert(left === 0L, "an emptied cell left a residue row")
+    // untouched cells carried over verbatim
+    assert((rows(sub0) -- rows(subAfter)).size === 1,
+      "emptying one cell must change exactly that cell")
+  }
+
   test("gateThresholds + compositeGateFrom: served == windowed gate; quota-0 source drops") {
     import spark.implicits._
     import graft.operators.TextAnalysis

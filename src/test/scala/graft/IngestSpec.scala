@@ -30,6 +30,16 @@ class IngestSpec extends SparkSpec {
         withClue(s"check $name: ") { fn() }
         spark.sharedState.cacheManager.clearCache()
       }
+      // takedown generation: retract a removal slice from every
+      // store, then every _v2 artifact == rebuild over the survivors
+      for ((name, fn) <- IngestDemo.takedownStages(spark, sfDir, work)) {
+        withClue(s"stage $name: ") { fn() }
+        spark.sharedState.cacheManager.clearCache()
+      }
+      for ((name, fn) <- IngestDemo.takedownChecks(spark, sfDir, work)) {
+        withClue(s"check $name: ") { fn() }
+        spark.sharedState.cacheManager.clearCache()
+      }
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()

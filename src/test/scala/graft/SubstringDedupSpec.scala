@@ -188,6 +188,34 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got(2L) === 0L)
   }
 
+  test("retracted window index == from-scratch over survivors; over-retraction raises") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val odd = real.filter($"doc_id" % 2 === 1)
+    val full = SubstringDedup.windowIndex(real).localCheckpoint(true)
+    // takedown identity: retract(index(all), odd) == index(even)
+    val retracted = SubstringDedup.retractedWindowIndex(full, odd)
+      .as[(Long, Long)].collect().toSet
+    val scratch = SubstringDedup.windowIndex(
+      real.filter($"doc_id" % 2 === 0)).as[(Long, Long)].collect().toSet
+    assert(retracted === scratch,
+      "retracted index must equal from-scratch over the survivors")
+    // retracting the whole corpus leaves an empty index (every count
+    // reaches zero and is dropped), never zero-count residue
+    assert(SubstringDedup.retractedWindowIndex(full, real).count() === 0L)
+    // a doc never indexed (or retracted twice) drives a count
+    // negative -> raises instead of leaving a corrupt index
+    val alien = Seq((999L, "totally novel window text never indexed anywhere before now"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      SubstringDedup.retractedWindowIndex(full, alien).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(c => Option(c.getMessage).exists(_.contains("negative"))),
+      s"expected the negative-count guard, got: $e")
+  }
+
   test("topDuplicatedSpans: (n_occ desc, span asc) total order, text intact") {
     val top = SubstringDedup.topDuplicatedSpans(docs, K, topN = 3)
       .as[(String, Long, Long)].collect()

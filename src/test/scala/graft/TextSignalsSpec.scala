@@ -348,6 +348,50 @@ class TextSignalsSpec extends SparkSpec {
     assert(vtSet(vtZ) === vtSet(vt0))
   }
 
+  test("nb count retraction == from-scratch training on the survivors") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val (pos, neg) =
+      (Seq("src0", "src1", "src2"), Seq("src3", "src4", "src5"))
+    val (vtAll, dcAll) = TextAnalysis.nbCounts(docs, pos, neg)
+    // takedown identity: retract(counts(all), odd) == counts(even)
+    val (vtR, dcR) = TextAnalysis.nbCountsRetract(vtAll, dcAll,
+      docs.filter($"doc_id" % 2 === 1), pos, neg)
+    val (vtE, dcE) =
+      TextAnalysis.nbCounts(docs.filter($"doc_id" % 2 === 0), pos, neg)
+    def vtSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long)].collect().toSet
+    assert(vtSet(vtR) === vtSet(vtE),
+      "retracted type counts must equal from-scratch on the survivors" +
+        " (zero-count tokens must LEAVE the table)")
+    assert(dcR.as[(Long, Long)].head() === dcE.as[(Long, Long)].head())
+    // the model derived from retracted counts scores identically to
+    // re-training on the surviving corpus
+    val (lm, consts) = TextAnalysis.nbLmFromCounts(vtR, dcR)
+    val got = TextAnalysis.nbScoreFrom(lm, consts, docs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val (lmE, constsE) = TextAnalysis.nbLmFromCounts(vtE, dcE)
+    val want = TextAnalysis.nbScoreFrom(lmE, constsE, docs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    // an all-unlabeled removal batch retracts nothing (sum over the
+    // empty labeled slice is NULL, which must fold as -0)
+    val (vtZ, dcZ) = TextAnalysis.nbCountsRetract(vtAll, dcAll,
+      docs.filter($"source" === "src9"), pos, neg)
+    assert(dcZ.as[(Long, Long)].head() === dcAll.as[(Long, Long)].head())
+    assert(vtSet(vtZ) === vtSet(vtAll))
+    // retracting a doc never indexed drives counts negative -> raises
+    val alien = Seq((9999L, "zzqx unseen token text", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val e = intercept[Exception] {
+      TextAnalysis.nbCountsRetract(vtAll, dcAll, alien, pos, neg)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("negative"))),
+      s"expected the negative-count guard, got: $e")
+  }
+
   test("nbClassifierEval: diagonal confusion matrix on separable held-out") {
     val docs = (1L to 60L).map { i =>
       if (i % 2 == 0) (i, "good nice gold", "en", "posA")
