@@ -38,6 +38,18 @@ object DocStreams extends Serializable {
   def readDocs(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(dir)
 
+  /** [[docSchema]] plus the signed-event column: `op` = +1 for an
+    * ingested document, -1 for a takedown event carrying the same
+    * text — the retraction-stream shape the signed count twins
+    * consume.
+    */
+  val signedDocSchema: StructType =
+    StructType(docSchema.fields :+ StructField("op", LongType))
+
+  /** File-based stream source over signed (ingest/takedown) events. */
+  def readSignedDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(signedDocSchema).parquet(dir)
+
   final case class FpDoc(fp: String, doc_id: Long)
   final case class Keeper(fp: String, keep_id: Long)
 
@@ -358,6 +370,31 @@ object DocStreams extends Serializable {
       .agg(sum(when(col("cls") === 1L, 1L).otherwise(0L)).as("tf1"),
         sum(when(col("cls") === 0L, 1L).otherwise(0L)).as("tf0"))
 
+  /** RETRACTION-AWARE NB count maintenance: the signed sibling of
+    * [[nbCountStream]] over a labeled ingest/takedown event stream
+    * (`cls` 1L/0L precomputed as there, `op` +1/-1 per
+    * [[signedDocSchema]]). Class counts are additive both ways, so a
+    * takedown event subtracts its token occurrences from the running
+    * (token, tf1, tf0) state — [[graft.operators.TextAnalysis
+    * .nbCountsRetract]]'s fold, kept live; derive a compliant model
+    * from the current state via `nbLmFromCounts` at any cadence.
+    *
+    * Twin contract (StreamingSpec): restricted to rows with
+    * `tf1 + tf0 > 0`, final values equal batch `nbCounts` over
+    * ingests ∖ takedowns; a token whose counts reach (0, 0) emits a
+    * zero row — the update-mode tombstone matching the batch fold's
+    * vocabulary drop. Same source discipline as the signed window
+    * index: exactly-once, ingest-before-takedown.
+    */
+  def nbCountStreamSigned(labeled: DataFrame): DataFrame =
+    labeled
+      .select(col("op"), col("cls"),
+        explode(split(TextAnalysis.normText(col("text")), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(sum(when(col("cls") === 1L, col("op")).otherwise(0L)).as("tf1"),
+        sum(when(col("cls") === 0L, col("op")).otherwise(0L)).as("tf0"))
+
   /** Streaming window-index maintenance: the running (fp, n_occ)
     * span-dedup index over the document firehose — the accumulated
     * state [[graft.operators.SubstringDedup.incrementalSpanStats]]
@@ -379,6 +416,34 @@ object DocStreams extends Serializable {
         .windowHashes(split(col("norm"), " "), k)).as(Seq("pos0", "fp")))
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_occ"))
+
+  /** RETRACTION-AWARE window-index maintenance: the signed sibling of
+    * [[windowIndexStream]] over an ingest/takedown event stream
+    * ([[signedDocSchema]] — `op` +1/-1). Window counts are additive
+    * both ways, so the live state is a plain signed sum per
+    * fingerprint: an ingest event adds its windows, a takedown event
+    * carrying the same text subtracts them — [[graft.operators
+    * .SubstringDedup.retractedWindowIndex]]'s fold, kept live.
+    *
+    * Twin contract (StreamingSpec): restricted to `n_occ > 0`, the
+    * final values equal the batch index over ingests ∖ takedowns. A
+    * fingerprint whose count reaches ZERO is emitted as an `n_occ=0`
+    * row in update mode — the delete tombstone an upsert sink applies
+    * — which is exactly where the batch fold DROPS the row; the
+    * update-mode emission is the streaming spelling of that drop.
+    * (The batch fold can afford to raise on a negative count; a
+    * firehose cannot re-order a takedown behind its ingest, so
+    * exactly-once, ingest-before-takedown event discipline is the
+    * source's contract here, as it is for every retraction stream.)
+    */
+  def windowIndexStreamSigned(events: DataFrame, k: Int = 8): DataFrame =
+    events
+      .select(col("op"), TextAnalysis.normText(col("text")).as("norm"))
+      .where(length(col("norm")) > 0)
+      .select(col("op"), posexplode(graft.plans.WindowHashesExpression
+        .windowHashes(split(col("norm"), " "), k)).as(Seq("pos0", "fp")))
+      .groupBy(col("fp"))
+      .agg(sum(col("op")).as("n_occ"))
 
   /** Streaming count-min sketch: the running (row, col, cnt) cell
     * table over the document firehose — update mode emits the cells a

@@ -764,6 +764,87 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("signed window index: takedown events == batch retraction, zeros tombstone") {
+    import graft.operators.SubstringDedup
+    import graft.streaming.DocStreams
+    val docsT = graft.sources.Tables(spark, dir).documents
+    val wDir = java.nio.file.Files
+      .createTempDirectory("graft-widx-signed").toString
+    // delivery 1: the whole corpus ingested (+1); delivery 2: every
+    // third doc retracted as a takedown event (-1) carrying the same
+    // text — ingest-before-takedown, the retraction stream's contract
+    docsT.withColumn("op", org.apache.spark.sql.functions.lit(1L)).write.mode("append").parquet(wDir)
+    val q = DocStreams.windowIndexStreamSigned(
+        DocStreams.readSignedDocs(spark, wDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("widx_signed").start()
+    try {
+      q.processAllAvailable()
+      docsT.filter($"doc_id" % 3 === 0).withColumn("op", org.apache.spark.sql.functions.lit(-1L))
+        .write.mode("append").parquet(wDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.table("widx_signed")
+      .as[(Long, Long)].collect()
+    // live positive counts == the batch retracted index == a fresh
+    // index over the survivors
+    val got = state.filter(_._2 > 0).toSet
+    val want = SubstringDedup.windowIndex(
+      docsT.filter($"doc_id" % 3 =!= 0)).as[(Long, Long)].collect().toSet
+    assert(got === want,
+      "live signed state (n_occ > 0) must equal the batch index over survivors")
+    // fully-retracted fingerprints surface as ZERO rows — the upsert
+    // sink's delete tombstone, matching where the batch fold drops
+    assert(state.exists(_._2 == 0L),
+      "expected tombstone rows for fully-retracted windows")
+    assert(!state.exists(_._2 < 0L), "no count may go negative")
+  }
+
+  test("signed nb counts: takedown events == batch retraction on the count table") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.DocStreams
+    val docsT = graft.sources.Tables(spark, dir).documents
+    val (pos, neg) =
+      (Seq("src0", "src1", "src2"), Seq("src3", "src4", "src5"))
+    import org.apache.spark.sql.functions.when
+    val labeled = docsT
+      .filter($"source".isin((pos ++ neg): _*))
+      .withColumn("cls", when($"source".isin(pos: _*), 1L).otherwise(0L))
+      .select("doc_id", "text", "cls")
+    val nbDir = java.nio.file.Files
+      .createTempDirectory("graft-nbc-signed").toString
+    labeled.withColumn("op", org.apache.spark.sql.functions.lit(1L)).write.mode("append").parquet(nbDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cls",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.LongType)))
+    val q = DocStreams.nbCountStreamSigned(
+        spark.readStream.schema(schema).parquet(nbDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("nbc_signed").start()
+    try {
+      q.processAllAvailable()
+      labeled.filter($"doc_id" % 3 === 0).withColumn("op", org.apache.spark.sql.functions.lit(-1L))
+        .write.mode("append").parquet(nbDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.table("nbc_signed")
+      .as[(String, Long, Long)].collect()
+    val got = state.filter(r => r._2 + r._3 > 0).toSet
+    val want = TextAnalysis.nbCounts(
+      docsT.filter($"doc_id" % 3 =!= 0), pos, neg)._1
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === want,
+      "live signed counts (nonzero) must equal batch nbCounts over survivors")
+    assert(!state.exists(r => r._2 < 0 || r._3 < 0),
+      "no class count may go negative")
+  }
+
   test("streaming cms cells == batch cmsTable, including across batches") {
     import graft.streaming.DocStreams
     val tables = graft.sources.Tables(spark, dir)
