@@ -167,9 +167,7 @@ object Bench {
     }
     // bench artifacts are scratch: delete so repeated local runs
     // don't accumulate temp dirs' worth of parquet
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
-    }
+    def rmTree(f: java.io.File): Unit = FsUtil.rmTree(f)
     val composed: Seq[(String, Double)] =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_COMPOSED", "1") == "0") Nil
       else {
@@ -419,11 +417,21 @@ object Bench {
     val carriedTotal = results
       .filter { case (n, st) => prevQueries.contains(n) && st.min >= 0 }
       .map(_._2.min).sum
-    val carriedN = results.count(r => prevQueries.contains(r._1))
+    // carried_n counts the queries INSIDE carried_total_sec (min >= 0)
+    // so the pair stays internally consistent; a carried query that
+    // failed every repeat is surfaced separately as carried_failed_n
+    // instead of silently deflating the per-query average
+    val carriedN = results.count(r =>
+      prevQueries.contains(r._1) && r._2.min >= 0)
+    val carriedFailed = results.count(r =>
+      prevQueries.contains(r._1) && r._2.min < 0)
     val carriedTag =
       if (prevQueries.isEmpty) ""
       else s""","carried_total_sec":${fmt(carriedTotal, 2)}""" +
-        s""","carried_n":$carriedN,"new_n":${results.size - carriedN}"""
+        s""","carried_n":$carriedN""" +
+        (if (carriedFailed > 0) s""","carried_failed_n":$carriedFailed"""
+         else "") +
+        s""","new_n":${results.size - carriedN - carriedFailed}"""
     // no-silent-caps: when the stdout budget elides sub-threshold
     // queries from the printed dict, the headline says so —
     // omitted_n (how many) and min_printed_sec (the cheapest query

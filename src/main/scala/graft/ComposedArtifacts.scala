@@ -102,9 +102,7 @@ object ComposedArtifacts {
       .map("%02x".format(_)).mkString
   }
 
-  private def rm(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-  }
+  private def rm(f: java.io.File): Unit = FsUtil.rmTree(f)
 
   /** How many published corpus-fingerprint versions to retain per
     * family before the sweep reclaims the oldest; generous because a
@@ -140,8 +138,26 @@ object ComposedArtifacts {
       .foreach(rm)
   }
 
-  /** Resolve (building if absent) the family's published directory. */
+  /** Resolve (building if absent) the family's published directory.
+    * Every resolution TOUCHES the published dir's mtime, so a family
+    * in active use never ages past [[SweepTtlMs]] in another JVM's
+    * sweep; and the in-JVM memo is re-validated against the
+    * filesystem — if a swept (or manually deleted) directory is
+    * found behind a memoized path, the key is evicted and the family
+    * rebuilt instead of failing every read until restart.
+    */
   private def obtain(spark: SparkSession, family: String, sfDir: String,
+      inputs: Seq[String])(build: String => Seq[(String, String)]): String = {
+    val dir = obtainOnce(spark, family, sfDir, inputs)(build)
+    val f = new java.io.File(dir)
+    if (f.isDirectory) { f.setLastModified(System.currentTimeMillis()); dir }
+    else {
+      dirs.remove(s"$family-v$LayoutVersion-${corpusFp(sfDir, inputs)}")
+      obtainOnce(spark, family, sfDir, inputs)(build)
+    }
+  }
+
+  private def obtainOnce(spark: SparkSession, family: String, sfDir: String,
       inputs: Seq[String])(build: String => Seq[(String, String)]): String = {
     val key = s"$family-v$LayoutVersion-${corpusFp(sfDir, inputs)}"
     dirs.getOrElseUpdate(key, new Holder(() => {

@@ -222,7 +222,15 @@ object IngestDemo {
           .filter(col("est_jaccard") >= NearDupThreshold &&
             col("id1") < col("id2"))
           .select(col("id2").as("doc_id"))
-        val flagged = storeHits.unionByName(withinHits).distinct()
+        // over-cap rescue: a template duplicated past the LSH
+        // hot-bucket cap would make the capped probe above a silent
+        // no-op in exactly the mass-duplication case — the star
+        // probe keeps the bucket's smallest doc and flags the rest
+        val hotHits = Dedup.hotBucketPairs(rd("delivery_sigs"))
+          .filter(col("est_jaccard") >= NearDupThreshold)
+          .select(col("id2").as("doc_id"))
+        val flagged = storeHits.unionByName(withinHits)
+          .unionByName(hotHits).distinct()
         wr(rd("admit_exact").join(flagged, Seq("doc_id"), "left_anti"),
           "admit_near")
       },
@@ -580,12 +588,18 @@ object IngestDemo {
       "admitted near-dup-free within the delivery" -> { () =>
         // the greedy keep-one rule must leave NO flagged pair among
         // the admitted docs: re-probe the admitted slice's signatures
-        // against themselves
+        // against themselves — INCLUDING the over-cap star probe, so
+        // a mass-duplicated template cannot pass this check by
+        // saturating the very bucket cap that hid it from the stage
         val kept = rd("delivery_sigs").join(rd("admitted"), Seq("doc_id"))
         val pairs = Dedup.incrementalNearDups(kept, kept)
           .filter(col("est_jaccard") >= NearDupThreshold &&
             col("id1") < col("id2")).count()
         require(pairs == 0, s"$pairs near-dup pairs survive among admitted")
+        val hotPairs = Dedup.hotBucketPairs(kept)
+          .filter(col("est_jaccard") >= NearDupThreshold).count()
+        require(hotPairs == 0,
+          s"$hotPairs over-cap near-dup pairs survive among admitted")
       },
       "manifest diff is additive" -> { () =>
         val removed = rd("manifest_delta")

@@ -374,9 +374,16 @@ object ScaleRehearsal {
           wallBy(phase) += (System.nanoTime() - t0) / 1e9
         }
         Thread.sleep(1000) // let the async listener bus drain
+        // rows = the phase's own work unit: the fixed delivery for
+        // delivery, the removal slice (~1/7th of v1) for takedown,
+        // the corpus for boot/recal — so per-row normalization reads
+        // the measured work, not a constant-factor-off proxy
+        val nRemoved = spark.read.parquet(s"$work/removed_docs").count()
         for (phase <- Seq("boot", "delivery", "recal", "takedown")) {
           val g = s"x$f:ingest_$phase"
-          val n = if (phase == "delivery") nDel else nBase
+          val n = if (phase == "delivery") nDel
+            else if (phase == "takedown") nRemoved
+            else nBase
           println(f"""{"factor":$f,"query":"ingest_e2e_$phase",""" +
             f""""rows":$n,"docs":$nBase,"vecs":0,""" +
             f""""wall_sec":${wallBy(phase)}%.2f,""" +
@@ -384,10 +391,7 @@ object ScaleRehearsal {
             f""""shuffle_write_mb":${ctr(shWr, g) / 1e6}%.1f,""" +
             f""""shuffle_read_mb":${ctr(shRd, g) / 1e6}%.1f}""")
         }
-        def rmT(x: java.io.File): Unit = {
-          Option(x.listFiles).foreach(_.foreach(rmT)); x.delete(); ()
-        }
-        rmT(new java.io.File(work))
+        FsUtil.rmTree(new java.io.File(work))
         iBase.unpersist(false); iDelivery.unpersist(false)
       }
       if (needDocs) docs.unpersist(false)

@@ -67,10 +67,7 @@ object Layout {
     spark.read.parquet(path)
       .repartition(nFiles.toInt)
       .write.mode("overwrite").parquet(tmp)
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
-    }
-    rmTree(dir)
+    graft.FsUtil.rmTree(dir)
     val ok = new java.io.File(tmp).renameTo(dir)
     require(ok, s"compaction swap failed: $tmp -> $path")
     nFiles

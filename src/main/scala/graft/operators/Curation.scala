@@ -735,6 +735,21 @@ object Curation {
         ($("rn") * 1000 <= lit(keepPermille) * $("n")).as("keep"))
   }
 
+  /** The composite gate's entropy band, SHARED by the windowed form
+    * ([[compositeGate]]), the served form ([[compositeGateFrom]]) and
+    * the streaming twin ([[graft.streaming.DocStreams
+    * .compositeGateStream]]) as their default: one retune moves all
+    * three together (the q164 keepPermille drift warning applied to
+    * the band itself — duplicated literals were the silent-drift
+    * risk). Fixture-tuned like q27's threshold: corpus entropy spans
+    * ~3.7-4.2 bits, the 3900 floor trims the lowest ~5%, the 4500
+    * ceiling is the random/encoded-noise guard. The q164/q179 oracle
+    * SQL carries the literals independently, so a retune here without
+    * the matching SQL change fails the hash gate loudly.
+    */
+  val MinEntropyMilli: Long = 3900L
+  val MaxEntropyMilli: Long = 4500L
+
   /** The CALIBRATED composite keep/drop gate — the FineWeb-style
     * filter stack as ONE auditable decision table: per NB-scorable
     * document, the classifier LLR ([[TextAnalysis
@@ -772,21 +787,6 @@ object Curation {
     * text never shuffles, and the only exchange is the per-source
     * rank window [[qualityGate]] already pays.
     */
-  /** The composite gate's entropy band, SHARED by the windowed form
-    * ([[compositeGate]]), the served form ([[compositeGateFrom]]) and
-    * the streaming twin ([[graft.streaming.DocStreams
-    * .compositeGateStream]]) as their default: one retune moves all
-    * three together (the q164 keepPermille drift warning applied to
-    * the band itself — duplicated literals were the silent-drift
-    * risk). Fixture-tuned like q27's threshold: corpus entropy spans
-    * ~3.7-4.2 bits, the 3900 floor trims the lowest ~5%, the 4500
-    * ceiling is the random/encoded-noise guard. The q164/q179 oracle
-    * SQL carries the literals independently, so a retune here without
-    * the matching SQL change fails the hash gate loudly.
-    */
-  val MinEntropyMilli: Long = 3900L
-  val MaxEntropyMilli: Long = 4500L
-
   def compositeGate(documents: DataFrame,
       posSources: Seq[String] = Seq("src0", "src1", "src2"),
       negSources: Seq[String] = Seq("src3", "src4", "src5"),
@@ -1332,6 +1332,22 @@ object Curation {
           rowFp.as("fp"), lit(0L).as("n_tok"))
         .withColumn("sub", hashBucket($("fp"), subShards))
     }.reduce(_ unionByName _)
-    manifestFromSub(subManifestFromUnits(units, "artifact"), "artifact")
+    val computed =
+      manifestFromSub(subManifestFromUnits(units, "artifact"), "artifact")
+    // ONE receipt row per named artifact even when a store is
+    // legitimately EMPTY (a gate_thr with every quota 0, a span index
+    // over sub-k-token docs): the group-by yields no row for zero
+    // units, which would make an empty store indistinguishable from a
+    // MISSING one and read as added/removed in the delta. The
+    // canonical empty receipt is (0, 0, md5("")) — the value a
+    // zero-cell fold would hash — so empty <-> non-empty transitions
+    // diff as "changed", never as a phantom membership event.
+    val spark0 = artifacts.head._2.sparkSession
+    import spark0.implicits._
+    val emptyRows = artifacts.map(_._1).toDF("artifact")
+      .join(computed.select("artifact"), Seq("artifact"), "left_anti")
+      .select($("artifact"), lit(0L).as("n_docs"), lit(0L).as("n_tok"),
+        md5(lit("")).as("content_md5"))
+    computed.unionByName(emptyRows)
   }
 }

@@ -968,6 +968,38 @@ object Dedup {
       .withColumn("est_jaccard", $("n_agree").cast("double") / k)
   }
 
+  /** Mass-duplication rescue for the LSH buckets the hot-bucket cap
+    * EXCLUDES: [[incrementalNearDups]] (and every all-pairs candidate
+    * generator here) drops buckets with more than `maxBucket` members
+    * to bound pair generation — which silently no-ops the
+    * within-delivery self-probe in exactly the scenario it exists
+    * for, a crawl template duplicated thousands of times in ONE
+    * delivery. This is the complement: each member of an OVER-cap
+    * bucket is scored against the bucket's smallest doc_id only — a
+    * star probe, O(members) pairs per bucket instead of the O(n²)
+    * the cap prevents — and returns the same (id1, id2, n_agree,
+    * est_jaccard) shape with id1 = the bucket minimum (so id1 < id2
+    * always, matching the greedy keep-smallest convention). The star
+    * is sufficient precisely BECAUSE the bucket is over-cap: members
+    * of a mass-duplicated template all collide with the template's
+    * canonical copy; transitive chains that need all-pairs live in
+    * small buckets, which the capped probe still covers.
+    */
+  def hotBucketPairs(sigs: DataFrame, k: Int = 16, bands: Int = 4,
+      maxBucket: Int = 256, minAgree: Int = 8): DataFrame = {
+    val bh = bandHashes(sigs, k, bands)
+    val hot = bh.groupBy("band", "bhash")
+      .agg(count(lit(1)).as("bsz"), min($("doc_id")).as("id1"))
+      .filter($("bsz") > maxBucket)
+      .select("band", "bhash", "id1")
+    val cands = bh.join(hot, Seq("band", "bhash"))
+      .filter($("doc_id") =!= $("id1"))
+      .select($("id1"), $("doc_id").as("id2")).distinct()
+    agreeScores(cands, sigs, sigs, k)
+      .filter($("n_agree") >= minAgree)
+      .withColumn("est_jaccard", $("n_agree").cast("double") / k)
+  }
+
   /** Calibration report for the [[estimatedJaccardPairs]] estimator:
     * per agreement count (0..k), how many LSH candidate pairs scored
     * there and their mean EXACT Jaccard — the table that tells a

@@ -819,5 +819,17 @@ class CurationSpec extends SparkSpec {
     val ab2 = Seq(("ab", "c")).toDF("c1", "c2")
     assert(receipts(Seq("x" -> ab1))("x")._2 !=
       receipts(Seq("x" -> ab2))("x")._2)
+    // an EMPTY store still gets its receipt row (canonical (0, md5("")))
+    // — empty is a state, not a membership event — and the transition
+    // empty <-> non-empty diffs as "changed", never added/removed
+    val emptyA = a.filter($"doc_id" < 0L)
+    val rE = receipts(Seq("a" -> emptyA, "b" -> b))
+    assert(rE("a")._1 === 0L)
+    assert(rE("a")._2 === "d41d8cd98f00b204e9800998ecf8427e")
+    val diffE = Curation.manifestDiff(
+        Curation.artifactManifest(Seq("a" -> emptyA, "b" -> b)),
+        Curation.artifactManifest(Seq("a" -> a, "b" -> b)), "artifact")
+      .select("artifact", "status").as[(String, String)].collect().toMap
+    assert(diffE === Map("a" -> "changed", "b" -> "unchanged"))
   }
 }

@@ -671,6 +671,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!got.keySet.exists(_._2 == 11L))
   }
 
+  test("hotBucketPairs rescues the mass-duplication case the bucket cap hides") {
+    // 300 near-identical template instances: every LSH bucket they
+    // share holds 300 > maxBucket members, so the capped probe drops
+    // ALL of them — the exact scenario the within-delivery gate
+    // exists for. The star probe must flag every copy against the
+    // smallest doc_id instead (O(n) pairs, not the O(n²) the cap
+    // prevents).
+    val template = "breaking news template header repeated across the " +
+      "whole crawl with identical boilerplate body and footer sections"
+    val mass = (1L to 300L).map(i => (i, template))
+    val fresh = Seq((900L,
+      "singular genuine article with its own unique prose and content"))
+    val sigs = Dedup.minhashSignatures((mass ++ fresh).toDF("doc_id", "text"))
+      .localCheckpoint(true)
+    // the hole: the capped all-pairs probe sees nothing
+    val capped = Dedup.incrementalNearDups(sigs, sigs)
+      .filter($"id1" < $"id2").count()
+    assert(capped === 0L,
+      "fixture error: the template buckets were expected to exceed the cap")
+    // the rescue: every copy but the canonical min flags, id1 = min
+    val hot = Dedup.hotBucketPairs(sigs)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(hot.map(_._2).toSet === (2L to 300L).toSet,
+      "every non-canonical copy must be flagged exactly once")
+    assert(hot.forall(_._1 == 1L), "star centre must be the bucket minimum")
+    assert(hot.forall(_._4 >= 0.9), "identical copies must score ~1")
+    // the unrelated doc is untouched
+    assert(!hot.exists(r => r._1 == 900L || r._2 == 900L))
+  }
+
   test("estimatorCalibration: identical docs land in the 16-agree bucket at J=1") {
     val text = "The quick brown fox jumps over the lazy dog and runs far away home"
     val docs = Seq((1L, text), (2L, text),
