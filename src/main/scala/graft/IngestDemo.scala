@@ -455,6 +455,29 @@ object IngestDemo {
           require(left == 0, s"$left removed docs still present in $p")
         }
       },
+      "a re-submitted removed doc probes as new (no ghost state)" -> { () =>
+        // the other half of right-to-be-forgotten, as an END-TO-END
+        // tripwire: re-probe the removal slice against the v2 store
+        // and compare with CORPUS ground truth — fingerprints derived
+        // from the surviving docs THEMSELVES, not from the store
+        // under test (comparing against the store would be true by
+        // construction). A resubmitted doc may classify dup_of_index
+        // only if some surviving doc carries the same text (which is
+        // knowledge, not residue); and it must NOT classify new when
+        // a surviving twin exists (the takedown must not have
+        // over-purged shared-text fingerprints)
+        val resubmit = TextAnalysis.fingerprints(rd("removed_docs"))
+        val probe = Dedup.incrementalDedup(rd("fp_store_v2"), resubmit)
+        val truthFps = TextAnalysis.fingerprints(v2).select("fp").distinct()
+        val ghosts = probe.filter(col("status") === "dup_of_index")
+          .join(truthFps, Seq("fp"), "left_anti").count()
+        require(ghosts == 0,
+          s"$ghosts re-submitted docs hit fingerprint residue in the v2 store")
+        val missed = probe.filter(col("status") === "new")
+          .join(truthFps, Seq("fp")).count()
+        require(missed == 0,
+          s"$missed re-submitted docs with surviving twins probed as new")
+      },
       "artifact receipts flip on the takedown" -> { () =>
         val stale = rd("artifact_delta_v2")
           .filter(col("artifact").isin("fp_store", "sig_store", "span_index")
