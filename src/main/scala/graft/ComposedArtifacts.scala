@@ -27,8 +27,10 @@ import graft.sources.Tables
   * round-trip changed nothing.
   *
   * Warehouse layout (the production shape, not session scratch):
-  * artifacts live under `$SPARK_GRAFT_WAREHOUSE` (default
-  * `<tmpdir>/graft-warehouse`) in a directory keyed by
+  * artifacts live under `$SPARK_GRAFT_WAREHOUSE` (default: the
+  * PER-USER `$XDG_CACHE_HOME`-or-`~/.cache` `graft-warehouse` — never
+  * a shared world-writable tmpdir, see [[warehouseRoot]]) in a
+  * directory keyed by
   * `<family>-v<LayoutVersion>-<corpus fingerprint>`, where the corpus
   * fingerprint is an md5 over the input tables' file listing
   * (name, length, mtime — the Spark file-index identity). So:
@@ -71,9 +73,42 @@ object ComposedArtifacts {
   /** The q26-family near-dup threshold shared by every pair consumer. */
   private val JaccardThreshold = 0.7
 
+  /** Warehouse root: `$SPARK_GRAFT_WAREHOUSE` when set (the operator
+    * owns that choice), else a PER-USER default —
+    * `$XDG_CACHE_HOME/graft-warehouse` or `~/.cache/graft-warehouse`.
+    * The old default under the world-writable shared tmpdir let any
+    * local user pre-plant or clobber a published family dir and
+    * silently poison consumers that don't run the hash gate (ADVICE
+    * round-13); a per-user root closes that, and [[obtainOnce]]
+    * additionally refuses to serve from a root owned by another user
+    * when an explicit override points somewhere shared.
+    */
   private def warehouseRoot: java.io.File = new java.io.File(
     sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
-      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse"))
+      sys.env.filter(_._1 == "XDG_CACHE_HOME").values.headOption
+        .filter(_.nonEmpty)
+        .getOrElse(sys.props.getOrElse("user.home", "/tmp") + "/.cache")
+        + "/graft-warehouse"))
+
+  /** Fail loudly if `root` exists but is owned by someone else — a
+    * foreign-owned warehouse can serve poisoned artifacts (and its
+    * permission bits break publish renames in confusing ways later).
+    * Owner lookup can be unsupported on exotic filesystems; treat
+    * that as "cannot verify" and allow (the per-user default path
+    * makes the shared-dir case an explicit operator override).
+    */
+  private def requireOwned(root: java.io.File): Unit =
+    try {
+      val owner = Files.getOwner(root.toPath).getName
+      val me = sys.props.getOrElse("user.name", owner)
+      require(owner == me,
+        s"warehouse root $root is owned by '$owner', not '$me' — " +
+          "refusing to trust its published artifacts; point " +
+          "SPARK_GRAFT_WAREHOUSE at a directory you own")
+    } catch {
+      case _: UnsupportedOperationException => ()
+      case _: java.io.IOException => ()
+    }
 
   // compute-once memo: the holder's lazy val is the single point of
   // evaluation no matter how many threads race the TrieMap insert
@@ -121,13 +156,28 @@ object ComposedArtifacts {
     * moments ago never has the store deleted under it. Without this a
     * long-lived host accumulates one directory per corpus version
     * forever (ADVICE round-13).
+    *
+    * Liveness is judged by the NEWEST mtime anywhere inside a
+    * `.build-*` dir, not the top dir's own mtime: nested parquet
+    * writes do not refresh the parent directory, so a legitimate
+    * build running past the TTL would otherwise be reclaimed
+    * mid-build by a concurrent JVM (ADVICE round-13). Published dirs
+    * keep the top-level-mtime rule (every [[obtain]] touches it) —
+    * the corollary, documented on [[obtain]], is that resolved paths
+    * are only TTL-protected at resolve time: re-obtain rather than
+    * holding a path across a day-long session.
     */
+  private def newestMtime(f: java.io.File): Long = {
+    val children = Option(f.listFiles).toSeq.flatten
+    (f.lastModified +: children.map(newestMtime)).max
+  }
+
   private[graft] def sweep(root: java.io.File, family: String,
       resolving: String): Unit = {
     val now = System.currentTimeMillis()
     val all = Option(root.listFiles).toSeq.flatten.filter(_.isDirectory)
     all.filter(f => f.getName.startsWith(".build-") &&
-        now - f.lastModified > SweepTtlMs)
+        now - newestMtime(f) > SweepTtlMs)
       .foreach(rm)
     val published = all
       .filter(f => f.getName.startsWith(s"$family-v") &&
@@ -145,6 +195,12 @@ object ComposedArtifacts {
     * filesystem — if a swept (or manually deleted) directory is
     * found behind a memoized path, the key is evicted and the family
     * rebuilt instead of failing every read until restart.
+    *
+    * CONTRACT: the returned path is TTL-protected from the moment of
+    * this call, not indefinitely — a caller that stores the string
+    * and reads it again a day later races another JVM's sweep.
+    * Re-resolve through the accessors (cheap: memo + one touch)
+    * instead of holding a resolved path across long sessions.
     */
   private def obtain(spark: SparkSession, family: String, sfDir: String,
       inputs: Seq[String])(build: String => Seq[(String, String)]): String = {
@@ -163,6 +219,7 @@ object ComposedArtifacts {
     dirs.getOrElseUpdate(key, new Holder(() => {
       val root = warehouseRoot
       root.mkdirs()
+      requireOwned(root)
       sweep(root, family, key)
       val published = new java.io.File(root, key)
       if (published.isDirectory) published.toString

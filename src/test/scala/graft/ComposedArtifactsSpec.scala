@@ -37,12 +37,16 @@ class ComposedArtifactsSpec extends SparkSpec {
   test("warehouse sweep: TTL-bounded, keeps recent fps, never the resolving key") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-sweep-spec").toFile
-    def mk(name: String, ageMs: Long): java.io.File = {
+    def mk(name: String, ageMs: Long,
+        memberAgeMs: Option[Long] = None): java.io.File = {
       val d = new java.io.File(root, name)
       assert(d.mkdirs())
-      // a member file so deletion must recurse
-      java.nio.file.Files.write(new java.io.File(d, "part").toPath,
-        "x".getBytes)
+      // a member file so deletion must recurse; its age defaults to
+      // the dir's (build liveness keys on the NEWEST inner mtime)
+      val part = new java.io.File(d, "part")
+      java.nio.file.Files.write(part.toPath, "x".getBytes)
+      part.setLastModified(
+        System.currentTimeMillis() - memberAgeMs.getOrElse(ageMs))
       d.setLastModified(System.currentTimeMillis() - ageMs)
       d
     }
@@ -50,6 +54,12 @@ class ComposedArtifactsSpec extends SparkSpec {
     try {
       val staleBuild = mk(".build-pair-abc", 2 * day)
       val liveBuild = mk(".build-pair-def", day / 2)
+      // a build RUNNING past the TTL: top dir old (nested parquet
+      // writes never refresh it) but an inner file fresh — must
+      // survive (ADVICE round-13: the old top-mtime rule reclaimed
+      // these mid-build)
+      val longBuild = mk(".build-pair-ghi", 2 * day,
+        memberAgeMs = Some(day / 4))
       // six published pair fps, all past the TTL (ages 3-8 days,
       // oldest first), so retention is decided purely by the keep
       // window; fp0 is the key being re-obtained
@@ -59,6 +69,8 @@ class ComposedArtifactsSpec extends SparkSpec {
       ComposedArtifacts.sweep(root, "pair", "pair-v1-fp0")
       assert(!staleBuild.exists, "stale .build-* survived the sweep")
       assert(liveBuild.exists, "fresh .build-* (possibly live) was deleted")
+      assert(longBuild.exists,
+        "a live long-running build (old dir, fresh inner file) was reclaimed")
       assert(fps(0).exists, "the key being obtained was deleted")
       // keep = resolving + (KeepPerFamily-1)=3 most recent others
       // (fp5, fp4, fp3); fp1/fp2 are beyond the keep window AND past
