@@ -59,15 +59,20 @@ object Bench {
     // the PREVIOUS round's detail file (about to be overwritten below):
     // its query set splits this round's total into carried vs new cost,
     // so a round-over-round headline jump self-describes as surface
-    // growth vs regression without anyone re-deriving the common set
+    // growth vs regression without anyone re-deriving the common set.
+    // The prior run must be at THIS run's scale factor — a detail file
+    // left behind by a run at another SF would mislabel carried_total
+    // (ADVICE round-13), so the sf field gates the whole split
     val prevQueries: Set[String] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           Paths.get(detailPath)), "UTF-8")
+        val prevSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .map(_.group(1))
         val tag = "\"queries\":{"
         val start = txt.indexOf(tag)
         val end = if (start < 0) -1 else txt.indexOf('}', start)
-        if (start < 0 || end < 0) Set.empty
+        if (start < 0 || end < 0 || !prevSf.contains(sfDir)) Set.empty
         else "\"([^\"]+)\":".r
           .findAllMatchIn(txt.substring(start + tag.length, end))
           .map(_.group(1)).toSet
