@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.operators.{Curation, Dedup, SubstringDedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, Similarity, SubstringDedup, TextAnalysis}
 import graft.sources.Tables
 
 /** The PRODUCTION entry point for CONTINUOUS ingest — one corpus
@@ -18,7 +18,10 @@ import graft.sources.Tables
   *   bootstrap (once per warehouse): fingerprint store, MinHash
   *     signature store, span window index, NB count + serve
   *     artifacts, the composite gate's per-source threshold table
-  *     ([[Curation.gateThresholds]]), shard manifest of corpus v0,
+  *     ([[Curation.gateThresholds]]), the EMBEDDING-side serve
+  *     artifacts (IVF centroid model + cell table, PQ codebook +
+  *     code table — round-14: the ingest/takedown lifecycle reaches
+  *     the vector stores), shard manifest of corpus v0,
   *     and INTEGRITY RECEIPTS for the artifacts themselves
   *     ([[Curation.artifactManifest]]);
   *   per delivery (marginal, batch-proportional):
@@ -56,12 +59,16 @@ import graft.sources.Tables
   *   their own Bench scalar rather than polluting the marginal
   *   delivery cost; production runs them per corpus version or on a
   *   schedule, amortized across deliveries):
-  *     7. gate threshold re-calibration off the folded v1 model
-  *        ([[Curation.gateThresholdsFrom]] — one scoring pass with
-  *        only the narrow (doc_id, source, llr) projection riding
-  *        the rank window; a rank prefix is not an additive fold,
-  *        so this cannot be made delivery-proportional without
-  *        changing the cut's semantics);
+  *     7. gate threshold re-calibration off the folded v1 model:
+  *        the v1 score table derives from the PERSISTED TOKEN
+  *        PROFILES ([[TextAnalysis.nbScoreFromProfiles]] — one
+  *        vocabulary-sized LM join, corpus text never re-read), then
+  *        one rank window over (scores ⋈ doc_src)
+  *        ([[Curation.gateThresholdsFromScores]]); a rank prefix is
+  *        not an additive fold, so this stays corpus-version-
+  *        proportional — but to the narrow tables, not to text;
+  *        the ANN model retrain (`cal_ann_model`) is the vector
+  *        side's recalibration-class twin;
   *     8. v1 ARTIFACT RECEIPTS + their diff ([[Curation
   *        .artifactManifest]] re-hashes the refreshed stores — the
   *        "which artifact version gated this delivery" record; the
@@ -115,6 +122,18 @@ object IngestDemo {
       t.documents.filter(bucket >= baseBuckets))
   }
 
+  /** The EMBEDDING side of the same warehouse split, keyed on vec_id
+    * (the fixture's vector and document tables are independent; a
+    * production warehouse would resolve its doc→vector mapping and
+    * deliver both sides of the same crawl together).
+    */
+  private def embBaseAndDelivery(t: Tables,
+      baseBuckets: Int): (DataFrame, DataFrame) = {
+    val bucket = Curation.hashBucket(col("vec_id"), 10)
+    (t.embeddings.filter(bucket < baseBuckets),
+      t.embeddings.filter(bucket >= baseBuckets))
+  }
+
   /** The artifacts covered by the integrity receipts, as
     * (name, path-under-work) — v1 paths are `<path>_v1`. Covers the
     * six SERVE artifacts plus the two NB count tables: the counts are
@@ -128,7 +147,18 @@ object IngestDemo {
     "fp_store" -> "fp_store", "sig_store" -> "sig_store",
     "span_index" -> "span_index", "nb_vt" -> "nb_vt",
     "nb_dc" -> "nb_dc", "nb_lm" -> "nb_lm",
-    "nb_consts" -> "nb_consts", "gate_thr" -> "gate_thr")
+    "nb_consts" -> "nb_consts", "gate_thr" -> "gate_thr",
+    // the narrow scoring projections (round-14): per-doc token
+    // profiles, the (doc_id, source) table, and the per-doc score
+    // table whose generation suffix IS the model version that scored
+    // it — "which scores calibrated this cut table" is a receipt row
+    "tok_profiles" -> "tok_profiles", "doc_src" -> "doc_src",
+    "nb_scores" -> "nb_scores",
+    // the EMBEDDING-side serve artifacts (round-14: the takedown
+    // lifecycle reaches the vector stores too): IVF index pair +
+    // PQ codebook/code table
+    "ivf_centroids" -> "ivf_centroids", "ivf_cells" -> "ivf_cells",
+    "pq_codebook" -> "pq_codebook", "pq_codes" -> "pq_codes")
 
   /** [[stages]] with the corpus-v0/delivery split supplied as
     * DataFrames — the rehearsal entry point (ScaleRehearsal inflates
@@ -136,6 +166,7 @@ object IngestDemo {
     * applies the fixture's content-stable 80/20 md5 split.
     */
   def stagesOver(spark: SparkSession, base: DataFrame, delivery: DataFrame,
+      embBase: DataFrame, embDelivery: DataFrame,
       work: String, posSources: Seq[String] = Pos,
       negSources: Seq[String] = Neg): Seq[(String, () => Unit)] = {
     def rd(p: String) = spark.read.parquet(s"$work/$p")
@@ -169,14 +200,28 @@ object IngestDemo {
         val (lm, consts) = TextAnalysis.nbLmFromCounts(rd("nb_vt"), rd("nb_dc"))
         wr(lm, "nb_lm"); wr(consts, "nb_consts")
       },
-      "boot_gate_thr" -> (() =>
-        // the composite gate's per-source cut table, derived from the
-        // ALREADY-TRAINED model (one training pass total — the
-        // gateThresholdsFrom discipline); K rows, the whole windowed
-        // calibration cost is paid here once per corpus version so no
-        // delivery ever re-windows the accumulated corpus
-        wr(Curation.gateThresholdsFrom(rd("nb_lm"), rd("nb_consts"), base),
-          "gate_thr")),
+      "boot_profiles" -> { () =>
+        // per-doc TOKEN PROFILES + the narrow (doc_id, source)
+        // projection — tokenization is paid HERE, once per doc at
+        // ingest; every later scoring/calibration pass joins these
+        // narrow tables instead of re-reading corpus text (ADVICE
+        // round-13: cal_gate_thr used to re-tokenize corpus v1)
+        wr(TextAnalysis.tokenProfiles(base), "tok_profiles")
+        wr(base.select("doc_id", "source"), "doc_src")
+      },
+      "boot_gate_thr" -> { () =>
+        // the per-doc score table KEYED BY MODEL VERSION (the _v0/_v1
+        // generation suffix is the model version — receipts record
+        // which one gated what), derived from the persisted profiles;
+        // then the composite gate's K-row per-source cut table from
+        // ONE rank window over (scores ⋈ doc_src) — the whole
+        // windowed calibration cost is paid once per corpus version
+        // so no delivery ever re-windows the accumulated corpus
+        wr(TextAnalysis.nbScoreFromProfiles(rd("nb_lm"), rd("nb_consts"),
+          rd("tok_profiles")), "nb_scores")
+        wr(Curation.gateThresholdsFromScores(rd("nb_scores"), rd("doc_src")),
+          "gate_thr")
+      },
       "boot_manifest" -> { () =>
         // hierarchical form + the two persisted state tables of the
         // INCREMENTAL manifest: the per-doc unit store (partitioned by
@@ -188,6 +233,18 @@ object IngestDemo {
         wr(Curation.subManifestFromUnits(rdUnits("manifest_units")),
           "sub_manifest")
         wr(Curation.manifestFromSub(rd("sub_manifest")), "manifest_v0")
+      },
+      "boot_ann_index" -> { () =>
+        // the vector side of the warehouse: IVF centroid model +
+        // flat cell assignment, PQ codebook + code table — FAISS's
+        // write-index, relationally. Models train once per corpus
+        // version; the stores are row-local derivations under them,
+        // which is what makes their fold/retract exact
+        wr(Similarity.ivfCentroidsDf(embBase), "ivf_centroids")
+        wr(Similarity.cellsFromCentroids(rd("ivf_centroids"), embBase),
+          "ivf_cells")
+        wr(Similarity.pqCodebookDf(embBase), "pq_codebook")
+        wr(Similarity.pqEncodeFrom(rd("pq_codebook"), embBase), "pq_codes")
       },
       "boot_artifact_receipts" -> (() =>
         wr(receipts(""), "artifact_manifest_v0")),
@@ -229,8 +286,18 @@ object IngestDemo {
         val hotHits = Dedup.hotBucketPairs(rd("delivery_sigs"))
           .filter(col("est_jaccard") >= NearDupThreshold)
           .select(col("id2").as("doc_id"))
+        // ... and the STORE-side twin of the same blind spot: a
+        // delivery doc whose only collisions land in over-cap STORE
+        // buckets (a template family already saturating the index) is
+        // invisible to the capped store probe above — the index-vs-
+        // batch star scores it against each hot bucket's canonical
+        // store doc (ADVICE round-13)
+        val storeHotHits = Dedup.hotBucketProbe(rd("sig_store"),
+            rd("delivery_sigs"))
+          .filter(col("est_jaccard") >= NearDupThreshold)
+          .select(col("id2").as("doc_id"))
         val flagged = storeHits.unionByName(withinHits)
-          .unionByName(hotHits).distinct()
+          .unionByName(hotHits).unionByName(storeHotHits).distinct()
         wr(rd("admit_exact").join(flagged, Seq("doc_id"), "left_anti"),
           "admit_near")
       },
@@ -269,8 +336,14 @@ object IngestDemo {
           "manifest_delta")
       },
       "inc_fold_units" -> (() =>
-        wr(rdUnits("manifest_units").unionByName(rd("delivery_units")),
-          "manifest_units_v1")),
+        // the folded unit store keeps the boot store's (split, sub)
+        // partitioning: the takedown path's surviving-member re-read
+        // (retractedSubManifest) prunes on it, so removal cost stays
+        // removed-units-plus-touched-cells (ADVICE round-13 — a plain
+        // write here silently degraded that re-read to a full scan)
+        rdUnits("manifest_units").unionByName(rd("delivery_units"))
+          .write.mode("overwrite").partitionBy("split", "sub")
+          .parquet(s"$work/manifest_units_v1")),
       "inc_fold_fp" -> (() =>
         wr(rd("fp_store").unionByName(
           TextAnalysis.fingerprints(docsOf(rd("admitted")))), "fp_store_v1")),
@@ -289,18 +362,60 @@ object IngestDemo {
           TextAnalysis.nbLmFromCounts(rd("nb_vt_v1"), rd("nb_dc_v1"))
         wr(lm1, "nb_lm_v1"); wr(consts1, "nb_consts_v1")
       },
-      "cal_gate_thr" -> (() =>
-        // re-calibrate the per-source cuts off the FOLDED v1 model —
-        // one nbScoreFrom pass over corpus v1 with only the narrow
-        // (doc_id, source, llr_micro) projection riding the rank
-        // window. This is the one refresh that is corpus-version-
-        // proportional rather than delivery-proportional (a rank
-        // prefix is not an additive fold); production runs it on
-        // recalibration cadence — per corpus version, amortized
-        // across deliveries — which is why it sits in the refresh
-        // stage and not on the per-delivery gate path
-        wr(Curation.gateThresholdsFrom(rd("nb_lm_v1"), rd("nb_consts_v1"),
-          base.unionByName(docsOf(rd("admitted")))), "gate_thr_v1")),
+      "inc_fold_profiles" -> { () =>
+        // the admitted docs' profiles append (doc-keyed, row-local —
+        // the ONLY tokenization the recalibration path will ever need
+        // for them), as does the (doc_id, source) projection
+        wr(rd("tok_profiles").unionByName(
+          TextAnalysis.tokenProfiles(docsOf(rd("admitted")))),
+          "tok_profiles_v1")
+        wr(rd("doc_src").unionByName(
+          docsOf(rd("admitted")).select("doc_id", "source")), "doc_src_v1")
+      },
+      "inc_fold_ann" -> { () =>
+        // the delivery's vectors assign/encode under the SERVING (v0)
+        // model and APPEND — delivery-proportional, one broadcast-model
+        // scan each; assignment and encoding are row-local, so the
+        // fold is asserted bit-equal to a from-scratch pass under the
+        // same model (checksOver). The serve pair between recals is
+        // (v0 model, folded stores) — always consistent
+        wr(rd("ivf_cells").unionByName(
+          Similarity.cellsFromCentroids(rd("ivf_centroids"), embDelivery)),
+          "ivf_cells_fold")
+        wr(rd("pq_codes").unionByName(
+          Similarity.pqEncodeFrom(rd("pq_codebook"), embDelivery)),
+          "pq_codes_fold")
+      },
+      "cal_gate_thr" -> { () =>
+        // re-calibrate the per-source cuts off the FOLDED v1 model:
+        // the v1 SCORE TABLE derives from the persisted token
+        // profiles (one vocabulary-sized LM join — corpus TEXT is
+        // never re-read, let alone re-tokenized: ADVICE round-13),
+        // then one rank window over (scores ⋈ doc_src). Still
+        // corpus-version-proportional (a rank prefix is not an
+        // additive fold) — but proportional to the NARROW score
+        // table now, not to corpus text — so it stays on
+        // recalibration cadence, amortized across deliveries
+        wr(TextAnalysis.nbScoreFromProfiles(rd("nb_lm_v1"),
+          rd("nb_consts_v1"), rd("tok_profiles_v1")), "nb_scores_v1")
+        wr(Curation.gateThresholdsFromScores(rd("nb_scores_v1"),
+          rd("doc_src_v1")), "gate_thr_v1")
+      },
+      "cal_ann_model" -> { () =>
+        // centroid/codebook RETRAIN over corpus v1 — the ANN family's
+        // recalibration-class refresh (Lloyd passes are not an
+        // additive fold, exactly like the gate's rank prefix), then
+        // one row-local reassign/re-encode scan so the published v1
+        // generation is a CONSISTENT (model, store) pair. Between
+        // recals, serving rides the v0 model + folded stores above
+        val embV1 = embBase.unionByName(embDelivery)
+        wr(Similarity.ivfCentroidsDf(embV1), "ivf_centroids_v1")
+        wr(Similarity.cellsFromCentroids(rd("ivf_centroids_v1"), embV1),
+          "ivf_cells_v1")
+        wr(Similarity.pqCodebookDf(embV1), "pq_codebook_v1")
+        wr(Similarity.pqEncodeFrom(rd("pq_codebook_v1"), embV1),
+          "pq_codes_v1")
+      },
       "cal_artifact_receipts" -> { () =>
         // receipts over the REFRESHED artifact stores + the diff:
         // the per-artifact "changed/unchanged" record a warehouse
@@ -335,9 +450,12 @@ object IngestDemo {
     * admitted delivery.
     */
   def takedownStagesOver(spark: SparkSession, base: DataFrame,
-      delivery: DataFrame, work: String, posSources: Seq[String] = Pos,
+      delivery: DataFrame, embBase: DataFrame, embDelivery: DataFrame,
+      work: String, posSources: Seq[String] = Pos,
       negSources: Seq[String] = Neg): Seq[(String, () => Unit)] = {
     def rd(p: String) = spark.read.parquet(s"$work/$p")
+    // partition-typed unit-store read: see stagesOver's rdUnits
+    def rdUnits(p: String) = rd(p).withColumn("sub", col("sub").cast("long"))
     def wr(df: DataFrame, p: String): Unit =
       df.write.mode("overwrite").parquet(s"$work/$p")
     def docsOf(ids: DataFrame): DataFrame =
@@ -375,16 +493,75 @@ object IngestDemo {
       "tdn_manifest" -> { () =>
         wr(Curation.manifestUnits(withSplit(rd("removed_docs")),
           subShards = SubShards), "removed_units")
+        // the surviving-member re-read inside retractedSubManifest
+        // prunes on the unit store's (split, sub) partitioning — the
+        // removed-units-plus-touched-cells cost claim depends on
+        // inc_fold_units having written the store partitioned
         wr(Curation.retractedSubManifest(rd("sub_manifest_v1"),
-          rd("manifest_units_v1"), rd("removed_units")), "sub_manifest_v2")
+          rdUnits("manifest_units_v1"), rd("removed_units")),
+          "sub_manifest_v2")
         wr(Curation.manifestFromSub(rd("sub_manifest_v2")), "manifest_v2")
         wr(Curation.manifestDiff(rd("manifest_v1"), rd("manifest_v2")),
           "manifest_delta_v2")
-        wr(minusRemoved(rd("manifest_units_v1")), "manifest_units_v2")
+        minusRemoved(rdUnits("manifest_units_v1"))
+          .write.mode("overwrite").partitionBy("split", "sub")
+          .parquet(s"$work/manifest_units_v2")
       },
-      "tdn_gate_thr" -> (() =>
-        wr(Curation.gateThresholdsFrom(rd("nb_lm_v2"), rd("nb_consts_v2"),
-          minusRemoved(v1Docs)), "gate_thr_v2")),
+      "tdn_profiles" -> { () =>
+        // token profiles and the source projection are doc-keyed —
+        // right-to-be-forgotten is one anti-join each
+        wr(minusRemoved(rd("tok_profiles_v1")), "tok_profiles_v2")
+        wr(minusRemoved(rd("doc_src_v1")), "doc_src_v2")
+      },
+      "tdn_gate_thr" -> { () =>
+        // v2 score table from the RETRACTED model over the RETRACTED
+        // profiles — surviving corpus text is never re-read — then
+        // the rank window over the narrow tables (recalibration
+        // class: a takedown IS a corpus version change)
+        wr(TextAnalysis.nbScoreFromProfiles(rd("nb_lm_v2"),
+          rd("nb_consts_v2"), rd("tok_profiles_v2")), "nb_scores_v2")
+        wr(Curation.gateThresholdsFromScores(rd("nb_scores_v2"),
+          rd("doc_src_v2")), "gate_thr_v2")
+      },
+      "tdn_removal_vecs" -> (() =>
+        // the vector side of the removal: the same content-stable md5
+        // bucket rule applied to vec_id over the v1 embedding corpus
+        // (a production warehouse resolves removed doc_ids to their
+        // vectors; the fixture tables are independent, so the slice
+        // is drawn directly)
+        wr(embBase.unionByName(embDelivery)
+          .filter(Curation.hashBucket(col("vec_id"), 7) === 3)
+          .select("vec_id"), "removed_vecs")),
+      "tdn_ann_stores" -> { () =>
+        // IMMEDIATE right-to-be-forgotten on the id-keyed vector
+        // stores: anti-join the removal slice out of the v1 cell and
+        // code tables. Serving stays consistent — the retracted
+        // stores still pair with the v1 model, and because
+        // assignment/encoding are row-local the retract is asserted
+        // bit-equal to a from-scratch pass over the survivors under
+        // that same model (takedownChecksOver; q188/q189 gate the
+        // same property under the DuckDB oracle)
+        def minusVecs(df: DataFrame): DataFrame =
+          df.join(rd("removed_vecs"), Seq("vec_id"), "left_anti")
+        wr(minusVecs(rd("ivf_cells_v1")), "ivf_cells_tdn")
+        wr(minusVecs(rd("pq_codes_v1")), "pq_codes_tdn")
+      },
+      "tdn_ann_model" -> { () =>
+        // model retrain over the SURVIVORS — recalibration-class,
+        // like tdn_gate_thr (Lloyd centroids/codewords cannot be
+        // exactly downdated the way additive NB counts can; a model
+        // keeping statistical influence of removed vectors is exactly
+        // what a takedown must not leave behind) — then one row-local
+        // scan publishes the consistent v2 (model, store) pair
+        val surv = embBase.unionByName(embDelivery)
+          .join(rd("removed_vecs"), Seq("vec_id"), "left_anti")
+        wr(Similarity.ivfCentroidsDf(surv), "ivf_centroids_v2")
+        wr(Similarity.cellsFromCentroids(rd("ivf_centroids_v2"), surv),
+          "ivf_cells_v2")
+        wr(Similarity.pqCodebookDf(surv), "pq_codebook_v2")
+        wr(Similarity.pqEncodeFrom(rd("pq_codebook_v2"), surv),
+          "pq_codes_v2")
+      },
       "tdn_receipts" -> { () =>
         wr(receipts("_v2"), "artifact_manifest_v2")
         wr(Curation.manifestDiff(rd("artifact_manifest_v1"),
@@ -397,9 +574,11 @@ object IngestDemo {
     * invariants. Run AFTER [[takedownStagesOver]].
     */
   def takedownChecksOver(spark: SparkSession, base: DataFrame,
-      delivery: DataFrame, work: String, posSources: Seq[String] = Pos,
+      delivery: DataFrame, embBase: DataFrame, embDelivery: DataFrame,
+      work: String, posSources: Seq[String] = Pos,
       negSources: Seq[String] = Neg): Seq[(String, () => Unit)] = {
     def rd(p: String) = spark.read.parquet(s"$work/$p")
+    def rdUnits(p: String) = rd(p).withColumn("sub", col("sub").cast("long"))
     def docsOf(ids: DataFrame): DataFrame =
       delivery.join(ids.select("doc_id"), Seq("doc_id"))
     def v2: DataFrame = base.unionByName(docsOf(rd("admitted")))
@@ -443,14 +622,15 @@ object IngestDemo {
         same("manifest_v2", rd("manifest_v2"),
           Curation.shardManifest(withSplit(v2), subShards = SubShards))
         same("manifest_units_v2",
-          rd("manifest_units_v2").select("split", "sub", "doc_id", "fp",
+          rdUnits("manifest_units_v2").select("split", "sub", "doc_id", "fp",
             "n_tok"),
           Curation.manifestUnits(withSplit(v2), subShards = SubShards)
             .select("split", "sub", "doc_id", "fp", "n_tok"))
       },
       "no removed doc remains in any id-keyed store" -> { () =>
         val ids = rd("removed_docs").select("doc_id")
-        for (p <- Seq("fp_store_v2", "sig_store_v2", "manifest_units_v2")) {
+        for (p <- Seq("fp_store_v2", "sig_store_v2", "manifest_units_v2",
+            "tok_profiles_v2", "doc_src_v2", "nb_scores_v2")) {
           val left = rd(p).join(ids, Seq("doc_id")).count()
           require(left == 0, s"$left removed docs still present in $p")
         }
@@ -478,9 +658,49 @@ object IngestDemo {
         require(missed == 0,
           s"$missed re-submitted docs with surviving twins probed as new")
       },
+      "ann store takedown == rebuild under the serving model" -> { () =>
+        // the id-keyed retract (under the v1 model) must be
+        // bit-identical to assigning/encoding the survivors from
+        // scratch under that SAME model — the row-locality property
+        // that makes the vector-store takedown exact
+        val surv = embBase.unionByName(embDelivery)
+          .join(rd("removed_vecs"), Seq("vec_id"), "left_anti")
+        same("ivf_cells_tdn", rd("ivf_cells_tdn"),
+          Similarity.cellsFromCentroids(rd("ivf_centroids_v1"), surv))
+        same("pq_codes_tdn", rd("pq_codes_tdn"),
+          Similarity.pqEncodeFrom(rd("pq_codebook_v1"), surv))
+      },
+      "ann v2 serve == from-scratch index over survivors" -> { () =>
+        // the retrained v2 (model, store) pair must SERVE exactly what
+        // a from-scratch index build over the survivors serves — the
+        // composed==standalone discipline at the takedown boundary
+        // (non-vacuous: the persisted pair round-trips parquet)
+        val surv = embBase.unionByName(embDelivery)
+          .join(rd("removed_vecs"), Seq("vec_id"), "left_anti")
+          .localCheckpoint(true)
+        same("ivf_v2_serve",
+          Similarity.ivfTopKFrom(rd("ivf_centroids_v2"), rd("ivf_cells_v2"),
+            surv),
+          Similarity.ivfTopK(surv))
+        same("pq_v2_serve",
+          Similarity.pqAdcFromCodes(rd("pq_codes_v2"), rd("pq_codebook_v2"),
+            surv),
+          Similarity.pqAdcTopK(surv))
+      },
+      "no removed vector remains in any vector store" -> { () =>
+        val ids = rd("removed_vecs")
+        require(ids.count() > 0,
+          "empty vector removal slice — the ann takedown went unexercised")
+        for (p <- Seq("ivf_cells_tdn", "pq_codes_tdn", "ivf_cells_v2",
+            "pq_codes_v2")) {
+          val left = rd(p).join(ids, Seq("vec_id")).count()
+          require(left == 0, s"$left removed vectors still present in $p")
+        }
+      },
       "artifact receipts flip on the takedown" -> { () =>
         val stale = rd("artifact_delta_v2")
-          .filter(col("artifact").isin("fp_store", "sig_store", "span_index")
+          .filter(col("artifact").isin("fp_store", "sig_store", "span_index",
+            "ivf_cells", "pq_codes")
             && col("status") === "unchanged").count()
         require(stale == 0,
           s"$stale store receipts failed to flip on a non-empty takedown")
@@ -499,8 +719,11 @@ object IngestDemo {
   def stages(spark: SparkSession, sfDir: String, work: String,
       posSources: Seq[String] = Pos, negSources: Seq[String] = Neg,
       baseBuckets: Int = 8): Seq[(String, () => Unit)] = {
-    val (base, delivery) = baseAndDelivery(Tables(spark, sfDir), baseBuckets)
-    stagesOver(spark, base, delivery, work, posSources, negSources)
+    val t = Tables(spark, sfDir)
+    val (base, delivery) = baseAndDelivery(t, baseBuckets)
+    val (embBase, embDelivery) = embBaseAndDelivery(t, baseBuckets)
+    stagesOver(spark, base, delivery, embBase, embDelivery, work,
+      posSources, negSources)
   }
 
   /** Fold-vs-from-scratch equality per maintained artifact (over
@@ -510,35 +733,46 @@ object IngestDemo {
   def checks(spark: SparkSession, sfDir: String, work: String,
       posSources: Seq[String] = Pos, negSources: Seq[String] = Neg,
       baseBuckets: Int = 8): Seq[(String, () => Unit)] = {
-    val (base, delivery) = baseAndDelivery(Tables(spark, sfDir), baseBuckets)
-    checksOver(spark, base, delivery, work, posSources, negSources)
+    val t = Tables(spark, sfDir)
+    val (base, delivery) = baseAndDelivery(t, baseBuckets)
+    val (embBase, embDelivery) = embBaseAndDelivery(t, baseBuckets)
+    checksOver(spark, base, delivery, embBase, embDelivery, work,
+      posSources, negSources)
   }
 
   /** [[takedownStagesOver]] with the fixture's corpus split. */
   def takedownStages(spark: SparkSession, sfDir: String, work: String,
       posSources: Seq[String] = Pos, negSources: Seq[String] = Neg,
       baseBuckets: Int = 8): Seq[(String, () => Unit)] = {
-    val (base, delivery) = baseAndDelivery(Tables(spark, sfDir), baseBuckets)
-    takedownStagesOver(spark, base, delivery, work, posSources, negSources)
+    val t = Tables(spark, sfDir)
+    val (base, delivery) = baseAndDelivery(t, baseBuckets)
+    val (embBase, embDelivery) = embBaseAndDelivery(t, baseBuckets)
+    takedownStagesOver(spark, base, delivery, embBase, embDelivery, work,
+      posSources, negSources)
   }
 
   /** [[takedownChecksOver]] with the fixture's corpus split. */
   def takedownChecks(spark: SparkSession, sfDir: String, work: String,
       posSources: Seq[String] = Pos, negSources: Seq[String] = Neg,
       baseBuckets: Int = 8): Seq[(String, () => Unit)] = {
-    val (base, delivery) = baseAndDelivery(Tables(spark, sfDir), baseBuckets)
-    takedownChecksOver(spark, base, delivery, work, posSources, negSources)
+    val t = Tables(spark, sfDir)
+    val (base, delivery) = baseAndDelivery(t, baseBuckets)
+    val (embBase, embDelivery) = embBaseAndDelivery(t, baseBuckets)
+    takedownChecksOver(spark, base, delivery, embBase, embDelivery, work,
+      posSources, negSources)
   }
 
   /** [[checks]] over supplied base/delivery frames (the [[stagesOver]]
     * counterpart).
     */
   def checksOver(spark: SparkSession, base: DataFrame, delivery: DataFrame,
+      embBase: DataFrame, embDelivery: DataFrame,
       work: String, posSources: Seq[String] = Pos,
       negSources: Seq[String] = Neg): Seq[(String, () => Unit)] = {
     def rd(p: String) = spark.read.parquet(s"$work/$p")
     def docsOf(ids: DataFrame): DataFrame =
       delivery.join(ids.select("doc_id"), Seq("doc_id"))
+    def rdUnits(p: String) = rd(p).withColumn("sub", col("sub").cast("long"))
     def v1: DataFrame = base.unionByName(docsOf(rd("admitted")))
     // MULTISET equality via two-sided exceptAll — fully distributed
     // (no driver collect, so the check itself survives warehouse
@@ -624,6 +858,53 @@ object IngestDemo {
         require(hotPairs == 0,
           s"$hotPairs over-cap near-dup pairs survive among admitted")
       },
+      "admitted collide with no over-cap store bucket" -> { () =>
+        // the store-side star: an admitted doc matching the canonical
+        // doc of an over-cap STORE bucket slipped through the capped
+        // store probe — exactly the blind spot the index-vs-batch
+        // star probe in inc_near_dedup exists to close
+        val kept = rd("delivery_sigs").join(rd("admitted"), Seq("doc_id"))
+        val storeHot = Dedup.hotBucketProbe(rd("sig_store"), kept)
+          .filter(col("est_jaccard") >= NearDupThreshold).count()
+        require(storeHot == 0,
+          s"$storeHot admitted docs match over-cap store-bucket canonicals")
+      },
+      "profiles fold == from-scratch" -> { () =>
+        same("tok_profiles_v1", rd("tok_profiles_v1"),
+          TextAnalysis.tokenProfiles(v1))
+        same("doc_src_v1", rd("doc_src_v1"), v1.select("doc_id", "source"))
+      },
+      "persisted v1 scores == scoring corpus v1 text directly" -> (() =>
+        // the profile path (persisted narrow projection ⋈ v1 LM) must
+        // equal one text-scoring pass over corpus v1 — the equality
+        // that licenses never re-tokenizing at recalibration
+        same("nb_scores_v1", rd("nb_scores_v1"),
+          TextAnalysis.nbScoreFrom(rd("nb_lm_v1"), rd("nb_consts_v1"), v1))),
+      "ann fold == from-scratch under the v0 model" -> { () =>
+        // row-local assignment/encoding commute with row subsets:
+        // store ∪ delivery-derived rows must equal one from-scratch
+        // pass over corpus v1 under the SAME (v0) model, bit for bit
+        val embV1 = embBase.unionByName(embDelivery)
+        same("ivf_cells_fold", rd("ivf_cells_fold"),
+          Similarity.cellsFromCentroids(rd("ivf_centroids"), embV1))
+        same("pq_codes_fold", rd("pq_codes_fold"),
+          Similarity.pqEncodeFrom(rd("pq_codebook"), embV1))
+      },
+      "ann v1 serve == from-scratch index over v1" -> { () =>
+        // the recalibrated (model, store) pair, read back off parquet,
+        // must serve exactly what a from-scratch index build over
+        // corpus v1 serves — the q173/q174 composed==standalone
+        // equality at the ingest boundary
+        val embV1 = embBase.unionByName(embDelivery).localCheckpoint(true)
+        same("ivf_v1_serve",
+          Similarity.ivfTopKFrom(rd("ivf_centroids_v1"), rd("ivf_cells_v1"),
+            embV1),
+          Similarity.ivfTopK(embV1))
+        same("pq_v1_serve",
+          Similarity.pqAdcFromCodes(rd("pq_codes_v1"), rd("pq_codebook_v1"),
+            embV1),
+          Similarity.pqAdcTopK(embV1))
+      },
       "manifest diff is additive" -> { () =>
         val removed = rd("manifest_delta")
           .filter(col("status") === "removed").count()
@@ -644,7 +925,7 @@ object IngestDemo {
           Curation.subManifestFromUnits(v1Units)
             .select("split", "sub", "n_docs", "n_tok", "sub_md5"))
         same("manifest_units_v1",
-          rd("manifest_units_v1").select("split", "sub", "doc_id", "fp",
+          rdUnits("manifest_units_v1").select("split", "sub", "doc_id", "fp",
             "n_tok"),
           v1Units.select("split", "sub", "doc_id", "fp", "n_tok"))
       },
@@ -675,6 +956,15 @@ object IngestDemo {
               && col("status") === "unchanged").count()
           require(stale == 0,
             s"$stale store receipts failed to flip on a non-empty fold")
+        }
+        // the vector stores flip whenever the delivery carried vectors
+        if (embDelivery.limit(1).count() > 0) {
+          val staleVec = delta
+            .filter(col("artifact").isin("ivf_cells", "pq_codes")
+              && col("status") === "unchanged").count()
+          require(staleVec == 0,
+            s"$staleVec vector-store receipts failed to flip on a " +
+              "non-empty vector delivery")
         }
       })
   }

@@ -7,7 +7,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, Similarity, SubstringDedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, Similarity, SkewJoin, SubstringDedup, TextAnalysis}
 import graft.sources.Tables
 
 /** Scale rehearsal: run the heavy dedup/ANN family on a ~K× inflated
@@ -58,6 +58,38 @@ object ScaleRehearsal {
         col("embedding"), col("label"))
     }.reduce(_ unionAll _)
 
+  /** ADVERSARIAL-SKEW inflation (round-14): [[inflateDocuments]] plus
+    * the two worst shapes a crawl actually delivers —
+    *  - a POWER-LAW source distribution (src0 holds ~1/2 the corpus,
+    *    src1 ~1/4, … src5 the tail; deterministic md5-bucket mapping),
+    *    so every per-source shuffle has one hot key;
+    *  - ONE mass-duplicated template, 300·k byte-identical copies in
+    *    a disjoint id range — the hot-bucket scenario: one window
+    *    fingerprint with a 300k-fold count, LSH buckets far past the
+    *    cap, one fp with thousands of members.
+    * The skew legs run the sig/span store builds, the star probe, and
+    * the plain-vs-salted source aggregate over this corpus and report
+    * PER-TASK shuffle balance (p50/max) — a straggler shows up as
+    * max ≫ p50, which the balanced designs must not produce.
+    */
+  def inflateSkewedDocuments(docs: DataFrame, k: Int): DataFrame = {
+    // j = floor(log2(b+1)) over a 64-bucket hash is distributed
+    // P(j) = 2^j/64, so src index (5 − min(j,5)) is a power law with
+    // src0 ≈ 1/2 of rows — deterministic, content-stable
+    val j = floor(log2(Curation.hashBucket(col("doc_id"), 64) + 1))
+      .cast("int")
+    val skewedSrc = inflateDocuments(docs, k).withColumn("source",
+      concat(lit("src"), (lit(5) - least(j, lit(5))).cast("string")))
+    val copies = docs.filter(length(col("text")) > 200)
+      .agg(min_by(col("text"), col("doc_id")).as("text"))
+      .select(explode(sequence(lit(0L), lit(300L * k - 1))).as("i"),
+        col("text"))
+      .select((col("i") + 900000000L).as("doc_id"), col("text"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+    skewedSrc.unionByName(copies)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt)
@@ -76,10 +108,14 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // per-job-group counters (the Bench attribution pattern)
+    // per-job-group counters (the Bench attribution pattern) + a
+    // PER-TASK shuffle-read sample per group, for the skew legs'
+    // straggler diagnostic (max ≫ p50 = one task ate the hot key)
     val stageGroup = new ConcurrentHashMap[Integer, String]()
     def counter() = new ConcurrentHashMap[String, AtomicLong]()
     val cpuNs = counter(); val shWr = counter(); val shRd = counter()
+    val taskShRd = new ConcurrentHashMap[String,
+      java.util.concurrent.ConcurrentLinkedQueue[Long]]()
     def bump(m: ConcurrentHashMap[String, AtomicLong], k: String, v: Long): Unit =
       m.computeIfAbsent(k, _ => new AtomicLong(0L)).addAndGet(v)
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -94,12 +130,25 @@ object ScaleRehearsal {
           bump(cpuNs, g, m.executorCpuTime)
           bump(shWr, g, m.shuffleWriteMetrics.bytesWritten)
           bump(shRd, g, m.shuffleReadMetrics.totalBytesRead)
+          val rd = m.shuffleReadMetrics.totalBytesRead
+          if (rd > 0) taskShRd.computeIfAbsent(g,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]()).add(rd)
         }
       }
     })
 
     def ctr(m: ConcurrentHashMap[String, AtomicLong], k: String): Long =
       Option(m.get(k)).map(_.get()).getOrElse(0L)
+    // (p50, max, n) over the group's per-task shuffle-read bytes —
+    // shuffle-reading tasks only, so scan-only tasks don't dilute
+    def taskStats(k: String): (Long, Long, Int) = {
+      val q = taskShRd.get(k)
+      if (q == null || q.isEmpty) (0L, 0L, 0)
+      else {
+        val arr = q.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
+        (arr(arr.length / 2), arr.last, arr.length)
+      }
+    }
 
     val t = Tables(spark, sfDir)
 
@@ -110,13 +159,16 @@ object ScaleRehearsal {
     final case class Leg(name: String, needsDocs: Boolean = false,
         needsEmb: Boolean = false, needsSpanIdx: Boolean = false,
         needsNbIdx: Boolean = false, needsContPairs: Boolean = false,
-        needsManifestIdx: Boolean = false, needsGateIdx: Boolean = false)(
+        needsManifestIdx: Boolean = false, needsGateIdx: Boolean = false,
+        needsSkewDocs: Boolean = false)(
         val fn: () => DataFrame)
     val nbPos = Seq("src0", "src1", "src2")
     val nbNeg = Seq("src3", "src4", "src5")
 
     for (f <- factors) {
       lazy val docs = inflateDocuments(t.documents, f)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lazy val skewDocs = inflateSkewedDocuments(t.documents, f)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       lazy val emb = inflateEmbeddings(t.embeddings, f)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -293,7 +345,34 @@ object ScaleRehearsal {
               crawlOf(docs.filter(col("doc_id") < 500)),
               subShards = 4)))),
         Leg("q178_full_rehash", needsDocs = true)(() =>
-          Curation.shardManifest(crawlOf(docs), subShards = 4)))
+          Curation.shardManifest(crawlOf(docs), subShards = 4)),
+        // ---- adversarial-skew legs (round-14): power-law sources +
+        // one 300·f-copy template (see inflateSkewedDocuments). The
+        // claims under test: the sig/span STORE builds stay balanced
+        // (map-side partial aggregation absorbs the hot fingerprint
+        // before the shuffle), the star probe stays O(members), and
+        // the salted aggregate keeps per-task shuffle flat where the
+        // plain one concentrates the hot key — read the
+        // task_shrd_p50/max columns, not just the totals
+        Leg("skew_sig_store", needsSkewDocs = true)(() =>
+          Dedup.minhashSignatures(skewDocs)),
+        Leg("skew_span_store", needsSkewDocs = true)(() =>
+          SubstringDedup.windowIndex(skewDocs)),
+        Leg("skew_star_probe", needsSkewDocs = true)(() =>
+          Dedup.hotBucketPairs(Dedup.minhashSignatures(skewDocs))),
+        Leg("skew_agg_plain", needsSkewDocs = true)(() =>
+          skewDocs.groupBy(col("source"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_chars")).as("chars"))),
+        Leg("skew_agg_salted", needsSkewDocs = true)(() =>
+          SkewJoin.saltedAgg(skewDocs.select("source", "n_chars"),
+            Seq("source"), salt = 32)(
+            _.agg(count(lit(1)).as("c"), sum(col("n_chars")).as("s")),
+            _.agg(sum(col("c")).as("n"), sum(col("s")).as("chars")))),
+        // the diagnostic a pipeline reads BEFORE choosing a strategy:
+        // the top key's share under the power law (src0 ≈ 50%)
+        Leg("skew_key_profile", needsSkewDocs = true)(() =>
+          SkewJoin.keySkewProfile(skewDocs, "source")))
       val sel = family.filter(l => selected(l.name))
       val (needDocs, needEmb) =
         (sel.exists(_.needsDocs) || sel.exists(_.needsSpanIdx) ||
@@ -301,6 +380,7 @@ object ScaleRehearsal {
       // force the shared inputs OUTSIDE the timed spans
       val nd = if (needDocs) docs.count() else 0L
       val ne = if (needEmb) emb.count() else 0L
+      val nSkew = if (sel.exists(_.needsSkewDocs)) skewDocs.count() else 0L
       if (sel.exists(_.needsSpanIdx)) spanIdx.count()
       if (sel.exists(_.needsNbIdx)) nbIdx._1.count()
       if (sel.exists(_.needsContPairs)) contPairs.count()
@@ -322,11 +402,17 @@ object ScaleRehearsal {
         // its own signatures/shingles); operator-internal persists
         // unpersist themselves
         val wall = (System.nanoTime() - t0) / 1e9
+        // let the async bus drain so the per-task stats are complete
+        Thread.sleep(300)
+        val (p50, mx, nTasks) = taskStats(g)
+        val legDocs = if (leg.needsSkewDocs) nSkew else nd
         println(f"""{"factor":$f,"query":"${leg.name}","rows":$rows,""" +
-          f""""docs":$nd,"vecs":$ne,"wall_sec":$wall%.2f,""" +
+          f""""docs":$legDocs,"vecs":$ne,"wall_sec":$wall%.2f,""" +
           f""""cpu_sec":${ctr(cpuNs, g) / 1e9}%.2f,""" +
           f""""shuffle_write_mb":${ctr(shWr, g) / 1e6}%.1f,""" +
-          f""""shuffle_read_mb":${ctr(shRd, g) / 1e6}%.1f}""")
+          f""""shuffle_read_mb":${ctr(shRd, g) / 1e6}%.1f,""" +
+          f""""task_shrd_p50_mb":${p50 / 1e6}%.2f,""" +
+          f""""task_shrd_max_mb":${mx / 1e6}%.2f,"sh_tasks":$nTasks}""")
       }
       // ---- end-to-end IngestDemo rehearsal (select "ingest_e2e") ----
       // the WHOLE boot + one-delivery path — artifact IO included,
@@ -348,6 +434,15 @@ object ScaleRehearsal {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val iDelivery = t.documents.filter(bucket >= 8)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the embedding side rides the same shape: inflated vector
+        // base, fixed-size vector delivery (id-shift inflation — ANN
+        // cost is row-linear regardless of duplicate geometry)
+        val vBucket = Curation.hashBucket(col("vec_id"), 10)
+        val iEmbBase = inflateEmbeddings(t.embeddings.filter(vBucket < 8), f)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val iEmbDelivery = t.embeddings.filter(vBucket >= 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        iEmbBase.count(); iEmbDelivery.count()
         val nBase = iBase.count(); val nDel = iDelivery.count()
         val work = java.nio.file.Files
           .createTempDirectory("graft-rehearse-ingest").toString
@@ -360,8 +455,8 @@ object ScaleRehearsal {
         // store-linear cost with the surviving text never re-read,
         // not delivery-flatness
         for ((name, fn) <- IngestDemo.stagesOver(spark, iBase, iDelivery,
-            work) ++ IngestDemo.takedownStagesOver(spark, iBase,
-            iDelivery, work)) {
+            iEmbBase, iEmbDelivery, work) ++ IngestDemo.takedownStagesOver(
+            spark, iBase, iDelivery, iEmbBase, iEmbDelivery, work)) {
           val phase =
             if (name.startsWith("boot_")) "boot"
             else if (name.startsWith("cal_")) "recal"
@@ -393,9 +488,11 @@ object ScaleRehearsal {
         }
         FsUtil.rmTree(new java.io.File(work))
         iBase.unpersist(false); iDelivery.unpersist(false)
+        iEmbBase.unpersist(false); iEmbDelivery.unpersist(false)
       }
       if (needDocs) docs.unpersist(false)
       if (needEmb) emb.unpersist(false)
+      if (sel.exists(_.needsSkewDocs)) skewDocs.unpersist(false)
       if (sel.exists(_.needsSpanIdx)) spanIdx.unpersist(false)
       if (sel.exists(_.needsNbIdx)) {
         nbIdx._1.unpersist(false); nbIdx._2.unpersist(false)

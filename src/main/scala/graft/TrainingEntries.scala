@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import org.apache.spark.sql.functions.{col, concat, lit, md5, posexplode, when}
+import org.apache.spark.sql.functions.{col, concat, explode, length, lit, md5, min_by, posexplode, sequence, when}
 
 import graft.analytics.DistributionFit
 import graft.operators.{BloomDecontam, Bpe, Curation, Dedup, Events, Multimodal, Similarity, Sketches, SkewJoin, StarQueries, SubstringDedup, TextAnalysis}
@@ -705,6 +705,112 @@ object TrainingEntries {
         lm, consts, t.documents,
         minEntropyMilli = 3900L, maxEntropyMilli = 4500L)
     }),
+    // The hot-bucket STAR RESCUE hash-gated (not just spec-pinned):
+    // the corpus is inflated with 300 byte-identical copies of a
+    // deterministic template doc, driving its LSH buckets past the
+    // 256 cap — the capped all-pairs probe (q26's form) then drops
+    // them by design, and the oracle REPRODUCES that blind spot in
+    // SQL (okb <= 256) before unioning the star pairs back in. A
+    // hash match proves the rescue finds exactly the over-cap pairs
+    // and nothing else. One signature pass shared by both probes.
+    "q185_hot_bucket_rescue" -> q(t => {
+      val docs = t.documents.select(col("doc_id"), col("text"))
+      // template = the smallest doc_id with non-degenerate text; 300
+      // copies at a disjoint id range (fixture ids are ≤ ~1e5)
+      val copies = docs.filter(length(col("text")) > 200)
+        .agg(min_by(col("text"), col("doc_id")).as("text"))
+        .select(explode(sequence(lit(0L), lit(299L))).as("i"), col("text"))
+        .select((col("i") + 10000000L).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(copies)
+      val occ = Dedup.shingleOccurrences(corpus)
+      val sigs = Dedup.minhashSignaturesFrom(occ).localCheckpoint(true)
+      val capped = Dedup.jaccardFor(Dedup.lshCandidates(sigs), occ)
+        .filter(col("jaccard") >= 0.7).select("id1", "id2")
+      val star = Dedup.hotBucketPairs(sigs)
+        .filter(col("est_jaccard") >= 0.7).select("id1", "id2")
+      capped.unionByName(star).distinct()
+    }),
+    // INCREMENTAL maintenance of the exact-verify pair store (the
+    // round-13 standing `weak`): the even docs' verified-pair table
+    // is the persisted store; the odd docs fold in as a delivery
+    // (jaccardPairsFold — delivery-probe candidates + df-cut crossing
+    // repair), and the oracle is q27's SQL over the FULL corpus
+    // verbatim — fold == rebuild, so the standalone q27 rebuild
+    // demotes to the offline role and deliveries pay marginal cost
+    "q186_jaccard_fold" -> q(t => {
+      val even = Dedup.shingles(t.documents.filter(col("doc_id") % 2 === 0))
+        .localCheckpoint(true)
+      val odd = Dedup.shingles(t.documents.filter(col("doc_id") % 2 === 1))
+        .localCheckpoint(true)
+      Dedup.jaccardPairsFold(
+        Dedup.ngramJaccardFromShingles(even), even, odd)
+    }),
+    // ... and its TAKEDOWN inverse: odd docs retracted from the
+    // full-corpus store (endpoint anti-joins + uncrossed-shingle
+    // candidacies re-verified), gated by q27's SQL over the evens
+    "q187_jaccard_retract" -> q(t => {
+      val all = Dedup.shingles(t.documents).localCheckpoint(true)
+      Dedup.jaccardPairsRetract(
+        Dedup.ngramJaccardFromShingles(all), all,
+        t.documents.filter(col("doc_id") % 2 === 1).select("doc_id"))
+    }),
+    // TAKEDOWN of the IVF cell store: odd vectors anti-join out of
+    // the full-corpus assignment and serving continues under the v1
+    // centroid model — assignment is row-local, so the retracted
+    // store equals from-scratch assignment of the survivors under
+    // that model, and the oracle (q34's SQL with corpus AND queries
+    // restricted to the surviving evens, centroids still trained on
+    // the full corpus) hash-gates exactly that serve path
+    "q188_ivf_retract" -> q(t => {
+      val emb = t.embeddings
+      val cents = Similarity.ivfCentroidsDf(emb)
+      val removed = emb.filter(col("vec_id") % 2 === 1).select("vec_id")
+      Similarity.ivfTopKFrom(cents,
+        Similarity.cellsFromCentroids(cents, emb)
+          .join(removed, Seq("vec_id"), "left_anti"),
+        emb.join(removed, Seq("vec_id"), "left_anti"))
+    }),
+    // The PROFILE scoring path under the production oracle: scores
+    // derived from the persisted per-doc token profiles (one LM join,
+    // no text access) must equal the end-to-end classifier — q156's
+    // SQL verbatim gates the narrow-projection recalibration path
+    "q190_nb_from_profiles" -> q(t => {
+      val (lm, consts) = TextAnalysis.nbModel(t.documents,
+        posSources = Seq("src0", "src1", "src2"),
+        negSources = Seq("src3", "src4", "src5"))
+      TextAnalysis.nbScoreFromProfiles(lm, consts,
+        TextAnalysis.tokenProfiles(t.documents))
+    }),
+    // The SIGNED commutative receipt digest (round-14): the full
+    // corpus delivers (+1) and the odd docs retract (−1) through ONE
+    // groupBy-sum — no member set, the form a streaming state store
+    // can maintain — and the surviving cells must equal the digest
+    // sub-manifest computed over the evens from scratch (the oracle,
+    // deterministic integer arithmetic mod the prime 2^61−1)
+    "q191_signed_digest" -> q(t => {
+      val withSplit = t.documents.join(
+        Curation.hashSplit(t.documents).select("doc_id", "split"),
+        Seq("doc_id"))
+      val full = Curation.manifestUnits(withSplit, subShards = 4)
+        .withColumn("op", lit(1L))
+      val odd = Curation.manifestUnits(
+        withSplit.filter(col("doc_id") % 2 === 1), subShards = 4)
+        .withColumn("op", lit(-1L))
+      Curation.signedSubDigest(full.unionByName(odd))
+    }),
+    // ... and of the PQ code table: odd vectors retracted, ADC served
+    // under the v1 codebook — row-local encoding makes the retract
+    // exact; q118's SQL with the code table and queries restricted to
+    // the evens (codebook trained on the full corpus) is the gate
+    "q189_pq_retract" -> q(t => {
+      val emb = t.embeddings
+      val cb = Similarity.pqCodebookDf(emb)
+      val removed = emb.filter(col("vec_id") % 2 === 1).select("vec_id")
+      Similarity.pqAdcFromCodes(
+        Similarity.pqEncodeFrom(cb, emb)
+          .join(removed, Seq("vec_id"), "left_anti"),
+        cb, emb.join(removed, Seq("vec_id"), "left_anti"))
+    }),
   )
 
   /** Composed twin → standalone sibling; the twin's oracle SQL is the
@@ -735,6 +841,14 @@ object TrainingEntries {
     // the served gate on its training corpus IS the windowed gate
     "q179_gate_served"             -> "q164_composite_gate",
     "q180_jaccard_composed"        -> "q27_ngram_jaccard",
+    // verified-pair store fold: fold(evens-store, odds) == rebuild
+    // over the grown corpus, so q27's batch SQL gates the incremental
+    // maintenance verbatim (the q178/q161 additivity pattern applied
+    // to the one family that was still rebuild-only)
+    "q186_jaccard_fold"            -> "q27_ngram_jaccard",
+    // the profile path scores exactly what the end-to-end classifier
+    // scores — q156's SQL gates the narrow projection verbatim
+    "q190_nb_from_profiles"        -> "q156_nb_classifier",
     "q181_calibration_composed"    -> "q98_est_calibration")
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
@@ -1088,6 +1202,46 @@ object TrainingEntries {
 
   private lazy val nbScoreAllSql: String = nbScoreSql("TRUE")
 
+  /** The exact n-gram Jaccard pipeline (df≤100 candidate cut, full-set
+    * verify, threshold 0.5) over the `docFilter` slice of `documents` —
+    * "TRUE" is q27's batch oracle and, verbatim, the q180/q186
+    * composed/incremental twins' gate; "doc_id % 2 = 0" gates q187's
+    * takedown of the verified-pair store.
+    */
+  private def jaccardSql(docFilter: String): String =
+    s"""WITH docs AS (SELECT doc_id, $norm AS norm FROM documents
+       |              WHERE $docFilter),
+       |sh AS (SELECT DISTINCT doc_id, substr(norm, i, 5) AS shingle FROM (
+       |       SELECT doc_id, norm,
+       |         unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+       |       FROM docs)),
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+       |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+       |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |          FROM shr a JOIN shr b
+       |          ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |common AS (SELECT c.id1, c.id2, COUNT(*) AS common
+       |           FROM cands c
+       |           JOIN sh a ON a.doc_id = c.id1
+       |           JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+       |           GROUP BY c.id1, c.id2),
+       |j AS (SELECT id1, id2,
+       |        CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE) AS jaccard
+       |      FROM common
+       |      JOIN sizes s1 ON s1.doc_id = id1
+       |      JOIN sizes s2 ON s2.doc_id = id2)
+       |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5
+       |ORDER BY id1, id2""".stripMargin
+
+  /** The per-unit 60-bit commutative digest over the same "doc_id:fp"
+    * identity string as the sorted-concat receipt — mirrors
+    * Curation.unitDig (15 md5 hex chars < 2^60 < 2^61−1).
+    */
+  private val unitDigSql =
+    "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), " +
+      "':', fp)), 1, 15)) AS BIGINT)"
+
   /** Hierarchical (subShards = 4) manifest over the `docFilter` slice
     * of `documents` — "TRUE" is the q160/q162/q178 batch oracle;
     * "doc_id % 2 = 0" gates q184's takedown receipt.
@@ -1110,11 +1264,15 @@ object TrainingEntries {
        |sm AS (SELECT split, sub, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |    CAST(SUM(n_tok) AS BIGINT) AS n_tok,
        |    md5(string_agg(concat(CAST(doc_id AS VARCHAR), ':', fp), ''
-       |      ORDER BY doc_id)) AS sub_md5
+       |      ORDER BY doc_id)) AS sub_md5,
+       |    CAST(SUM(CAST($unitDigSql AS HUGEINT))
+       |      % 2305843009213693951 AS BIGINT) AS sub_dig61
        |  FROM d GROUP BY split, sub)
        |SELECT split, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
        |  CAST(SUM(n_tok) AS BIGINT) AS n_tok,
-       |  md5(string_agg(sub_md5, '' ORDER BY sub)) AS content_md5
+       |  md5(string_agg(sub_md5, '' ORDER BY sub)) AS content_md5,
+       |  CAST(SUM(CAST(sub_dig61 AS HUGEINT))
+       |    % 2305843009213693951 AS BIGINT) AS content_dig61
        |FROM sm GROUP BY split ORDER BY split""".stripMargin
 
   /** Nearest-centroid classifier CTEs (q158/q159), mirroring
@@ -1499,30 +1657,15 @@ object TrainingEntries {
          |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.7
          |ORDER BY id1, id2""".stripMargin,
 
-    "q27_ngram_jaccard" ->
-      s"""WITH docs AS (SELECT doc_id, $norm AS norm FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, substr(norm, i, 5) AS shingle FROM (
-         |       SELECT doc_id, norm,
-         |         unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i
-         |       FROM docs)),
-         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
-         |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-         |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |          FROM shr a JOIN shr b
-         |          ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-         |common AS (SELECT c.id1, c.id2, COUNT(*) AS common
-         |           FROM cands c
-         |           JOIN sh a ON a.doc_id = c.id1
-         |           JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
-         |           GROUP BY c.id1, c.id2),
-         |j AS (SELECT id1, id2,
-         |        CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE) AS jaccard
-         |      FROM common
-         |      JOIN sizes s1 ON s1.doc_id = id1
-         |      JOIN sizes s2 ON s2.doc_id = id2)
-         |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5
-         |ORDER BY id1, id2""".stripMargin,
+    "q27_ngram_jaccard" -> jaccardSql("TRUE"),
+
+    // TAKEDOWN of the verified-pair store: the odd docs retract from
+    // the full-corpus pair table (jaccardPairsRetract — endpoint
+    // anti-joins + uncrossed-shingle candidacies) and the oracle is
+    // the q27 pipeline over the SURVIVING slice — a hash match proves
+    // retract == from-scratch-over-evens including the df-cut
+    // candidacy changes
+    "q187_jaccard_retract" -> jaccardSql("doc_id % 2 = 0"),
 
     "q28_simhash" ->
       s"""WITH $simhashSigCte
@@ -3441,7 +3584,9 @@ object TrainingEntries {
          |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(n_tok) AS BIGINT) AS n_tok,
          |  md5(string_agg(concat(CAST(doc_id AS VARCHAR), ':', fp), ''
-         |    ORDER BY doc_id)) AS content_md5
+         |    ORDER BY doc_id)) AS content_md5,
+         |  CAST(SUM(CAST($unitDigSql AS HUGEINT))
+         |    % 2305843009213693951 AS BIGINT) AS content_dig61
          |FROM d GROUP BY split ORDER BY split""".stripMargin,
 
     // Mirrors Curation.manifestDiff over two shardManifest receipts:
@@ -4088,6 +4233,135 @@ object TrainingEntries {
          |FROM ranked r JOIN gr ON gr.doc_id = r.doc_id
          |JOIN ent ON ent.doc_id = r.doc_id
          |ORDER BY r.doc_id""".stripMargin,
+
+    // q26's capped LSH pipeline over a corpus inflated with 300
+    // template copies, its cap blind spot reproduced verbatim
+    // (okb <= 256), then the per-(band,bhash) star pairs — each
+    // over-cap member vs the bucket's min doc_id, scored by
+    // signature agreement — unioned back in (UNION dedups, matching
+    // the Spark .distinct())
+    "q185_hot_bucket_rescue" ->
+      s"""WITH tmpl AS (SELECT min(doc_id) AS tid FROM documents
+         |             WHERE length(text) > 200),
+         |docsx AS (SELECT doc_id, text FROM documents
+         |          UNION ALL
+         |          SELECT 10000000 + gs AS doc_id, d.text
+         |          FROM documents d, tmpl, generate_series(0, 299) AS g(gs)
+         |          WHERE d.doc_id = tmpl.tid),
+         |docs AS (SELECT doc_id, $norm AS norm FROM docsx),
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(norm, i, 5) AS shingle FROM (
+         |       SELECT doc_id, norm,
+         |         unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+         |       FROM docs)),
+         |$hashedShinglesCte,
+         |sig AS MATERIALIZED (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
+         |bands AS MATERIALIZED ($bandsSql),
+         |okb AS (SELECT band, bhash FROM bands
+         |        GROUP BY band, bhash HAVING COUNT(*) <= 256),
+         |bb AS (SELECT bands.doc_id, bands.band, bands.bhash
+         |       FROM bands JOIN okb USING (band, bhash)),
+         |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |          FROM bb a JOIN bb b
+         |          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.id1, c.id2, COUNT(*) AS common
+         |           FROM cands c
+         |           JOIN sh a ON a.doc_id = c.id1
+         |           JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+         |           GROUP BY c.id1, c.id2),
+         |dup AS (SELECT id1, id2 FROM (
+         |          SELECT id1, id2,
+         |            CAST(common AS DOUBLE) / CAST(s1.sz + s2.sz - common AS DOUBLE) AS jaccard
+         |          FROM common
+         |          JOIN sizes s1 ON s1.doc_id = id1
+         |          JOIN sizes s2 ON s2.doc_id = id2)
+         |        WHERE jaccard >= 0.7),
+         |hot AS (SELECT band, bhash, MIN(doc_id) AS hid
+         |        FROM bands GROUP BY band, bhash HAVING COUNT(*) > 256),
+         |starc AS (SELECT DISTINCT h.hid AS id1, b.doc_id AS id2
+         |          FROM bands b JOIN hot h
+         |          ON b.band = h.band AND b.bhash = h.bhash
+         |          WHERE b.doc_id <> h.hid),
+         |agree AS (SELECT c.id1, c.id2, $sigAgreeSql AS n_agree
+         |          FROM starc c
+         |          JOIN sig a ON a.doc_id = c.id1
+         |          JOIN sig b ON b.doc_id = c.id2),
+         |star AS (SELECT id1, id2 FROM agree
+         |         WHERE n_agree >= 8 AND CAST(n_agree AS DOUBLE) / 16 >= 0.7)
+         |SELECT id1, id2 FROM dup UNION SELECT id1, id2 FROM star
+         |ORDER BY id1, id2""".stripMargin,
+
+    // the digest sub-manifest over the surviving evens, from scratch —
+    // the signed +full/−odd fold must land exactly here (integer
+    // arithmetic mod 2^61−1, HUGEINT sums so nothing overflows)
+    "q191_signed_digest" ->
+      s"""WITH mdocs AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN b < 80 THEN 'train'
+         |         WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |        AS BIGINT) % 100 AS b FROM mdocs)),
+         |d AS (SELECT s.split, dd.doc_id,
+         |    CAST(concat('0x', substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 4 AS sub,
+         |    COALESCE(md5($norm), 'null') AS fp,
+         |    COALESCE(CASE WHEN length($norm) = 0 THEN 0
+         |         ELSE len(string_split($norm, ' ')) END, 0) AS n_tok
+         |  FROM mdocs dd JOIN sp s ON s.doc_id = dd.doc_id)
+         |SELECT split, sub, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+         |  CAST(SUM(CAST($unitDigSql AS HUGEINT))
+         |    % 2305843009213693951 AS BIGINT) AS sub_dig61
+         |FROM d GROUP BY split, sub ORDER BY split, sub""".stripMargin,
+
+    // q34's pipeline with the CORPUS side and the query set restricted
+    // to the surviving (even) vectors while the ivfCte still trains on
+    // the FULL flat table — the serve-under-v1-model takedown semantics
+    "q188_ivf_retract" ->
+      s"""WITH $flatCte,
+         |${ivfCte(nCentroids = 16, lloydIters = 2, nprobe = 2)},
+         |pairs AS (SELECT q.vec_id AS qid, c.vec_id AS cid
+         |          FROM probes q JOIN assign c ON q.cell = c.cell
+         |          WHERE q.vec_id < 10 AND q.vec_id % 2 = 0
+         |            AND c.vec_id % 2 = 0 AND q.vec_id <> c.vec_id),
+         |dots AS (SELECT p.qid, p.cid, SUM(fq.v * fc.v) AS dot
+         |         FROM pairs p
+         |         JOIN flat fq ON fq.vec_id = p.qid
+         |         JOIN flat fc ON fc.vec_id = p.cid AND fc.i = fq.i
+         |         GROUP BY p.qid, p.cid),
+         |cos AS (SELECT qid, cid, CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+         |        FROM dots
+         |        JOIN norms nq ON nq.vec_id = qid
+         |        JOIN norms nc ON nc.vec_id = cid),
+         |r AS (SELECT qid, cid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rn
+         |      FROM cos)
+         |SELECT qid, cid, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    // q118's pipeline with the code table and the query set restricted
+    // to the surviving (even) vectors, codebook trained on the full
+    // corpus — the PQ takedown's serve semantics
+    "q189_pq_retract" ->
+      s"""WITH $flatCte,
+         |${pqCte(m = 4, dsub = 16, ksub = 16, iters = 2)},
+         |plut AS (SELECT s.vec_id AS qid, s.sub, c.c_id AS code,
+         |           CAST(SUM((s.v - c.cv) * (s.v - c.cv)) AS BIGINT) AS d
+         |         FROM sflat s JOIN p2 c ON c.sub = s.sub AND c.j = s.j
+         |         WHERE s.vec_id < 10 AND s.vec_id % 2 = 0
+         |         GROUP BY s.vec_id, s.sub, c.c_id),
+         |padc AS (SELECT l.qid, e.vec_id AS cid,
+         |           CAST(SUM(l.d) AS BIGINT) AS adist
+         |         FROM penc e JOIN plut l
+         |           ON l.sub = e.sub AND l.code = e.code
+         |         WHERE l.qid <> e.vec_id AND e.vec_id % 2 = 0
+         |         GROUP BY l.qid, e.vec_id)
+         |SELECT qid, cid, adist, rn FROM (
+         |  SELECT qid, cid, adist,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY adist, cid) AS BIGINT) AS rn
+         |  FROM padc)
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
   )
 
   /** The driver-facing oracle map: every standalone SQL plus the

@@ -848,6 +848,20 @@ object Curation {
         .select($("doc_id"), $("llr_micro")),
       documents, keepPermille)
 
+  /** [[gateThresholds]] off a PERSISTED per-doc score table —
+    * the recalibration-cadence form (ADVICE round-13): `scores`
+    * carries (doc_id, llr_micro) rows for the corpus version under
+    * the model version being calibrated (e.g. [[graft.operators
+    * .TextAnalysis.nbScoreFromProfiles]] output persisted next to
+    * the model), `docSrc` the narrow (doc_id, source) projection.
+    * The cut derivation is then ONE rank window over two narrow
+    * tables — corpus text is never read, let alone re-tokenized.
+    */
+  def gateThresholdsFromScores(scores: DataFrame, docSrc: DataFrame,
+      keepPermille: Int = 900): DataFrame =
+    thresholdsFromScores(scores.select($("doc_id"), $("llr_micro")),
+      docSrc, keepPermille)
+
   private def thresholdsFromScores(nb: DataFrame, documents: DataFrame,
       keepPermille: Int): DataFrame = {
     val byLlr = Window.partitionBy($("source"))
@@ -1134,7 +1148,8 @@ object Curation {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum($("n_tok")).cast("long").as("n_tok"),
           unitHash(collect_list(struct($("doc_id"), $("fp"))))
-            .as("content_md5"))
+            .as("content_md5"),
+          digSum(unitDig($("doc_id"), $("fp"))).as("content_dig61"))
     else
       manifestFromSub(
         subManifestFromUnits(
@@ -1169,6 +1184,60 @@ object Curation {
     md5(concat_ws("", transform(array_sort(rows),
       x => concat(x("doc_id").cast("string"), lit(":"), x("fp")))))
 
+  /** Modulus of the COMMUTATIVE receipt digest: 2^61 − 1 (a Mersenne
+    * prime, so no small-factor structure in collisions).
+    */
+  private[graft] val Dig61P = 2305843009213693951L
+
+  /** Per-unit 60-bit integer digest over the SAME "doc_id:fp"
+    * identity string as [[unitHash]] — 15 md5 hex chars, always
+    * < 2^60 < [[Dig61P]]. private[graft]: the streaming twin
+    * ([[graft.streaming.DocStreams.manifestDigestStreamSigned]])
+    * derives the same per-unit value in-stream.
+    */
+  private[graft] def unitDig(docId: Column, fp: Column): Column =
+    conv(substring(md5(concat(docId.cast("string"), lit(":"), fp)),
+      1, 15), 16, 10).cast("long")
+
+  /** Σ digest mod [[Dig61P]] — summed as DECIMAL(38,0) so no corpus
+    * size can overflow before the mod (10^38 ≫ 2^60 · row-count).
+    * Inputs are non-negative, so no pmod dance is needed.
+    */
+  private def digSum(dig: Column): Column =
+    (sum(dig.cast("decimal(38,0)")) % lit(Dig61P)).cast("long")
+
+  /** The SIGNED digest fold — the streaming/batch twin of the
+    * sub-manifest's `sub_dig61` column: `signedUnits` is
+    * [[manifestUnits]]-shaped rows plus an `op` column (+1 delivery,
+    * −1 takedown); per (shard, sub) cell it returns the surviving
+    * multiset's (n_docs, n_tok, sub_dig61), exactly what
+    * [[subManifestFromUnits]] computes over the survivors — because
+    * the digest is a SUM mod a prime, retraction is subtraction, no
+    * member set needed (the property the order-DEPENDENT `sub_md5`
+    * deliberately lacks; see the tradeoff note on [[manifestUnits]]).
+    * Cells folded to zero vanish (the retractedSubManifest rule);
+    * a NEGATIVE count raises — over-retraction is corruption, not
+    * state (the nbCountsRetract discipline).
+    */
+  def signedSubDigest(signedUnits: DataFrame,
+      shardCol: String = "split"): DataFrame =
+    signedUnits
+      .groupBy(col(shardCol), $("sub"))
+      .agg(sum($("op")).cast("long").as("n_docs"),
+        sum($("op") * $("n_tok")).cast("long").as("n_tok"),
+        ((sum(($("op") * unitDig($("doc_id"), $("fp")))
+            .cast("decimal(38,0)")) % lit(Dig61P) + lit(Dig61P))
+          % lit(Dig61P)).cast("long").as("sub_dig61"))
+      .select(col(shardCol), $("sub"),
+        when($("n_docs") >= 0, $("n_docs"))
+          .otherwise(raise_error(concat(
+            lit("signedSubDigest: negative count in cell "),
+            col(shardCol), lit("/"), $("sub").cast("string"),
+            lit(" — a unit was retracted more times than delivered"))))
+          .as("n_docs"),
+        $("n_tok"), $("sub_dig61"))
+      .filter($("n_docs") > 0)
+
   /** (shardCol, sub, n_docs, n_tok, sub_md5) per sub-shard cell —
     * [[shardManifest]]'s hierarchical first fold over
     * [[manifestUnits]]; the cell table is the OTHER persisted state
@@ -1181,7 +1250,8 @@ object Curation {
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum($("n_tok")).cast("long").as("n_tok"),
         unitHash(collect_list(struct($("doc_id"), $("fp"))))
-          .as("sub_md5"))
+          .as("sub_md5"),
+        digSum(unitDig($("doc_id"), $("fp"))).as("sub_dig61"))
 
   /** Fold a sub-manifest cell table into the per-shard receipt —
     * [[shardManifest]]'s hierarchical second stage (sub-shard-count
@@ -1196,7 +1266,11 @@ object Curation {
         sum($("n_tok")).cast("long").as("n_tok"),
         md5(concat_ws("", transform(
           array_sort(collect_list(struct($("sub"), $("sub_md5")))),
-          x => x("sub_md5")))).as("content_md5"))
+          x => x("sub_md5")))).as("content_md5"),
+        // modular sums re-fold: shard digest == Σ unit digests mod p,
+        // independent of the sub-shard grouping (unlike content_md5,
+        // whose hierarchical value differs from the flat one)
+        digSum($("sub_dig61")).as("content_dig61"))
 
   /** INCREMENTAL manifest maintenance: fold a delivery's
     * [[manifestUnits]] into an accumulated sub-manifest by
@@ -1218,13 +1292,22 @@ object Curation {
     * exactly-once delivery, same as [[graft.operators.SubstringDedup
     * .updatedWindowIndex]]).
     *
-    * Deliberately NO streaming twin: the sorted-concat md5 receipt is
-    * not incrementally foldable without the member set (unlike the
-    * ADDITIVE counts behind the NB/window-index streams), so the
-    * live-maintenance form IS this batch fold over the persisted unit
-    * store. An order-insensitive digest (xor/sum of unit hashes)
-    * would stream, but it changes the receipt form and weakens it
-    * (xor cancels duplicate units) — receipts stay a batch artifact.
+    * The receipt carries TWO digests with complementary contracts
+    * (round-14). `sub_md5` — md5 over the doc-id-SORTED concat of
+    * unit identities — is the strong batch form: collision-resistant,
+    * but foldable only with the member set in hand, so its
+    * live-maintenance form is exactly this batch fold over the
+    * persisted unit store. `sub_dig61` — Σ of per-unit 60-bit md5
+    * digests mod the prime 2^61−1 — is COMMUTATIVE: delivery adds,
+    * takedown subtracts ([[signedSubDigest]]), so it streams with no
+    * member set and gives the manifest family signed streaming twins.
+    * The tradeoff is adversarial strength: a modular sum is not
+    * collision-resistant against CHOSEN inputs (k units can be
+    * crafted to sum to any target; unlike xor, duplicates do NOT
+    * cancel — the multiset count rides the sum — but engineered
+    * cancellation is feasible), so `sub_dig61` serves live drift
+    * DETECTION while `sub_md5` remains the receipt of record that
+    * every batch reconciliation re-derives.
     */
   def updatedSubManifest(subManifest: DataFrame, unitStore: DataFrame,
       batchUnits: DataFrame, shardCol: String = "split"): DataFrame = {
@@ -1347,7 +1430,9 @@ object Curation {
     val emptyRows = artifacts.map(_._1).toDF("artifact")
       .join(computed.select("artifact"), Seq("artifact"), "left_anti")
       .select($("artifact"), lit(0L).as("n_docs"), lit(0L).as("n_tok"),
-        md5(lit("")).as("content_md5"))
+        md5(lit("")).as("content_md5"),
+        // the empty multiset's modular sum
+        lit(0L).as("content_dig61"))
     computed.unionByName(emptyRows)
   }
 }

@@ -577,6 +577,148 @@ object Dedup {
     verified.filter($("jaccard") >= threshold)
   }
 
+  /** INCREMENTAL maintenance of the VERIFIED-PAIR STORE — the exact
+    * n-gram Jaccard family's ([[ngramJaccardFromShingles]], q27)
+    * answer to "don't rebuild the pair table per delivery": fold a
+    * delivery's shingles into an accumulated store and return the
+    * pair table a FROM-SCRATCH build over the grown corpus would
+    * produce (the contract entry is hash-gated by q27's own SQL over
+    * the union), at delivery-proportional cost.
+    *
+    * The subtlety is the df≤`maxDf` candidate cut: it bounds pair
+    * generation but makes candidacy CORPUS-DEPENDENT. On append,
+    * document frequencies only grow, so (a) brand-new candidate
+    * pairs all have ≥ 1 delivery endpoint — generated here by
+    * probing the delivery's rare-shingle rows against the unioned
+    * rare index, never an all-pairs pass; and (b) a STORED pair can
+    * LOSE candidacy when every rare shingle it shared CROSSES the
+    * cut. Crossing shingles had df ≤ maxDf before the fold, so the
+    * at-risk sliver is bounded (≤ maxDf·(maxDf+1)/2 pairs per crossed
+    * shingle); each at-risk pair is re-probed for any still-rare
+    * shared shingle and dropped only when none remains — exactly
+    * from-scratch's verdict. Verification always runs against FULL
+    * shingle sets (the cut prunes candidacy, not similarity), so
+    * surviving pairs' jaccard values carry over unchanged (pair-local,
+    * corpus-independent).
+    *
+    * Inputs: `storePairs` = the store's (id1, id2, jaccard) table
+    * (a prior [[ngramJaccardFromShingles]] / fold output);
+    * `storeShingles` / `deliveryShingles` = DISTINCT (doc_id,
+    * shingle) tables ([[shingles]]); delivery doc_ids must be new to
+    * the store (exactly-once is the caller's, the
+    * [[graft.operators.Curation.updatedSubManifest]] convention).
+    *
+    * Scale: the delivery probe moves delivery-shingle rows × a
+    * ≤ maxDf fan-out; the crossed/at-risk legs move cap-bounded
+    * slivers; the only corpus-sized inputs are the df re-count (one
+    * map-side-combined aggregate — the store index a warehouse keeps
+    * anyway) and the verify probes, which [[jaccardFor]] bounds to
+    * pair-sliver rows. Nothing rebuilds the all-pairs table.
+    */
+  def jaccardPairsFold(storePairs: DataFrame, storeShingles: DataFrame,
+      deliveryShingles: DataFrame, threshold: Double = 0.5,
+      maxDf: Int = 100): DataFrame = {
+    val shAll = storeShingles.unionByName(deliveryShingles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df0 = storeShingles.groupBy("shingle")
+      .agg(count(lit(1)).as("df0"))
+    val dfd = deliveryShingles.groupBy("shingle")
+      .agg(count(lit(1)).as("dfd"))
+    val dfs = df0.join(dfd, Seq("shingle"), "full_outer")
+      .select($("shingle"),
+        coalesce($("df0"), lit(0L)).as("df0"),
+        (coalesce($("df0"), lit(0L)) + coalesce($("dfd"), lit(0L)))
+          .as("df1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare1 = dfs.filter($("df1") <= maxDf).select("shingle")
+    val shr = shAll.join(rare1, Seq("shingle"))
+    // new candidates: ≥ 1 delivery endpoint, probing the delivery's
+    // rare rows against the unioned rare index (both orientations via
+    // least/greatest — the delivery doc may be either side of id1<id2)
+    val delivDocs = deliveryShingles.select("doc_id").distinct()
+    val newCands = shr.join(delivDocs, Seq("doc_id"))
+      .select($("shingle"), $("doc_id").as("d"))
+      .join(shr.select($("shingle"), $("doc_id").as("o")), Seq("shingle"))
+      .filter($("d") =!= $("o"))
+      .select(least($("d"), $("o")).as("id1"),
+        greatest($("d"), $("o")).as("id2"))
+      .distinct()
+    val newVerified = jaccardFor(newCands, shAll)
+      .filter($("jaccard") >= threshold)
+    // stored pairs at risk: they share a shingle that crossed the cut
+    val crossed = dfs.filter($("df0") <= maxDf && $("df1") > maxDf)
+      .select("shingle")
+    val crossedHolders = storeShingles.join(crossed, Seq("shingle"))
+    val crossedPairs = crossedHolders
+      .select($("shingle"), $("doc_id").as("id1"))
+      .join(crossedHolders.select($("shingle"), $("doc_id").as("id2")),
+        Seq("shingle"))
+      .filter($("id1") < $("id2"))
+      .select("id1", "id2").distinct()
+    val atRisk = storePairs.select("id1", "id2")
+      .join(crossedPairs, Seq("id1", "id2"), "left_semi")
+    val stillCand = atRisk
+      .join(shr.select($("doc_id").as("id1"), $("shingle")), Seq("id1"))
+      .join(shr.select($("doc_id").as("id2"), $("shingle")),
+        Seq("id2", "shingle"))
+      .select("id1", "id2").distinct()
+    val dropped = atRisk.join(stillCand, Seq("id1", "id2"), "left_anti")
+    val out = storePairs
+      .join(dropped, Seq("id1", "id2"), "left_anti")
+      .select("id1", "id2", "jaccard")
+      .unionByName(newVerified)
+      .localCheckpoint(true)
+    shAll.unpersist(false); dfs.unpersist(false)
+    out
+  }
+
+  /** TAKEDOWN of the verified-pair store — [[jaccardPairsFold]]'s
+    * inverse: retract `removedIds` and return the pair table a
+    * from-scratch build over the SURVIVORS would produce (the
+    * contract entry is gated by q27's SQL over the surviving slice).
+    * Pairs with a removed endpoint anti-join away; and since document
+    * frequencies only SHRINK on removal, shingles can cross back
+    * UNDER the df cut, creating candidacies from-scratch would see —
+    * each uncrossed shingle's surviving holders (≤ maxDf by
+    * definition of uncrossing) pair up, are de-duplicated against
+    * the kept store, and exact-verified against surviving shingle
+    * sets. Kept pairs' candidacy is monotone-safe (their rare shared
+    * shingle only gets rarer), so nothing else needs re-probing.
+    *
+    * Scale: removal anti-joins + one df re-count + cap-bounded
+    * uncrossed slivers — surviving corpus text is never re-read
+    * (shingle tables are the inputs), matching the tdn_* store-fold
+    * discipline.
+    */
+  def jaccardPairsRetract(storePairs: DataFrame, storeShingles: DataFrame,
+      removedIds: DataFrame, threshold: Double = 0.5,
+      maxDf: Int = 100): DataFrame = {
+    val removed = removedIds.select("doc_id")
+    val shSurv = storeShingles.join(removed, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = storePairs
+      .join(removed.select($("doc_id").as("id1")), Seq("id1"), "left_anti")
+      .join(removed.select($("doc_id").as("id2")), Seq("id2"), "left_anti")
+      .select("id1", "id2", "jaccard")
+    val df0 = storeShingles.groupBy("shingle").agg(count(lit(1)).as("df0"))
+    val df2 = shSurv.groupBy("shingle").agg(count(lit(1)).as("df2"))
+    val uncrossed = df0.join(df2, Seq("shingle"))
+      .filter($("df0") > maxDf && $("df2") <= maxDf)
+      .select("shingle")
+    val holders = shSurv.join(uncrossed, Seq("shingle"))
+    val cands = holders.select($("shingle"), $("doc_id").as("id1"))
+      .join(holders.select($("shingle"), $("doc_id").as("id2")),
+        Seq("shingle"))
+      .filter($("id1") < $("id2"))
+      .select("id1", "id2").distinct()
+      .join(base.select("id1", "id2"), Seq("id1", "id2"), "left_anti")
+    val newVerified = jaccardFor(cands, shSurv)
+      .filter($("jaccard") >= threshold)
+    val out = base.unionByName(newVerified).localCheckpoint(true)
+    shSurv.unpersist(false)
+    out
+  }
+
   /** Asymmetric near-dup detection by shingle CONTAINMENT:
     * C = |A∩B| / min(|A|, |B|) — the excerpt/quote detector. Symmetric
     * Jaccard ([[ngramJaccardPairs]]) goes to zero when a short
@@ -996,6 +1138,46 @@ object Dedup {
       .filter($("doc_id") =!= $("id1"))
       .select($("id1"), $("doc_id").as("id2")).distinct()
     agreeScores(cands, sigs, sigs, k)
+      .filter($("n_agree") >= minAgree)
+      .withColumn("est_jaccard", $("n_agree").cast("double") / k)
+  }
+
+  /** [[hotBucketPairs]] generalized to INDEX-vs-BATCH — the star
+    * probe's incremental form, closing the store-side blind spot of
+    * [[incrementalNearDups]]: that probe drops over-cap STORE buckets
+    * before the equi-join, so a delivery doc whose only collisions
+    * land in a store bucket already saturated by a mass-duplicated
+    * template is silently admitted (ADVICE round-13 — the same cap
+    * blind spot round 13 fixed within-delivery, one level up). Here
+    * each BATCH member of an over-cap INDEX bucket is scored against
+    * that bucket's canonical store doc (its smallest doc_id) only —
+    * O(batch members) pairs per hot bucket, never the O(store·batch)
+    * the cap exists to prevent. Returns the [[incrementalNearDups]]
+    * shape: (id1 = indexed canonical doc, id2 = batch doc, n_agree,
+    * est_jaccard). The star suffices for the same reason as in
+    * [[hotBucketPairs]]: a bucket only goes over-cap under mass
+    * duplication, where every member collides with the canonical
+    * copy; chains needing all-pairs live in small buckets, which the
+    * capped probe still covers.
+    *
+    * Scale: hot buckets derive from the index side's band hashes
+    * (the aggregation [[incrementalNearDups]] already pays), the
+    * probe is a (band, bhash) equi-join against BATCH band hashes —
+    * batch-proportional — and the scorer moves k BIGINTs per
+    * surviving pair.
+    */
+  def hotBucketProbe(index: DataFrame, batch: DataFrame, k: Int = 16,
+      bands: Int = 4, maxBucket: Int = 256, minAgree: Int = 8): DataFrame = {
+    val hot = bandHashes(index, k, bands)
+      .groupBy("band", "bhash")
+      .agg(count(lit(1)).as("bsz"), min($("doc_id")).as("id1"))
+      .filter($("bsz") > maxBucket)
+      .select("band", "bhash", "id1")
+    val cands = bandHashes(batch, k, bands)
+      .join(hot, Seq("band", "bhash"))
+      .filter($("doc_id") =!= $("id1"))
+      .select($("id1"), $("doc_id").as("id2")).distinct()
+    agreeScores(cands, index, batch, k)
       .filter($("n_agree") >= minAgree)
       .withColumn("est_jaccard", $("n_agree").cast("double") / k)
   }

@@ -1151,6 +1151,23 @@ object Similarity {
       .toDF("sub", "c_id", "cv")
   }
 
+  /** Encode under a PERSISTED codebook ([[pqCodebookDf]] shape) — no
+    * training: one scan of the vectors with the broadcast codebook,
+    * emitting [[pqEncode]]-shaped (vec_id, sub, code, qerr) rows.
+    * Spec-pinned equal to [[pqEncode]] when the codebook came from
+    * the same corpus. Because the assignment is ROW-LOCAL (per-vector
+    * argmin over m·ksub codewords), it commutes with any row subset:
+    * a delivery encodes against the serving codebook and APPENDS
+    * (the inc_fold discipline), and a takedown's id-keyed retract of
+    * the code table equals re-encoding the survivors bit-for-bit —
+    * the property the tdn_ann checks and the q189 oracle gate.
+    */
+  def pqEncodeFrom(codebook: DataFrame, embeddings: DataFrame,
+      m: Int = 4, dim: Int = 64): DataFrame =
+    pqAssignCodes(pqSubvectors(embeddings, m, dim), codebook)
+      .select($("vec_id"), $("sub").cast("long").as("sub"),
+        $("code"), $("qerr"))
+
   /** ADC top-k off PERSISTED artifacts: `codes` shaped like
     * [[pqEncode]] output, `codebook` like [[pqCodebookDf]] — no
     * training, no corpus encode; the only embedding access is the

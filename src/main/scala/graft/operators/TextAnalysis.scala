@@ -1188,8 +1188,36 @@ object TextAnalysis {
     */
   def nbScoreFrom(lm: DataFrame, consts: DataFrame,
       toScore: DataFrame): DataFrame =
-    tokens(toScore)
+    nbScoreFromProfiles(lm, consts, tokenProfiles(toScore))
+
+  /** Per-doc TOKEN PROFILES — (doc_id, token, c) counts of the
+    * normalized tokenization: the persistable NARROW PROJECTION that
+    * decouples NB scoring from document text. Tokenization (regex
+    * normalize + split over full text) is paid ONCE per doc at ingest;
+    * any later model version re-scores by joining this table against
+    * its LM ([[nbScoreFromProfiles]]) — the recalibration-cadence
+    * stage stops re-reading corpus text (ADVICE round-13). The store
+    * is doc-keyed and row-local, so it folds by appending a
+    * delivery's profiles and retracts by doc_id anti-join, both
+    * asserted fold==from-scratch in IngestDemo.
+    *
+    * Scale: one text scan, map-side-combined (doc, token) aggregate;
+    * the table is corpus-token-TYPE-sized per doc (far under the
+    * exploded token stream the scorer would otherwise shuffle).
+    */
+  def tokenProfiles(documents: DataFrame): DataFrame =
+    tokens(documents)
       .groupBy($("doc_id"), $("token")).agg(count(lit(1)).as("c"))
+
+  /** [[nbScoreFrom]] over PRECOMPUTED token profiles
+    * ([[tokenProfiles]] shape) — no text access at all: one
+    * vocabulary-sized LM join + a per-doc fold. The cal_gate_thr
+    * recalibration path and any model-version backfill run this form
+    * (spec-pinned equal to the text path).
+    */
+  def nbScoreFromProfiles(lm: DataFrame, consts: DataFrame,
+      profiles: DataFrame): DataFrame =
+    profiles
       .join(lm, Seq("token"), "left")
       .crossJoin(broadcast(consts))
       .select($("doc_id"), $("c"),

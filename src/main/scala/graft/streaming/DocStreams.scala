@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
-import graft.operators.{BloomDecontam, SubstringDedup, TextAnalysis}
+import graft.operators.{BloomDecontam, Curation, SubstringDedup, TextAnalysis}
 
 /** Structured Streaming over the documents table: the incremental twin
   * of the batch dedup pillar (graft.operators.Dedup), for pipelines
@@ -444,6 +444,49 @@ object DocStreams extends Serializable {
         .windowHashes(split(col("norm"), " "), k)).as(Seq("pos0", "fp")))
       .groupBy(col("fp"))
       .agg(sum(col("op")).as("n_occ"))
+
+  /** RETRACTION-AWARE integrity-receipt digests: the signed streaming
+    * twin of the sub-manifest's COMMUTATIVE `sub_dig61` column (see
+    * [[graft.operators.Curation.signedSubDigest]] and the tradeoff
+    * note on `Curation.manifestUnits` — the order-dependent `sub_md5`
+    * receipt cannot stream because it needs the member set; the
+    * modular sum is exactly what can). Per signed doc event
+    * ([[signedDocSchema]], `op` +1 ingest / -1 takedown) the (split,
+    * sub, fp, n_tok, dig) unit derives ROW-LOCALLY in-stream, and the
+    * live state per (split, sub) cell is three signed sums: doc
+    * count, token count, digest mod 2^61−1.
+    *
+    * Twin contract (StreamingSpec): restricted to `n_docs > 0`, the
+    * final cells equal the batch
+    * [[graft.operators.Curation.subManifestFromUnits]] digest columns
+    * over ingests ∖ takedowns; a cell folded to zero emits an
+    * `n_docs=0` tombstone in complete/update mode — where the batch
+    * retraction drops the row. Source discipline as for every
+    * retraction stream: exactly-once, ingest-before-takedown.
+    */
+  def manifestDigestStreamSigned(events: DataFrame,
+      subShards: Int = 4): DataFrame = {
+    val b = Curation.hashBucket(col("doc_id"), 100)
+    val fp = coalesce(TextAnalysis.fingerprint(col("text")), lit("null"))
+    val nTok = coalesce(TextAnalysis.tokenCount(col("text")).cast("long"),
+      lit(0L))
+    val p = Curation.Dig61P
+    events
+      .select(col("op"),
+        when(b < 80, "train").when(b < 90, "val").otherwise("test")
+          .as("split"),
+        Curation.hashBucket(col("doc_id"), subShards).as("sub"),
+        (col("op") * Curation.unitDig(col("doc_id"), fp))
+          .cast("decimal(38,0)").as("sdig"),
+        (col("op") * nTok).as("stok"))
+      .groupBy(col("split"), col("sub"))
+      .agg(sum(col("op")).as("n_docs"),
+        sum(col("stok")).cast("long").as("n_tok"),
+        sum(col("sdig")).as("rawdig"))
+      .select(col("split"), col("sub"),
+        col("n_docs").cast("long").as("n_docs"), col("n_tok"),
+        ((col("rawdig") % p + p) % p).cast("long").as("sub_dig61"))
+  }
 
   /** Streaming count-min sketch: the running (row, col, cnt) cell
     * table over the document firehose — update mode emits the cells a

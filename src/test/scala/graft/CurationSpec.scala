@@ -543,6 +543,7 @@ class CurationSpec extends SparkSpec {
     import spark.implicits._
     def manifest(rows: Seq[(Long, String, String)]) =
       Curation.shardManifest(rows.toDF("doc_id", "text", "split"))
+        .select("split", "n_docs", "n_tok", "content_md5")
         .as[(String, Long, Long, String)].collect()
         .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     val base = Seq((1L, "alpha beta", "s0"), (2L, "gamma delta", "s0"),
@@ -573,6 +574,7 @@ class CurationSpec extends SparkSpec {
     def hier(rows: Seq[(Long, String, String)]) =
       Curation.shardManifest(rows.toDF("doc_id", "text", "split"),
           subShards = 4)
+        .select("split", "n_docs", "n_tok", "content_md5")
         .as[(String, Long, Long, String)].collect()
         .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     val h = hier(base)
@@ -583,6 +585,22 @@ class CurationSpec extends SparkSpec {
       case (2L, _, s) => (2L, "gamma delta prime", s); case r => r })
     assert(hEdited("s0")._3 !== h("s0")._3)
     assert(hEdited("s1") === h("s1"))
+    // the COMMUTATIVE digest is grouping-independent: flat and
+    // hierarchical forms agree on content_dig61 (a modular sum
+    // re-folds; the md5 forms differ by construction), it is
+    // order-free, and it flips on a unit edit
+    def dig(rows: Seq[(Long, String, String)], sub: Int) =
+      Curation.shardManifest(rows.toDF("doc_id", "text", "split"),
+          subShards = sub)
+        .select("split", "content_dig61")
+        .as[(String, Long)].collect().toMap
+    val dFlat = dig(base, 1)
+    assert(dig(base, 4) === dFlat, "flat and hierarchical digests differ")
+    assert(dig(base.reverse, 1) === dFlat)
+    val dEdited = dig(base.map {
+      case (2L, _, s) => (2L, "gamma delta prime", s); case r => r }, 1)
+    assert(dEdited("s0") !== dFlat("s0"))
+    assert(dEdited("s1") === dFlat("s1"))
   }
 
   test("manifestDiff: all four statuses with exact deltas") {
@@ -686,6 +704,37 @@ class CurationSpec extends SparkSpec {
     // untouched cells carried over verbatim
     assert((rows(sub0) -- rows(subAfter)).size === 1,
       "emptying one cell must change exactly that cell")
+  }
+
+  test("signedSubDigest: +full/−odd fold == digest columns over survivors; negative raises") {
+    import spark.implicits._
+    val withSplit = docs.join(
+      Curation.hashSplit(docs).select("doc_id", "split"), Seq("doc_id"))
+    val full = Curation.manifestUnits(withSplit, subShards = 4)
+      .withColumn("op", lit(1L))
+    val odd = Curation.manifestUnits(
+      withSplit.filter(col("doc_id") % 2 === 1), subShards = 4)
+      .withColumn("op", lit(-1L))
+    val got = Curation.signedSubDigest(full.unionByName(odd))
+      .select("split", "sub", "n_docs", "n_tok", "sub_dig61")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val want = Curation.subManifestFromUnits(Curation.manifestUnits(
+        withSplit.filter(col("doc_id") % 2 === 0), subShards = 4))
+      .select("split", "sub", "n_docs", "n_tok", "sub_dig61")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === want,
+      "the signed fold must equal the batch receipt digests over survivors")
+    // over-retraction is corruption, not state: retracting units that
+    // were delivered once and retracted twice leaves every touched
+    // cell negative — must raise, never emit a negative cell
+    val oddIn = Curation.manifestUnits(
+      withSplit.filter(col("doc_id") % 2 === 1), subShards = 4)
+      .withColumn("op", lit(1L))
+    val ex = intercept[Exception] {
+      Curation.signedSubDigest(oddIn.unionByName(odd).unionByName(odd))
+        .collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("gateThresholds + compositeGateFrom: served == windowed gate; quota-0 source drops") {

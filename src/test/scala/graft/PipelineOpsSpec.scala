@@ -701,6 +701,87 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!hot.exists(r => r._1 == 900L || r._2 == 900L))
   }
 
+  test("hotBucketProbe flags batch docs colliding only in over-cap STORE buckets") {
+    // the store-side twin of the case above: the INDEX already holds
+    // a 300-copy template family, so its buckets are over-cap and
+    // incrementalNearDups drops them — a new delivery copy of the
+    // template would be silently admitted. The index-vs-batch star
+    // must flag it against the bucket's canonical store doc, and must
+    // not touch the genuinely fresh delivery doc.
+    val template = "breaking news template header repeated across the " +
+      "whole crawl with identical boilerplate body and footer sections"
+    val store = Dedup.minhashSignatures(
+      ((1L to 300L).map(i => (i, template)) :+
+        ((500L, "established archival record with distinctive wording")))
+        .toDF("doc_id", "text")).localCheckpoint(true)
+    val batch = Dedup.minhashSignatures(Seq(
+      (1000L, template + " extra"), // near-copy arriving in a delivery
+      (1001L, "entirely novel delivery document about orchard economics"))
+      .toDF("doc_id", "text")).localCheckpoint(true)
+    // the hole this closes: the capped store probe admits the copy
+    val capped = Dedup.incrementalNearDups(store, batch)
+      .filter($"est_jaccard" >= 0.7).count()
+    assert(capped === 0L,
+      "fixture error: the template's store buckets were expected over-cap")
+    val got = Dedup.hotBucketProbe(store, batch)
+      .filter($"est_jaccard" >= 0.7)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._2).toSet === Set(1000L),
+      "exactly the template near-copy must be flagged")
+    assert(got.forall(_._1 == 1L), "star centre must be the store minimum")
+    // a batch against a SMALL store probes nothing here (no hot buckets)
+    assert(Dedup.hotBucketProbe(batch, store).count() === 0L)
+  }
+
+  // shared fixture for the verified-pair store maintenance tests:
+  // shingle SETS constructed directly (the ops take (doc_id, shingle)
+  // tables), maxDf = 2 so the df cut actually crosses.
+  //   store: d1={s,t} d2={s,t}  (pair via s AND t, J=1)
+  //          d5={w}  d6={w}     (pair via w ONLY, J=1)
+  //   delivery: d3={s,w,p,u} d4={s,w,p,v}
+  //     -> s,w cross the cut (df 2->4); t,p stay rare
+  private def pairStoreFixture = {
+    val store = Seq(1L -> "s", 1L -> "t", 2L -> "s", 2L -> "t",
+      5L -> "w", 6L -> "w").toDF("doc_id", "shingle")
+    val delivery = Seq(3L -> "s", 3L -> "w", 3L -> "p", 3L -> "u",
+      4L -> "s", 4L -> "w", 4L -> "p", 4L -> "v").toDF("doc_id", "shingle")
+    (store, delivery)
+  }
+  private def samePairs(got: org.apache.spark.sql.DataFrame,
+      want: org.apache.spark.sql.DataFrame): Unit = {
+    assert(got.exceptAll(want).count() === 0L, "extra rows vs from-scratch")
+    assert(want.exceptAll(got).count() === 0L, "missing rows vs from-scratch")
+  }
+
+  test("jaccardPairsFold == rebuild: repairs df-cut crossings, finds delivery pairs") {
+    val (store, delivery) = pairStoreFixture
+    val store0 = Dedup.ngramJaccardFromShingles(store, maxDf = 2)
+    // fixture sanity: the v0 store holds BOTH pairs, (5,6) only via w
+    assert(store0.select("id1", "id2").as[(Long, Long)].collect().toSet
+      === Set((1L, 2L), (5L, 6L)))
+    val folded = Dedup.jaccardPairsFold(store0, store, delivery, maxDf = 2)
+    samePairs(folded,
+      Dedup.ngramJaccardFromShingles(store.unionByName(delivery), maxDf = 2))
+    val got = folded.select("id1", "id2").as[(Long, Long)].collect().toSet
+    // (5,6) DROPPED: w crossed the cut and no rare shingle remains;
+    // (1,2) kept via still-rare t; (3,4) is the delivery's new pair
+    // via p (J = 3/5)
+    assert(got === Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("jaccardPairsRetract == rebuild: drops endpoints, re-admits uncrossed pairs") {
+    val (store, delivery) = pairStoreFixture
+    val all = store.unionByName(delivery)
+    val store1 = Dedup.ngramJaccardFromShingles(all, maxDf = 2)
+    val retracted = Dedup.jaccardPairsRetract(store1, all,
+      Seq(3L, 4L).toDF("doc_id"), maxDf = 2)
+    samePairs(retracted, Dedup.ngramJaccardFromShingles(store, maxDf = 2))
+    val got = retracted.select("id1", "id2").as[(Long, Long)].collect().toSet
+    // (5,6) RE-ADMITTED: w uncrossed (df 4->2) so its candidacy — and
+    // the exact verify — come back; (3,4) gone with its endpoints
+    assert(got === Set((1L, 2L), (5L, 6L)))
+  }
+
   test("estimatorCalibration: identical docs land in the 16-agree bucket at J=1") {
     val text = "The quick brown fox jumps over the lazy dog and runs far away home"
     val docs = Seq((1L, text), (2L, text),

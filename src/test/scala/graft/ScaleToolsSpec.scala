@@ -44,6 +44,29 @@ class ScaleToolsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("inflateSkewedDocuments: power-law sources + an over-cap template family") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val skew = ScaleRehearsal.inflateSkewedDocuments(docs, 1)
+      .localCheckpoint(true)
+    // row count = base + 300 template copies
+    assert(skew.count() === docs.count() + 300L)
+    // the source distribution is a power law: the top key's share is
+    // ~1/2 (md5 buckets) — enough that any per-source shuffle has a
+    // hot key; read via the profile the skew legs wire in
+    val prof = SkewJoin.keySkewProfile(skew, "source")
+      .as[(Long, String, Long, Long)].collect()
+    assert(prof.head._2 === "src0")
+    assert(prof.head._4 > 400000L,
+      s"expected src0 share > 40%, got ${prof.head._4} micro")
+    // the template family saturates its LSH buckets: the capped probe
+    // is blind to it, the star probe flags every non-canonical copy
+    val sigs = Dedup.minhashSignatures(skew).localCheckpoint(true)
+    val star = Dedup.hotBucketPairs(sigs)
+      .filter($"est_jaccard" >= 0.9).count()
+    assert(star >= 299L,
+      s"expected >= 299 star pairs over the template family, got $star")
+  }
+
   test("keySkewProfile ranks the hot key first with exact micro shares") {
     // 6 rows of key 7, 3 of key 2, 1 of key 9 (+ a null, excluded)
     val rows = Seq.fill(6)(Option(7L)) ++ Seq.fill(3)(Option(2L)) ++

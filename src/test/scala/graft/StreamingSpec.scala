@@ -800,6 +800,44 @@ class StreamingSpec extends SparkSpec {
     assert(!state.exists(_._2 < 0L), "no count may go negative")
   }
 
+  test("signed manifest digest: takedown events == batch receipt digests over survivors") {
+    import graft.operators.Curation
+    import graft.streaming.DocStreams
+    val docsT = graft.sources.Tables(spark, dir).documents
+    val mDir = java.nio.file.Files
+      .createTempDirectory("graft-mdig-signed").toString
+    docsT.withColumn("op", org.apache.spark.sql.functions.lit(1L))
+      .write.mode("append").parquet(mDir)
+    val q = DocStreams.manifestDigestStreamSigned(
+        DocStreams.readSignedDocs(spark, mDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("mdig_signed").start()
+    try {
+      q.processAllAvailable()
+      docsT.filter($"doc_id" % 3 === 0)
+        .withColumn("op", org.apache.spark.sql.functions.lit(-1L))
+        .write.mode("append").parquet(mDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.table("mdig_signed")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // live positive cells == the BATCH sub-manifest's count/token/
+    // digest columns over the survivors (the receipt of record's own
+    // commutative digest — the q178/q184 family, streamed)
+    val got = state.filter(_._3 > 0).toSet
+    val surv = docsT.filter($"doc_id" % 3 =!= 0)
+    val withSplit = surv.join(
+      Curation.hashSplit(surv).select("doc_id", "split"), Seq("doc_id"))
+    val want = Curation.subManifestFromUnits(
+        Curation.manifestUnits(withSplit, subShards = 4))
+      .select("split", "sub", "n_docs", "n_tok", "sub_dig61")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === want,
+      "live signed digest state (n_docs > 0) must equal the batch " +
+        "receipt digests over survivors")
+    assert(!state.exists(_._3 < 0L), "no cell count may go negative")
+  }
+
   test("signed nb counts: takedown events == batch retraction on the count table") {
     import graft.operators.TextAnalysis
     import graft.streaming.DocStreams

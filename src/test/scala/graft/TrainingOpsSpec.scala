@@ -708,6 +708,23 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("pqEncodeFrom == pqEncode, and the encode commutes with row subsets") {
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val cb = Similarity.pqCodebookDf(emb).localCheckpoint(true)
+    val from = Similarity.pqEncodeFrom(cb, emb)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val direct = Similarity.pqEncode(emb)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(from === direct,
+      "encode under the persisted codebook must equal the training encode")
+    // ROW-LOCALITY, the property the inc_fold/tdn_ann stages lean on:
+    // encoding a subset == subsetting the encoded table
+    val evens = Similarity.pqEncodeFrom(cb, emb.filter($"vec_id" % 2 === 0))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(evens === direct.filter(_._1 % 2 == 0),
+      "row-local encoding must commute with row subsets")
+  }
+
   test("pqAdcFromCodes == pqAdcTopK off persisted artifacts") {
     val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-art").toString
