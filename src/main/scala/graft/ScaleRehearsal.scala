@@ -160,7 +160,7 @@ object ScaleRehearsal {
         needsEmb: Boolean = false, needsSpanIdx: Boolean = false,
         needsNbIdx: Boolean = false, needsContPairs: Boolean = false,
         needsManifestIdx: Boolean = false, needsGateIdx: Boolean = false,
-        needsSkewDocs: Boolean = false)(
+        needsSkewDocs: Boolean = false, needsJacIdx: Boolean = false)(
         val fn: () => DataFrame)
     val nbPos = Seq("src0", "src1", "src2")
     val nbNeg = Seq("src3", "src4", "src5")
@@ -210,6 +210,17 @@ object ScaleRehearsal {
           crawlOf(docs.filter(col("doc_id") >= 500)), subShards = 4)
           .localCheckpoint(true)
         (units, Curation.subManifestFromUnits(units).localCheckpoint(true))
+      }
+      // the VERIFIED-PAIR STORE's persisted state (shingle index +
+      // pair table over 90% of the corpus), built ONCE outside the
+      // timed legs — the q186 fold leg probes a fixed-size 10%
+      // delivery against it; the q27 leg above is the full-rebuild
+      // baseline it must undercut (the marginal-vs-total claim that
+      // retires the exact-verify family's standalone-rebuild weak)
+      lazy val jacIdx: (DataFrame, DataFrame) = {
+        val sh90 = Dedup.shingles(docs.filter(col("doc_id") % 10 =!= 0))
+          .localCheckpoint(true)
+        (sh90, Dedup.ngramJaccardFromShingles(sh90).localCheckpoint(true))
       }
       // the composite gate's serve artifacts (NB model + per-source
       // cut table), trained ONCE outside the timed legs — the served
@@ -346,6 +357,16 @@ object ScaleRehearsal {
               subShards = 4)))),
         Leg("q178_full_rehash", needsDocs = true)(() =>
           Curation.shardManifest(crawlOf(docs), subShards = 4)),
+        // verified-pair store fold vs full rebuild: the 10% delivery's
+        // shingles fold into the prebuilt 90% store (new-candidate
+        // probe + crossing repair + sliver verify) — head-to-head with
+        // the q27 full-rebuild leg above. The jaccard > 0 filter keeps
+        // count() from eliminating nothing here (output is the pair
+        // table, data-dependent), but guards against future rewrites
+        Leg("q186_fold_delivery", needsDocs = true, needsJacIdx = true)(
+          () => Dedup.jaccardPairsFold(jacIdx._2, jacIdx._1,
+            Dedup.shingles(docs.filter(col("doc_id") % 10 === 0)))
+            .filter(col("jaccard") > 0)),
         // ---- adversarial-skew legs (round-14): power-law sources +
         // one 300·f-copy template (see inflateSkewedDocuments). The
         // claims under test: the sig/span STORE builds stay balanced
@@ -388,6 +409,7 @@ object ScaleRehearsal {
         manifestIdx._1.count(); manifestIdx._2.count()
       }
       if (sel.exists(_.needsGateIdx)) gateIdx._3.count()
+      if (sel.exists(_.needsJacIdx)) { jacIdx._1.count(); jacIdx._2.count() }
       for (leg <- sel) {
         val g = s"x$f:${leg.name}"
         spark.sparkContext.setJobGroup(g, g)
