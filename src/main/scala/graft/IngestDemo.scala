@@ -372,18 +372,36 @@ object IngestDemo {
         wr(rd("doc_src").unionByName(
           docsOf(rd("admitted")).select("doc_id", "source")), "doc_src_v1")
       },
+      "inc_ann_gate" -> { () =>
+        // the vector side's near-dup gate (q193's form): the delivery
+        // batch probes the persisted IVF index — centroids broadcast,
+        // store touched only through its cell-pruned slice — and each
+        // flagged vector records its best store witness; survivors
+        // are the admitted vector set the folds below consume.
+        // (Batch-INTERNAL semantic dups are not gated here — the
+        // corpus-version recalibration's semanticDupPairs pass owns
+        // within-version dedup, q49's family — documented asymmetry
+        // with the doc side's within-delivery self-probe.)
+        wr(Similarity.semanticIngestGate(rd("ivf_centroids"),
+          rd("ivf_cells"), embBase, embDelivery), "ann_gate")
+        wr(embDelivery.select("vec_id")
+          .join(rd("ann_gate").select("vec_id"), Seq("vec_id"), "left_anti"),
+          "admitted_vecs")
+      },
       "inc_fold_ann" -> { () =>
-        // the delivery's vectors assign/encode under the SERVING (v0)
-        // model and APPEND — delivery-proportional, one broadcast-model
-        // scan each; assignment and encoding are row-local, so the
-        // fold is asserted bit-equal to a from-scratch pass under the
-        // same model (checksOver). The serve pair between recals is
-        // (v0 model, folded stores) — always consistent
+        // the ADMITTED delivery vectors assign/encode under the
+        // SERVING (v0) model and APPEND — delivery-proportional, one
+        // broadcast-model scan each; assignment and encoding are
+        // row-local, so the fold is asserted bit-equal to a
+        // from-scratch pass under the same model (checksOver). The
+        // serve pair between recals is (v0 model, folded stores) —
+        // always consistent
+        val admitted = embDelivery.join(rd("admitted_vecs"), Seq("vec_id"))
         wr(rd("ivf_cells").unionByName(
-          Similarity.cellsFromCentroids(rd("ivf_centroids"), embDelivery)),
+          Similarity.cellsFromCentroids(rd("ivf_centroids"), admitted)),
           "ivf_cells_fold")
         wr(rd("pq_codes").unionByName(
-          Similarity.pqEncodeFrom(rd("pq_codebook"), embDelivery)),
+          Similarity.pqEncodeFrom(rd("pq_codebook"), admitted)),
           "pq_codes_fold")
       },
       "cal_gate_thr" -> { () =>
@@ -402,13 +420,15 @@ object IngestDemo {
           rd("doc_src_v1")), "gate_thr_v1")
       },
       "cal_ann_model" -> { () =>
-        // centroid/codebook RETRAIN over corpus v1 — the ANN family's
-        // recalibration-class refresh (Lloyd passes are not an
-        // additive fold, exactly like the gate's rank prefix), then
-        // one row-local reassign/re-encode scan so the published v1
-        // generation is a CONSISTENT (model, store) pair. Between
-        // recals, serving rides the v0 model + folded stores above
-        val embV1 = embBase.unionByName(embDelivery)
+        // centroid/codebook RETRAIN over corpus v1 (base ∪ ADMITTED
+        // delivery vectors) — the ANN family's recalibration-class
+        // refresh (Lloyd passes are not an additive fold, exactly
+        // like the gate's rank prefix), then one row-local
+        // reassign/re-encode scan so the published v1 generation is
+        // a CONSISTENT (model, store) pair. Between recals, serving
+        // rides the v0 model + folded stores above
+        val embV1 = embBase.unionByName(
+          embDelivery.join(rd("admitted_vecs"), Seq("vec_id")))
         wr(Similarity.ivfCentroidsDf(embV1), "ivf_centroids_v1")
         wr(Similarity.cellsFromCentroids(rd("ivf_centroids_v1"), embV1),
           "ivf_cells_v1")
@@ -526,10 +546,12 @@ object IngestDemo {
       "tdn_removal_vecs" -> (() =>
         // the vector side of the removal: the same content-stable md5
         // bucket rule applied to vec_id over the v1 embedding corpus
-        // (a production warehouse resolves removed doc_ids to their
-        // vectors; the fixture tables are independent, so the slice
-        // is drawn directly)
-        wr(embBase.unionByName(embDelivery)
+        // (base ∪ gate-admitted delivery vectors; a production
+        // warehouse resolves removed doc_ids to their vectors — the
+        // fixture tables are independent, so the slice is drawn
+        // directly)
+        wr(embBase.unionByName(
+            embDelivery.join(rd("admitted_vecs"), Seq("vec_id")))
           .filter(Curation.hashBucket(col("vec_id"), 7) === 3)
           .select("vec_id"), "removed_vecs")),
       "tdn_ann_stores" -> { () =>
@@ -553,7 +575,8 @@ object IngestDemo {
         // keeping statistical influence of removed vectors is exactly
         // what a takedown must not leave behind) — then one row-local
         // scan publishes the consistent v2 (model, store) pair
-        val surv = embBase.unionByName(embDelivery)
+        val surv = embBase.unionByName(
+            embDelivery.join(rd("admitted_vecs"), Seq("vec_id")))
           .join(rd("removed_vecs"), Seq("vec_id"), "left_anti")
         wr(Similarity.ivfCentroidsDf(surv), "ivf_centroids_v2")
         wr(Similarity.cellsFromCentroids(rd("ivf_centroids_v2"), surv),
@@ -663,7 +686,8 @@ object IngestDemo {
         // bit-identical to assigning/encoding the survivors from
         // scratch under that SAME model — the row-locality property
         // that makes the vector-store takedown exact
-        val surv = embBase.unionByName(embDelivery)
+        val surv = embBase.unionByName(
+            embDelivery.join(rd("admitted_vecs"), Seq("vec_id")))
           .join(rd("removed_vecs"), Seq("vec_id"), "left_anti")
         same("ivf_cells_tdn", rd("ivf_cells_tdn"),
           Similarity.cellsFromCentroids(rd("ivf_centroids_v1"), surv))
@@ -675,7 +699,8 @@ object IngestDemo {
         // a from-scratch index build over the survivors serves — the
         // composed==standalone discipline at the takedown boundary
         // (non-vacuous: the persisted pair round-trips parquet)
-        val surv = embBase.unionByName(embDelivery)
+        val surv = embBase.unionByName(
+            embDelivery.join(rd("admitted_vecs"), Seq("vec_id")))
           .join(rd("removed_vecs"), Seq("vec_id"), "left_anti")
           .localCheckpoint(true)
         same("ivf_v2_serve",
@@ -880,11 +905,28 @@ object IngestDemo {
         // that licenses never re-tokenizing at recalibration
         same("nb_scores_v1", rd("nb_scores_v1"),
           TextAnalysis.nbScoreFrom(rd("nb_lm_v1"), rd("nb_consts_v1"), v1))),
+      "ann gate: flags witness the store, admitted ∪ flagged = delivery" -> { () =>
+        // funnel conservation + witness validity: every flagged
+        // vector's nn_id is a store vector, flagged ∩ admitted = ∅,
+        // and together they cover the delivery exactly
+        val flagged = rd("ann_gate")
+        val orphan = flagged.select(col("nn_id").as("vec_id"))
+          .join(embBase.select("vec_id"), Seq("vec_id"), "left_anti").count()
+        require(orphan == 0, s"$orphan gate witnesses are not store vectors")
+        val overlap = flagged.select("vec_id")
+          .join(rd("admitted_vecs"), Seq("vec_id")).count()
+        require(overlap == 0, s"$overlap vectors both flagged and admitted")
+        val total = flagged.count() + rd("admitted_vecs").count()
+        val n = embDelivery.count()
+        require(total == n,
+          s"gate split $total vectors of a $n-vector delivery")
+      },
       "ann fold == from-scratch under the v0 model" -> { () =>
         // row-local assignment/encoding commute with row subsets:
-        // store ∪ delivery-derived rows must equal one from-scratch
+        // store ∪ admitted-derived rows must equal one from-scratch
         // pass over corpus v1 under the SAME (v0) model, bit for bit
-        val embV1 = embBase.unionByName(embDelivery)
+        val embV1 = embBase.unionByName(
+          embDelivery.join(rd("admitted_vecs"), Seq("vec_id")))
         same("ivf_cells_fold", rd("ivf_cells_fold"),
           Similarity.cellsFromCentroids(rd("ivf_centroids"), embV1))
         same("pq_codes_fold", rd("pq_codes_fold"),
@@ -895,7 +937,9 @@ object IngestDemo {
         // must serve exactly what a from-scratch index build over
         // corpus v1 serves — the q173/q174 composed==standalone
         // equality at the ingest boundary
-        val embV1 = embBase.unionByName(embDelivery).localCheckpoint(true)
+        val embV1 = embBase.unionByName(
+            embDelivery.join(rd("admitted_vecs"), Seq("vec_id")))
+          .localCheckpoint(true)
         same("ivf_v1_serve",
           Similarity.ivfTopKFrom(rd("ivf_centroids_v1"), rd("ivf_cells_v1"),
             embV1),

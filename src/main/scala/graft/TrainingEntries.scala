@@ -730,6 +730,50 @@ object TrainingEntries {
         .filter(col("est_jaccard") >= 0.7).select("id1", "id2")
       capped.unionByName(star).distinct()
     }),
+    // The vector side's INGEST GATE under the oracle: a delivery
+    // batch (odd vec_ids) probes the IVF index persisted for the
+    // store (even vec_ids — centroids TRAINED ON THE STORE, the
+    // serve-time shape), exact quantized cosine against the
+    // cell-pruned store only, and each flagged batch vector reports
+    // its best store witness — Dedup.incrementalNearDups' semantics
+    // carried to embeddings, gated end to end (q34's machinery with
+    // store-trained ivfCte and full-batch probes)
+    "q193_ann_ingest_gate" -> q(t => {
+      val emb = t.embeddings
+      val store = emb.filter(col("vec_id") % 2 === 0)
+      val batch = emb.filter(col("vec_id") % 2 === 1)
+      val cents = Similarity.ivfCentroidsDf(store)
+      Similarity.semanticIngestGate(cents,
+        Similarity.cellsFromCentroids(cents, store), store, batch)
+    }),
+    // The STORE-SIDE star probe hash-gated (q185's index-vs-batch
+    // sibling — ADVICE round-13): the store is the even docs plus 300
+    // template copies (a saturated index family), the batch is the
+    // odd docs plus ONE more template copy — the capped store probe
+    // (incrementalNearDups' q96 form, cap blind spot REPRODUCED in
+    // the oracle on the store side) misses that copy by design; the
+    // index-vs-batch star (hotBucketProbe) must flag it against the
+    // bucket's canonical store doc, and the union is hash-gated
+    "q192_store_star_probe" -> q(t => {
+      val docs = t.documents.select(col("doc_id"), col("text"))
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+      val odds = docs.filter(col("doc_id") % 2 === 1)
+      val tmpl = evens.filter(length(col("text")) > 200)
+        .agg(min_by(col("text"), col("doc_id")).as("text"))
+      val storeCopies = tmpl
+        .select(explode(sequence(lit(0L), lit(299L))).as("i"), col("text"))
+        .select((col("i") + 10000000L).as("doc_id"), col("text"))
+      val batchCopy = tmpl.select(lit(20000000L).as("doc_id"), col("text"))
+      val storeSigs = Dedup.minhashSignatures(evens.unionByName(storeCopies))
+        .localCheckpoint(true)
+      val batchSigs = Dedup.minhashSignatures(odds.unionByName(batchCopy))
+        .localCheckpoint(true)
+      val capped = Dedup.incrementalNearDups(storeSigs, batchSigs)
+        .filter(col("est_jaccard") >= 0.7).select("id1", "id2")
+      val star = Dedup.hotBucketProbe(storeSigs, batchSigs)
+        .filter(col("est_jaccard") >= 0.7).select("id1", "id2")
+      capped.unionByName(star).distinct()
+    }),
     // INCREMENTAL maintenance of the exact-verify pair store (the
     // round-13 standing `weak`): the even docs' verified-pair table
     // is the persisted store; the odd docs fold in as a delivery
@@ -1338,17 +1382,18 @@ object TrainingEntries {
     * engines); final `assign` = each vector's cell, `probes` = each
     * vector's nprobe nearest cells.
     */
-  private def ivfCte(nCentroids: Int, lloydIters: Int, nprobe: Int): String = {
+  private def ivfCte(nCentroids: Int, lloydIters: Int, nprobe: Int,
+      trainSrc: String = "flat"): String = {
     val sb = new StringBuilder
     sb.append(
-      s"c0 AS (SELECT vec_id AS c_id, i, v AS cv FROM flat WHERE vec_id <= $nCentroids)")
+      s"c0 AS (SELECT vec_id AS c_id, i, v AS cv FROM $trainSrc WHERE vec_id <= $nCentroids)")
     for (it <- 1 to lloydIters) {
       val prev = s"c${it - 1}"
       sb.append(s""",
         |n$prev AS (SELECT c_id, sqrt(CAST(SUM(cv*cv) AS DOUBLE)) AS cnrm
         |           FROM $prev GROUP BY c_id),
         |d$it AS (SELECT f.vec_id, c.c_id, SUM(f.v * c.cv) AS dot
-        |         FROM flat f JOIN $prev c ON c.i = f.i
+        |         FROM $trainSrc f JOIN $prev c ON c.i = f.i
         |         GROUP BY f.vec_id, c.c_id),
         |a$it AS (SELECT vec_id, c_id AS cell FROM (
         |           SELECT d$it.vec_id, d$it.c_id,
@@ -1359,7 +1404,7 @@ object TrainingEntries {
         |                JOIN n$prev cn ON cn.c_id = d$it.c_id) WHERE arn = 1),
         |c$it AS (SELECT a$it.cell AS c_id, f.i,
         |           CAST(floor(CAST(SUM(f.v) AS DOUBLE)/COUNT(*)) AS BIGINT) AS cv
-        |         FROM a$it JOIN flat f USING (vec_id)
+        |         FROM a$it JOIN $trainSrc f USING (vec_id)
         |         GROUP BY a$it.cell, f.i)""".stripMargin)
     }
     val last = s"c$lloydIters"
@@ -4289,6 +4334,97 @@ object TrainingEntries {
          |star AS (SELECT id1, id2 FROM agree
          |         WHERE n_agree >= 8 AND CAST(n_agree AS DOUBLE) / 16 >= 0.7)
          |SELECT id1, id2 FROM dup UNION SELECT id1, id2 FROM star
+         |ORDER BY id1, id2""".stripMargin,
+
+    // centroids trained on the STORE slice only (sfl — seed rule
+    // vec_id <= 16 evaluated on the slice, mirroring
+    // trainCentroids(quantized(store))); `assign` then covers every
+    // vector under those centroids, so store rows are the cell table
+    // and odd rows' top-nprobe `probes` are the batch probe — exact
+    // cosine on the cell-pruned store, best witness per batch vector
+    "q193_ann_ingest_gate" ->
+      s"""WITH $flatCte,
+         |sfl AS (SELECT * FROM flat WHERE vec_id % 2 = 0),
+         |${ivfCte(nCentroids = 16, lloydIters = 2, nprobe = 2,
+            trainSrc = "sfl")},
+         |pairs AS (SELECT q.vec_id AS qid, c.vec_id AS cid, c.cell
+         |          FROM probes q JOIN assign c ON q.cell = c.cell
+         |          WHERE q.vec_id % 2 = 1 AND c.vec_id % 2 = 0),
+         |dots AS (SELECT p.qid, p.cid, p.cell, SUM(fq.v * fc.v) AS dot
+         |         FROM pairs p
+         |         JOIN flat fq ON fq.vec_id = p.qid
+         |         JOIN flat fc ON fc.vec_id = p.cid AND fc.i = fq.i
+         |         GROUP BY p.qid, p.cid, p.cell),
+         |cos AS (SELECT qid, cid, cell,
+         |          CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+         |        FROM dots
+         |        JOIN norms nq ON nq.vec_id = qid
+         |        JOIN norms nc ON nc.vec_id = cid
+         |        WHERE CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) >= 0.35),
+         |r AS (SELECT qid, cid, cell, cos,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY cos DESC, cid) AS rn
+         |      FROM cos)
+         |SELECT qid AS vec_id, cid AS nn_id, cell, cos
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // the store-side capped probe + index-vs-batch star: sides ride a
+    // `side` tag through one shared sig derivation (disjoint id
+    // ranges), the cap and the hot-bucket min are computed on the
+    // STORE side exactly as incrementalNearDups/hotBucketProbe do
+    "q192_store_star_probe" ->
+      s"""WITH tmpl AS (SELECT min(doc_id) AS tid FROM documents
+         |             WHERE length(text) > 200 AND doc_id % 2 = 0),
+         |docsx AS (SELECT doc_id, text, 's' AS side FROM documents
+         |          WHERE doc_id % 2 = 0
+         |          UNION ALL
+         |          SELECT 10000000 + gs AS doc_id, d.text, 's'
+         |          FROM documents d, tmpl, generate_series(0, 299) AS g(gs)
+         |          WHERE d.doc_id = tmpl.tid
+         |          UNION ALL
+         |          SELECT doc_id, text, 'b' FROM documents
+         |          WHERE doc_id % 2 = 1
+         |          UNION ALL
+         |          SELECT 20000000 AS doc_id, d.text, 'b'
+         |          FROM documents d, tmpl WHERE d.doc_id = tmpl.tid),
+         |docs AS (SELECT doc_id, $norm AS norm FROM docsx),
+         |sides AS (SELECT DISTINCT doc_id, side FROM docsx),
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(norm, i, 5) AS shingle FROM (
+         |       SELECT doc_id, norm,
+         |         unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+         |       FROM docs)),
+         |$hashedShinglesCte,
+         |sig AS MATERIALIZED (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
+         |bands AS MATERIALIZED ($bandsSql),
+         |sbands AS (SELECT bands.* FROM bands JOIN sides USING (doc_id)
+         |           WHERE side = 's'),
+         |bbands AS (SELECT bands.* FROM bands JOIN sides USING (doc_id)
+         |           WHERE side = 'b'),
+         |okb AS (SELECT band, bhash FROM sbands
+         |        GROUP BY band, bhash HAVING COUNT(*) <= 256),
+         |cands AS (SELECT DISTINCT s.doc_id AS id1, bb.doc_id AS id2
+         |          FROM sbands s JOIN okb USING (band, bhash)
+         |          JOIN bbands bb
+         |          ON bb.band = s.band AND bb.bhash = s.bhash),
+         |capped AS (SELECT id1, id2 FROM (
+         |             SELECT c.id1, c.id2, $sigAgreeSql AS n_agree
+         |             FROM cands c
+         |             JOIN sig a ON a.doc_id = c.id1
+         |             JOIN sig b ON b.doc_id = c.id2)
+         |           WHERE n_agree >= 8 AND CAST(n_agree AS DOUBLE) / 16 >= 0.7),
+         |hot AS (SELECT band, bhash, MIN(doc_id) AS hid
+         |        FROM sbands GROUP BY band, bhash HAVING COUNT(*) > 256),
+         |starc AS (SELECT DISTINCT h.hid AS id1, bb.doc_id AS id2
+         |          FROM bbands bb JOIN hot h
+         |          ON bb.band = h.band AND bb.bhash = h.bhash
+         |          WHERE bb.doc_id <> h.hid),
+         |star AS (SELECT id1, id2 FROM (
+         |           SELECT c.id1, c.id2, $sigAgreeSql AS n_agree
+         |           FROM starc c
+         |           JOIN sig a ON a.doc_id = c.id1
+         |           JOIN sig b ON b.doc_id = c.id2)
+         |         WHERE n_agree >= 8 AND CAST(n_agree AS DOUBLE) / 16 >= 0.7)
+         |SELECT id1, id2 FROM capped UNION SELECT id1, id2 FROM star
          |ORDER BY id1, id2""".stripMargin,
 
     // the digest sub-manifest over the surviving evens, from scratch —

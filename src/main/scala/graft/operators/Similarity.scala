@@ -480,6 +480,49 @@ object Similarity {
       .filter($("rn") <= k)
   }
 
+  /** SEMANTIC INGEST GATE off the persisted IVF index — the vector
+    * side's [[graft.operators.Dedup.incrementalNearDups]]: a delivery
+    * batch probes its `nprobe` nearest cells against the broadcast
+    * centroid table, scores exact quantized cosine against the
+    * cell-pruned STORE vectors only, and returns each batch vector's
+    * BEST store witness at or above `threshold` — (vec_id, nn_id,
+    * cell, cos), one row per flagged batch vector (argmax cosine,
+    * ties to the smaller store id). Batch vectors with no same-cell
+    * store match above the threshold are absent: they are the
+    * admitted set's complement, exactly how the ingest demo consumes
+    * this (`inc_ann_gate`). Approximation contract is IVF's own:
+    * recall bounded by the probe count (q82/q155 measure it), which
+    * is the production trade for never scanning the store.
+    *
+    * Scale: one broadcast-centroid probe per batch vector (row-local
+    * + the per-vec_id argmin window), then a cell-equi-join whose
+    * fan-out is cell-bounded — batch-proportional, the store is
+    * touched only through its cell-pruned slice; the store's raw
+    * vectors stream through the join, never shuffle as a whole.
+    */
+  def semanticIngestGate(centroids: DataFrame, cells: DataFrame,
+      store: DataFrame, batch: DataFrame, threshold: Double = 0.35,
+      nprobe: Int = 2): DataFrame = {
+    val corpus = cells.select($("vec_id"), $("cell"))
+      .join(quantized(store), Seq("vec_id"))
+      .select($("cell"), $("vec_id").as("nn_id"), $("qv").as("ce"),
+        $("nrm").as("cn"))
+    val batchQ = quantized(batch)
+    val probes = assignCells(batchQ, centroids, nprobe)
+      .join(batchQ, Seq("vec_id"))
+      .select($("cell"), $("vec_id"), $("qv").as("qe"), $("nrm").as("qn"))
+    val w = Window.partitionBy($("vec_id"))
+      .orderBy($("cos").desc, $("nn_id").asc)
+    probes.join(corpus, Seq("cell"))
+      .select($("vec_id"), $("nn_id"), $("cell"),
+        (qdot($("qe"), $("ce")).cast("double") / ($("qn") * $("cn")))
+          .as("cos"))
+      .filter($("cos") >= threshold)
+      .withColumn("rn", row_number().over(w))
+      .filter($("rn") === 1)
+      .select($("vec_id"), $("nn_id"), $("cell"), $("cos"))
+  }
+
   /** Flat (exhaustive) cell assignment — (vec_id, cell) via argmax
     * cosine over ALL centroids, the exact baseline
     * [[twoLevelAssign]] approximates (and the assignment the IVF

@@ -708,6 +708,29 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("semanticIngestGate flags near-store vectors with their best witness") {
+    val dim = 64
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(j => (((seed * 31 + j * 7) % 97) + 1) / 97f)
+    val store = (0L until 20L).map(i => (i, vec(i.toInt), 0))
+      .toDF("vec_id", "embedding", "label")
+    // 100 = an exact copy of store vec 4 (cos 1, must flag with
+    // witness 4); 101 = the NEGATION of store vec 7 (cos −1 against
+    // everything positive-quadrant, must be absent)
+    val batch = Seq(
+      (100L, vec(4), 0),
+      (101L, vec(7).map(-_), 0)).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.ivfCentroidsDf(store)
+    val got = Similarity.semanticIngestGate(cents,
+        Similarity.cellsFromCentroids(cents, store), store, batch,
+        threshold = 0.95)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet === Set(100L), s"flag set wrong: ${got.toSeq}")
+    val hit = got.head
+    assert(hit._2 === 4L, "witness must be the identical store vector")
+    assert(hit._4 > 0.999, "an exact copy must score cos ~ 1")
+  }
+
   test("pqEncodeFrom == pqEncode, and the encode commutes with row subsets") {
     val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
     val cb = Similarity.pqCodebookDf(emb).localCheckpoint(true)
