@@ -557,6 +557,14 @@ object Dedup {
     * one shingle consumer should materialize [[shingles]] once
     * (parquet at warehouse scale — Bench's composed mode measures
     * exactly this) and feed them all.
+    *
+    * ROLE (round-14): this from-scratch build is the OFFLINE REBUILD
+    * of the verified-pair store — run it once per warehouse (or for
+    * reconciliation); per-delivery maintenance is
+    * [[jaccardPairsFold]] and compliance removal is
+    * [[jaccardPairsRetract]], both hash-gated equal to this rebuild
+    * (q186/q187) at a fraction of its exchange volume (BASELINE.md
+    * round-14 fold-vs-rebuild table).
     */
   def ngramJaccardFromShingles(shingleSet: DataFrame,
       threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {

@@ -46,6 +46,60 @@ object EmbStreams {
         Similarity.pqAssignExpr(col("embedding"), codebook, m, dim)
           .as("codes"))
 
+  /** Streaming SEMANTIC INGEST GATE — the live twin of
+    * [[Similarity.semanticIngestGate]] (q193): each arriving vector
+    * probes its `nprobe` nearest cells as a PURE EXPRESSION against
+    * the centroid LITERALS (the [[pqCodes]] codebook discipline —
+    * the model ships with the stream, a refresh is a restart), then a
+    * STREAM-STATIC join against the cell-pruned store scores exact
+    * quantized cosine, and the per-vector best witness folds through
+    * a max_by aggregate. Emits (vec_id, nn_id, cell, cos) for
+    * flagged vectors — the complement is the admitted set, exactly
+    * the batch gate's contract (StreamingSpec pins equality).
+    *
+    * State: one aggregate row per FLAGGED streamed vector (each
+    * vector's rows arrive within its micro-batch, but the engine
+    * cannot know that — the same per-seen-key floor as
+    * [[DocStreams]]' exact dedup; bound it upstream with a TTL if
+    * the firehose is unbounded). The store side is static and
+    * re-read per micro-batch — at warehouse scale, partition the
+    * cell store by `cell` so the join prunes.
+    */
+  def semanticGateFlags(emb: DataFrame,
+      centroids: Seq[(Long, Seq[Long], Double)], cells: DataFrame,
+      store: DataFrame, threshold: Double = 0.35, nprobe: Int = 2,
+      dim: Int = 64): DataFrame = {
+    require(centroids.nonEmpty, "empty centroid model")
+    val corpus = cells.select(col("vec_id").as("nn_id"), col("cell"))
+      .join(store.select(col("vec_id").as("nn_id"),
+        Similarity.quantize(col("embedding")).as("ce")), Seq("nn_id"))
+      .withColumn("cn", Similarity.qnorm(col("ce")))
+    // top-nprobe cells as one expression: sort (−cos, c_id) structs —
+    // ascending = cos desc, c_id asc, the batch assignCells tie rule
+    val cands = centroids.map { case (cid, cv, cnrm) =>
+      struct((-(Similarity.qdot(col("qv"), typedlit(cv)).cast("double") /
+        (col("qn") * lit(cnrm)))).as("negcos"), lit(cid).as("c_id"))
+    }
+    emb.filter(size(col("embedding")) === dim)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("qn", Similarity.qnorm(col("qv")))
+      .select(col("vec_id"), col("qv"), col("qn"),
+        explode(slice(array_sort(array(cands: _*)), 1, nprobe))
+          .as("probe"))
+      .select(col("vec_id"), col("qv"), col("qn"),
+        col("probe").getField("c_id").as("cell"))
+      .join(corpus, Seq("cell"))
+      .select(col("vec_id"), col("nn_id"), col("cell"),
+        (Similarity.qdot(col("qv"), col("ce")).cast("double") /
+          (col("qn") * col("cn"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("nn_id"), col("cell"), col("cos")),
+        struct(col("cos"), -col("nn_id"))).as("b"))
+      .select(col("vec_id"), col("b.nn_id").as("nn_id"),
+        col("b.cell").as("cell"), col("b.cos").as("cos"))
+  }
+
   /** Streaming nearest-centroid classification: a pred label per
     * arriving vector against the OFFLINE-trained label centroids
     * ([[Similarity.centroidModelLocal]] — shipped as literals like

@@ -931,6 +931,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming semantic ingest gate == batch gate (single batch)") {
+    import graft.operators.Similarity
+    import graft.streaming.EmbStreams
+    val emb = graft.sources.Tables(spark, dir).embeddings
+    val store = emb.filter($"vec_id" % 2 === 0).localCheckpoint(true)
+    val batch = emb.filter($"vec_id" % 2 === 1).localCheckpoint(true)
+    val cents = Similarity.ivfCentroidsDf(store).localCheckpoint(true)
+    val cells = Similarity.cellsFromCentroids(cents, store)
+      .localCheckpoint(true)
+    val centsLocal = cents.as[(Long, Seq[Long], Double)].collect().toSeq
+    val eDir = java.nio.file.Files
+      .createTempDirectory("graft-anngate-stream").toString
+    batch.write.mode("append").parquet(eDir)
+    val q = EmbStreams.semanticGateFlags(
+        EmbStreams.readEmbeddings(spark, eDir), centsLocal, cells, store)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ann_gate_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ann_gate_stream")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = Similarity.semanticIngestGate(cents, cells, store, batch)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === want,
+      "streamed gate flags must equal the oracle-gated batch gate")
+    assert(got.nonEmpty, "fixture must flag at least one vector")
+  }
+
   test("streaming pq codes == batch pqEncode codes (single batch)") {
     import graft.operators.Similarity
     import graft.streaming.EmbStreams
