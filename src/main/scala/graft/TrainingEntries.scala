@@ -746,6 +746,19 @@ object TrainingEntries {
       Similarity.semanticIngestGate(cents,
         Similarity.cellsFromCentroids(cents, store), store, batch)
     }),
+    // ... and the gate's RECALL under the oracle (the q82 discipline
+    // applied to the new operator): brute-force best store cosine per
+    // sampled batch vector is ground truth; the gate has no false
+    // positives (exact cosine on probed cells), so gate_flag ≤
+    // truth_flag and the ratio is the probe-miss rate at this nprobe
+    "q194_gate_recall" -> q(t => {
+      val emb = t.embeddings
+      val store = emb.filter(col("vec_id") % 2 === 0)
+      val batch = emb.filter(col("vec_id") % 2 === 1)
+      val cents = Similarity.ivfCentroidsDf(store)
+      Similarity.ingestGateRecall(cents,
+        Similarity.cellsFromCentroids(cents, store), store, batch)
+    }),
     // The STORE-SIDE star probe hash-gated (q185's index-vs-batch
     // sibling — ADVICE round-13): the store is the even docs plus 300
     // template copies (a saturated index family), the batch is the
@@ -4335,6 +4348,47 @@ object TrainingEntries {
          |         WHERE n_agree >= 8 AND CAST(n_agree AS DOUBLE) / 16 >= 0.7)
          |SELECT id1, id2 FROM dup UNION SELECT id1, id2 FROM star
          |ORDER BY id1, id2""".stripMargin,
+
+    // the gate replayed for the sampled queries (store-trained
+    // ivfCte, q193's machinery) plus the brute-force truth leg —
+    // flagged = any probed-cell cosine >= 0.35
+    "q194_gate_recall" ->
+      s"""WITH $flatCte,
+         |sfl AS (SELECT * FROM flat WHERE vec_id % 2 = 0),
+         |${ivfCte(nCentroids = 16, lloydIters = 2, nprobe = 2,
+            trainSrc = "sfl")},
+         |pairs AS (SELECT q.vec_id AS qid, c.vec_id AS cid
+         |          FROM probes q JOIN assign c ON q.cell = c.cell
+         |          WHERE q.vec_id % 2 = 1 AND q.vec_id < 50
+         |            AND c.vec_id % 2 = 0),
+         |gdots AS (SELECT p.qid, p.cid, SUM(fq.v * fc.v) AS dot
+         |          FROM pairs p
+         |          JOIN flat fq ON fq.vec_id = p.qid
+         |          JOIN flat fc ON fc.vec_id = p.cid AND fc.i = fq.i
+         |          GROUP BY p.qid, p.cid),
+         |gate AS (SELECT DISTINCT qid AS vec_id
+         |         FROM gdots
+         |         JOIN norms nq ON nq.vec_id = qid
+         |         JOIN norms nc ON nc.vec_id = cid
+         |         WHERE CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) >= 0.35),
+         |bdots AS (SELECT q.vec_id, c.vec_id AS cid, SUM(q.v * c.v) AS dot
+         |          FROM flat q JOIN flat c ON q.i = c.i
+         |          WHERE q.vec_id % 2 = 1 AND q.vec_id < 50
+         |            AND c.vec_id % 2 = 0
+         |          GROUP BY q.vec_id, c.vec_id),
+         |best AS (SELECT bdots.vec_id AS vec_id,
+         |           MAX(CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm)) AS best_cos
+         |         FROM bdots
+         |         JOIN norms nq ON nq.vec_id = bdots.vec_id
+         |         JOIN norms nc ON nc.vec_id = bdots.cid
+         |         GROUP BY bdots.vec_id)
+         |SELECT b.vec_id, b.best_cos,
+         |  CAST(CASE WHEN b.best_cos >= 0.35 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS truth_flag,
+         |  CAST(CASE WHEN g.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |    AS gate_flag
+         |FROM best b LEFT JOIN gate g ON g.vec_id = b.vec_id
+         |ORDER BY b.vec_id""".stripMargin,
 
     // centroids trained on the STORE slice only (sfl — seed rule
     // vec_id <= 16 evaluated on the slice, mirroring

@@ -523,6 +523,45 @@ object Similarity {
       .select($("vec_id"), $("nn_id"), $("cell"), $("cos"))
   }
 
+  /** RECALL report for [[semanticIngestGate]] — the q82/q119
+    * evaluation discipline applied to the ingest gate: for a bounded
+    * query sample of the batch (`vec_id < maxQueryId`), the
+    * brute-force best store cosine is the ground truth
+    * (`truth_flag` = best ≥ threshold) and `gate_flag` records the
+    * cell-probed gate's verdict. The gate computes EXACT cosine on
+    * whatever it probes, so it has no false positives — every miss
+    * is a probe miss (gate_flag ≤ truth_flag row-wise), and
+    * flag-recall = Σ gate_flag / Σ truth_flag is the number an
+    * operator reads before trusting the gate's nprobe at a given
+    * threshold.
+    *
+    * Scale: ground truth is a DESIGN diagnostic — the brute-force leg
+    * is query-sample × store (the small side broadcasts), run on a
+    * bounded sample exactly like [[annRecall]], never per delivery.
+    */
+  def ingestGateRecall(centroids: DataFrame, cells: DataFrame,
+      store: DataFrame, batch: DataFrame, threshold: Double = 0.35,
+      nprobe: Int = 2, maxQueryId: Long = 50): DataFrame = {
+    val q = batch.filter($("vec_id") < maxQueryId)
+    val bq = broadcast(quantized(q)
+      .select($("vec_id"), $("qv").as("qe"), $("nrm").as("qn")))
+    val best = quantized(store)
+      .select($("qv").as("ce"), $("nrm").as("cn"))
+      .crossJoin(bq)
+      .select($("vec_id"),
+        (qdot($("qe"), $("ce")).cast("double") / ($("qn") * $("cn")))
+          .as("cos"))
+      .groupBy($("vec_id")).agg(max($("cos")).as("best_cos"))
+    val flags = semanticIngestGate(centroids, cells, store, q,
+        threshold, nprobe)
+      .select($("vec_id"), lit(1L).as("gate_flag"))
+    best.join(flags, Seq("vec_id"), "left")
+      .select($("vec_id"), $("best_cos"),
+        when($("best_cos") >= threshold, 1L).otherwise(0L)
+          .as("truth_flag"),
+        coalesce($("gate_flag"), lit(0L)).as("gate_flag"))
+  }
+
   /** Flat (exhaustive) cell assignment — (vec_id, cell) via argmax
     * cosine over ALL centroids, the exact baseline
     * [[twoLevelAssign]] approximates (and the assignment the IVF
