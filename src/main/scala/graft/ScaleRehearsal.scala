@@ -80,11 +80,17 @@ object ScaleRehearsal {
       .cast("int")
     val skewedSrc = inflateDocuments(docs, k).withColumn("source",
       concat(lit("src"), (lit(5) - least(j, lit(5))).cast("string")))
+    // template copies live at slot k of the 1e8-wide id grid —
+    // inflateDocuments occupies slots 0..k-1 only (base ids < 1e8),
+    // so the range is disjoint for EVERY k; a fixed 9e8 offset
+    // collided with inflated block 9 whenever k >= 10 (ADVICE r14),
+    // merging ~3000 doc_ids' shingle sets and corrupting the skew
+    // legs' balance measurements
     val copies = docs.filter(length(col("text")) > 200)
       .agg(min_by(col("text"), col("doc_id")).as("text"))
       .select(explode(sequence(lit(0L), lit(300L * k - 1))).as("i"),
         col("text"))
-      .select((col("i") + 900000000L).as("doc_id"), col("text"),
+      .select((col("i") + lit(k.toLong * 100000000L)).as("doc_id"), col("text"),
         lit("en").as("lang"), lit("src0").as("source"),
         length(col("text")).cast("long").as("n_chars"))
     skewedSrc.unionByName(copies)

@@ -463,6 +463,16 @@ object DocStreams extends Serializable {
     * `n_docs=0` tombstone in complete/update mode — where the batch
     * retraction drops the row. Source discipline as for every
     * retraction stream: exactly-once, ingest-before-takedown.
+    *
+    * OVER-RETRACTION SURFACES AS `n_docs < 0`, not as an error: the
+    * batch twin ([[graft.operators.Curation.signedSubDigest]]) raises
+    * on a negative fold because it sees the whole ledger at once; a
+    * firehose cannot, so a takedown without a matching ingest drives
+    * the cell's signed sums negative and the corrupted cell is
+    * EMITTED that way — its `sub_dig61` still lands in [0, 2^61−1)
+    * and would pass a digest-shaped check, so consumers MUST alarm on
+    * `n_docs < 0` (the StreamingSpec pins that a corrupted cell is
+    * visible, never silently clamped or filtered).
     */
   def manifestDigestStreamSigned(events: DataFrame,
       subShards: Int = 4): DataFrame = {

@@ -67,6 +67,20 @@ class ScaleToolsSpec extends SparkSpec {
       s"expected >= 299 star pairs over the template family, got $star")
   }
 
+  test("inflateSkewedDocuments: doc_ids stay distinct at k = 10") {
+    // regression for the ADVICE r14 medium: the template-copy range
+    // (fixed 9e8 offset) collided with inflated block 9 at k >= 10,
+    // silently merging ~3000 doc_ids' texts; copies now live at
+    // slot k of the 1e8-wide grid, disjoint from blocks 0..k-1
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val skew = ScaleRehearsal.inflateSkewedDocuments(docs, 10)
+    val total = skew.count()
+    val distinct = skew.select("doc_id").distinct().count()
+    assert(distinct === total,
+      s"expected all $total doc_ids distinct, got $distinct")
+    assert(total === docs.count() * 10L + 3000L)
+  }
+
   test("keySkewProfile ranks the hot key first with exact micro shares") {
     // 6 rows of key 7, 3 of key 2, 1 of key 9 (+ a null, excluded)
     val rows = Seq.fill(6)(Option(7L)) ++ Seq.fill(3)(Option(2L)) ++

@@ -838,6 +838,34 @@ class StreamingSpec extends SparkSpec {
     assert(!state.exists(_._3 < 0L), "no cell count may go negative")
   }
 
+  test("signed manifest digest: over-retraction SURFACES as n_docs < 0") {
+    // the batch twin (signedSubDigest) raises on a negative fold; a
+    // firehose cannot see the whole ledger, so the documented
+    // contract is that a takedown without a matching ingest drives
+    // the cell negative and the corrupted cell is EMITTED that way —
+    // visible to a drift monitor, never clamped or filtered
+    import graft.streaming.DocStreams
+    val docsT = graft.sources.Tables(spark, dir).documents.limit(20)
+    val oDir = java.nio.file.Files
+      .createTempDirectory("graft-mdig-overretract").toString
+    // takedown-only stream: every event is op = -1, no ingests at all
+    docsT.withColumn("op", org.apache.spark.sql.functions.lit(-1L))
+      .write.mode("append").parquet(oDir)
+    val q = DocStreams.manifestDigestStreamSigned(
+        DocStreams.readSignedDocs(spark, oDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("mdig_overretract").start()
+    try q.processAllAvailable() finally q.stop()
+    val state = spark.table("mdig_overretract")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(state.nonEmpty && state.forall(_._3 < 0L),
+      "over-retracted cells must be emitted with n_docs < 0")
+    // ... and the digest column still lands in [0, 2^61-1): it LOOKS
+    // valid, which is exactly why consumers must alarm on the count
+    assert(state.forall(c => c._5 >= 0L &&
+      c._5 < graft.operators.Curation.Dig61P))
+  }
+
   test("signed nb counts: takedown events == batch retraction on the count table") {
     import graft.operators.TextAnalysis
     import graft.streaming.DocStreams
