@@ -145,6 +145,11 @@ object IngestDemo {
     */
   private val ReceiptedArtifacts = Seq(
     "fp_store" -> "fp_store", "sig_store" -> "sig_store",
+    // the LSH bucket-stats table (round-15): the store-side
+    // aggregation both per-delivery near-dup probes consume, kept as
+    // its own foldable artifact so the delivery path never
+    // re-aggregates the signature store
+    "bucket_store" -> "bucket_store",
     "span_index" -> "span_index", "nb_vt" -> "nb_vt",
     "nb_dc" -> "nb_dc", "nb_lm" -> "nb_lm",
     "nb_consts" -> "nb_consts", "gate_thr" -> "gate_thr",
@@ -192,6 +197,12 @@ object IngestDemo {
         wr(TextAnalysis.fingerprints(base), "fp_store")),
       "boot_sig_store" -> (() =>
         wr(Dedup.minhashSignatures(base), "sig_store")),
+      "boot_bucket_store" -> (() =>
+        // the (band, bhash, bsz, id1) aggregation the capped probe
+        // AND the star probe both need — paid once per corpus
+        // version here, folded per delivery, never recomputed on the
+        // delivery path (ADVICE round-14)
+        wr(Dedup.bucketStats(rd("sig_store")), "bucket_store")),
       "boot_span_index" -> (() =>
         wr(SubstringDedup.windowIndex(base), "span_index")),
       "boot_nb_model" -> { () =>
@@ -262,8 +273,13 @@ object IngestDemo {
         // store, so signatures are computed once per delivery
         wr(Dedup.minhashSignatures(docsOf(rd("admit_exact"))),
           "delivery_sigs")
-        val storeHits = Dedup.incrementalNearDups(rd("sig_store"),
-            rd("delivery_sigs"))
+        // both store-side probes read the PERSISTED bucket store —
+        // the store-sized (band, bhash) aggregation is an artifact
+        // maintained by fold/retract, not a per-delivery recompute;
+        // the signature store is touched only narrowly (band hashes
+        // for the capped candidate join, keyed sig rows for scoring)
+        val storeHits = Dedup.incrementalNearDupsFrom(rd("bucket_store"),
+            rd("sig_store"), rd("delivery_sigs"))
           .filter(col("est_jaccard") >= NearDupThreshold)
           .select(col("id2").as("doc_id"))
         // within-delivery self-probe: two near-identical docs arriving
@@ -291,9 +307,10 @@ object IngestDemo {
         // buckets (a template family already saturating the index) is
         // invisible to the capped store probe above — the index-vs-
         // batch star scores it against each hot bucket's canonical
-        // store doc (ADVICE round-13)
-        val storeHotHits = Dedup.hotBucketProbe(rd("sig_store"),
-            rd("delivery_sigs"))
+        // store doc (ADVICE round-13); served off the bucket store,
+        // it touches the index only through the scorer's keyed join
+        val storeHotHits = Dedup.hotBucketProbeFrom(rd("bucket_store"),
+            rd("sig_store"), rd("delivery_sigs"))
           .filter(col("est_jaccard") >= NearDupThreshold)
           .select(col("id2").as("doc_id"))
         val flagged = storeHits.unionByName(withinHits)
@@ -351,6 +368,13 @@ object IngestDemo {
         wr(rd("sig_store").unionByName(
           rd("delivery_sigs").join(rd("admitted"), Seq("doc_id"))),
           "sig_store_v1")),
+      "inc_fold_buckets" -> (() =>
+        // keyed merge of the bucket store with the ADMITTED delivery
+        // signatures' own bucket stats — delivery-proportional plus
+        // a bucket-table merge, never a signature-store re-agg
+        wr(Dedup.bucketStatsFold(rd("bucket_store"),
+          rd("delivery_sigs").join(rd("admitted"), Seq("doc_id"))),
+          "bucket_store_v1")),
       "inc_fold_span_index" -> (() =>
         wr(SubstringDedup.updatedWindowIndex(rd("span_index"),
           docsOf(rd("admitted"))), "span_index_v1")),
@@ -499,6 +523,14 @@ object IngestDemo {
         wr(minusRemoved(rd("fp_store_v1")), "fp_store_v2")),
       "tdn_sig_store" -> (() =>
         wr(minusRemoved(rd("sig_store_v1")), "sig_store_v2")),
+      "tdn_bucket_store" -> (() =>
+        // counts subtract per touched bucket, zero buckets drop, and
+        // a bucket whose canonical min was removed repairs it from
+        // the surviving signatures (affected buckets only)
+        wr(Dedup.bucketStatsRetract(rd("bucket_store_v1"),
+          rd("sig_store_v2"),
+          rd("sig_store_v1").join(rd("removed_docs").select("doc_id"),
+            Seq("doc_id"))), "bucket_store_v2")),
       "tdn_span_index" -> (() =>
         wr(SubstringDedup.retractedWindowIndex(rd("span_index_v1"),
           rd("removed_docs")), "span_index_v2")),
@@ -625,6 +657,11 @@ object IngestDemo {
       "sig store takedown == rebuild" -> (() =>
         same("sig_store_v2", rd("sig_store_v2"),
           Dedup.minhashSignatures(v2))),
+      "bucket store takedown == rebuild" -> (() =>
+        // keyed retract (counts down, minima repaired) vs a rebuild
+        // over the surviving corpus, independently re-signed
+        same("bucket_store_v2", rd("bucket_store_v2"),
+          Dedup.bucketStats(Dedup.minhashSignatures(v2)))),
       "span index takedown == rebuild" -> (() =>
         same("span_index_v2", rd("span_index_v2"),
           SubstringDedup.windowIndex(v2))),
@@ -724,8 +761,8 @@ object IngestDemo {
       },
       "artifact receipts flip on the takedown" -> { () =>
         val stale = rd("artifact_delta_v2")
-          .filter(col("artifact").isin("fp_store", "sig_store", "span_index",
-            "ivf_cells", "pq_codes")
+          .filter(col("artifact").isin("fp_store", "sig_store",
+            "bucket_store", "span_index", "ivf_cells", "pq_codes")
             && col("status") === "unchanged").count()
         require(stale == 0,
           s"$stale store receipts failed to flip on a non-empty takedown")
@@ -817,6 +854,11 @@ object IngestDemo {
       "sig store fold == from-scratch" -> (() =>
         same("sig_store_v1", rd("sig_store_v1"),
           Dedup.minhashSignatures(v1))),
+      "bucket store fold == from-scratch" -> (() =>
+        // ground truth from the v1 CORPUS (re-signed), not from the
+        // sig store under test — the independent-derivation rule
+        same("bucket_store_v1", rd("bucket_store_v1"),
+          Dedup.bucketStats(Dedup.minhashSignatures(v1)))),
       "span index fold == from-scratch" -> (() =>
         same("span_index_v1", rd("span_index_v1"),
           SubstringDedup.windowIndex(v1))),
@@ -996,7 +1038,8 @@ object IngestDemo {
         val admitted = rd("admitted").count()
         if (admitted > 0) {
           val stale = delta
-            .filter(col("artifact").isin("fp_store", "sig_store", "span_index")
+            .filter(col("artifact").isin("fp_store", "sig_store",
+              "bucket_store", "span_index")
               && col("status") === "unchanged").count()
           require(stale == 0,
             s"$stale store receipts failed to flip on a non-empty fold")

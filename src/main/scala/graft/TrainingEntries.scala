@@ -787,6 +787,67 @@ object TrainingEntries {
         .filter(col("est_jaccard") >= 0.7).select("id1", "id2")
       capped.unionByName(star).distinct()
     }),
+    // LSH bucket-stats store FOLD (ADVICE round-14): the store-side
+    // (band, bhash) aggregation both per-delivery probes share,
+    // persisted as its own artifact and folded per delivery (counts
+    // sum, minima fold) instead of re-aggregated from the signature
+    // store — fold(store-stats, delivery) == rebuild over the union,
+    // which the SQL computes from scratch
+    "q195_bucket_fold" -> q(t => {
+      val bucket = Curation.hashBucket(col("doc_id"), 10)
+      val store = Dedup.minhashSignatures(t.documents.filter(bucket <= 6))
+        .localCheckpoint(true)
+      val delivery = Dedup.minhashSignatures(
+        t.documents.filter(bucket >= 7)).localCheckpoint(true)
+      Dedup.bucketStatsFold(Dedup.bucketStats(store), delivery)
+        .select(col("band").cast("long").as("band"), col("bhash"),
+          col("bsz"), col("id1"))
+    }),
+    // ... and its TAKEDOWN inverse: odd docs retracted from the
+    // full-corpus bucket store by keyed merge (counts subtract,
+    // zero-count buckets drop, lost canonical minima repaired from
+    // the survivors) == bucket stats rebuilt over the evens
+    "q196_bucket_retract" -> q(t => {
+      val all = Dedup.minhashSignatures(t.documents).localCheckpoint(true)
+      val retracted = all.filter(col("doc_id") % 2 === 1)
+      val surviving = all.filter(col("doc_id") % 2 === 0)
+      Dedup.bucketStatsRetract(Dedup.bucketStats(all), surviving,
+          retracted)
+        .select(col("band").cast("long").as("band"), col("bhash"),
+          col("bsz"), col("id1"))
+    }),
+    // q192's store+batch star-probe scenario SERVED off the folded
+    // bucket store: both probes read persisted bucket stats (evens'
+    // stats with the template copies folded in) instead of
+    // re-aggregating the signature store — the ingest path's shape,
+    // gated byte-identically by q192's SQL
+    "q197_star_probe_from" -> q(t => {
+      val docs = t.documents.select(col("doc_id"), col("text"))
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+      val odds = docs.filter(col("doc_id") % 2 === 1)
+      val tmpl = evens.filter(length(col("text")) > 200)
+        .agg(min_by(col("text"), col("doc_id")).as("text"))
+      val storeCopies = tmpl
+        .select(explode(sequence(lit(0L), lit(299L))).as("i"), col("text"))
+        .select((col("i") + 10000000L).as("doc_id"), col("text"))
+      val batchCopy = tmpl.select(lit(20000000L).as("doc_id"), col("text"))
+      val evenSigs = Dedup.minhashSignatures(evens).localCheckpoint(true)
+      val copySigs = Dedup.minhashSignatures(storeCopies)
+        .localCheckpoint(true)
+      val bstats = Dedup.bucketStatsFold(Dedup.bucketStats(evenSigs),
+        copySigs).localCheckpoint(true)
+      // signatures are per-doc, so the scorer's store table is the
+      // union of the two slices whose stats were folded
+      val storeSigs = evenSigs.unionByName(copySigs)
+      val batchSigs = Dedup.minhashSignatures(odds.unionByName(batchCopy))
+        .localCheckpoint(true)
+      val capped = Dedup.incrementalNearDupsFrom(bstats, storeSigs,
+          batchSigs)
+        .filter(col("est_jaccard") >= 0.7).select("id1", "id2")
+      val star = Dedup.hotBucketProbeFrom(bstats, storeSigs, batchSigs)
+        .filter(col("est_jaccard") >= 0.7).select("id1", "id2")
+      capped.unionByName(star).distinct()
+    }),
     // INCREMENTAL maintenance of the exact-verify pair store (the
     // round-13 standing `weak`): the even docs' verified-pair table
     // is the persisted store; the odd docs fold in as a delivery
@@ -906,7 +967,11 @@ object TrainingEntries {
     // the profile path scores exactly what the end-to-end classifier
     // scores — q156's SQL gates the narrow projection verbatim
     "q190_nb_from_profiles"        -> "q156_nb_classifier",
-    "q181_calibration_composed"    -> "q98_est_calibration")
+    "q181_calibration_composed"    -> "q98_est_calibration",
+    // both probes served off the FOLDED bucket-stats store instead of
+    // re-aggregating the signature store — q192's scenario and SQL
+    // gate the composed serve path verbatim
+    "q197_star_probe_from"         -> "q192_store_star_probe")
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
     * DuckDB's regexp_replace is single-match by default, Spark's is
@@ -4480,6 +4545,37 @@ object TrainingEntries {
          |         WHERE n_agree >= 8 AND CAST(n_agree AS DOUBLE) / 16 >= 0.7)
          |SELECT id1, id2 FROM capped UNION SELECT id1, id2 FROM star
          |ORDER BY id1, id2""".stripMargin,
+
+    // the folded bucket store == bucket stats from scratch over the
+    // WHOLE corpus: per (band, bhash), member count + smallest doc_id
+    "q195_bucket_fold" ->
+      s"""WITH $shinglesCte,
+         |$hashedShinglesCte,
+         |sig AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
+         |bands AS ($bandsSql)
+         |SELECT CAST(band AS BIGINT) AS band, bhash,
+         |  CAST(COUNT(*) AS BIGINT) AS bsz, MIN(doc_id) AS id1
+         |FROM bands GROUP BY band, bhash
+         |ORDER BY band, bhash""".stripMargin,
+
+    // the retracted bucket store == bucket stats from scratch over
+    // the surviving evens (counts subtracted, zero buckets dropped,
+    // lost minima repaired — all invisible to the from-scratch form,
+    // which is the point of the gate)
+    "q196_bucket_retract" ->
+      s"""WITH docs AS (SELECT doc_id, $norm AS norm FROM documents
+         |              WHERE doc_id % 2 = 0),
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(norm, i, 5) AS shingle FROM (
+         |       SELECT doc_id, norm,
+         |         unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+         |       FROM docs)),
+         |$hashedShinglesCte,
+         |sig AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
+         |bands AS ($bandsSql)
+         |SELECT CAST(band AS BIGINT) AS band, bhash,
+         |  CAST(COUNT(*) AS BIGINT) AS bsz, MIN(doc_id) AS id1
+         |FROM bands GROUP BY band, bhash
+         |ORDER BY band, bhash""".stripMargin,
 
     // the digest sub-manifest over the surviving evens, from scratch —
     // the signed +full/−odd fold must land exactly here (integer

@@ -1101,13 +1101,117 @@ object Dedup {
     * scorer joins carry k BIGINTs per doc.
     */
   def incrementalNearDups(index: DataFrame, batch: DataFrame, k: Int = 16,
-      bands: Int = 4, maxBucket: Int = 256, minAgree: Int = 8): DataFrame = {
-    val ib = bandHashes(index, k, bands)
-    val okBuckets = ib.groupBy("band", "bhash")
-      .agg(count(lit(1)).as("bsz"))
-      .filter($("bsz") <= maxBucket)
+      bands: Int = 4, maxBucket: Int = 256, minAgree: Int = 8): DataFrame =
+    incrementalNearDupsFrom(bucketStats(index, k, bands), index, batch,
+      k, bands, maxBucket, minAgree)
+
+  /** Per-bucket LSH statistics of a signature store — (band, bhash,
+    * bsz, id1) with bsz the member count and id1 the bucket's
+    * smallest doc_id (the star probe's canonical doc). This is the
+    * aggregation [[incrementalNearDups]] and [[hotBucketProbe]] both
+    * need; persisting it next to the signature store turns their
+    * per-delivery store-sized groupBy into a read of a table that is
+    * #distinct-buckets sized and FOLDABLE (ADVICE round-14):
+    * member counts sum and minima fold on append
+    * ([[bucketStatsFold]]), and takedown retracts by keyed merge with
+    * the minimum repaired only in buckets that lost it
+    * ([[bucketStatsRetract]]).
+    */
+  def bucketStats(sigs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame =
+    bandHashes(sigs, k, bands)
+      .groupBy("band", "bhash")
+      .agg(count(lit(1)).as("bsz"), min($("doc_id")).as("id1"))
+
+  /** Fold a delivery's signatures into a persisted [[bucketStats]]
+    * table: counts are additive and minima fold (min of mins), so the
+    * new store is a (band, bhash)-keyed merge of the old table with
+    * the DELIVERY's own bucket stats — delivery-proportional work
+    * plus a merge over the store table, never a re-aggregation of the
+    * signature store itself. Exactness: fold == [[bucketStats]] over
+    * the unioned signatures, which is the oracle gate (q195).
+    */
+  def bucketStatsFold(store: DataFrame, deliverySigs: DataFrame,
+      k: Int = 16, bands: Int = 4): DataFrame =
+    store.select("band", "bhash", "bsz", "id1")
+      .unionByName(bucketStats(deliverySigs, k, bands))
+      .groupBy("band", "bhash")
+      .agg(sum($("bsz")).as("bsz"), min($("id1")).as("id1"))
+
+  /** TAKEDOWN of a [[bucketStats]] store: subtract the retracted
+    * docs' per-bucket counts (keyed merge — a bucket not touched by
+    * the removal is never read), drop buckets folded to zero, and
+    * REPAIR the canonical minimum only where it was retracted: a
+    * bucket loses its id1 iff the retracted slice's own minimum in
+    * that bucket equals it (retracted ⊆ members, so rmin ≥ id1 with
+    * equality exactly when id1 is retracted). Those buckets — and
+    * only those — recompute min over the survivors via a broadcast
+    * semi-join of the surviving band hashes on the affected (band,
+    * bhash) set: the surviving-store scan is narrow (no shuffle of
+    * non-matching rows) and the re-aggregation is affected-bucket
+    * sized. Over-retraction (a count driven negative) raises
+    * row-locally — corruption, the takedown discipline everywhere
+    * else — as does an affected bucket with a positive count but no
+    * surviving member (an inconsistent store).
+    *
+    * Oracle gate: retract == [[bucketStats]] over the survivors
+    * (q196).
+    */
+  def bucketStatsRetract(store: DataFrame, survivingSigs: DataFrame,
+      retractedSigs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val r = bucketStats(retractedSigs, k, bands)
+      .select($("band"), $("bhash"), $("bsz").as("rsz"),
+        $("id1").as("rmin"))
+    val overRetract = raise_error(concat(
+      lit("bucket over-retraction: (band="), $("band"),
+      lit(", bhash="), $("bhash"),
+      lit(") count driven negative"))).cast("long")
+    val unrepairable = raise_error(concat(
+      lit("bucket min unrepairable: (band="), $("band"),
+      lit(", bhash="), $("bhash"),
+      lit(") has survivors on count but none in signatures")))
+      .cast("long")
+    // FULL outer: a retraction touching a bucket the store does not
+    // hold at all (bsz side null) is over-retraction too — a left
+    // join would silently drop exactly the double-retract case
+    val merged = store.select("band", "bhash", "bsz", "id1")
+      .join(r, Seq("band", "bhash"), "full")
+      .select($("band"), $("bhash"),
+        (coalesce($("bsz"), lit(0L)) - coalesce($("rsz"), lit(0L)))
+          .as("bsz"),
+        $("id1"), $("rmin"))
+      .withColumn("bsz",
+        when($("bsz") < 0, overRetract).otherwise($("bsz")))
+      .filter($("bsz") > 0)
+    val affected = merged.filter($("rmin").isNotNull &&
+      $("rmin") === $("id1")).select("band", "bhash")
+    val repaired = bandHashes(survivingSigs, k, bands)
+      .join(broadcast(affected), Seq("band", "bhash"))
+      .groupBy("band", "bhash")
+      .agg(min($("doc_id")).as("id1r"))
+    merged.join(repaired, Seq("band", "bhash"), "left")
+      .select($("band"), $("bhash"), $("bsz"),
+        when($("rmin").isNotNull && $("rmin") === $("id1"),
+          when($("id1r").isNull, unrepairable).otherwise($("id1r")))
+          .otherwise($("id1")).as("id1"))
+  }
+
+  /** [[incrementalNearDups]] off a PERSISTED [[bucketStats]] table:
+    * the capped store-vs-batch probe with the store-side bucket
+    * aggregation replaced by a read of the bucket store — the index
+    * signatures are still scanned NARROWLY (band hashes for the
+    * candidate join, k BIGINTs per surviving pair for the scorer),
+    * but the store-sized shuffle is gone from the delivery path
+    * (ADVICE round-14). Byte-identical to [[incrementalNearDups]]
+    * when `bstats == bucketStats(index)` — q96's SQL gates the
+    * composed form verbatim.
+    */
+  def incrementalNearDupsFrom(bstats: DataFrame, index: DataFrame,
+      batch: DataFrame, k: Int = 16, bands: Int = 4, maxBucket: Int = 256,
+      minAgree: Int = 8): DataFrame = {
+    val okBuckets = bstats.filter($("bsz") <= maxBucket)
       .select("band", "bhash")
-    val cands = ib.join(okBuckets, Seq("band", "bhash"))
+    val cands = bandHashes(index, k, bands)
+      .join(okBuckets, Seq("band", "bhash"))
       .select($("band"), $("bhash"), $("doc_id").as("id1"))
       .join(bandHashes(batch, k, bands)
         .select($("band"), $("bhash"), $("doc_id").as("id2")),
@@ -1168,18 +1272,33 @@ object Dedup {
     * copy; chains needing all-pairs live in small buckets, which the
     * capped probe still covers.
     *
-    * Scale: hot buckets derive from the index side's band hashes
-    * (the aggregation [[incrementalNearDups]] already pays), the
-    * probe is a (band, bhash) equi-join against BATCH band hashes —
-    * batch-proportional — and the scorer moves k BIGINTs per
-    * surviving pair.
+    * Scale: standalone, this derives hot buckets with its own
+    * store-sized aggregation — fine for a one-shot audit, but a
+    * SECOND store pass when wired per-delivery next to
+    * [[incrementalNearDups]]; the ingest path therefore uses
+    * [[hotBucketProbeFrom]] over the persisted [[bucketStats]] store
+    * instead (ADVICE round-14), where the hot table is a filter on a
+    * #buckets-sized read. The probe itself is a (band, bhash)
+    * equi-join against BATCH band hashes — batch-proportional — and
+    * the scorer moves k BIGINTs per surviving pair.
     */
   def hotBucketProbe(index: DataFrame, batch: DataFrame, k: Int = 16,
-      bands: Int = 4, maxBucket: Int = 256, minAgree: Int = 8): DataFrame = {
-    val hot = bandHashes(index, k, bands)
-      .groupBy("band", "bhash")
-      .agg(count(lit(1)).as("bsz"), min($("doc_id")).as("id1"))
-      .filter($("bsz") > maxBucket)
+      bands: Int = 4, maxBucket: Int = 256, minAgree: Int = 8): DataFrame =
+    hotBucketProbeFrom(bucketStats(index, k, bands), index, batch,
+      k, bands, maxBucket, minAgree)
+
+  /** [[hotBucketProbe]] off a PERSISTED [[bucketStats]] table: the
+    * hot-bucket set (bsz > maxBucket, with its canonical id1) comes
+    * from the bucket store — typically a handful of rows, broadcast
+    * by AQE — so the star probe touches the index ONLY through the
+    * scorer's keyed signature join. Byte-identical to
+    * [[hotBucketProbe]] when `bstats == bucketStats(index)`; q192's
+    * SQL gates the composed form verbatim (q197).
+    */
+  def hotBucketProbeFrom(bstats: DataFrame, index: DataFrame,
+      batch: DataFrame, k: Int = 16, bands: Int = 4, maxBucket: Int = 256,
+      minAgree: Int = 8): DataFrame = {
+    val hot = bstats.filter($("bsz") > maxBucket)
       .select("band", "bhash", "id1")
     val cands = bandHashes(batch, k, bands)
       .join(hot, Seq("band", "bhash"))

@@ -733,6 +733,75 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Dedup.hotBucketProbe(batch, store).count() === 0L)
   }
 
+  test("bucketStats fold == rebuild over the unioned signatures") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+      .documents.select($"doc_id", $"text")
+    val store = Dedup.minhashSignatures(docs.filter($"doc_id" % 2 === 0))
+      .localCheckpoint(true)
+    val delivery = Dedup.minhashSignatures(docs.filter($"doc_id" % 2 === 1))
+      .localCheckpoint(true)
+    val folded = Dedup.bucketStatsFold(Dedup.bucketStats(store), delivery)
+    val rebuilt = Dedup.bucketStats(store.unionByName(delivery))
+    assert(folded.exceptAll(rebuilt).count() === 0L &&
+      rebuilt.exceptAll(folded).count() === 0L,
+      "folded bucket store must equal a from-scratch rebuild")
+  }
+
+  test("bucketStatsRetract == rebuild over survivors, repairing lost minima") {
+    // a 300-copy template family (over-cap buckets, canonical id1 = 1)
+    // plus distinct docs; retract the CANONICAL doc 1 and doc 500 —
+    // the family's buckets must repair id1 to 2, counts must drop,
+    // and the fully-retracted doc-500 buckets must disappear
+    val template = "breaking news template header repeated across the " +
+      "whole crawl with identical boilerplate body and footer sections"
+    val all = Dedup.minhashSignatures(
+      ((1L to 300L).map(i => (i, template)) ++ Seq(
+        (500L, "established archival record with distinctive wording"),
+        (600L, "second surviving record with its own unique content")))
+        .toDF("doc_id", "text")).localCheckpoint(true)
+    val removedIds = Set(1L, 500L)
+    val retracted = all.filter($"doc_id".isin(removedIds.toSeq: _*))
+      .localCheckpoint(true)
+    val surviving = all.filter(!$"doc_id".isin(removedIds.toSeq: _*))
+      .localCheckpoint(true)
+    val got = Dedup.bucketStatsRetract(
+      Dedup.bucketStats(all), surviving, retracted).localCheckpoint(true)
+    val want = Dedup.bucketStats(surviving)
+    assert(got.exceptAll(want).count() === 0L &&
+      want.exceptAll(got).count() === 0L,
+      "retracted bucket store must equal a rebuild over survivors")
+    // the repair actually fired: the template buckets' canonical is 2
+    assert(got.filter($"bsz" > 256).count() > 0L)
+    assert(got.filter($"bsz" > 256).select("id1").distinct()
+      .as[Long].collect().toSet === Set(2L))
+    // ... and the star probe over the retracted store scores against
+    // the REPAIRED canonical (a stale id1 would score against a ghost
+    // signature and silently drop every pair)
+    val probe = Dedup.hotBucketProbeFrom(got, surviving,
+      Dedup.minhashSignatures(Seq((9000L, template + " extra"))
+        .toDF("doc_id", "text")))
+      .filter($"est_jaccard" >= 0.7)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(probe.map(r => (r._1, r._2)).toSet === Set((2L, 9000L)))
+  }
+
+  test("bucketStatsRetract raises on over-retraction") {
+    val sigs = Dedup.minhashSignatures(Seq(
+      (1L, "only document in the store with some words"),
+      (2L, "another unrelated document about different things"))
+      .toDF("doc_id", "text")).localCheckpoint(true)
+    val doc1 = sigs.filter($"doc_id" === 1L)
+    val store = Dedup.bucketStatsRetract(Dedup.bucketStats(sigs),
+      sigs.filter($"doc_id" === 2L), doc1)
+    // retracting doc 1 AGAIN drives its buckets negative — corruption
+    val ex = intercept[Exception] {
+      Dedup.bucketStatsRetract(store,
+        sigs.filter($"doc_id" === 2L), doc1).count()
+    }
+    assert(ex.getMessage.contains("over-retraction") ||
+      Option(ex.getCause).exists(_.getMessage.contains("over-retraction")))
+  }
+
   // shared fixture for the verified-pair store maintenance tests:
   // shingle SETS constructed directly (the ops take (doc_id, shingle)
   // tables), maxDf = 2 so the df cut actually crosses.
