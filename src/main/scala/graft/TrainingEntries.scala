@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, explode, length, lit, md5, min_by, posexplode, sequence, when}
 
 import graft.analytics.DistributionFit
-import graft.operators.{BloomDecontam, Bpe, Curation, Dedup, Events, Multimodal, Similarity, Sketches, SkewJoin, StarQueries, SubstringDedup, TextAnalysis}
+import graft.operators.{BloomDecontam, Bpe, Curation, Dedup, Events, Multimodal, NgramLm, Similarity, Sketches, SkewJoin, StarQueries, SubstringDedup, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver-contract entries for the training-data-pipeline operators
@@ -848,6 +848,43 @@ object TrainingEntries {
         .filter(col("est_jaccard") >= 0.7).select("id1", "id2")
       capped.unionByName(star).distinct()
     }),
+    // Bigram-LM perplexity scoring (the CCNet-style quality signal):
+    // add-one smoothed bigram conditionals trained on the trusted
+    // src0-2 slice, every document scored by its total and average
+    // per-bigram negative log-likelihood in integer micro-nats
+    "q198_lm_score" -> q(t => {
+      val ref = t.documents
+        .filter(col("source").isin("src0", "src1", "src2"))
+      NgramLm.lmScore(ref, t.documents)
+    }),
+    // ... its INCREMENTAL state: bigram counts are additive, so a
+    // reference delivery folds by keyed merge — fold == from-scratch
+    // counts over the grown reference, computed by the SQL directly
+    "q199_lm_fold" -> q(t => {
+      val ref = t.documents
+        .filter(col("source").isin("src0", "src1", "src2"))
+      val bucket = Curation.hashBucket(col("doc_id"), 10)
+      NgramLm.bigramCountsUpdate(
+        NgramLm.bigramCounts(ref.filter(bucket <= 6)),
+        ref.filter(bucket >= 7))
+    }),
+    // ... and its TAKEDOWN inverse: odd reference docs retracted by
+    // signed keyed merge (negative counts raise, zeroed rows drop)
+    // == re-training on the surviving evens
+    "q200_lm_retract" -> q(t => {
+      val ref = t.documents
+        .filter(col("source").isin("src0", "src1", "src2"))
+      NgramLm.bigramCountsRetract(NgramLm.bigramCounts(ref),
+        ref.filter(col("doc_id") % 2 === 1))
+    }),
+    // The audit view a curation run reads: the 100 most-perplexed
+    // docs (top-k first — TakeOrderedAndProject — then a k-row rank
+    // window), with source and length for the review queue
+    "q201_lm_outliers" -> q(t => {
+      val ref = t.documents
+        .filter(col("source").isin("src0", "src1", "src2"))
+      NgramLm.lmOutliers(ref, t.documents)
+    }),
     // INCREMENTAL maintenance of the exact-verify pair store (the
     // round-13 standing `weak`): the even docs' verified-pair table
     // is the persisted store; the odd docs fold in as a delivery
@@ -1025,6 +1062,48 @@ object TrainingEntries {
        |    CAST(floor(1000000.0 * ln((tf0 + 1) /
        |      CAST(T0 + V + 1 AS DOUBLE))) AS BIGINT) AS lnp0
        |  FROM vt CROSS JOIN st)""".stripMargin
+
+  /** Shared bigram-LM CTEs (q198-q201), mirroring NgramLm's micro-nat
+    * discipline: `bg` = per-doc bigram OCCURRENCES of the normalized
+    * tokenization (duplicates kept), `refbg` = the trusted-slice
+    * bigrams per `refFilter`, `bi`/`uni`/`ct` = the count / context /
+    * constants artifacts (c1 = Σ c12 so c12 ≤ c1; v = distinct
+    * next-token types), `lmsc` = per-doc total + average negative
+    * log-likelihood in floor-micro-nats, `//` on non-negative longs
+    * matching Spark's `div`. `bg` and `bi` are MATERIALIZED: `bg`
+    * feeds both training and scoring, `bi` feeds uni/ct/the score
+    * join, and DuckDB 1.0 re-inlines plain CTEs per reference.
+    */
+  private def lmCtes(refFilter: String): String =
+    s"""docs AS (SELECT doc_id, $norm AS norm FROM documents),
+       |bg AS MATERIALIZED (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM (SELECT doc_id, string_split(norm, ' ') AS toks
+       |              FROM docs WHERE length(norm) > 0))),
+       |refbg AS (SELECT bg.w1, bg.w2 FROM bg
+       |          JOIN documents d ON d.doc_id = bg.doc_id
+       |          WHERE $refFilter),
+       |bi AS MATERIALIZED (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+       |                    FROM refbg GROUP BY w1, w2),
+       |uni AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+       |        FROM bi GROUP BY w1),
+       |ct AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM bi),
+       |lmsc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_big,
+       |    CAST(SUM(nll) AS BIGINT) AS nll_micro,
+       |    CAST(CAST(SUM(nll) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+       |      AS BIGINT) AS avg_nll_micro
+       |  FROM (SELECT bg.doc_id,
+       |      -CAST(floor(1000000.0 * ln(
+       |        CAST(COALESCE(bi.c12, 0) + 1 AS DOUBLE) /
+       |        CAST(COALESCE(uni.c1, 0) + ct.v + 1 AS DOUBLE)))
+       |        AS BIGINT) AS nll
+       |    FROM bg LEFT JOIN bi ON bi.w1 = bg.w1 AND bi.w2 = bg.w2
+       |    LEFT JOIN uni ON uni.w1 = bg.w1
+       |    CROSS JOIN ct)
+       |  GROUP BY doc_id)""".stripMargin
+
+  private val lmRefFilter = "d.source IN ('src0','src1','src2')"
 
   private val stopwords = Map(
     "en" -> Seq("the", "and", "of", "to", "in"),
@@ -4576,6 +4655,38 @@ object TrainingEntries {
          |  CAST(COUNT(*) AS BIGINT) AS bsz, MIN(doc_id) AS id1
          |FROM bands GROUP BY band, bhash
          |ORDER BY band, bhash""".stripMargin,
+
+    // per-doc bigram-LM negative log-likelihood under the src0-2
+    // reference model — the whole pipeline (train + serve) in one
+    // statement, integer micro-nats end to end
+    "q198_lm_score" ->
+      s"""WITH ${lmCtes(lmRefFilter)}
+         |SELECT doc_id, n_big, nll_micro, avg_nll_micro FROM lmsc
+         |ORDER BY doc_id""".stripMargin,
+
+    // the folded bigram-count state == counts from scratch over the
+    // grown reference (additivity is the proof, the q161/q92 pattern)
+    "q199_lm_fold" ->
+      s"""WITH ${lmCtes(lmRefFilter)}
+         |SELECT w1, w2, c12 FROM bi ORDER BY w1, w2""".stripMargin,
+
+    // the retracted bigram-count state == re-training on the
+    // surviving even reference docs
+    "q200_lm_retract" ->
+      s"""WITH ${lmCtes(lmRefFilter + " AND d.doc_id % 2 = 0")}
+         |SELECT w1, w2, c12 FROM bi ORDER BY w1, w2""".stripMargin,
+
+    // the 100 most-perplexed docs with source/length — rank over the
+    // per-doc scores, doc_id tiebreak
+    "q201_lm_outliers" ->
+      s"""WITH ${lmCtes(lmRefFilter)},
+         |r AS (SELECT lmsc.doc_id, d.source, d.n_chars, lmsc.n_big,
+         |        lmsc.avg_nll_micro,
+         |        CAST(row_number() OVER (ORDER BY lmsc.avg_nll_micro DESC,
+         |          lmsc.doc_id) AS BIGINT) AS rank
+         |      FROM lmsc JOIN documents d ON d.doc_id = lmsc.doc_id)
+         |SELECT rank, doc_id, source, n_chars, n_big, avg_nll_micro
+         |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
 
     // the digest sub-manifest over the surviving evens, from scratch —
     // the signed +full/−odd fold must land exactly here (integer
