@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.operators.{Curation, Dedup, Similarity, SubstringDedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, NgramLm, Similarity, SubstringDedup, TextAnalysis}
 import graft.sources.Tables
 
 /** The PRODUCTION entry point for CONTINUOUS ingest — one corpus
@@ -163,7 +163,10 @@ object IngestDemo {
     // lifecycle reaches the vector stores too): IVF index pair +
     // PQ codebook/code table
     "ivf_centroids" -> "ivf_centroids", "ivf_cells" -> "ivf_cells",
-    "pq_codebook" -> "pq_codebook", "pq_codes" -> "pq_codes")
+    "pq_codebook" -> "pq_codebook", "pq_codes" -> "pq_codes",
+    // the bigram-LM artifacts (round-15): the count state plus the
+    // two serve tables lmFromCounts derives from it
+    "lm_bi" -> "lm_bi", "lm_uni" -> "lm_uni", "lm_consts" -> "lm_consts")
 
   /** [[stages]] with the corpus-v0/delivery split supplied as
     * DataFrames — the rehearsal entry point (ScaleRehearsal inflates
@@ -203,6 +206,15 @@ object IngestDemo {
         // version here, folded per delivery, never recomputed on the
         // delivery path (ADVICE round-14)
         wr(Dedup.bucketStats(rd("sig_store")), "bucket_store")),
+      "boot_lm_model" -> { () =>
+        // bigram-LM perplexity model over the trusted-source slice:
+        // the count table is the incremental state; the context
+        // table + constants re-derive from it with vocab-sized work
+        wr(NgramLm.bigramCounts(
+          base.filter(col("source").isin(posSources: _*))), "lm_bi")
+        val (uni, consts) = NgramLm.lmFromCounts(rd("lm_bi"))
+        wr(uni, "lm_uni"); wr(consts, "lm_consts")
+      },
       "boot_span_index" -> (() =>
         wr(SubstringDedup.windowIndex(base), "span_index")),
       "boot_nb_model" -> { () =>
@@ -338,6 +350,15 @@ object IngestDemo {
         wr(rd("delivery_gate").filter(col("keep"))
           .select("doc_id"), "admitted")
       },
+      "inc_lm_score" -> (() =>
+        // perplexity signal for the admitted docs, served entirely
+        // off the persisted LM artifacts (two count-table joins +
+        // broadcast constants — no reference-corpus access): the
+        // quality-drift column a curation review reads next to the
+        // NB gate's attribution
+        wr(NgramLm.lmScoreFrom(rd("lm_bi"), rd("lm_uni"),
+          rd("lm_consts"), docsOf(rd("admitted"))),
+          "delivery_lm_scores")),
       "inc_manifest_diff" -> { () =>
         // INCREMENTAL receipt: the admitted docs' units fold into the
         // persisted sub-manifest, recomputing only the cells they
@@ -375,6 +396,15 @@ object IngestDemo {
         wr(Dedup.bucketStatsFold(rd("bucket_store"),
           rd("delivery_sigs").join(rd("admitted"), Seq("doc_id"))),
           "bucket_store_v1")),
+      "inc_fold_lm" -> { () =>
+        // the admitted TRUSTED-source docs fold into the bigram count
+        // state by keyed merge; the serve pair re-derives vocab-sized
+        wr(NgramLm.bigramCountsUpdate(rd("lm_bi"),
+          docsOf(rd("admitted"))
+            .filter(col("source").isin(posSources: _*))), "lm_bi_v1")
+        val (uni1, consts1) = NgramLm.lmFromCounts(rd("lm_bi_v1"))
+        wr(uni1, "lm_uni_v1"); wr(consts1, "lm_consts_v1")
+      },
       "inc_fold_span_index" -> (() =>
         wr(SubstringDedup.updatedWindowIndex(rd("span_index"),
           docsOf(rd("admitted"))), "span_index_v1")),
@@ -531,6 +561,16 @@ object IngestDemo {
           rd("sig_store_v2"),
           rd("sig_store_v1").join(rd("removed_docs").select("doc_id"),
             Seq("doc_id"))), "bucket_store_v2")),
+      "tdn_lm" -> { () =>
+        // removed trusted-source docs retract from the bigram count
+        // state (signed keyed merge, corruption guards); a compliant
+        // serve model re-derives from the retracted counts
+        wr(NgramLm.bigramCountsRetract(rd("lm_bi_v1"),
+          rd("removed_docs").filter(col("source").isin(posSources: _*))),
+          "lm_bi_v2")
+        val (uni2, consts2) = NgramLm.lmFromCounts(rd("lm_bi_v2"))
+        wr(uni2, "lm_uni_v2"); wr(consts2, "lm_consts_v2")
+      },
       "tdn_span_index" -> (() =>
         wr(SubstringDedup.retractedWindowIndex(rd("span_index_v1"),
           rd("removed_docs")), "span_index_v2")),
@@ -662,6 +702,15 @@ object IngestDemo {
         // over the surviving corpus, independently re-signed
         same("bucket_store_v2", rd("bucket_store_v2"),
           Dedup.bucketStats(Dedup.minhashSignatures(v2)))),
+      "lm counts takedown == re-train" -> { () =>
+        val refV2 = v2.filter(col("source").isin(posSources: _*))
+          .localCheckpoint(true)
+        same("lm_bi_v2", rd("lm_bi_v2"), NgramLm.bigramCounts(refV2))
+        val (uni, consts) = NgramLm.lmFromCounts(
+          NgramLm.bigramCounts(refV2))
+        same("lm_uni_v2", rd("lm_uni_v2"), uni)
+        same("lm_consts_v2", rd("lm_consts_v2"), consts)
+      },
       "span index takedown == rebuild" -> (() =>
         same("span_index_v2", rd("span_index_v2"),
           SubstringDedup.windowIndex(v2))),
@@ -859,6 +908,22 @@ object IngestDemo {
         // sig store under test — the independent-derivation rule
         same("bucket_store_v1", rd("bucket_store_v1"),
           Dedup.bucketStats(Dedup.minhashSignatures(v1)))),
+      "lm counts fold == from-scratch" -> { () =>
+        val refV1 = v1.filter(col("source").isin(posSources: _*))
+          .localCheckpoint(true)
+        same("lm_bi_v1", rd("lm_bi_v1"), NgramLm.bigramCounts(refV1))
+        val (uni, consts) = NgramLm.lmFromCounts(
+          NgramLm.bigramCounts(refV1))
+        same("lm_uni_v1", rd("lm_uni_v1"), uni)
+        same("lm_consts_v1", rd("lm_consts_v1"), consts)
+      },
+      "lm scores served off artifacts == training-corpus scoring" -> (() =>
+        // the persisted-artifact serve path must score the admitted
+        // docs exactly as a from-scratch train+score over the v0
+        // reference slice would
+        same("delivery_lm_scores", rd("delivery_lm_scores"),
+          NgramLm.lmScore(base.filter(col("source").isin(posSources: _*)),
+            docsOf(rd("admitted"))))),
       "span index fold == from-scratch" -> (() =>
         same("span_index_v1", rd("span_index_v1"),
           SubstringDedup.windowIndex(v1))),

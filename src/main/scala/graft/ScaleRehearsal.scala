@@ -7,7 +7,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, Similarity, SkewJoin, SubstringDedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, NgramLm, Similarity, SkewJoin, SubstringDedup, TextAnalysis}
 import graft.sources.Tables
 
 /** Scale rehearsal: run the heavy dedup/ANN family on a ~K× inflated
@@ -166,7 +166,8 @@ object ScaleRehearsal {
         needsEmb: Boolean = false, needsSpanIdx: Boolean = false,
         needsNbIdx: Boolean = false, needsContPairs: Boolean = false,
         needsManifestIdx: Boolean = false, needsGateIdx: Boolean = false,
-        needsSkewDocs: Boolean = false, needsJacIdx: Boolean = false)(
+        needsSkewDocs: Boolean = false, needsJacIdx: Boolean = false,
+        needsLmIdx: Boolean = false)(
         val fn: () => DataFrame)
     val nbPos = Seq("src0", "src1", "src2")
     val nbNeg = Seq("src3", "src4", "src5")
@@ -228,6 +229,13 @@ object ScaleRehearsal {
           .localCheckpoint(true)
         (sh90, Dedup.ngramJaccardFromShingles(sh90).localCheckpoint(true))
       }
+      // the bigram-LM count state over 90% of the trusted slice,
+      // built ONCE outside the timed legs — the q199 fold leg merges
+      // a 10% delivery into it; the full-retrain leg is the baseline
+      // it must undercut
+      lazy val lmIdx: DataFrame = NgramLm.bigramCounts(
+        docs.filter(col("doc_id") % 10 =!= 0 &&
+          col("source").isin(nbPos: _*))).localCheckpoint(true)
       // the composite gate's serve artifacts (NB model + per-source
       // cut table), trained ONCE outside the timed legs — the served
       // leg gates the corpus windowless against them
@@ -373,6 +381,27 @@ object ScaleRehearsal {
           () => Dedup.jaccardPairsFold(jacIdx._2, jacIdx._1,
             Dedup.shingles(docs.filter(col("doc_id") % 10 === 0)))
             .filter(col("jaccard") > 0)),
+        // the bigram-LM scorer (q198): one row-local bigram explode
+        // over the reference + corpus, two token-keyed joins against
+        // the count/context tables, one per-doc aggregate — expected
+        // linear in corpus tokens (the nll filter is data-dependent,
+        // keeping the model joins elimination-proof under count())
+        Leg("q198_lm_score", needsDocs = true)(() =>
+          NgramLm.lmScore(docs.filter(col("source").isin(nbPos: _*)),
+            docs).filter(col("nll_micro") > 0)),
+        // incremental LM count fold vs full retrain: a 10% trusted
+        // delivery's bigrams merge into the prebuilt 90% state (one
+        // delivery derivation + a vocab-sized keyed merge) vs
+        // re-deriving every reference bigram — the q161 marginal-cost
+        // claim for the LM family (c12 filter: elimination-proofing)
+        Leg("q199_lm_fold", needsDocs = true, needsLmIdx = true)(() =>
+          NgramLm.bigramCountsUpdate(lmIdx,
+            docs.filter(col("doc_id") % 10 === 0 &&
+              col("source").isin(nbPos: _*)))
+            .filter(col("c12") > 0)),
+        Leg("q199_lm_retrain", needsDocs = true)(() =>
+          NgramLm.bigramCounts(docs.filter(col("source").isin(nbPos: _*)))
+            .filter(col("c12") > 0)),
         // ---- adversarial-skew legs (round-14): power-law sources +
         // one 300·f-copy template (see inflateSkewedDocuments). The
         // claims under test: the sig/span STORE builds stay balanced
@@ -416,6 +445,7 @@ object ScaleRehearsal {
       }
       if (sel.exists(_.needsGateIdx)) gateIdx._3.count()
       if (sel.exists(_.needsJacIdx)) { jacIdx._1.count(); jacIdx._2.count() }
+      if (sel.exists(_.needsLmIdx)) lmIdx.count()
       for (leg <- sel) {
         val g = s"x$f:${leg.name}"
         spark.sparkContext.setJobGroup(g, g)

@@ -53,20 +53,28 @@ object NgramLm {
 
   private def $(c: String): Column = col(c)
 
+  /** Array of (w1, w2) bigram structs of ONE document's normalized
+    * tokenization — the row-local core, a pure Column expression so
+    * the streaming twins run it over a firehose unchanged (the
+    * SimHash/WindowHashes discipline). Empty array when the doc has
+    * fewer than two tokens; normText collapses whitespace runs, so
+    * adjacent tokens are non-empty by construction.
+    */
+  private[graft] def bigramsOf(text: Column): Column = {
+    val toks = split(normText(text), " ")
+    when(length(get(toks, lit(0))) > 0 && size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i =>
+        struct(get(toks, i).as("w1"), get(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  }
+
   /** (doc_id, w1, w2) bigram OCCURRENCES (duplicates kept — each
-    * occurrence scores) of the normalized whitespace tokenization.
-    * Row-local: normText collapses runs of whitespace, so adjacent
-    * tokens are non-empty by construction and the pair derivation is
-    * a per-row array transform inside whole-stage codegen.
+    * occurrence scores) of the normalized whitespace tokenization:
+    * [[bigramsOf]] exploded, inside whole-stage codegen.
     */
   private[operators] def bigrams(documents: DataFrame): DataFrame =
     documents.spread()
-      .select($("doc_id"), split(normText($("text")), " ").as("toks"))
-      .filter(length($("toks")(0)) > 0 && size($("toks")) >= 2)
-      .select($("doc_id"), posexplode(expr(
-        "transform(sequence(0, size(toks) - 2), " +
-          "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
-        .as(Seq("pos", "bg")))
+      .select($("doc_id"), explode(bigramsOf($("text"))).as("bg"))
       .select($("doc_id"), $("bg.w1").as("w1"), $("bg.w2").as("w2"))
 
   /** The LM's INCREMENTAL state: (w1, w2, c12) bigram counts over a

@@ -395,6 +395,53 @@ object DocStreams extends Serializable {
       .agg(sum(when(col("cls") === 1L, col("op")).otherwise(0L)).as("tf1"),
         sum(when(col("cls") === 0L, col("op")).otherwise(0L)).as("tf0"))
 
+  /** Streaming bigram-LM count maintenance: the running (w1, w2, c12)
+    * state over a reference-document firehose — bigram counts are
+    * additive, so the live state is a plain streaming aggregation and
+    * a fresh serve model derives from it via
+    * [[graft.operators.NgramLm.lmFromCounts]] at any cadence. The
+    * bigram derivation is [[graft.operators.NgramLm.bigramsOf]] — a
+    * pure row-local Column expression, so it runs over `readStream`
+    * unchanged (the SimHash discipline). State is one entry per
+    * DISTINCT reference bigram — the same floor the batch count
+    * table pays on disk.
+    *
+    * Twin contract (StreamingSpec): run over the static reference and
+    * the final cells equal the batch
+    * [[graft.operators.NgramLm.bigramCounts]].
+    */
+  def lmCountStream(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(graft.operators.NgramLm.bigramsOf(col("text")))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+
+  /** RETRACTION-AWARE bigram-LM counts: the signed sibling of
+    * [[lmCountStream]] over an ingest/takedown event stream
+    * ([[signedDocSchema]], `op` +1/-1). A takedown event carrying the
+    * same text subtracts its bigram occurrences from the running
+    * state — [[graft.operators.NgramLm.bigramCountsRetract]]'s fold,
+    * kept live.
+    *
+    * Twin contract (StreamingSpec): restricted to `c12 > 0`, the
+    * final values equal the batch counts over ingests ∖ takedowns; a
+    * bigram folded to zero emits a `c12=0` tombstone in
+    * complete/update mode — where the batch fold drops the row. As
+    * with every signed twin, over-retraction SURFACES as `c12 < 0`
+    * (the batch fold raises; a firehose cannot see the whole ledger)
+    * — consumers must alarm on negative counts, never clamp them.
+    * Source discipline: exactly-once, ingest-before-takedown.
+    */
+  def lmCountStreamSigned(events: DataFrame): DataFrame =
+    events
+      .select(col("op"),
+        explode(graft.operators.NgramLm.bigramsOf(col("text"))).as("bg"))
+      .select(col("op"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("op")).as("c12"))
+
   /** Streaming window-index maintenance: the running (fp, n_occ)
     * span-dedup index over the document firehose — the accumulated
     * state [[graft.operators.SubstringDedup.incrementalSpanStats]]

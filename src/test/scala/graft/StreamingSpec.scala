@@ -675,6 +675,68 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming LM bigram counts == batch bigramCounts across batches") {
+    import graft.operators.NgramLm
+    import graft.streaming.DocStreams
+    val ref = graft.sources.Tables(spark, dir).documents
+      .filter($"source".isin("src0", "src1", "src2"))
+      .localCheckpoint(true)
+    val wDir = java.nio.file.Files
+      .createTempDirectory("graft-lm-stream").toString
+    ref.filter($"doc_id" % 2 === 0).write.mode("append").parquet(wDir)
+    val q = DocStreams.lmCountStream(DocStreams.readDocs(spark, wDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("lm_stream").start()
+    try {
+      q.processAllAvailable()
+      ref.filter($"doc_id" % 2 === 1).write.mode("append").parquet(wDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("lm_stream")
+      .as[(String, String, Long)].collect().toSet
+    val want = NgramLm.bigramCounts(ref)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === want,
+      "the live count state must equal the batch bigram table exactly")
+    assert(got.nonEmpty)
+  }
+
+  test("signed LM counts: takedown events == batch retraction") {
+    import graft.operators.NgramLm
+    import graft.streaming.DocStreams
+    val ref = graft.sources.Tables(spark, dir).documents
+      .filter($"source".isin("src0", "src1", "src2"))
+      .localCheckpoint(true)
+    val wDir = java.nio.file.Files
+      .createTempDirectory("graft-lm-signed").toString
+    ref.withColumn("op", org.apache.spark.sql.functions.lit(1L))
+      .write.mode("append").parquet(wDir)
+    val q = DocStreams.lmCountStreamSigned(
+        DocStreams.readSignedDocs(spark, wDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("lm_signed").start()
+    try {
+      q.processAllAvailable()
+      ref.filter($"doc_id" % 3 === 0)
+        .withColumn("op", org.apache.spark.sql.functions.lit(-1L))
+        .write.mode("append").parquet(wDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.table("lm_signed")
+      .as[(String, String, Long)].collect()
+    val got = state.filter(_._3 > 0).toSet
+    val want = NgramLm.bigramCounts(ref.filter($"doc_id" % 3 =!= 0))
+      .as[(String, String, Long)].collect().toSet
+    assert(got === want,
+      "live signed counts (c12 > 0) must equal batch counts over survivors")
+    // fully-retracted bigrams surface as ZERO rows — the update-mode
+    // delete tombstone, where the batch fold drops the row
+    assert(state.exists(_._3 == 0L),
+      "expected tombstone rows for fully-retracted bigrams")
+    assert(!state.exists(_._3 < 0L),
+      "no count may go negative under disciplined ingest-before-takedown")
+  }
+
   test("the stateless quality layer runs UNCHANGED on a stream") {
     // langId / quality / gopherRules are narrow per-row expression
     // chains — the SAME operator objects run over readStream (append
