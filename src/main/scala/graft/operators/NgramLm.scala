@@ -53,28 +53,37 @@ object NgramLm {
 
   private def $(c: String): Column = col(c)
 
-  /** Array of (w1, w2) bigram structs of ONE document's normalized
-    * tokenization — the row-local core, a pure Column expression so
-    * the streaming twins run it over a firehose unchanged (the
-    * SimHash/WindowHashes discipline). Empty array when the doc has
-    * fewer than two tokens; normText collapses whitespace runs, so
-    * adjacent tokens are non-empty by construction.
+  /** Array of (w1, w2) bigram structs over an ALREADY-SPLIT token
+    * array — the row-local core, a pure Column expression so the
+    * streaming twins run it over a firehose unchanged (the
+    * SimHash/WindowHashes discipline). Callers bind the tokenization
+    * to a column FIRST (`split(normText(text), " ").as("toks")` in
+    * one select, this in the next): inlining the split into every
+    * element access re-evaluates it per token inside Generate, where
+    * codegen subexpression elimination is not guaranteed — binding
+    * makes one-split-per-row structural. Empty array when the doc
+    * has fewer than two tokens; normText collapses whitespace runs,
+    * so adjacent tokens are non-empty by construction.
     */
-  private[graft] def bigramsOf(text: Column): Column = {
-    val toks = split(normText(text), " ")
+  private[graft] def bigramsOfToks(toks: Column): Column =
     when(length(get(toks, lit(0))) > 0 && size(toks) >= 2,
       transform(sequence(lit(0), size(toks) - 2), i =>
         struct(get(toks, i).as("w1"), get(toks, i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-  }
+
+  /** The normalized tokenization [[bigramsOfToks]] consumes. */
+  private[graft] def toksOf(text: Column): Column =
+    split(normText(text), " ")
 
   /** (doc_id, w1, w2) bigram OCCURRENCES (duplicates kept — each
     * occurrence scores) of the normalized whitespace tokenization:
-    * [[bigramsOf]] exploded, inside whole-stage codegen.
+    * toks bound in one projection, [[bigramsOfToks]] exploded in the
+    * next, all inside whole-stage codegen.
     */
   private[operators] def bigrams(documents: DataFrame): DataFrame =
     documents.spread()
-      .select($("doc_id"), explode(bigramsOf($("text"))).as("bg"))
+      .select($("doc_id"), toksOf($("text")).as("toks"))
+      .select($("doc_id"), explode(bigramsOfToks($("toks"))).as("bg"))
       .select($("doc_id"), $("bg.w1").as("w1"), $("bg.w2").as("w2"))
 
   /** The LM's INCREMENTAL state: (w1, w2, c12) bigram counts over a

@@ -400,8 +400,9 @@ object DocStreams extends Serializable {
     * additive, so the live state is a plain streaming aggregation and
     * a fresh serve model derives from it via
     * [[graft.operators.NgramLm.lmFromCounts]] at any cadence. The
-    * bigram derivation is [[graft.operators.NgramLm.bigramsOf]] — a
-    * pure row-local Column expression, so it runs over `readStream`
+    * bigram derivation is [[graft.operators.NgramLm.bigramsOfToks]]
+    * — a pure row-local Column expression (toks bound in its own
+    * projection, one split per row), so it runs over `readStream`
     * unchanged (the SimHash discipline). State is one entry per
     * DISTINCT reference bigram — the same floor the batch count
     * table pays on disk.
@@ -412,7 +413,8 @@ object DocStreams extends Serializable {
     */
   def lmCountStream(docs: DataFrame): DataFrame =
     docs
-      .select(explode(graft.operators.NgramLm.bigramsOf(col("text")))
+      .select(graft.operators.NgramLm.toksOf(col("text")).as("toks"))
+      .select(explode(graft.operators.NgramLm.bigramsOfToks(col("toks")))
         .as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col("w1"), col("w2"))
@@ -437,7 +439,10 @@ object DocStreams extends Serializable {
   def lmCountStreamSigned(events: DataFrame): DataFrame =
     events
       .select(col("op"),
-        explode(graft.operators.NgramLm.bigramsOf(col("text"))).as("bg"))
+        graft.operators.NgramLm.toksOf(col("text")).as("toks"))
+      .select(col("op"),
+        explode(graft.operators.NgramLm.bigramsOfToks(col("toks")))
+          .as("bg"))
       .select(col("op"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(sum(col("op")).as("c12"))
