@@ -167,7 +167,7 @@ object ScaleRehearsal {
         needsNbIdx: Boolean = false, needsContPairs: Boolean = false,
         needsManifestIdx: Boolean = false, needsGateIdx: Boolean = false,
         needsSkewDocs: Boolean = false, needsJacIdx: Boolean = false,
-        needsLmIdx: Boolean = false)(
+        needsLmIdx: Boolean = false, needsBktIdx: Boolean = false)(
         val fn: () => DataFrame)
     val nbPos = Seq("src0", "src1", "src2")
     val nbNeg = Seq("src3", "src4", "src5")
@@ -236,6 +236,13 @@ object ScaleRehearsal {
       lazy val lmIdx: DataFrame = NgramLm.bigramCounts(
         docs.filter(col("doc_id") % 10 =!= 0 &&
           col("source").isin(nbPos: _*))).localCheckpoint(true)
+      // the LSH bucket-stats store over 90% of the corpus, built ONCE
+      // outside the timed legs — the q195 fold leg merges a 10%
+      // delivery's stats into it; the re-agg leg is the per-delivery
+      // cost the persisted store eliminates (ADVICE round-14)
+      lazy val bktIdx: DataFrame = Dedup.bucketStats(
+        Dedup.minhashSignatures(docs.filter(col("doc_id") % 10 =!= 0)))
+        .localCheckpoint(true)
       // the composite gate's serve artifacts (NB model + per-source
       // cut table), trained ONCE outside the timed legs — the served
       // leg gates the corpus windowless against them
@@ -402,6 +409,19 @@ object ScaleRehearsal {
         Leg("q199_lm_retrain", needsDocs = true)(() =>
           NgramLm.bigramCounts(docs.filter(col("source").isin(nbPos: _*)))
             .filter(col("c12") > 0)),
+        // bucket-store fold vs per-delivery re-aggregation: a 10%
+        // delivery's signatures + their bucket stats merge into the
+        // prebuilt 90% store vs re-deriving band hashes and
+        // re-aggregating EVERY signature — the cost the persisted
+        // store removes from the near-dup delivery path (both
+        // filters reference both aggregates: elimination-proofing)
+        Leg("q195_bucket_fold", needsDocs = true, needsBktIdx = true)(() =>
+          Dedup.bucketStatsFold(bktIdx, Dedup.minhashSignatures(
+            docs.filter(col("doc_id") % 10 === 0)))
+            .filter(col("bsz") > 0 && col("id1") >= 0)),
+        Leg("q195_bucket_reagg", needsDocs = true)(() =>
+          Dedup.bucketStats(Dedup.minhashSignatures(docs))
+            .filter(col("bsz") > 0 && col("id1") >= 0)),
         // ---- adversarial-skew legs (round-14): power-law sources +
         // one 300·f-copy template (see inflateSkewedDocuments). The
         // claims under test: the sig/span STORE builds stay balanced
@@ -446,6 +466,7 @@ object ScaleRehearsal {
       if (sel.exists(_.needsGateIdx)) gateIdx._3.count()
       if (sel.exists(_.needsJacIdx)) { jacIdx._1.count(); jacIdx._2.count() }
       if (sel.exists(_.needsLmIdx)) lmIdx.count()
+      if (sel.exists(_.needsBktIdx)) bktIdx.count()
       for (leg <- sel) {
         val g = s"x$f:${leg.name}"
         spark.sparkContext.setJobGroup(g, g)

@@ -885,6 +885,24 @@ object TrainingEntries {
         .filter(col("source").isin("src0", "src1", "src2"))
       NgramLm.lmOutliers(ref, t.documents)
     }),
+    // Per-source perplexity gate (windowed training form): keep the
+    // 90.0% least-perplexed docs per source under the integer rank
+    // rule — the composite gate's arithmetic on the LM signal
+    "q202_lm_gate" -> q(t => {
+      val ref = t.documents
+        .filter(col("source").isin("src0", "src1", "src2"))
+      NgramLm.lmGate(ref, t.documents)
+    }),
+    // ... SERVED off the K-row cut table (lmThresholds + broadcast
+    // join, zero windows) — q202's SQL gates the serve path verbatim
+    "q203_lm_gate_served" -> q(t => {
+      val ref = t.documents
+        .filter(col("source").isin("src0", "src1", "src2"))
+        .localCheckpoint(true)
+      NgramLm.lmGateFrom(
+        NgramLm.lmThresholds(ref, t.documents).localCheckpoint(true),
+        ref, t.documents)
+    }),
     // INCREMENTAL maintenance of the exact-verify pair store (the
     // round-13 standing `weak`): the even docs' verified-pair table
     // is the persisted store; the odd docs fold in as a delivery
@@ -1008,7 +1026,10 @@ object TrainingEntries {
     // both probes served off the FOLDED bucket-stats store instead of
     // re-aggregating the signature store — q192's scenario and SQL
     // gate the composed serve path verbatim
-    "q197_star_probe_from"         -> "q192_store_star_probe")
+    "q197_star_probe_from"         -> "q192_store_star_probe",
+    // the K-row perplexity cut + broadcast join serves exactly the
+    // windowed gate's verdicts — q202's SQL gates the serve path
+    "q203_lm_gate_served"          -> "q202_lm_gate")
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
     * DuckDB's regexp_replace is single-match by default, Spark's is
@@ -4675,6 +4696,21 @@ object TrainingEntries {
     "q200_lm_retract" ->
       s"""WITH ${lmCtes(lmRefFilter + " AND d.doc_id % 2 = 0")}
          |SELECT w1, w2, c12 FROM bi ORDER BY w1, w2""".stripMargin,
+
+    // per-source perplexity rank gate: keep iff rn·1000 ≤ 900·n under
+    // (avg_nll asc, doc_id asc) — q164's integer rule on the LM signal
+    "q202_lm_gate" ->
+      s"""WITH ${lmCtes(lmRefFilter)},
+         |sc AS (SELECT lmsc.doc_id, d.source, lmsc.avg_nll_micro
+         |       FROM lmsc JOIN documents d ON d.doc_id = lmsc.doc_id),
+         |r AS (SELECT doc_id, source, avg_nll_micro,
+         |        CAST(row_number() OVER (PARTITION BY source
+         |          ORDER BY avg_nll_micro, doc_id) AS BIGINT) AS rn,
+         |        CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |      FROM sc)
+         |SELECT doc_id, source, avg_nll_micro,
+         |  (rn * 1000 <= 900 * n) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // the 100 most-perplexed docs with source/length — rank over the
     // per-doc scores, doc_id tiebreak

@@ -1173,6 +1173,9 @@ object Dedup {
     // FULL outer: a retraction touching a bucket the store does not
     // hold at all (bsz side null) is over-retraction too — a left
     // join would silently drop exactly the double-retract case
+    // materialized eagerly: `merged` feeds BOTH the affected-bucket
+    // set and the final join — left lazy, the store read and the
+    // retracted-side aggregation would run twice
     val merged = store.select("band", "bhash", "bsz", "id1")
       .join(r, Seq("band", "bhash"), "full")
       .select($("band"), $("bhash"),
@@ -1182,6 +1185,7 @@ object Dedup {
       .withColumn("bsz",
         when($("bsz") < 0, overRetract).otherwise($("bsz")))
       .filter($("bsz") > 0)
+      .localCheckpoint(true)
     val affected = merged.filter($("rmin").isNotNull &&
       $("rmin") === $("id1")).select("band", "bhash")
     val repaired = bandHashes(survivingSigs, k, bands)

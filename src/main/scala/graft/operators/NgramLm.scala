@@ -187,6 +187,77 @@ object NgramLm {
     out
   }
 
+  /** Per-source perplexity gate (the serve-the-cut discipline applied
+    * to the LM signal): keep the `keepPermille` LEAST-perplexed docs
+    * per source under (avg_nll_micro asc, doc_id asc) — the integer
+    * rank rule `rn·1000 ≤ keepPermille·n`, the composite gate's exact
+    * arithmetic with the ordering flipped (low nll = good). Returns
+    * (doc_id, source, avg_nll_micro, keep) for every scored doc
+    * (≥ 1 bigram). The windowed TRAINING form; serving distills to
+    * the K-row cut of [[lmThresholds]] + [[lmGateFrom]].
+    */
+  def lmGate(reference: DataFrame, documents: DataFrame,
+      keepPermille: Int = 900): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byNll = Window.partitionBy($("source"))
+      .orderBy($("avg_nll_micro").asc, $("doc_id").asc)
+    val bySource = Window.partitionBy($("source"))
+    scoredWithSource(reference, documents)
+      .withColumn("rn", row_number().over(byNll).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySource))
+      .select($("doc_id"), $("source"), $("avg_nll_micro"),
+        ($("rn") * 1000 <= lit(keepPermille) * $("n")).as("keep"))
+  }
+
+  private def scoredWithSource(reference: DataFrame,
+      documents: DataFrame): DataFrame =
+    lmScore(reference, documents)
+      .join(documents.select($("doc_id"), $("source")), Seq("doc_id"))
+      .select("doc_id", "source", "avg_nll_micro")
+
+  /** The gate's SERVE-TIME cut artifact: per source, the boundary of
+    * [[lmGate]]'s rank rule — (source, thr_avg_nll_micro,
+    * thr_doc_id), the LAST KEPT row under (avg_nll_micro asc, doc_id
+    * asc). A doc is then kept iff `nll < thr OR (nll == thr AND
+    * doc_id <= thr_doc_id)` — the exact rank-prefix predicate,
+    * windowless. A source whose keep quota is zero emits NO row
+    * (every doc drops). The [[graft.operators.Curation
+    * .gateThresholds]] discipline for the perplexity signal: derive
+    * once per corpus version (off the persisted score table — no
+    * re-tokenization), serve every delivery by broadcast join.
+    */
+  def lmThresholds(reference: DataFrame, documents: DataFrame,
+      keepPermille: Int = 900): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byNll = Window.partitionBy($("source"))
+      .orderBy($("avg_nll_micro").asc, $("doc_id").asc)
+    val bySource = Window.partitionBy($("source"))
+    scoredWithSource(reference, documents)
+      .withColumn("rn", row_number().over(byNll).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySource))
+      .filter($("rn") * 1000 <= lit(keepPermille) * $("n"))
+      .groupBy($("source"))
+      .agg(max_by(struct($("avg_nll_micro"), $("doc_id")), $("rn"))
+        .as("b"))
+      .select($("source"), $("b.avg_nll_micro").as("thr_avg_nll_micro"),
+        $("b.doc_id").as("thr_doc_id"))
+  }
+
+  /** [[lmGate]] SERVED from the persisted cut table + score table:
+    * one broadcast join against the K-row thresholds, zero windows —
+    * byte-identical to the windowed form on the corpus the cut was
+    * derived from (q203 gates it with q202's SQL verbatim).
+    */
+  def lmGateFrom(thresholds: DataFrame, reference: DataFrame,
+      documents: DataFrame): DataFrame =
+    scoredWithSource(reference, documents)
+      .join(broadcast(thresholds), Seq("source"), "left")
+      .select($("doc_id"), $("source"), $("avg_nll_micro"),
+        ($("thr_avg_nll_micro").isNotNull &&
+          ($("avg_nll_micro") < $("thr_avg_nll_micro") ||
+            ($("avg_nll_micro") === $("thr_avg_nll_micro") &&
+              $("doc_id") <= $("thr_doc_id")))).as("keep"))
+
   /** The audit view a curation run actually reads: the `topK`
     * most-perplexed documents (highest average negative
     * log-likelihood first, doc_id tiebreak) with their source and

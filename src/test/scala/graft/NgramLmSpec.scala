@@ -73,6 +73,33 @@ class NgramLmSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("negative")))
   }
 
+  test("lmGate served from the cut table == windowed gate, zero-quota drops") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    // real docs plus ONE singleton source: at keepPermille=900 its
+    // quota is floor(0.9·1)=0, so the windowed gate drops its doc,
+    // the cut table emits no row for it, and the served form must
+    // agree via the null-threshold branch
+    val lone = Seq((990001L, "a perfectly ordinary sentence about " +
+      "shipping manifests and freight schedules", "en", "srcLone",
+      42L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docs = t.documents.unionByName(lone).localCheckpoint(true)
+    val ref = docs.filter($"source".isin("src0", "src1", "src2"))
+      .localCheckpoint(true)
+    val windowed = NgramLm.lmGate(ref, docs)
+    val served = NgramLm.lmGateFrom(
+      NgramLm.lmThresholds(ref, docs).localCheckpoint(true), ref, docs)
+    assert(served.exceptAll(windowed).count() === 0L &&
+      windowed.exceptAll(served).count() === 0L,
+      "served verdicts must equal the windowed gate exactly")
+    val loneRow = served.filter($"doc_id" === 990001L)
+      .select("keep").as[Boolean].collect()
+    assert(loneRow.toSeq === Seq(false),
+      "a zero-quota source's doc must be scored but dropped")
+    // the cut table carries no row for the zero-quota source
+    assert(NgramLm.lmThresholds(ref, docs)
+      .filter($"source" === "srcLone").count() === 0L)
+  }
+
   test("score served from persisted artifacts == end-to-end") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val ref = t.documents.filter($"source".isin("src0", "src1", "src2"))
