@@ -1201,21 +1201,28 @@ object Dedup {
 
   /** [[incrementalNearDups]] off a PERSISTED [[bucketStats]] table:
     * the capped store-vs-batch probe with the store-side bucket
-    * aggregation replaced by a read of the bucket store — the index
-    * signatures are still scanned NARROWLY (band hashes for the
-    * candidate join, k BIGINTs per surviving pair for the scorer),
-    * but the store-sized shuffle is gone from the delivery path
-    * (ADVICE round-14). Byte-identical to [[incrementalNearDups]]
-    * when `bstats == bucketStats(index)` — q96's SQL gates the
-    * composed form verbatim.
+    * aggregation replaced by the bucket store — and the store is
+    * consumed through its HOT slice only: ok-buckets are exactly
+    * everything-minus-hot (every index band hash appears in a
+    * consistent bucket store by construction), so the cap filter is
+    * a broadcast ANTI-join of the index band hashes against the
+    * handful of over-cap buckets, never a join against the
+    * bucket-table itself. The parquet read prunes to `bsz > cap`
+    * (pushed filter), so the delivery path touches O(hot) bucket
+    * rows; the index signatures are still scanned narrowly (band
+    * hashes for the candidate join, k BIGINTs per surviving pair
+    * for the scorer), and the store-sized (band, bhash) shuffle is
+    * gone entirely (ADVICE round-14). Byte-identical to
+    * [[incrementalNearDups]] when `bstats == bucketStats(index)` —
+    * q96's SQL gates the composed form verbatim.
     */
   def incrementalNearDupsFrom(bstats: DataFrame, index: DataFrame,
       batch: DataFrame, k: Int = 16, bands: Int = 4, maxBucket: Int = 256,
       minAgree: Int = 8): DataFrame = {
-    val okBuckets = bstats.filter($("bsz") <= maxBucket)
+    val hot = bstats.filter($("bsz") > maxBucket)
       .select("band", "bhash")
     val cands = bandHashes(index, k, bands)
-      .join(okBuckets, Seq("band", "bhash"))
+      .join(broadcast(hot), Seq("band", "bhash"), "left_anti")
       .select($("band"), $("bhash"), $("doc_id").as("id1"))
       .join(bandHashes(batch, k, bands)
         .select($("band"), $("bhash"), $("doc_id").as("id2")),

@@ -157,6 +157,14 @@ object NgramLm {
     * non-negative longs (p < 1 strictly, so every per-bigram term is
     * ≥ 1 micro-nat; `div` truncation is floor on non-negatives in
     * both engines).
+    *
+    * Degenerate case, deliberate: an EMPTY count table (no reference
+    * corpus) yields v = 0 and p = 1 for every bigram — all scores
+    * zero, identically in both engines (no NULL/error divergence, so
+    * no raise guard is needed for oracle parity). An all-zero score
+    * column is the signature to alarm on operationally; the ingest
+    * path never hits it (the boot stage trains on a non-empty
+    * trusted slice).
     */
   def lmScoreFrom(bi: DataFrame, uni: DataFrame, consts: DataFrame,
       documents: DataFrame): DataFrame =
