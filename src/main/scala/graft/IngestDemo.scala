@@ -164,6 +164,9 @@ object IngestDemo {
     // PQ codebook/code table
     "ivf_centroids" -> "ivf_centroids", "ivf_cells" -> "ivf_cells",
     "pq_codebook" -> "pq_codebook", "pq_codes" -> "pq_codes",
+    // the SQ8 pair (round-15): per-dim extrema model + code table —
+    // the scalar sibling of the PQ codebook/codes split
+    "sq_stats" -> "sq_stats", "sq_codes" -> "sq_codes",
     // the bigram-LM artifacts (round-15): the count state plus the
     // two serve tables lmFromCounts derives from it
     "lm_bi" -> "lm_bi", "lm_uni" -> "lm_uni", "lm_consts" -> "lm_consts")
@@ -268,6 +271,11 @@ object IngestDemo {
           "ivf_cells")
         wr(Similarity.pqCodebookDf(embBase), "pq_codebook")
         wr(Similarity.pqEncodeFrom(rd("pq_codebook"), embBase), "pq_codes")
+        // SQ8: the extrema model trains in ONE dims-bounded aggregate;
+        // codes are row-local under it (same fold/retract exactness
+        // argument as the PQ pair, cheaper on both ends)
+        wr(Similarity.sqStats(embBase), "sq_stats")
+        wr(Similarity.sqEncodeFrom(rd("sq_stats"), embBase), "sq_codes")
       },
       "boot_artifact_receipts" -> (() =>
         wr(receipts(""), "artifact_manifest_v0")),
@@ -457,6 +465,9 @@ object IngestDemo {
         wr(rd("pq_codes").unionByName(
           Similarity.pqEncodeFrom(rd("pq_codebook"), admitted)),
           "pq_codes_fold")
+        wr(rd("sq_codes").unionByName(
+          Similarity.sqEncodeFrom(rd("sq_stats"), admitted)),
+          "sq_codes_fold")
       },
       "cal_gate_thr" -> { () =>
         // re-calibrate the per-source cuts off the FOLDED v1 model:
@@ -489,6 +500,9 @@ object IngestDemo {
         wr(Similarity.pqCodebookDf(embV1), "pq_codebook_v1")
         wr(Similarity.pqEncodeFrom(rd("pq_codebook_v1"), embV1),
           "pq_codes_v1")
+        wr(Similarity.sqStats(embV1), "sq_stats_v1")
+        wr(Similarity.sqEncodeFrom(rd("sq_stats_v1"), embV1),
+          "sq_codes_v1")
       },
       "cal_artifact_receipts" -> { () =>
         // receipts over the REFRESHED artifact stores + the diff:
@@ -639,6 +653,7 @@ object IngestDemo {
           df.join(rd("removed_vecs"), Seq("vec_id"), "left_anti")
         wr(minusVecs(rd("ivf_cells_v1")), "ivf_cells_tdn")
         wr(minusVecs(rd("pq_codes_v1")), "pq_codes_tdn")
+        wr(minusVecs(rd("sq_codes_v1")), "sq_codes_tdn")
       },
       "tdn_ann_model" -> { () =>
         // model retrain over the SURVIVORS — recalibration-class,
@@ -656,6 +671,9 @@ object IngestDemo {
         wr(Similarity.pqCodebookDf(surv), "pq_codebook_v2")
         wr(Similarity.pqEncodeFrom(rd("pq_codebook_v2"), surv),
           "pq_codes_v2")
+        wr(Similarity.sqStats(surv), "sq_stats_v2")
+        wr(Similarity.sqEncodeFrom(rd("sq_stats_v2"), surv),
+          "sq_codes_v2")
       },
       "tdn_receipts" -> { () =>
         wr(receipts("_v2"), "artifact_manifest_v2")
@@ -779,6 +797,8 @@ object IngestDemo {
           Similarity.cellsFromCentroids(rd("ivf_centroids_v1"), surv))
         same("pq_codes_tdn", rd("pq_codes_tdn"),
           Similarity.pqEncodeFrom(rd("pq_codebook_v1"), surv))
+        same("sq_codes_tdn", rd("sq_codes_tdn"),
+          Similarity.sqEncodeFrom(rd("sq_stats_v1"), surv))
       },
       "ann v2 serve == from-scratch index over survivors" -> { () =>
         // the retrained v2 (model, store) pair must SERVE exactly what
@@ -797,13 +817,17 @@ object IngestDemo {
           Similarity.pqAdcFromCodes(rd("pq_codes_v2"), rd("pq_codebook_v2"),
             surv),
           Similarity.pqAdcTopK(surv))
+        same("sq_v2_serve",
+          Similarity.sqTopKFromCodes(rd("sq_codes_v2"), rd("sq_stats_v2"),
+            surv),
+          Similarity.sqTopK(surv))
       },
       "no removed vector remains in any vector store" -> { () =>
         val ids = rd("removed_vecs")
         require(ids.count() > 0,
           "empty vector removal slice — the ann takedown went unexercised")
-        for (p <- Seq("ivf_cells_tdn", "pq_codes_tdn", "ivf_cells_v2",
-            "pq_codes_v2")) {
+        for (p <- Seq("ivf_cells_tdn", "pq_codes_tdn", "sq_codes_tdn",
+            "ivf_cells_v2", "pq_codes_v2", "sq_codes_v2")) {
           val left = rd(p).join(ids, Seq("vec_id")).count()
           require(left == 0, s"$left removed vectors still present in $p")
         }
@@ -811,7 +835,8 @@ object IngestDemo {
       "artifact receipts flip on the takedown" -> { () =>
         val stale = rd("artifact_delta_v2")
           .filter(col("artifact").isin("fp_store", "sig_store",
-            "bucket_store", "span_index", "ivf_cells", "pq_codes")
+            "bucket_store", "span_index", "ivf_cells", "pq_codes",
+            "sq_codes")
             && col("status") === "unchanged").count()
         require(stale == 0,
           s"$stale store receipts failed to flip on a non-empty takedown")
@@ -1038,6 +1063,8 @@ object IngestDemo {
           Similarity.cellsFromCentroids(rd("ivf_centroids"), embV1))
         same("pq_codes_fold", rd("pq_codes_fold"),
           Similarity.pqEncodeFrom(rd("pq_codebook"), embV1))
+        same("sq_codes_fold", rd("sq_codes_fold"),
+          Similarity.sqEncodeFrom(rd("sq_stats"), embV1))
       },
       "ann v1 serve == from-scratch index over v1" -> { () =>
         // the recalibrated (model, store) pair, read back off parquet,
@@ -1055,6 +1082,10 @@ object IngestDemo {
           Similarity.pqAdcFromCodes(rd("pq_codes_v1"), rd("pq_codebook_v1"),
             embV1),
           Similarity.pqAdcTopK(embV1))
+        same("sq_v1_serve",
+          Similarity.sqTopKFromCodes(rd("sq_codes_v1"), rd("sq_stats_v1"),
+            embV1),
+          Similarity.sqTopK(embV1))
       },
       "manifest diff is additive" -> { () =>
         val removed = rd("manifest_delta")
@@ -1112,7 +1143,7 @@ object IngestDemo {
         // the vector stores flip whenever the delivery carried vectors
         if (embDelivery.limit(1).count() > 0) {
           val staleVec = delta
-            .filter(col("artifact").isin("ivf_cells", "pq_codes")
+            .filter(col("artifact").isin("ivf_cells", "pq_codes", "sq_codes")
               && col("status") === "unchanged").count()
           require(staleVec == 0,
             s"$staleVec vector-store receipts failed to flip on a " +

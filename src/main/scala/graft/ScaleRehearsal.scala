@@ -167,7 +167,8 @@ object ScaleRehearsal {
         needsNbIdx: Boolean = false, needsContPairs: Boolean = false,
         needsManifestIdx: Boolean = false, needsGateIdx: Boolean = false,
         needsSkewDocs: Boolean = false, needsJacIdx: Boolean = false,
-        needsLmIdx: Boolean = false, needsBktIdx: Boolean = false)(
+        needsLmIdx: Boolean = false, needsBktIdx: Boolean = false,
+        needsCompIdx: Boolean = false)(
         val fn: () => DataFrame)
     val nbPos = Seq("src0", "src1", "src2")
     val nbNeg = Seq("src3", "src4", "src5")
@@ -243,6 +244,24 @@ object ScaleRehearsal {
       lazy val bktIdx: DataFrame = Dedup.bucketStats(
         Dedup.minhashSignatures(docs.filter(col("doc_id") % 10 =!= 0)))
         .localCheckpoint(true)
+      // the cluster-label store's inputs, built ONCE outside the
+      // timed legs: the full pair table (the expensive corpus-version
+      // artifact BOTH legs get for free — this head-to-head prices
+      // the LABEL maintenance itself), its 90/10 split, and the
+      // labels over the 90% slice. The fold leg recomputes only the
+      // components the delivery's pairs touch; the rebuild leg runs
+      // componentsOf over every pair — the gap is the q207 scale
+      // claim (label cost ∝ delivery-touched components, not corpus)
+      lazy val compIdx: (DataFrame, DataFrame, DataFrame) = {
+        val pairs = Dedup.minhashDupPairs(docs, threshold = 0.7)
+          .select(col("id1"), col("id2")).localCheckpoint(true)
+        val oldP = pairs
+          .filter(col("id1") % 10 =!= 0 && col("id2") % 10 =!= 0)
+        val newP = pairs
+          .filter(col("id1") % 10 === 0 || col("id2") % 10 === 0)
+          .localCheckpoint(true)
+        (Dedup.componentsOf(oldP).localCheckpoint(true), newP, pairs)
+      }
       // the composite gate's serve artifacts (NB model + per-source
       // cut table), trained ONCE outside the timed legs — the served
       // leg gates the corpus windowless against them
@@ -422,6 +441,30 @@ object ScaleRehearsal {
         Leg("q195_bucket_reagg", needsDocs = true)(() =>
           Dedup.bucketStats(Dedup.minhashSignatures(docs))
             .filter(col("bsz") > 0 && col("id1") >= 0)),
+        // SQ8 (q204/q205): ONE dims-bounded extrema aggregate + a
+        // row-local encode, then the asymmetric search's single
+        // corpus-side fold per broadcast query — both expected linear
+        // in vectors (the rerr filter is data-dependent,
+        // elimination-proofing the encode under count())
+        Leg("q204_sq_encode", needsEmb = true)(() =>
+          Similarity.sqEncode(emb).filter(col("rerr") >= 0)),
+        Leg("q205_sq_ann", needsEmb = true)(() =>
+          Similarity.sqTopK(emb)),
+        // cluster-label fold vs rebuild (q207): both legs read the
+        // SAME precomputed pair table — the head-to-head isolates the
+        // label maintenance (touched-component star recompute vs
+        // whole-graph contraction)
+        Leg("q207_fold_labels", needsDocs = true, needsCompIdx = true)(() =>
+          Dedup.componentsFold(compIdx._1, compIdx._2)
+            .filter(col("cluster_size") > 0)),
+        Leg("q207_rebuild_labels", needsDocs = true, needsCompIdx = true)(() =>
+          Dedup.componentsOf(compIdx._3)
+            .filter(col("cluster_size") > 0)),
+        // edit-distance verify (q209): the q26 candidate front + the
+        // banded thresholded levenshtein over 500-char prefixes —
+        // candidate-proportional like every verifier here
+        Leg("q209_edit_dups", needsDocs = true)(() =>
+          Dedup.editDistanceDupPairs(docs)),
         // ---- adversarial-skew legs (round-14): power-law sources +
         // one 300·f-copy template (see inflateSkewedDocuments). The
         // claims under test: the sig/span STORE builds stay balanced
@@ -467,6 +510,9 @@ object ScaleRehearsal {
       if (sel.exists(_.needsJacIdx)) { jacIdx._1.count(); jacIdx._2.count() }
       if (sel.exists(_.needsLmIdx)) lmIdx.count()
       if (sel.exists(_.needsBktIdx)) bktIdx.count()
+      if (sel.exists(_.needsCompIdx)) {
+        compIdx._1.count(); compIdx._2.count(); compIdx._3.count()
+      }
       for (leg <- sel) {
         val g = s"x$f:${leg.name}"
         spark.sparkContext.setJobGroup(g, g)

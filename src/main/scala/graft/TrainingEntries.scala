@@ -984,6 +984,71 @@ object TrainingEntries {
           .join(removed, Seq("vec_id"), "left_anti"),
         cb, emb.join(removed, Seq("vec_id"), "left_anti"))
     }),
+    // Scalar quantization (SQ8): per-dim extrema trained in ONE
+    // dims-bounded aggregate, row-local int8 codes, exact integer
+    // reconstruction error — the per-vector digest is the hash gate
+    // (the full code arrays are spec-pinned against a driver
+    // recompute)
+    "q204_sq_encode" -> q(t => Similarity.sqDigest(t.embeddings)),
+    // asymmetric SQ8 search: exact query vectors vs reconstructed
+    // corpus code midpoints, all-integer distances, cid tiebreak
+    "q205_sq_ann" -> q(t => Similarity.sqTopK(t.embeddings)),
+    // two-stage search (the FAISS refine shape): SQ8 over-fetch to
+    // top-20, exact-cosine rerank of the candidate sliver to top-5
+    "q206_sq_refine" -> q(t => Similarity.sqRefineTopK(t.embeddings)),
+    // INCREMENTAL cluster-label maintenance: the label store built
+    // from the even-endpoint pairs folds in the delivery's new edges
+    // (any pair touching an odd doc) — touched components recompute
+    // from star edges + new pairs, everything else carries over; the
+    // oracle is q51's closure over the FULL pair set verbatim
+    "q207_components_fold" -> q(t => {
+      val pairs = Dedup.minhashDupPairs(t.documents, threshold = 0.7)
+        .select(col("id1"), col("id2")).localCheckpoint(true)
+      Dedup.componentsFold(
+        Dedup.componentsOf(
+          pairs.filter(col("id1") % 2 === 0 && col("id2") % 2 === 0)),
+        pairs.filter(col("id1") % 2 === 1 || col("id2") % 2 === 1))
+    }),
+    // ... and its TAKEDOWN inverse: odd docs leave; touched
+    // components recompute from prior pairs among survivors, pairs
+    // the maintained store re-admits fold back in — gated by q51's
+    // closure over the surviving evens from scratch
+    "q208_components_retract" -> q(t => {
+      val all = Dedup.minhashDupPairs(t.documents, threshold = 0.7)
+        .select(col("id1"), col("id2")).localCheckpoint(true)
+      val surviving = Dedup.minhashDupPairs(
+          t.documents.filter(col("doc_id") % 2 === 0), threshold = 0.7)
+        .select(col("id1"), col("id2"))
+      Dedup.componentsRetract(Dedup.componentsOf(all), all, surviving,
+        t.documents.filter(col("doc_id") % 2 === 1).select("doc_id"))
+    }),
+    // Edit-distance-verified near-dups: the q26 LSH front, verified
+    // by banded Levenshtein over 500-char normalized prefixes (order
+    // -sensitive — the verifier token-set Jaccard cannot be)
+    "q209_edit_dups" -> q(t => Dedup.editDistanceDupPairs(t.documents)),
+    // TAKEDOWN of the SQ8 code store (the q189 semantics on the
+    // scalar index): odd vectors anti-join out of the code table and
+    // serving continues under the v1 extrema — encoding is row-local,
+    // so the retracted store equals re-encoding the survivors under
+    // that model; the oracle restricts corpus AND queries to the
+    // surviving evens while the stats still train on the full corpus
+    "q210_sq_retract" -> q(t => {
+      val emb = t.embeddings
+      val stats = Similarity.sqStats(emb)
+      val removed = emb.filter(col("vec_id") % 2 === 1).select("vec_id")
+      Similarity.sqTopKFromCodes(
+        Similarity.sqEncodeFrom(stats, emb)
+          .select(col("vec_id"), col("codes"))
+          .join(removed, Seq("vec_id"), "left_anti"),
+        stats, emb.join(removed, Seq("vec_id"), "left_anti"))
+    }),
+    // Repeat-epoch plan under a token budget (data-constrained
+    // scaling): exact integer water-filling toward equal per-source
+    // shares with a repeat ceiling — capped prefix by the monotone
+    // c·(K−i+1) ≤ B−P rule, remainder spread deterministically
+    "q211_repeat_plan" -> q(t =>
+      Curation.repeatPlan(t.documents, budgetTokens = 30000L,
+        maxRepeat = 2)),
   )
 
   /** Composed twin → standalone sibling; the twin's oracle SQL is the
@@ -1029,7 +1094,10 @@ object TrainingEntries {
     "q197_star_probe_from"         -> "q192_store_star_probe",
     // the K-row perplexity cut + broadcast join serves exactly the
     // windowed gate's verdicts — q202's SQL gates the serve path
-    "q203_lm_gate_served"          -> "q202_lm_gate")
+    "q203_lm_gate_served"          -> "q202_lm_gate",
+    // label-store fold: carry-over + touched-component recompute ==
+    // components of the union pair set — q51's closure SQL verbatim
+    "q207_components_fold"         -> "q51_dup_clusters")
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
     * DuckDB's regexp_replace is single-match by default, Spark's is
@@ -1267,12 +1335,13 @@ object TrainingEntries {
   // inlines plain CTEs per reference — at sf0.1 that re-derives the
   // multi-million-row shingle table 4+ times per query (measured:
   // >60 GB of spill on the PageRank family before this annotation).
-  private val shinglesCte =
-    s"""docs AS (SELECT doc_id, $norm AS norm FROM documents),
+  private def shinglesCteFor(docWhere: String): String =
+    s"""docs AS (SELECT doc_id, $norm AS norm FROM documents$docWhere),
        |sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(norm, i, 5) AS shingle FROM (
        |       SELECT doc_id, norm,
        |         unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i
        |       FROM docs))""".stripMargin
+  private val shinglesCte = shinglesCteFor("")
 
   private def sigName(i: Int): String = f"sig$i%02d"
 
@@ -1308,8 +1377,8 @@ object TrainingEntries {
     * out-of-disk (>80 GB RAM + >79 GB spill) at sf0.1 where the
     * materialized form completes in seconds.
     */
-  private val dupPairsCtes =
-    s"""$shinglesCte,
+  private def dupPairsCtesFor(docWhere: String): String =
+    s"""${shinglesCteFor(docWhere)},
        |$hashedShinglesCte,
        |sig AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
        |bands AS ($bandsSql),
@@ -1333,13 +1402,15 @@ object TrainingEntries {
        |          JOIN sizes s1 ON s1.doc_id = id1
        |          JOIN sizes s2 ON s2.doc_id = id2)
        |        WHERE jaccard >= 0.7)""".stripMargin
+  private val dupPairsCtes = dupPairsCtesFor("")
 
   /** [[dupPairsCtes]] + recursive transitive closure — shared by
-    * q51/q72. Callers prepend `WITH RECURSIVE` and read `comp(doc_id,
-    * component)` / `cs(component, cluster_size)`.
+    * q51/q72 (and q208 over the doc-filtered survivors). Callers
+    * prepend `WITH RECURSIVE` and read `comp(doc_id, component)` /
+    * `cs(component, cluster_size)`.
     */
-  private val dupComponentsCtes =
-    s"""$dupPairsCtes,
+  private def dupComponentsCtesFor(docWhere: String): String =
+    s"""${dupPairsCtesFor(docWhere)},
        |sym AS (SELECT id1 AS src, id2 AS dst FROM dup
        |        UNION SELECT id2, id1 FROM dup),
        |reach(node, lbl) AS (
@@ -1348,6 +1419,7 @@ object TrainingEntries {
        |  SELECT r.node, s.dst FROM reach r JOIN sym s ON r.lbl = s.src),
        |comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
        |cs AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)""".stripMargin
+  private val dupComponentsCtes = dupComponentsCtesFor("")
 
   // simhash-32 expression fragments
   private def nib(p: Int): String = s"CAST('0x' || substr(h, $p, 1) AS INTEGER)"
@@ -1389,6 +1461,28 @@ object TrainingEntries {
       |        unnest(generate_series(1, len(embedding))) AS i FROM embeddings)),
       |norms AS (SELECT vec_id, sqrt(CAST(SUM(v*v) AS DOUBLE)) AS nrm
       |          FROM flat GROUP BY vec_id)""".stripMargin
+
+  /** SQ8 chain after [[flatCte]] (q204-q206): per-dim extrema over
+    * the width-64 vectors, floor cell codes, midpoint reconstruction
+    * — mirrors Similarity.sqStats/sqCodesExpr/sqReconExpr (all
+    * products < 2^53 so the double floors are bit-stable). Callers
+    * read `f64(vec_id, i, v)` and `srecon(vec_id, i, v, code, r)`.
+    */
+  private val sqCtes =
+    """f64 AS (SELECT f.* FROM flat f
+      |        JOIN (SELECT vec_id FROM embeddings
+      |              WHERE len(embedding) = 64) d USING (vec_id)),
+      |sstats AS (SELECT i, MIN(v) AS vmin, MAX(v) AS vmax
+      |           FROM f64 GROUP BY i),
+      |scode AS (SELECT f.vec_id, f.i, f.v, s.vmin, s.vmax,
+      |    CASE WHEN s.vmax = s.vmin THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(floor(CAST((f.v - s.vmin) * 255 AS DOUBLE)
+      |                / CAST(s.vmax - s.vmin AS DOUBLE)) AS BIGINT) END AS code
+      |  FROM f64 f JOIN sstats s ON s.i = f.i),
+      |srecon AS (SELECT vec_id, i, v, code,
+      |    vmin + CAST(floor(CAST((2 * code + 1) * (vmax - vmin) AS DOUBLE)
+      |      / 512) AS BIGINT) AS r
+      |  FROM scode)""".stripMargin
 
   /** The full-corpus NB scoring SQL (q156, and q161's incremental
     * build — additive counts make batch the exact oracle of the fold).
@@ -4795,6 +4889,154 @@ object TrainingEntries {
          |      ORDER BY adist, cid) AS BIGINT) AS rn
          |  FROM padc)
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    // Mirrors Similarity.sqDigest: per-dim extrema over the shared
+    // flatCte quantization, floor-coded cells, midpoint
+    // reconstruction — all products < 2^53 so the double floors are
+    // bit-stable in both engines
+    "q204_sq_encode" ->
+      s"""WITH $flatCte,
+         |$sqCtes
+         |SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+         |  CAST(MIN(code) AS BIGINT) AS code_min,
+         |  CAST(MAX(code) AS BIGINT) AS code_max,
+         |  CAST(SUM((v - r) * (v - r)) AS BIGINT) AS rerr
+         |FROM srecon GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // Mirrors Similarity.sqTopK: exact query elements vs the corpus
+    // reconstruction, integer squared-L2, (adist, cid) rank
+    "q205_sq_ann" ->
+      s"""WITH $flatCte,
+         |$sqCtes,
+         |sadc AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |           CAST(SUM((q.v - c.r) * (q.v - c.r)) AS BIGINT) AS adist
+         |         FROM f64 q JOIN srecon c ON q.i = c.i
+         |         WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |         GROUP BY q.vec_id, c.vec_id),
+         |r AS (SELECT qid, cid, adist,
+         |        CAST(row_number() OVER (PARTITION BY qid
+         |          ORDER BY adist, cid) AS BIGINT) AS rn
+         |      FROM sadc)
+         |SELECT qid, cid, adist, rn FROM r WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
+
+    // Mirrors Similarity.sqRefineTopK: the q205 ranking over-fetched
+    // to top-20, then q30's exact-cosine arithmetic reranks the
+    // candidate sliver to top-5
+    "q206_sq_refine" ->
+      s"""WITH $flatCte,
+         |$sqCtes,
+         |sadc AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |           CAST(SUM((q.v - c.r) * (q.v - c.r)) AS BIGINT) AS adist
+         |         FROM f64 q JOIN srecon c ON q.i = c.i
+         |         WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |         GROUP BY q.vec_id, c.vec_id),
+         |cand AS (SELECT qid, cid FROM (
+         |           SELECT qid, cid,
+         |             row_number() OVER (PARTITION BY qid
+         |               ORDER BY adist, cid) AS rn
+         |           FROM sadc) WHERE rn <= 20),
+         |dots AS (SELECT p.qid, p.cid, SUM(fq.v * fc.v) AS dot
+         |         FROM cand p
+         |         JOIN flat fq ON fq.vec_id = p.qid
+         |         JOIN flat fc ON fc.vec_id = p.cid AND fc.i = fq.i
+         |         GROUP BY p.qid, p.cid),
+         |cos AS (SELECT qid, cid, CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+         |        FROM dots
+         |        JOIN norms nq ON nq.vec_id = qid
+         |        JOIN norms nc ON nc.vec_id = cid),
+         |rr AS (SELECT qid, cid, cos,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, cid) AS BIGINT) AS rn
+         |       FROM cos)
+         |SELECT qid, cid, cos, rn FROM rr WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
+
+    // Mirrors Dedup.editDistanceDupPairs: the q26 candidate front,
+    // then plain levenshtein over the same 500-char normalized
+    // prefixes (DuckDB has no banded variant; Spark's threshold=100
+    // is exactly the largest passable distance, so the -1-pruned and
+    // unpruned verdicts agree row for row)
+    "q209_edit_dups" ->
+      s"""WITH $shinglesCte,
+         |$hashedShinglesCte,
+         |sig AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |okb AS (SELECT band, bhash FROM bands
+         |        GROUP BY band, bhash HAVING COUNT(*) <= 256),
+         |bb AS (SELECT bands.doc_id, bands.band, bands.bhash
+         |       FROM bands JOIN okb USING (band, bhash)),
+         |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |          FROM bb a JOIN bb b
+         |          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+         |pref AS (SELECT doc_id, substr($norm, 1, 500) AS p FROM documents),
+         |ed AS (SELECT c.id1, c.id2,
+         |         CAST(levenshtein(a.p, b.p) AS BIGINT) AS edist,
+         |         CAST(greatest(length(a.p), length(b.p)) AS BIGINT) AS mlen
+         |       FROM cands c
+         |       JOIN pref a ON a.doc_id = c.id1
+         |       JOIN pref b ON b.doc_id = c.id2)
+         |SELECT id1, id2, edist FROM ed
+         |WHERE edist * 1000 <= 200 * mlen ORDER BY id1, id2""".stripMargin,
+
+    // q205's pipeline with the code table and the query set
+    // restricted to the surviving (even) vectors, extrema trained on
+    // the full corpus — the SQ takedown's serve semantics
+    "q210_sq_retract" ->
+      s"""WITH $flatCte,
+         |$sqCtes,
+         |sadc AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |           CAST(SUM((q.v - c.r) * (q.v - c.r)) AS BIGINT) AS adist
+         |         FROM f64 q JOIN srecon c ON q.i = c.i
+         |         WHERE q.vec_id < 10 AND q.vec_id % 2 = 0
+         |           AND c.vec_id % 2 = 0 AND q.vec_id <> c.vec_id
+         |         GROUP BY q.vec_id, c.vec_id),
+         |r AS (SELECT qid, cid, adist,
+         |        CAST(row_number() OVER (PARTITION BY qid
+         |          ORDER BY adist, cid) AS BIGINT) AS rn
+         |      FROM sadc)
+         |SELECT qid, cid, adist, rn FROM r WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
+
+    // Mirrors Curation.repeatPlan: the integer water-fill over the
+    // K-row source table — capped prefix, exact remainder spread
+    "q211_repeat_plan" ->
+      s"""WITH per AS (SELECT source,
+         |    CAST(SUM(CASE WHEN length($norm) = 0 THEN 0
+         |         ELSE len(string_split($norm, ' ')) END) AS BIGINT) AS t
+         |  FROM documents GROUP BY source HAVING t > 0),
+         |c AS (SELECT source, t, t * 2 AS cap FROM per),
+         |r AS (SELECT source, t, cap,
+         |    CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+         |    COALESCE(SUM(cap) OVER (ORDER BY cap, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pprev,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS k
+         |  FROM c),
+         |f AS (SELECT *, (cap * (k - i + 1) <= 30000 - pprev) AS capped
+         |      FROM r),
+         |g AS (SELECT *,
+         |    CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT) AS m,
+         |    CAST(COALESCE(SUM(CASE WHEN capped THEN cap END) OVER (), 0)
+         |      AS BIGINT) AS pm
+         |  FROM f),
+         |h AS (SELECT source, t, cap, capped,
+         |    CAST(CASE WHEN capped THEN cap
+         |         ELSE (30000 - pm) // (k - m) +
+         |           (CASE WHEN i - m <= (30000 - pm) % (k - m)
+         |            THEN 1 ELSE 0 END) END AS BIGINT) AS alloc
+         |  FROM g)
+         |SELECT source, t AS n_tokens, cap AS capacity,
+         |  alloc AS alloc_tokens,
+         |  CAST((alloc * 1000) // t AS BIGINT) AS epochs_milli, capped
+         |FROM h ORDER BY source""".stripMargin,
+
+    // q51's closure over the pair graph of the SURVIVING evens from
+    // scratch — the label-store takedown (touched-component recompute
+    // + re-admitted-pair fold) must land exactly here
+    "q208_components_retract" ->
+      s"""WITH RECURSIVE ${dupComponentsCtesFor(" WHERE doc_id % 2 = 0")}
+         |SELECT c.doc_id, c.component, cs.cluster_size
+         |FROM comp c JOIN cs USING (component) ORDER BY doc_id""".stripMargin,
   )
 
   /** The driver-facing oracle map: every standalone SQL plus the

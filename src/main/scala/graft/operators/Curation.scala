@@ -284,6 +284,74 @@ object Curation {
       .select($("doc_id"), $("source"), $("rn"))
   }
 
+  /** Repeat-epoch plan under a token budget — the data-constrained
+    * scaling allocator (Muennighoff et al., "Scaling Data-Constrained
+    * Language Models", NeurIPS 2023 — public literature): every
+    * source may be repeated up to `maxRepeat` epochs, the budget
+    * water-fills toward EQUAL per-source shares, and sources too
+    * small to fill their share even at the repeat cap contribute
+    * their full capacity while the shortfall redistributes to the
+    * rest. Exact integer water-filling:
+    *
+    *  - capacity c_s = maxRepeat · tokens_s; sort sources by
+    *    (c asc, source asc);
+    *  - source at rank i is CAPPED iff c_i·(K−i+1) ≤ B − P_{i−1}
+    *    (giving every remaining source c_i would still fit) — the
+    *    condition is monotone along the sort, so the capped set is a
+    *    prefix;
+    *  - the m capped sources take their capacity; the rest take
+    *    base = (B − P_m) div (K − m), with the remainder spread one
+    *    token each to the first (B − P_m) mod (K − m) uncapped
+    *    sources in sort order — allocations sum EXACTLY to
+    *    min(B, Σc).
+    *
+    * Returns (source, n_tokens, capacity, alloc_tokens, epochs_milli
+    * = alloc·1000 div tokens, capped). When the budget exceeds total
+    * capacity every source caps and Σalloc < B — the report a
+    * pipeline reads to know the budget is not fillable at this
+    * repeat ceiling. Empty sources (0 tokens) are dropped.
+    *
+    * Scale: the token count is one corpus aggregate (map-side
+    * combined, (source, partial) rows only); the water-fill windows
+    * run over the K-row source table — single-partition but K-sized
+    * by construction (the [[graft.operators.NgramLm.lmOutliers]]
+    * bounded-stage argument).
+    */
+  def repeatPlan(documents: DataFrame, budgetTokens: Long,
+      maxRepeat: Int = 4): DataFrame = {
+    require(budgetTokens >= 0, s"negative budget $budgetTokens")
+    require(maxRepeat >= 1, s"maxRepeat=$maxRepeat must be >= 1")
+    val per = documents.spread()
+      .select($("source"), TextAnalysis.tokenCount($("text"))
+        .cast("long").as("n_tok"))
+      .groupBy($("source")).agg(sum($("n_tok")).as("t"))
+      .filter($("t") > 0)
+      .withColumn("cap", $("t") * maxRepeat)
+    val w = Window.orderBy($("cap").asc, $("source").asc)
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ranked = per
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("pprev", coalesce(sum($("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("k", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("capped",
+        $("cap") * ($("k") - $("i") + 1) <= lit(budgetTokens) - $("pprev"))
+    val sized = ranked
+      .withColumn("m", sum(when($("capped"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("pm", coalesce(sum(when($("capped"), $("cap")))
+        .over(wAll), lit(0L)))
+      .withColumn("rem", lit(budgetTokens) - $("pm"))
+      .withColumn("alloc",
+        when($("capped"), $("cap")).otherwise(
+          expr("rem div (k - m)") +
+            when($("i") - $("m") <= expr("rem % (k - m)"), 1L)
+              .otherwise(0L)))
+    sized.select($("source"), $("t").as("n_tokens"), $("cap").as("capacity"),
+      $("alloc").as("alloc_tokens"),
+      expr("(alloc * 1000) div t").as("epochs_milli"), $("capped"))
+  }
+
   /** Sequence-packing bin assignment: within each source, documents
     * are laid out in md5 order and concatenated; a doc's bin is the
     * context window its FIRST token lands in under naive

@@ -245,6 +245,51 @@ object Dedup {
       .filter($("jaccard") >= threshold)
   }
 
+  /** Edit-distance-verified near-dup pairs — a DIFFERENT verify
+    * metric from token-set Jaccard: Levenshtein distance sees
+    * ORDER and small in-place edits (a shuffled bag of the same
+    * tokens has Jaccard 1 but a large edit distance; a doc with one
+    * character flipped per line has high shingle overlap loss but a
+    * tiny edit distance), so it is the verifier of choice for
+    * templated/boilerplate corpora where token sets are uninformative.
+    * Candidates come from the SAME LSH front as [[minhashDupPairs]]
+    * (bucket-capped, linear); the verify is
+    * `levenshtein(prefix_a, prefix_b)` over the first `prefixLen`
+    * normalized characters, kept when edist·1000 ≤ maxDistPermille ·
+    * max(len_a, len_b). Returns (id1, id2, edist).
+    *
+    * Scale: the O(len²) dynamic program is bounded two ways — the
+    * prefix cap makes the worst pair cost prefixLen², and Spark's
+    * THRESHOLDED levenshtein (the banded O(len·maxDist) form; it
+    * returns −1 when the distance exceeds the bound, and the bound
+    * here is the largest passable distance maxDistPermille·prefixLen
+    * /1000) prunes the band further. Only candidate pairs ever pay
+    * it, and only (id, prefix) slivers shuffle — never full texts.
+    * The prefix cap is a documented approximation: two docs
+    * identical for `prefixLen` chars then divergent verify as dups
+    * (the same contract as every bounded verifier here; raise
+    * prefixLen where tails matter).
+    */
+  def editDistanceDupPairs(documents: DataFrame, n: Int = 5,
+      k: Int = 16, bands: Int = 4, maxBucket: Int = 256,
+      prefixLen: Int = 500, maxDistPermille: Int = 200): DataFrame = {
+    val cands = lshCandidates(
+      minhashSignatures(documents, n, k), k, bands, maxBucket)
+    val prefixes = documents.spread()
+      .select($("doc_id"),
+        substring(normText($("text")), 1, prefixLen).as("p"))
+    val maxDist = maxDistPermille * prefixLen / 1000
+    cands
+      .join(prefixes.select($("doc_id").as("id1"), $("p").as("p1")), Seq("id1"))
+      .join(prefixes.select($("doc_id").as("id2"), $("p").as("p2")), Seq("id2"))
+      .select($("id1"), $("id2"),
+        levenshtein($("p1"), $("p2"), maxDist).cast("long").as("edist"),
+        greatest(length($("p1")), length($("p2"))).cast("long").as("mlen"))
+      .filter($("edist") >= 0L &&
+        $("edist") * 1000 <= lit(maxDistPermille.toLong) * $("mlen"))
+      .select($("id1"), $("id2"), $("edist"))
+  }
+
   /** Connected components over the near-duplicate pair graph — the
     * step that turns pairwise dup hits into KEEP/DROP decisions (a
     * chain a~b~c must collapse to ONE canonical doc even when a~c was
@@ -500,6 +545,107 @@ object Dedup {
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("comp"))
       .select($("node").as("doc_id"), $("comp").as("component"), $("cluster_size"))
+  }
+
+  /** INCREMENTAL maintenance of the cluster-label store — the
+    * delivery-cadence form of [[componentsOf]]: given the persisted
+    * labels (doc_id, component, cluster_size) and the delivery's NEW
+    * pair edges (e.g. [[jaccardPairsFold]]'s fresh rows or
+    * [[incrementalNearDups]]' store hits), recompute ONLY the
+    * components a new edge touches and carry every other label over
+    * verbatim. fold == [[componentsOf]] over the union pair set,
+    * exactly (the q51 oracle gates it), because a component's label
+    * set is fully determined by its own connectivity: an old
+    * component enters the recompute as its STAR EDGES (member →
+    * canonical min), which preserve connectivity and minima while
+    * costing O(members) rows — never the original pair list.
+    *
+    * Scale: the recompute subgraph is (touched components' members +
+    * new pairs) — delivery-proportional when clusters are bounded
+    * (the dup-graph norm; a corpus-sized component would mean the
+    * corpus is one giant near-dup family, which the hot-bucket caps
+    * and exact-dedup prepass exist to prevent). Untouched labels
+    * never shuffle more than the one anti-join that skips them. A
+    * delivery merging two old components relabels both to the joint
+    * minimum — exactly what from-scratch sees.
+    */
+  def componentsFold(labels: DataFrame, newPairs: DataFrame,
+      maxRounds: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val np = newPairs.select($("id1"), $("id2"))
+      .filter($("id1") =!= $("id2"))
+    val touchedIds = np.select($("id1").as("doc_id"))
+      .union(np.select($("id2").as("doc_id"))).distinct()
+    val touchedComps = labels.join(touchedIds, Seq("doc_id"))
+      .select($("component")).distinct()
+      .localCheckpoint(true)
+    val affected = labels.join(touchedComps, Seq("component"))
+    // star edges preserve the affected components' connectivity at
+    // O(members); the canonical min reaches the recompute as every
+    // member's edge target (components have >= 2 members, so at
+    // least one non-self edge always exists)
+    val starEdges = affected.filter($("doc_id") =!= $("component"))
+      .select($("doc_id").as("id1"), $("component").as("id2"))
+    val recomputed = componentsOf(starEdges.union(np), maxRounds,
+      checkpointDir)
+    labels.join(touchedComps, Seq("component"), "left_anti")
+      .select($("doc_id"), $("component"), $("cluster_size"))
+      .unionByName(recomputed)
+  }
+
+  /** TAKEDOWN of the cluster-label store — [[componentsFold]]'s
+    * inverse, in two keyed steps:
+    *
+    *  1. components holding a removed doc are recomputed from the
+    *     PRIOR pairs among survivors (removal can SPLIT a component,
+    *     so star edges through a removed canonical would be wrong —
+    *     the recompute reads real edges); every other label carries
+    *     over verbatim. A prior pair's endpoints always shared a
+    *     component, so one endpoint semi-join fetches the slice.
+    *  2. pairs the maintained store RE-ADMITTED on removal (df cuts
+    *     and bucket caps are monotone under shrinkage — a takedown
+    *     can only ADD candidacies among survivors, which is how
+    *     [[jaccardPairsRetract]] re-pairs uncrossed shingles) fold in
+    *     as new edges via [[componentsFold]] — they may connect
+    *     components the removal never touched.
+    *
+    * retract == [[componentsOf]] over the retracted pair store,
+    * exactly (q51's closure SQL over the survivors gates it), under
+    * the store family's monotonicity contract: prior pairs between
+    * survivors stay in the store (true for every df-cut/bucket-cap
+    * family here — removal only shrinks frequencies). Survivors of a
+    * touched component that lose their last pair leave the label
+    * store — exactly where from-scratch stops listing them. A
+    * removed id absent from the labels is a legal no-op (docs
+    * outside any dup cluster never had a label row).
+    *
+    * Scale: every step is keyed on ids/components of the touched
+    * slice or on the re-admitted delta — never a label-store or
+    * pair-store scan beyond one anti-join each.
+    */
+  def componentsRetract(labels: DataFrame, priorPairs: DataFrame,
+      survivingPairs: DataFrame, removedIds: DataFrame,
+      maxRounds: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val rm = removedIds.select($("doc_id")).localCheckpoint(true)
+    val touchedComps = labels.join(rm, Seq("doc_id"))
+      .select($("component")).distinct()
+      .localCheckpoint(true)
+    // prior pairs among survivors, sliced to the touched components
+    val priorSurviving = priorPairs.select($("id1"), $("id2"))
+      .join(rm.select($("doc_id").as("id1")), Seq("id1"), "left_anti")
+      .join(rm.select($("doc_id").as("id2")), Seq("id2"), "left_anti")
+    val affectedIds = labels.join(touchedComps, Seq("component"))
+      .select($("doc_id").as("id1"))
+    val slice = priorSurviving.join(affectedIds, Seq("id1"))
+    val intermediate = labels
+      .join(touchedComps, Seq("component"), "left_anti")
+      .select($("doc_id"), $("component"), $("cluster_size"))
+      .unionByName(componentsOf(slice, maxRounds, checkpointDir))
+    val readmitted = survivingPairs.select($("id1"), $("id2"))
+      .join(priorPairs.select($("id1"), $("id2")),
+        Seq("id1", "id2"), "left_anti")
+    componentsFold(intermediate, readmitted, maxRounds, checkpointDir)
   }
 
   /** Plain min-label propagation (hash-to-min) — converges in

@@ -143,7 +143,7 @@ object NgramLm {
     bi.groupBy("w1").agg(sum($("c12")).as("c1")),
     bi.agg(count_distinct($("w2")).cast("long").as("v")))
 
-  private def lnpMicro(num: Column, den: Column): Column =
+  private[graft] def lnpMicro(num: Column, den: Column): Column =
     floor(lit(1000000.0) * log(num.cast("double") / den.cast("double")))
       .cast("long")
 

@@ -1548,6 +1548,195 @@ object Similarity {
     * cosine arithmetic and the same lower-label tie-break as the
     * batch max_by rule.
     */
+  // ----------------------------------------------------------------
+  // Scalar quantization (SQ8) — per-dimension 8-bit codes, the public
+  // FAISS `SQ8` index family: each element is coded as its cell index
+  // in a per-dimension [vmin, vmax] range split into 256 cells, so a
+  // vector costs dim bytes instead of 4·dim — the lighter-weight
+  // sibling of product quantization (PQ trains k-means codebooks per
+  // subspace; SQ needs only per-dim extrema, trains in ONE aggregate,
+  // and reconstructs with no codebook join at all).
+  // ----------------------------------------------------------------
+
+  /** Per-dimension (j, vmin, vmax) extrema of the 1e6-quantized
+    * elements — the whole SQ8 "model": dims rows from ONE map-side
+    * combined aggregate over a single corpus scan. Vectors of the
+    * wrong width are dropped ([[vectorHealth]] is the preflight that
+    * reports them).
+    */
+  def sqStats(embeddings: DataFrame, dim: Int = 64): DataFrame =
+    embeddings.spread()
+      .filter(size($("embedding")) === dim)
+      .select(posexplode(quantize($("embedding"))).as(Seq("j", "v")))
+      .groupBy($("j"))
+      .agg(min($("v")).as("vmin"), max($("v")).as("vmax"))
+      .select($("j").cast("long").as("j"), $("vmin"), $("vmax"))
+
+  /** The stats table localized to (vmin, vmax) arrays ordered by
+    * dimension — 2·dims longs, the model artifact every encoder and
+    * searcher ships as literals (the [[pqCodebookLocal]] discipline;
+    * the collect is dims-bounded by construction).
+    */
+  def sqStatsLocal(stats: DataFrame, dim: Int = 64): (Seq[Long], Seq[Long]) = {
+    import stats.sparkSession.implicits._
+    val rows = stats
+      .select($("j").cast("int"), $("vmin").cast("long"), $("vmax").cast("long"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    require(rows.length == dim,
+      s"sq stats cover ${rows.length} dims, expected $dim")
+    (rows.map(_._2).toSeq, rows.map(_._3).toSeq)
+  }
+
+  /** SQ8 code array of an embedding column under LITERAL extrema:
+    * code_j = floor((v_j − vmin_j)·255 / (vmax_j − vmin_j)), 0 where
+    * the dimension is constant. Every product is ≤ 255·4e6 ≈ 1e9 —
+    * exact in double — so the floor is bit-stable across engines.
+    * Pure per-row expression: zero shuffle, streaming/serving-capable
+    * (the [[pqAssignExpr]] role for the scalar quantizer).
+    */
+  def sqCodesExpr(emb: Column, vmin: Seq[Long], vmax: Seq[Long]): Column = {
+    val span = vmin.zip(vmax).map { case (a, b) => b - a }
+    zip_with(
+      zip_with(quantize(emb), typedlit(vmin), (v, mn) => v - mn),
+      typedlit(span), (d, s) =>
+        when(s > lit(0L),
+          floor(d.cast("double") * lit(255d) / s.cast("double")).cast("long"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Midpoint reconstruction of an SQ8 code array: recon_j = vmin_j +
+    * floor((2·code_j + 1)·span_j / 512) — integer cell centers
+    * (products ≤ 511·4e6 ≈ 2e9, exact in double), the value the
+    * asymmetric search scores against.
+    */
+  def sqReconExpr(codes: Column, vmin: Seq[Long], vmax: Seq[Long]): Column = {
+    val span = vmin.zip(vmax).map { case (a, b) => b - a }
+    zip_with(
+      zip_with(codes, typedlit(span), (c, s) =>
+        floor((c * lit(2L) + lit(1L)).cast("double") * s.cast("double")
+          / lit(512d)).cast("long")),
+      typedlit(vmin), (r, mn) => r + mn)
+  }
+
+  /** SQ8 encode under PERSISTED stats ([[sqStats]] shape): one corpus
+    * scan with the 2·dims extrema riding as literals — not even a
+    * broadcast join — emitting (vec_id, codes, rerr) where rerr =
+    * Σ_j (v_j − recon_j)² is the exact integer reconstruction error
+    * (the per-vector fidelity diagnostic, [[pqEncode]]'s qerr).
+    * Row-local ⇒ commutes with any row subset: a delivery encodes
+    * against the serving stats and APPENDS, and a takedown's
+    * id-keyed retract of the code table equals re-encoding the
+    * survivors bit-for-bit (the [[pqEncodeFrom]] property).
+    */
+  def sqEncodeFrom(stats: DataFrame, embeddings: DataFrame,
+      dim: Int = 64): DataFrame = {
+    val (vmin, vmax) = sqStatsLocal(stats, dim)
+    embeddings.spread()
+      .filter(size($("embedding")) === dim)
+      .select($("vec_id"), quantize($("embedding")).as("qv"),
+        sqCodesExpr($("embedding"), vmin, vmax).as("codes"))
+      .select($("vec_id"), $("codes"),
+        qdist($("qv"), sqReconExpr($("codes"), vmin, vmax)).as("rerr"))
+  }
+
+  /** Train-and-encode in one call ([[pqEncode]]'s shape): extrema
+    * from the corpus itself, then the row-local encode.
+    */
+  def sqEncode(embeddings: DataFrame, dim: Int = 64): DataFrame =
+    sqEncodeFrom(sqStats(embeddings, dim), embeddings, dim)
+
+  /** Hash-gate projection of [[sqEncode]]: per-vector (code_sum,
+    * code_min, code_max, rerr) — all-integer, engine-portable (the
+    * full code arrays are spec-pinned against a driver recompute;
+    * the digest is what the DuckDB oracle gates, q204).
+    */
+  def sqDigest(embeddings: DataFrame, dim: Int = 64): DataFrame =
+    sqEncode(embeddings, dim)
+      .select($("vec_id"),
+        aggregate($("codes"), lit(0L), _ + _).as("code_sum"),
+        array_min($("codes")).cast("long").as("code_min"),
+        array_max($("codes")).cast("long").as("code_max"),
+        $("rerr"))
+
+  /** Asymmetric SQ8 top-k over a PERSISTED code table: queries keep
+    * their exact quantized vectors; each corpus vector is its
+    * reconstructed code midpoints, so adist = Σ_j (q_j − recon_j)² —
+    * exact integers, one codegen'd fold per pair (no explode, no
+    * LUT join: SQ reconstruction is element-local, which is exactly
+    * what makes it cheaper to serve than PQ). The query set
+    * broadcasts; the corpus side scans the code table — dim bytes
+    * per vector in a real store — and never the raw vectors.
+    */
+  def sqTopKFromCodes(codes: DataFrame, stats: DataFrame,
+      embeddings: DataFrame, maxQueryId: Long = 10, k: Int = 5,
+      dim: Int = 64): DataFrame = {
+    val (vmin, vmax) = sqStatsLocal(stats, dim)
+    val corpus = codes.select($("vec_id").as("cid"),
+      sqReconExpr($("codes"), vmin, vmax).as("re"))
+    val queries = broadcast(embeddings
+      .filter($("vec_id") < maxQueryId)
+      .filter(size($("embedding")) === dim)
+      .select($("vec_id").as("qid"), quantize($("embedding")).as("qe")))
+    val w = Window.partitionBy($("qid")).orderBy($("adist").asc, $("cid").asc)
+    corpus.join(queries, $("qid") =!= $("cid"))
+      .select($("qid"), $("cid"), qdist($("qe"), $("re")).as("adist"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($("rn") <= k)
+  }
+
+  /** End-to-end SQ8 search (train → encode → asymmetric top-k) —
+    * the oracle-contract form (q205); the serve path is
+    * [[sqTopKFromCodes]] over persisted artifacts (spec-pinned
+    * equal).
+    */
+  def sqTopK(embeddings: DataFrame, maxQueryId: Long = 10, k: Int = 5,
+      dim: Int = 64): DataFrame = {
+    val stats = sqStats(embeddings, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sqTopKFromCodes(sqEncodeFrom(stats, embeddings, dim), stats,
+      embeddings, maxQueryId, k, dim)
+  }
+
+  /** Exact rerank of an ANN candidate list — the public FAISS
+    * `refine` stage and the standard two-stage search shape: the
+    * compressed index over-fetches (top-R, R ≫ k), then only those
+    * R·|queries| candidates are joined back to the RAW vectors and
+    * re-scored with exact quantized cosine. Cost is
+    * candidate-proportional — a semi-join shrinks the raw-vector
+    * scan to the candidate sliver, then one integer fold per
+    * candidate — never a second corpus scan. Output contract matches
+    * [[bruteForceTopK]]: (qid, cid, cos, rn ≤ k), ties to lower cid.
+    */
+  def exactRerank(candidates: DataFrame, embeddings: DataFrame,
+      k: Int = 5): DataFrame = {
+    val vecs = embeddings.spread()
+      .select($("vec_id"), quantize($("embedding")).as("qv"))
+      .withColumn("nrm", qnorm($("qv")))
+    val q = vecs
+      .join(candidates.select($("qid").as("vec_id")).distinct(), Seq("vec_id"))
+      .select($("vec_id").as("qid"), $("qv").as("qe"), $("nrm").as("qn"))
+    val c = vecs
+      .join(candidates.select($("cid").as("vec_id")).distinct(), Seq("vec_id"))
+      .select($("vec_id").as("cid"), $("qv").as("ce"), $("nrm").as("cn"))
+    val w = Window.partitionBy($("qid")).orderBy($("cos").desc, $("cid").asc)
+    candidates.join(broadcast(q), Seq("qid")).join(c, Seq("cid"))
+      .select($("qid"), $("cid"),
+        (qdot($("qe"), $("ce")).cast("double") / ($("qn") * $("cn"))).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($("rn") <= k)
+  }
+
+  /** SQ8 two-stage search: compressed top-`rerank` by asymmetric
+    * integer distance, exact-cosine refine to top-k — recall comes
+    * from the cheap over-fetch, precision from the exact rerank of
+    * the R-sized sliver (q206 gates the composition end to end).
+    */
+  def sqRefineTopK(embeddings: DataFrame, maxQueryId: Long = 10,
+      k: Int = 5, rerank: Int = 20, dim: Int = 64): DataFrame =
+    exactRerank(
+      sqTopK(embeddings, maxQueryId, rerank, dim).select($("qid"), $("cid")),
+      embeddings, k)
+
   def centroidAssignExpr(emb: Column,
       centroids: Seq[(Long, Seq[Long])]): Column = {
     require(centroids.nonEmpty, "need at least one centroid")

@@ -420,6 +420,55 @@ object DocStreams extends Serializable {
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
 
+  /** Streaming perplexity gate: the served per-source LM cut
+    * ([[graft.operators.NgramLm.lmGateFrom]]) over a document
+    * firehose — the LM model (bigram + context count tables) joins
+    * STREAM-STATIC, the one-row constants and the K-row threshold
+    * cut ship as literals (the compositeGateStream model/data split),
+    * and the only keyed state is the per-doc score aggregation.
+    * Emits (doc_id, source, avg_nll_micro, keep) per scored doc —
+    * docs with fewer than two tokens produce no bigrams and are
+    * absent, the batch scorer's exact contract.
+    *
+    * Twin contract (StreamingSpec): verdicts == the batch
+    * `lmGateFrom` row for row on the same corpus and artifacts.
+    */
+  def lmGateStream(docs: DataFrame, bi: DataFrame, uni: DataFrame,
+      v: Long, thresholds: Seq[(String, Long, Long)]): DataFrame = {
+    import graft.operators.NgramLm
+    // empty cut table (all quotas zero): typed NULL lookups, keep
+    // false everywhere — compositeGateStream's empty-map discipline
+    def lookup(entries: Seq[(String, Long)]): Column =
+      if (entries.isEmpty) lit(null).cast("long")
+      else element_at(map(entries.flatMap { case (s, x) =>
+        Seq(lit(s), lit(x)) }: _*), col("source"))
+    val thrNll = lookup(thresholds.map { case (s, t, _) => (s, t) })
+    val thrId = lookup(thresholds.map { case (s, _, i) => (s, i) })
+    docs
+      .select(col("doc_id"), col("source"),
+        NgramLm.toksOf(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(NgramLm.bigramsOfToks(col("toks"))).as("bg"))
+      .select(col("doc_id"), col("source"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(bi.select(col("w1"), col("w2"), col("c12")),
+        Seq("w1", "w2"), "left")
+      .join(uni.select(col("w1"), col("c1")), Seq("w1"), "left")
+      .select(col("doc_id"), col("source"),
+        (-NgramLm.lnpMicro(coalesce(col("c12"), lit(0L)) + 1,
+          coalesce(col("c1"), lit(0L)) + lit(v) + 1)).as("nll"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_big"), sum(col("nll")).as("nll_micro"))
+      .select(col("doc_id"), col("source"),
+        expr("nll_micro div n_big").as("avg_nll_micro"))
+      .withColumn("thr", thrNll)
+      .withColumn("thr_id", thrId)
+      .select(col("doc_id"), col("source"), col("avg_nll_micro"),
+        (col("thr").isNotNull && (col("avg_nll_micro") < col("thr") ||
+          (col("avg_nll_micro") === col("thr") &&
+            col("doc_id") <= col("thr_id")))).as("keep"))
+  }
+
   /** RETRACTION-AWARE bigram-LM counts: the signed sibling of
     * [[lmCountStream]] over an ingest/takedown event stream
     * ([[signedDocSchema]], `op` +1/-1). A takedown event carrying the

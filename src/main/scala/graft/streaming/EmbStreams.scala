@@ -46,6 +46,22 @@ object EmbStreams {
         Similarity.pqAssignExpr(col("embedding"), codebook, m, dim)
           .as("codes"))
 
+  /** Streaming SQ8 encoding: (vec_id, codes) per arriving vector
+    * against OFFLINE-trained per-dim extrema
+    * ([[Similarity.sqStatsLocal]] — 2·dims longs riding as literals,
+    * the [[pqCodes]] model-ships-with-the-stream discipline).
+    * Stateless: [[Similarity.sqCodesExpr]] is one
+    * subtract-scale-floor per element — the cheapest online encoder
+    * in the family (no argmin at all); a stats refresh is a stream
+    * restart with the new literals. StreamingSpec pins codes ==
+    * the batch [[Similarity.sqEncodeFrom]] under the same stats.
+    */
+  def sqCodes(emb: DataFrame, vmin: Seq[Long], vmax: Seq[Long],
+      dim: Int = 64): DataFrame =
+    emb.filter(size(col("embedding")) === dim)
+      .select(col("vec_id"),
+        Similarity.sqCodesExpr(col("embedding"), vmin, vmax).as("codes"))
+
   /** Streaming SEMANTIC INGEST GATE — the live twin of
     * [[Similarity.semanticIngestGate]] (q193): each arriving vector
     * probes its `nprobe` nearest cells as a PURE EXPRESSION against

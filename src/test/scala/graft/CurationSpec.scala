@@ -881,4 +881,40 @@ class CurationSpec extends SparkSpec {
       .select("artifact", "status").as[(String, String)].collect().toMap
     assert(diffE === Map("a" -> "changed", "b" -> "unchanged"))
   }
+
+  test("repeatPlan: water-fill caps small sources, spreads the remainder exactly") {
+    import spark.implicits._
+    // token counts by construction: a = 6, b = 10, c = 50
+    def words(n: Int, tag: String): String =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a", words(3, "x")), (2L, "a", words(3, "y")),
+      (3L, "b", words(10, "z")),
+      (4L, "c", words(50, "w"))
+    ).toDF("doc_id", "source", "text")
+    def plan(budget: Long) =
+      Curation.repeatPlan(docs, budget, maxRepeat = 2)
+        .select($"source", $"n_tokens", $"capacity", $"alloc_tokens",
+          $"epochs_milli", $"capped")
+        .as[(String, Long, Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+    // caps: a=12, b=20, c=100. Budget 60: a and b cap (12·3=36≤60;
+    // 20·2=40≤48), c takes the remaining 28 — allocations sum to B
+    val p60 = plan(60)
+    assert(p60("a") === (("a", 6L, 12L, 12L, 2000L, true)))
+    assert(p60("b") === (("b", 10L, 20L, 20L, 2000L, true)))
+    assert(p60("c") === (("c", 50L, 100L, 28L, 560L, false)))
+    // budget over total capacity: everyone caps at maxRepeat epochs
+    val p200 = plan(200)
+    assert(p200.values.forall(_._6), "over-capacity budget must cap all")
+    assert(p200.values.map(_._4).sum === 132L, "allocs == total capacity")
+    // tiny budget: nobody caps, equal shares
+    val p9 = plan(9)
+    assert(p9.values.forall(!_._6))
+    assert(p9.values.forall(_._4 === 3L))
+    // remainder spreads one token each in (capacity, source) order
+    val p10 = plan(10)
+    assert(p10("a")._4 === 4L && p10("b")._4 === 3L && p10("c")._4 === 3L)
+    assert(p10.values.map(_._4).sum === 10L, "exact budget conservation")
+  }
 }

@@ -54,6 +54,62 @@ class PipelineOpsSpec extends SparkSpec {
       s"superseded checkpoints not cleaned: $remained")
   }
 
+  test("componentsFold: merge across old components, carry untouched, admit new") {
+    // old store: comps {1,2} and {5,6}; {3,4} untouched
+    val oldPairs = Seq((1L, 2L), (5L, 6L), (3L, 4L)).toDF("id1", "id2")
+    val labels = Dedup.componentsOf(oldPairs).localCheckpoint(true)
+    // delivery: a bridge 2-5 (merges two old comps) and a brand-new
+    // pair 8-9 (no old labels at all)
+    val np = Seq((2L, 5L), (8L, 9L)).toDF("id1", "id2")
+    val got = Dedup.componentsFold(labels, np)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, comp, sz) => id -> ((comp, sz)) }.toMap
+    val scratch = Dedup.componentsOf(oldPairs.union(np))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, comp, sz) => id -> ((comp, sz)) }.toMap
+    assert(got === scratch, "fold must equal components from scratch")
+    Seq(1L, 2L, 5L, 6L).foreach(id => assert(got(id) === ((1L, 4L)),
+      s"merged family wrong at $id"))
+    Seq(3L, 4L).foreach(id => assert(got(id) === ((3L, 2L)),
+      "untouched component must carry over verbatim"))
+    Seq(8L, 9L).foreach(id => assert(got(id) === ((8L, 2L))))
+    // empty delivery is the identity
+    val idem = Dedup.componentsFold(labels,
+        Seq.empty[(Long, Long)].toDF("id1", "id2"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(idem === labels.as[(Long, Long, Long)].collect().toSet)
+  }
+
+  test("componentsRetract: split, full-dissolve, and re-admitted bridge") {
+    // prior store: chain 1-2-3-4 (one comp), pair {7,8}, pair {10,11}
+    val prior = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (10L, 11L))
+      .toDF("id1", "id2")
+    val labels = Dedup.componentsOf(prior).localCheckpoint(true)
+    // remove 2 (splits the chain: 1 dissolves, {3,4} survives) and 7
+    // (dissolves {7,8} entirely); the maintained store also RE-ADMITS
+    // 8-10 — a pair between a touched comp's survivor and an
+    // UNTOUCHED comp, the case star edges alone cannot see
+    val surviving = Seq((3L, 4L), (10L, 11L), (8L, 10L)).toDF("id1", "id2")
+    val removed = Seq(2L, 7L).toDF("doc_id")
+    val got = Dedup.componentsRetract(labels, prior, surviving, removed)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, comp, sz) => id -> ((comp, sz)) }.toMap
+    val scratch = Dedup.componentsOf(surviving)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, comp, sz) => id -> ((comp, sz)) }.toMap
+    assert(got === scratch, "retract must equal components over survivors")
+    assert(!got.contains(1L), "a survivor losing its last pair drops out")
+    assert(!got.contains(2L) && !got.contains(7L), "removed ids gone")
+    Seq(3L, 4L).foreach(id => assert(got(id) === ((3L, 2L))))
+    Seq(8L, 10L, 11L).foreach(id => assert(got(id) === ((8L, 3L)),
+      s"re-admitted bridge family wrong at $id"))
+    // removing a doc that never had a label row is a legal no-op
+    val noop = Dedup.componentsRetract(labels, prior, prior,
+        Seq(99L).toDF("doc_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(noop === labels.as[(Long, Long, Long)].collect().toSet)
+  }
+
   test("dupClusters groups the planted exact+near dups into one cluster") {
     val docs = Seq(
       (1L, "The quick brown fox jumps over the lazy dog and runs far away home"),

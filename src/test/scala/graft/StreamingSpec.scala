@@ -701,6 +701,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming LM gate == served batch lmGateFrom across deliveries") {
+    import graft.operators.NgramLm
+    import graft.streaming.DocStreams
+    val docsT = graft.sources.Tables(spark, dir).documents
+    val ref = docsT.filter($"source".isin("src0", "src1", "src2"))
+      .localCheckpoint(true)
+    // artifacts trained OFFLINE: count/context tables join
+    // stream-static, the constants and the K-row cut ship as literals
+    val bi = NgramLm.bigramCounts(ref).localCheckpoint(true)
+    val (uniRaw, consts) = NgramLm.lmFromCounts(bi)
+    val uni = uniRaw.localCheckpoint(true)
+    val v = consts.as[Long].head()
+    val thrRows = NgramLm.lmThresholds(ref, docsT)
+      .as[(String, Long, Long)].collect().toSeq
+    val gDir = java.nio.file.Files
+      .createTempDirectory("graft-lmgate-stream").toString
+    docsT.filter($"doc_id" % 2 === 0).write.mode("append").parquet(gDir)
+    val q = DocStreams.lmGateStream(DocStreams.readDocs(spark, gDir),
+        bi, uni, v, thrRows)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("lm_gate_stream").start()
+    try {
+      q.processAllAvailable()
+      docsT.filter($"doc_id" % 2 === 1).write.mode("append").parquet(gDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("lm_gate_stream")
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    val want = NgramLm.lmGateFrom(
+        NgramLm.lmThresholds(ref, docsT), ref, docsT)
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    assert(got === want,
+      "streamed LM gate verdicts must equal the served batch gate's")
+    assert(got.exists(_._4) && got.exists(!_._4),
+      "fixture must exercise both keep verdicts")
+  }
+
   test("signed LM counts: takedown events == batch retraction") {
     import graft.operators.NgramLm
     import graft.streaming.DocStreams
@@ -1069,6 +1106,30 @@ class StreamingSpec extends SparkSpec {
       .map { case (id, rows) => id -> rows.sortBy(_._2).map(_._3).toList }
     assert(got === want,
       "per-vector streaming codes must equal the oracle-gated batch encoding")
+    assert(got.nonEmpty)
+  }
+
+  test("streaming sq codes == batch sqEncodeFrom codes (single batch)") {
+    import graft.operators.Similarity
+    import graft.streaming.EmbStreams
+    val emb = graft.sources.Tables(spark, dir).embeddings
+    val embDir = java.nio.file.Files.createTempDirectory("graft-sqemb").toString
+    emb.write.mode("overwrite").parquet(embDir)
+    // extrema trained OFFLINE by the batch tier, shipped as literals
+    val stats = Similarity.sqStats(emb).localCheckpoint(true)
+    val (vmin, vmax) = Similarity.sqStatsLocal(stats)
+    val q = EmbStreams.sqCodes(EmbStreams.readEmbeddings(spark, embDir),
+        vmin, vmax)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sq_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sq_stream")
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toList).toMap
+    val want = Similarity.sqEncodeFrom(stats, emb)
+      .as[(Long, Seq[Long], Long)].collect()
+      .map(r => r._1 -> r._2.toList).toMap
+    assert(got === want,
+      "per-vector streaming SQ codes must equal the batch encode")
     assert(got.nonEmpty)
   }
 }

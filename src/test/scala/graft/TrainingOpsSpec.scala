@@ -36,6 +36,47 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("edit-distance verify: exact dup 0, near dup small, permille rule bites") {
+    val pairs = Dedup.editDistanceDupPairs(docs)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) === 0L, "exact duplicate has edit distance 0")
+    val near = pairs.get((1L, 3L)).orElse(pairs.get((2L, 3L)))
+    assert(near.isDefined, "the one-word near-dup must verify")
+    assert(near.get > 0L && near.get <= 10L,
+      s"one trailing word changed ≈ a few character edits, got $near")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // tightening the rule to permille 0 keeps only the exact pair —
+    // the same candidates, the verifier's threshold does the work
+    val strict = Dedup.editDistanceDupPairs(docs, maxDistPermille = 0)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(strict === Set((1L, 2L)),
+      s"permille 0 must keep exactly the edist-0 pair, got $strict")
+  }
+
+  test("edit-distance verify: the prefix cap is the documented approximation") {
+    // long shared head (LSH candidacy + identical prefix window),
+    // then tails that differ by far more than 20%
+    val head = (1 to 60).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$head alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$head completely different closing words arrive here instead now")
+    ).toDF("doc_id", "text")
+    // a 40-char window sees only the shared head: verifies as dup
+    val capped = Dedup.editDistanceDupPairs(d, prefixLen = 40)
+      .as[(Long, Long, Long)].collect()
+    assert(capped.map(r => (r._1, r._2)).toSet === Set((1L, 2L)),
+      "inside the shared prefix the pair must verify (edist 0)")
+    assert(capped.head._3 === 0L)
+    // the default 500-char window reaches the divergent tails (~46
+    // edits on a ~280-char doc): at permille 100 the pair is cut
+    val full = Dedup.editDistanceDupPairs(d, maxDistPermille = 100)
+      .as[(Long, Long, Long)].collect()
+    assert(full.isEmpty,
+      s"divergent tails must fail the permille rule, got ${full.toSeq}")
+  }
+
   test("ngram jaccard agrees on the planted near-dup") {
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
@@ -930,5 +971,112 @@ class TrainingOpsSpec extends SparkSpec {
     assert(cm.keySet.subsetOf(Set((0L, 0L), (1L, 1L))),
       s"held-out confusion must be diagonal, got $cm")
     assert(cm.values.sum > 0, "the held-out buckets must be non-empty")
+  }
+
+  // vec 10 duplicates vec 0; dimension 0 is CONSTANT (the span=0 path)
+  private def sqFixture = (0L until 20L).map { i =>
+    val src = if (i == 10L) 0L else i
+    (i, Array.tabulate(8)(j =>
+      if (j == 0) 0.5f else (((src * 31 + j * 17) % 13) - 6).toFloat / 7f))
+  }.toDF("vec_id", "embedding")
+
+  test("sq encode: codes bounded, constant dim codes 0, == driver recompute") {
+    val enc = Similarity.sqEncode(sqFixture, dim = 8)
+      .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
+    assert(enc.length === 20, "every vector encodes")
+    enc.foreach { case (_, codes, rerr) =>
+      assert(codes.length === 8)
+      assert(codes.forall(c => c >= 0L && c <= 255L), "8-bit code range")
+      assert(codes.head === 0L, "constant dimension must code 0")
+      assert(rerr >= 0L)
+    }
+    // independent driver recompute of the whole quantizer
+    val raw = sqFixture.as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(x => math.round(x.toDouble * 1e6)) }
+    val dims = 0 until 8
+    val vmin = dims.map(j => raw.map(_._2(j)).min)
+    val vmax = dims.map(j => raw.map(_._2(j)).max)
+    raw.foreach { case (id, qv) =>
+      val codes = dims.map { j =>
+        val s = vmax(j) - vmin(j)
+        if (s == 0) 0L
+        else math.floor((qv(j) - vmin(j)).toDouble * 255d / s).toLong
+      }
+      val recon = dims.map { j =>
+        vmin(j) + math.floor((2 * codes(j) + 1).toDouble *
+          (vmax(j) - vmin(j)) / 512d).toLong
+      }
+      val rerr = dims.map(j => (qv(j) - recon(j)) * (qv(j) - recon(j))).sum
+      val got = enc.find(_._1 == id).get
+      assert(got._2 === codes, s"codes diverge for vec $id")
+      assert(got._3 === rerr, s"rerr diverges for vec $id")
+    }
+  }
+
+  test("sqEncodeFrom == sqEncode, and the encode commutes with row subsets") {
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val stats = Similarity.sqStats(emb).localCheckpoint(true)
+    val direct = Similarity.sqEncode(emb)
+      .as[(Long, Seq[Long], Long)].collect().toSet
+    val from = Similarity.sqEncodeFrom(stats, emb)
+      .as[(Long, Seq[Long], Long)].collect().toSet
+    assert(from === direct,
+      "encode under persisted stats must equal the training encode")
+    // row-locality — the inc_fold/takedown property: encoding a
+    // subset under the serving stats == subsetting the encoded table
+    val evens = Similarity.sqEncodeFrom(stats, emb.filter($"vec_id" % 2 === 0))
+      .as[(Long, Seq[Long], Long)].collect().toSet
+    assert(evens === direct.filter(_._1 % 2 == 0),
+      "row-local encoding must commute with row subsets")
+  }
+
+  test("sq adc: a planted duplicate scores the query's own reconstruction error") {
+    val enc = Similarity.sqEncode(sqFixture, dim = 8)
+      .as[(Long, Seq[Long], Long)].collect()
+    // identical vectors encode identically
+    assert(enc.find(_._1 == 0L).get._2 === enc.find(_._1 == 10L).get._2)
+    val q0err = enc.find(_._1 == 0L).get._3
+    val top = Similarity.sqTopK(sqFixture, maxQueryId = 1, k = 5, dim = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    val dupRow = top.find(r => r._1 == 0L && r._2 == 10L)
+    assert(dupRow.isDefined, "the exact duplicate must reach the top-5")
+    // asymmetric distance to the duplicate = the query's own
+    // reconstruction error — the floor any candidate can achieve
+    assert(dupRow.get._3 === q0err)
+    assert(top.filter(_._1 == 0L).map(_._3).min === q0err)
+  }
+
+  test("sqTopKFromCodes == sqTopK off persisted artifacts") {
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq-art").toString
+    Similarity.sqStats(emb).write.mode("overwrite").parquet(s"$dir/stats")
+    Similarity.sqEncode(emb).select($"vec_id", $"codes")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    val served = Similarity.sqTopKFromCodes(
+        spark.read.parquet(s"$dir/codes"), spark.read.parquet(s"$dir/stats"), emb)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val direct = Similarity.sqTopK(emb)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(served === direct,
+      "serve-time SQ search off artifacts must equal the end-to-end query")
+  }
+
+  test("sq refine: exact rerank recovers at least the plain SQ hits") {
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val truth = Similarity.bruteForceTopK(emb)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val sqHits = Similarity.sqTopK(emb)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val refined = Similarity.sqRefineTopK(emb)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    assert(refined.size === sqHits.size,
+      "refine keeps the same k per query")
+    // the exact top-5 of the candidate set contains every truth
+    // member the candidates caught, so refine recall dominates the
+    // plain compressed top-5's
+    assert((refined & truth).size >= (sqHits & truth).size,
+      s"refine recall ${(refined & truth).size} regressed below " +
+        s"plain SQ ${(sqHits & truth).size}")
+    assert((refined & truth).nonEmpty, "refine must catch real neighbors")
   }
 }
