@@ -1042,6 +1042,9 @@ object TrainingEntries {
           .join(removed, Seq("vec_id"), "left_anti"),
         stats, emb.join(removed, Seq("vec_id"), "left_anti"))
     }),
+    // IVF-SQ composed index (the FAISS IVFxx,SQ8 shape): cells prune
+    // candidates, SQ codes score them element-locally — no LUT join
+    "q212_ivfsq_ann" -> q(t => Similarity.ivfSqTopK(t.embeddings)),
     // Repeat-epoch plan under a token budget (data-constrained
     // scaling): exact integer water-filling toward equal per-source
     // shares with a repeat ceiling — capped prefix by the monotone
@@ -4997,6 +5000,28 @@ object TrainingEntries {
          |      FROM sadc)
          |SELECT qid, cid, adist, rn FROM r WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin,
+
+    // Mirrors Similarity.ivfSqTopK: the q34 ivfCte candidate pruning
+    // composed with the q205 SQ reconstruction scoring
+    "q212_ivfsq_ann" ->
+      s"""WITH $flatCte,
+         |${ivfCte(nCentroids = 16, lloydIters = 2, nprobe = 2)},
+         |$sqCtes,
+         |cand AS (SELECT q.vec_id AS qid, c.vec_id AS cid
+         |         FROM probes q JOIN assign c ON q.cell = c.cell
+         |         WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |sadc AS (SELECT cand.qid, cand.cid,
+         |           CAST(SUM((f.v - s.r) * (f.v - s.r)) AS BIGINT) AS adist
+         |         FROM cand
+         |         JOIN f64 f ON f.vec_id = cand.qid
+         |         JOIN srecon s ON s.vec_id = cand.cid AND s.i = f.i
+         |         GROUP BY cand.qid, cand.cid)
+         |SELECT qid, cid, adist, rn FROM (
+         |  SELECT qid, cid, adist,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY adist, cid) AS BIGINT) AS rn
+         |  FROM sadc)
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
     // Mirrors Curation.repeatPlan: the integer water-fill over the
     // K-row source table — capped prefix, exact remainder spread

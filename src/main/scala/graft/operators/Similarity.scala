@@ -1737,6 +1737,48 @@ object Similarity {
       sqTopK(embeddings, maxQueryId, rerank, dim).select($("qid"), $("cid")),
       embeddings, k)
 
+  /** IVF-SQ composed index — the public FAISS `IVFxx,SQ8` shape
+    * beside [[ivfPqTopK]]'s `IVFxx,PQyy`: IVF cells prune WHICH
+    * vectors are scored (each query probes its `nprobe` nearest
+    * cells), SQ8 codes shrink WHAT is stored (dim bytes per corpus
+    * vector). Candidates reconstruct ELEMENT-LOCALLY — no LUT join
+    * at all, the serve-time advantage SQ has over PQ — and score by
+    * exact integer asymmetric squared-L2 against the query's exact
+    * quantized elements. Returns (qid, cid, adist, rn ≤ k) under
+    * (adist asc, cid asc). TrainingOpsSpec pins adist == [[sqTopK]]'s
+    * on shared pairs (same arithmetic, pruned candidates).
+    *
+    * Scale: the corpus contributes (cell, id, codes) rows only; the
+    * per-query candidate set is ~nprobe/nCentroids of the corpus;
+    * both models sample at warehouse scale (`trainFraction`). Kept
+    * exact here so the oracle replays training bit-for-bit (q212).
+    */
+  def ivfSqTopK(embeddings: DataFrame, maxQueryId: Long = 10, k: Int = 5,
+      nCentroids: Int = 16, lloydIters: Int = 2, nprobe: Int = 2,
+      dim: Int = 64, trainFraction: Double = 1.0): DataFrame = {
+    val quant = quantized(embeddings)
+    val centroids = trainCentroids(quant, nCentroids, lloydIters,
+      trainFraction)
+    val assigned = assignCells(quant, centroids, nprobe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = sqStats(embeddings, dim)
+    val (vmin, vmax) = sqStatsLocal(stats, dim)
+    val corpus = assigned.filter($("arn") === 1)
+      .join(sqEncodeFrom(stats, embeddings, dim)
+        .select($("vec_id"), $("codes")), Seq("vec_id"))
+      .select($("cell"), $("vec_id").as("cid"),
+        sqReconExpr($("codes"), vmin, vmax).as("re"))
+    val queries = broadcast(assigned.filter($("vec_id") < maxQueryId)
+      .join(quant, Seq("vec_id"))
+      .select($("cell"), $("vec_id").as("qid"), $("qv").as("qe")))
+    val w = Window.partitionBy($("qid")).orderBy($("adist").asc, $("cid").asc)
+    corpus.join(queries, Seq("cell"))
+      .filter($("qid") =!= $("cid"))
+      .select($("qid"), $("cid"), qdist($("qe"), $("re")).as("adist"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($("rn") <= k)
+  }
+
   def centroidAssignExpr(emb: Column,
       centroids: Seq[(Long, Seq[Long])]): Column = {
     require(centroids.nonEmpty, "need at least one centroid")

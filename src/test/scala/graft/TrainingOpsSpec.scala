@@ -1061,6 +1061,31 @@ class TrainingOpsSpec extends SparkSpec {
       "serve-time SQ search off artifacts must equal the end-to-end query")
   }
 
+  test("ivf-sq: pruned candidates score identically to plain SQ") {
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val composed = Similarity.ivfSqTopK(emb)
+      .select($"qid", $"cid", $"adist")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(composed.nonEmpty)
+    // the same asymmetric arithmetic, pruned candidates: every pair
+    // the composed index surfaces must carry plain SQ's exact adist
+    val plain = Similarity.sqTopK(emb, k = 100)
+      .select($"qid", $"cid", $"adist")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val shared = composed.keySet & plain.keySet
+    assert(shared.nonEmpty, "no shared pairs — fixture degenerate")
+    shared.foreach(p => assert(composed(p) === plain(p),
+      s"adist diverges on $p: composed ${composed(p)} vs plain ${plain(p)}"))
+    // every query with candidates emits a dense rank prefix
+    val perQ = Similarity.ivfSqTopK(emb)
+      .select($"qid", $"rn").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList)
+    perQ.foreach { case (q, rns) =>
+      assert(rns === (1L to rns.length).toList, s"ragged ranks for $q") }
+  }
+
   test("sq refine: exact rerank recovers at least the plain SQ hits") {
     val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
     val truth = Similarity.bruteForceTopK(emb)
