@@ -1045,6 +1045,21 @@ object TrainingEntries {
     // IVF-SQ composed index (the FAISS IVFxx,SQ8 shape): cells prune
     // candidates, SQ codes score them element-locally — no LUT join
     "q212_ivfsq_ann" -> q(t => Similarity.ivfSqTopK(t.embeddings)),
+    // Leakage-free split: hashSplit keyed by the near-dup CLUSTER —
+    // a whole near-dup family lands in one split, so no dup pair can
+    // straddle train and test
+    "q213_cluster_split" -> q(t =>
+      Curation.clusterAwareSplit(t.documents,
+        Dedup.componentsOf(
+          Dedup.minhashDupPairs(t.documents, threshold = 0.7)
+            .select(col("id1"), col("id2"))))),
+    // Reliability table for the NB quality classifier: held-out
+    // (buckets 8-9) docs binned by llr — is pos_rate monotone in the
+    // score, i.e. can the llr be trusted as a sampling weight
+    "q214_nb_reliability" -> q(t =>
+      TextAnalysis.nbReliability(t.documents,
+        posSources = Seq("src0", "src1", "src2"),
+        negSources = Seq("src3", "src4", "src5"))),
     // Repeat-epoch plan under a token budget (data-constrained
     // scaling): exact integer water-filling toward equal per-source
     // shares with a repeat ceiling — capped prefix by the monotone
@@ -5022,6 +5037,50 @@ object TrainingEntries {
          |      ORDER BY adist, cid) AS BIGINT) AS rn
          |  FROM sadc)
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    // Mirrors Curation.clusterAwareSplit: q51's component closure,
+    // every doc keyed by COALESCE(component, doc_id), the q40 md5
+    // split rule on that key
+    "q213_cluster_split" ->
+      s"""WITH RECURSIVE $dupComponentsCtes,
+         |keyed AS (SELECT d.doc_id,
+         |    COALESCE(c.component, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |bkt AS (SELECT doc_id, split_key,
+         |    CAST(concat('0x', substr(md5(CAST(split_key AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 100 AS bucket
+         |  FROM keyed)
+         |SELECT doc_id, split_key, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM bkt ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextAnalysis.nbReliability: q157's held-out scoring
+    // chain, docs binned by floor(llr/200000) through DOUBLE (DuckDB
+    // `//` floors but Spark `div` truncates — llr is signed, so the
+    // explicit floor is the shared spelling)
+    "q214_nb_reliability" ->
+      s"""WITH ${nbCtes("b <= 7")},
+         |dc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+         |    FROM lab WHERE b >= 8)
+         |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
+         |sc AS (SELECT d.doc_id, d.c,
+         |    COALESCE(lm.lnp1, (SELECT oov1 FROM ct))
+         |      - COALESCE(lm.lnp0, (SELECT oov0 FROM ct)) AS dl
+         |  FROM dc d LEFT JOIN lm ON lm.token = d.tok),
+         |ag AS (SELECT doc_id,
+         |    CAST(SUM(c * dl) AS BIGINT) AS tok_llr FROM sc GROUP BY doc_id),
+         |sl AS (SELECT doc_id,
+         |    tok_llr + (SELECT prior_diff FROM ct) AS llr FROM ag),
+         |bn AS (SELECT l.cls,
+         |    CAST(floor(CAST(sl.llr AS DOUBLE) / 200000) AS BIGINT) AS bin
+         |  FROM sl JOIN lab l ON l.doc_id = sl.doc_id)
+         |SELECT bin, CAST(bin * 200000 AS BIGINT) AS llr_lo_micro,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(cls) AS BIGINT) AS n_pos,
+         |  CAST((SUM(cls) * 1000000) // COUNT(*) AS BIGINT) AS pos_rate_micro
+         |FROM bn GROUP BY bin ORDER BY bin""".stripMargin,
 
     // Mirrors Curation.repeatPlan: the integer water-fill over the
     // K-row source table — capped prefix, exact remainder spread

@@ -284,6 +284,35 @@ object Curation {
       .select($("doc_id"), $("source"), $("rn"))
   }
 
+  /** Leakage-free train/val/test split: [[hashSplit]] keyed by the
+    * near-dup CLUSTER rather than the document — the classic eval
+    * bug this prevents is a near-duplicate pair straddling train and
+    * test, which inflates every benchmark the held-out slice feeds
+    * (the reason dedup pipelines split AFTER clustering). `labels`
+    * is the (doc_id, component) store ([[graft.operators.Dedup
+    * .componentsOf]] / its q207 incremental fold); docs outside any
+    * cluster key by their own id, clustered docs by their component —
+    * so an ENTIRE near-dup family lands in one split, deterministic
+    * under the same md5 rule as [[hashSplit]].
+    *
+    * Scale: one doc-keyed left join against the label store (a
+    * sliver — only docs in ≥1 pair have rows) + the row-local hash;
+    * no window, no extra shuffle beyond the keyed join.
+    */
+  def clusterAwareSplit(documents: DataFrame, labels: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct <= 100, "split percentages exceed 100")
+    documents.spread().select($("doc_id"))
+      .join(labels.select($("doc_id"), $("component")), Seq("doc_id"), "left")
+      .select($("doc_id"),
+        coalesce($("component"), $("doc_id")).as("split_key"))
+      .withColumn("bucket", hashBucket($("split_key"), 100))
+      .select($("doc_id"), $("split_key"), $("bucket"),
+        when($("bucket") < trainPct, "train")
+          .when($("bucket") < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Repeat-epoch plan under a token budget — the data-constrained
     * scaling allocator (Muennighoff et al., "Scaling Data-Constrained
     * Language Models", NeurIPS 2023 — public literature): every

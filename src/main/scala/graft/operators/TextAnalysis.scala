@@ -1287,6 +1287,44 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_docs"))
   }
 
+  /** Reliability table (calibration curve) for the NB quality
+    * classifier: held-out labeled docs (md5 buckets 8-9, never seen
+    * by the bucket-0-7 training) are scored, bucketed into
+    * fixed-width llr_micro bins, and each bin reports how often its
+    * docs were ACTUALLY positive-source — the read that tells a
+    * pipeline whether the scores can be trusted as weights/sampling
+    * probabilities rather than just a ranking (a calibrated
+    * classifier shows pos_rate rising with the bin). Returns (bin,
+    * llr_lo_micro, n_docs, n_pos, pos_rate_micro), all exact
+    * integers.
+    *
+    * The bin is floor(llr/binWidth) computed through double — llr is
+    * SIGNED, and Spark's `div` truncates toward zero where DuckDB's
+    * `//` floors, so the explicit double floor (exact below 2^53) is
+    * the one cross-engine spelling.
+    *
+    * Scale: the held-out sliver is the only thing scored (the
+    * [[nbClassifierEval]] discipline); the report is
+    * (range/binWidth)-bounded rows off one doc-keyed aggregate.
+    */
+  def nbReliability(documents: DataFrame, posSources: Seq[String],
+      negSources: Seq[String], binWidthMicro: Long = 200000L): DataFrame = {
+    require(binWidthMicro > 0, s"binWidthMicro=$binWidthMicro must be > 0")
+    val bucket = Curation.hashBucket($("doc_id"), 10)
+    val labeled = withSourceClass(documents, posSources, negSources)
+    nbScored(labeled.filter(bucket <= 7), labeled.filter(bucket >= 8))
+      .join(labeled.select($("doc_id"), $("cls")), Seq("doc_id"))
+      .withColumn("bin",
+        floor($("llr_micro").cast("double") / lit(binWidthMicro.toDouble))
+          .cast("long"))
+      .groupBy($("bin"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($("cls")).cast("long").as("n_pos"))
+      .select($("bin"), ($("bin") * binWidthMicro).as("llr_lo_micro"),
+        $("n_docs"), $("n_pos"),
+        expr("n_pos * 1000000 div n_docs").cast("long").as("pos_rate_micro"))
+  }
+
   /** Conjunctive (AND) boolean retrieval over the inverted index:
     * documents containing EVERY query term — posting-list
     * intersection as a count-matching aggregate (a doc survives iff

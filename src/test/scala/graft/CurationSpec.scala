@@ -882,6 +882,32 @@ class CurationSpec extends SparkSpec {
     assert(diffE === Map("a" -> "changed", "b" -> "unchanged"))
   }
 
+  test("clusterAwareSplit: a near-dup family never straddles splits") {
+    import spark.implicits._
+    val d = (1L to 40L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // planted clusters: {1,2,3} labeled comp 1, {10,11} comp 10
+    val labels = Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L)).toDF("doc_id", "component", "cluster_size")
+    val got = graft.operators.Curation.clusterAwareSplit(d, labels)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size === 40, "every doc gets a split")
+    // the whole family carries the CANONICAL key and one split
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id)._2 === 1L)
+      assert(got(id)._4 === got(1L)._4, "family split apart")
+    }
+    assert(got(10L)._2 === 10L && got(11L)._2 === 11L)
+    // unlabeled docs reduce to the plain hashSplit — same rule,
+    // keyed by their own id
+    val plain = graft.operators.Curation.hashSplit(d)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    (4L to 9L).foreach(id => assert(got(id)._4 === plain(id)))
+    // the family's split is the CANONICAL member's plain split —
+    // dups move INTO the canonical's bucket, never a third place
+    assert(got(2L)._4 === plain(1L))
+  }
+
   test("repeatPlan: water-fill caps small sources, spreads the remainder exactly") {
     import spark.implicits._
     // token counts by construction: a = 6, b = 10, c = 50

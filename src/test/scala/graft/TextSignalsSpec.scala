@@ -415,6 +415,39 @@ class TextSignalsSpec extends SparkSpec {
     assert(cm.getOrElse((0L, 0L), 0L) === held.count(_ % 2 == 1).toLong)
   }
 
+  test("nbReliability: separable vocab pins the calibration extremes") {
+    val docs = (1L to 60L).map { i =>
+      if (i % 2 == 0) (i, "good nice gold", "en", "posA")
+      else (i, "bad awful slime", "en", "negA")
+    }.toDF("doc_id", "text", "lang", "source")
+    val rel = TextAnalysis.nbReliability(docs, Seq("posA"), Seq("negA"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rel.nonEmpty)
+    rel.foreach { case (bin, lo, n, nPos, rate) =>
+      assert(lo === bin * 200000L, "bin floor mislabeled")
+      assert(nPos >= 0L && nPos <= n)
+      assert(rate === nPos * 1000000L / n, "rate must be the exact ratio")
+      // perfectly separating vocab: every bin is pure — positive
+      // bins sit at positive llr, negative bins at negative llr
+      assert(rate === 0L || rate === 1000000L, s"mixed bin $bin")
+      if (rate == 1000000L) assert(bin >= 0L, "positives must score high")
+      else assert(bin < 0L, "negatives must score low")
+    }
+    // both extremes present, and the held-out census is complete
+    assert(rel.exists(_._5 == 1000000L) && rel.exists(_._5 == 0L))
+    def bucket(i: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    val held = (1L to 60L).count(bucket(_) >= 8).toLong
+    assert(rel.map(_._3).sum === held, "every held-out doc lands in a bin")
+    // SIGNED binning: a negative llr floors DOWN (bin -1 covers
+    // [-200000, 0)) — the div-vs-floor trap the double floor avoids
+    assert(rel.filter(_._1 < 0).forall(r => r._2 < 0L))
+  }
+
   test("searchAnd returns exactly the docs containing every term") {
     val docs = Seq(
       (1L, "data query table extra"),
