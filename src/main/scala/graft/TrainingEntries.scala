@@ -1045,6 +1045,10 @@ object TrainingEntries {
     // IVF-SQ composed index (the FAISS IVFxx,SQ8 shape): cells prune
     // candidates, SQ codes score them element-locally — no LUT join
     "q212_ivfsq_ann" -> q(t => Similarity.ivfSqTopK(t.embeddings)),
+    // Dimension-truncation recall curve (the matryoshka storage
+    // knob): truncated-cosine top-k per width vs full-width truth
+    "q215_dim_truncation" -> q(t =>
+      Similarity.dimTruncationCurve(t.embeddings)),
     // Leakage-free split: hashSplit keyed by the near-dup CLUSTER —
     // a whole near-dup family lands in one split, so no dup pair can
     // straddle train and test
@@ -5037,6 +5041,55 @@ object TrainingEntries {
          |      ORDER BY adist, cid) AS BIGINT) AS rn
          |  FROM sadc)
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    // Mirrors Similarity.dimTruncationCurve: per-width truncated
+    // brute force vs the q30 full-width truth, annRecall protocol
+    "q215_dim_truncation" ->
+      s"""WITH $flatCte,
+         |ds AS (SELECT unnest([8, 16, 32, 64]) AS d),
+         |tr AS (SELECT ds.d, f.vec_id, f.i, f.v
+         |       FROM flat f CROSS JOIN ds
+         |       WHERE f.i <= ds.d AND f.vec_id IN
+         |         (SELECT vec_id FROM embeddings WHERE len(embedding) = 64)),
+         |tn AS (SELECT d, vec_id, sqrt(CAST(SUM(v*v) AS DOUBLE)) AS nrm
+         |       FROM tr GROUP BY d, vec_id),
+         |tdots AS (SELECT q.d, q.vec_id AS qid, c.vec_id AS cid,
+         |            SUM(q.v * c.v) AS dot
+         |          FROM tr q JOIN tr c ON c.d = q.d AND c.i = q.i
+         |          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |          GROUP BY q.d, q.vec_id, c.vec_id),
+         |tcos AS (SELECT t.d, qid, cid,
+         |           CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS tcos
+         |         FROM tdots t
+         |         JOIN tn nq ON nq.d = t.d AND nq.vec_id = t.qid
+         |           AND nq.nrm > 0
+         |         JOIN tn nc ON nc.d = t.d AND nc.vec_id = t.cid
+         |           AND nc.nrm > 0),
+         |ap AS (SELECT d, qid, cid FROM (
+         |         SELECT d, qid, cid, row_number() OVER (PARTITION BY d, qid
+         |           ORDER BY tcos DESC, cid) AS rn
+         |         FROM tcos) WHERE rn <= 5),
+         |bd AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot
+         |       FROM flat q JOIN flat c ON q.i = c.i
+         |       WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |       GROUP BY q.vec_id, c.vec_id),
+         |bc AS (SELECT qid, cid, CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+         |       FROM bd JOIN norms nq ON nq.vec_id = qid
+         |       JOIN norms nc ON nc.vec_id = cid),
+         |truth AS (SELECT qid, cid FROM (
+         |            SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |              ORDER BY cos DESC, cid) AS rn
+         |            FROM bc) WHERE rn <= 5),
+         |td AS (SELECT ds.d, t.qid, t.cid FROM truth t CROSS JOIN ds)
+         |SELECT CAST(td.d AS BIGINT) AS d, td.qid,
+         |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN ap.cid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  CAST((SUM(CASE WHEN ap.cid IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000) // COUNT(*) AS BIGINT) AS recall_micro
+         |FROM td LEFT JOIN ap ON ap.d = td.d AND ap.qid = td.qid
+         |  AND ap.cid = td.cid
+         |GROUP BY td.d, td.qid ORDER BY d, td.qid""".stripMargin,
 
     // Mirrors Curation.clusterAwareSplit: q51's component closure,
     // every doc keyed by COALESCE(component, doc_id), the q40 md5

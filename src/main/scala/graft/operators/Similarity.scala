@@ -1582,8 +1582,11 @@ object Similarity {
     val rows = stats
       .select($("j").cast("int"), $("vmin").cast("long"), $("vmax").cast("long"))
       .as[(Int, Long, Long)].collect().sortBy(_._1)
-    require(rows.length == dim,
-      s"sq stats cover ${rows.length} dims, expected $dim")
+    // completeness, not just cardinality: a duplicate j beside a
+    // missing dimension would pass a length check and silently
+    // misalign every code after the gap
+    require(rows.map(_._1).toSeq == (0 until dim),
+      s"sq stats dims ${rows.map(_._1).mkString(",")} != 0..${dim - 1}")
     (rows.map(_._2).toSeq, rows.map(_._3).toSeq)
   }
 
@@ -1736,6 +1739,65 @@ object Similarity {
     exactRerank(
       sqTopK(embeddings, maxQueryId, rerank, dim).select($("qid"), $("cid")),
       embeddings, k)
+
+  /** Dimension-truncation recall curve — the OTHER embedding-store
+    * compression knob beside SQ/PQ (matryoshka-style truncation:
+    * keep only the leading d dims of every vector, the storage drops
+    * dim/d-fold): for each candidate width, brute-force top-k under
+    * the truncated cosine is scored against the FULL-width exact
+    * top-k, per query — (d, qid, n_truth, n_hit, recall_micro), the
+    * [[annRecall]] protocol over widths. The table a warehouse reads
+    * before deciding to store 16 of 64 dims.
+    *
+    * A vector whose leading-d prefix quantizes to all zeros has no
+    * truncated direction — it drops from that width's candidates
+    * (norm > 0 filter, mirrored in the oracle) instead of injecting
+    * engine-dependent NaN ordering.
+    *
+    * Scale: one broadcast-query corpus scan per width (|dims| passes
+    * of the [[bruteForceTopK]] shape — widths are a handful by
+    * construction); the report is |dims|·|queries| rows.
+    */
+  def dimTruncationCurve(embeddings: DataFrame,
+      dims: Seq[Int] = Seq(8, 16, 32, 64), maxQueryId: Long = 10,
+      k: Int = 5, dim: Int = 64): DataFrame = {
+    require(dims.nonEmpty && dims.forall(d => d > 0 && d <= dim),
+      s"dims $dims outside 1..$dim")
+    val truth = bruteForceTopK(embeddings, maxQueryId, k)
+      .select($("qid"), $("cid")).localCheckpoint(true)
+    val legs = dims.map { d =>
+      val base = embeddings.spread()
+        .filter(size($("embedding")) === dim)
+        .select($("vec_id"), slice(quantize($("embedding")), 1, d).as("tv"))
+        .withColumn("tn", qnorm($("tv")))
+        .filter($("tn") > 0d)
+      val queries = broadcast(base.filter($("vec_id") < maxQueryId)
+        .select($("vec_id").as("qid"), $("tv").as("qe"), $("tn").as("qn")))
+      val w = Window.partitionBy($("qid"))
+        .orderBy($("tcos").desc, $("cid").asc)
+      base.select($("vec_id").as("cid"), $("tv").as("ce"), $("tn").as("cn"))
+        .join(queries, $("qid") =!= $("cid"))
+        .select($("qid"), $("cid"),
+          (qdot($("qe"), $("ce")).cast("double") / ($("qn") * $("cn")))
+            .as("tcos"))
+        .withColumn("rn", row_number().over(w))
+        .filter($("rn") <= k)
+        .select(lit(d.toLong).as("d"), $("qid"), $("cid"))
+    }
+    val approx = legs.reduce(_ unionByName _).withColumn("hit", lit(1L))
+    // the annRecall protocol: the denominator is the TRUTH set (a
+    // width that surfaces fewer than k candidates is penalized, not
+    // re-normalized)
+    truth.select($("qid"), $("cid"),
+        explode(typedlit(dims.map(_.toLong))).as("d"))
+      .join(approx, Seq("d", "qid", "cid"), "left")
+      .na.fill(0L, Seq("hit"))
+      .groupBy($("d"), $("qid"))
+      .agg(count(lit(1)).cast("long").as("n_truth"),
+        sum($("hit")).cast("long").as("n_hit"))
+      .select($("d"), $("qid"), $("n_truth"), $("n_hit"),
+        expr("n_hit * 1000000 div n_truth").cast("long").as("recall_micro"))
+  }
 
   /** IVF-SQ composed index — the public FAISS `IVFxx,SQ8` shape
     * beside [[ivfPqTopK]]'s `IVFxx,PQyy`: IVF cells prune WHICH

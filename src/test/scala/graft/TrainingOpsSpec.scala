@@ -1086,6 +1086,26 @@ class TrainingOpsSpec extends SparkSpec {
       assert(rns === (1L to rns.length).toList, s"ragged ranks for $q") }
   }
 
+  test("dim-truncation curve: full width exact, fixture curve monotone") {
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val rows = Similarity.dimTruncationCurve(emb)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 4 * 10, "4 widths x 10 queries")
+    rows.foreach { case (_, _, nTruth, nHit, rec) =>
+      assert(nTruth === 5L)
+      assert(nHit >= 0L && nHit <= 5L)
+      assert(rec === nHit * 1000000L / 5L, "recall is the exact ratio")
+    }
+    // truncation at full width is the identity: recall 1.0 everywhere
+    rows.filter(_._1 == 64L).foreach(r =>
+      assert(r._5 === 1000000L, s"full width missed truth at qid ${r._2}"))
+    // the fixture's aggregate curve rises with kept dims
+    val hits = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(hits(8L) <= hits(16L) && hits(16L) <= hits(32L) &&
+      hits(32L) <= hits(64L), s"non-monotone aggregate curve: $hits")
+    assert(hits(8L) < hits(64L), "degenerate fixture: truncation costless")
+  }
+
   test("sq refine: exact rerank recovers at least the plain SQ hits") {
     val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
     val truth = Similarity.bruteForceTopK(emb)
