@@ -1049,6 +1049,11 @@ object TrainingEntries {
     // knob): truncated-cosine top-k per width vs full-width truth
     "q215_dim_truncation" -> q(t =>
       Similarity.dimTruncationCurve(t.embeddings)),
+    // Margin-based parallel-pair mining (the CCMatrix shape): mutual
+    // ratio-margin best pairs between two label sides — floor-micro
+    // cosines make the k-NN sums integer-exact
+    "q216_margin_mining" -> q(t =>
+      Similarity.marginMinePairs(t.embeddings)),
     // Leakage-free split: hashSplit keyed by the near-dup CLUSTER —
     // a whole near-dup family lands in one split, so no dup pair can
     // straddle train and test
@@ -5041,6 +5046,53 @@ object TrainingEntries {
          |      ORDER BY adist, cid) AS BIGINT) AS rn
          |  FROM sadc)
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    // Mirrors Similarity.marginMinePairs: label-0 vs label-1 sides,
+    // floor-micro cosines, integer k-NN sums, mutual margin-best with
+    // the exact-integer threshold inequality (k=4, thr=1000 permille)
+    "q216_margin_mining" ->
+      s"""WITH $flatCte,
+         |sa AS (SELECT f.vec_id AS id_a, f.i, f.v FROM flat f
+         |       JOIN embeddings e ON e.vec_id = f.vec_id WHERE e.label = 0),
+         |sb AS (SELECT f.vec_id AS id_b, f.i, f.v FROM flat f
+         |       JOIN embeddings e ON e.vec_id = f.vec_id WHERE e.label = 1),
+         |na AS (SELECT id_a, sqrt(CAST(SUM(v*v) AS DOUBLE)) AS nrm
+         |       FROM sa GROUP BY id_a),
+         |nb AS (SELECT id_b, sqrt(CAST(SUM(v*v) AS DOUBLE)) AS nrm
+         |       FROM sb GROUP BY id_b),
+         |dots AS (SELECT a.id_a, b.id_b, SUM(a.v * b.v) AS dot
+         |         FROM sa a JOIN sb b ON b.i = a.i GROUP BY a.id_a, b.id_b),
+         |pr AS MATERIALIZED (SELECT d.id_a, d.id_b,
+         |        CAST(floor(1000000.0 * CAST(dot AS DOUBLE)
+         |          / (na.nrm * nb.nrm)) AS BIGINT) AS c
+         |      FROM dots d JOIN na ON na.id_a = d.id_a
+         |      JOIN nb ON nb.id_b = d.id_b),
+         |ka AS (SELECT id_a, CAST(SUM(c) AS BIGINT) AS s_a FROM (
+         |         SELECT id_a, c, row_number() OVER (PARTITION BY id_a
+         |           ORDER BY c DESC, id_b) AS rn FROM pr)
+         |       WHERE rn <= 4 GROUP BY id_a),
+         |kb AS (SELECT id_b, CAST(SUM(c) AS BIGINT) AS s_b FROM (
+         |         SELECT id_b, c, row_number() OVER (PARTITION BY id_b
+         |           ORDER BY c DESC, id_a) AS rn FROM pr)
+         |       WHERE rn <= 4 GROUP BY id_b),
+         |sc AS (SELECT pr.id_a, pr.id_b, pr.c, ka.s_a, kb.s_b,
+         |         CAST(8 * pr.c AS DOUBLE) / CAST(ka.s_a + kb.s_b AS DOUBLE)
+         |           AS margin
+         |       FROM pr JOIN ka ON ka.id_a = pr.id_a
+         |       JOIN kb ON kb.id_b = pr.id_b
+         |       WHERE ka.s_a + kb.s_b > 0),
+         |mb AS (SELECT *,
+         |         row_number() OVER (PARTITION BY id_a
+         |           ORDER BY margin DESC, id_b) AS ra,
+         |         row_number() OVER (PARTITION BY id_b
+         |           ORDER BY margin DESC, id_a) AS rb
+         |       FROM sc)
+         |SELECT id_a, id_b, c AS c_micro,
+         |  CAST(floor(1000000.0 * (8 * c) / CAST(s_a + s_b AS DOUBLE))
+         |    AS BIGINT) AS margin_micro
+         |FROM mb WHERE ra = 1 AND rb = 1
+         |  AND 1000 * 8 * c >= 1000 * (s_a + s_b)
+         |ORDER BY id_a""".stripMargin,
 
     // Mirrors Similarity.dimTruncationCurve: per-width truncated
     // brute force vs the q30 full-width truth, annRecall protocol

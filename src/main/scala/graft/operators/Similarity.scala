@@ -1740,6 +1740,85 @@ object Similarity {
       sqTopK(embeddings, maxQueryId, rerank, dim).select($("qid"), $("cid")),
       embeddings, k)
 
+  /** Margin-based parallel-pair mining — the public
+    * bitext/translation-pair mining recipe (Artetxe & Schwenk,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings", ACL 2019; the CCMatrix shape): between two sides of
+    * an embedding space (here two `label` groups standing in for two
+    * languages), a pair qualifies when its cosine is high RELATIVE to
+    * what each endpoint scores against its own k nearest neighbors on
+    * the other side — the ratio margin
+    * `2k·cos(a,b) / (Σ topk cos(a,·) + Σ topk cos(b,·))` — which is
+    * what separates true translations from generically-central "hub"
+    * sentences that score high against everything. Emitted pairs are
+    * MUTUAL margin-best (a's best b AND b's best a) above
+    * `thrPermille`.
+    *
+    * Determinism: per-pair cosine is the exact-integer division; it
+    * is then FLOORED to micro units once per pair, so the k-NN sums
+    * are integer sums (no order-dependent double accumulation), the
+    * threshold is the exact integer inequality
+    * `1000·2k·c ≥ thr·(s_a + s_b)`, and the argmax ratio compares
+    * identical doubles built from exact integers (ties: lower
+    * partner id). Endpoints whose neighborhood sums are not positive
+    * have no meaningful margin and drop (documented guard — a
+    * degenerate all-negative neighborhood on random vectors).
+    *
+    * Scale: the exact form scores |A|·|B| pairs in one join — the
+    * fixture/oracle contract; at warehouse scale prune candidates
+    * with the shared cell assignment exactly like
+    * [[semanticDecontaminateLsh]] vs [[semanticDecontaminate]] (the
+    * margin arithmetic is unchanged — it only ever reads the
+    * candidate sliver plus each endpoint's top-k, which the cell
+    * path also bounds). Returns (id_a, id_b, c_micro, margin_micro).
+    */
+  def marginMinePairs(embeddings: DataFrame, labelA: Int = 0,
+      labelB: Int = 1, k: Int = 4, thrPermille: Long = 1000L): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    def side(lbl: Int, out: String) = embeddings.spread()
+      .filter($("label") === lbl)
+      .select($("vec_id").as(out), quantize($("embedding")).as(s"qv_$out"))
+      .withColumn(s"n_$out", qnorm($(s"qv_$out")))
+    val a = side(labelA, "id_a")
+    val b = side(labelB, "id_b")
+    // floor-micro cosine ONCE per pair: everything downstream is
+    // integer arithmetic on c
+    val pairs = a.crossJoin(broadcast(b))
+      .select($("id_a"), $("id_b"),
+        floor(lit(1e6) * qdot($("qv_id_a"), $("qv_id_b")).cast("double") /
+          ($("n_id_a") * $("n_id_b"))).cast("long").as("c"))
+      .localCheckpoint(true)
+    def knnSum(key: String): DataFrame = {
+      val w = Window.partitionBy($(key))
+        .orderBy($("c").desc, $(if (key == "id_a") "id_b" else "id_a").asc)
+      pairs.withColumn("rn", row_number().over(w))
+        .filter($("rn") <= k)
+        .groupBy($(key))
+        .agg(sum($("c")).as(s"s_$key"))
+    }
+    val scored = pairs
+      .join(knnSum("id_a"), Seq("id_a"))
+      .join(knnSum("id_b"), Seq("id_b"))
+      .filter($("s_id_a") + $("s_id_b") > 0)
+      .withColumn("margin",
+        (lit(2L * k) * $("c")).cast("double") /
+          ($("s_id_a") + $("s_id_b")).cast("double"))
+    val bestA = Window.partitionBy($("id_a"))
+      .orderBy($("margin").desc, $("id_b").asc)
+    val bestB = Window.partitionBy($("id_b"))
+      .orderBy($("margin").desc, $("id_a").asc)
+    scored
+      .withColumn("ra", row_number().over(bestA))
+      .withColumn("rb", row_number().over(bestB))
+      .filter($("ra") === 1 && $("rb") === 1)
+      .filter(lit(1000L) * lit(2L * k) * $("c") >=
+        lit(thrPermille) * ($("s_id_a") + $("s_id_b")))
+      .select($("id_a"), $("id_b"), $("c").as("c_micro"),
+        floor(lit(1e6) * (lit(2L * k) * $("c")).cast("double") /
+          ($("s_id_a") + $("s_id_b")).cast("double")).cast("long")
+          .as("margin_micro"))
+  }
+
   /** Dimension-truncation recall curve — the OTHER embedding-store
     * compression knob beside SQ/PQ (matryoshka-style truncation:
     * keep only the leading d dims of every vector, the storage drops

@@ -1086,6 +1086,42 @@ class TrainingOpsSpec extends SparkSpec {
       assert(rns === (1L to rns.length).toList, s"ragged ranks for $q") }
   }
 
+  test("margin mining: planted translations mined, endpoints unique, threshold bites") {
+    val rnd = new scala.util.Random(11)
+    def noise() = Array.fill(8)((rnd.nextFloat() - 0.5f) * 0.2f)
+    val va = Array(1f, 0f, 0f, 0f, 0.3f, 0f, 0f, 0f)
+    val vb = Array(0f, 1f, 0f, 0f, 0f, 0.3f, 0f, 0f)
+    val rows =
+      // side A: two "sentences" + noise; side B: their "translations"
+      // (identical embeddings — the aligned-encoder ideal) + noise
+      Seq((1L, va, 0), (2L, vb, 0)) ++
+        (3L to 8L).map(i => (i, noise(), 0)) ++
+        Seq((101L, va, 1), (102L, vb, 1)) ++
+        (103L to 108L).map(i => (i, noise(), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val mined = Similarity.marginMinePairs(emb, k = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    val pairs = mined.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 101L)) && pairs.contains((2L, 102L)),
+      s"planted translations missing from $pairs")
+    // an identical pair dominates its neighborhoods: margin well
+    // above the ratio-1.0 floor
+    mined.filter(r => r._1 == 1L && r._2 == 101L).foreach { r =>
+      assert(r._3 > 990000L, "identical pair must score cos ~ 1")
+      assert(r._4 > 1500000L, s"translation margin too weak: ${r._4}")
+    }
+    // mutual-best: every endpoint appears at most once
+    assert(mined.map(_._1).distinct.length === mined.length)
+    assert(mined.map(_._2).distinct.length === mined.length)
+    // a high threshold keeps only the dominating pairs
+    val strict = Similarity.marginMinePairs(emb, k = 4,
+        thrPermille = 6000L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(strict.length < mined.length,
+      "threshold must cut the weak-margin tail")
+    strict.foreach(r => assert(r._4 >= 6000000L / 1000L * 1000L - 1000L))
+  }
+
   test("dim-truncation curve: full width exact, fixture curve monotone") {
     val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
     val rows = Similarity.dimTruncationCurve(emb)
