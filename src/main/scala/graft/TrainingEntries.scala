@@ -1054,6 +1054,12 @@ object TrainingEntries {
     // cosines make the k-NN sums integer-exact
     "q216_margin_mining" -> q(t =>
       Similarity.marginMinePairs(t.embeddings)),
+    // ... and its warehouse-scale path: candidates and margin sums
+    // restricted to same-cell cross-side pairs off the shared cell
+    // artifact — nothing |A|·|B| anywhere
+    "q217_margin_mining_cells" -> q(t =>
+      Similarity.marginMinePairsFromCells(
+        Similarity.cellAssignments(t.embeddings), t.embeddings)),
     // Leakage-free split: hashSplit keyed by the near-dup CLUSTER —
     // a whole near-dup family lands in one split, so no dup pair can
     // straddle train and test
@@ -5067,6 +5073,57 @@ object TrainingEntries {
          |          / (na.nrm * nb.nrm)) AS BIGINT) AS c
          |      FROM dots d JOIN na ON na.id_a = d.id_a
          |      JOIN nb ON nb.id_b = d.id_b),
+         |ka AS (SELECT id_a, CAST(SUM(c) AS BIGINT) AS s_a FROM (
+         |         SELECT id_a, c, row_number() OVER (PARTITION BY id_a
+         |           ORDER BY c DESC, id_b) AS rn FROM pr)
+         |       WHERE rn <= 4 GROUP BY id_a),
+         |kb AS (SELECT id_b, CAST(SUM(c) AS BIGINT) AS s_b FROM (
+         |         SELECT id_b, c, row_number() OVER (PARTITION BY id_b
+         |           ORDER BY c DESC, id_a) AS rn FROM pr)
+         |       WHERE rn <= 4 GROUP BY id_b),
+         |sc AS (SELECT pr.id_a, pr.id_b, pr.c, ka.s_a, kb.s_b,
+         |         CAST(8 * pr.c AS DOUBLE) / CAST(ka.s_a + kb.s_b AS DOUBLE)
+         |           AS margin
+         |       FROM pr JOIN ka ON ka.id_a = pr.id_a
+         |       JOIN kb ON kb.id_b = pr.id_b
+         |       WHERE ka.s_a + kb.s_b > 0),
+         |mb AS (SELECT *,
+         |         row_number() OVER (PARTITION BY id_a
+         |           ORDER BY margin DESC, id_b) AS ra,
+         |         row_number() OVER (PARTITION BY id_b
+         |           ORDER BY margin DESC, id_a) AS rb
+         |       FROM sc)
+         |SELECT id_a, id_b, c AS c_micro,
+         |  CAST(floor(1000000.0 * (8 * c) / CAST(s_a + s_b AS DOUBLE))
+         |    AS BIGINT) AS margin_micro
+         |FROM mb WHERE ra = 1 AND rb = 1
+         |  AND 1000 * 8 * c >= 1000 * (s_a + s_b)
+         |ORDER BY id_a""".stripMargin,
+
+    // Mirrors Similarity.marginMinePairsFromCells: q49's two-level
+    // cells + cap, cross-side same-cell candidates, then q216's
+    // margin arithmetic over the sliver
+    "q217_margin_mining_cells" ->
+      s"""WITH $flatCte,
+         |${twoLevelCte(nCentroids = 16, lloydIters = 2, coarse = 4, coarseProbe = 2)},
+         |szok AS (SELECT cell FROM assign2 GROUP BY cell HAVING COUNT(*) <= 256),
+         |memb AS (SELECT assign2.vec_id, assign2.cell
+         |         FROM assign2 JOIN szok USING (cell)),
+         |la AS (SELECT m.vec_id AS id_a, m.cell FROM memb m
+         |       JOIN embeddings e ON e.vec_id = m.vec_id WHERE e.label = 0),
+         |lb AS (SELECT m.vec_id AS id_b, m.cell FROM memb m
+         |       JOIN embeddings e ON e.vec_id = m.vec_id WHERE e.label = 1),
+         |cp AS (SELECT a.id_a, b.id_b FROM la a JOIN lb b ON b.cell = a.cell),
+         |dots AS (SELECT p.id_a, p.id_b, SUM(f1.v * f2.v) AS dot
+         |         FROM cp p
+         |         JOIN flat f1 ON f1.vec_id = p.id_a
+         |         JOIN flat f2 ON f2.vec_id = p.id_b AND f2.i = f1.i
+         |         GROUP BY p.id_a, p.id_b),
+         |pr AS MATERIALIZED (SELECT d.id_a, d.id_b,
+         |        CAST(floor(1000000.0 * CAST(dot AS DOUBLE)
+         |          / (na.nrm * nb.nrm)) AS BIGINT) AS c
+         |      FROM dots d JOIN norms na ON na.vec_id = d.id_a
+         |      JOIN norms nb ON nb.vec_id = d.id_b),
          |ka AS (SELECT id_a, CAST(SUM(c) AS BIGINT) AS s_a FROM (
          |         SELECT id_a, c, row_number() OVER (PARTITION BY id_a
          |           ORDER BY c DESC, id_b) AS rn FROM pr)

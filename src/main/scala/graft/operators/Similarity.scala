@@ -1787,7 +1787,18 @@ object Similarity {
       .select($("id_a"), $("id_b"),
         floor(lit(1e6) * qdot($("qv_id_a"), $("qv_id_b")).cast("double") /
           ($("n_id_a") * $("n_id_b"))).cast("long").as("c"))
-      .localCheckpoint(true)
+    marginFromScoredPairs(pairs, k, thrPermille)
+  }
+
+  /** The margin/mutual-best/threshold tail shared by
+    * [[marginMinePairs]] and [[marginMinePairsFromCells]]: input is
+    * the candidate pair table (id_a, id_b, c) with c the floor-micro
+    * cosine; the k-NN sums are computed over exactly these
+    * candidates.
+    */
+  private def marginFromScoredPairs(pairsIn: DataFrame, k: Int,
+      thrPermille: Long): DataFrame = {
+    val pairs = pairsIn.localCheckpoint(true)
     def knnSum(key: String): DataFrame = {
       val w = Window.partitionBy($(key))
         .orderBy($("c").desc, $(if (key == "id_a") "id_b" else "id_a").asc)
@@ -1817,6 +1828,39 @@ object Similarity {
         floor(lit(1e6) * (lit(2L * k) * $("c")).cast("double") /
           ($("s_id_a") + $("s_id_b")).cast("double")).cast("long")
           .as("margin_micro"))
+  }
+
+  /** [[marginMinePairs]] over a PRECOMPUTED cell assignment
+    * ([[cellAssignments]] — the within-cell family's shared
+    * artifact): candidates are SAME-CELL cross-side pairs with
+    * over-cap cells dropped (q49's cap semantics verbatim), and the
+    * k-NN margin sums run over that candidate sliver — so nothing is
+    * ever |A|·|B|: pair generation, scoring, and the margin
+    * statistics are all cell-local. The recall trade is boundary
+    * pairs split across cells (the q49-vs-q106 split applied to
+    * mining) — and a true translation pair is exactly the pair most
+    * likely to share a cell. Same output contract as the exact form;
+    * shared pairs carry the identical floor-micro cosine
+    * (TrainingOpsSpec).
+    */
+  def marginMinePairsFromCells(cells: DataFrame, embeddings: DataFrame,
+      labelA: Int = 0, labelB: Int = 1, k: Int = 4,
+      thrPermille: Long = 1000L, maxCell: Int = 256): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val quant = quantized(embeddings)
+    val ok = cells.groupBy("cell").agg(count(lit(1)).as("csz"))
+      .filter($("csz") <= maxCell).select("cell")
+    val members = cells.join(ok, Seq("cell"))
+      .join(embeddings.select($("vec_id"), $("label")), Seq("vec_id"))
+      .join(quant, Seq("vec_id"))
+    def side(lbl: Int, out: String) = members.filter($("label") === lbl)
+      .select($("cell"), $("vec_id").as(out),
+        $("qv").as(s"qv_$out"), $("nrm").as(s"n_$out"))
+    val pairs = side(labelA, "id_a").join(side(labelB, "id_b"), Seq("cell"))
+      .select($("id_a"), $("id_b"),
+        floor(lit(1e6) * qdot($("qv_id_a"), $("qv_id_b")).cast("double") /
+          ($("n_id_a") * $("n_id_b"))).cast("long").as("c"))
+    marginFromScoredPairs(pairs, k, thrPermille)
   }
 
   /** Dimension-truncation recall curve — the OTHER embedding-store

@@ -1122,6 +1122,39 @@ class TrainingOpsSpec extends SparkSpec {
     strict.foreach(r => assert(r._4 >= 6000000L / 1000L * 1000L - 1000L))
   }
 
+  test("margin mining from cells: planted pair found, shared cosines identical") {
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val cells = Similarity.cellAssignments(emb).localCheckpoint(true)
+    val composed = Similarity.marginMinePairsFromCells(cells, emb)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(composed.nonEmpty, "no pairs mined off the cell sliver")
+    // mutual-best holds within the sliver too
+    assert(composed.map(_._1).distinct.length === composed.length)
+    assert(composed.map(_._2).distinct.length === composed.length)
+    // shared pairs carry the identical floor-micro cosine (the margin
+    // sums legitimately differ — candidate sliver vs all pairs)
+    val exact = Similarity.marginMinePairs(emb)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    composed.foreach { r =>
+      exact.get((r._1, r._2)).foreach(c => assert(c === r._3,
+        s"cosine diverges on (${r._1}, ${r._2})"))
+    }
+    // an identical cross-side pair lands in one cell by construction
+    // (same vector, same nearest centroid) and must be mined
+    val planted = emb.limit(0).unionByName(Seq(
+        (9001L, Array.fill(8)(0f) ++ Array.fill(56)(0.5f), 0),
+        (9002L, Array.fill(8)(0f) ++ Array.fill(56)(0.5f), 1))
+      .toDF("vec_id", "embedding", "label"))
+      .unionByName(emb)
+    val cells2 = Similarity.cellAssignments(planted).localCheckpoint(true)
+    val mined2 = Similarity.marginMinePairsFromCells(cells2, planted)
+      .as[(Long, Long, Long, Long)].collect()
+    val hit = mined2.find(r => r._1 == 9001L && r._2 == 9002L)
+    assert(hit.isDefined, s"planted same-cell translation missed")
+    assert(hit.get._3 > 990000L)
+  }
+
   test("dim-truncation curve: full width exact, fixture curve monotone") {
     val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
     val rows = Similarity.dimTruncationCurve(emb)
