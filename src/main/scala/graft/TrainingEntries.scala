@@ -1060,6 +1060,11 @@ object TrainingEntries {
     "q217_margin_mining_cells" -> q(t =>
       Similarity.marginMinePairsFromCells(
         Similarity.cellAssignments(t.embeddings), t.embeddings)),
+    // IVF-PQ + exact refine (the FAISS IVFxx,PQyy,Refine shape): the
+    // compressed index over-fetches top-20, raw vectors rerank the
+    // sliver to exact-cosine top-5
+    "q218_ivfpq_refine" -> q(t =>
+      Similarity.ivfPqRefineTopK(t.embeddings)),
     // Leakage-free split: hashSplit keyed by the near-dup CLUSTER —
     // a whole near-dup family lands in one split, so no dup pair can
     // straddle train and test
@@ -1081,6 +1086,12 @@ object TrainingEntries {
     // c·(K−i+1) ≤ B−P rule, remainder spread deterministically
     "q211_repeat_plan" -> q(t =>
       Curation.repeatPlan(t.documents, budgetTokens = 30000L,
+        maxRepeat = 2)),
+    // ... and its temperature-weighted sibling: target share ∝
+    // √tokens, DECIMAL/HUGEINT cross-multiplied cap rule, Hamilton
+    // largest-remainder apportionment of the uncapped budget
+    "q219_repeat_temperature" -> q(t =>
+      Curation.repeatPlanTemperature(t.documents, budgetTokens = 30000L,
         maxRepeat = 2)),
   )
 
@@ -5100,6 +5111,47 @@ object TrainingEntries {
          |  AND 1000 * 8 * c >= 1000 * (s_a + s_b)
          |ORDER BY id_a""".stripMargin,
 
+    // Mirrors Similarity.ivfPqRefineTopK: q122's IVF-PQ chain cut at
+    // top-20, then q30's exact-cosine arithmetic reranks the sliver
+    "q218_ivfpq_refine" ->
+      s"""WITH $flatCte,
+         |${ivfCte(nCentroids = 16, lloydIters = 2, nprobe = 2)},
+         |${pqCte(m = 4, dsub = 16, ksub = 16, iters = 2)},
+         |cand AS (SELECT q.vec_id AS qid, c.vec_id AS cid
+         |         FROM probes q JOIN assign c ON q.cell = c.cell
+         |         WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |plut AS (SELECT s.vec_id AS qid, s.sub, c.c_id AS code,
+         |           CAST(SUM((s.v - c.cv) * (s.v - c.cv)) AS BIGINT) AS d
+         |         FROM sflat s JOIN p2 c ON c.sub = s.sub AND c.j = s.j
+         |         WHERE s.vec_id < 10
+         |         GROUP BY s.vec_id, s.sub, c.c_id),
+         |padc AS (SELECT cand.qid, cand.cid,
+         |           CAST(SUM(l.d) AS BIGINT) AS adist
+         |         FROM cand
+         |         JOIN penc e ON e.vec_id = cand.cid
+         |         JOIN plut l ON l.qid = cand.qid
+         |           AND l.sub = e.sub AND l.code = e.code
+         |         GROUP BY cand.qid, cand.cid),
+         |cand20 AS (SELECT qid, cid FROM (
+         |             SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |               ORDER BY adist, cid) AS rn
+         |             FROM padc) WHERE rn <= 20),
+         |rdots AS (SELECT p.qid, p.cid, SUM(fq.v * fc.v) AS dot
+         |          FROM cand20 p
+         |          JOIN flat fq ON fq.vec_id = p.qid
+         |          JOIN flat fc ON fc.vec_id = p.cid AND fc.i = fq.i
+         |          GROUP BY p.qid, p.cid),
+         |rcos AS (SELECT qid, cid, CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+         |         FROM rdots
+         |         JOIN norms nq ON nq.vec_id = qid
+         |         JOIN norms nc ON nc.vec_id = cid),
+         |rr AS (SELECT qid, cid, cos,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, cid) AS BIGINT) AS rn
+         |       FROM rcos)
+         |SELECT qid, cid, cos, rn FROM rr WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
+
     // Mirrors Similarity.marginMinePairsFromCells: q49's two-level
     // cells + cap, cross-side same-cell candidates, then q216's
     // margin arithmetic over the sliver
@@ -5243,6 +5295,54 @@ object TrainingEntries {
          |  CAST(SUM(cls) AS BIGINT) AS n_pos,
          |  CAST((SUM(cls) * 1000000) // COUNT(*) AS BIGINT) AS pos_rate_micro
          |FROM bn GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // Mirrors Curation.repeatPlanTemperature: √tokens weights, the
+    // HUGEINT cross-multiplied cap rule, Hamilton apportionment
+    "q219_repeat_temperature" ->
+      s"""WITH per AS (SELECT source,
+         |    CAST(SUM(CASE WHEN length($norm) = 0 THEN 0
+         |         ELSE len(string_split($norm, ' ')) END) AS BIGINT) AS t
+         |  FROM documents GROUP BY source HAVING t > 0),
+         |c AS (SELECT source, t, t * 2 AS cap,
+         |    CAST(floor(sqrt(CAST(t AS DOUBLE)) * 1000000) AS BIGINT) AS w
+         |  FROM per),
+         |r AS (SELECT source, t, cap, w,
+         |    COALESCE(SUM(cap) OVER (
+         |      ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE), source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pprev,
+         |    SUM(w) OVER (
+         |      ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE), source
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wsuf
+         |  FROM c),
+         |f AS (SELECT *, (CAST(cap AS HUGEINT) * wsuf <=
+         |        CAST(30000 - pprev AS HUGEINT) * w) AS capped FROM r),
+         |g AS (SELECT *,
+         |    CAST(COALESCE(SUM(CASE WHEN capped THEN cap END) OVER (), 0)
+         |      AS BIGINT) AS pm,
+         |    CAST(COALESCE(SUM(CASE WHEN NOT capped THEN w END) OVER (), 0)
+         |      AS BIGINT) AS wunc
+         |  FROM f),
+         |h AS (SELECT *, 30000 - pm AS rem,
+         |    CASE WHEN capped THEN NULL
+         |         ELSE CAST((CAST(30000 - pm AS HUGEINT) * w) // wunc
+         |           AS BIGINT) END AS base,
+         |    CASE WHEN capped THEN NULL
+         |         ELSE (CAST(30000 - pm AS HUGEINT) * w) % wunc END AS rmd
+         |  FROM g),
+         |i AS (SELECT *,
+         |    CAST(rem - COALESCE(SUM(base) OVER (), 0) AS BIGINT) AS dist,
+         |    CAST(row_number() OVER (ORDER BY capped, rmd DESC, source)
+         |      AS BIGINT) AS rrk
+         |  FROM h)
+         |SELECT source, t AS n_tokens, w AS w_micro, cap AS capacity,
+         |  CAST(CASE WHEN capped THEN cap
+         |       ELSE base + (CASE WHEN rrk <= dist THEN 1 ELSE 0 END) END
+         |    AS BIGINT) AS alloc_tokens,
+         |  CAST(((CASE WHEN capped THEN cap
+         |       ELSE base + (CASE WHEN rrk <= dist THEN 1 ELSE 0 END) END)
+         |    * 1000) // t AS BIGINT) AS epochs_milli,
+         |  capped
+         |FROM i ORDER BY source""".stripMargin,
 
     // Mirrors Curation.repeatPlan: the integer water-fill over the
     // K-row source table — capped prefix, exact remainder spread

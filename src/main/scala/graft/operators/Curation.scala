@@ -381,6 +381,89 @@ object Curation {
       expr("(alloc * 1000) div t").as("epochs_milli"), $("capped"))
   }
 
+  /** Temperature-weighted repeat plan — [[repeatPlan]]'s target is
+    * EQUAL per-source shares; real mixtures up-weight small trusted
+    * sources less brutally via temperature: target share ∝ √tokens
+    * (α = 0.5, [[temperatureMix]]'s weighting) with the same
+    * `maxRepeat` epoch ceiling. Exact integer water-filling with
+    * weights:
+    *
+    *  - w_s = floor(1e6·√tokens_s) ([[temperatureMix]]'s quantized
+    *    IEEE sqrt — identical in both engines); capacity c_s =
+    *    maxRepeat·tokens_s; sort by the double ratio c/w asc (exact
+    *    integer inputs ⇒ identical doubles), source asc;
+    *  - rank i is CAPPED iff c_i·W_i ≤ R_i·w_i with W_i the SUFFIX
+    *    weight sum and R_i the budget left after the capped prefix —
+    *    cross-multiplied in DECIMAL(38,0)/HUGEINT (c·W reaches ~1e27
+    *    at warehouse scale: BIGINT would overflow, doubles would
+    *    round); the condition is monotone along the ratio sort, so
+    *    the capped set is a prefix;
+    *  - the uncapped split rem = B − Σ capped caps by HAMILTON
+    *    (largest-remainder) apportionment: base_s = rem·w_s div W,
+    *    one extra token each to the largest rem·w_s mod W (ties:
+    *    source asc) — allocations sum EXACTLY to min(B, Σc), and
+    *    base+1 ≤ c_s is guaranteed for every uncapped source by the
+    *    prefix condition (cap_j·W > rem·w_j for all uncapped j).
+    *
+    * Returns (source, n_tokens, w_micro, capacity, alloc_tokens,
+    * epochs_milli, capped). Same scale shape as [[repeatPlan]]: one
+    * corpus token aggregate, then K-row windows.
+    */
+  def repeatPlanTemperature(documents: DataFrame, budgetTokens: Long,
+      maxRepeat: Int = 4): DataFrame = {
+    require(budgetTokens >= 0, s"negative budget $budgetTokens")
+    require(maxRepeat >= 1, s"maxRepeat=$maxRepeat must be >= 1")
+    val per = documents.spread()
+      .select($("source"), TextAnalysis.tokenCount($("text"))
+        .cast("long").as("n_tok"))
+      .groupBy($("source")).agg(sum($("n_tok")).as("t"))
+      .filter($("t") > 0)
+      .withColumn("cap", $("t") * maxRepeat)
+      .withColumn("w",
+        floor(sqrt($("t").cast("double")) * 1e6).cast("long"))
+    val w = Window
+      .orderBy(($("cap").cast("double") / $("w").cast("double")).asc,
+        $("source").asc)
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ranked = per
+      .withColumn("pprev", coalesce(sum($("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("wsuf", sum($("w")).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("capped", expr(
+        s"CAST(cap AS DECIMAL(38,0)) * CAST(wsuf AS DECIMAL(38,0)) <= " +
+          s"CAST($budgetTokens - pprev AS DECIMAL(38,0)) * " +
+          "CAST(w AS DECIMAL(38,0))"))
+    val sized = ranked
+      .withColumn("pm", coalesce(sum(when($("capped"), $("cap")))
+        .over(wAll), lit(0L)))
+      .withColumn("wunc", coalesce(sum(when(not($("capped")), $("w")))
+        .over(wAll), lit(0L)))
+      .withColumn("rem", lit(budgetTokens) - $("pm"))
+      .withColumn("base", when($("capped"), lit(null).cast("long"))
+        .otherwise(expr(
+          "(CAST(rem AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) div " +
+            "CAST(wunc AS DECIMAL(38,0))")))
+      .withColumn("rmd", when($("capped"), lit(null).cast("decimal(38,0)"))
+        .otherwise(expr(
+          "(CAST(rem AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) % " +
+            "CAST(wunc AS DECIMAL(38,0))")))
+    // Hamilton leftover: one extra token to the largest remainders
+    // among the uncapped (capped rows sort last and never draw one)
+    val rw = Window.orderBy($("capped").asc, $("rmd").desc, $("source").asc)
+    sized
+      .withColumn("dist",
+        $("rem") - coalesce(sum($("base")).over(wAll), lit(0L)))
+      .withColumn("rrk", row_number().over(rw).cast("long"))
+      .withColumn("alloc", when($("capped"), $("cap"))
+        .otherwise($("base") +
+          when($("rrk") <= $("dist"), 1L).otherwise(0L)))
+      .select($("source"), $("t").as("n_tokens"), $("w").as("w_micro"),
+        $("cap").as("capacity"), $("alloc").as("alloc_tokens"),
+        expr("(alloc * 1000) div t").as("epochs_milli"), $("capped"))
+  }
+
   /** Sequence-packing bin assignment: within each source, documents
     * are laid out in md5 order and concatenated; a doc's bin is the
     * context window its FIRST token lands in under naive

@@ -1740,6 +1740,28 @@ object Similarity {
       sqTopK(embeddings, maxQueryId, rerank, dim).select($("qid"), $("cid")),
       embeddings, k)
 
+  /** IVF-PQ search with the exact-rerank refine stage — the full
+    * production composition (`IVFxx,PQyy,Refine` in public FAISS
+    * terms): the compressed index over-fetches top-`rerank`
+    * candidates by ADC distance, then ONLY that sliver joins back to
+    * raw vectors for exact-cosine ranking to top-k. The compressed
+    * stage buys the corpus-scan economics (cells prune candidates,
+    * codes shrink bytes); the refine buys back the quantization
+    * error at candidate-proportional cost — [[sqRefineTopK]]'s
+    * two-stage shape on the flagship index (q218 gates it end to
+    * end).
+    */
+  def ivfPqRefineTopK(embeddings: DataFrame, maxQueryId: Long = 10,
+      k: Int = 5, rerank: Int = 20, nCentroids: Int = 16,
+      lloydIters: Int = 2, nprobe: Int = 2, m: Int = 4, dim: Int = 64,
+      ksub: Int = 16, iters: Int = 2,
+      trainFraction: Double = 1.0): DataFrame =
+    exactRerank(
+      ivfPqTopK(embeddings, maxQueryId, rerank, nCentroids, lloydIters,
+        nprobe, m, dim, ksub, iters, trainFraction)
+        .select($("qid"), $("cid")),
+      embeddings, k)
+
   /** Margin-based parallel-pair mining — the public
     * bitext/translation-pair mining recipe (Artetxe & Schwenk,
     * "Margin-based Parallel Corpus Mining with Multilingual Sentence

@@ -908,6 +908,44 @@ class CurationSpec extends SparkSpec {
     assert(got(2L)._4 === plain(1L))
   }
 
+  test("repeatPlanTemperature: √-weighted water-fill with exact Hamilton spread") {
+    import spark.implicits._
+    def words(n: Int, tag: String): String =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    // tokens: a = 6, b = 10, c = 50 → caps 12/20/100 at maxRepeat 2;
+    // weights floor(1e6·√t): a 2449489, b 3162277, c 7071067
+    val docs = Seq(
+      (1L, "a", words(3, "x")), (2L, "a", words(3, "y")),
+      (3L, "b", words(10, "z")),
+      (4L, "c", words(50, "w"))
+    ).toDF("doc_id", "source", "text")
+    def plan(budget: Long) =
+      Curation.repeatPlanTemperature(docs, budget, maxRepeat = 2)
+        .select($"source", $"n_tokens", $"w_micro", $"capacity",
+          $"alloc_tokens", $"epochs_milli", $"capped")
+        .as[(String, Long, Long, Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+    // hand water-fill at B=60: nothing caps under √ weights
+    // (12·W ≤ 60·w_a fails); Hamilton bases 11/14/33, the 2 leftover
+    // tokens go to the largest remainders (b, then a)
+    val p60 = plan(60)
+    assert(p60("a")._3 === 2449489L && p60("b")._3 === 3162277L &&
+      p60("c")._3 === 7071067L, "quantized √ weights diverge")
+    assert(p60.values.forall(!_._7), "√ weights must leave B=60 uncapped")
+    assert(p60("a")._5 === 12L && p60("b")._5 === 15L && p60("c")._5 === 33L,
+      s"hand-computed apportionment diverges: ${p60.values.map(_._5)}")
+    assert(p60.values.map(_._5).sum === 60L, "exact budget conservation")
+    // over capacity: everyone caps
+    val p200 = plan(200)
+    assert(p200.values.forall(_._7))
+    assert(p200.values.map(_._5).sum === 132L)
+    // tiny budget: Hamilton bases 1/2/5, leftovers to a then c
+    val p10 = plan(10)
+    assert(p10("a")._5 === 2L && p10("b")._5 === 2L && p10("c")._5 === 6L,
+      s"hand-computed B=10 apportionment diverges: ${p10.values.map(_._5)}")
+    assert(p10.values.map(_._5).sum === 10L)
+  }
+
   test("repeatPlan: water-fill caps small sources, spreads the remainder exactly") {
     import spark.implicits._
     // token counts by construction: a = 6, b = 10, c = 50

@@ -1086,6 +1086,23 @@ class TrainingOpsSpec extends SparkSpec {
       assert(rns === (1L to rns.length).toList, s"ragged ranks for $q") }
   }
 
+  test("ivf-pq refine: exact rerank recovers at least the compressed hits") {
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val truth = Similarity.bruteForceTopK(emb)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val compressed = Similarity.ivfPqTopK(emb)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val refined = Similarity.ivfPqRefineTopK(emb)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    // the exact top-5 of the over-fetched candidates contains every
+    // truth member the candidate set caught — recall dominates the
+    // compressed top-5's (the q206 argument on the flagship index)
+    assert((refined & truth).size >= (compressed & truth).size,
+      s"refine recall ${(refined & truth).size} below " +
+        s"compressed ${(compressed & truth).size}")
+    assert((refined & truth).nonEmpty)
+  }
+
   test("margin mining: planted translations mined, endpoints unique, threshold bites") {
     val rnd = new scala.util.Random(11)
     def noise() = Array.fill(8)((rnd.nextFloat() - 0.5f) * 0.2f)
