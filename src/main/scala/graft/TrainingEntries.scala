@@ -1093,6 +1093,19 @@ object TrainingEntries {
     "q219_repeat_temperature" -> q(t =>
       Curation.repeatPlanTemperature(t.documents, budgetTokens = 30000L,
         maxRepeat = 2)),
+    // Quality-weighted cluster keeps: the per-component winner is the
+    // highest NB-llr member, not the longest — dedup resolution that
+    // keeps the clean original over a boilerplate-wrapped mirror
+    "q220_cluster_keep_quality" -> q(t => {
+      val labels = Dedup.componentsOf(
+        Dedup.minhashDupPairs(t.documents, threshold = 0.7)
+          .select(col("id1"), col("id2")))
+      val scores = TextAnalysis.nbClassifierScores(t.documents,
+          posSources = Seq("src0", "src1", "src2"),
+          negSources = Seq("src3", "src4", "src5"))
+        .select(col("doc_id"), col("llr_micro").as("score"))
+      Dedup.clusterKeepsByScore(labels, scores)
+    }),
   )
 
   /** Composed twin → standalone sibling; the twin's oracle SQL is the
@@ -5295,6 +5308,27 @@ object TrainingEntries {
          |  CAST(SUM(cls) AS BIGINT) AS n_pos,
          |  CAST((SUM(cls) * 1000000) // COUNT(*) AS BIGINT) AS pos_rate_micro
          |FROM bn GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // Mirrors Dedup.clusterKeepsByScore over the q51 components and
+    // the q156 NB llr: per-component argmax (score desc, doc_id asc)
+    "q220_cluster_keep_quality" ->
+      s"""WITH RECURSIVE $dupComponentsCtes,
+         |${nbCtes("TRUE")},
+         |$nbScoreBodyCtes,
+         |lscore AS (SELECT doc_id,
+         |    CAST(tok_llr + (SELECT prior_diff FROM ct) AS BIGINT) AS score
+         |  FROM ag),
+         |cl AS (SELECT c.doc_id, c.component, cs.cluster_size, s.score
+         |       FROM comp c JOIN cs USING (component)
+         |       JOIN lscore s ON s.doc_id = c.doc_id),
+         |win AS (SELECT component, doc_id AS keep_id FROM (
+         |          SELECT component, doc_id,
+         |            row_number() OVER (PARTITION BY component
+         |              ORDER BY score DESC, doc_id) AS rn
+         |          FROM cl) WHERE rn = 1)
+         |SELECT cl.doc_id, cl.component, cl.cluster_size, cl.score,
+         |  (cl.doc_id = win.keep_id) AS keep
+         |FROM cl JOIN win USING (component) ORDER BY cl.doc_id""".stripMargin,
 
     // Mirrors Curation.repeatPlanTemperature: √tokens weights, the
     // HUGEINT cross-multiplied cap rule, Hamilton apportionment

@@ -421,6 +421,32 @@ object Dedup {
         ($("doc_id") === $("keep_id")).as("keep"))
   }
 
+  /** QUALITY-weighted cluster keeps — [[clusterKeeps]] elects the
+    * LONGEST member; real curation elects the HIGHEST-QUALITY one
+    * (near-dup families frequently pair a clean original with a
+    * boilerplate-wrapped mirror of the same length class). `labels`
+    * is the (doc_id, component, cluster_size) store, `scores` any
+    * per-doc integer quality signal — the NB llr (q156), the LM
+    * negative perplexity, a composite — and the winner is the
+    * per-component argmax under (score desc, doc_id asc). Members
+    * without a score row drop (the scorer's own domain rule — e.g.
+    * the NB scorer skips token-less docs); mirrored in the oracle.
+    *
+    * Scale: two keyed joins + one component-width max_by aggregate —
+    * the [[clusterKeepsFromPairs]] shape with the signal swapped in;
+    * no window sort.
+    */
+  def clusterKeepsByScore(labels: DataFrame, scores: DataFrame): DataFrame = {
+    val clustered = labels
+      .join(scores.select($("doc_id"), $("score")), Seq("doc_id"))
+    val winners = clustered.groupBy($("component"))
+      .agg(max_by($("doc_id"), struct($("score"), -$("doc_id")))
+        .as("keep_id"))
+    clustered.join(winners, Seq("component"))
+      .select($("doc_id"), $("component"), $("cluster_size"), $("score"),
+        ($("doc_id") === $("keep_id")).as("keep"))
+  }
+
   /** Connected components of an (id1, id2) edge list via alternating
     * large-star/small-star (see [[dupClusters]] for the algorithm
     * citation and scale notes). Components are labeled by their

@@ -420,6 +420,30 @@ object DocStreams extends Serializable {
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
 
+  /** Streaming split assignment — the serve twin of
+    * [[graft.operators.Curation.clusterAwareSplit]] (q213): each
+    * arriving doc joins the STATIC cluster-label store (stream-static
+    * left join) and takes the md5 split rule row-locally, so a
+    * near-dup of an already-clustered doc is routed into its family's
+    * split the moment it arrives. Stateless — no keyed state at all;
+    * a label-store refresh is a stream restart against the new
+    * parquet. Twin contract (StreamingSpec): rows == the batch split
+    * on the same corpus and labels.
+    */
+  def clusterSplitStream(docs: DataFrame, labels: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs.select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("split_key"))
+      .withColumn("bucket",
+        graft.operators.Curation.hashBucket(col("split_key"), 100))
+      .select(col("doc_id"), col("split_key"), col("bucket"),
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+
   /** Streaming perplexity gate: the served per-source LM cut
     * ([[graft.operators.NgramLm.lmGateFrom]]) over a document
     * firehose — the LM model (bigram + context count tables) joins

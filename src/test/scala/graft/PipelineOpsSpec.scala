@@ -110,6 +110,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(noop === labels.as[(Long, Long, Long)].collect().toSet)
   }
 
+  test("clusterKeepsByScore: highest score wins, ties to smallest id, unscored drop") {
+    val labels = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), // family {1,2,3}
+      (10L, 10L, 2L), (11L, 10L, 2L) // tied family {10,11}
+    ).toDF("doc_id", "component", "cluster_size")
+    // doc 3 has no score row (the scorer's domain rule) — it must
+    // drop; doc 2 outscores doc 1 despite the larger id
+    val scores = Seq((1L, 5L), (2L, 9L), (10L, 7L), (11L, 7L))
+      .toDF("doc_id", "score")
+    val got = Dedup.clusterKeepsByScore(labels, scores)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 10L, 11L), "unscored member must drop")
+    assert(!got(1L)._5 && got(2L)._5, "higher score must win the family")
+    assert(got(10L)._5 && !got(11L)._5, "score tie breaks to the smaller id")
+    assert(got(2L)._4 === 9L, "the winner carries its score")
+  }
+
   test("dupClusters groups the planted exact+near dups into one cluster") {
     val docs = Seq(
       (1L, "The quick brown fox jumps over the lazy dog and runs far away home"),

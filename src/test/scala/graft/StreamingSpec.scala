@@ -701,6 +701,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming cluster split == batch clusterAwareSplit across deliveries") {
+    import graft.operators.{Curation, Dedup}
+    import graft.streaming.DocStreams
+    val docsT = graft.sources.Tables(spark, dir).documents
+    // the label store is trained OFFLINE by the batch tier
+    val labels = Dedup.componentsOf(
+        Dedup.minhashDupPairs(docsT, threshold = 0.7)
+          .select($"id1", $"id2"))
+      .localCheckpoint(true)
+    val sDir = java.nio.file.Files
+      .createTempDirectory("graft-split-stream").toString
+    docsT.filter($"doc_id" % 2 === 0).write.mode("append").parquet(sDir)
+    val q = DocStreams.clusterSplitStream(
+        DocStreams.readDocs(spark, sDir), labels)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("split_stream").start()
+    try {
+      q.processAllAvailable()
+      docsT.filter($"doc_id" % 2 === 1).write.mode("append").parquet(sDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("split_stream")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val want = Curation.clusterAwareSplit(docsT, labels)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got === want,
+      "streamed split rows must equal the batch cluster-aware split")
+    assert(got.nonEmpty)
+  }
+
   test("streaming LM gate == served batch lmGateFrom across deliveries") {
     import graft.operators.NgramLm
     import graft.streaming.DocStreams
