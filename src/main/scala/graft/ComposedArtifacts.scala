@@ -68,7 +68,10 @@ object ComposedArtifacts {
     * is part of the warehouse key, so old builds become unreachable
     * rather than silently served.
     */
-  private val LayoutVersion = 1
+  // v2: k-means/PQ seed rule changed from `vec_id <= K` to the
+  // md5-first-K draw (round 16) — the ANN/model family derivation
+  // changed, so v1 builds must never serve these consumers
+  private val LayoutVersion = 2
 
   /** The q26-family near-dup threshold shared by every pair consumer. */
   private val JaccardThreshold = 0.7

@@ -364,8 +364,13 @@ object Curation {
       .withColumn("pprev", coalesce(sum($("cap")).over(
         w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("k", count(lit(1)).over(wAll).cast("long"))
-      .withColumn("capped",
-        $("cap") * ($("k") - $("i") + 1) <= lit(budgetTokens) - $("pprev"))
+      // cap·(K−i+1) reaches ~1e18·K at warehouse scale — cross-multiply
+      // in DECIMAL(38,0) like [[repeatPlanTemperature]] so the prefix
+      // condition never wraps BIGINT
+      .withColumn("capped", expr(
+        s"CAST(cap AS DECIMAL(38,0)) * CAST(k - i + 1 AS DECIMAL(38,0)) " +
+          s"<= CAST($budgetTokens AS DECIMAL(38,0)) - " +
+          "CAST(pprev AS DECIMAL(38,0))"))
     val sized = ranked
       .withColumn("m", sum(when($("capped"), 1L).otherwise(0L)).over(wAll))
       .withColumn("pm", coalesce(sum(when($("capped"), $("cap")))

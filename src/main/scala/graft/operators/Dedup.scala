@@ -626,8 +626,8 @@ object Dedup {
     *     PRIOR pairs among survivors (removal can SPLIT a component,
     *     so star edges through a removed canonical would be wrong —
     *     the recompute reads real edges); every other label carries
-    *     over verbatim. A prior pair's endpoints always shared a
-    *     component, so one endpoint semi-join fetches the slice.
+    *     over verbatim. The slice semi-joins on either endpoint, so
+    *     it stays correct even against a drifted label store.
     *  2. pairs the maintained store RE-ADMITTED on removal (df cuts
     *     and bucket caps are monotone under shrinkage — a takedown
     *     can only ADD candidacies among survivors, which is how
@@ -657,13 +657,24 @@ object Dedup {
     val touchedComps = labels.join(rm, Seq("doc_id"))
       .select($("component")).distinct()
       .localCheckpoint(true)
-    // prior pairs among survivors, sliced to the touched components
+    // prior pairs among survivors, sliced to the touched components.
+    // The slice semi-joins on EITHER endpoint: under the documented
+    // invariant (labels == componentsOf(priorPairs)) both endpoints of
+    // a prior pair share a component and one side would suffice, but an
+    // out-of-sync label store must not silently drop a pair whose only
+    // affected endpoint is id2 — the distinct() collapses pairs matched
+    // on both sides and runs over the touched slice only
     val priorSurviving = priorPairs.select($("id1"), $("id2"))
       .join(rm.select($("doc_id").as("id1")), Seq("id1"), "left_anti")
       .join(rm.select($("doc_id").as("id2")), Seq("id2"), "left_anti")
     val affectedIds = labels.join(touchedComps, Seq("component"))
-      .select($("doc_id").as("id1"))
-    val slice = priorSurviving.join(affectedIds, Seq("id1"))
+      .select($("doc_id")).localCheckpoint(true)
+    val slice = priorSurviving
+      .join(affectedIds.select($("doc_id").as("id1")), Seq("id1"), "left_semi")
+      .unionByName(priorSurviving
+        .join(affectedIds.select($("doc_id").as("id2")), Seq("id2"),
+          "left_semi"))
+      .distinct()
     val intermediate = labels
       .join(touchedComps, Seq("component"), "left_anti")
       .select($("doc_id"), $("component"), $("cluster_size"))

@@ -217,8 +217,16 @@ object Similarity {
       .withColumn("nrm", qnorm($("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Deterministic k-means training: seed centroids are the first
-    * `nCentroids` vectors, refined by `lloydIters` Lloyd iterations.
+  /** Deterministic k-means training: seed centroids are the
+    * `nCentroids` vectors whose vec_ids sort FIRST under
+    * (md5(vec_id), vec_id) — a deterministic pseudo-random draw that
+    * needs no assumption about the id space (dense, sparse, offset,
+    * or post-takedown-compacted ids all seed exactly `nCentroids`
+    * centroids; the old `vec_id <= K` rule silently under-seeded any
+    * store whose ids don't start near 1). The draw is a global
+    * top-K (TakeOrderedAndProject — per-partition heads then one
+    * K-row merge, never a single-partition sort), refined by
+    * `lloydIters` Lloyd iterations.
     * Each refinement is MATERIALIZED — the K×D centroid rows are
     * collected to the driver (tiny, like MLlib k-means) and fed back
     * as a LocalRelation, so training executes exactly once per call
@@ -231,7 +239,7 @@ object Similarity {
     * This is the 100 TB shape: k-means centroid quality converges on a
     * small sample (each Lloyd pass is O(sample·K) instead of
     * O(corpus·K)), and only the single final assignment pass scans the
-    * full corpus. Seeds stay the first `nCentroids` vectors of the
+    * full corpus. Seeds stay the md5-first `nCentroids` vectors of the
     * FULL corpus, so fraction=1.0 is bit-identical to the unsampled
     * path and the sampled path degrades gracefully (a seed missing
     * from the sample just attracts no members in training).
@@ -251,7 +259,10 @@ object Similarity {
       df.select($("c_id").cast("long"), $("cv"), $("cnrm"))
         .as[(Long, Seq[Long], Double)].collect().toSeq
         .toDF("c_id", "cv", "cnrm")
-    var centroids = localize(quant.filter($("vec_id") <= nCentroids)
+    val seedIds = quant.select($("vec_id"))
+      .orderBy(md5($("vec_id").cast("string")).asc, $("vec_id").asc)
+      .limit(nCentroids)
+    var centroids = localize(quant.join(seedIds, Seq("vec_id"), "left_semi")
       .select($("vec_id").as("c_id"), $("qv").as("cv"), $("nrm").as("cnrm")))
     for (_ <- 1 to lloydIters)
       centroids = localize(centroidStep(trainSet, centroids))
@@ -1070,7 +1081,9 @@ object Similarity {
         x => x("cv")).as("cv"))
 
   /** Deterministic per-subspace k-means: seeds are the subvectors of
-    * the first `ksub` vectors (vec_id < ksub), refined by `iters`
+    * the `ksub` vectors whose vec_ids sort first under
+    * (md5(vec_id), vec_id) — the [[trainCentroids]] seed draw, free
+    * of any dense-id assumption — refined by `iters`
     * Lloyd steps. Like [[trainCentroids]], every refinement localizes
     * the m·ksub·dsub codebook to the driver (tiny by construction —
     * the MLlib pattern) so training executes once per call and the
@@ -1080,7 +1093,7 @@ object Similarity {
     * deterministic md5 hash-sample of vec_ids as [[trainCentroids]] —
     * the 100 TB training path (FAISS trains on ~1% samples): the
     * codebook quality degrades only marginally while each pass scans
-    * a fraction of the corpus. Seeds stay the full-corpus first-ksub
+    * a fraction of the corpus. Seeds stay the full-corpus md5-first
     * rule, so fraction = 1.0 is bit-identical to the unsampled
     * trainer (the oracle contract).
     */
@@ -1099,7 +1112,10 @@ object Similarity {
       df.select($("sub").cast("int"), $("c_id").cast("long"), $("cv"))
         .as[(Int, Long, Seq[Long])].collect().toSeq
         .toDF("sub", "c_id", "cv")
-    var cb = localize(subs.filter($("vec_id") < ksub)
+    val seedIds = subs.select($("vec_id")).distinct()
+      .orderBy(md5($("vec_id").cast("string")).asc, $("vec_id").asc)
+      .limit(ksub)
+    var cb = localize(subs.join(seedIds, Seq("vec_id"), "left_semi")
       .select($("sub"), $("vec_id").as("c_id"), $("sv").as("cv")))
     for (_ <- 1 to iters) cb = localize(pqCentroidStep(trainSet, cb))
     cb
@@ -1592,10 +1608,15 @@ object Similarity {
 
   /** SQ8 code array of an embedding column under LITERAL extrema:
     * code_j = floor((v_j − vmin_j)·255 / (vmax_j − vmin_j)), 0 where
-    * the dimension is constant. Every product is ≤ 255·4e6 ≈ 1e9 —
-    * exact in double — so the floor is bit-stable across engines.
-    * Pure per-row expression: zero shuffle, streaming/serving-capable
-    * (the [[pqAssignExpr]] role for the scalar quantizer).
+    * the dimension is constant, CLAMPED to [0, 255] — encoding under
+    * PERSISTED extrema (a delivery vector outside the trained
+    * [vmin, vmax], the FAISS SQ8 situation) must still emit one byte
+    * per dimension, so out-of-range values saturate at the edge
+    * cells exactly like the reference scalar quantizer. Every
+    * product is ≤ 255·4e6 ≈ 1e9 — exact in double — so the floor is
+    * bit-stable across engines. Pure per-row expression: zero
+    * shuffle, streaming/serving-capable (the [[pqAssignExpr]] role
+    * for the scalar quantizer).
     */
   def sqCodesExpr(emb: Column, vmin: Seq[Long], vmax: Seq[Long]): Column = {
     val span = vmin.zip(vmax).map { case (a, b) => b - a }
@@ -1603,7 +1624,9 @@ object Similarity {
       zip_with(quantize(emb), typedlit(vmin), (v, mn) => v - mn),
       typedlit(span), (d, s) =>
         when(s > lit(0L),
-          floor(d.cast("double") * lit(255d) / s.cast("double")).cast("long"))
+          greatest(lit(0L), least(lit(255L),
+            floor(d.cast("double") * lit(255d) / s.cast("double"))
+              .cast("long"))))
           .otherwise(lit(0L)))
   }
 
@@ -1897,7 +1920,12 @@ object Similarity {
     * A vector whose leading-d prefix quantizes to all zeros has no
     * truncated direction — it drops from that width's candidates
     * (norm > 0 filter, mirrored in the oracle) instead of injecting
-    * engine-dependent NaN ordering.
+    * engine-dependent NaN ordering. The TRUTH top-k runs over the
+    * same healthy base (width == dim, full norm > 0) as the
+    * truncated legs: on an unhealthy corpus the full-width leg must
+    * be able to reach recall 1.0 — a truth set polluted by
+    * wrong-width or zero-norm vectors would cap every width below
+    * 1.0 and misread codec loss as corpus dirt.
     *
     * Scale: one broadcast-query corpus scan per width (|dims| passes
     * of the [[bruteForceTopK]] shape — widths are a handful by
@@ -1908,7 +1936,10 @@ object Similarity {
       k: Int = 5, dim: Int = 64): DataFrame = {
     require(dims.nonEmpty && dims.forall(d => d > 0 && d <= dim),
       s"dims $dims outside 1..$dim")
-    val truth = bruteForceTopK(embeddings, maxQueryId, k)
+    val healthy = embeddings.spread()
+      .filter(size($("embedding")) === dim)
+      .filter(qnorm(quantize($("embedding"))) > 0d)
+    val truth = bruteForceTopK(healthy, maxQueryId, k)
       .select($("qid"), $("cid")).localCheckpoint(true)
     val legs = dims.map { d =>
       val base = embeddings.spread()

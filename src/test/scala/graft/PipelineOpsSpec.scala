@@ -110,6 +110,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(noop === labels.as[(Long, Long, Long)].collect().toSet)
   }
 
+  test("componentsRetract survives a drifted label store (id2-only pair kept)") {
+    // labels deliberately OUT OF SYNC with the pair store: built from
+    // only (1,2) while the store also holds (3,2) — under the drifted
+    // labels, prior pair (3,2)'s only affected endpoint is id2. An
+    // id1-only semi-join would silently drop it from the recompute and
+    // dissolve {2,3}; the either-endpoint slice must keep it.
+    val prior = Seq((1L, 2L), (3L, 2L)).toDF("id1", "id2")
+    val labels = Dedup.componentsOf(Seq((1L, 2L)).toDF("id1", "id2"))
+      .localCheckpoint(true)
+    val surviving = Seq((3L, 2L)).toDF("id1", "id2")
+    val removed = Seq(1L).toDF("doc_id")
+    val got = Dedup.componentsRetract(labels, prior, surviving, removed)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, comp, sz) => id -> ((comp, sz)) }.toMap
+    assert(got === Map(2L -> ((2L, 2L)), 3L -> ((2L, 2L))),
+      "the id2-only-affected prior pair must reach the recompute")
+  }
+
   test("clusterKeepsByScore: highest score wins, ties to smallest id, unscored drop") {
     val labels = Seq(
       (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), // family {1,2,3}
