@@ -9,16 +9,16 @@ import graft.sources.Tables
 /** End-to-end drive of the multimodal ingest pipeline — the composed
   * path from raw media bytes to an ANN-searchable feature store:
   *
-  *   synthesize media (stub for a binary-file source) → byte-exact
-  *   media dedup → frame-level dedup (video) → batched decode +
-  *   feature extraction (stub decoder, real plumbing) → vector
-  *   health preflight → brute-force ANN sanity probe.
+  *   synthesize REAL media files (WAV PCM16 / BMP24 / BMP-frame
+  *   containers) → byte-exact media dedup → per-format decode audits
+  *   (real MediaCodec header parse + sample/pixel extraction) →
+  *   batched decode + stripe feature extraction → vector health
+  *   preflight → brute-force ANN sanity probe.
   *
   * `runMain graft.MediaDemo [sfDir]`. Each stage prints its surviving
-  * count — the funnel a media-ingest run reports. Decode internals
-  * are the documented STUB (no codec libs in this environment); the
-  * Spark-side dataflow around them is the real, oracle-gated path
-  * (q37/q38/q108/q109).
+  * count — the funnel a media-ingest run reports. Decode is REAL for
+  * the shipped public formats (oracle-gated q37/q38/q221-q223);
+  * byte-level dedup stays codec-independent (q108/q109).
   */
 object MediaDemo {
   def main(args: Array[String]): Unit = {
@@ -36,7 +36,7 @@ object MediaDemo {
     def report(stage: String, n: Long): Unit =
       println(f"[demo] $stage%-28s $n%7d rows")
 
-    val media = Multimodal.synthesizeFromDocuments(
+    val media = Multimodal.synthesizeMediaFiles(
       Tables(spark, sfDir).documents)
     report("media assets", media.count())
 
@@ -52,15 +52,21 @@ object MediaDemo {
     report("duplicate frames dropped",
       frameGroups.agg(sum(col("n_copies") - 1)).head().getLong(0))
 
-    // 3. decode + features (stub decoder, batched narrow transform)
+    // 3. per-format REAL decode audits (codec-parsed, narrow)
+    report("wav decode audits", Multimodal.wavFeatures(media).count())
+    report("bmp decode audits", Multimodal.bmpFeatures(media).count())
+    report("video frame decodes",
+      Multimodal.videoFrameFeatures(media).count())
+
+    // 4. decode + features (real codecs, batched narrow transform)
     val feats = Multimodal.extractFeatures(media)
     report("feature rows", feats.count())
 
-    // 4. vector-health preflight on the feature store
+    // 5. vector-health preflight on the feature store
     val emb = Multimodal.featuresAsEmbeddings(feats)
     Similarity.vectorHealth(emb).show(5, truncate = false)
 
-    // 5. ANN sanity probe: top-5 neighbors for the first queries
+    // 6. ANN sanity probe: top-5 neighbors for the first queries
     val ann = Similarity.bruteForceTopK(emb)
     report("ann result rows", ann.count())
     println("[demo] media pipeline complete")

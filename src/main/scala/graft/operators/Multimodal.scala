@@ -8,18 +8,23 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / resize / frame-sample stages a training
   * pipeline runs over them.
   *
-  * The actual codec work is STUBBED (this container ships no
-  * image/audio libraries): `fakeDecode` derives a deterministic
-  * feature vector from the bytes. Everything AROUND the stub — the
-  * schema, the batched per-partition execution shape, partitioning
-  * preservation, and the hand-off into Similarity — is real and
-  * tested. Swapping `fakeDecode` for a JNI/ONNX decoder changes no
-  * plumbing.
+  * Decode is REAL for the public container formats this engine ships
+  * codecs for ([[MediaCodec]]): RIFF/WAVE 16-bit PCM for audio, 24-bit
+  * BMP for images, and BMP-frame containers (concatenated complete BMP
+  * files, each self-describing via its header's file-size field) for
+  * video. [[extractFeatures]] decodes those bytes end to end —
+  * header parse, sample/pixel extraction, stripe aggregation — and
+  * only falls back to the deterministic [[fakeDecode]] pseudo-features
+  * for payloads in formats the engine has no codec for (the honest
+  * fallback for codecs that would need native libraries).
   *
   * Scale: media rows are processed with `mapPartitions` in bounded
   * batches (the JVM analogue of mapInPandas' Arrow batches) so a
   * decoder can amortize model/codec init per batch, not per row; no
-  * shuffle is introduced — decode is a narrow transformation.
+  * shuffle is introduced — decode is a narrow transformation, and
+  * media BYTES never shuffle anywhere in this module (only ids,
+  * fingerprints, and fixed-width aggregates leave the scan stage —
+  * at 100 TB the bytes column dominates everything).
   */
 object Multimodal {
 
@@ -35,9 +40,68 @@ object Multimodal {
   final case class MediaFrame(media_id: Long, frame_no: Int,
       frame_bytes: Array[Byte])
 
-  /** Deterministic fake media table derived from documents (test/dev
-    * stand-in for a real media store): bytes = UTF-8 of the text,
-    * modality round-robins, metadata derived from lengths.
+  /** Deterministic REAL media store derived from documents: every row
+    * is a VALID file in a public container format — audio rows are
+    * RIFF/WAVE 16-bit PCM mono at 16 kHz, image rows are 24-bit BMPs,
+    * video rows are containers of complete concatenated BMP frames.
+    * Sample/pixel values come from pure integer formulas of
+    * (doc_id, position), so a DuckDB oracle can regenerate the decoded
+    * content WITHOUT a codec — the hash gate then proves the engine's
+    * encode∘decode round-trip is the identity on real files:
+    *
+    *  - audio (doc_id % 3 == 1): n = 64 + id%64 samples,
+    *    s_i = ((id·1103 + i·52457) mod 65536) − 32768;
+    *  - image (doc_id % 3 == 0): w = 4 + id%5, h = 3 + id%4, pixel p:
+    *    r = (id + 7p) mod 256, g = (2id + 11p) mod 256,
+    *    b = (5id + 13p) mod 256;
+    *  - video (doc_id % 3 == 2): nf = 2 + id%3 frames of 8×6, frame f
+    *    pixel p: r = (id + 17f + 7p) mod 256,
+    *    g = (2id + 17f + 11p + 1) mod 256,
+    *    b = (5id + 17f + 13p + 2) mod 256.
+    */
+  def synthesizeMediaFiles(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      (id % 3) match {
+        case 1 =>
+          val n = (64 + id % 64).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 1103L + i.toLong * 52457L) % 65536L) - 32768L).toShort)
+          MediaRow(id, "audio", MediaCodec.encodeWavPcm16(samples, 16000),
+            MediaMeta(0, 0, n.toLong * 1000L / 16000L, 16000))
+        case 0 =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          val px = Array.tabulate(w * h) { p =>
+            val r = ((id + 7L * p) % 256L).toInt
+            val g = ((2L * id + 11L * p) % 256L).toInt
+            val b = ((5L * id + 13L * p) % 256L).toInt
+            (r << 16) | (g << 8) | b
+          }
+          MediaRow(id, "image", MediaCodec.encodeBmp24(px, w, h),
+            MediaMeta(w, h, 0, 0))
+        case _ =>
+          val nf = (2 + id % 3).toInt
+          val bytes = (0 until nf).map { f =>
+            val px = Array.tabulate(48) { p =>
+              val r = ((id + 17L * f + 7L * p) % 256L).toInt
+              val g = ((2L * id + 17L * f + 11L * p + 1L) % 256L).toInt
+              val b = ((5L * id + 17L * f + 13L * p + 2L) % 256L).toInt
+              (r << 16) | (g << 8) | b
+            }
+            MediaCodec.encodeBmp24(px, 8, 6)
+          }.reduce(_ ++ _)
+          MediaRow(id, "video", bytes, MediaMeta(8, 6, nf * 40L, 0))
+      }
+    }
+  }
+
+  /** Deterministic fake media table derived from documents (the
+    * format-agnostic byte-store fixture: bytes = UTF-8 of the text,
+    * modality round-robins, metadata derived from lengths). Kept
+    * beside [[synthesizeMediaFiles]] because the byte-level stages
+    * (exact dedup, fixed-size frame chunking) are codec-independent
+    * by design and their oracles gate exactly that.
     */
   def synthesizeFromDocuments(documents: DataFrame): Dataset[MediaRow] = {
     import documents.sparkSession.implicits._
@@ -74,14 +138,16 @@ object Multimodal {
       .agg(min(col("media_id")).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
-  /** STUB decoder: deterministic pseudo-features from the byte
-    * content (per-stripe byte sums, L2-normalized). Replace with a
-    * real decoder; signature and batching stay.
+  /** FALLBACK decoder for formats the engine ships no codec for:
+    * deterministic pseudo-features from the raw byte content
+    * (per-stripe byte sums, L2-normalized). The REAL decode path is
+    * [[decodeStream]]; this keeps unknown payloads flowing through
+    * the same pipeline shape instead of failing the batch.
     *
-    * Arithmetic is deliberately oracle-reproducible (q37/q38): stripe
-    * sums and the squared norm are exact integers (order-independent),
-    * the normalization runs in IEEE double, and the ONLY float32 step
-    * is the final cast — so the DuckDB twin, which has no float32
+    * Arithmetic is deliberately oracle-reproducible: stripe sums and
+    * the squared norm are exact integers (order-independent), the
+    * normalization runs in IEEE double, and the ONLY float32 step is
+    * the final cast — so a DuckDB twin, which has no float32
     * accumulator, lands on bit-identical values. (L2 normalization
     * makes a uniform /255 scale a no-op, so none is applied.)
     */
@@ -92,15 +158,84 @@ object Multimodal {
       acc(i % dim) += (bytes(i) & 0xff).toLong
       i += 1
     }
+    normalizeStripes(acc)
+  }
+
+  private def normalizeStripes(acc: Array[Long]): Array[Float] = {
     var ss = 0L
     acc.foreach(v => ss += v * v)
     val n = math.sqrt(ss.toDouble)
-    if (n > 0) acc.map(v => (v.toDouble / n).toFloat) else new Array[Float](dim)
+    if (n > 0) acc.map(v => (v.toDouble / n).toFloat)
+    else new Array[Float](acc.length)
+  }
+
+  /** Split a BMP-frame video container into its complete BMP files by
+    * REAL header parsing: each frame declares its own byte length in
+    * the BITMAPFILEHEADER's file-size field (offset +2, LE), so the
+    * walk needs no out-of-band index. Throws on a malformed container
+    * (bad magic, size past the payload).
+    */
+  def splitBmpContainer(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var off = 0
+    while (off < bytes.length) {
+      require(off + 6 <= bytes.length &&
+        bytes(off) == 'B'.toByte && bytes(off + 1) == 'M'.toByte,
+        s"no BM magic at container offset $off")
+      val size = (bytes(off + 2) & 0xff) | ((bytes(off + 3) & 0xff) << 8) |
+        ((bytes(off + 4) & 0xff) << 16) | ((bytes(off + 5) & 0xff) << 24)
+      require(size >= 54 && off + size <= bytes.length,
+        s"frame at $off declares $size bytes, ${bytes.length - off} remain")
+      out += java.util.Arrays.copyOfRange(bytes, off, off + size)
+      off += size
+    }
+    out.result()
+  }
+
+  /** Pixel channels in raster order (r, g, b per pixel) as an
+    * unsigned integer stream — the canonical feature stream of a
+    * decoded image.
+    */
+  private def channelStream(pixels: Array[Int]): Array[Long] = {
+    val out = new Array[Long](pixels.length * 3)
+    var p = 0
+    while (p < pixels.length) {
+      val v = pixels(p)
+      out(3 * p) = ((v >> 16) & 0xff).toLong
+      out(3 * p + 1) = ((v >> 8) & 0xff).toLong
+      out(3 * p + 2) = (v & 0xff).toLong
+      p += 1
+    }
+    out
+  }
+
+  /** REAL decode of a media payload to its canonical unsigned feature
+    * stream: audio → PCM samples shifted to [0, 65535] (s + 32768),
+    * image → pixel channels in raster order, video → frame channel
+    * streams concatenated in container order. Throws
+    * IllegalArgumentException on malformed bytes.
+    */
+  private[operators] def decodeStream(modality: String,
+      bytes: Array[Byte]): Array[Long] = modality match {
+    case "audio" => MediaCodec.decodeWavPcm16(bytes).samples
+      .map(s => s.toLong + 32768L)
+    case "image" => channelStream(MediaCodec.decodeBmp24(bytes).pixels)
+    case "video" => splitBmpContainer(bytes)
+      .flatMap(fb => channelStream(MediaCodec.decodeBmp24(fb).pixels))
+      .toArray
+    case m => throw new IllegalArgumentException(s"no codec for modality $m")
   }
 
   /** Decode + feature-extract in batches of `batchSize` rows per call
     * — the mapInPandas batch shape on the JVM. Narrow (no shuffle);
-    * preserves partitioning.
+    * preserves partitioning. Payloads in the engine's REAL formats
+    * (WAV PCM16 / BMP24 / BMP-frame containers) are actually decoded
+    * — header parse, sample/pixel extraction — and the feature is the
+    * L2-normalized per-stripe sum of the decoded stream (exact
+    * integers until the final float cast, so the q37 DuckDB oracle
+    * regenerates it from the [[synthesizeMediaFiles]] formulas and
+    * gates the codec round-trip). Unknown formats fall back to
+    * [[fakeDecode]] over the raw bytes.
     */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 64,
       batchSize: Int = 128): Dataset[MediaFeatures] = {
@@ -108,10 +243,89 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // per-batch init would go here (codec/model handles)
-        batch.iterator.map(r =>
-          MediaFeatures(r.media_id, r.modality, fakeDecode(r.bytes, dim)))
+        batch.iterator.map { r =>
+          val stream =
+            try decodeStream(r.modality, r.bytes)
+            catch { case _: IllegalArgumentException => null }
+          val feats =
+            if (stream == null) fakeDecode(r.bytes, dim)
+            else {
+              val acc = new Array[Long](dim)
+              var i = 0
+              while (i < stream.length) {
+                acc(i % dim) += stream(i)
+                i += 1
+              }
+              normalizeStripes(acc)
+            }
+          MediaFeatures(r.media_id, r.modality, feats)
+        }
       }
     }
+  }
+
+  /** Decoded-audio audit over the REAL WAV store: per media row, the
+    * scalar aggregates of the actual PCM samples the codec extracted
+    * — (n_samples, sample_rate, sum, abs-sum, min, max, negative
+    * count). Narrow (decode in the scan stage, one row out per media
+    * row); the q221 oracle regenerates the same aggregates from the
+    * synthesis formulas, gating header parse + sample extraction
+    * bit-for-bit.
+    */
+  def wavFeatures(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "audio").map { r =>
+      val w = MediaCodec.decodeWavPcm16(r.bytes)
+      val s = w.samples.map(_.toLong)
+      (r.media_id, s.length.toLong, w.sampleRate.toLong, s.sum,
+        s.map(math.abs).sum, s.min, s.max, s.count(_ < 0).toLong)
+    }.toDF("media_id", "n_samples", "sample_rate", "s_sum", "s_abs_sum",
+      "s_min", "s_max", "n_neg")
+  }
+
+  /** Decoded-image audit over the REAL BMP store: per media row, the
+    * dimensions the header declared and the per-channel and
+    * BT.601-integer luma sums of the actual decoded pixels
+    * (luma = Σ 299r + 587g + 114b — the milli-weight integer form).
+    * Gates row order, bottom-up flip, and padding handling (q222).
+    */
+  def bmpFeatures(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "image").map { r =>
+      val b = MediaCodec.decodeBmp24(r.bytes)
+      var rs = 0L; var gs = 0L; var bs = 0L; var ls = 0L
+      b.pixels.foreach { p =>
+        val pr = (p >> 16) & 0xff; val pg = (p >> 8) & 0xff; val pb = p & 0xff
+        rs += pr; gs += pg; bs += pb
+        ls += 299L * pr + 587L * pg + 114L * pb
+      }
+      (r.media_id, b.width.toLong, b.height.toLong, rs, gs, bs, ls)
+    }.toDF("media_id", "width", "height", "r_sum", "g_sum", "b_sum",
+      "luma_sum")
+  }
+
+  /** Frame sampling + decode over the REAL video containers: every
+    * `everyNth` frame is located by the container walk
+    * ([[splitBmpContainer]] — each frame's length read from its own
+    * header), decoded, and reduced to per-channel sums. 1→N via
+    * flatMap — a narrow Generator; frame BYTES never leave the scan
+    * stage. q223 regenerates the sums from the synthesis formulas.
+    */
+  def videoFrameFeatures(media: Dataset[MediaRow],
+      everyNth: Int = 2): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "video").flatMap { r =>
+      splitBmpContainer(r.bytes).zipWithIndex.collect {
+        case (fb, f) if f % everyNth == 0 =>
+          val b = MediaCodec.decodeBmp24(fb)
+          var rs = 0L; var gs = 0L; var bs = 0L
+          b.pixels.foreach { p =>
+            rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+          }
+          (r.media_id, f.toLong, b.width.toLong, b.height.toLong, rs, gs, bs)
+      }
+    }.toDF("media_id", "frame_no", "width", "height", "r_sum", "g_sum",
+      "b_sum")
   }
 
   /** Frame sampling for video rows: every `everyNth` fixed-size chunk

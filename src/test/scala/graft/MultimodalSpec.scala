@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Multimodal, Similarity}
+import graft.operators.{MediaCodec, Multimodal, Similarity}
 import graft.sources.Tables
 
 class MultimodalSpec extends SparkSpec {
@@ -91,6 +91,160 @@ class MultimodalSpec extends SparkSpec {
       .forall(r => r.meta.width === 224 && r.meta.height === 224))
     assert(resized.filter(_.modality == "audio")
       .forall(_.meta.width !== 224))
+  }
+
+  // --- real codec tests: files assembled BY HAND, byte for byte,
+  // independent of the encoder, so decode is gated against the public
+  // format layout itself, not against this repo's writer ---
+
+  private def le16(v: Int): Seq[Byte] =
+    Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Seq[Byte] =
+    Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+      .map(_.toByte)
+
+  test("decodeWavPcm16 parses a hand-built canonical file byte for byte") {
+    val bytes = ("RIFF".getBytes("US-ASCII").toSeq ++ le32(36 + 6) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(6) ++
+      le16(1000) ++ le16(-2 & 0xffff) ++ le16(32767)).toArray
+    val w = MediaCodec.decodeWavPcm16(bytes)
+    assert(w.sampleRate === 8000)
+    assert(w.numChannels === 1)
+    assert(w.samples.toSeq === Seq[Short](1000, -2, 32767))
+  }
+
+  test("decodeWavPcm16 skips unknown odd-size chunks, rejects non-PCM") {
+    // a 3-byte LIST chunk before fmt: the RIFF grammar pads odd chunk
+    // sizes to even — a walker that forgets the pad byte derails here
+    val good = ("RIFF".getBytes("US-ASCII").toSeq ++ le32(0) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(3) ++ Seq[Byte](7, 8, 9, 0) ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(16000) ++ le32(32000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(2) ++ le16(-1 & 0xffff)).toArray
+    assert(MediaCodec.decodeWavPcm16(good).samples.toSeq === Seq[Short](-1))
+    // IEEE-float format (3) must be refused, not misread as PCM
+    val nonPcm = ("RIFF".getBytes("US-ASCII").toSeq ++ le32(0) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(3) ++ le16(1) ++ le32(8000) ++ le32(32000) ++ le16(4) ++ le16(32) ++
+      "data".getBytes("US-ASCII") ++ le32(0)).toArray
+    val e = intercept[IllegalArgumentException](
+      MediaCodec.decodeWavPcm16(nonPcm))
+    assert(e.getMessage.contains("format 3"))
+  }
+
+  test("decodeBmp24 parses a hand-built padded bottom-up file") {
+    // 3x2, rowBytes = 12 (9 data + 3 pad); file stores the BOTTOM row
+    // first in BGR; expected pixels are top-down 0xRRGGBB
+    val top = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255))
+    val bot = Seq((1, 2, 3), (4, 5, 6), (7, 8, 9))
+    def row(ps: Seq[(Int, Int, Int)]): Seq[Byte] =
+      ps.flatMap { case (r, g, b) =>
+        Seq(b.toByte, g.toByte, r.toByte) } ++ Seq[Byte](0, 0, 0)
+    val bytes = (Seq('B'.toByte, 'M'.toByte) ++ le32(54 + 24) ++ le32(0) ++
+      le32(54) ++ le32(40) ++ le32(3) ++ le32(2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(24) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      row(bot) ++ row(top)).toArray
+    val got = MediaCodec.decodeBmp24(bytes)
+    assert(got.width === 3 && got.height === 2)
+    val want = (top ++ bot).map { case (r, g, b) => (r << 16) | (g << 8) | b }
+    assert(got.pixels.toSeq === want)
+  }
+
+  test("wav and bmp round-trip: encode then decode is the identity") {
+    val samples = Array.tabulate(257)(i =>
+      (((i * 52457) % 65536) - 32768).toShort)
+    val w = MediaCodec.decodeWavPcm16(
+      MediaCodec.encodeWavPcm16(samples, 22050))
+    assert(w.sampleRate === 22050 && w.samples.toSeq === samples.toSeq)
+    // widths 3 and 5 force nonzero row padding; 4 has none
+    for (wd <- Seq(3, 4, 5); ht <- Seq(1, 2, 3)) {
+      val px = Array.tabulate(wd * ht)(p =>
+        (((p * 7) % 256) << 16) | (((p * 11) % 256) << 8) | ((p * 13) % 256))
+      val b = MediaCodec.decodeBmp24(MediaCodec.encodeBmp24(px, wd, ht))
+      assert(b.width === wd && b.height === ht)
+      assert(b.pixels.toSeq === px.toSeq, s"round-trip broke at ${wd}x$ht")
+    }
+  }
+
+  test("splitBmpContainer walks frames by their declared header sizes") {
+    val f1 = MediaCodec.encodeBmp24(Array.fill(12)(0xff0000), 4, 3)
+    val f2 = MediaCodec.encodeBmp24(Array.fill(25)(0x00ff00), 5, 5)
+    val frames = Multimodal.splitBmpContainer(f1 ++ f2)
+    assert(frames.length === 2)
+    assert(frames(0).toSeq === f1.toSeq && frames(1).toSeq === f2.toSeq)
+    assert(MediaCodec.decodeBmp24(frames(1)).pixels.forall(_ === 0x00ff00))
+    val e = intercept[IllegalArgumentException](
+      Multimodal.splitBmpContainer(f1 ++ Array[Byte](1, 2, 3)))
+    assert(e.getMessage.contains("magic"))
+  }
+
+  test("real media store decodes back to the synthesis formulas") {
+    val docs = Seq.tabulate(9)(i => (i.toLong, s"doc $i"))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.synthesizeMediaFiles(docs).collect()
+    assert(rows.length === 9)
+    rows.filter(_.modality == "audio").foreach { r =>
+      val id = r.media_id
+      val w = MediaCodec.decodeWavPcm16(r.bytes)
+      assert(w.sampleRate === 16000)
+      val want = Seq.tabulate((64 + id % 64).toInt)(i =>
+        (((id * 1103L + i * 52457L) % 65536L) - 32768L).toShort)
+      assert(w.samples.toSeq === want, s"audio $id")
+    }
+    rows.filter(_.modality == "image").foreach { r =>
+      val id = r.media_id
+      val b = MediaCodec.decodeBmp24(r.bytes)
+      assert(b.width === (4 + id % 5).toInt && b.height === (3 + id % 4).toInt)
+      b.pixels.zipWithIndex.foreach { case (p, i) =>
+        assert((p >> 16) === ((id + 7L * i) % 256L).toInt, s"r at $id/$i")
+        assert(((p >> 8) & 0xff) === ((2L * id + 11L * i) % 256L).toInt)
+        assert((p & 0xff) === ((5L * id + 13L * i) % 256L).toInt)
+      }
+    }
+    rows.filter(_.modality == "video").foreach { r =>
+      val id = r.media_id
+      val frames = Multimodal.splitBmpContainer(r.bytes)
+      assert(frames.length === (2 + id % 3).toInt, s"frame count at $id")
+      frames.zipWithIndex.foreach { case (fb, f) =>
+        val b = MediaCodec.decodeBmp24(fb)
+        assert(b.width === 8 && b.height === 6)
+        assert((b.pixels(5) >> 16) === ((id + 17L * f + 7L * 5L) % 256L).toInt)
+      }
+    }
+  }
+
+  test("extractFeatures really decodes: audio stripes == formula recompute") {
+    val docs = Seq((1L, "a"), (4L, "b")).toDF("doc_id", "text") // two audio
+    val feats = Multimodal.extractFeatures(
+        Multimodal.synthesizeMediaFiles(docs))
+      .collect().map(f => f.media_id -> f.features).toMap
+    for (id <- Seq(1L, 4L)) {
+      val n = (64 + id % 64).toInt
+      val acc = new Array[Long](64)
+      for (i <- 0 until n)
+        acc(i % 64) += (id * 1103L + i * 52457L) % 65536L // s + 32768
+      val nrm = math.sqrt(acc.map(v => (v * v).toDouble).sum)
+      val want = acc.map(v => (v / nrm).toFloat)
+      assert(feats(id).toSeq === want.toSeq, s"audio features at $id")
+    }
+  }
+
+  test("unknown payload formats fall back to pseudo-features, no row loss") {
+    // UTF-8 text bytes are not valid WAV/BMP: every row must still
+    // emit a unit-norm feature vector through the fallback
+    val media = Multimodal.synthesizeFromDocuments(
+      Tables(spark, "/root/testdata/sf0.001").documents)
+    val f = Multimodal.extractFeatures(media, dim = 16).collect()
+    assert(f.length === media.count())
+    assert(f.forall { r =>
+      val n = math.sqrt(r.features.map(x => x * x).sum)
+      math.abs(n - 1.0) < 1e-3 || n === 0.0
+    })
   }
 
   test("features flow into Similarity ANN unchanged") {
