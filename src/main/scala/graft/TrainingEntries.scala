@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, explode, length, lit, md5, min_by, posexplode, sequence, when}
 
 import graft.analytics.DistributionFit
-import graft.operators.{BloomDecontam, Bpe, Curation, Dedup, Events, Multimodal, NgramLm, Similarity, Sketches, SkewJoin, StarQueries, SubstringDedup, TextAnalysis}
+import graft.operators.{BloomDecontam, Bpe, Curation, Dedup, Events, Logistic, Multimodal, NgramLm, Similarity, Sketches, SkewJoin, StarQueries, SubstringDedup, TextAnalysis, Unigram}
 import graft.sources.Tables
 
 /** Driver-contract entries for the training-data-pipeline operators
@@ -46,18 +46,33 @@ object TrainingEntries {
     "q32_event_hourly"   -> q(t => Events.hourlyRollup(t.events)),
     "q33_sessionize"     -> q(t => Events.sessionize(t.events)),
     "q36_props_extract"  -> q(t => Events.propsKeyStats(t.events)),
-    // Multimodal pipeline, hash-gated end to end: synthesize media
-    // from documents → batched decode stub → per-dim features (q37),
-    // then the features → ANN hand-off (q38). fakeDecode's arithmetic
-    // is integer-exact until one final float cast precisely so these
-    // twins can exist (see its Scaladoc).
+    // Multimodal pipeline, hash-gated end to end over REAL container
+    // formats: synthesize valid WAV/BMP/BMP-container files → batched
+    // REAL decode (MediaCodec header parse + sample/pixel extraction)
+    // → per-dim stripe features (q37), then the features → ANN
+    // hand-off (q38). The oracle regenerates the decoded content from
+    // the synthesis formulas WITHOUT a codec, so a hash match proves
+    // the engine's encode∘decode round-trip is the identity on real
+    // files. Arithmetic is integer-exact until one final float cast
+    // precisely so these twins can exist.
     "q37_media_features" -> q(t =>
-      Multimodal.extractFeatures(Multimodal.synthesizeFromDocuments(t.documents))
+      Multimodal.extractFeatures(Multimodal.synthesizeMediaFiles(t.documents))
         .toDF().select(col("media_id"), col("modality"),
           posexplode(col("features")).as(Seq("d", "f")))),
     "q38_media_ann"      -> q(t =>
       Similarity.bruteForceTopK(Multimodal.featuresAsEmbeddings(
-        Multimodal.extractFeatures(Multimodal.synthesizeFromDocuments(t.documents))))),
+        Multimodal.extractFeatures(Multimodal.synthesizeMediaFiles(t.documents))))),
+    // Per-format decode audits over the real stores: scalar
+    // aggregates of the actual decoded PCM samples (q221), decoded
+    // pixels incl. the bottom-up flip and row padding (q222), and the
+    // container-walked sampled frames (q223)
+    "q221_wav_decode"    -> q(t =>
+      Multimodal.wavFeatures(Multimodal.synthesizeMediaFiles(t.documents))),
+    "q222_bmp_decode"    -> q(t =>
+      Multimodal.bmpFeatures(Multimodal.synthesizeMediaFiles(t.documents))),
+    "q223_frame_decode"  -> q(t =>
+      Multimodal.videoFrameFeatures(
+        Multimodal.synthesizeMediaFiles(t.documents))),
     // Curation: the selection/split steps between dedup and the
     // tokenizer — all md5-deterministic, hence hash-gated
     "q39_freq_rank"      -> q(t =>
@@ -340,6 +355,17 @@ object TrainingEntries {
     // BPE merge training (Sennrich et al. 2016): 6 greedy merges over
     // the word-frequency table, whole training replayed by the oracle
     "q124_bpe_merges"    -> q(t => Bpe.bpeTrain(t.documents)),
+    // Unigram-LM (SentencePiece) tokenizer trainer — the EM
+    // alternative to BPE: seed substring vocab (q224), 2 hard-EM
+    // rounds + prune + final E-step (q225, the oracle replays the
+    // whole training bit-for-bit incl. every Viterbi), and the
+    // corpus priced in unigram subwords (q226)
+    "q224_unigram_seed"  -> q(t =>
+      Unigram.seedPieces(Unigram.wordTable(t.documents))),
+    "q225_unigram_train" -> q(t => Unigram.unigramTrain(t.documents)),
+    "q226_unigram_tokenize" -> q(t =>
+      Unigram.tokenizeCorpus(t.documents,
+        Unigram.unigramTrain(t.documents))),
     // BPE apply: the vocabulary segmented under the 6 trained merges,
     // in exploded (word, n, pos, sym) form — train AND apply gated
     "q125_bpe_segment"   -> q { t =>
@@ -443,6 +469,22 @@ object TrainingEntries {
     // filter, relationally)
     "q156_nb_classifier" -> q(t =>
       TextAnalysis.nbClassifierScores(t.documents,
+        posSources = Seq("src0", "src1", "src2"),
+        negSources = Seq("src3", "src4", "src5"))),
+    // Discriminative twin of the NB family: logistic regression by
+    // aggregation-only gradient steps (q227 weights, q228 held-out
+    // scores, q229 the q214-protocol reliability table) — the oracle
+    // replays all 8 steps bit-for-bit
+    "q227_lr_weights" -> q(t =>
+      Logistic.weightsDf(t.documents,
+        posSources = Seq("src0", "src1", "src2"),
+        negSources = Seq("src3", "src4", "src5"))),
+    "q228_lr_scores" -> q(t =>
+      Logistic.scores(t.documents,
+        posSources = Seq("src0", "src1", "src2"),
+        negSources = Seq("src3", "src4", "src5"))),
+    "q229_lr_reliability" -> q(t =>
+      Logistic.reliability(t.documents,
         posSources = Seq("src0", "src1", "src2"),
         negSources = Seq("src3", "src4", "src5"))),
     // Held-out confusion matrix for q156's classifier: train on md5
@@ -1533,8 +1575,10 @@ object TrainingEntries {
       |           FROM f64 GROUP BY i),
       |scode AS (SELECT f.vec_id, f.i, f.v, s.vmin, s.vmax,
       |    CASE WHEN s.vmax = s.vmin THEN CAST(0 AS BIGINT)
-      |         ELSE CAST(floor(CAST((f.v - s.vmin) * 255 AS DOUBLE)
-      |                / CAST(s.vmax - s.vmin AS DOUBLE)) AS BIGINT) END AS code
+      |         ELSE GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+      |           CAST(floor(CAST((f.v - s.vmin) * 255 AS DOUBLE)
+      |                / CAST(s.vmax - s.vmin AS DOUBLE)) AS BIGINT))) END
+      |      AS code
       |  FROM f64 f JOIN sstats s ON s.i = f.i),
       |srecon AS (SELECT vec_id, i, v, code,
       |    vmin + CAST(floor(CAST((2 * code + 1) * (vmax - vmin) AS DOUBLE)
@@ -1705,7 +1749,9 @@ object TrainingEntries {
   }
 
   /** IVF training + assignment CTEs — mirrors Similarity.ivfTopK:
-    * seed centroids = first nCentroids quantized vectors; per Lloyd
+    * seed centroids = the nCentroids quantized vectors whose vec_ids
+    * sort first under (md5(vec_id), vec_id) — the dense-id-free
+    * trainCentroids draw; per Lloyd
     * iteration, argmax-cosine assignment (ties: cell asc) then
     * per-dimension floor(sum/count) centroid update (exact in both
     * engines); final `assign` = each vector's cell, `probes` = each
@@ -1715,7 +1761,11 @@ object TrainingEntries {
       trainSrc: String = "flat"): String = {
     val sb = new StringBuilder
     sb.append(
-      s"c0 AS (SELECT vec_id AS c_id, i, v AS cv FROM $trainSrc WHERE vec_id <= $nCentroids)")
+      s"""cseed AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM $trainSrc)
+         |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         |          LIMIT $nCentroids),
+         |c0 AS (SELECT vec_id AS c_id, i, v AS cv FROM $trainSrc
+         |       WHERE vec_id IN (SELECT vec_id FROM cseed))""".stripMargin)
     for (it <- 1 to lloydIters) {
       val prev = s"c${it - 1}"
       sb.append(s""",
@@ -1871,9 +1921,203 @@ object TrainingEntries {
     sb.toString
   }
 
+  /** Unigram-LM word table + seed vocab — mirrors Unigram.wordTable /
+    * seedPieces: training-eligible words (len ≤ 12), every substring
+    * of length 1..4 occurrence-weighted, all single chars + the top
+    * 384 multi-char pieces by (freq desc, piece asc) at freq ≥ 2.
+    */
+  private val unigramBaseCtes =
+    s"""ugw AS MATERIALIZED (SELECT tok AS word,
+       |    CAST(COUNT(*) AS BIGINT) AS n, length(tok) AS len FROM (
+       |    SELECT unnest(string_split($norm, ' ')) AS tok FROM documents)
+       |  WHERE length(tok) > 0 AND length(tok) <= 12 GROUP BY tok),
+       |ugsub AS (SELECT piece, CAST(SUM(n) AS BIGINT) AS freq FROM (
+       |    SELECT n,
+       |      substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece
+       |    FROM (SELECT word, n, i,
+       |            unnest(generate_series(1, least(4, len - i + 1))) AS l
+       |          FROM (SELECT word, n, len,
+       |                  unnest(generate_series(1, len)) AS i FROM ugw)))
+       |  GROUP BY piece),
+       |ugseed AS MATERIALIZED (
+       |  SELECT piece, freq FROM ugsub WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, freq FROM (
+       |    SELECT piece, freq FROM ugsub
+       |    WHERE length(piece) >= 2 AND freq >= 2
+       |    ORDER BY freq DESC, piece LIMIT 384))""".stripMargin
+
+  /** NB-smoothed micro-nat scores over a (piece, freq) table —
+    * mirrors Unigram.scoresOf: floor(1e6·ln((c+1)/(T+V))).
+    */
+  private def unigramScoreCte(name: String, src: String): String =
+    s"""$name AS MATERIALIZED (SELECT c.piece, c.freq AS c,
+       |    CAST(floor(1000000.0 * ln(CAST(c.freq + 1 AS DOUBLE) /
+       |      CAST(t.tot + t.nv AS DOUBLE))) AS BIGINT) AS lnp
+       |  FROM $src c CROSS JOIN (SELECT CAST(SUM(freq) AS BIGINT) AS tot,
+       |      CAST(COUNT(*) AS BIGINT) AS nv FROM $src) t)""".stripMargin
+
+  /** One unrolled Viterbi E-step — mirrors Unigram.viterbi/emCounts:
+    * forward DP `${pre}d1..d12` (integer micro-nat sums, exact MAX),
+    * chosen-k tables `${pre}c*` (ties → LONGEST last piece), boundary
+    * chains `${pre}b*` walked from each word's length down, and the
+    * path piece counts `${pre}cnt`. Word length ≤ 12 and piece length
+    * ≤ 4 bound the unroll (the lloyd/bkp CTE discipline).
+    */
+  private def unigramViterbiCtes(pre: String, vs: String): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"${pre}d0 AS (SELECT word, n, len, CAST(0 AS BIGINT) AS s FROM ugw)")
+    for (j <- 1 to 12) {
+      val arms = (1 to math.min(4, j)).map { k =>
+        s"""    SELECT d.word, d.n, d.len, d.s + v.lnp AS s
+           |    FROM ${pre}d${j - k} d JOIN $vs v
+           |      ON v.piece = substr(d.word, ${j - k + 1}, $k)
+           |    WHERE d.len >= $j""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      sb.append(s""",
+        |${pre}d$j AS MATERIALIZED (SELECT word, n, len, MAX(s) AS s FROM (
+        |$arms) GROUP BY word, n, len)""".stripMargin)
+    }
+    for (j <- 1 to 12) {
+      val arms = (1 to math.min(4, j)).map { k =>
+        s"""    SELECT d.word, $k AS k
+           |    FROM ${pre}d${j - k} d
+           |    JOIN ${pre}d$j t ON t.word = d.word
+           |    JOIN $vs v ON v.piece = substr(d.word, ${j - k + 1}, $k)
+           |    WHERE d.s + v.lnp = t.s""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      sb.append(s""",
+        |${pre}c$j AS MATERIALIZED (SELECT word, MAX(k) AS k FROM (
+        |$arms) GROUP BY word)""".stripMargin)
+    }
+    sb.append(s""",
+      |${pre}b12 AS MATERIALIZED (SELECT word FROM ugw WHERE len = 12)""".stripMargin)
+    for (j <- 11 to 1 by -1) {
+      val arms = Seq(s"    SELECT word FROM ugw WHERE len = $j") ++
+        ((j + 1) to math.min(12, j + 4)).map { j2 =>
+          s"""    SELECT b.word FROM ${pre}b$j2 b
+             |    JOIN ${pre}c$j2 c ON c.word = b.word AND c.k = ${j2 - j}""".stripMargin
+        }
+      sb.append(s""",
+        |${pre}b$j AS MATERIALIZED (
+        |${arms.mkString("\n    UNION\n")})""".stripMargin)
+    }
+    val cntArms = (1 to 12).map { j =>
+      s"""    SELECT substr(w.word, $j - c.k + 1, c.k) AS piece, w.n
+         |    FROM ${pre}b$j b JOIN ${pre}c$j c ON c.word = b.word
+         |    JOIN ugw w ON w.word = b.word""".stripMargin
+    }.mkString("\n    UNION ALL\n")
+    sb.append(s""",
+      |${pre}cnt AS MATERIALIZED (SELECT piece,
+      |    CAST(SUM(n) AS BIGINT) AS freq FROM (
+      |$cntArms) GROUP BY piece)""".stripMargin)
+    sb.toString
+  }
+
+  /** The full unigram training replay — mirrors Unigram.unigramTrain:
+    * seed → EM round 1 → EM round 2 → prune (chars + top 96 used
+    * multi-char) → final E-step. `ugfin(piece, cnt, lnp)`.
+    */
+  private lazy val unigramTrainCtes: String =
+    s"""$unigramBaseCtes,
+       |${unigramScoreCte("ugs1", "ugseed")},
+       |${unigramViterbiCtes("uge1", "ugs1")},
+       |ugf1 AS (SELECT v.piece, COALESCE(c.freq, 0) AS freq
+       |         FROM ugseed v LEFT JOIN uge1cnt c USING (piece)),
+       |${unigramScoreCte("ugs2", "ugf1")},
+       |${unigramViterbiCtes("uge2", "ugs2")},
+       |ugf2 AS (SELECT v.piece, COALESCE(c.freq, 0) AS freq
+       |         FROM ugseed v LEFT JOIN uge2cnt c USING (piece)),
+       |ugpr AS MATERIALIZED (
+       |  SELECT piece, freq FROM ugf2 WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, freq FROM (
+       |    SELECT piece, freq FROM ugf2
+       |    WHERE length(piece) >= 2 AND freq > 0
+       |    ORDER BY freq DESC, piece LIMIT 96)),
+       |${unigramScoreCte("ugs3", "ugpr")},
+       |${unigramViterbiCtes("uge3", "ugs3")},
+       |ugfin AS (SELECT p.piece, COALESCE(c.freq, 0) AS cnt, s.lnp
+       |          FROM ugpr p LEFT JOIN uge3cnt c USING (piece)
+       |          JOIN ugs3 s ON s.piece = p.piece)""".stripMargin
+
+  /** Logistic-regression CTEs — mirrors graft.operators.Logistic:
+    * nbCtes' source labels and md5 buckets, the 5 capped integer
+    * features, then `Logistic.Steps` unrolled full-batch gradient
+    * steps (exact integer margins, floor-through-double sigmoid and
+    * learning-rate division — the shared spellings). Callers read
+    * `lrw8(j, w)` (final weights) and `lrsm(doc_id, cls, margin)`
+    * (held-out margins).
+    */
+  private lazy val lrCtes: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""lrlab AS (SELECT doc_id,
+         |    CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END
+         |      AS cls,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 10 AS b,
+         |    $norm AS norm
+         |  FROM documents
+         |  WHERE source IN ('src0','src1','src2','src3','src4','src5')),
+         |lrfw AS MATERIALIZED (SELECT doc_id, cls, b,
+         |    CAST(1 AS BIGINT) AS f0,
+         |    LEAST(n_tok, 100) AS f1,
+         |    LEAST(n_uniq, 100) AS f2,
+         |    LEAST(n_chars // GREATEST(n_tok, 1), 20) AS f3,
+         |    (100 * n_uniq) // GREATEST(n_tok, 1) AS f4
+         |  FROM (SELECT doc_id, cls, b,
+         |      CAST(CASE WHEN length(norm) = 0 THEN 0
+         |           ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tok,
+         |      CAST(CASE WHEN length(norm) = 0 THEN 0
+         |           ELSE len(list_distinct(string_split(norm, ' '))) END
+         |        AS BIGINT) AS n_uniq,
+         |      CAST(length(norm) AS BIGINT) AS n_chars
+         |    FROM lrlab)),
+         |lrtr AS MATERIALIZED (${(0 to 4).map(j =>
+              s"SELECT doc_id, cls, CAST($j AS BIGINT) AS j, f$j AS v " +
+                "FROM lrfw WHERE b <= 7").mkString("\n  UNION ALL ")}),
+         |lrn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+         |        FROM lrfw WHERE b <= 7),
+         |lrw0 AS (SELECT CAST(unnest([0,1,2,3,4]) AS BIGINT) AS j,
+         |         CAST(0 AS BIGINT) AS w)""".stripMargin)
+    for (s <- 1 to graft.operators.Logistic.Steps) {
+      val p = s"lrw${s - 1}"
+      sb.append(s""",
+        |lrm$s AS (SELECT f.doc_id, f.cls,
+        |            CAST(SUM(f.v * w.w) AS BIGINT) AS mm
+        |          FROM lrtr f JOIN $p w ON w.j = f.j
+        |          GROUP BY f.doc_id, f.cls),
+        |lrp$s AS (SELECT doc_id,
+        |            CAST(floor(1000000.0 / (1.0 +
+        |              exp(-(CAST(mm AS DOUBLE) / 1000000.0)))) AS BIGINT)
+        |            - cls * 1000000 AS resid
+        |          FROM lrm$s),
+        |lrg$s AS (SELECT f.j, CAST(SUM(p.resid * f.v) AS BIGINT) AS g
+        |          FROM lrtr f JOIN lrp$s p ON p.doc_id = f.doc_id
+        |          GROUP BY f.j),
+        |lrw$s AS MATERIALIZED (SELECT w.j,
+        |            w.w - CAST(floor(CAST(g.g AS DOUBLE) /
+        |              (CAST(t.n AS DOUBLE) * ${graft.operators.Logistic.LrDiv})) AS BIGINT) AS w
+        |          FROM $p w JOIN lrg$s g ON g.j = w.j CROSS JOIN lrn t)""".stripMargin)
+    }
+    val last = s"lrw${graft.operators.Logistic.Steps}"
+    sb.append(s""",
+      |lrev AS (${(0 to 4).map(j =>
+           s"SELECT doc_id, cls, CAST($j AS BIGINT) AS j, f$j AS v " +
+             "FROM lrfw WHERE b >= 8").mkString("\n  UNION ALL ")}),
+      |lrsm AS (SELECT e.doc_id, e.cls,
+      |           CAST(SUM(e.v * w.w) AS BIGINT) AS margin
+      |         FROM lrev e JOIN $last w ON w.j = e.j
+      |         GROUP BY e.doc_id, e.cls)""".stripMargin)
+    sb.toString
+  }
+
   /** Product-quantization CTEs — mirrors Similarity.pqEncode: vectors
     * of width m·dsub split into m quantized subvectors; per-subspace
-    * k-means seeded from the first ksub vectors, `iters` Lloyd steps
+    * k-means seeded from the ksub md5-first vectors (the
+    * trainCentroids draw), `iters` Lloyd steps
     * of exact-integer squared-L2 assignment (ties: code asc) and
     * floor(sum/count) codeword update; `penc` = final (vec_id, sub,
     * code, qerr) encoding.
@@ -1886,8 +2130,11 @@ object TrainingEntries {
          |sflat AS (SELECT f.vec_id, CAST((f.i - 1) // $dsub AS INTEGER) AS sub,
          |            (f.i - 1) % $dsub AS j, f.v
          |          FROM flat f JOIN pok USING (vec_id)),
+         |pseed AS (SELECT vec_id FROM pok
+         |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         |          LIMIT $ksub),
          |p0 AS (SELECT sub, vec_id AS c_id, j, v AS cv
-         |       FROM sflat WHERE vec_id < $ksub)""".stripMargin)
+         |       FROM sflat WHERE vec_id IN (SELECT vec_id FROM pseed))""".stripMargin)
     for (it <- 1 to iters) {
       val prev = s"p${it - 1}"
       sb.append(s""",
@@ -1920,28 +2167,57 @@ object TrainingEntries {
     sb.toString
   }
 
-  /** Media-feature CTEs — mirrors synthesizeFromDocuments ∘
-    * fakeDecode(dim=64): UTF-8 bytes via hex(encode(text)) (byte
-    * extraction that is encoding-exact for any text), per-stripe
+  /** Media-feature CTEs — mirrors synthesizeMediaFiles ∘ the REAL
+    * MediaCodec decode ∘ stripe features: the decoded streams are
+    * REGENERATED here from the pure integer synthesis formulas (the
+    * oracle needs no codec), so a hash match proves the engine's
+    * encode∘decode round-trip is the identity on real WAV/BMP/
+    * BMP-container files. Streams: audio = samples + 32768 (the
+    * unsigned PCM16 shift), image = r,g,b channel triples in raster
+    * order, video = frame channel streams concatenated (frame f's
+    * stream offset = 144f for 8×6 frames). Then per-stripe (t mod 64)
     * integer sums, integer squared norm, double normalize, float
-    * cast. `grid` + LEFT JOIN keeps all 64 dims (and whole docs) even
-    * when a stripe — or the text — is empty, matching the Scala
-    * zero-filled array.
+    * cast. `grid` + LEFT JOIN zero-fills stripes past the stream
+    * length (a 4×3 image has 36 channel values — stripes 36..63 are
+    * zero), matching the Scala zero-initialized accumulator.
     */
   private val mediaFeatCtes =
     """media AS (SELECT doc_id AS media_id,
       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-      |         ELSE 'video' END AS modality,
-      |    hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
+      |         ELSE 'video' END AS modality
       |  FROM documents),
-      |bpos AS (SELECT media_id, hx,
-      |    unnest(generate_series(1, blen)) AS p FROM media),
-      |byt AS (SELECT media_id, (p-1) % 64 AS d,
-      |    (strpos('0123456789ABCDEF', substr(hx, 2*p-1, 1)) - 1) * 16
-      |    + strpos('0123456789ABCDEF', substr(hx, 2*p, 1)) - 1 AS v
-      |  FROM bpos),
-      |ssum AS (SELECT media_id, d, CAST(SUM(v) AS BIGINT) AS s
-      |  FROM byt GROUP BY media_id, d),
+      |astream AS (SELECT media_id, i AS t,
+      |    (media_id * 1103 + i * 52457) % 65536 AS v
+      |  FROM (SELECT media_id,
+      |          unnest(generate_series(0, 63 + media_id % 64)) AS i
+      |        FROM media WHERE modality = 'audio')),
+      |ipx AS (SELECT media_id, unnest(generate_series(0,
+      |      (4 + media_id % 5) * (3 + media_id % 4) - 1)) AS p
+      |  FROM media WHERE modality = 'image'),
+      |istream AS (
+      |  SELECT media_id, 3*p AS t, (media_id + 7*p) % 256 AS v FROM ipx
+      |  UNION ALL
+      |  SELECT media_id, 3*p + 1, (2*media_id + 11*p) % 256 FROM ipx
+      |  UNION ALL
+      |  SELECT media_id, 3*p + 2, (5*media_id + 13*p) % 256 FROM ipx),
+      |vfp AS (SELECT media_id, f, unnest(generate_series(0, 47)) AS p
+      |  FROM (SELECT media_id,
+      |          unnest(generate_series(0, 1 + media_id % 3)) AS f
+      |        FROM media WHERE modality = 'video')),
+      |vstream AS (
+      |  SELECT media_id, 144*f + 3*p AS t,
+      |    (media_id + 17*f + 7*p) % 256 AS v FROM vfp
+      |  UNION ALL
+      |  SELECT media_id, 144*f + 3*p + 1,
+      |    (2*media_id + 17*f + 11*p + 1) % 256 FROM vfp
+      |  UNION ALL
+      |  SELECT media_id, 144*f + 3*p + 2,
+      |    (5*media_id + 17*f + 13*p + 2) % 256 FROM vfp),
+      |stream AS (SELECT * FROM astream UNION ALL
+      |           SELECT * FROM istream UNION ALL
+      |           SELECT * FROM vstream),
+      |ssum AS (SELECT media_id, t % 64 AS d, CAST(SUM(v) AS BIGINT) AS s
+      |  FROM stream GROUP BY media_id, t % 64),
       |grid AS (SELECT media_id, modality,
       |    unnest(generate_series(0, 63)) AS d FROM media),
       |filled AS (SELECT g.media_id, g.modality, g.d, COALESCE(s.s, 0) AS s
@@ -2174,6 +2450,138 @@ object TrainingEntries {
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rn
          |      FROM cos)
          |SELECT qid, cid, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    // Mirrors Multimodal.wavFeatures over the real WAV store: the
+    // decoded PCM aggregates regenerated from the synthesis formula —
+    // a hash match proves the RIFF walk + 16-bit LE sample extraction
+    "q221_wav_decode" ->
+      """WITH aud AS (SELECT doc_id AS media_id FROM documents
+        |             WHERE doc_id % 3 = 1),
+        |s AS (SELECT media_id,
+        |        (media_id * 1103 + i * 52457) % 65536 - 32768 AS v
+        |      FROM (SELECT media_id,
+        |              unnest(generate_series(0, 63 + media_id % 64)) AS i
+        |            FROM aud))
+        |SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(SUM(v) AS BIGINT) AS s_sum,
+        |  CAST(SUM(abs(v)) AS BIGINT) AS s_abs_sum,
+        |  CAST(MIN(v) AS BIGINT) AS s_min, CAST(MAX(v) AS BIGINT) AS s_max,
+        |  CAST(SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        |FROM s GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // Mirrors Multimodal.bmpFeatures over the real BMP store: decoded
+    // pixel channel + integer-luma sums — gates the bottom-up row
+    // flip and the 4-byte row padding handling
+    "q222_bmp_decode" ->
+      """WITH img AS (SELECT doc_id AS media_id, 4 + doc_id % 5 AS w,
+        |               3 + doc_id % 4 AS h
+        |             FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT media_id, w, h,
+        |         (media_id + 7*p) % 256 AS r,
+        |         (2*media_id + 11*p) % 256 AS g,
+        |         (5*media_id + 13*p) % 256 AS b
+        |       FROM (SELECT media_id, w, h,
+        |               unnest(generate_series(0, w*h - 1)) AS p FROM img))
+        |SELECT media_id, CAST(MIN(w) AS BIGINT) AS width,
+        |  CAST(MIN(h) AS BIGINT) AS height,
+        |  CAST(SUM(r) AS BIGINT) AS r_sum, CAST(SUM(g) AS BIGINT) AS g_sum,
+        |  CAST(SUM(b) AS BIGINT) AS b_sum,
+        |  CAST(SUM(299*r + 587*g + 114*b) AS BIGINT) AS luma_sum
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // Mirrors Multimodal.videoFrameFeatures(everyNth=2): the sampled
+    // frames located by the container walk (each frame's length from
+    // its own BITMAPFILEHEADER), decoded, per-channel sums
+    "q223_frame_decode" ->
+      """WITH vid AS (SELECT doc_id AS media_id, 2 + doc_id % 3 AS nf
+        |             FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT media_id,
+        |         unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 2)) AS f
+        |       FROM vid),
+        |px AS (SELECT media_id, f,
+        |         (media_id + 17*f + 7*p) % 256 AS r,
+        |         (2*media_id + 17*f + 11*p + 1) % 256 AS g,
+        |         (5*media_id + 17*f + 13*p + 2) % 256 AS b
+        |       FROM (SELECT media_id, f,
+        |               unnest(generate_series(0, 47)) AS p FROM fr))
+        |SELECT media_id, CAST(f AS BIGINT) AS frame_no,
+        |  CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+        |  CAST(SUM(r) AS BIGINT) AS r_sum, CAST(SUM(g) AS BIGINT) AS g_sum,
+        |  CAST(SUM(b) AS BIGINT) AS b_sum
+        |FROM px GROUP BY media_id, f ORDER BY media_id, f""".stripMargin,
+
+    // Mirrors Logistic.weightsDf: the full 8-step gradient replay
+    "q227_lr_weights" ->
+      s"""WITH $lrCtes
+         |SELECT j, CASE j WHEN 0 THEN 'bias' WHEN 1 THEN 'tok_cap'
+         |    WHEN 2 THEN 'uniq_cap' WHEN 3 THEN 'len_ratio'
+         |    ELSE 'uniq_pct' END AS feature,
+         |  w AS w_micro
+         |FROM lrw${graft.operators.Logistic.Steps} ORDER BY j""".stripMargin,
+
+    // Mirrors Logistic.scores: held-out margins under the trained
+    // weights, the floor-sigmoid probability, sign decision
+    "q228_lr_scores" ->
+      s"""WITH $lrCtes
+         |SELECT doc_id, margin AS margin_micro,
+         |  CAST(floor(1000000.0 / (1.0 +
+         |    exp(-(CAST(margin AS DOUBLE) / 1000000.0)))) AS BIGINT)
+         |    AS p_micro,
+         |  CAST(CASE WHEN margin > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS pred_pos
+         |FROM lrsm ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Logistic.reliability: q214's binning protocol over the
+    // LR margins — the table that compares the two calibrations
+    "q229_lr_reliability" ->
+      s"""WITH $lrCtes
+         |SELECT bin, bin * 200000 AS margin_lo_micro, n_docs, n_pos,
+         |  (n_pos * 1000000) // n_docs AS pos_rate_micro
+         |FROM (SELECT CAST(floor(CAST(margin AS DOUBLE) / 200000.0)
+         |        AS BIGINT) AS bin,
+         |      CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |      CAST(SUM(cls) AS BIGINT) AS n_pos
+         |      FROM lrsm GROUP BY 1)
+         |ORDER BY bin""".stripMargin,
+
+    // Mirrors Unigram.wordTable ∘ seedPieces: the substring seed vocab
+    "q224_unigram_seed" ->
+      s"""WITH $unigramBaseCtes
+         |SELECT piece, freq FROM ugseed ORDER BY piece""".stripMargin,
+
+    // Mirrors Unigram.unigramTrain: the COMPLETE hard-EM replay —
+    // every Viterbi DP compares exact integer micro-nat sums, so the
+    // hash gate pins seeding, both EM rounds, the prune, and the
+    // final scores bit-for-bit
+    "q225_unigram_train" ->
+      s"""WITH $unigramTrainCtes
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece)
+         |    AS BIGINT) AS rank,
+         |  piece, CAST(length(piece) AS BIGINT) AS n_chars,
+         |  cnt AS "count", lnp AS lnp_micro
+         |FROM ugfin ORDER BY rank""".stripMargin,
+
+    // Mirrors Unigram.tokenizeCorpus under the q225 training: per-word
+    // subword counts from the final Viterbi boundaries, length
+    // fallback for words the trainer excluded (len > 12)
+    "q226_unigram_tokenize" ->
+      s"""WITH $unigramTrainCtes,
+         |ugns AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub FROM (
+         |${(1 to 12).map(j => s"    SELECT word FROM uge3b$j")
+           .mkString("\n    UNION ALL\n")}
+         |) GROUP BY word),
+         |ugtoks AS (SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+         |    FROM documents) WHERE length(tok) > 0),
+         |ugpersub AS (SELECT word, n_sub FROM ugns
+         |  UNION ALL
+         |  SELECT tok AS word, CAST(length(tok) AS BIGINT) AS n_sub FROM (
+         |    SELECT DISTINCT tok FROM ugtoks WHERE length(tok) > 12))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+         |FROM ugtoks t JOIN ugpersub p ON p.word = t.tok
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q39_freq_rank" ->
       """WITH kc AS (SELECT key, COUNT(*) AS cnt FROM
@@ -4706,8 +5114,8 @@ object TrainingEntries {
          |FROM best b LEFT JOIN gate g ON g.vec_id = b.vec_id
          |ORDER BY b.vec_id""".stripMargin,
 
-    // centroids trained on the STORE slice only (sfl — seed rule
-    // vec_id <= 16 evaluated on the slice, mirroring
+    // centroids trained on the STORE slice only (sfl — the md5-first-16
+    // seed rule evaluated on the slice, mirroring
     // trainCentroids(quantized(store))); `assign` then covers every
     // vector under those centroids, so store rows are the cell table
     // and odd rows' top-nprobe `probes` are the batch probe — exact
@@ -5243,9 +5651,14 @@ object TrainingEntries {
          |         SELECT d, qid, cid, row_number() OVER (PARTITION BY d, qid
          |           ORDER BY tcos DESC, cid) AS rn
          |         FROM tcos) WHERE rn <= 5),
+         |hv AS (SELECT e.vec_id FROM embeddings e
+         |       JOIN norms n ON n.vec_id = e.vec_id
+         |       WHERE len(e.embedding) = 64 AND n.nrm > 0),
          |bd AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot
          |       FROM flat q JOIN flat c ON q.i = c.i
          |       WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |         AND q.vec_id IN (SELECT vec_id FROM hv)
+         |         AND c.vec_id IN (SELECT vec_id FROM hv)
          |       GROUP BY q.vec_id, c.vec_id),
          |bc AS (SELECT qid, cid, CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
          |       FROM bd JOIN norms nq ON nq.vec_id = qid
@@ -5392,7 +5805,8 @@ object TrainingEntries {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pprev,
          |    CAST(COUNT(*) OVER () AS BIGINT) AS k
          |  FROM c),
-         |f AS (SELECT *, (cap * (k - i + 1) <= 30000 - pprev) AS capped
+         |f AS (SELECT *, (CAST(cap AS HUGEINT) * (k - i + 1)
+         |        <= CAST(30000 - pprev AS HUGEINT)) AS capped
          |      FROM r),
          |g AS (SELECT *,
          |    CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT) AS m,
