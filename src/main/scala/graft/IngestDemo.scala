@@ -105,6 +105,23 @@ object IngestDemo {
     */
   private val MaxDupFraction = 0.5
 
+  /** Recalibration-class model retrains (the `cal_*`/`tdn_*` IVF and
+    * PQ refreshes) run their Lloyd passes over a deterministic md5
+    * HALF-SAMPLE of the corpus version ([[graft.operators.Similarity]]
+    * `trainFraction` — seeds stay full-corpus, ASSIGNMENT/encoding
+    * still scan every vector, so the published (model, store) pair
+    * stays complete and consistent). This is the 100 TB recal shape:
+    * the one remaining corpus-proportional recurring stage drops to
+    * sample + assignment cost, and k-means quality converges on the
+    * sample (TrainingOpsSpec pins sampled-vs-full recall). The boot
+    * (v0) training keeps fraction 1.0 — one-time cost, and the
+    * q34/q117 oracle family gates the full-corpus trainer. SQ extrema
+    * stay exact full-corpus scans (a min/max aggregate is already one
+    * cheap map-side pass — sampling would change the codes for no
+    * cost win).
+    */
+  private val CalTrainFraction = 0.5
+
   /** Hierarchical-manifest fan-out (q162's form): the unit store is
     * partitioned by (split, sub) so the incremental recompute prunes
     * to the cells a delivery touches.
@@ -492,12 +509,16 @@ object IngestDemo {
         // reassign/re-encode scan so the published v1 generation is
         // a CONSISTENT (model, store) pair. Between recals, serving
         // rides the v0 model + folded stores above
+        // Lloyd passes on the md5 half-sample ([[CalTrainFraction]]);
+        // assignment and encoding below still scan every v1 vector
         val embV1 = embBase.unionByName(
           embDelivery.join(rd("admitted_vecs"), Seq("vec_id")))
-        wr(Similarity.ivfCentroidsDf(embV1), "ivf_centroids_v1")
+        wr(Similarity.ivfCentroidsDf(embV1,
+          trainFraction = CalTrainFraction), "ivf_centroids_v1")
         wr(Similarity.cellsFromCentroids(rd("ivf_centroids_v1"), embV1),
           "ivf_cells_v1")
-        wr(Similarity.pqCodebookDf(embV1), "pq_codebook_v1")
+        wr(Similarity.pqCodebookDf(embV1,
+          trainFraction = CalTrainFraction), "pq_codebook_v1")
         wr(Similarity.pqEncodeFrom(rd("pq_codebook_v1"), embV1),
           "pq_codes_v1")
         wr(Similarity.sqStats(embV1), "sq_stats_v1")
@@ -662,13 +683,18 @@ object IngestDemo {
         // keeping statistical influence of removed vectors is exactly
         // what a takedown must not leave behind) — then one row-local
         // scan publishes the consistent v2 (model, store) pair
+        // sampled Lloyd passes ([[CalTrainFraction]]) over the
+        // SURVIVORS only — the md5 sample is drawn from `surv`, so no
+        // removed vector influences the v2 model even statistically
         val surv = embBase.unionByName(
             embDelivery.join(rd("admitted_vecs"), Seq("vec_id")))
           .join(rd("removed_vecs"), Seq("vec_id"), "left_anti")
-        wr(Similarity.ivfCentroidsDf(surv), "ivf_centroids_v2")
+        wr(Similarity.ivfCentroidsDf(surv,
+          trainFraction = CalTrainFraction), "ivf_centroids_v2")
         wr(Similarity.cellsFromCentroids(rd("ivf_centroids_v2"), surv),
           "ivf_cells_v2")
-        wr(Similarity.pqCodebookDf(surv), "pq_codebook_v2")
+        wr(Similarity.pqCodebookDf(surv,
+          trainFraction = CalTrainFraction), "pq_codebook_v2")
         wr(Similarity.pqEncodeFrom(rd("pq_codebook_v2"), surv),
           "pq_codes_v2")
         wr(Similarity.sqStats(surv), "sq_stats_v2")
@@ -812,11 +838,11 @@ object IngestDemo {
         same("ivf_v2_serve",
           Similarity.ivfTopKFrom(rd("ivf_centroids_v2"), rd("ivf_cells_v2"),
             surv),
-          Similarity.ivfTopK(surv))
+          Similarity.ivfTopK(surv, trainFraction = CalTrainFraction))
         same("pq_v2_serve",
           Similarity.pqAdcFromCodes(rd("pq_codes_v2"), rd("pq_codebook_v2"),
             surv),
-          Similarity.pqAdcTopK(surv))
+          Similarity.pqAdcTopK(surv, trainFraction = CalTrainFraction))
         same("sq_v2_serve",
           Similarity.sqTopKFromCodes(rd("sq_codes_v2"), rd("sq_stats_v2"),
             surv),
@@ -1074,14 +1100,17 @@ object IngestDemo {
         val embV1 = embBase.unionByName(
             embDelivery.join(rd("admitted_vecs"), Seq("vec_id")))
           .localCheckpoint(true)
+        // from-scratch twins train at the SAME CalTrainFraction the
+        // recal stage published with — the equality gates the
+        // (model, store) pair consistency, not the fraction choice
         same("ivf_v1_serve",
           Similarity.ivfTopKFrom(rd("ivf_centroids_v1"), rd("ivf_cells_v1"),
             embV1),
-          Similarity.ivfTopK(embV1))
+          Similarity.ivfTopK(embV1, trainFraction = CalTrainFraction))
         same("pq_v1_serve",
           Similarity.pqAdcFromCodes(rd("pq_codes_v1"), rd("pq_codebook_v1"),
             embV1),
-          Similarity.pqAdcTopK(embV1))
+          Similarity.pqAdcTopK(embV1, trainFraction = CalTrainFraction))
         same("sq_v1_serve",
           Similarity.sqTopKFromCodes(rd("sq_codes_v1"), rd("sq_stats_v1"),
             embV1),
