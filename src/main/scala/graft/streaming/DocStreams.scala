@@ -420,6 +420,73 @@ object DocStreams extends Serializable {
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
 
+  /** Dup-pair stream schema for the label-store fold sink. */
+  val pairSchema: StructType = StructType(Seq(
+    StructField("id1", LongType), StructField("id2", LongType)))
+
+  /** File-based stream source over dup-pair deliveries. */
+  def readPairs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(pairSchema).parquet(dir)
+
+  private val labelSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("component", LongType),
+    StructField("cluster_size", LongType)))
+
+  /** The label store's CURRENT generation under `storeDir`: the
+    * highest `gen-<batchId>` directory carrying Spark's `_SUCCESS`
+    * marker (a crashed batch leaves no marker and is invisible);
+    * an empty typed store before the first fold.
+    */
+  def currentLabels(spark: SparkSession, storeDir: String): DataFrame = {
+    val root = new java.io.File(storeDir)
+    val gens = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("gen-") &&
+        new java.io.File(d, "_SUCCESS").isFile)
+      .map(d => d.getName.stripPrefix("gen-").toLong)
+    if (gens.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], labelSchema)
+    else spark.read.parquet(s"$storeDir/gen-${gens.max}")
+  }
+
+  /** MICRO-BATCH maintenance of the dup-cluster label store — the
+    * streaming twin of [[graft.operators.Dedup.componentsFold]]
+    * (q207): each arriving pair micro-batch folds into the persisted
+    * store via foreachBatch, publishing a new `gen-<batchId>`
+    * parquet generation that [[clusterSplitStream]]-style consumers
+    * pick up on their next restart. componentsFold is an iterative
+    * connected-components recompute of the TOUCHED components only —
+    * not expressible as a streaming aggregation — so the store rides
+    * parquet generations instead of the state store: per batch, cost
+    * is the touched slice, and the `_SUCCESS`-gated generation swap
+    * makes a crash mid-fold invisible ([[currentLabels]]).
+    *
+    * Exactly-once: a replayed micro-batch (checkpoint recovery)
+    * rewrites its own generation from the SAME prior store — folding
+    * an already-present edge set is idempotent (componentsFold of
+    * existing pairs returns the store unchanged), so duplicate
+    * delivery cannot corrupt labels.
+    *
+    * Twin contract (StreamingSpec): after n deliveries the current
+    * generation equals batch [[graft.operators.Dedup.componentsOf]]
+    * over the union of all delivered pairs — including deliveries
+    * whose pairs MERGE components across earlier batches.
+    */
+  def componentsFoldSink(pairs: DataFrame, storeDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fold = (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val prior = currentLabels(spark, storeDir).localCheckpoint(true)
+      val next = graft.operators.Dedup.componentsFold(prior,
+        batch.select(col("id1"), col("id2")))
+      next.write.mode("overwrite").parquet(s"$storeDir/gen-$batchId")
+    }
+    pairs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(fold)
+      .start()
+  }
+
   /** Streaming split assignment — the serve twin of
     * [[graft.operators.Curation.clusterAwareSplit]] (q213): each
     * arriving doc joins the STATIC cluster-label store (stream-static

@@ -731,6 +731,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming components fold == batch componentsOf across deliveries") {
+    import graft.operators.Dedup
+    import graft.streaming.DocStreams
+    val pDir = java.nio.file.Files
+      .createTempDirectory("graft-pairs-stream").toString
+    val sDir = java.nio.file.Files
+      .createTempDirectory("graft-labels-store").toString
+    val cDir = java.nio.file.Files
+      .createTempDirectory("graft-pairs-ckpt").toString
+    def labels() = DocStreams.currentLabels(spark, sDir)
+      .as[(Long, Long, Long)].collect().toSet
+    def scratch(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.componentsOf(pairs).as[(Long, Long, Long)].collect().toSet
+    // before any delivery: an empty typed store
+    assert(labels() === Set.empty)
+    val d1 = Seq((1L, 2L), (5L, 6L), (8L, 9L)).toDF("id1", "id2")
+    d1.write.mode("append").parquet(pDir)
+    val q = DocStreams.componentsFoldSink(
+      DocStreams.readPairs(spark, pDir), sDir, cDir)
+    try {
+      q.processAllAvailable()
+      assert(labels() === scratch(d1),
+        "after delivery 1 the store must equal components from scratch")
+      // delivery 2: bridge 2-5 MERGES two earlier components; 10-11 new
+      val d2 = Seq((2L, 5L), (10L, 11L)).toDF("id1", "id2")
+      d2.write.mode("append").parquet(pDir)
+      q.processAllAvailable()
+      val got = labels()
+      assert(got === scratch(d1.unionByName(d2)),
+        "after the merging delivery the store must equal from-scratch")
+      Seq(1L, 2L, 5L, 6L).foreach(id =>
+        assert(got.contains((id, 1L, 4L)),
+          s"cross-batch merged family wrong at $id"))
+      assert(got.contains((10L, 10L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming LM gate == served batch lmGateFrom across deliveries") {
     import graft.operators.NgramLm
     import graft.streaming.DocStreams
