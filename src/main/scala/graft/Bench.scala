@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Output contract:
   *  - stdout gets exactly one line — `{"metric":"total","value":…,
-  *    "unit":"sec","queries":{name: min sec},"sf":…,"runs":N}` plus
+  *    "unit":"sec","queries":{name: min sec},"cpu":{name: executor
+  *    cpu sec},"cpu_total_sec":…,"sf":…,"runs":N}` plus
   *    the composed/incremental scalars (`composed_build_sec`,
   *    `composed_serve_sec`, `ingest_boot_sec`, `ingest_delivery_sec`,
   *    `ingest_recal_sec`, `ingest_takedown_sec`)
@@ -300,7 +301,52 @@ object Bench {
           },
           timedAt("q156_from_model") {
             noop(graft.operators.TextAnalysis.nbScoreFrom(
-              rd(s"$tmp/nb_lm"), rd(s"$tmp/nb_consts"), docs)) })
+              rd(s"$tmp/nb_lm"), rd(s"$tmp/nb_consts"), docs)) },
+          timedAt("nb_scores_build") {
+            graft.operators.TextAnalysis.nbScoreFrom(
+                rd(s"$tmp/nb_lm"), rd(s"$tmp/nb_consts"), docs)
+              .select(col("doc_id"), col("llr_micro").as("score"))
+              .write.mode("overwrite").parquet(s"$tmp/nb_scores") },
+          // label-store family "maintain, don't rebuild": the
+          // q207/q208/q213/q220 contract entries rebuild pair graph +
+          // closure in-entry for the hash gate; production maintains
+          // a persisted LABEL STORE. The build leg prices the base
+          // closures once; the fold/retract legs price ONE delivery /
+          // ONE takedown of touched-component work off the persisted
+          // store, and the split/keeps consumers read it with zero
+          // closure cost — the measured touched-slice numbers for the
+          // components family
+          timedAt("labels_store_build") {
+            val b = graft.operators.Curation.hashBucket(col("id1"), 10)
+            Dedup.componentsOf(pairs().filter(b =!= 3))
+              .write.mode("overwrite").parquet(s"$tmp/labels_base")
+            Dedup.componentsOf(pairs())
+              .write.mode("overwrite").parquet(s"$tmp/labels_full")
+          },
+          timedAt("q207_fold_from_store") {
+            val b = graft.operators.Curation.hashBucket(col("id1"), 10)
+            noop(Dedup.componentsFold(rd(s"$tmp/labels_base"),
+              pairs().filter(b === 3)))
+          },
+          timedAt("q208_retract_from_store") {
+            val rm = docs.select(col("doc_id")).filter(
+              graft.operators.Curation.hashBucket(col("doc_id"), 7) === 3)
+            val surviving = pairs()
+              .join(rm.withColumnRenamed("doc_id", "id1"), Seq("id1"),
+                "left_anti")
+              .join(rm.withColumnRenamed("doc_id", "id2"), Seq("id2"),
+                "left_anti")
+            noop(Dedup.componentsRetract(rd(s"$tmp/labels_full"), pairs(),
+              surviving, rm))
+          },
+          timedAt("q213_split_from_store") {
+            noop(graft.operators.Curation.clusterAwareSplit(docs,
+              rd(s"$tmp/labels_full")))
+          },
+          timedAt("q220_keeps_from_store") {
+            noop(Dedup.clusterKeepsByScore(rd(s"$tmp/labels_full"),
+              rd(s"$tmp/nb_scores")))
+          })
         rmTree(tmp.toFile)
         out
       }
@@ -442,8 +488,17 @@ object Bench {
     // omitted_n (how many) and min_printed_sec (the cheapest query
     // that DID print, i.e. everything omitted ran faster than this).
     // bench_detail.json always carries all queries at full precision.
+    // per-query executor cpu rides the headline beside the wall map
+    // (same subset, 1 decimal): wall up with cpu flat reads as host
+    // noise, wall up WITH cpu up reads as a plan regression — the
+    // driver artifact alone distinguishes them without cross-
+    // referencing BASELINE.md. cpu_total_sec always prints even when
+    // the budget elides the dicts.
+    val cpuTotal = results.map(_._2.cpuSec).filter(_ >= 0).sum
     def lineFor(subset: Seq[(String, Stat)], digits: Int): String = {
       val qs = subset.map { case (k, st) => "\"" + k + "\":" + fmt(st.min, digits) }
+        .mkString("{", ",", "}")
+      val cpu = subset.map { case (k, st) => "\"" + k + "\":" + fmt(st.cpuSec, 1) }
         .mkString("{", ",", "}")
       val omitted = results.size - subset.size
       val omitTag =
@@ -454,7 +509,8 @@ object Bench {
           s""","omitted_n":$omitted,"min_printed_sec":${fmt(minPrinted, 2)}"""
         }
       s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec",""" +
-        s""""queries":$qs,"sf":"$sfDir","runs":$repeats""" +
+        s""""queries":$qs,"cpu":$cpu,""" +
+        s""""cpu_total_sec":${fmt(cpuTotal, 2)},"sf":"$sfDir","runs":$repeats""" +
         s"""$composedTag$ingestTag$carriedTag$omitTag}"""
     }
     val bySlowest = results.sortBy(-_._2.min)
