@@ -360,6 +360,17 @@ object TrainingEntries {
     // rounds + prune + final E-step (q225, the oracle replays the
     // whole training bit-for-bit incl. every Viterbi), and the
     // corpus priced in unigram subwords (q226)
+    // EXACT substring dedup via a distributed suffix array (Lee et
+    // al.'s exact method — the exactness completion of the fixed-k
+    // window family): maximal repeated spans of ANY length >= 5
+    // (q230), the per-doc exact-duplication profile (q231), and the
+    // full suffix + LCP arrays pinned bit-for-bit (q232)
+    "q230_suffix_repeats" -> q(t =>
+      graft.operators.SuffixArray.repeatedSpans(t.documents)),
+    "q231_doc_repeats"   -> q(t =>
+      graft.operators.SuffixArray.docRepeatProfile(t.documents)),
+    "q232_suffix_array"  -> q(t =>
+      graft.operators.SuffixArray.suffixArrayWithLcp(t.documents)),
     "q224_unigram_seed"  -> q(t =>
       Unigram.seedPieces(Unigram.wordTable(t.documents))),
     "q225_unigram_train" -> q(t => Unigram.unigramTrain(t.documents)),
@@ -2042,6 +2053,72 @@ object TrainingEntries {
        |          FROM ugpr p LEFT JOIN uge3cnt c USING (piece)
        |          JOIN ugs3 s ON s.piece = p.piece)""".stripMargin
 
+  /** Suffix-array CTEs — mirrors graft.operators.SuffixArray: token
+    * positions per doc, dense-rank prefix doubling (MaxDoubling
+    * levels, −1 past-end padding), the suffix array as row_number
+    * over (final rank, doc_id, pos), the adjacent-pair LCP descent
+    * down the SAME levels, and the remainder clamp. Callers read
+    * `slcp(idx, l, a_doc, a_pos, b_doc, b_pos)` and
+    * `sfull(idx, doc_id, pos, lcp_prev)`.
+    */
+  private lazy val suffixCtes: String = {
+    val top = graft.operators.SuffixArray.MaxDoubling
+    val sb = new StringBuilder
+    sb.append(
+      s"""sdoc AS (SELECT doc_id, string_split($norm, ' ') AS toks
+         |         FROM documents WHERE length($norm) > 0),
+         |spos AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    toks[CAST(i AS INTEGER)] AS tok
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(generate_series(1, len(toks))) AS i FROM sdoc)),
+         |slen AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM sdoc),
+         |sr0 AS MATERIALIZED (SELECT p.doc_id, p.pos, d.r
+         |  FROM spos p JOIN (SELECT tok,
+         |      CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS r
+         |    FROM (SELECT DISTINCT tok FROM spos)) d USING (tok))""".stripMargin)
+    for (m <- 1 to top) {
+      val shift = 1L << (m - 1)
+      sb.append(s""",
+        |sr$m AS MATERIALIZED (SELECT doc_id, pos,
+        |    CAST(dense_rank() OVER (ORDER BY r, r2) AS BIGINT) AS r
+        |  FROM (SELECT a.doc_id, a.pos, a.r, COALESCE(b.r, -1) AS r2
+        |        FROM sr${m - 1} a LEFT JOIN sr${m - 1} b
+        |          ON b.doc_id = a.doc_id AND b.pos = a.pos + $shift))""".stripMargin)
+    }
+    sb.append(s""",
+      |ssa AS MATERIALIZED (SELECT
+      |    CAST(row_number() OVER (ORDER BY r, doc_id, pos) AS BIGINT)
+      |      AS idx,
+      |    doc_id, pos
+      |  FROM sr$top),
+      |sp${top + 1} AS (SELECT a.idx, a.doc_id AS a_doc, a.pos AS a_pos,
+      |        b.doc_id AS b_doc, b.pos AS b_pos, CAST(0 AS BIGINT) AS l
+      |      FROM ssa a JOIN ssa b ON b.idx = a.idx + 1)""".stripMargin)
+    for (m <- top to 0 by -1) {
+      val shift = 1L << m
+      sb.append(s""",
+        |sp$m AS (SELECT p.idx, p.a_doc, p.a_pos, p.b_doc, p.b_pos,
+        |    CASE WHEN COALESCE(ra.r, -1) = COALESCE(rb.r, -2)
+        |         THEN p.l + $shift ELSE p.l END AS l
+        |  FROM sp${m + 1} p
+        |  LEFT JOIN sr$m ra ON ra.doc_id = p.a_doc
+        |    AND ra.pos = p.a_pos + p.l
+        |  LEFT JOIN sr$m rb ON rb.doc_id = p.b_doc
+        |    AND rb.pos = p.b_pos + p.l)""".stripMargin)
+    }
+    sb.append(s""",
+      |slcp AS MATERIALIZED (SELECT p.idx,
+      |    LEAST(p.l, la.n - p.a_pos + 1, lb.n - p.b_pos + 1) AS l,
+      |    p.a_doc, p.a_pos, p.b_doc, p.b_pos
+      |  FROM sp0 p JOIN slen la ON la.doc_id = p.a_doc
+      |  JOIN slen lb ON lb.doc_id = p.b_doc),
+      |sfull AS (SELECT s.idx, s.doc_id, s.pos,
+      |    CAST(COALESCE(c.l, 0) AS BIGINT) AS lcp_prev
+      |  FROM ssa s LEFT JOIN (SELECT idx + 1 AS idx, l FROM slcp) c
+      |  USING (idx))""".stripMargin)
+    sb.toString
+  }
+
   /** Logistic-regression CTEs — mirrors graft.operators.Logistic:
     * nbCtes' source labels and md5 buckets, the 5 capped integer
     * features, then `Logistic.Steps` unrolled full-batch gradient
@@ -2544,6 +2621,36 @@ object TrainingEntries {
          |      CAST(SUM(cls) AS BIGINT) AS n_pos
          |      FROM lrsm GROUP BY 1)
          |ORDER BY bin""".stripMargin,
+
+    // Mirrors SuffixArray.repeatedSpans: adjacent suffix pairs with
+    // clamped LCP >= 5
+    "q230_suffix_repeats" ->
+      s"""WITH $suffixCtes
+         |SELECT a_doc AS doc1, a_pos AS pos1, b_doc AS doc2,
+         |  b_pos AS pos2, CAST(l AS BIGINT) AS lcp
+         |FROM slcp WHERE l >= 5
+         |ORDER BY doc1, pos1, doc2, pos2""".stripMargin,
+
+    // Mirrors SuffixArray.docRepeatProfile: per-position best
+    // neighbor LCP (the classic max-of-adjacent property), per-doc
+    // aggregate
+    "q231_doc_repeats" ->
+      s"""WITH $suffixCtes,
+         |snxt AS (SELECT idx - 1 AS idx, lcp_prev AS lcp_next FROM sfull)
+         |SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN GREATEST(f.lcp_prev,
+         |      COALESCE(n.lcp_next, 0)) >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_pos,
+         |  CAST(MAX(GREATEST(f.lcp_prev, COALESCE(n.lcp_next, 0)))
+         |    AS BIGINT) AS max_lcp
+         |FROM sfull f LEFT JOIN snxt n USING (idx)
+         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+
+    // Mirrors SuffixArray.suffixArrayWithLcp: the complete arrays
+    "q232_suffix_array" ->
+      s"""WITH $suffixCtes
+         |SELECT idx, doc_id, pos, lcp_prev FROM sfull
+         |ORDER BY idx""".stripMargin,
 
     // Mirrors Unigram.wordTable ∘ seedPieces: the substring seed vocab
     "q224_unigram_seed" ->
