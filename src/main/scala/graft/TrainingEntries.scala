@@ -73,6 +73,16 @@ object TrainingEntries {
     "q223_frame_decode"  -> q(t =>
       Multimodal.videoFrameFeatures(
         Multimodal.synthesizeMediaFiles(t.documents))),
+    // Real media TRANSFORMS (decode → resample → re-encode), gated
+    // through the decode audits over the rewritten bytes: nearest-
+    // neighbor image resize (q233) and PCM resample (q234) — integer
+    // index math, so the oracle regenerates the resampled content
+    "q233_bmp_resize"    -> q(t =>
+      Multimodal.bmpFeatures(Multimodal.resize(
+        Multimodal.synthesizeMediaFiles(t.documents), 8, 5))),
+    "q234_wav_resample"  -> q(t =>
+      Multimodal.wavFeatures(Multimodal.resampleWav(
+        Multimodal.synthesizeMediaFiles(t.documents), 8000))),
     // Curation: the selection/split steps between dedup and the
     // tokenizer — all md5-deterministic, hence hash-gated
     "q39_freq_rank"      -> q(t =>
@@ -2621,6 +2631,49 @@ object TrainingEntries {
          |      CAST(SUM(cls) AS BIGINT) AS n_pos
          |      FROM lrsm GROUP BY 1)
          |ORDER BY bin""".stripMargin,
+
+    // Mirrors Multimodal.resize(8,5) ∘ bmpFeatures: output pixel
+    // (x, y) reads source ((x·w) div 8, (y·h) div 5) of the original
+    // synthesis formulas — decode → resample → re-encode → decode
+    // collapses to pure index arithmetic
+    "q233_bmp_resize" ->
+      """WITH img AS (SELECT doc_id AS media_id, 4 + doc_id % 5 AS w,
+        |               3 + doc_id % 4 AS h
+        |             FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT media_id,
+        |         (media_id + 7*sp) % 256 AS r,
+        |         (2*media_id + 11*sp) % 256 AS g,
+        |         (5*media_id + 13*sp) % 256 AS b
+        |       FROM (SELECT media_id,
+        |               (((p // 8) * h) // 5) * w + (((p % 8) * w) // 8)
+        |                 AS sp
+        |             FROM (SELECT media_id, w, h,
+        |                     unnest(generate_series(0, 39)) AS p
+        |                   FROM img)))
+        |SELECT media_id, CAST(8 AS BIGINT) AS width,
+        |  CAST(5 AS BIGINT) AS height,
+        |  CAST(SUM(r) AS BIGINT) AS r_sum, CAST(SUM(g) AS BIGINT) AS g_sum,
+        |  CAST(SUM(b) AS BIGINT) AS b_sum,
+        |  CAST(SUM(299*r + 587*g + 114*b) AS BIGINT) AS luma_sum
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // Mirrors Multimodal.resampleWav(8000) ∘ wavFeatures: 16 kHz
+    // mono halves to n div 2 samples, output i reads source 2i
+    "q234_wav_resample" ->
+      """WITH aud AS (SELECT doc_id AS media_id, 64 + doc_id % 64 AS n
+        |             FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT media_id,
+        |        (media_id * 1103 + (2*i) * 52457) % 65536 - 32768 AS v
+        |      FROM (SELECT media_id,
+        |              unnest(generate_series(0, n // 2 - 1)) AS i
+        |            FROM aud))
+        |SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(SUM(v) AS BIGINT) AS s_sum,
+        |  CAST(SUM(abs(v)) AS BIGINT) AS s_abs_sum,
+        |  CAST(MIN(v) AS BIGINT) AS s_min, CAST(MAX(v) AS BIGINT) AS s_max,
+        |  CAST(SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        |FROM s GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     // Mirrors SuffixArray.repeatedSpans: adjacent suffix pairs with
     // clamped LCP >= 5

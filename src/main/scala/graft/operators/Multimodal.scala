@@ -277,8 +277,13 @@ object Multimodal {
     media.filter(_.modality == "audio").map { r =>
       val w = MediaCodec.decodeWavPcm16(r.bytes)
       val s = w.samples.map(_.toLong)
-      (r.media_id, s.length.toLong, w.sampleRate.toLong, s.sum,
-        s.map(math.abs).sum, s.min, s.max, s.count(_ < 0).toLong)
+      // a zero-sample file is a LEGAL wav (empty data chunk): report
+      // zero extrema instead of crashing the batch on an empty min
+      if (s.isEmpty)
+        (r.media_id, 0L, w.sampleRate.toLong, 0L, 0L, 0L, 0L, 0L)
+      else
+        (r.media_id, s.length.toLong, w.sampleRate.toLong, s.sum,
+          s.map(math.abs).sum, s.min, s.max, s.count(_ < 0).toLong)
     }.toDF("media_id", "n_samples", "sample_rate", "s_sum", "s_abs_sum",
       "s_min", "s_max", "n_neg")
   }
@@ -371,15 +376,53 @@ object Multimodal {
         col("n_copies"))
   }
 
-  /** Resize stub for images: metadata-only transform (real impl
-    * rewrites bytes; the pipeline contract — same row count, updated
-    * meta — is what downstream stages depend on).
+  /** REAL image resize: decode the BMP, nearest-neighbor resample to
+    * w×h (output pixel (x, y) reads source ((x·srcW) div w,
+    * (y·srcH) div h) — pure integer index math, so the q233 oracle
+    * regenerates the resampled pixels from the synthesis formulas),
+    * re-encode, and update the metadata. Non-image rows pass through
+    * untouched. Narrow per-row transform — decode/encode never leave
+    * the scan stage.
     */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    require(w > 0 && h > 0, s"degenerate ${w}x$h resize target")
     import media.sparkSession.implicits._
     media.map { r =>
-      if (r.modality == "image") r.copy(meta = r.meta.copy(width = w, height = h))
-      else r
+      if (r.modality == "image") {
+        val b = MediaCodec.decodeBmp24(r.bytes)
+        val px = Array.tabulate(w * h) { p =>
+          val x = p % w
+          val y = p / w
+          b.pixels((y * b.height / h) * b.width + (x * b.width / w))
+        }
+        r.copy(bytes = MediaCodec.encodeBmp24(px, w, h),
+          meta = r.meta.copy(width = w, height = h))
+      } else r
+    }
+  }
+
+  /** REAL audio resample: decode the WAV, nearest-neighbor resample
+    * mono PCM to `outRate` (output length n' = (n·outRate) div
+    * srcRate, sample i reads source min((i·srcRate) div outRate,
+    * n−1) — integer index math, q234's oracle regenerates it),
+    * re-encode at the new rate. Non-audio rows pass through.
+    */
+  def resampleWav(media: Dataset[MediaRow], outRate: Int): Dataset[MediaRow] = {
+    require(outRate > 0, s"outRate=$outRate must be positive")
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (r.modality == "audio") {
+        val wv = MediaCodec.decodeWavPcm16(r.bytes)
+        val n = wv.samples.length
+        val outN = (n.toLong * outRate / wv.sampleRate).toInt
+        val out = Array.tabulate(outN)(i =>
+          wv.samples(math.min((i.toLong * wv.sampleRate / outRate).toInt,
+            n - 1)))
+        r.copy(bytes = MediaCodec.encodeWavPcm16(out, outRate),
+          meta = r.meta.copy(
+            durationMs = outN.toLong * 1000L / outRate,
+            sampleRate = outRate))
+      } else r
     }
   }
 

@@ -85,12 +85,40 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.media_id).toSet.subsetOf(videoIds))
   }
 
-  test("resize updates image metadata only") {
-    val resized = Multimodal.resize(media, 224, 224).collect()
-    assert(resized.filter(_.modality == "image")
-      .forall(r => r.meta.width === 224 && r.meta.height === 224))
-    assert(resized.filter(_.modality == "audio")
-      .forall(_.meta.width !== 224))
+  test("resize really resamples: known 4x2 image to 2x1, bytes re-encoded") {
+    // source pixels laid out so every nearest-neighbor read is
+    // distinguishable; target (2, 1): out x reads source (x*4) div 2,
+    // row 0 reads source row (0*2) div 1 = 0
+    val src = Array(0x010203, 0x040506, 0x070809, 0x0a0b0c,
+      0x111213, 0x141516, 0x171819, 0x1a1b1c)
+    val row = Multimodal.MediaRow(1L, "image",
+      MediaCodec.encodeBmp24(src, 4, 2), Multimodal.MediaMeta(4, 2, 0, 0))
+    val audio = Multimodal.MediaRow(2L, "audio",
+      MediaCodec.encodeWavPcm16(Array[Short](5, 6, 7), 16000),
+      Multimodal.MediaMeta(0, 0, 0, 16000))
+    val out = Multimodal.resize(Seq(row, audio).toDS(), 2, 1)
+      .collect().map(r => r.media_id -> r).toMap
+    val img = MediaCodec.decodeBmp24(out(1L).bytes)
+    assert(img.width === 2 && img.height === 1)
+    assert(img.pixels.toSeq === Seq(src(0), src(2)),
+      "nearest-neighbor must read source pixels (0,0) and (2,0)")
+    assert(out(1L).meta.width === 2 && out(1L).meta.height === 1)
+    // non-image rows pass through byte-identical
+    assert(out(2L).bytes.toSeq === audio.bytes.toSeq)
+  }
+
+  test("resampleWav halves 16 kHz to 8 kHz reading every other sample") {
+    val samples = Array[Short](10, -20, 30, -40, 50)
+    val row = Multimodal.MediaRow(1L, "audio",
+      MediaCodec.encodeWavPcm16(samples, 16000),
+      Multimodal.MediaMeta(0, 0, 0, 16000))
+    val out = Multimodal.resampleWav(Seq(row).toDS(), 8000)
+      .collect().head
+    val wv = MediaCodec.decodeWavPcm16(out.bytes)
+    assert(wv.sampleRate === 8000)
+    assert(wv.samples.toSeq === Seq[Short](10, 30),
+      "n div 2 samples, output i reads source 2i")
+    assert(out.meta.sampleRate === 8000)
   }
 
   // --- real codec tests: files assembled BY HAND, byte for byte,
