@@ -346,6 +346,24 @@ object Bench {
           timedAt("q220_keeps_from_store") {
             noop(Dedup.clusterKeepsByScore(rd(s"$tmp/labels_full"),
               rd(s"$tmp/nb_scores")))
+          },
+          // suffix-array family "build once, read the arrays": the
+          // q230/q231 contract entries rebuild the full SA+LCP
+          // in-entry for the hash gate (~16 s each at sf0.1);
+          // production persists the arrays once per corpus version
+          // (q232's output IS the artifact) and the repeat consumers
+          // pay one filtered pass each
+          timedAt("suffix_arrays_build") {
+            graft.operators.SuffixArray.suffixArrayWithLcp(docs)
+              .write.mode("overwrite").parquet(s"$tmp/sa_lcp")
+          },
+          timedAt("q230_from_arrays") {
+            noop(graft.operators.SuffixArray.repeatedSpansFromLcp(
+              rd(s"$tmp/sa_lcp")))
+          },
+          timedAt("q231_from_arrays") {
+            noop(graft.operators.SuffixArray.docRepeatProfileFromLcp(
+              rd(s"$tmp/sa_lcp")))
           })
         rmTree(tmp.toFile)
         out

@@ -181,9 +181,18 @@ object SuffixArray {
     * r times appears r−1 times here (its suffixes are consecutive in
     * the array) — pair-linear, never group-quadratic.
     */
-  def repeatedSpans(documents: DataFrame, minLen: Long = 5L): DataFrame = {
+  def repeatedSpans(documents: DataFrame, minLen: Long = 5L): DataFrame =
+    repeatedSpansFromLcp(
+      suffixArrayWithLcp(documents).localCheckpoint(true), minLen)
+
+  /** [[repeatedSpans]] off a PERSISTED [[suffixArrayWithLcp]] table —
+    * the production path: build the arrays once per corpus version,
+    * and every repeat consumer pays one lcp-filtered self-join of the
+    * artifact (the *From discipline of the pair-graph family).
+    */
+  def repeatedSpansFromLcp(withLcp: DataFrame,
+      minLen: Long = 5L): DataFrame = {
     require(minLen >= 1, s"minLen=$minLen must be >= 1")
-    val withLcp = suffixArrayWithLcp(documents).localCheckpoint(true)
     val prev = withLcp.select(($("idx") + 1).as("idx"),
       $("doc_id").as("doc1"), $("pos").as("pos1"))
     withLcp.filter($("lcp_prev") >= minLen)
@@ -201,9 +210,16 @@ object SuffixArray {
     * fixed-k dup_fraction profile (q111).
     */
   def docRepeatProfile(documents: DataFrame,
+      minLen: Long = 5L): DataFrame =
+    docRepeatProfileFromLcp(
+      suffixArrayWithLcp(documents).localCheckpoint(true), minLen)
+
+  /** [[docRepeatProfile]] off a persisted array table — see
+    * [[repeatedSpansFromLcp]].
+    */
+  def docRepeatProfileFromLcp(withLcp: DataFrame,
       minLen: Long = 5L): DataFrame = {
     require(minLen >= 1, s"minLen=$minLen must be >= 1")
-    val withLcp = suffixArrayWithLcp(documents).localCheckpoint(true)
     val nextLcp = withLcp.select(($("idx") - 1).as("idx"),
       $("lcp_prev").as("lcp_next"))
     withLcp.join(nextLcp, Seq("idx"), "left")
