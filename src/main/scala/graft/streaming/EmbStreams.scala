@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -27,6 +27,43 @@ object EmbStreams {
   /** File-based stream source over a parquet directory. */
   def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(embSchema).parquet(dir)
+
+  /** The media-asset schema as readStream needs it declared —
+    * [[graft.operators.Multimodal.MediaRow]]'s parquet shape (bytes
+    * BINARY, typed metadata struct).
+    */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("modality", StringType),
+    StructField("bytes", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("durationMs", LongType),
+      StructField("sampleRate", IntegerType))))))
+
+  /** File-based stream source over a parquet media-asset directory. */
+  def readMedia(spark: SparkSession,
+      dir: String): Dataset[graft.operators.Multimodal.MediaRow] = {
+    import spark.implicits._
+    spark.readStream.schema(mediaSchema).parquet(dir)
+      .as[graft.operators.Multimodal.MediaRow]
+  }
+
+  /** Streaming media decode + feature extraction: the REAL codec path
+    * ([[graft.operators.Multimodal.extractFeatures]] — WAV/BMP/
+    * BMP-container decode, stripe features, pseudo-feature fallback)
+    * over an asset firehose, UNCHANGED: decode is a narrow
+    * mapPartitions transform with no keyed state, so the batch
+    * operator runs on readStream as-is (the SimHash discipline) and
+    * an arriving asset is embedded the moment it lands. Twin
+    * contract (StreamingSpec): rows == batch extractFeatures on the
+    * same assets.
+    */
+  def mediaFeatureStream(
+      media: Dataset[graft.operators.Multimodal.MediaRow],
+      dim: Int = 64): DataFrame =
+    graft.operators.Multimodal.extractFeatures(media, dim).toDF()
 
   /** Streaming PQ encoding: (vec_id, codes) per arriving vector,
     * against the OFFLINE-trained codebook

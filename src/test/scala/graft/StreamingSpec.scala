@@ -731,6 +731,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming media decode == batch extractFeatures across deliveries") {
+    import graft.operators.Multimodal
+    import graft.streaming.EmbStreams
+    val docs = graft.sources.Tables(spark, dir).documents
+    val assets = Multimodal.synthesizeMediaFiles(docs).localCheckpoint(true)
+    val mDir = java.nio.file.Files
+      .createTempDirectory("graft-media-stream").toString
+    assets.filter($"media_id" % 2 === 0).write.mode("append").parquet(mDir)
+    val q = EmbStreams.mediaFeatureStream(EmbStreams.readMedia(spark, mDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("media_stream").start()
+    try {
+      q.processAllAvailable()
+      assets.filter($"media_id" % 2 === 1).write.mode("append").parquet(mDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("media_stream")
+      .as[(Long, String, Seq[Float])].collect()
+      .map(r => (r._1, r._2, r._3)).toSet
+    val want = Multimodal.extractFeatures(assets)
+      .collect().map(f => (f.media_id, f.modality, f.features.toSeq)).toSet
+    assert(got === want,
+      "streamed decode+features must equal the batch operator exactly")
+    assert(got.nonEmpty)
+  }
+
   test("streaming components fold == batch componentsOf across deliveries") {
     import graft.operators.Dedup
     import graft.streaming.DocStreams
