@@ -46,8 +46,9 @@ object MediaDemo {
     report("duplicate assets dropped",
       mediaDupGroups.agg(sum(col("n_copies") - 1)).head().getLong(0))
 
-    // 2. frame-level dedup across the video corpus
-    val frameGroups = Multimodal.frameDuplicates(media)
+    // 2. frame-level dedup across the video corpus (real container
+    //    walk + decode; pixels never shuffle)
+    val frameGroups = Multimodal.videoFrameDuplicates(media)
     report("distinct video frames", frameGroups.count())
     report("duplicate frames dropped",
       frameGroups.agg(sum(col("n_copies") - 1)).head().getLong(0))

@@ -294,11 +294,37 @@ object TrainingEntries {
     "q108_media_dedup"   -> q(t =>
       Multimodal.exactMediaDuplicates(
         Multimodal.synthesizeFromDocuments(t.documents))),
-    // Frame-level exact dedup over the sampled video frames — repeated
-    // intro/logo frames across titles; hex-string md5, bytes stay put
+    // Frame-level exact dedup over REAL container frames: the header
+    // walk locates each frame, the codec decodes it, and the
+    // fingerprint is the decoded pixel stream — repeated intro/logo
+    // frames across titles collapse even under byte-different
+    // encodings; pixels never shuffle
     "q109_frame_dedup"   -> q(t =>
-      Multimodal.frameDuplicates(
+      Multimodal.videoFrameDuplicates(
+        Multimodal.synthesizeMediaFiles(t.documents))),
+    // ... and the codec-INDEPENDENT fallback for formats without a
+    // container walk: exact dedup over fixed-256-byte chunks of the
+    // raw payload (hex-string md5, bytes stay put)
+    "q235_chunk_frame_dedup" -> q(t =>
+      Multimodal.chunkFrameDuplicates(
         Multimodal.synthesizeFromDocuments(t.documents))),
+    // Perceptual image hashing (dHash over decoded pixels): 64-bit
+    // integer difference hash per image, banded near-dup pairs over
+    // the store PLUS planted 2x nearest-neighbor upscales (id +
+    // 10^7) — the re-encoded/resized near-dups exact byte dedup
+    // misses; pigeonhole-complete at hamming <= 3, hot buckets
+    // capped (cap mirrored in the oracle)
+    "q236_image_dhash" -> q(t =>
+      Multimodal.imageDHashes(Multimodal.synthesizeMediaFiles(t.documents))),
+    "q237_image_neardups" -> q { t =>
+      val spark = t.spark
+      import spark.implicits._
+      val media = Multimodal.synthesizeMediaFiles(t.documents)
+      val up = Multimodal.upscale(media.filter(_.modality == "image"), 2)
+        .map(r => r.copy(media_id = r.media_id + 10000000L))
+      Multimodal.imageNearDuplicates(
+        Multimodal.imageDHashes(media.union(up)))
+    },
     // Two-phase salted aggregation over the documents source key: the
     // skew MITIGATION held to the same oracle standard as the q104
     // profiler — partial count on (source, salt), merged partials
@@ -381,6 +407,50 @@ object TrainingEntries {
       graft.operators.SuffixArray.docRepeatProfile(t.documents)),
     "q232_suffix_array"  -> q(t =>
       graft.operators.SuffixArray.suffixArrayWithLcp(t.documents)),
+    // INCREMENTAL maintenance for the suffix-repeat family (the one
+    // store that was still rebuild-only): the ≥-minLen repeat pairs
+    // decompose exactly by their shared first-5-token group, so the
+    // store is doc-local (fp, doc_id, pos) rows, a delivery dirties
+    // only the groups it touches, and fold == rebuild is gated by
+    // q230's collision-free suffix-CTE oracle. q241 folds the
+    // bucket-3 docs into a store built without them; q242 retracts a
+    // 1-in-7 takedown from the full store (gated over the survivors);
+    // q243 rebuilds q231's per-doc profile from the group stores —
+    // no arrays, no doubling, q231's oracle verbatim
+    "q241_suffix_fold" -> q { t =>
+      import graft.operators.SuffixArray
+      val b = Curation.hashBucket(col("doc_id"), 10)
+      val baseDocs = t.documents.filter(b =!= 3)
+      val delivery = t.documents.filter(b === 3)
+      val baseStore = SuffixArray.spanGroupStore(baseDocs)
+        .localCheckpoint(true)
+      val basePairs = SuffixArray.repeatedSpansWithKey(baseStore, baseDocs)
+        .localCheckpoint(true)
+      val folded = baseStore.unionByName(SuffixArray.spanGroupStore(delivery))
+      SuffixArray.repeatedSpansFold(basePairs, folded, delivery, t.documents)
+        .select(col("doc1"), col("pos1"), col("doc2"), col("pos2"),
+          col("lcp"))
+    },
+    "q242_suffix_retract" -> q { t =>
+      import graft.operators.SuffixArray
+      val rm = col("doc_id") % 7 === 3
+      val removed = t.documents.filter(rm)
+      val surviving = t.documents.filter(!rm)
+      val fullStore = SuffixArray.spanGroupStore(t.documents)
+        .localCheckpoint(true)
+      val basePairs = SuffixArray.repeatedSpansWithKey(fullStore, t.documents)
+        .localCheckpoint(true)
+      val survivingStore = fullStore.join(
+        removed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      SuffixArray.repeatedSpansRetract(basePairs, survivingStore, removed,
+          surviving)
+        .select(col("doc1"), col("pos1"), col("doc2"), col("pos2"),
+          col("lcp"))
+    },
+    "q243_suffix_doc_profile" -> q(t =>
+      graft.operators.SuffixArray.docRepeatProfileFromGroups(
+        graft.operators.SuffixArray.spanGroupStore(t.documents),
+        t.documents)),
     "q224_unigram_seed"  -> q(t =>
       Unigram.seedPieces(Unigram.wordTable(t.documents))),
     "q225_unigram_train" -> q(t => Unigram.unigramTrain(t.documents)),
@@ -495,7 +565,7 @@ object TrainingEntries {
     // Discriminative twin of the NB family: logistic regression by
     // aggregation-only gradient steps (q227 weights, q228 held-out
     // scores, q229 the q214-protocol reliability table) — the oracle
-    // replays all 8 steps bit-for-bit
+    // replays all Logistic.Steps gradient steps bit-for-bit
     "q227_lr_weights" -> q(t =>
       Logistic.weightsDf(t.documents,
         posSources = Seq("src0", "src1", "src2"),
@@ -506,6 +576,23 @@ object TrainingEntries {
         negSources = Seq("src3", "src4", "src5"))),
     "q229_lr_reliability" -> q(t =>
       Logistic.reliability(t.documents,
+        posSources = Seq("src0", "src1", "src2"),
+        negSources = Seq("src3", "src4", "src5"))),
+    // The EXTENDED vector — the engine's own signals as features
+    // (bigram-LM perplexity, gopher passes, dup-span percent, all
+    // integers on the shared <= 100 scale): the classifier a real
+    // curation pipeline trains; LogisticSpec pins its held-out
+    // accuracy win over the surface-only vector
+    "q238_lrx_weights" -> q(t =>
+      Logistic.weightsDfExtended(t.documents,
+        posSources = Seq("src0", "src1", "src2"),
+        negSources = Seq("src3", "src4", "src5"))),
+    "q239_lrx_scores" -> q(t =>
+      Logistic.scoresExtended(t.documents,
+        posSources = Seq("src0", "src1", "src2"),
+        negSources = Seq("src3", "src4", "src5"))),
+    "q240_lrx_reliability" -> q(t =>
+      Logistic.reliabilityExtended(t.documents,
         posSources = Seq("src0", "src1", "src2"),
         negSources = Seq("src3", "src4", "src5"))),
     // Held-out confusion matrix for q156's classifier: train on md5
@@ -1217,7 +1304,14 @@ object TrainingEntries {
     "q203_lm_gate_served"          -> "q202_lm_gate",
     // label-store fold: carry-over + touched-component recompute ==
     // components of the union pair set — q51's closure SQL verbatim
-    "q207_components_fold"         -> "q51_dup_clusters")
+    "q207_components_fold"         -> "q51_dup_clusters",
+    // span-group fold: carried untouched groups + recomputed touched
+    // groups == the full-corpus maximal-repeat pairs — q230's
+    // collision-free suffix-CTE oracle gates the maintenance verbatim
+    "q241_suffix_fold"             -> "q230_suffix_repeats",
+    // per-doc repeat profile off the group stores (no arrays, no
+    // doubling) == the array path — q231's oracle verbatim
+    "q243_suffix_doc_profile"      -> "q231_doc_repeats")
 
   /** Normalized text, DuckDB dialect (the 'g' flag is required —
     * DuckDB's regexp_replace is single-match by default, Spark's is
@@ -2037,8 +2131,10 @@ object TrainingEntries {
   }
 
   /** The full unigram training replay — mirrors Unigram.unigramTrain:
-    * seed → EM round 1 → EM round 2 → prune (chars + top 96 used
-    * multi-char) → final E-step. `ugfin(piece, cnt, lnp)`.
+    * seed → EM round 1 → EM round 2 → LOSS-DELTA prune (chars + top
+    * 96 used multi-char by removal cost delta = freq·(lnp − Σ char
+    * lnp) under the round-2 scores — Unigram.pruneByLossDelta) →
+    * final E-step. `ugfin(piece, cnt, lnp)`.
     */
   private lazy val unigramTrainCtes: String =
     s"""$unigramBaseCtes,
@@ -2050,13 +2146,24 @@ object TrainingEntries {
        |${unigramViterbiCtes("uge2", "ugs2")},
        |ugf2 AS (SELECT v.piece, COALESCE(c.freq, 0) AS freq
        |         FROM ugseed v LEFT JOIN uge2cnt c USING (piece)),
+       |${unigramScoreCte("ugsd", "ugf2")},
+       |ugdel AS (SELECT s.piece, s.c AS freq,
+       |    s.c * (s.lnp - cs.sumc) AS delta
+       |  FROM ugsd s JOIN (
+       |    SELECT e.piece, CAST(SUM(ch.lnp) AS BIGINT) AS sumc
+       |    FROM (SELECT piece, substr(piece, CAST(i AS INTEGER), 1) AS c1
+       |          FROM (SELECT piece,
+       |                  unnest(generate_series(1, length(piece))) AS i
+       |                FROM ugf2 WHERE length(piece) >= 2)) e
+       |    JOIN ugsd ch ON ch.piece = e.c1
+       |    GROUP BY e.piece) cs ON cs.piece = s.piece
+       |  WHERE length(s.piece) >= 2 AND s.c > 0),
        |ugpr AS MATERIALIZED (
        |  SELECT piece, freq FROM ugf2 WHERE length(piece) = 1
        |  UNION ALL
        |  SELECT piece, freq FROM (
-       |    SELECT piece, freq FROM ugf2
-       |    WHERE length(piece) >= 2 AND freq > 0
-       |    ORDER BY freq DESC, piece LIMIT 96)),
+       |    SELECT piece, freq FROM ugdel
+       |    ORDER BY delta DESC, piece LIMIT 96)),
        |${unigramScoreCte("ugs3", "ugpr")},
        |${unigramViterbiCtes("uge3", "ugs3")},
        |ugfin AS (SELECT p.piece, COALESCE(c.freq, 0) AS cnt, s.lnp
@@ -2064,24 +2171,36 @@ object TrainingEntries {
        |          JOIN ugs3 s ON s.piece = p.piece)""".stripMargin
 
   /** Suffix-array CTEs — mirrors graft.operators.SuffixArray: token
-    * positions per doc, dense-rank prefix doubling (MaxDoubling
+    * positions per doc, dense-rank prefix doubling (OracleDoubling
     * levels, −1 past-end padding), the suffix array as row_number
     * over (final rank, doc_id, pos), the adjacent-pair LCP descent
     * down the SAME levels, and the remainder clamp. Callers read
     * `slcp(idx, l, a_doc, a_pos, b_doc, b_pos)` and
-    * `sfull(idx, doc_id, pos, lcp_prev)`.
+    * `sfull(idx, doc_id, pos, lcp_prev)`. The engine derives its
+    * level count from the corpus (exact at any doc length); this
+    * static unroll is exact only up to 2^OracleDoubling-token docs,
+    * so `sguard` ERRORS (never silently truncates) past that bound —
+    * consumers must keep `WHERE (SELECT ok FROM sguard) = 0` (or
+    * equivalent) so the guard is evaluated.
     */
-  private lazy val suffixCtes: String = {
-    val top = graft.operators.SuffixArray.MaxDoubling
+  private def suffixCtesWhere(docFilter: String): String = {
+    val top = graft.operators.SuffixArray.OracleDoubling
+    val bound = 1L << top
     val sb = new StringBuilder
     sb.append(
       s"""sdoc AS (SELECT doc_id, string_split($norm, ' ') AS toks
-         |         FROM documents WHERE length($norm) > 0),
+         |         FROM documents
+         |         WHERE length($norm) > 0 AND ($docFilter)),
          |spos AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
          |    toks[CAST(i AS INTEGER)] AS tok
          |  FROM (SELECT doc_id, toks,
          |          unnest(generate_series(1, len(toks))) AS i FROM sdoc)),
          |slen AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM sdoc),
+         |sguard AS (SELECT CASE WHEN MAX(n) > $bound THEN
+         |      CAST(error('suffix oracle unrolls $top doubling levels, ' ||
+         |        'exact only for docs <= $bound tokens; corpus max is ' ||
+         |        MAX(n)) AS BIGINT)
+         |    ELSE 0 END AS ok FROM slen),
          |sr0 AS MATERIALIZED (SELECT p.doc_id, p.pos, d.r
          |  FROM spos p JOIN (SELECT tok,
          |      CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS r
@@ -2129,77 +2248,147 @@ object TrainingEntries {
     sb.toString
   }
 
+  private lazy val suffixCtes: String = suffixCtesWhere("TRUE")
+
   /** Logistic-regression CTEs — mirrors graft.operators.Logistic:
     * nbCtes' source labels and md5 buckets, the 5 capped integer
     * features, then `Logistic.Steps` unrolled full-batch gradient
     * steps (exact integer margins, floor-through-double sigmoid and
     * learning-rate division — the shared spellings). Callers read
-    * `lrw8(j, w)` (final weights) and `lrsm(doc_id, cls, margin)`
+    * `lrw<Steps>(j, w)` (final weights) and `lrsm(doc_id, cls, margin)`
     * (held-out margins).
     */
-  private lazy val lrCtes: String = {
+  /** The labeled slice + the 5 SURFACE features — `lrlab` and
+    * `lrfw(doc_id, cls, b, f0..f4)`, the base of both LR vectors.
+    */
+  private lazy val lrFeatBase: String =
+    s"""lrlab AS (SELECT doc_id,
+       |    CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END
+       |      AS cls,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % 10 AS b,
+       |    $norm AS norm
+       |  FROM documents
+       |  WHERE source IN ('src0','src1','src2','src3','src4','src5')),
+       |lrfw AS MATERIALIZED (SELECT doc_id, cls, b,
+       |    CAST(1 AS BIGINT) AS f0,
+       |    LEAST(n_tok, 100) AS f1,
+       |    LEAST(n_uniq, 100) AS f2,
+       |    LEAST(n_chars // GREATEST(n_tok, 1), 20) AS f3,
+       |    (100 * n_uniq) // GREATEST(n_tok, 1) AS f4
+       |  FROM (SELECT doc_id, cls, b,
+       |      CAST(CASE WHEN length(norm) = 0 THEN 0
+       |           ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tok,
+       |      CAST(CASE WHEN length(norm) = 0 THEN 0
+       |           ELSE len(list_distinct(string_split(norm, ' '))) END
+       |        AS BIGINT) AS n_uniq,
+       |      CAST(length(norm) AS BIGINT) AS n_chars
+       |    FROM lrlab))""".stripMargin
+
+  /** The unrolled gradient-descent chain over a feature table
+    * `${pre}fw(doc_id, cls, b, f0..f{d-1})`: `Logistic.Steps` steps
+    * of exact integer margins, floor-through-double sigmoid and
+    * learning-rate division (the shared spellings). Emits
+    * `${pre}w<Steps>(j, w)` (final weights) and `${pre}sm(doc_id,
+    * cls, margin)` (held-out margins).
+    */
+  private def lrStepCtes(pre: String, d: Int): String = {
     val sb = new StringBuilder
+    val fw = s"${pre}fw"
     sb.append(
-      s"""lrlab AS (SELECT doc_id,
-         |    CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END
-         |      AS cls,
-         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-         |      AS BIGINT) % 10 AS b,
-         |    $norm AS norm
-         |  FROM documents
-         |  WHERE source IN ('src0','src1','src2','src3','src4','src5')),
-         |lrfw AS MATERIALIZED (SELECT doc_id, cls, b,
-         |    CAST(1 AS BIGINT) AS f0,
-         |    LEAST(n_tok, 100) AS f1,
-         |    LEAST(n_uniq, 100) AS f2,
-         |    LEAST(n_chars // GREATEST(n_tok, 1), 20) AS f3,
-         |    (100 * n_uniq) // GREATEST(n_tok, 1) AS f4
-         |  FROM (SELECT doc_id, cls, b,
-         |      CAST(CASE WHEN length(norm) = 0 THEN 0
-         |           ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tok,
-         |      CAST(CASE WHEN length(norm) = 0 THEN 0
-         |           ELSE len(list_distinct(string_split(norm, ' '))) END
-         |        AS BIGINT) AS n_uniq,
-         |      CAST(length(norm) AS BIGINT) AS n_chars
-         |    FROM lrlab)),
-         |lrtr AS MATERIALIZED (${(0 to 4).map(j =>
-              s"SELECT doc_id, cls, CAST($j AS BIGINT) AS j, f$j AS v " +
-                "FROM lrfw WHERE b <= 7").mkString("\n  UNION ALL ")}),
-         |lrn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
-         |        FROM lrfw WHERE b <= 7),
-         |lrw0 AS (SELECT CAST(unnest([0,1,2,3,4]) AS BIGINT) AS j,
+      s"""${pre}tr AS MATERIALIZED (${(0 until d).map(j =>
+            s"SELECT doc_id, cls, CAST($j AS BIGINT) AS j, f$j AS v " +
+              s"FROM $fw WHERE b <= 7").mkString("\n  UNION ALL ")}),
+         |${pre}n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+         |        FROM $fw WHERE b <= 7),
+         |${pre}w0 AS (SELECT CAST(unnest([${(0 until d).mkString(",")}])
+         |           AS BIGINT) AS j,
          |         CAST(0 AS BIGINT) AS w)""".stripMargin)
     for (s <- 1 to graft.operators.Logistic.Steps) {
-      val p = s"lrw${s - 1}"
+      val p = s"${pre}w${s - 1}"
       sb.append(s""",
-        |lrm$s AS (SELECT f.doc_id, f.cls,
+        |${pre}m$s AS (SELECT f.doc_id, f.cls,
         |            CAST(SUM(f.v * w.w) AS BIGINT) AS mm
-        |          FROM lrtr f JOIN $p w ON w.j = f.j
+        |          FROM ${pre}tr f JOIN $p w ON w.j = f.j
         |          GROUP BY f.doc_id, f.cls),
-        |lrp$s AS (SELECT doc_id,
+        |${pre}p$s AS (SELECT doc_id,
         |            CAST(floor(1000000.0 / (1.0 +
         |              exp(-(CAST(mm AS DOUBLE) / 1000000.0)))) AS BIGINT)
         |            - cls * 1000000 AS resid
-        |          FROM lrm$s),
-        |lrg$s AS (SELECT f.j, CAST(SUM(p.resid * f.v) AS BIGINT) AS g
-        |          FROM lrtr f JOIN lrp$s p ON p.doc_id = f.doc_id
+        |          FROM ${pre}m$s),
+        |${pre}g$s AS (SELECT f.j, CAST(SUM(p.resid * f.v) AS BIGINT) AS g
+        |          FROM ${pre}tr f JOIN ${pre}p$s p ON p.doc_id = f.doc_id
         |          GROUP BY f.j),
-        |lrw$s AS MATERIALIZED (SELECT w.j,
+        |${pre}w$s AS MATERIALIZED (SELECT w.j,
         |            w.w - CAST(floor(CAST(g.g AS DOUBLE) /
         |              (CAST(t.n AS DOUBLE) * ${graft.operators.Logistic.LrDiv})) AS BIGINT) AS w
-        |          FROM $p w JOIN lrg$s g ON g.j = w.j CROSS JOIN lrn t)""".stripMargin)
+        |          FROM $p w JOIN ${pre}g$s g ON g.j = w.j CROSS JOIN ${pre}n t)""".stripMargin)
     }
-    val last = s"lrw${graft.operators.Logistic.Steps}"
+    val last = s"${pre}w${graft.operators.Logistic.Steps}"
     sb.append(s""",
-      |lrev AS (${(0 to 4).map(j =>
+      |${pre}ev AS (${(0 until d).map(j =>
            s"SELECT doc_id, cls, CAST($j AS BIGINT) AS j, f$j AS v " +
-             "FROM lrfw WHERE b >= 8").mkString("\n  UNION ALL ")}),
-      |lrsm AS (SELECT e.doc_id, e.cls,
+             s"FROM $fw WHERE b >= 8").mkString("\n  UNION ALL ")}),
+      |${pre}sm AS (SELECT e.doc_id, e.cls,
       |           CAST(SUM(e.v * w.w) AS BIGINT) AS margin
-      |         FROM lrev e JOIN $last w ON w.j = e.j
+      |         FROM ${pre}ev e JOIN $last w ON w.j = e.j
       |         GROUP BY e.doc_id, e.cls)""".stripMargin)
     sb.toString
   }
+
+  private lazy val lrCtes: String =
+    s"""$lrFeatBase,
+       |${lrStepCtes("lr", 5)}""".stripMargin
+
+  /** The EXTENDED-vector chain (q238-q240) — mirrors
+    * Logistic.featuresExtended: the surface features joined with the
+    * engine's own quality signals, each renormalized to the shared
+    * ≤ 100 integer scale: f5 = capped deci-nat bigram-LM avg NLL
+    * (q198's lmsc verbatim), f6 = Gopher rule passes (q77's four
+    * booleans, lx-prefixed spelling over the window family's `tok`),
+    * f7 = duplicated-span token percent (q111's cov/lens). Composes
+    * lmCtes + tokenWindowsCte + spanCoverageCtes, then the shared
+    * gradient chain at d = 8 under the `lrx` prefix.
+    */
+  private lazy val lrxCtes: String =
+    s"""${lmCtes(lmRefFilter)},
+       |$tokenWindowsCte,
+       |$spanCoverageCtes,
+       |$lrFeatBase,
+       |lxg AS (SELECT doc_id,
+       |    CAST((n_words >= 50 AND n_words <= 100000) AS BIGINT) +
+       |    CAST((mwl >= 3000000 AND mwl <= 10000000) AS BIGINT) +
+       |    CAST((ufm >= 300000) AS BIGINT) +
+       |    CAST((stop_count >= 2) AS BIGINT) AS gopher_ok
+       |  FROM (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |      CAST(CASE WHEN n_words = 0 THEN 0
+       |        ELSE round(1e6 * total_len / n_words) END AS BIGINT) AS mwl,
+       |      CAST(CASE WHEN n_words = 0 THEN 0
+       |        ELSE round(1e6 * n_uniq / n_words) END AS BIGINT) AS ufm,
+       |      CAST(stop_count AS BIGINT) AS stop_count
+       |    FROM (SELECT doc_id, len(toks) AS n_words,
+       |        COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+       |          AS total_len,
+       |        len(list_distinct(toks)) AS n_uniq,
+       |        len(list_filter(toks, x -> x IN ('the','a','an','of','to',
+       |          'in','and','is','be','that'))) AS stop_count
+       |      FROM (SELECT doc_id,
+       |          list_filter(string_split($norm, ' '),
+       |            x -> length(x) > 0) AS toks
+       |        FROM documents)))),
+       |lrxfw AS MATERIALIZED (SELECT f.doc_id, f.cls, f.b,
+       |    f.f0, f.f1, f.f2, f.f3, f.f4,
+       |    LEAST(COALESCE(lm.avg_nll_micro, 0) // 100000, 100) AS f5,
+       |    COALESCE(g.gopher_ok, 0) AS f6,
+       |    CASE WHEN l.n_tokens IS NULL THEN 0
+       |      ELSE (100 * COALESCE(c.dup_tokens, 0)) // l.n_tokens END
+       |      AS f7
+       |  FROM lrfw f
+       |  LEFT JOIN lmsc lm ON lm.doc_id = f.doc_id
+       |  LEFT JOIN lxg g ON g.doc_id = f.doc_id
+       |  LEFT JOIN lens l ON l.doc_id = f.doc_id
+       |  LEFT JOIN cov c ON c.doc_id = f.doc_id),
+       |${lrStepCtes("lrx", 8)}""".stripMargin
 
   /** Product-quantization CTEs — mirrors Similarity.pqEncode: vectors
     * of width m·dsub split into m quantized subvectors; per-subspace
@@ -2253,6 +2442,70 @@ object TrainingEntries {
       |         WHERE arn = 1)""".stripMargin)
     sb.toString
   }
+
+  /** dHash CTEs — mirrors Multimodal.imageDHashes over the synthesized
+    * image store: per image (doc_id % 3 = 0, w = 4 + id%5,
+    * h = 3 + id%4), the 9x8 luma grid sampled at (gx·w div 9,
+    * gy·h div 8), integer BT.601 luma from the synthesis formulas,
+    * bit (gy·8 + gx) = 1 iff right neighbor's luma is greater, packed
+    * into 32-bit halves (no BIGINT shift ever reaches bit 63).
+    * Exposes `dh(media_id, dhash_lo, dhash_hi)`.
+    */
+  private lazy val dhashBaseCte: String =
+    """dimg AS (SELECT doc_id AS media_id, 4 + doc_id % 5 AS w,
+      |           3 + doc_id % 4 AS h
+      |         FROM documents WHERE doc_id % 3 = 0),
+      |dgrid AS (SELECT media_id, gx, gy,
+      |    ((gy * h) // 8) * w + (gx * w) // 9 AS p
+      |  FROM dimg, (SELECT unnest(generate_series(0, 8)) AS gx),
+      |       (SELECT unnest(generate_series(0, 7)) AS gy)),
+      |dluma AS (SELECT media_id, gx, gy,
+      |    299 * ((media_id + 7 * p) % 256) +
+      |    587 * ((2 * media_id + 11 * p) % 256) +
+      |    114 * ((5 * media_id + 13 * p) % 256) AS luma
+      |  FROM dgrid),
+      |dbits AS (SELECT a.media_id, a.gy * 8 + a.gx AS i,
+      |    CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+      |  FROM dluma a JOIN dluma n ON n.media_id = a.media_id
+      |    AND n.gy = a.gy AND n.gx = a.gx + 1
+      |  WHERE a.gx < 8),
+      |dh AS (SELECT media_id,
+      |    CAST(SUM(CASE WHEN i < 32 AND bit = 1
+      |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+      |      AS dhash_lo,
+      |    CAST(SUM(CASE WHEN i >= 32 AND bit = 1
+      |      THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT)
+      |      AS dhash_hi
+      |  FROM dbits GROUP BY media_id)""".stripMargin
+
+  /** The 2x-UPSCALED twin of [[dhashBaseCte]] (q237's planted
+    * near-dups, media_id + 10^7): honest replay of the composed
+    * sampling — the upscaled image's pixel (x, y) is the source's
+    * (x div 2, y div 2), so the grid sample at (gx·2w div 9,
+    * gy·2h div 8) reads source pixel ((gx·2w div 9) div 2,
+    * (gy·2h div 8) div 2). Exposes `dhup` with the same shape.
+    */
+  private lazy val dhashUpCte: String =
+    """dgridu AS (SELECT media_id, gx, gy,
+      |    (((gy * 2 * h) // 8) // 2) * w + ((gx * 2 * w) // 9) // 2 AS p
+      |  FROM dimg, (SELECT unnest(generate_series(0, 8)) AS gx),
+      |       (SELECT unnest(generate_series(0, 7)) AS gy)),
+      |dlumau AS (SELECT media_id, gx, gy,
+      |    299 * ((media_id + 7 * p) % 256) +
+      |    587 * ((2 * media_id + 11 * p) % 256) +
+      |    114 * ((5 * media_id + 13 * p) % 256) AS luma
+      |  FROM dgridu),
+      |dbitsu AS (SELECT a.media_id, a.gy * 8 + a.gx AS i,
+      |    CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+      |  FROM dlumau a JOIN dlumau n ON n.media_id = a.media_id
+      |    AND n.gy = a.gy AND n.gx = a.gx + 1
+      |  WHERE a.gx < 8),
+      |dhup AS (SELECT media_id + 10000000,
+      |    CAST(SUM(CASE WHEN i < 32 AND bit = 1
+      |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN i >= 32 AND bit = 1
+      |      THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT)
+      |  FROM dbitsu GROUP BY media_id)""".stripMargin
 
   /** Media-feature CTEs — mirrors synthesizeMediaFiles ∘ the REAL
     * MediaCodec decode ∘ stripe features: the decoded streams are
@@ -2598,7 +2851,7 @@ object TrainingEntries {
         |  CAST(SUM(b) AS BIGINT) AS b_sum
         |FROM px GROUP BY media_id, f ORDER BY media_id, f""".stripMargin,
 
-    // Mirrors Logistic.weightsDf: the full 8-step gradient replay
+    // Mirrors Logistic.weightsDf: the full Logistic.Steps-step gradient replay
     "q227_lr_weights" ->
       s"""WITH $lrCtes
          |SELECT j, CASE j WHEN 0 THEN 'bias' WHEN 1 THEN 'tok_cap'
@@ -2630,6 +2883,41 @@ object TrainingEntries {
          |      CAST(COUNT(*) AS BIGINT) AS n_docs,
          |      CAST(SUM(cls) AS BIGINT) AS n_pos
          |      FROM lrsm GROUP BY 1)
+         |ORDER BY bin""".stripMargin,
+
+    // Mirrors Logistic.weightsDfExtended: the 8-feature gradient
+    // replay with the engine-signal features regenerated from their
+    // own oracle families (lmsc / gopher / span coverage)
+    "q238_lrx_weights" ->
+      s"""WITH $lrxCtes
+         |SELECT j, CASE j WHEN 0 THEN 'bias' WHEN 1 THEN 'tok_cap'
+         |    WHEN 2 THEN 'uniq_cap' WHEN 3 THEN 'len_ratio'
+         |    WHEN 4 THEN 'uniq_pct' WHEN 5 THEN 'lm_nll'
+         |    WHEN 6 THEN 'gopher_ok' ELSE 'dup_pct' END AS feature,
+         |  w AS w_micro
+         |FROM lrxw${graft.operators.Logistic.Steps} ORDER BY j""".stripMargin,
+
+    // Mirrors Logistic.scoresExtended
+    "q239_lrx_scores" ->
+      s"""WITH $lrxCtes
+         |SELECT doc_id, margin AS margin_micro,
+         |  CAST(floor(1000000.0 / (1.0 +
+         |    exp(-(CAST(margin AS DOUBLE) / 1000000.0)))) AS BIGINT)
+         |    AS p_micro,
+         |  CAST(CASE WHEN margin > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS pred_pos
+         |FROM lrxsm ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Logistic.reliabilityExtended (q214's protocol)
+    "q240_lrx_reliability" ->
+      s"""WITH $lrxCtes
+         |SELECT bin, bin * 200000 AS margin_lo_micro, n_docs, n_pos,
+         |  (n_pos * 1000000) // n_docs AS pos_rate_micro
+         |FROM (SELECT CAST(floor(CAST(margin AS DOUBLE) / 200000.0)
+         |        AS BIGINT) AS bin,
+         |      CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |      CAST(SUM(cls) AS BIGINT) AS n_pos
+         |      FROM lrxsm GROUP BY 1)
          |ORDER BY bin""".stripMargin,
 
     // Mirrors Multimodal.resize(8,5) ∘ bmpFeatures: output pixel
@@ -2681,7 +2969,7 @@ object TrainingEntries {
       s"""WITH $suffixCtes
          |SELECT a_doc AS doc1, a_pos AS pos1, b_doc AS doc2,
          |  b_pos AS pos2, CAST(l AS BIGINT) AS lcp
-         |FROM slcp WHERE l >= 5
+         |FROM slcp WHERE l >= 5 AND (SELECT ok FROM sguard) = 0
          |ORDER BY doc1, pos1, doc2, pos2""".stripMargin,
 
     // Mirrors SuffixArray.docRepeatProfile: per-position best
@@ -2697,13 +2985,25 @@ object TrainingEntries {
          |  CAST(MAX(GREATEST(f.lcp_prev, COALESCE(n.lcp_next, 0)))
          |    AS BIGINT) AS max_lcp
          |FROM sfull f LEFT JOIN snxt n USING (idx)
+         |WHERE (SELECT ok FROM sguard) = 0
          |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
 
     // Mirrors SuffixArray.suffixArrayWithLcp: the complete arrays
     "q232_suffix_array" ->
       s"""WITH $suffixCtes
          |SELECT idx, doc_id, pos, lcp_prev FROM sfull
+         |WHERE (SELECT ok FROM sguard) = 0
          |ORDER BY idx""".stripMargin,
+
+    // Gates SuffixArray.repeatedSpansRetract: the maintained pairs
+    // after a 1-in-7 takedown == the from-scratch repeats of the
+    // SURVIVING corpus (q230's SQL over the survivor slice)
+    "q242_suffix_retract" ->
+      s"""WITH ${suffixCtesWhere("doc_id % 7 <> 3")}
+         |SELECT a_doc AS doc1, a_pos AS pos1, b_doc AS doc2,
+         |  b_pos AS pos2, CAST(l AS BIGINT) AS lcp
+         |FROM slcp WHERE l >= 5 AND (SELECT ok FROM sguard) = 0
+         |ORDER BY doc1, pos1, doc2, pos2""".stripMargin,
 
     // Mirrors Unigram.wordTable ∘ seedPieces: the substring seed vocab
     "q224_unigram_seed" ->
@@ -3698,10 +3998,40 @@ object TrainingEntries {
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1, 2 ORDER BY fp, modality""".stripMargin,
 
-    // Mirrors Multimodal.frameDuplicates: every 4th 256-byte chunk of
-    // each video payload = 512 hex chars of the q37 hex expansion;
-    // md5 over the hex STRING on both sides (encoding-independent)
+    // Mirrors Multimodal.videoFrameDuplicates: the oracle regenerates
+    // each decoded frame's canonical pixel stream ('8x6:' + r,g,b in
+    // raster order) straight from the synthesis formulas — the hash
+    // gate therefore pins container walk + frame decode + dedup
     "q109_frame_dedup" ->
+      """WITH vf AS (SELECT doc_id AS media_id,
+        |         unnest(generate_series(0, CAST(1 + doc_id % 3 AS BIGINT)))
+        |           AS frame_no
+        |       FROM documents WHERE doc_id % 3 = 2),
+        |px AS (SELECT media_id, frame_no, p,
+        |         (media_id + 17 * frame_no + 7 * p) % 256 AS r,
+        |         (2 * media_id + 17 * frame_no + 11 * p + 1) % 256 AS g,
+        |         (5 * media_id + 17 * frame_no + 13 * p + 2) % 256 AS b
+        |       FROM vf, (SELECT unnest(generate_series(0, 47)) AS p)),
+        |ffp AS (SELECT media_id, frame_no,
+        |          md5('8x6:' || string_agg(
+        |            CAST(r AS VARCHAR) || ',' || CAST(g AS VARCHAR) ||
+        |              ',' || CAST(b AS VARCHAR), ',' ORDER BY p)) AS fp
+        |        FROM px GROUP BY media_id, frame_no),
+        |r AS (SELECT fp, media_id, frame_no,
+        |        row_number() OVER (PARTITION BY fp
+        |          ORDER BY media_id, frame_no) AS rn,
+        |        COUNT(*) OVER (PARTITION BY fp) AS n_copies
+        |      FROM ffp)
+        |SELECT fp, media_id AS keep_media_id,
+        |  CAST(frame_no AS BIGINT) AS keep_frame_no,
+        |  CAST(n_copies AS BIGINT) AS n_copies
+        |FROM r WHERE rn = 1 ORDER BY fp""".stripMargin,
+
+    // Mirrors Multimodal.chunkFrameDuplicates (the codec-independent
+    // fallback): every 4th 256-byte chunk of each video payload = 512
+    // hex chars of the q37 hex expansion; md5 over the hex STRING on
+    // both sides (encoding-independent)
+    "q235_chunk_frame_dedup" ->
       """WITH vid AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
         |               octet_length(encode(text)) AS blen
         |             FROM documents WHERE doc_id % 3 = 2 AND
@@ -3723,6 +4053,50 @@ object TrainingEntries {
         |  CAST(frame_no AS BIGINT) AS keep_frame_no,
         |  CAST(n_copies AS BIGINT) AS n_copies
         |FROM r WHERE rn = 1 ORDER BY fp""".stripMargin,
+
+    // Mirrors Multimodal.imageDHashes: the 9x8 luma grid sampled with
+    // the resize index math, 64 difference bits packed into two
+    // 32-bit halves — every bit regenerated from the synthesis
+    // formulas
+    "q236_image_dhash" ->
+      s"""WITH $dhashBaseCte
+         |SELECT media_id, dhash_lo, dhash_hi FROM dh
+         |ORDER BY media_id""".stripMargin,
+
+    // Mirrors Multimodal.imageNearDuplicates over the store + its 2x
+    // upscaled copies (id + 10^7): 4x16-bit bands, buckets capped at
+    // 64, exact Hamming verify <= 3. The upscaled hashes REPLAY the
+    // composed double-floor sampling (upscaled pixel (x, y) = source
+    // (x div 2, y div 2)), so the gate also proves the upscale
+    // invariance the engine claims
+    "q237_image_neardups" ->
+      s"""WITH $dhashBaseCte,
+         |$dhashUpCte,
+         |allh AS (SELECT * FROM dh UNION ALL SELECT * FROM dhup),
+         |bands AS (SELECT media_id, band,
+         |    CASE band
+         |      WHEN 0 THEN dhash_lo % 65536
+         |      WHEN 1 THEN dhash_lo // 65536
+         |      WHEN 2 THEN dhash_hi % 65536
+         |      ELSE dhash_hi // 65536 END AS v
+         |  FROM allh, (SELECT unnest(generate_series(0, 3)) AS band)),
+         |cool AS (SELECT band, v FROM bands GROUP BY band, v
+         |         HAVING COUNT(*) <= 64),
+         |inc AS (SELECT b.media_id, b.band, b.v
+         |        FROM bands b JOIN cool c USING (band, v)),
+         |cand AS (SELECT DISTINCT a.media_id AS id1, b.media_id AS id2
+         |         FROM inc a JOIN inc b
+         |           ON b.band = a.band AND b.v = a.v
+         |           AND a.media_id < b.media_id)
+         |SELECT c.id1, c.id2,
+         |  CAST(bit_count(xor(h1.dhash_lo, h2.dhash_lo)) +
+         |       bit_count(xor(h1.dhash_hi, h2.dhash_hi)) AS BIGINT)
+         |    AS hamming
+         |FROM cand c JOIN allh h1 ON h1.media_id = c.id1
+         |JOIN allh h2 ON h2.media_id = c.id2
+         |WHERE bit_count(xor(h1.dhash_lo, h2.dhash_lo)) +
+         |      bit_count(xor(h1.dhash_hi, h2.dhash_hi)) <= 3
+         |ORDER BY id1, id2""".stripMargin,
 
     // Mirrors SkewJoin.saltedAgg over documents.source: salting is
     // pure partitioning — merged partial counts ARE the plain GROUP BY

@@ -184,7 +184,9 @@ object Multimodal {
         s"no BM magic at container offset $off")
       val size = (bytes(off + 2) & 0xff) | ((bytes(off + 3) & 0xff) << 8) |
         ((bytes(off + 4) & 0xff) << 16) | ((bytes(off + 5) & 0xff) << 24)
-      require(size >= 54 && off + size <= bytes.length,
+      // bound check in Long: a crafted size near Int.MaxValue would
+      // overflow off + size to negative and slip past an Int compare
+      require(size >= 54 && off.toLong + size.toLong <= bytes.length,
         s"frame at $off declares $size bytes, ${bytes.length - off} remain")
       out += java.util.Arrays.copyOfRange(bytes, off, off + size)
       off += size
@@ -333,9 +335,12 @@ object Multimodal {
       "b_sum")
   }
 
-  /** Frame sampling for video rows: every `everyNth` fixed-size chunk
-    * of the payload stands in for a decoded frame (STUB chunking; real
-    * impl would seek keyframes). 1→N via flatMap — a narrow Generator.
+  /** Frame sampling for video rows in formats the engine has NO codec
+    * for: every `everyNth` fixed-size chunk of the payload stands in
+    * for a frame — the codec-INDEPENDENT fallback of the real
+    * container walk ([[splitBmpContainer]], which [[videoFrameDuplicates]]
+    * and [[videoFrameFeatures]] use). 1→N via flatMap — a narrow
+    * Generator.
     */
   def sampleFrames(media: Dataset[MediaRow], everyNth: Int = 4,
       frameBytes: Int = 256): Dataset[MediaFrame] = {
@@ -351,18 +356,49 @@ object Multimodal {
   /** Frame-level exact dedup across the video corpus — static intros,
     * logo cards, and black frames repeat across titles, and every
     * duplicate frame decoded or embedded twice is wasted GPU
-    * downstream. Fingerprints [[sampleFrames]]' output; keeper is the
-    * lexicographically smallest (media_id, frame_no). Returns
-    * (fp, keep_media_id, keep_frame_no, n_copies).
+    * downstream. Frames come from the REAL container walk
+    * ([[splitBmpContainer]] — each frame located by its own header)
+    * and each is DECODED; the fingerprint is md5 over the decoded
+    * frame's canonical pixel stream (`WxH:` + the r,g,b channel
+    * values in raster order, comma-joined — pure integers, so the
+    * q109 oracle regenerates it from the synthesis formulas without a
+    * codec, and two byte-different encodings of the same pixels — e.g.
+    * bottom-up vs top-down storage — correctly collapse). Keeper is
+    * the smallest (media_id, frame_no). Returns (fp, keep_media_id,
+    * keep_frame_no, n_copies).
     *
-    * The fingerprint is md5 over the frame bytes' HEX string (not the
-    * raw bytes): byte-exact in any engine whose md5 is string-typed,
-    * with no reliance on text encodings (the oracle walks the same
-    * hex expansion it already uses for q37's feature stub). Only
-    * 32-char fingerprints shuffle; frame bytes stay in the scan
+    * Scale: walk + decode + canonicalize + md5 all run in the scan
+    * stage (flatMap then projection); only 32-char fingerprints and
+    * ids cross the shuffle — frame BYTES and pixel streams never
+    * move. For codec-less formats use [[chunkFrameDuplicates]].
+    */
+  def videoFrameDuplicates(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "video").flatMap { r =>
+      splitBmpContainer(r.bytes).zipWithIndex.map { case (fb, f) =>
+        val b = MediaCodec.decodeBmp24(fb)
+        val canon = s"${b.width}x${b.height}:" +
+          channelStream(b.pixels).mkString(",")
+        (r.media_id, f.toLong, canon)
+      }
+    }.toDF("media_id", "frame_no", "canon")
+      .select(col("media_id"), col("frame_no"), md5(col("canon")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(struct(col("media_id"), col("frame_no"))).as("k"),
+        count(lit(1)).as("n_copies"))
+      .select(col("fp"), col("k.media_id").as("keep_media_id"),
+        col("k.frame_no").as("keep_frame_no"), col("n_copies"))
+  }
+
+  /** [[videoFrameDuplicates]]' codec-INDEPENDENT fallback: exact
+    * dedup over [[sampleFrames]]' fixed-size byte chunks, for video
+    * formats the engine ships no container walk for. Fingerprint =
+    * md5 over the chunk bytes' HEX string (byte-exact in any engine
+    * whose md5 is string-typed, no text-encoding reliance). Only
+    * 32-char fingerprints shuffle; chunk bytes stay in the scan
     * stage.
     */
-  def frameDuplicates(media: Dataset[MediaRow], everyNth: Int = 4,
+  def chunkFrameDuplicates(media: Dataset[MediaRow], everyNth: Int = 4,
       frameBytes: Int = 256): DataFrame = {
     val frames = sampleFrames(media, everyNth, frameBytes).toDF()
     frames
@@ -402,10 +438,14 @@ object Multimodal {
   }
 
   /** REAL audio resample: decode the WAV, nearest-neighbor resample
-    * mono PCM to `outRate` (output length n' = (n·outRate) div
-    * srcRate, sample i reads source min((i·srcRate) div outRate,
-    * n−1) — integer index math, q234's oracle regenerates it),
-    * re-encode at the new rate. Non-audio rows pass through.
+    * the PCM to `outRate` PER CHANNEL (frames nf = samples/channels;
+    * output frames nf' = (nf·outRate) div srcRate, output frame i
+    * reads source frame min((i·srcRate) div outRate, nf−1) — integer
+    * index math, q234's oracle regenerates it on the mono store),
+    * re-encode at the new rate with the SAME channel count. Indexing
+    * frames, not the interleaved sample array, keeps stereo files
+    * channel-correct instead of garbling the interleave. Non-audio
+    * rows pass through.
     */
   def resampleWav(media: Dataset[MediaRow], outRate: Int): Dataset[MediaRow] = {
     require(outRate > 0, s"outRate=$outRate must be positive")
@@ -413,14 +453,17 @@ object Multimodal {
     media.map { r =>
       if (r.modality == "audio") {
         val wv = MediaCodec.decodeWavPcm16(r.bytes)
-        val n = wv.samples.length
-        val outN = (n.toLong * outRate / wv.sampleRate).toInt
-        val out = Array.tabulate(outN)(i =>
-          wv.samples(math.min((i.toLong * wv.sampleRate / outRate).toInt,
-            n - 1)))
-        r.copy(bytes = MediaCodec.encodeWavPcm16(out, outRate),
+        val ch = wv.numChannels
+        val nf = wv.samples.length / ch
+        val outNf = (nf.toLong * outRate / wv.sampleRate).toInt
+        val out = Array.tabulate(outNf * ch) { j =>
+          val frame = math.min(
+            ((j / ch).toLong * wv.sampleRate / outRate).toInt, nf - 1)
+          wv.samples(frame * ch + j % ch)
+        }
+        r.copy(bytes = MediaCodec.encodeWavPcm16(out, outRate, ch),
           meta = r.meta.copy(
-            durationMs = outN.toLong * 1000L / outRate,
+            durationMs = outNf.toLong * 1000L / outRate,
             sampleRate = outRate))
       } else r
     }
@@ -432,4 +475,117 @@ object Multimodal {
   def featuresAsEmbeddings(features: Dataset[MediaFeatures]): DataFrame =
     features.toDF().select(col("media_id").as("vec_id"),
       col("features").as("embedding"))
+
+  /** Integer nearest-neighbor UPSCALE of image rows by `factor`
+    * (pixel replication — the exact inverse direction of [[resize]]'s
+    * index math): output pixel (x, y) reads source (x div factor,
+    * y div factor). Used to synthesize re-encoded near-duplicates the
+    * perceptual hash family must catch. Non-image rows pass through.
+    */
+  def upscale(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    require(factor >= 1, s"factor=$factor must be >= 1")
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (r.modality == "image") {
+        val b = MediaCodec.decodeBmp24(r.bytes)
+        val (w, h) = (b.width * factor, b.height * factor)
+        val px = Array.tabulate(w * h) { p =>
+          val x = p % w
+          val y = p / w
+          b.pixels((y / factor) * b.width + x / factor)
+        }
+        r.copy(bytes = MediaCodec.encodeBmp24(px, w, h),
+          meta = r.meta.copy(width = w, height = h))
+      } else r
+    }
+  }
+
+  /** 64-bit PERCEPTUAL difference hash (dHash — the standard public
+    * aHash/dHash family) over each decoded image, split into two
+    * 32-bit halves so neither engine's BIGINT shift can overflow:
+    * integer BT.601 luma (299r + 587g + 114b, the [[bmpFeatures]]
+    * milli-weights) sampled on a 9-wide x 8-high grid with [[resize]]'s
+    * nearest-neighbor index math (sx = gx·w div 9, sy = gy·h div 8),
+    * bit (gy·8 + gx) = 1 iff luma(gx+1, gy) > luma(gx, gy). Pure
+    * integer end to end, so the q236 oracle regenerates every bit
+    * from the synthesis formulas. Exact byte dedup misses re-encoded /
+    * resized copies; dHash is invariant to them (an integer-factor
+    * upscale provably preserves every sampled pixel: floor(floor(
+    * gx·kw/9)/k) = floor(gx·w/9)). Returns (media_id, dhash_lo,
+    * dhash_hi); image rows only. Narrow — decode and hash never leave
+    * the scan stage.
+    */
+  def imageDHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "image").map { r =>
+      val b = MediaCodec.decodeBmp24(r.bytes)
+      def luma(gx: Int, gy: Int): Long = {
+        val p = b.pixels((gy * b.height / 8) * b.width + gx * b.width / 9)
+        299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+          114L * (p & 0xff)
+      }
+      var lo = 0L; var hi = 0L
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (luma(gx + 1, gy) > luma(gx, gy)) {
+            val i = gy * 8 + gx
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          gx += 1
+        }
+        gy += 1
+      }
+      (r.media_id, lo, hi)
+    }.toDF("media_id", "dhash_lo", "dhash_hi")
+  }
+
+  /** Perceptual NEAR-duplicate image pairs off a [[imageDHashes]]
+    * table: the SimHash banding discipline — each 64-bit hash splits
+    * into 4 16-bit bands, candidates share a (band, value) bucket,
+    * and with `maxHamming` ≤ 3 the banding is pigeonhole-COMPLETE
+    * (≤ 3 flipped bits cannot touch all 4 bands). Buckets larger than
+    * `maxBucket` are dropped (hot-band cap, mirrored in the oracle —
+    * the q25 LSH discipline; at corpus scale a flat-color band value
+    * would otherwise go quadratic). Verification is the exact Hamming
+    * distance (bit_count of xor, both halves). Returns (id1, id2,
+    * hamming) with id1 < id2.
+    *
+    * Scale: hashes are 2 BIGINTs per image — the bucket join moves
+    * (band, value, id) triples only; the verify join is candidate-
+    * proportional against the hash table. No pixel ever shuffles.
+    */
+  def imageNearDuplicates(hashes: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming: 4x16-bit banding is complete only to 3")
+    require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
+    val bands = hashes.select(col("media_id"),
+        explode(array((0 to 3).map { b =>
+          val half = if (b < 2) col("dhash_lo") else col("dhash_hi")
+          struct(lit(b).as("band"),
+            shiftright(half, 16 * (b % 2)).bitwiseAND(lit(65535L)).as("v"))
+        }: _*)).as("bv"))
+      .select(col("media_id"), col("bv.band").as("band"), col("bv.v").as("v"))
+    val cool = bands.groupBy(col("band"), col("v"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket)
+      .select(col("band"), col("v"))
+    val inCool = bands.join(cool, Seq("band", "v"))
+    val cands = inCool.as("a").join(inCool.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"))
+      .distinct()
+    val h1 = hashes.select(col("media_id").as("id1"),
+      col("dhash_lo").as("lo1"), col("dhash_hi").as("hi1"))
+    val h2 = hashes.select(col("media_id").as("id2"),
+      col("dhash_lo").as("lo2"), col("dhash_hi").as("hi2"))
+    cands.join(h1, Seq("id1")).join(h2, Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (expr("bit_count(lo1 ^ lo2)") + expr("bit_count(hi1 ^ hi2)"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

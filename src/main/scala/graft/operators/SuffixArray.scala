@@ -55,7 +55,14 @@ object SuffixArray {
   /** Order-preserving DENSE rank (1-based) of the distinct values of
     * `keys`: global range-partitioned sort + zipWithIndex — the
     * distributed ranking shape (contiguous ids, no single-partition
-    * exchange). Returns the distinct keys with an extra `rankCol`.
+    * exchange). Returns the distinct keys with an extra `rankCol`,
+    * MATERIALIZED (localCheckpoint).
+    *
+    * The sorted-distinct RDD is cached for the construction's two
+    * passes (zipWithIndex's size-count job, then the checkpoint
+    * materialization) — without the cache each pass re-ran the
+    * distinct + range sort from the source, which made the level
+    * builds the chattiest computation in the repo (round-16 audit).
     */
   private def denseRankOf(df: DataFrame, keys: Seq[String],
       rankCol: String): DataFrame = {
@@ -64,45 +71,70 @@ object SuffixArray {
       .orderBy(keys.map(col(_).asc): _*)
     val schema = StructType(distinct.schema.fields :+
       StructField(rankCol, LongType, nullable = false))
-    val ranked = distinct.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L)) }
-    spark.createDataFrame(ranked, schema)
+    val sorted = distinct.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ranked = sorted.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (i + 1L)) }
+      spark.createDataFrame(ranked, schema).localCheckpoint(true)
+    } finally sorted.unpersist(false)
   }
 
-  /** Doubling levels beyond this cover prefixes longer than
-    * 2^MaxDoubling = 128 tokens. Suffix comparison is EXACT for
-    * documents up to 128 tokens (every fixture's bound); past-end
-    * positions rank as −1, so levels past a corpus's longest doc are
-    * provably no-ops — which is what lets both engines unroll the
-    * SAME fixed count with no data-dependence. Raise in lockstep with
-    * the oracle for longer-document corpora.
+  /** Doubling levels the ORACLE unrolls (the SQL is a static string,
+    * so its level count cannot be data-derived): 2^OracleDoubling =
+    * 128 tokens, above every fixture's longest document. The ENGINE's
+    * level count is data-derived per corpus ([[doublingsFor]]) — past
+    * the corpus's longest doc extra levels are provably no-ops (past-
+    * end positions rank as −1, content-identical suffixes stay tied),
+    * so engine-at-derived-depth equals oracle-at-any-depth ≥ derived.
+    * The oracle SQL guards its own bound with an error() CTE: a
+    * fixture that outgrows 128 tokens fails LOUDLY instead of
+    * hash-matching a silently truncated comparison.
     */
-  val MaxDoubling = 7
+  val OracleDoubling = 7
+
+  /** Levels needed for EXACT suffix comparison of documents up to
+    * `maxDocLen` tokens: the least d with 2^d ≥ maxDocLen. Derived
+    * from the corpus at build time (one tiny aggregate), so suffix
+    * order is exact for ANY corpus — no fixed-depth footgun.
+    */
+  private[operators] def doublingsFor(maxDocLen: Long): Int = {
+    require(maxDocLen >= 1, s"maxDocLen=$maxDocLen must be >= 1")
+    var d = 0
+    while ((1L << d) < maxDocLen) d += 1
+    d
+  }
 
   /** All prefix-doubling levels: element m of the result holds
     * (doc_id, pos, r) where r is the dense rank of the length-2^m
     * prefix of the suffix at (doc_id, pos) (−1-padded past the doc
-    * end). Exactly [[MaxDoubling]]+1 levels. Levels are
-    * localCheckpointed — the LCP descent re-reads every one.
+    * end). Exactly `doublings`+1 levels. Levels are localCheckpointed
+    * — the LCP descent re-reads every one. The per-level pair table
+    * is cached across its two consumers (the distinct-rank build and
+    * the rank join-back) — round-16's audit measured it computed
+    * twice per level.
     */
-  private[operators] def doublingLevels(
-      positions: DataFrame): Seq[DataFrame] = {
+  private[operators] def doublingLevels(positions: DataFrame,
+      doublings: Int): Seq[DataFrame] = {
     val r0 = positions
       .join(denseRankOf(positions, Seq("token"), "r"), Seq("token"))
       .select($("doc_id"), $("pos"), $("r"))
       .localCheckpoint(true)
     val levels = collection.mutable.ArrayBuffer(r0)
-    for (m <- 1 to MaxDoubling) {
+    for (m <- 1 to doublings) {
       val shift = 1L << (m - 1)
       val cur = levels.last
       val shifted = cur.select($("doc_id"),
         ($("pos") - shift).as("pos"), $("r").as("r2"))
       val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
         .na.fill(-1L, Seq("r2"))
-      val rk = denseRankOf(paired, Seq("r", "r2"), "rn")
-      levels += paired.join(rk, Seq("r", "r2"))
-        .select($("doc_id"), $("pos"), $("rn").as("r"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val rk = denseRankOf(paired, Seq("r", "r2"), "rn")
+        levels += paired.join(rk, Seq("r", "r2"))
+          .select($("doc_id"), $("pos"), $("rn").as("r"))
+          .localCheckpoint(true)
+      } finally paired.unpersist(false)
     }
     levels.toSeq
   }
@@ -115,18 +147,31 @@ object SuffixArray {
     */
   def suffixArrayWithLcp(documents: DataFrame): DataFrame = {
     val positions = tokenPositions(documents).localCheckpoint(true)
-    val levels = doublingLevels(positions)
+    // lens is the clamp table below AND the depth driver: the level
+    // count derives from the corpus's longest document (one tiny
+    // aggregate), so suffix comparison is exact for ANY corpus
+    val lens = positions.groupBy($("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n")).localCheckpoint(true)
+    val maxLen = lens.agg(max($("n"))).head() match {
+      case r if r.isNullAt(0) => 1L
+      case r => math.max(1L, r.getLong(0))
+    }
+    val levels = doublingLevels(positions, doublingsFor(maxLen))
     val last = levels.last
     val saSorted = last.orderBy($("r").asc, $("doc_id").asc, $("pos").asc)
     val spark = documents.sparkSession
     val saSchema = StructType(
       StructField("idx", LongType, nullable = false) +:
         saSorted.schema.fields.toIndexedSeq)
-    val sa = spark.createDataFrame(
-        saSorted.rdd.zipWithIndex().map { case (row, i) =>
-          Row.fromSeq((i + 1L) +: row.toSeq) }, saSchema)
-      .select($("idx"), $("doc_id"), $("pos"))
-      .localCheckpoint(true)
+    val saRdd = saSorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sa =
+      try spark.createDataFrame(
+          saRdd.zipWithIndex().map { case (row, i) =>
+            Row.fromSeq((i + 1L) +: row.toSeq) }, saSchema)
+        .select($("idx"), $("doc_id"), $("pos"))
+        .localCheckpoint(true)
+      finally saRdd.unpersist(false)
     // adjacent pairs in suffix order; LCP by descending the levels
     var pairs = sa
       .join(sa.select(($("idx") - 1).as("idx"), $("doc_id").as("b_doc"),
@@ -157,8 +202,6 @@ object SuffixArray {
     // suffixes match through their −1 padding at every level, so the
     // descent's sum can exceed the true common length — the true LCP
     // of padded-equal suffixes is exactly the shorter remainder
-    val lens = positions.groupBy($("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n")).localCheckpoint(true)
     val clamped = pairs
       .join(lens.select($("doc_id").as("a_doc"), $("n").as("a_n")),
         Seq("a_doc"))
@@ -231,5 +274,208 @@ object SuffixArray {
         sum(when($("best") >= minLen, 1L).otherwise(0L)).cast("long")
           .as("n_dup_pos"),
         max($("best")).cast("long").as("max_lcp"))
+  }
+
+  // ------------------------------------------------------------------
+  // SPAN-GROUP maintenance — fold/retract for the suffix-repeat family
+  //
+  // The arrays themselves are corpus-global (a delivery shifts every
+  // dense rank), but the repeat PRODUCTS thresholded at minLen
+  // decompose exactly by the suffixes' first minLen tokens:
+  //
+  //   Two suffixes are SA-adjacent with clamped LCP >= minLen
+  //   ⟺ they share their first minLen tokens (one "span group") and
+  //     are adjacent within that group's content order.
+  //
+  // Proof of the decomposition (the prefix-interval property): ⇒ a
+  // pair with lcp >= minLen shares the minLen-prefix, and global
+  // adjacency implies group adjacency (nothing at all lies between
+  // them). ⇐ for a group-adjacent pair (a, b), any global suffix c
+  // between them satisfies a <= c <= b, and since a and b share the
+  // minLen-prefix p, c either starts with p (then c is in the group —
+  // contradicting group adjacency) or is a strict prefix of p (then
+  // c < a, not between). So the sets coincide, and each pair's LCP is
+  // the plain common-prefix length of the two member suffixes —
+  // computable group-locally with NO prefix doubling.
+  //
+  // That turns the family incremental: the STORE is (doc_id, pos, fp)
+  // with fp = md5 of the position's minLen-token window — doc-local
+  // rows, so fold = append and retract = anti-join, the cheapest
+  // maintenance in the repo — and a delivery/takedown only dirties
+  // the groups whose fp it touches: carried groups keep their pairs
+  // verbatim, touched groups recompute from their (few) members.
+  // Same md5 collision budget as the whole window family (~2^-128
+  // per distinct window pair), and the fold/retract gates run against
+  // the collision-free suffix-CTE oracle, so a collision would fail
+  // loudly, not silently.
+  //
+  // Scale: the heavy step materializes each DUPLICATED-group member's
+  // remaining token array (corpus-linear only over the duplicated
+  // slice; unique suffixes never materialize). Group partitions are
+  // member-sized; a pathological span repeated millions of times
+  // makes a hot partition — the escape hatch at that scale is
+  // per-group prefix doubling over the group's members, the same
+  // log-rounds machinery as the global build but group-local. Not
+  // needed at fixture scale; documented, not silently capped.
+  // ------------------------------------------------------------------
+
+  /** The span-group STORE: one row per suffix position with ≥ `minLen`
+    * remaining tokens — (doc_id, pos, fp), fp = md5 of the space-
+    * joined minLen-token window at pos (the [[SubstringDedup]] window
+    * discipline). Doc-local: fold = append the delivery's rows,
+    * retract = anti-join the removed doc ids. Persist bucketed by fp.
+    */
+  def spanGroupStore(documents: DataFrame, minLen: Int = 5): DataFrame =
+    SubstringDedup.windowOccurrences(documents, minLen)
+
+  /** Exact common-prefix length of two token arrays — row-local
+    * integer fold; zip_with's null padding (unequal lengths) counts
+    * as a mismatch, which IS the remainder clamp.
+    */
+  private def commonPrefixLen(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => coalesce(x === y, lit(false))),
+      struct(lit(0L).as("n"), lit(true).as("alive")),
+      (acc, ok) => struct(
+        when(acc.getField("alive") && ok, acc.getField("n") + 1L)
+          .otherwise(acc.getField("n")).as("n"),
+        (acc.getField("alive") && ok).as("alive")),
+      acc => acc.getField("n"))
+
+  /** [[repeatedSpans]] recomputed group-locally off a span-group
+    * store, with the group key kept — (fp, doc1, pos1, doc2, pos2,
+    * lcp): duplicated groups (≥ 2 members) sort their member suffixes
+    * by (token array, doc_id, pos) — the SA order restricted to the
+    * group — and adjacent members pair with their exact common-prefix
+    * length. Row-identical to [[repeatedSpans]] (+ fp) by the
+    * decomposition proof above. `documents` supplies the member
+    * suffix text (semi-joined to member docs — a delivery's touched
+    * groups read only their own docs).
+    */
+  def repeatedSpansWithKey(store: DataFrame, documents: DataFrame,
+      minLen: Long = 5L): DataFrame = {
+    require(minLen >= 1, s"minLen=$minLen must be >= 1")
+    val dupFps = store.groupBy($("fp"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter($("n_occ") >= 2)
+      .select($("fp"))
+    val members = store.join(dupFps, Seq("fp"))
+    val toks = documents.spread()
+      .select($("doc_id"),
+        split(TextAnalysis.normText($("text")), " ").as("toks"))
+      .join(members.select($("doc_id")).distinct(), Seq("doc_id"))
+    val sufs = members.join(toks, Seq("doc_id"))
+      .select($("fp"), $("doc_id"), $("pos"),
+        expr("slice(toks, pos, size(toks) - pos + 1)").as("suf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($("fp"))
+      .orderBy($("suf").asc, $("doc_id").asc, $("pos").asc)
+    sufs
+      .select($("fp"), $("doc_id"), $("pos"), $("suf"),
+        lag($("doc_id"), 1).over(w).as("doc1"),
+        lag($("pos"), 1).over(w).as("pos1"),
+        lag($("suf"), 1).over(w).as("suf1"))
+      .filter($("doc1").isNotNull)
+      .select($("fp"), $("doc1"), $("pos1"),
+        $("doc_id").as("doc2"), $("pos").as("pos2"),
+        commonPrefixLen($("suf1"), $("suf")).as("lcp"))
+  }
+
+  /** [[repeatedSpansWithKey]] in [[repeatedSpans]]' exact column
+    * contract (fp dropped) — the store-path twin the q230 oracle
+    * gates directly.
+    */
+  def repeatedSpansFromGroups(store: DataFrame, documents: DataFrame,
+      minLen: Long = 5L): DataFrame =
+    repeatedSpansWithKey(store, documents, minLen)
+      .select($("doc1"), $("pos1"), $("doc2"), $("pos2"), $("lcp"))
+
+  /** FOLD a delivery into the maintained repeat-pair artifact at
+    * touched-group cost: groups untouched by the delivery keep their
+    * pairs verbatim (fp anti-join); groups the delivery's windows
+    * touch — extended old groups AND delivery-internal new ones —
+    * recompute from the folded store's members. Equal to rebuilding
+    * [[repeatedSpansWithKey]] over the grown corpus (q241's gate),
+    * with per-delivery cost ∝ delivery windows + touched groups'
+    * members, never the corpus.
+    */
+  def repeatedSpansFold(basePairs: DataFrame, foldedStore: DataFrame,
+      delivery: DataFrame, documents: DataFrame,
+      minLen: Long = 5L): DataFrame = {
+    val touched = spanGroupStore(delivery, minLen.toInt)
+      .select($("fp")).distinct().localCheckpoint(true)
+    val carried = basePairs.join(touched, Seq("fp"), "left_anti")
+    val recomputed = repeatedSpansWithKey(
+      foldedStore.join(touched, Seq("fp")), documents, minLen)
+    carried.unionByName(recomputed)
+  }
+
+  /** RETRACT removed documents from the maintained repeat-pair
+    * artifact — [[repeatedSpansFold]]'s takedown inverse: a removed
+    * doc's suffixes live only in groups keyed by its own windows, so
+    * those fps are exactly the dirty set; untouched groups carry,
+    * touched groups recompute from the surviving store's members
+    * (the removed docs' text is never re-read beyond its own
+    * windows). Equal to rebuilding over the surviving corpus (q242's
+    * gate).
+    */
+  def repeatedSpansRetract(basePairs: DataFrame, survivingStore: DataFrame,
+      removed: DataFrame, documents: DataFrame,
+      minLen: Long = 5L): DataFrame = {
+    val touched = spanGroupStore(removed, minLen.toInt)
+      .select($("fp")).distinct().localCheckpoint(true)
+    val carried = basePairs.join(touched, Seq("fp"), "left_anti")
+    val recomputed = repeatedSpansWithKey(
+      survivingStore.join(touched, Seq("fp")), documents, minLen)
+    carried.unionByName(recomputed)
+  }
+
+  /** [[docRepeatProfile]] recomputed from the span-group stores —
+    * no arrays, no doubling: n_dup_pos counts the doc's members of
+    * duplicated minLen-groups (maxlcp(p) ≥ minLen ⟺ p's minLen-window
+    * repeats — the window-index equivalence), the ≥ minLen side of
+    * max_lcp reads off the group pairs, and the < minLen side is the
+    * largest k ∈ [1, minLen) for which the doc still has a duplicated
+    * k-window (maintained k-window indexes at scale; computed inline
+    * here). Row-identical to the array path (q243's gate runs q231's
+    * oracle verbatim).
+    */
+  def docRepeatProfileFromGroups(store: DataFrame, documents: DataFrame,
+      minLen: Long = 5L): DataFrame = {
+    require(minLen >= 1, s"minLen=$minLen must be >= 1")
+    val spark = documents.sparkSession
+    val lens = documents.spread()
+      .select($("doc_id"), TextAnalysis.normText($("text")).as("norm"))
+      .where(length($("norm")) > 0)
+      .select($("doc_id"),
+        size(split($("norm"), " ")).cast("long").as("n_tokens"))
+    val dupFps = store.groupBy($("fp"))
+      .agg(count(lit(1)).as("n_occ")).filter($("n_occ") >= 2)
+      .select($("fp"))
+    val nDup = store.join(dupFps, Seq("fp"))
+      .groupBy($("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_dup_pos"))
+    val pairs = repeatedSpansWithKey(store, documents, minLen)
+    val bigMax = pairs.select($("doc1").as("doc_id"), $("lcp"))
+      .unionByName(pairs.select($("doc2").as("doc_id"), $("lcp")))
+      .groupBy($("doc_id")).agg(max($("lcp")).as("big"))
+    val shortMax = (1L until minLen).map { k =>
+      val wins = SubstringDedup.windowOccurrences(documents, k.toInt)
+      val dup = wins.groupBy($("fp"))
+        .agg(count(lit(1)).as("n")).filter($("n") >= 2).select($("fp"))
+      wins.join(dup, Seq("fp")).select($("doc_id")).distinct()
+        .select($("doc_id"), lit(k).as("k"))
+    }.reduceOption(_ unionByName _)
+      .map(_.groupBy($("doc_id")).agg(max($("k")).as("small")))
+      .getOrElse(spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("small")).limit(0))
+    lens
+      .join(nDup, Seq("doc_id"), "left")
+      .join(bigMax, Seq("doc_id"), "left")
+      .join(shortMax, Seq("doc_id"), "left")
+      .select($("doc_id"), $("n_tokens"),
+        coalesce($("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        greatest(coalesce($("big"), lit(0L)), coalesce($("small"), lit(0L)))
+          .cast("long").as("max_lcp"))
   }
 }

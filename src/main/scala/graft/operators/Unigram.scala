@@ -23,10 +23,16 @@ import org.apache.spark.sql.functions._
   *
   * Simplifications vs full SentencePiece (documented contract):
   * hard-EM (Viterbi counts, not forward-backward expectations),
-  * frequency pruning (not loss-delta pruning), word-level training
-  * (the [[Bpe]] word-table shape), and words longer than
-  * `maxWordLen` are excluded from training and segment as single
-  * characters at apply time ([[tokenizeCorpus]]).
+  * LOSS-DELTA pruning with the single-character fallback as the
+  * alternative segmentation (Kudo prunes by likelihood-loss
+  * contribution; re-segmenting every affected word per candidate
+  * piece is quadratic, and the character fallback — always legal,
+  * since single characters are never pruned — upper-bounds the true
+  * loss: delta = freq · (lnp(piece) − Σ lnp(char)), see
+  * [[pruneByLossDelta]]), word-level training (the [[Bpe]]
+  * word-table shape), and words longer than `maxWordLen` are
+  * excluded from training and segment as single characters at apply
+  * time ([[tokenizeCorpus]]).
   *
   * Scale: one corpus scan builds the word table (word TYPES —
   * heavy-tailed-small vs the corpus); seeding explodes ≤ maxPieceLen
@@ -161,9 +167,55 @@ object Unigram {
       .join(counts, Seq("piece"), "left")
       .select($("piece"), coalesce($("freq"), lit(0L)).as("freq"))
 
+  /** Kudo-style LOSS-DELTA prune of a counted vocabulary: every
+    * multi-char piece is scored by how much corpus likelihood its
+    * removal would cost, with the SINGLE-CHARACTER segmentation as
+    * the alternative (always legal: chars are never pruned) —
+    * delta = freq · (lnp(piece) − Σ_{c ∈ piece} lnp(c)), exact
+    * integer micro-nats under [[scoresOf]] of the CURRENT counts.
+    * Keeps all single chars + the top `keepMulti` multi-char pieces
+    * with freq > 0 by (delta desc, piece asc). Against frequency
+    * pruning this keeps low-frequency/high-coverage pieces: a long
+    * piece saves (len−1) char scores per use, so fewer uses can
+    * still outweigh a frequent 2-char piece (UnigramSpec pins such a
+    * case). Returns (piece, freq).
+    *
+    * Scale: one vocab-sized join of exploded piece characters
+    * (≤ [[MaxPieceLen]] rows per piece) against the char scores, one
+    * vocab-sized top-k — no corpus access.
+    */
+  private[graft] def pruneByLossDelta(freq: DataFrame,
+      keepMulti: Int): DataFrame = {
+    val sc = scoresOf(freq).localCheckpoint(true)
+    val charScores = sc.filter(length($("piece")) === 1)
+      .select($("piece").as("ch"), $("lnp").as("chlnp"))
+    val chars = freq.filter(length($("piece")) === 1)
+    val multi = sc.filter(length($("piece")) >= 2)
+      .filter($("c") > 0)
+      .select($("piece"), $("c"), $("lnp"),
+        explode(sequence(lit(1), length($("piece")))).as("i"))
+      .select($("piece"), $("c"), $("lnp"),
+        $("piece").substr($("i"), lit(1)).as("ch"))
+      .join(charScores, Seq("ch"))
+      .groupBy($("piece"), $("c"), $("lnp"))
+      .agg(sum($("chlnp")).as("sumc"), count(lit(1)).cast("int").as("nch"))
+      // inner join must not drop characters: every char of an
+      // in-vocab piece is itself in the vocab (seedPieces keeps all
+      // single chars) — a miss means the vocab invariant broke
+      .filter(when($("nch") === length($("piece")), lit(true))
+        .otherwise(raise_error(concat(lit("piece '"), $("piece"),
+          lit("' has a character outside the vocab")))))
+      .select($("piece"), $("c").as("freq"),
+        ($("c") * ($("lnp") - $("sumc"))).as("delta"))
+      .orderBy($("delta").desc, $("piece").asc)
+      .limit(keepMulti)
+      .select($("piece"), $("freq"))
+    chars.unionByName(multi)
+  }
+
   /** Train the unigram tokenizer: seed → `emIters` hard-EM rounds →
-    * frequency prune (all single chars + top `keepMulti` multi-char
-    * pieces by (count desc, piece asc) among count > 0) → one final
+    * loss-delta prune ([[pruneByLossDelta]]: all single chars + top
+    * `keepMulti` multi-char pieces by removal cost) → one final
     * E-step under the pruned scores. Returns the shippable piece
     * table (rank, piece, n_chars, count, lnp_micro): count = final
     * E-step usage, lnp_micro = the score the final segmentation ran
@@ -179,12 +231,7 @@ object Unigram {
     for (_ <- 1 to emIters)
       freq = carry(seed, emCounts(words, scoresOf(freq)))
         .localCheckpoint(true)
-    val chars = freq.filter(length($("piece")) === 1)
-    val multi = freq.filter(length($("piece")) >= 2)
-      .filter($("freq") > 0)
-      .orderBy($("freq").desc, $("piece").asc)
-      .limit(keepMulti)
-    val pruned = chars.unionByName(multi).localCheckpoint(true)
+    val pruned = pruneByLossDelta(freq, keepMulti).localCheckpoint(true)
     val finalScores = scoresOf(pruned).localCheckpoint(true)
     val finalCounts = carry(pruned, emCounts(words, finalScores))
     finalCounts.join(finalScores.select($("piece"), $("lnp")), Seq("piece"))

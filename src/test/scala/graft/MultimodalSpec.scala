@@ -38,7 +38,7 @@ class MultimodalSpec extends SparkSpec {
       ("audio", 4L) -> 1L))
   }
 
-  test("frameDuplicates collapses the shared first frame across videos") {
+  test("chunkFrameDuplicates collapses the shared first chunk across videos") {
     // ids 2 and 5 are videos (id % 3 == 2); identical first 256 bytes
     // (one shared "intro frame"), divergent tails; id 8 fully unique
     val intro = "x" * 256
@@ -47,7 +47,7 @@ class MultimodalSpec extends SparkSpec {
       (5L, intro + "tail-two-" * 10),
       (8L, "y" * 300)
     ).toDF("doc_id", "text")
-    val got = Multimodal.frameDuplicates(
+    val got = Multimodal.chunkFrameDuplicates(
       Multimodal.synthesizeFromDocuments(docs))
       .as[(String, Long, Long, Long)].collect()
       .map { case (_, m, f, n) => (m, f) -> n }.toMap
@@ -55,6 +55,56 @@ class MultimodalSpec extends SparkSpec {
     // video 8's frame 0 is a singleton; no other frame survives
     // sampling (chunk 1 exists but 1 % 4 != 0)
     assert(got === Map((2L, 0L) -> 2L, (8L, 0L) -> 1L))
+  }
+
+  test("videoFrameDuplicates finds a planted duplicate frame across containers") {
+    // the synthesis pixel formulas depend on (id mod 256, frame, p):
+    // video ids 2 and 770 (770 − 2 = 3·256, both % 3 == 2) render
+    // IDENTICAL frames f = 0, 1 (and 770 has a third frame: nf = 2 +
+    // id % 3) — a real duplicate planted across two containers, found
+    // only by walking + decoding real frame boundaries
+    val docs = Seq((2L, "a"), (770L, "b"), (8L, "c"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.videoFrameDuplicates(
+      Multimodal.synthesizeMediaFiles(docs))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (_, m, f, n) => (m, f) -> n }.toMap
+    // id 2: nf = 4? no — nf = 2 + 2 % 3 = 4; id 770: nf = 2 + 770 % 3
+    // = 2 + 2 = 4. Frames 0..3 of both coincide pairwise; id 8:
+    // nf = 2 + 8 % 3 = 4 frames, all unique (8 % 256 ≠ 2 mod 256)
+    assert(got((2L, 0L)) === 2L, s"frame 0 must collapse: $got")
+    assert(got((2L, 1L)) === 2L)
+    assert(!got.keys.exists(_._1 == 770L),
+      "770's frames must all dedup onto id 2's")
+    assert(got((8L, 0L)) === 1L)
+  }
+
+  test("dHash is invariant under integer upscale; near-dups found via bands") {
+    val docs = Seq((3L, "a"), (6L, "b"), (9L, "c"), (12L, "d"))
+      .toDF("doc_id", "text") // all % 3 == 0 -> images
+    val media = Multimodal.synthesizeMediaFiles(docs)
+    val base = Multimodal.imageDHashes(media)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // halves stay within 32 bits (no sign surprises in either engine)
+    base.values.foreach { case (lo, hi) =>
+      assert(lo >= 0L && lo < (1L << 32) && hi >= 0L && hi < (1L << 32)) }
+    for (factor <- Seq(2, 3)) {
+      val up = Multimodal.imageDHashes(Multimodal.upscale(media, factor))
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(up === base, s"dHash must be invariant under ${factor}x upscale")
+    }
+    // banded near-dup: original + shifted-id upscaled copy -> a
+    // hamming-0 pair per image
+    val up2 = Multimodal.upscale(media, 2).map(r =>
+      r.copy(media_id = r.media_id + 1000L))
+    val pairs = Multimodal.imageNearDuplicates(
+        Multimodal.imageDHashes(media.union(up2)))
+      .as[(Long, Long, Long)].collect()
+    Seq(3L, 6L, 9L, 12L).foreach { id =>
+      assert(pairs.exists(p => p._1 === id && p._2 === id + 1000L &&
+        p._3 === 0L), s"missing planted near-dup for $id: ${pairs.toSeq}")
+    }
   }
 
   test("feature extraction: deterministic, fixed dim, normalized, no row loss") {

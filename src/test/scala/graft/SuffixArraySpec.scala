@@ -89,6 +89,73 @@ class SuffixArraySpec extends SparkSpec {
       assert(g === w, s"arrays diverge at idx ${g._1}") }
   }
 
+  test("long docs (> 128 tokens) compare exactly at the derived depth") {
+    // two ~200-token docs sharing a 150-token span: a fixed 7-level
+    // unroll (the retired MaxDoubling) compared only 128-token
+    // prefixes and mis-ties these suffixes; the data-derived depth
+    // (8 levels for 200-token docs) must match the brute reference
+    // and surface the long repeat with its exact length
+    def words(seed: Int, n: Int): Seq[String] =
+      (0 until n).map(i => s"w${(seed + i * 37) % 1000}x$i")
+    val shared = (0 until 150).map(i => s"shared$i")
+    val docs = Seq(
+      (1L, (words(1, 30) ++ shared ++ words(7, 25)).mkString(" ")),
+      (2L, (words(500, 40) ++ shared ++ words(900, 15)).mkString(" ")),
+      (3L, words(1234, 180).mkString(" ")))
+    val got = SuffixArray.suffixArrayWithLcp(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === brute(docs))
+    val spans = SuffixArray.repeatedSpans(docs.toDF("doc_id", "text"),
+      minLen = 140L).as[(Long, Long, Long, Long, Long)].collect()
+    assert(spans.exists(s => s._5 === 150L && Set(s._1, s._3) === Set(1L, 2L)),
+      s"the 150-token repeat must surface exactly: ${spans.toSeq}")
+  }
+
+  test("span-group path == array path: pairs, fold, retract, profile") {
+    import org.apache.spark.sql.functions.col
+    val docsDf = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+      .documents
+    def pairsOf(df: org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Long, Long, Long, Long)] =
+      df.select(col("doc1"), col("pos1"), col("doc2"), col("pos2"),
+        col("lcp")).as[(Long, Long, Long, Long, Long)]
+        .collect().sorted.toSeq
+    val store = SuffixArray.spanGroupStore(docsDf).localCheckpoint(true)
+    // 1. group recompute == the SA+LCP adjacent-pair path
+    val viaArrays = pairsOf(SuffixArray.repeatedSpans(docsDf))
+    assert(pairsOf(SuffixArray.repeatedSpansFromGroups(store, docsDf))
+      === viaArrays)
+    // 2. fold: base store without bucket-3 docs + delivery == rebuild
+    val b = graft.operators.Curation.hashBucket(col("doc_id"), 10)
+    val baseDocs = docsDf.filter(b =!= 3)
+    val delivery = docsDf.filter(b === 3)
+    val baseStore = SuffixArray.spanGroupStore(baseDocs).localCheckpoint(true)
+    val basePairs = SuffixArray.repeatedSpansWithKey(baseStore, baseDocs)
+      .localCheckpoint(true)
+    val folded = baseStore
+      .unionByName(SuffixArray.spanGroupStore(delivery))
+    assert(pairsOf(SuffixArray.repeatedSpansFold(
+      basePairs, folded, delivery, docsDf)) === viaArrays)
+    // 3. retract: full store minus the removed docs == rebuild on
+    //    the survivors
+    val rm = col("doc_id") % 7 === 3
+    val removed = docsDf.filter(rm)
+    val surviving = docsDf.filter(!rm)
+    val fullPairs = SuffixArray.repeatedSpansWithKey(store, docsDf)
+      .localCheckpoint(true)
+    val survivingStore = store.join(removed.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    assert(pairsOf(SuffixArray.repeatedSpansRetract(
+      fullPairs, survivingStore, removed, surviving))
+      === pairsOf(SuffixArray.repeatedSpans(surviving)))
+    // 4. per-doc profile off the group stores == the array path
+    val profA = SuffixArray.docRepeatProfile(docsDf)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val profG = SuffixArray.docRepeatProfileFromGroups(store, docsDf)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(profG === profA)
+  }
+
   test("construction is shard-order invariant") {
     val docsDf = graft.sources.Tables(spark, "/root/testdata/sf0.001")
       .documents

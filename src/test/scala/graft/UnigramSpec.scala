@@ -97,6 +97,21 @@ class UnigramSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("loss-delta prune keeps the low-frequency/high-coverage piece") {
+    // hand-verified under the Laplace micro-nat scores (T = 63,
+    // V = 7): 'ab' (freq 10) costs 10·(lnp(ab) − lnp(a) − lnp(b)) =
+    // 5,573,460 micro-nats to remove; 'cde' (freq 4, rare chars)
+    // costs 4·(lnp(cde) − lnp(c) − lnp(d) − lnp(e)) = 23,790,180 —
+    // FREQUENCY pruning at keepMulti = 1 keeps 'ab', the loss prune
+    // must keep 'cde' (each use replaces three very-rare chars)
+    val freq = Seq(("a", 20L), ("b", 20L), ("c", 3L), ("d", 3L),
+      ("e", 3L), ("ab", 10L), ("cde", 4L)).toDF("piece", "freq")
+    val kept = Unigram.pruneByLossDelta(freq, keepMulti = 1)
+      .as[(String, Long)].collect().toMap
+    assert(kept.keySet === Set("a", "b", "c", "d", "e", "cde"),
+      s"loss prune must keep 'cde' over the more frequent 'ab': $kept")
+  }
+
   test("real-fixture training: full vocab shape and exact char coverage") {
     val documents = graft.sources.Tables(spark, "/root/testdata/sf0.001")
       .documents
