@@ -63,21 +63,30 @@ object Bench {
     // growth vs regression without anyone re-deriving the common set.
     // The prior run must be at THIS run's scale factor — a detail file
     // left behind by a run at another SF would mislabel carried_total
-    // (ADVICE round-13), so the sf field gates the whole split
-    val prevQueries: Set[String] =
+    // (ADVICE round-13), so the sf field gates the whole split.
+    // The prior WALL and CPU dicts additionally feed the
+    // self-adjudicating regression flag below: wall up with cpu flat
+    // is host noise (this box swings 10-200x), wall up AND cpu up is
+    // a plan regression — only the latter flags.
+    def prevDict(txt: String, tag: String): Map[String, Double] = {
+      val t = "\"" + tag + "\":{"
+      val start = txt.indexOf(t)
+      val end = if (start < 0) -1 else txt.indexOf('}', start)
+      if (start < 0 || end < 0) Map.empty
+      else "\"([^\"]+)\":(-?[0-9.eE+]+)".r
+        .findAllMatchIn(txt.substring(start + t.length, end))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val (prevWall, prevCpu): (Map[String, Double], Map[String, Double]) =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           Paths.get(detailPath)), "UTF-8")
         val prevSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
           .map(_.group(1))
-        val tag = "\"queries\":{"
-        val start = txt.indexOf(tag)
-        val end = if (start < 0) -1 else txt.indexOf('}', start)
-        if (start < 0 || end < 0 || !prevSf.contains(sfDir)) Set.empty
-        else "\"([^\"]+)\":".r
-          .findAllMatchIn(txt.substring(start + tag.length, end))
-          .map(_.group(1)).toSet
-      } catch { case _: Throwable => Set.empty }
+        if (!prevSf.contains(sfDir)) (Map.empty, Map.empty)
+        else (prevDict(txt, "queries"), prevDict(txt, "cpu_sec"))
+      } catch { case _: Throwable => (Map.empty, Map.empty) }
+    val prevQueries: Set[String] = prevWall.keySet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -364,6 +373,46 @@ object Bench {
           timedAt("q231_from_arrays") {
             noop(graft.operators.SuffixArray.docRepeatProfileFromLcp(
               rd(s"$tmp/sa_lcp")))
+          },
+          // span-group store maintenance (round-17): the suffix-repeat
+          // family's fold/retract path — build the doc-local group
+          // store + pair artifact once (base = buckets != 3, full =
+          // everything), then price ONE delivery fold and ONE 1-in-7
+          // takedown at touched-group cost off the persisted artifacts
+          timedAt("suffix_groups_build") {
+            import graft.operators.SuffixArray
+            val b = graft.operators.Curation.hashBucket(col("doc_id"), 10)
+            val baseDocs = docs.filter(b =!= 3)
+            SuffixArray.spanGroupStore(baseDocs)
+              .write.mode("overwrite").parquet(s"$tmp/sg_base_store")
+            SuffixArray.repeatedSpansWithKey(
+                rd(s"$tmp/sg_base_store"), baseDocs)
+              .write.mode("overwrite").parquet(s"$tmp/sg_base_pairs")
+            SuffixArray.spanGroupStore(docs)
+              .write.mode("overwrite").parquet(s"$tmp/sg_full_store")
+            SuffixArray.repeatedSpansWithKey(
+                rd(s"$tmp/sg_full_store"), docs)
+              .write.mode("overwrite").parquet(s"$tmp/sg_full_pairs")
+          },
+          timedAt("q241_fold_from_store") {
+            import graft.operators.SuffixArray
+            val b = graft.operators.Curation.hashBucket(col("doc_id"), 10)
+            val delivery = docs.filter(b === 3)
+            val folded = rd(s"$tmp/sg_base_store")
+              .unionByName(SuffixArray.spanGroupStore(delivery))
+            noop(SuffixArray.repeatedSpansFold(
+              rd(s"$tmp/sg_base_pairs"), folded, delivery, docs))
+          },
+          timedAt("q242_retract_from_store") {
+            import graft.operators.SuffixArray
+            val rm = col("doc_id") % 7 === 3
+            val removed = docs.filter(rm)
+            val survivingStore = rd(s"$tmp/sg_full_store")
+              .join(removed.select(col("doc_id")), Seq("doc_id"),
+                "left_anti")
+            noop(SuffixArray.repeatedSpansRetract(
+              rd(s"$tmp/sg_full_pairs"), survivingStore, removed,
+              docs.filter(!rm)))
           })
         rmTree(tmp.toFile)
         out
@@ -426,6 +475,31 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.map(_._2.min).filter(_ >= 0).sum
 
+    // self-adjudicating regression flag (round-16 verdict #8): a
+    // carried query regresses only when BOTH its wall min and its
+    // executor cpu grew vs the prior round's detail file — wall-only
+    // inflation is this box's documented host noise and no longer
+    // needs hand-adjudication. Thresholds: wall > 1.5x AND cpu >
+    // 1.25x, prior wall > 0.5 s (sub-half-second queries are
+    // startup-noise-dominated). reg_n always prints when a prior
+    // detail file parsed; the per-query ratios print for the worst 5
+    // in the headline (full list in the detail file).
+    val regressions: Seq[(String, Double, Double)] = results.flatMap {
+      case (n, st) =>
+        for {
+          pw <- prevWall.get(n)
+          pc <- prevCpu.get(n)
+          if pw > 0.5 && pc > 0 && st.min >= 0 && st.cpuSec >= 0
+          wr = st.min / pw
+          cr = st.cpuSec / pc
+          if wr > 1.5 && cr > 1.25
+        } yield (n, wr, cr)
+    }.sortBy(-_._2)
+    def regJson(rs: Seq[(String, Double, Double)]): String = rs
+      .map { case (n, wr, cr) =>
+        "\"" + n + "\":[" + fmt(wr, 2) + "," + fmt(cr, 2) + "]" }
+      .mkString("{", ",", "}")
+
     val composedJson = composed
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -438,7 +512,8 @@ object Bench {
         s""""sf":"$sfDir","runs":$repeats,"queries":${obj(_.min)},""" +
         s""""medians":${obj(_.med)},"cpu_sec":${obj(_.cpuSec)},""" +
         s""""gc_sec":${obj(_.gcSec)},"composed":$composedJson,""" +
-        s""""incremental":$incrementalJson}""")
+        s""""incremental":$incrementalJson,""" +
+        s""""regressions":${regJson(regressions)}}""")
     // the one stdout line: compact, driver-parseable. The driver
     // captures a bounded tail (~2000 chars) of process output, so the
     // line must FIT — round 6's 108-query map exceeded the window even
@@ -501,6 +576,11 @@ object Bench {
         (if (carriedFailed > 0) s""","carried_failed_n":$carriedFailed"""
          else "") +
         s""","new_n":${results.size - carriedN - carriedFailed}"""
+    val regTag =
+      if (prevQueries.isEmpty) ""
+      else s""","reg_n":${regressions.size}""" +
+        (if (regressions.isEmpty) ""
+         else s""","regressions":${regJson(regressions.take(5))}""")
     // no-silent-caps: when the stdout budget elides sub-threshold
     // queries from the printed dict, the headline says so —
     // omitted_n (how many) and min_printed_sec (the cheapest query
@@ -529,7 +609,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, 6)},"unit":"sec",""" +
         s""""queries":$qs,"cpu":$cpu,""" +
         s""""cpu_total_sec":${fmt(cpuTotal, 2)},"sf":"$sfDir","runs":$repeats""" +
-        s"""$composedTag$ingestTag$carriedTag$omitTag}"""
+        s"""$composedTag$ingestTag$carriedTag$regTag$omitTag}"""
     }
     val bySlowest = results.sortBy(-_._2.min)
     val budget = 1900

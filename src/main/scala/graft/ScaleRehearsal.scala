@@ -7,7 +7,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, NgramLm, Similarity, SkewJoin, SubstringDedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, NgramLm, Similarity, SkewJoin, SubstringDedup, SuffixArray, TextAnalysis}
 import graft.sources.Tables
 
 /** Scale rehearsal: run the heavy dedup/ANN family on a ~K× inflated
@@ -168,7 +168,7 @@ object ScaleRehearsal {
         needsManifestIdx: Boolean = false, needsGateIdx: Boolean = false,
         needsSkewDocs: Boolean = false, needsJacIdx: Boolean = false,
         needsLmIdx: Boolean = false, needsBktIdx: Boolean = false,
-        needsCompIdx: Boolean = false)(
+        needsCompIdx: Boolean = false, needsSgIdx: Boolean = false)(
         val fn: () => DataFrame)
     val nbPos = Seq("src0", "src1", "src2")
     val nbNeg = Seq("src3", "src4", "src5")
@@ -261,6 +261,17 @@ object ScaleRehearsal {
           .filter(col("id1") % 10 === 0 || col("id2") % 10 === 0)
           .localCheckpoint(true)
         (Dedup.componentsOf(oldP).localCheckpoint(true), newP, pairs)
+      }
+      // the span-GROUP store + pair artifact over 90% of the corpus,
+      // built ONCE outside the timed legs — the q241 fold leg folds a
+      // 10% delivery at touched-group cost; the rebuild leg runs the
+      // full suffix-array construction (log-rounds of corpus-sized
+      // dense ranks), the cost the maintained store retires
+      lazy val sgIdx: (DataFrame, DataFrame) = {
+        val base = docs.filter(col("doc_id") % 10 =!= 0)
+        val store = SuffixArray.spanGroupStore(base).localCheckpoint(true)
+        (store,
+          SuffixArray.repeatedSpansWithKey(store, base).localCheckpoint(true))
       }
       // the composite gate's serve artifacts (NB model + per-source
       // cut table), trained ONCE outside the timed legs — the served
@@ -460,6 +471,20 @@ object ScaleRehearsal {
         Leg("q207_rebuild_labels", needsDocs = true, needsCompIdx = true)(() =>
           Dedup.componentsOf(compIdx._3)
             .filter(col("cluster_size") > 0)),
+        // suffix-repeat fold vs full array rebuild (q241 vs q230):
+        // the fold pays the delivery's windows + touched groups'
+        // member re-sort; the rebuild pays log(maxDocLen) corpus-wide
+        // dense-rank rounds — the marginal-vs-total story for the
+        // last rebuild-only store family (lcp filter: both outputs
+        // are data-dependent, elimination-proofing under count())
+        Leg("q241_suffix_fold", needsDocs = true, needsSgIdx = true)(() => {
+          val delivery = docs.filter(col("doc_id") % 10 === 0)
+          SuffixArray.repeatedSpansFold(sgIdx._2,
+            sgIdx._1.unionByName(SuffixArray.spanGroupStore(delivery)),
+            delivery, docs).filter(col("lcp") >= 5)
+        }),
+        Leg("q241_suffix_rebuild", needsDocs = true)(() =>
+          SuffixArray.repeatedSpans(docs).filter(col("lcp") >= 5)),
         // edit-distance verify (q209): the q26 candidate front + the
         // banded thresholded levenshtein over 500-char prefixes —
         // candidate-proportional like every verifier here
@@ -513,6 +538,7 @@ object ScaleRehearsal {
       if (sel.exists(_.needsCompIdx)) {
         compIdx._1.count(); compIdx._2.count(); compIdx._3.count()
       }
+      if (sel.exists(_.needsSgIdx)) { sgIdx._1.count(); sgIdx._2.count() }
       for (leg <- sel) {
         val g = s"x$f:${leg.name}"
         spark.sparkContext.setJobGroup(g, g)
