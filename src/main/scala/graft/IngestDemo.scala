@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.operators.{Curation, Dedup, NgramLm, Similarity, SubstringDedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, NgramLm, Similarity, SubstringDedup, SuffixArray, TextAnalysis}
 import graft.sources.Tables
 
 /** The PRODUCTION entry point for CONTINUOUS ingest — one corpus
@@ -186,7 +186,11 @@ object IngestDemo {
     "sq_stats" -> "sq_stats", "sq_codes" -> "sq_codes",
     // the bigram-LM artifacts (round-15): the count state plus the
     // two serve tables lmFromCounts derives from it
-    "lm_bi" -> "lm_bi", "lm_uni" -> "lm_uni", "lm_consts" -> "lm_consts")
+    "lm_bi" -> "lm_bi", "lm_uni" -> "lm_uni", "lm_consts" -> "lm_consts",
+    // the suffix-repeat span-group pair (round-17): the doc-local
+    // group store plus the maintained maximal-repeat pair table —
+    // the last store family to join the fold/retract lifecycle
+    "sg_store" -> "sg_store", "sg_pairs" -> "sg_pairs")
 
   /** [[stages]] with the corpus-v0/delivery split supplied as
     * DataFrames — the rehearsal entry point (ScaleRehearsal inflates
@@ -237,6 +241,14 @@ object IngestDemo {
       },
       "boot_span_index" -> (() =>
         wr(SubstringDedup.windowIndex(base), "span_index")),
+      "boot_sg_store" -> { () =>
+        // span-group store (doc-local rows) + the maintained
+        // maximal-repeat pair table it powers — built once per
+        // corpus version, folded/retracted at touched-group cost
+        wr(SuffixArray.spanGroupStore(base), "sg_store")
+        wr(SuffixArray.repeatedSpansWithKey(rd("sg_store"), base),
+          "sg_pairs")
+      },
       "boot_nb_model" -> { () =>
         val (vt, dc) = TextAnalysis.nbCounts(base, posSources, negSources)
         wr(vt, "nb_vt"); wr(dc, "nb_dc")
@@ -433,6 +445,18 @@ object IngestDemo {
       "inc_fold_span_index" -> (() =>
         wr(SubstringDedup.updatedWindowIndex(rd("span_index"),
           docsOf(rd("admitted"))), "span_index_v1")),
+      "inc_fold_sg" -> { () =>
+        // store fold = APPEND (rows are doc-local); pairs fold =
+        // carry untouched groups, recompute only the groups the
+        // delivery's windows touch
+        val admitted = docsOf(rd("admitted")).localCheckpoint(true)
+        wr(rd("sg_store")
+          .unionByName(SuffixArray.spanGroupStore(admitted)),
+          "sg_store_v1")
+        wr(SuffixArray.repeatedSpansFold(rd("sg_pairs"),
+          rd("sg_store_v1"), admitted, base.unionByName(admitted)),
+          "sg_pairs_v1")
+      },
       "inc_fold_nb" -> { () =>
         val (vt1, dc1) = TextAnalysis.nbCountsUpdate(rd("nb_vt"),
           rd("nb_dc"), docsOf(rd("admitted")), posSources, negSources)
@@ -596,6 +620,15 @@ object IngestDemo {
           rd("sig_store_v2"),
           rd("sig_store_v1").join(rd("removed_docs").select("doc_id"),
             Seq("doc_id"))), "bucket_store_v2")),
+      "tdn_sg" -> { () =>
+        // store retract = anti-join the removed ids; pairs retract =
+        // carry untouched groups, recompute the removed docs' groups
+        // from the surviving members
+        wr(minusRemoved(rd("sg_store_v1")), "sg_store_v2")
+        wr(SuffixArray.repeatedSpansRetract(rd("sg_pairs_v1"),
+          rd("sg_store_v2"), rd("removed_docs"),
+          minusRemoved(v1Docs)), "sg_pairs_v2")
+      },
       "tdn_lm" -> { () =>
         // removed trusted-source docs retract from the bigram count
         // state (signed keyed merge, corruption guards); a compliant
@@ -758,6 +791,13 @@ object IngestDemo {
       "span index takedown == rebuild" -> (() =>
         same("span_index_v2", rd("span_index_v2"),
           SubstringDedup.windowIndex(v2))),
+      "span-group store + pairs takedown == rebuild" -> { () =>
+        same("sg_store_v2", rd("sg_store_v2"),
+          SuffixArray.spanGroupStore(v2))
+        same("sg_pairs_v2", rd("sg_pairs_v2"),
+          SuffixArray.repeatedSpansWithKey(
+            SuffixArray.spanGroupStore(v2), v2))
+      },
       "nb counts takedown == re-train" -> { () =>
         val (vt, dc) = TextAnalysis.nbCounts(v2, posSources, negSources)
         same("nb_vt_v2", rd("nb_vt_v2"), vt)
@@ -978,6 +1018,13 @@ object IngestDemo {
       "span index fold == from-scratch" -> (() =>
         same("span_index_v1", rd("span_index_v1"),
           SubstringDedup.windowIndex(v1))),
+      "span-group store + pairs fold == from-scratch" -> { () =>
+        same("sg_store_v1", rd("sg_store_v1"),
+          SuffixArray.spanGroupStore(v1))
+        same("sg_pairs_v1", rd("sg_pairs_v1"),
+          SuffixArray.repeatedSpansWithKey(
+            SuffixArray.spanGroupStore(v1), v1))
+      },
       "nb counts fold == from-scratch" -> { () =>
         val (vt, dc) = TextAnalysis.nbCounts(v1, posSources, negSources)
         same("nb_vt_v1", rd("nb_vt_v1"), vt)

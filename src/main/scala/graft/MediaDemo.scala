@@ -59,6 +59,17 @@ object MediaDemo {
     report("video frame decodes",
       Multimodal.videoFrameFeatures(media).count())
 
+    // 3b. perceptual near-dup sweep: dHash every decoded image, plant
+    //     2x upscaled copies (re-encoded bytes exact dedup misses),
+    //     and find them via the banded hash join
+    import spark.implicits._
+    val upscaled = Multimodal.upscale(
+        media.filter(_.modality == "image"), 2)
+      .map(r => r.copy(media_id = r.media_id + 10000000L))
+    val nearDups = Multimodal.imageNearDuplicates(
+      Multimodal.imageDHashes(media.union(upscaled)))
+    report("perceptual near-dup pairs", nearDups.count())
+
     // 4. decode + features (real codecs, batched narrow transform)
     val feats = Multimodal.extractFeatures(media)
     report("feature rows", feats.count())

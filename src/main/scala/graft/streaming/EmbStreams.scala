@@ -65,6 +65,20 @@ object EmbStreams {
       dim: Int = 64): DataFrame =
     graft.operators.Multimodal.extractFeatures(media, dim).toDF()
 
+  /** Streaming perceptual hashing: (media_id, dhash_lo, dhash_hi)
+    * per arriving image — [[graft.operators.Multimodal.imageDHashes]]
+    * UNCHANGED over the asset firehose (decode + 9x8 luma grid + bit
+    * packing are a narrow stateless map, the [[mediaFeatureStream]]
+    * discipline), so every landed image is banded-dedup-ready the
+    * moment it arrives; the bucket join itself stays a batch/
+    * micro-batch consumer of the accumulated hash store. Twin
+    * contract (StreamingSpec): rows == batch imageDHashes on the same
+    * assets.
+    */
+  def imageDHashStream(
+      media: Dataset[graft.operators.Multimodal.MediaRow]): DataFrame =
+    graft.operators.Multimodal.imageDHashes(media)
+
   /** Streaming PQ encoding: (vec_id, codes) per arriving vector,
     * against the OFFLINE-trained codebook
     * ([[Similarity.pqCodebookLocal]] — the model artifact, shipped

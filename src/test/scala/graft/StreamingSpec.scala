@@ -757,6 +757,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming image dHash == batch imageDHashes across deliveries") {
+    import graft.operators.Multimodal
+    import graft.streaming.EmbStreams
+    val docs = graft.sources.Tables(spark, dir).documents
+    val assets = Multimodal.synthesizeMediaFiles(docs).localCheckpoint(true)
+    val mDir = java.nio.file.Files
+      .createTempDirectory("graft-dhash-stream").toString
+    assets.filter($"media_id" % 2 === 0).write.mode("append").parquet(mDir)
+    val q = EmbStreams.imageDHashStream(EmbStreams.readMedia(spark, mDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dhash_stream").start()
+    try {
+      q.processAllAvailable()
+      assets.filter($"media_id" % 2 === 1).write.mode("append").parquet(mDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dhash_stream")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Multimodal.imageDHashes(assets)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want,
+      "streamed perceptual hashes must equal the batch operator exactly")
+    assert(got.nonEmpty)
+  }
+
   test("streaming components fold == batch componentsOf across deliveries") {
     import graft.operators.Dedup
     import graft.streaming.DocStreams
