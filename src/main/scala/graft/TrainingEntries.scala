@@ -325,6 +325,25 @@ object TrainingEntries {
       Multimodal.imageNearDuplicates(
         Multimodal.imageDHashes(media.union(up)))
     },
+    // The perceptual family at FRAME granularity: every container
+    // frame is a complete BMP, so the image machinery applies as-is —
+    // per-frame dHash (q244, frame id = media_id·1000 + frame_no) and
+    // banded near-dup pairs over frames + their 2x upscaled
+    // re-encodes (q245) — fade/re-encode intro detection, the case
+    // exact frame dedup (q109) misses
+    "q244_frame_dhash" -> q(t =>
+      Multimodal.imageDHashes(Multimodal.videoFramesAsImages(
+        Multimodal.synthesizeMediaFiles(t.documents)))),
+    "q245_frame_neardups" -> q { t =>
+      val spark = t.spark
+      import spark.implicits._
+      val frames = Multimodal.videoFramesAsImages(
+        Multimodal.synthesizeMediaFiles(t.documents))
+      val up = Multimodal.upscale(frames, 2)
+        .map(r => r.copy(media_id = r.media_id + 10000000L))
+      Multimodal.imageNearDuplicates(
+        Multimodal.imageDHashes(frames.union(up)))
+    },
     // Two-phase salted aggregation over the documents source key: the
     // skew MITIGATION held to the same oracle standard as the q104
     // profiler — partial count on (source, salt), merged partials
@@ -2507,6 +2526,56 @@ object TrainingEntries {
       |      THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT)
       |  FROM dbitsu GROUP BY media_id)""".stripMargin
 
+  /** FRAME-granularity dHash CTEs — mirrors imageDHashes ∘
+    * videoFramesAsImages over the synthesized video store: every
+    * container frame is an 8x6 BMP whose pixels follow the video
+    * synthesis formulas at (media_id, frame_no, p); the frame id is
+    * media_id·1000 + frame_no. Exposes `fdh(media_id, dhash_lo,
+    * dhash_hi)` and the 2x-upscaled replay `fdhup` (q245's planted
+    * near-dups, id + 10^7 — the q237 double-floor sampling at
+    * w = 8, h = 6).
+    */
+  private lazy val dhashFrameCtes: String =
+    """fvid AS (SELECT doc_id AS vid,
+      |    unnest(generate_series(0, CAST(1 + doc_id % 3 AS BIGINT)))
+      |      AS f
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |fgg AS (SELECT vid, f, gx, gy,
+      |    ((gy * 6) // 8) * 8 + (gx * 8) // 9 AS p,
+      |    (((gy * 12) // 8) // 2) * 8 + ((gx * 16) // 9) // 2 AS pu
+      |  FROM fvid, (SELECT unnest(generate_series(0, 8)) AS gx),
+      |       (SELECT unnest(generate_series(0, 7)) AS gy)),
+      |flm AS (SELECT vid, f, gx, gy,
+      |    299 * ((vid + 17 * f + 7 * p) % 256) +
+      |    587 * ((2 * vid + 17 * f + 11 * p + 1) % 256) +
+      |    114 * ((5 * vid + 17 * f + 13 * p + 2) % 256) AS luma,
+      |    299 * ((vid + 17 * f + 7 * pu) % 256) +
+      |    587 * ((2 * vid + 17 * f + 11 * pu + 1) % 256) +
+      |    114 * ((5 * vid + 17 * f + 13 * pu + 2) % 256) AS lumau
+      |  FROM fgg),
+      |fbits AS (SELECT a.vid, a.f, a.gy * 8 + a.gx AS i,
+      |    CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit,
+      |    CASE WHEN n.lumau > a.lumau THEN 1 ELSE 0 END AS bitu
+      |  FROM flm a JOIN flm n ON n.vid = a.vid AND n.f = a.f
+      |    AND n.gy = a.gy AND n.gx = a.gx + 1
+      |  WHERE a.gx < 8),
+      |fdh AS (SELECT vid * 1000 + f AS media_id,
+      |    CAST(SUM(CASE WHEN i < 32 AND bit = 1
+      |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+      |      AS dhash_lo,
+      |    CAST(SUM(CASE WHEN i >= 32 AND bit = 1
+      |      THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT)
+      |      AS dhash_hi
+      |  FROM fbits GROUP BY vid, f),
+      |fdhup AS (SELECT vid * 1000 + f + 10000000 AS media_id,
+      |    CAST(SUM(CASE WHEN i < 32 AND bitu = 1
+      |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+      |      AS dhash_lo,
+      |    CAST(SUM(CASE WHEN i >= 32 AND bitu = 1
+      |      THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT)
+      |      AS dhash_hi
+      |  FROM fbits GROUP BY vid, f)""".stripMargin
+
   /** Media-feature CTEs — mirrors synthesizeMediaFiles ∘ the REAL
     * MediaCodec decode ∘ stripe features: the decoded streams are
     * REGENERATED here from the pure integer synthesis formulas (the
@@ -2884,6 +2953,44 @@ object TrainingEntries {
          |      CAST(SUM(cls) AS BIGINT) AS n_pos
          |      FROM lrsm GROUP BY 1)
          |ORDER BY bin""".stripMargin,
+
+    // Mirrors imageDHashes ∘ videoFramesAsImages: per-frame 64-bit
+    // dHash, every bit regenerated from the video synthesis formulas
+    "q244_frame_dhash" ->
+      s"""WITH $dhashFrameCtes
+         |SELECT media_id, dhash_lo, dhash_hi FROM fdh
+         |ORDER BY media_id""".stripMargin,
+
+    // Mirrors imageNearDuplicates over frames + their 2x upscaled
+    // re-encodes: q237's banding/cap/verify arithmetic at frame
+    // granularity
+    "q245_frame_neardups" ->
+      s"""WITH $dhashFrameCtes,
+         |fallh AS (SELECT * FROM fdh UNION ALL SELECT * FROM fdhup),
+         |fbands AS (SELECT media_id, band,
+         |    CASE band
+         |      WHEN 0 THEN dhash_lo % 65536
+         |      WHEN 1 THEN dhash_lo // 65536
+         |      WHEN 2 THEN dhash_hi % 65536
+         |      ELSE dhash_hi // 65536 END AS v
+         |  FROM fallh, (SELECT unnest(generate_series(0, 3)) AS band)),
+         |fcool AS (SELECT band, v FROM fbands GROUP BY band, v
+         |          HAVING COUNT(*) <= 64),
+         |finc AS (SELECT b.media_id, b.band, b.v
+         |         FROM fbands b JOIN fcool c USING (band, v)),
+         |fcand AS (SELECT DISTINCT a.media_id AS id1, b.media_id AS id2
+         |          FROM finc a JOIN finc b
+         |            ON b.band = a.band AND b.v = a.v
+         |            AND a.media_id < b.media_id)
+         |SELECT c.id1, c.id2,
+         |  CAST(bit_count(xor(h1.dhash_lo, h2.dhash_lo)) +
+         |       bit_count(xor(h1.dhash_hi, h2.dhash_hi)) AS BIGINT)
+         |    AS hamming
+         |FROM fcand c JOIN fallh h1 ON h1.media_id = c.id1
+         |JOIN fallh h2 ON h2.media_id = c.id2
+         |WHERE bit_count(xor(h1.dhash_lo, h2.dhash_lo)) +
+         |      bit_count(xor(h1.dhash_hi, h2.dhash_hi)) <= 3
+         |ORDER BY id1, id2""".stripMargin,
 
     // Mirrors Logistic.weightsDfExtended: the 8-feature gradient
     // replay with the engine-signal features regenerated from their

@@ -541,6 +541,28 @@ object Multimodal {
     }.toDF("media_id", "dhash_lo", "dhash_hi")
   }
 
+  /** Explode video containers into standalone IMAGE rows, one per
+    * frame — each frame of a BMP-frame container is a complete BMP
+    * file, so the whole image family (dedup, dHash, resize, ANN)
+    * applies at FRAME granularity with zero new machinery. The frame
+    * id is `media_id · idStride + frame_no` (caller guarantees
+    * idStride exceeds any container's frame count). Narrow flatMap;
+    * frame bytes stay in the scan stage until a consumer decodes
+    * them.
+    */
+  def videoFramesAsImages(media: Dataset[MediaRow],
+      idStride: Long = 1000L): Dataset[MediaRow] = {
+    require(idStride >= 2, s"idStride=$idStride must be >= 2")
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "video").flatMap { r =>
+      splitBmpContainer(r.bytes).zipWithIndex.map { case (fb, f) =>
+        val b = MediaCodec.decodeBmp24(fb)
+        MediaRow(r.media_id * idStride + f, "image", fb,
+          MediaMeta(b.width, b.height, 0, 0))
+      }
+    }
+  }
+
   /** Perceptual NEAR-duplicate image pairs off a [[imageDHashes]]
     * table: the SimHash banding discipline — each 64-bit hash splits
     * into 4 16-bit bands, candidates share a (band, value) bucket,

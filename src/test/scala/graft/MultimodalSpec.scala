@@ -107,6 +107,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frame-granularity dHash: planted cross-container dup frames collide") {
+    // ids 2 and 770 render identical frames (mod-256 congruence, see
+    // the videoFrameDuplicates test): their per-frame dHashes must be
+    // equal, and the near-dup sweep over frames + 2x upscales must
+    // pair every frame with its own upscaled copy at hamming 0
+    val docs = Seq((2L, "a"), (770L, "b")).toDF("doc_id", "text")
+    val frames = Multimodal.videoFramesAsImages(
+      Multimodal.synthesizeMediaFiles(docs))
+    val hashes = Multimodal.imageDHashes(frames)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    (0L to 3L).foreach { f =>
+      assert(hashes(2000L + f) === hashes(770000L + f),
+        s"congruent frame $f must hash identically")
+    }
+    val up = Multimodal.upscale(frames, 2)
+      .map(r => r.copy(media_id = r.media_id + 10000000L))
+    val pairs = Multimodal.imageNearDuplicates(
+        Multimodal.imageDHashes(frames.union(up)))
+      .as[(Long, Long, Long)].collect()
+    hashes.keys.foreach { fid =>
+      assert(pairs.exists(p => Set(p._1, p._2).contains(fid) &&
+        Set(p._1, p._2).contains(fid + 10000000L) && p._3 === 0L),
+        s"frame $fid must pair with its upscaled copy")
+    }
+  }
+
   test("feature extraction: deterministic, fixed dim, normalized, no row loss") {
     val f1 = Multimodal.extractFeatures(media, dim = 32).collect()
     val f2 = Multimodal.extractFeatures(media, dim = 32).collect()
