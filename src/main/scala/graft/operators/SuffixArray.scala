@@ -52,32 +52,70 @@ object SuffixArray {
       .filter(length($("token")) > 0)
       .select($("doc_id"), ($("p0") + 1).cast("long").as("pos"), $("token"))
 
-  /** Order-preserving DENSE rank (1-based) of the distinct values of
-    * `keys`: global range-partitioned sort + zipWithIndex — the
-    * distributed ranking shape (contiguous ids, no single-partition
-    * exchange). Returns the distinct keys with an extra `rankCol`,
-    * MATERIALIZED (localCheckpoint).
+  /** Append an order-preserving DENSE rank (1-based) over `keys` to
+    * EVERY row of `df`, materialized (localCheckpoint): ONE global
+    * range-partitioned sort of the full table, then a tiny
+    * per-partition stats job ((first key, last key, distinct count)
+    * per partition — partitions-sized driver data, never rows) whose
+    * prefix sums become each partition's rank offset (a key group
+    * split across a partition boundary continues the previous
+    * partition's last rank), and one cached scan assigns ranks.
     *
-    * The sorted-distinct RDD is cached for the construction's two
-    * passes (zipWithIndex's size-count job, then the checkpoint
-    * materialization) — without the cache each pass re-ran the
-    * distinct + range sort from the source, which made the level
-    * builds the chattiest computation in the repo (round-16 audit).
+    * This replaces round-16's distinct → sort → zipWithIndex → join-
+    * back construction: the distinct table, its own sort, AND the
+    * n-row join-back shuffle are gone — per doubling level the data
+    * now crosses the wire once (the sort) instead of four times,
+    * which was the chattiest computation in the repo (round-16
+    * audit). Rank values are identical by construction (dense,
+    * 1-based, key-order-preserving), so every downstream gate is
+    * bit-for-bit unchanged.
     */
-  private def denseRankOf(df: DataFrame, keys: Seq[String],
+  private def withDenseRank(df: DataFrame, keys: Seq[String],
       rankCol: String): DataFrame = {
     val spark = df.sparkSession
-    val distinct = df.select(keys.map(col): _*).distinct()
-      .orderBy(keys.map(col(_).asc): _*)
-    val schema = StructType(distinct.schema.fields :+
+    val sorted = df.orderBy(keys.map(col(_).asc): _*)
+    val schema = StructType(sorted.schema.fields :+
       StructField(rankCol, LongType, nullable = false))
-    val sorted = distinct.rdd
+    val kIdx = keys.map(sorted.schema.fieldIndex)
+    val rdd = sorted.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val ranked = sorted.zipWithIndex().map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ (i + 1L)) }
+      def keyOf(r: Row): Seq[Any] = kIdx.map(r.get)
+      val stats: Array[Option[(Seq[Any], Seq[Any], Long)]] = rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          var first: Seq[Any] = null
+          var last: Seq[Any] = null
+          var d = 0L
+          it.foreach { r =>
+            val k = keyOf(r)
+            if (first == null) { first = k; last = k; d = 1L }
+            else if (k != last) { last = k; d += 1L }
+          }
+          Iterator((i, Option(first).map(f => (f, last, d))))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = new Array[Long](stats.length)
+      var acc = 0L
+      var prevLast: Seq[Any] = null
+      for (i <- stats.indices) stats(i) match {
+        case None => offsets(i) = acc
+        case Some((first, last, d)) =>
+          val continues = prevLast != null && first == prevLast
+          offsets(i) = acc - (if (continues) 1L else 0L)
+          acc = offsets(i) + d
+          prevLast = last
+      }
+      val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
+        var rank = offsets(i)
+        var last: Seq[Any] = null
+        it.map { r =>
+          val k = kIdx.map(r.get)
+          if (last == null || k != last) { rank += 1L; last = k }
+          Row.fromSeq(r.toSeq :+ rank)
+        }
+      }
       spark.createDataFrame(ranked, schema).localCheckpoint(true)
-    } finally sorted.unpersist(false)
+    } finally rdd.unpersist(false)
   }
 
   /** Doubling levels the ORACLE unrolls (the SQL is a static string,
@@ -108,18 +146,16 @@ object SuffixArray {
   /** All prefix-doubling levels: element m of the result holds
     * (doc_id, pos, r) where r is the dense rank of the length-2^m
     * prefix of the suffix at (doc_id, pos) (−1-padded past the doc
-    * end). Exactly `doublings`+1 levels. Levels are localCheckpointed
-    * — the LCP descent re-reads every one. The per-level pair table
-    * is cached across its two consumers (the distinct-rank build and
-    * the rank join-back) — round-16's audit measured it computed
-    * twice per level.
+    * end). Exactly `doublings`+1 levels, each a narrow projection of
+    * a localCheckpointed ranked table — the LCP descent re-reads
+    * every one from cache. Each level costs ONE wide exchange (the
+    * [[withDenseRank]] sort); the distinct/join-back shuffles of the
+    * round-16 construction are gone.
     */
   private[operators] def doublingLevels(positions: DataFrame,
       doublings: Int): Seq[DataFrame] = {
-    val r0 = positions
-      .join(denseRankOf(positions, Seq("token"), "r"), Seq("token"))
+    val r0 = withDenseRank(positions, Seq("token"), "r")
       .select($("doc_id"), $("pos"), $("r"))
-      .localCheckpoint(true)
     val levels = collection.mutable.ArrayBuffer(r0)
     for (m <- 1 to doublings) {
       val shift = 1L << (m - 1)
@@ -128,13 +164,8 @@ object SuffixArray {
         ($("pos") - shift).as("pos"), $("r").as("r2"))
       val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
         .na.fill(-1L, Seq("r2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val rk = denseRankOf(paired, Seq("r", "r2"), "rn")
-        levels += paired.join(rk, Seq("r", "r2"))
-          .select($("doc_id"), $("pos"), $("rn").as("r"))
-          .localCheckpoint(true)
-      } finally paired.unpersist(false)
+      levels += withDenseRank(paired, Seq("r", "r2"), "rn")
+        .select($("doc_id"), $("pos"), $("rn").as("r"))
     }
     levels.toSeq
   }
